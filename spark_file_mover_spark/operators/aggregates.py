@@ -1,0 +1,59 @@
+"""Category E — aggregations (SURVEY.md §2E).
+
+All shapes are plain ``groupBy().agg()`` so Spark plans a partial
+(map-side) hash aggregate + final hash aggregate after a shuffle on the
+grouping keys — the scalable plan at any data size. No custom code paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_file_mover_spark.operators._parity import davg, dec, dsum
+from spark_file_mover_spark.registry import query
+from spark_file_mover_spark.sources.io import load_table
+
+# E1 / flagship: TPC-H Q1 shape over lineitem. Scan→filter (pushed to
+# parquet)→hash agg; the classic partial-agg-friendly query.
+_AGG_HASH_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("agg-hash", oracle=_AGG_HASH_ORACLE)
+def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: group-by sum/avg/count over lineitem (TPC-H Q1 shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(12,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                dec("l_extendedprice") * (one - dec("l_discount")) * (one + dec("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

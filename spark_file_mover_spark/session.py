@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]`` (single JVM), but every setting here is
+chosen to also be the right default on a 1000-executor cluster:
+
+* AQE on (runtime partition coalescing, skew-join splitting, dynamic
+  broadcast conversion) — the single biggest lever at 100 TB.
+* ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster AQE coalescing makes the static number mostly irrelevant as an
+  upper bound.
+* Session timezone pinned to UTC so timestamp semantics are stable and
+  oracle-comparable (DuckDB timestamps are UTC-naive).
+* Arrow enabled for every Python boundary crossing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "spark_file_mover_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the engine SparkSession."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally provided
+    session (the driver hands us its own SparkSession).
+
+    Only touches confs that are safe to set at runtime.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass  # non-runtime-settable on some builds; defaults are fine
+    return spark

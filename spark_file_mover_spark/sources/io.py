@@ -1,0 +1,41 @@
+"""Table loading for the driver testdata star schema.
+
+``load_table`` is the single entry point every declared query uses; it
+keeps the scan declarative (``spark.read.parquet``) so Catalyst gets
+predicate pushdown, column pruning and partition pruning for free.
+At 100 TB the same call works against a partitioned table directory —
+nothing here assumes a single file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame (lazy parquet scan)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Pin UTC on the session handed to us so timestamp-derived values are
+    # stable regardless of driver host timezone (runtime-settable conf).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all testdata tables as temp views for spark.sql queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
