@@ -57,3 +57,91 @@ def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+_DISTINCT_ORACLE = """
+SELECT
+  l_returnflag,
+  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg-distinct", oracle=_DISTINCT_ORACLE)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: multiple count(distinct) — Spark expands to a single
+    aggregate with grouping-id expansion, still fully distributed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query("agg-approx-distinct")  # rows-only: HLL estimates are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: HyperLogLog++ approximate distinct counts — the 100 TB-scale
+    substitute for exact distinct (no shuffle of distinct values, fixed
+    sketch memory per group)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  GROUPING(l_returnflag, l_linestatus) AS gid,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+@query("agg-rollup-cube-gsets", oracle=_ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: rollup with grouping_id (cube/grouping-sets share the same
+    Expand-based physical plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        dsum("l_quantity", "sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+
+
+_HAVING_ORACLE = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_orderkey
+HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+"""
+
+
+@query("agg-having", oracle=_HAVING_ORACLE)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: post-aggregation filter (HAVING) — TPC-H Q18 shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(dec("l_quantity")).alias("_sum_dec"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .filter(F.col("_sum_dec") > 150)
+        .select(
+            "l_orderkey",
+            F.col("_sum_dec").cast("double").alias("sum_qty"),
+            "n_items",
+        )
+    )

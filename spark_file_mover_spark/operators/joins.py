@@ -1,1 +1,206 @@
-"""Placeholder — populated in a later milestone."""
+"""Category D — joins (SURVEY.md §2D).
+
+Scale posture: dimension tables (region/nation/customer at TPC-H ratios)
+are broadcast — explicitly where we know sizes (D4, D6), otherwise left to
+Catalyst/AQE. Fact-fact joins shuffle on the join key, which is the right
+plan at 100 TB; AQE skew-join splitting is enabled in the session factory.
+Non-equi joins (D5) keep an equi component so the planner can still hash —
+a pure theta join would degrade to BroadcastNestedLoop and is only safe
+when one side is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_file_mover_spark.operators._parity import dec
+from spark_file_mover_spark.registry import query
+from spark_file_mover_spark.sources.io import load_table
+
+_INNER_ORACLE = """
+SELECT o.o_orderkey, c.c_custkey, c.c_name, c.c_mktsegment, o.o_totalprice
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE o.o_orderstatus = 'O'
+"""
+
+
+@query("join-inner-equi", oracle=_INNER_ORACLE)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: customer ⋈ orders equi-join (planner picks broadcast/SMJ)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+_OUTER_ORACLE = """
+WITH cust_per_nation AS (
+  SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+  FROM customer GROUP BY c_nationkey
+),
+supp_per_nation AS (
+  SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT
+  COALESCE(c.nationkey, s.nationkey) AS nationkey,
+  c.n_customers AS n_customers,
+  s.n_suppliers AS n_suppliers
+FROM cust_per_nation c FULL OUTER JOIN supp_per_nation s
+  ON c.nationkey = s.nationkey
+"""
+
+
+@query("join-left-right-full", oracle=_OUTER_ORACLE)
+def join_left_right_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: full-outer join of per-nation customer vs supplier counts
+    (nulls on both sides since suppliers cover few nations)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    joined = c.alias("c").join(s.alias("s"), F.col("c.nationkey") == F.col("s.nationkey"), "full")
+    return joined.select(
+        F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
+        F.col("c.n_customers").alias("n_customers"),
+        F.col("s.n_suppliers").alias("n_suppliers"),
+    )
+
+
+_SEMI_ANTI_ORACLE = """
+SELECT 'has_urgent_order' AS tag, c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT 'no_urgent_order' AS tag, c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+@query("join-semi-anti", oracle=_SEMI_ANTI_ORACLE)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: left-semi (EXISTS) and left-anti (NOT EXISTS), tagged + unioned."""
+    c = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    semi = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").select(
+        F.lit("has_urgent_order").alias("tag"), "c_custkey", "c_name"
+    )
+    anti = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        F.lit("no_urgent_order").alias("tag"), "c_custkey", "c_name"
+    )
+    return semi.unionAll(anti)
+
+
+_BCAST_ORACLE = """
+SELECT r.r_name AS region_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+FROM region r
+JOIN nation n ON r.r_regionkey = n.n_regionkey
+JOIN customer c ON n.n_nationkey = c.c_nationkey
+GROUP BY r.r_name
+"""
+
+
+@query("join-broadcast", oracle=_BCAST_ORACLE)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: small-dim broadcast join — region and nation ship to every task,
+    so the customer scan never shuffles for the join."""
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+_RANGE_ORACLE = """
+SELECT l.l_orderkey, l.l_linenumber, p.p_partkey, p.p_size, l.l_quantity
+FROM lineitem l JOIN part p
+  ON l.l_partkey = p.p_partkey
+ AND l.l_quantity BETWEEN p.p_size - 2 AND p.p_size + 2
+WHERE p.p_brand = 'Brand#1'
+"""
+
+
+@query("join-range-theta", oracle=_RANGE_ORACLE)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: equi + range residual join (TPC-H Q19 shape). The equi key keeps
+    the join hash-able; the range predicate is evaluated as a post-join
+    filter inside the same stage — no nested-loop blowup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    cond = (
+        (li.l_partkey == p.p_partkey)
+        & (li.l_quantity >= p.p_size - 2)
+        & (li.l_quantity <= p.p_size + 2)
+    )
+    return li.join(F.broadcast(p), cond).select(
+        "l_orderkey", "l_linenumber", "p_partkey", "p_size", "l_quantity"
+    )
+
+
+_STAR_ORACLE = """
+SELECT
+  r.r_name AS region_name,
+  n.n_name AS nation_name,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lineitems
+FROM region r
+JOIN nation n   ON r.r_regionkey = n.n_regionkey
+JOIN customer c ON n.n_nationkey = c.c_nationkey
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY r.r_name, n.n_name
+"""
+
+
+@query("join-multiway-star", oracle=_STAR_ORACLE)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: TPC-H Q5-shaped star join region→nation→customer→orders→lineitem.
+
+    All three dims are broadcast so the only shuffles are the orders⋈lineitem
+    fact join (hashes on orderkey) and the final aggregation — the minimal
+    shuffle count for this shape at any scale.
+    """
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(12,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -1,1 +1,165 @@
-"""Placeholder — populated in a later milestone."""
+"""Category F (F1–F5) — window functions, top-k, sort/limit (SURVEY.md §2F).
+
+Every window is given a TOTAL order (explicit tie-breaker key) so results
+are deterministic and oracle-comparable. Physically a window is one
+shuffle on the partition keys + an in-partition sort — the same plan DuckDB
+or any MPP engine would pick, and it scales as long as single partitions
+fit an executor (true for these keys at any sf).
+
+``sort-limit`` compiles to TakeOrderedAndProject: each task keeps only the
+top N, the driver merges — no global sort materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from spark_file_mover_spark.operators._parity import dec
+from spark_file_mover_spark.registry import query
+from spark_file_mover_spark.sources.io import load_table
+
+_RANKING_ORACLE = """
+SELECT
+  c_custkey, c_mktsegment, c_acctbal,
+  row_number()  OVER w AS rn,
+  rank()        OVER w AS rnk,
+  dense_rank()  OVER w AS drnk,
+  ntile(4)      OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+@query("window-ranking", oracle=_RANKING_ORACLE)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: ranking family over a totally ordered partition."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_ANALYTIC_ORACLE = """
+SELECT
+  o_custkey, o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+  lag(o_orderkey)  OVER w AS prev_order,
+  lead(o_orderkey) OVER w AS next_order,
+  first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order,
+  last_value(o_orderkey)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latest_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("window-analytic", oracle=_ANALYTIC_ORACLE)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: lag/lead/first/last per customer order history."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(wf).alias("first_order"),
+        F.last("o_orderkey").over(wf).alias("latest_order"),
+    )
+
+
+_FRAME_ORACLE = """
+SELECT
+  l_orderkey, l_linenumber,
+  CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+       OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+       OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_qty
+FROM lineitem
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+"""
+
+
+@query("window-frame-agg", oracle=_FRAME_ORACLE)
+def window_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: running sum + moving average with explicit row frames.
+
+    The moving average is emitted as exact-decimal-sum / count so both
+    engines perform the identical single float division.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    mov = w.rowsBetween(-2, W.currentRow)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dec("l_quantity").cast("double").alias("qty"),
+        F.sum(dec("l_quantity")).over(run).cast("double").alias("running_qty"),
+        (
+            F.sum(dec("l_quantity")).over(mov).cast("double")
+            / F.count(F.lit(1)).over(mov)
+        ).alias("moving_avg_qty"),
+    )
+
+
+_TOPK_ORACLE = """
+SELECT c_mktsegment, c_custkey, c_acctbal, rn
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) WHERE rn <= 5
+"""
+
+
+@query("topk-per-group", oracle=_TOPK_ORACLE)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: top-5 customers per segment by balance (rank-then-filter).
+
+    Catalyst rewrites this to a WindowGroupLimit at execution: each task
+    keeps ≤k rows per group before the shuffle, so the pattern holds at
+    100 TB without materializing full partitions.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+_SORT_LIMIT_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@query("sort-limit", oracle=_SORT_LIMIT_ORACLE)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: global order + limit (TakeOrderedAndProject physical op)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

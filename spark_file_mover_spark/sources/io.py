@@ -10,6 +10,7 @@ nothing here assumes a single file.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -32,6 +33,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin UTC on the session handed to us so timestamp-derived values are
     # stable regardless of driver host timezone (runtime-settable conf).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark's reader
+        # rejects outright; read the raw nanos and convert with integer
+        # division (float division would lose sub-µs bits above 2^53).
+        # DuckDB truncates ns→µs the same way, so the oracle agrees.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
