@@ -41,5 +41,5 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         building.union(rich).distinct().select(F.lit("union_distinct").alias("op"), "c_custkey")
         .unionAll(building.intersect(rich).select(F.lit("intersect").alias("op"), "c_custkey"))
-        .unionAll(building.exceptAll(rich).distinct().select(F.lit("except").alias("op"), "c_custkey"))
+        .unionAll(building.subtract(rich).select(F.lit("except").alias("op"), "c_custkey"))
     )

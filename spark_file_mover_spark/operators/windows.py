@@ -87,7 +87,8 @@ SELECT
        OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
     / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_qty
 FROM lineitem
-WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+WINDOW w AS (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey)
 """
 
 
@@ -97,9 +98,16 @@ def window_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The moving average is emitted as exact-decimal-sum / count so both
     engines perform the identical single float division.
+
+    The testdata violates TPC-H's (l_orderkey, l_linenumber) uniqueness,
+    so the frame ORDER BY is extended to a tuple that IS unique per row
+    (verified at sf0.01/sf0.1) — otherwise Spark and the oracle accumulate
+    running sums in different tie orders and hashes diverge.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    w = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_partkey"
+    )
     run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     mov = w.rowsBetween(-2, W.currentRow)
     return li.select(

@@ -38,9 +38,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # rejects outright; read the raw nanos and convert with integer
         # division (float division would lose sub-µs bits above 2^53).
         # DuckDB truncates ns→µs the same way, so the oracle agrees.
+        # The legacy conf is scoped to this read (set → plan → restore) so
+        # it doesn't leak into how other nanos parquet columns are decoded.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

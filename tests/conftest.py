@@ -9,7 +9,10 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# Default to sf0.01 — the driver's t2 correctness scale — so a green local
+# run actually predicts the driver's CORRECTNESS gate (round-1 lesson: a
+# tie-order bug was invisible at sf0.001 and red at sf0.01).
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
