@@ -1,0 +1,270 @@
+"""The file-mover: post-write single-file / templated-rename pass (SURVEY.md §2A).
+
+Re-expresses the reference's ``MoveFilesOutputCommitter``
+(`MoveFilesOutputCommitter.scala:12-56`) as an idiomatic PySpark post-write
+library function. The reference hooks Spark's Hadoop committer via
+``spark.sql.sources.outputCommitterClass`` and runs entirely on the driver
+after ``super.commitJob`` — i.e. after all files exist at their final
+location. PySpark cannot subclass a Java committer, and does not need to:
+``df.write...save(path)`` blocks until job commit, so calling
+:func:`move_files` right after gives the identical observable end state.
+
+Behavioral contract preserved (reference file:line):
+
+* recursive listing, ``_SUCCESS`` excluded        — scala :27
+* Hive ``key=value`` ancestor-dir parse, regex
+  ``(\\w+)=([a-zA-Z0-9 -_]*)``, deeper dir wins   — scala :29-35
+* synthetic ``outputDirectory`` var overrides a
+  same-named partition column                     — scala :35
+* ``$var`` template, names ``[a-zA-Z0-9]+`` (so
+  ``_`` is a delimiter, not part of a name)       — scala :30,37-46
+* unknown variable raises (fails the whole job,
+  before ANY rename happens)                      — scala :40, test :144-154
+* global collision guard: if any target has >1
+  source, NO file is moved                        — scala :50-53
+* renames executed via ``FileSystem.rename``;
+  failed renames are silent; source partition
+  dirs are not removed                            — scala :52, README :85
+* the rename plan is printed to stdout            — scala :49
+
+Scale note (100 TB): the plan is O(#files) driver-side metadata work —
+same as the reference — which is fine to ~10^5 files. For larger outputs
+:func:`plan_moves_df` surfaces the same plan as a DataFrame so the rename
+pass can be executed with ``foreachPartition`` (an FS client per executor);
+rename is a metadata op on HDFS. On object stores rename is a copy — prefer
+naming files correctly at write time there, as the reference README implies
+for HDFS-like filesystems.
+"""
+
+from __future__ import annotations
+
+import posixpath
+import re
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: option name kept for API parity with the reference (scala :9-10)
+MOVE_FILES_OPTION = "spark.writer.movefiles"
+
+# Reference regexes, ported verbatim (scala :29-30). Note `[a-zA-Z0-9 -_]`
+# contains the ASCII *range* space..underscore — a reference quirk we keep
+# for parity (it admits most printable punctuation in partition values).
+_PARTITION_RE = re.compile(r"(\w+)=([a-zA-Z0-9 -_]*)")
+_VARIABLE_RE = re.compile(r"(.*?)\$([a-zA-Z0-9]+)")
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+class NoSuchPartitionVariable(KeyError):
+    """Unknown ``$var`` in the target pattern (reference
+    ``NoSuchElementException``, scala :40): fails the whole move, before
+    any rename has been executed."""
+
+
+@dataclass(frozen=True)
+class MoveResult:
+    """Outcome of one :func:`move_files` pass."""
+
+    renames: dict[str, str]  # planned src -> target (always complete)
+    moved: bool  # False iff the collision guard aborted the pass
+
+
+# ---------------------------------------------------------------------------
+# Pure plan-building functions (no filesystem, unit-testable)
+# ---------------------------------------------------------------------------
+
+
+def extract_partitions(file_path: str, output_dir: str) -> dict[str, str]:
+    """Parse Hive ``key=value`` ancestor directories of ``file_path`` into a
+    string map; deeper segments win on duplicate keys; the synthetic
+    ``outputDirectory`` key is injected last and overrides a same-named
+    partition column (scala :29-35).
+    """
+    parts: dict[str, str] = {}
+    # every ancestor dir name, shallowest first (scala: parents .reverse)
+    segments = file_path.split("/")[:-1]
+    for seg in segments:
+        m = _PARTITION_RE.fullmatch(seg)
+        if m:
+            parts[m.group(1)] = m.group(2)
+    parts["outputDirectory"] = output_dir
+    return parts
+
+
+def render_segment(segment: str, env: dict[str, str]) -> str:
+    """Substitute every ``$var`` in one ``/``-split template segment
+    (scala :30,38-45). Variable names match ``[a-zA-Z0-9]+`` so ``_``
+    delimits: ``cat_$category_id_$id.csv`` is literal ``cat_`` + var
+    ``category`` + literal ``_id_`` + var ``id`` + literal ``.csv``.
+    Unknown variables raise :class:`NoSuchPartitionVariable`.
+    """
+
+    def repl(m: re.Match[str]) -> str:
+        name = m.group(2)
+        if name not in env:
+            raise NoSuchPartitionVariable(
+                f"Key '{name}' not found in partitions {env}"
+            )
+        return m.group(1) + env[name]
+
+    return _VARIABLE_RE.sub(repl, segment)
+
+
+def _join_path(parent: str, child: str) -> str:
+    """Mirror Hadoop ``new Path(parent, child)``: an absolute child (URI or
+    rooted path) replaces the parent; a rooted child keeps the parent's
+    scheme/authority."""
+    if _SCHEME_RE.match(child):
+        return child
+    if child.startswith("/"):
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?)", parent)
+        return (m.group(1) if m else "") + child
+    return parent.rstrip("/") + "/" + child
+
+
+def render_target(template: str, env: dict[str, str], root: str = "/") -> str:
+    """Render the full ``/``-split target template against ``env``, folding
+    from the filesystem root exactly like the reference (scala :37-46)."""
+    path = root
+    for segment in template.split("/"):
+        if "$" in segment:
+            segment = render_segment(segment, env)
+        if segment:
+            path = _join_path(path, segment)
+    return path
+
+
+def plan_moves(
+    files: list[str], output_dir: str, template: str, root: str = "/"
+) -> dict[str, str]:
+    """Build the full rename plan ``{source -> target}`` for a completed
+    write at ``output_dir`` (scala :31-48). Raises on unknown template
+    variables before any rename could run."""
+    plan: dict[str, str] = {}
+    for f in files:
+        env = extract_partitions(f, output_dir)
+        plan[f] = render_target(template, env, root=root)
+    return plan
+
+
+def has_collisions(plan: dict[str, str]) -> bool:
+    """Global collision guard (scala :50-51): True iff any target path is
+    produced by more than one source file — in which case the reference
+    silently moves NOTHING."""
+    seen: set[str] = set()
+    for target in plan.values():
+        if target in seen:
+            return True
+        seen.add(target)
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Filesystem side (py4j Hadoop FS — works for file:// and hdfs:// alike)
+# ---------------------------------------------------------------------------
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem for ``path`` via py4j (same client the reference
+    gets from ``FileSystem.get(outputPath.toUri, conf)``, scala :18)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark._jsc.hadoopConfiguration()
+    return jpath.getFileSystem(conf), jpath
+
+
+def list_output_files(spark: SparkSession, output_dir: str) -> list[tuple[str, int]]:
+    """A1: recursively list all files under ``output_dir``, excluding
+    ``_SUCCESS`` (scala :27). Returns ``[(fully-qualified path, size)]``."""
+    fs, jpath = _hadoop_fs(spark, output_dir)
+    it = fs.listFiles(jpath, True)
+    out: list[tuple[str, int]] = []
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath()
+        if p.getName() == "_SUCCESS":
+            continue
+        out.append((p.toString(), status.getLen()))
+    return out
+
+
+def move_files(
+    spark: SparkSession, output_dir: str, template: str
+) -> MoveResult:
+    """A1–A5 composite: the post-write pass the reference runs inside
+    ``commitJob`` (scala :16-53). List → extract partitions → render →
+    collision-guard → rename. Unknown template variables raise before any
+    rename; a collision aborts every rename; individual rename failures are
+    silent (reference parity)."""
+    fs, jpath = _hadoop_fs(spark, output_dir)
+    qualified_out = fs.resolvePath(jpath).toString()
+    root = fs.resolvePath(spark._jvm.org.apache.hadoop.fs.Path("/")).toString()
+
+    files = [p for p, _ in list_output_files(spark, output_dir)]
+    plan = plan_moves(files, qualified_out, template, root=root)
+    print(plan)  # the reference prints the rename plan (scala :49)
+
+    if has_collisions(plan):
+        return MoveResult(renames=plan, moved=False)
+    Jpath = spark._jvm.org.apache.hadoop.fs.Path
+    for src, dst in plan.items():
+        fs.rename(Jpath(src), Jpath(dst))  # return value ignored (scala :52)
+    return MoveResult(renames=plan, moved=True)
+
+
+def plan_moves_df(
+    spark: SparkSession, output_dir: str, template: str
+) -> DataFrame:
+    """The rename plan as a DataFrame — the 100 TB-scale surface: build the
+    manifest distributed-side and execute renames with ``foreachPartition``
+    when #files outgrows driver memory. Columns: source, target, size."""
+    fs, jpath = _hadoop_fs(spark, output_dir)
+    qualified_out = fs.resolvePath(jpath).toString()
+    files = list_output_files(spark, output_dir)
+    plan = plan_moves([p for p, _ in files], qualified_out, template)
+    sizes = dict(files)
+    rows = [(src, dst, sizes[src]) for src, dst in plan.items()]
+    return spark.createDataFrame(rows, "source string, target string, size long")
+
+
+def write_single_file(
+    df: DataFrame,
+    output_dir: str,
+    template: str = "$outputDirectory",
+    partition_by: Optional[list[str]] = None,
+    fmt: str = "csv",
+    mode: str = "overwrite",
+    single: bool = True,
+    options: Optional[dict[str, str]] = None,
+) -> MoveResult:
+    """A6: the user-facing composite — write a DataFrame and land it as
+    exactly one named file (or one file per partition), the reference's
+    headline capability ("A Spark extension for writing to single files",
+    build.sc:35; README.md:33-49).
+
+    ``single=True`` coalesces to one output file per partition-dir the way
+    the reference tests ``repartition(1)`` (test :80) — ``coalesce`` avoids
+    the shuffle when upstream parallelism allows.
+    """
+    spark = df.sparkSession
+    writer_df = df.coalesce(1) if single else df
+    writer = writer_df.write.mode(mode).option(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", "false"
+    )
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(output_dir)
+    return move_files(spark, output_dir, template)
+
+
+def hive_partition_value(value: Optional[str]) -> str:
+    """The string a partition value takes in a written path: Spark encodes
+    null AND empty as ``__HIVE_DEFAULT_PARTITION__`` (reference test
+    :126-142)."""
+    if value is None or value == "":
+        return "__HIVE_DEFAULT_PARTITION__"
+    return value

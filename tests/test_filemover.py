@@ -1,0 +1,223 @@
+"""File-mover tests: the reference's 8 end-to-end scenarios
+(MoveFilesOutputCommiterTest.scala:60-154) ported against file://, plus
+unit tests of the pure plan functions (template/partition semantics).
+
+The reference asserts on filesystem state only (isFile/isDirectory,
+test :156-165); these tests do the same via pathlib.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+
+from spark_file_mover_spark.filemover import (
+    NoSuchPartitionVariable,
+    extract_partitions,
+    has_collisions,
+    move_files,
+    plan_moves,
+    render_segment,
+    render_target,
+    write_single_file,
+)
+
+# reference canonical dataset (test :46-51): note the duplicate
+# (category=data, id=1) partition pair
+EXAMPLE_DATA = [
+    ("data", 1, "foo"),
+    ("data", 1, "fooagain"),
+    ("data", 2, "bar"),
+    ("info", 3, "baz"),
+]
+COLUMNS = ["category", "id", "value"]
+
+
+@pytest.fixture()
+def tmp_out():
+    d = tempfile.mkdtemp(prefix="filemover-")
+    yield str(Path(d) / "test")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write(df, out, partition_by=None, pattern="$outputDirectory", single=True):
+    return write_single_file(
+        df, out, template=pattern, partition_by=partition_by, single=single
+    )
+
+
+# --- the 8 reference scenarios -------------------------------------------
+
+
+def test_no_move_when_multiple_files_in_dir(spark, tmp_out):
+    """ref test :60-66: 5 files → one target → collision → directory stays."""
+    df = spark.createDataFrame(EXAMPLE_DATA, COLUMNS).repartition(5)
+    res = _write(df, tmp_out, pattern="$outputDirectory.csv", single=False)
+    assert not res.moved
+    assert Path(tmp_out).is_dir()
+    assert not Path(tmp_out + ".csv").exists()
+
+
+def test_no_move_without_file_extension(spark, tmp_out):
+    """ref test :68-74: default pattern '$outputDirectory' — all 5 files map
+    onto the output dir itself → collision → no move. (Despite the test
+    name, no extension check exists in the reference; the behavior falls
+    out of the collision guard, scala :51.)"""
+    df = spark.createDataFrame(EXAMPLE_DATA, COLUMNS).repartition(5)
+    res = _write(df, tmp_out, single=False)
+    assert not res.moved
+    assert Path(tmp_out).is_dir()
+
+
+def test_moves_single_file(spark, tmp_out):
+    """ref test :75-82: one file → unique target → moved to /test.csv."""
+    df = spark.createDataFrame(EXAMPLE_DATA, COLUMNS)
+    res = _write(df, tmp_out, pattern="$outputDirectory.csv")
+    assert res.moved
+    assert Path(tmp_out + ".csv").is_file()
+
+
+def test_moves_single_file_per_partition(spark, tmp_out):
+    """ref test :84-95: partitionBy(category,id), template
+    '$outputDirectory/cat_$category_id_$id.csv' — one named file per
+    partition, underscore-delimited variable parse."""
+    df = spark.createDataFrame(EXAMPLE_DATA, COLUMNS)
+    res = _write(
+        df,
+        tmp_out,
+        partition_by=["category", "id"],
+        pattern="$outputDirectory/cat_$category_id_$id.csv",
+    )
+    assert res.moved
+    for cat, id_, _ in EXAMPLE_DATA:
+        assert (Path(tmp_out) / f"cat_{cat}_id_{id_}.csv").is_file()
+
+
+def test_moves_fixed_name_without_partition(spark, tmp_out):
+    """ref test :96-104: fixed (no-variable) file segment."""
+    df = spark.createDataFrame(EXAMPLE_DATA, COLUMNS)
+    res = _write(df, tmp_out, pattern="$outputDirectory/fixed_file_name.csv")
+    assert res.moved
+    assert (Path(tmp_out) / "fixed_file_name.csv").is_file()
+
+
+def test_special_characters_in_partition_values(spark, tmp_out):
+    """ref test :106-124: space/underscore/dash in partition values pass
+    through the partition regex's broad char class."""
+    df = spark.createDataFrame(
+        [
+            ("data with space", 1, "foo"),
+            ("data_with_underscore", 2, "bar"),
+            ("data-with-dash", 3, "baz"),
+        ],
+        COLUMNS,
+    )
+    res = _write(
+        df,
+        tmp_out,
+        partition_by=["category", "id"],
+        pattern="$outputDirectory/cat_$category_id_$id.csv",
+    )
+    assert res.moved
+    for name in [
+        "cat_data with space_id_1.csv",
+        "cat_data_with_underscore_id_2.csv",
+        "cat_data-with-dash_id_3.csv",
+    ]:
+        assert (Path(tmp_out) / name).is_file(), name
+
+
+def test_null_and_empty_partition_values(spark, tmp_out):
+    """ref test :126-142: null AND empty partition values are written as
+    __HIVE_DEFAULT_PARTITION__ and substitute as that literal string."""
+    df = spark.createDataFrame([("", 1, "foo"), (None, 2, "bar")], COLUMNS)
+    res = _write(
+        df,
+        tmp_out,
+        partition_by=["category", "id"],
+        pattern="$outputDirectory/cat_$category_id_$id.csv",
+    )
+    assert res.moved
+    for name in [
+        "cat___HIVE_DEFAULT_PARTITION___id_1.csv",
+        "cat___HIVE_DEFAULT_PARTITION___id_2.csv",
+    ]:
+        assert (Path(tmp_out) / name).is_file(), name
+
+
+def test_unknown_template_variable_raises(spark, tmp_out):
+    """ref test :144-154: '$nonexistent' fails the whole move (the
+    reference surfaces NoSuchElementException as SparkException; here the
+    post-write pass raises before any rename)."""
+    df = spark.createDataFrame([("data", 1, "foo")], COLUMNS)
+    with pytest.raises(NoSuchPartitionVariable):
+        _write(
+            df,
+            tmp_out,
+            partition_by=["category", "id"],
+            pattern="$outputDirectory/cat_$nonexistent.csv",
+        )
+    # nothing was renamed: the partition layout is intact
+    assert any(Path(tmp_out).glob("category=data/id=1/*.csv"))
+
+
+# --- pure-function unit tests ---------------------------------------------
+
+
+def test_extract_partitions_deeper_segment_wins():
+    parts = extract_partitions("/out/k=a/k=b/file.csv", "/out")
+    assert parts["k"] == "b"
+
+
+def test_extract_partitions_output_directory_overrides():
+    parts = extract_partitions("/out/outputDirectory=evil/f.csv", "/real-out")
+    assert parts["outputDirectory"] == "/real-out"
+
+
+def test_render_segment_underscore_delimits():
+    env = {"category": "data", "id": "1"}
+    assert render_segment("cat_$category_id_$id.csv", env) == "cat_data_id_1.csv"
+
+
+def test_render_segment_unknown_var_raises():
+    with pytest.raises(NoSuchPartitionVariable):
+        render_segment("$nope", {})
+
+
+def test_render_target_absolute_output_directory():
+    env = {"outputDirectory": "file:/tmp/out"}
+    assert render_target("$outputDirectory.csv", env) == "file:/tmp/out.csv"
+    assert (
+        render_target("$outputDirectory/f.csv", env) == "file:/tmp/out/f.csv"
+    )
+
+
+def test_collision_guard_global():
+    plan = {"/a/x": "/t.csv", "/a/y": "/t.csv", "/a/z": "/u.csv"}
+    assert has_collisions(plan)
+    assert not has_collisions({"/a/x": "/t.csv", "/a/z": "/u.csv"})
+
+
+def test_plan_moves_end_to_end_pure():
+    files = [
+        "/out/category=data/id=1/part-0.csv",
+        "/out/category=info/id=3/part-0.csv",
+    ]
+    plan = plan_moves(files, "/out", "$outputDirectory/cat_$category_id_$id.csv")
+    assert plan == {
+        files[0]: "/out/cat_data_id_1.csv",
+        files[1]: "/out/cat_info_id_3.csv",
+    }
+
+
+def test_move_files_is_idempotent_surface(spark, tmp_out):
+    """move_files on an already-moved dir re-plans from current state; the
+    manifest surface (plan dict) is always complete even when not moved."""
+    df = spark.createDataFrame(EXAMPLE_DATA, COLUMNS)
+    res = _write(df, tmp_out, pattern="$outputDirectory/data.csv")
+    assert res.moved and len(res.renames) == 1
+    res2 = move_files(spark, tmp_out, "$outputDirectory/data.csv")
+    assert len(res2.renames) == 1  # the moved file is listed again
