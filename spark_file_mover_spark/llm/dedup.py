@@ -1,1 +1,293 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators for LLM training-data pipelines (SURVEY.md §2I).
+
+Four dedup families over ``documents``:
+
+* ``dedup-exact`` — hash-groupBy on normalized text; one shuffle on the
+  normalization key. At 100 TB: shuffle on ``xxhash64(norm_text)`` (8-byte
+  key) instead of the text itself, AQE handles skew; this is the classic
+  map-side-combine-friendly pattern.
+* ``dedup-near-minhash`` — banded MinHash-LSH: shingle → k minhash values
+  → b bands of r rows → bucket-join on (band, signature). NEVER all-pairs:
+  the only shuffle keys are the band signatures, so candidate generation is
+  linear in corpus size; the quadratic step is confined to within-bucket
+  pairs (bounded by bucket size, tunable via b/r threshold ≈ (1/b)^(1/r)).
+* ``dedup-simhash`` — 64-bit SimHash from token-hash bit votes; near-dups
+  land in the same high-bit bucket. One explode + one groupBy.
+* ``dedup-ngram-jaccard`` — EXACT n-gram Jaccard verification on candidate
+  pairs within (lang, source) blocks: explode shingles → equi-join →
+  intersection counts → |A∪B| = |A|+|B|−|A∩B|. This is the verify stage
+  you run AFTER LSH blocking at scale, never standalone on the full corpus.
+
+All are pure built-in DataFrame ops — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_file_mover_spark.registry import query
+from spark_file_mover_spark.sources.io import load_table
+
+# ---------------------------------------------------------------------------
+# I1 — exact dedup
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+WITH normed AS (
+  SELECT doc_id, lang, source, n_chars,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (PARTITION BY norm_text ORDER BY doc_id) AS rn
+  FROM normed
+) WHERE rn = 1
+"""
+
+
+@query("dedup-exact", oracle=_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1: exact duplicate removal on whitespace/case-normalized text,
+    keeping the lowest doc_id per duplicate group.
+
+    The window-on-normalized-text formulation (vs ``dropDuplicates``) makes
+    the survivor deterministic — required for oracle parity and generally
+    what a curation pipeline wants (stable survivor choice across runs).
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        d.withColumn("rn", F.row_number().over(
+            W.partitionBy(norm).orderBy("doc_id")))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# I2 — banded MinHash-LSH near-dup
+# ---------------------------------------------------------------------------
+
+# k = b*r minhash permutations h_i(x) = (a_i * x32 + b_i) mod P over the
+# 32-bit fold of xxhash64(shingle); P = 2^31-1 (prime), a_i < 2^30 so the
+# product stays far below 2^63 (no Java long overflow).
+_P = 2_147_483_647
+_BANDS = 8
+_ROWS = 2
+_rng = random.Random(42)
+_PERMS = [(_rng.randrange(1, 1 << 30), _rng.randrange(0, _P)) for _ in range(_BANDS * _ROWS)]
+
+
+def _minhash_signature(tokens_col):
+    """k minhash values over 3-word shingles of a token-array column."""
+    n = F.size(tokens_col)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(tokens_col, i + 1),
+            F.element_at(tokens_col, i + 2),
+            F.element_at(tokens_col, i + 3),
+        ),
+    )
+    base = F.transform(
+        F.array_distinct(shingles),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)),
+    )
+    return [
+        F.array_min(
+            F.transform(base, lambda h: F.pmod(a * h + b, F.lit(_P)))
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_PERMS)
+    ]
+
+
+@query("dedup-near-minhash")
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2 (rows-only: engine-specific hashes): banded MinHash-LSH.
+
+    shingle(3-word) → 16 minhashes → 8 bands × 2 rows (collision threshold
+    ≈ (1/8)^(1/2) ≈ 0.35 Jaccard) → explode bands → self-join on
+    (band, signature) → candidate pairs → per-doc cluster id = min
+    candidate neighbor. Output is one row per document with its cluster.
+
+    Scale: the self-join shuffles on band signatures only — linear in
+    corpus size; never an all-pairs crossJoin. Full transitive clustering
+    is an iterative connected-components pass (GraphFrames / iterate-until-
+    fixpoint) — one min-neighbor round is the standard single-pass
+    approximation and keeps this a two-shuffle plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sig = d.select("doc_id", *_minhash_signature(toks))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh{b * _ROWS + r}") for r in range(_ROWS)]
+                        ).alias("sig"),
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    pairs = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["band", "sig"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    neighbors = pairs.select(F.col("a").alias("doc_id"), F.col("b").alias("nb")).unionAll(
+        pairs.select(F.col("b").alias("doc_id"), F.col("a").alias("nb"))
+    )
+    cluster = neighbors.groupBy("doc_id").agg(F.min("nb").alias("min_nb"))
+    return (
+        d.select("doc_id")
+        .join(cluster, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.least(F.col("doc_id"), F.coalesce("min_nb", F.col("doc_id"))).alias(
+                "cluster_id"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup bucketing
+# ---------------------------------------------------------------------------
+
+
+@query("dedup-simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (rows-only: engine-specific hashes): 64-bit fingerprint via
+    per-bit votes of token xxhash64 values; near-dups share high bits.
+
+    Plan: explode tokens → one row per (doc, token-hash) → groupBy doc with
+    64 sign-vote sums folded into the fingerprint — a single explode +
+    single agg, the cheapest near-dup signal there is (no pairwise step at
+    all; bucket on the top-16 bits to get candidate groups).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    # bit masks built JVM-side with shiftleft: 1<<63 wraps to the long sign
+    # bit, which F.lit cannot carry from Python (unsigned 2^63 overflows).
+    def mask(bit: int):
+        return F.shiftleft(F.lit(1).cast("long"), bit)
+
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(mask(bit)) != 0, 1).otherwise(-1)
+        ).alias(f"v{bit}")
+        for bit in range(64)
+    ]
+    voted = toks.groupBy("doc_id").agg(*votes)
+    fingerprint = None
+    for bit in range(64):
+        term = F.when(F.col(f"v{bit}") > 0, mask(bit)).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return voted.select(
+        "doc_id",
+        fingerprint.alias("simhash"),
+        F.shiftright(fingerprint, 48).alias("bucket16"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (the verify stage)
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split_regex(lower(trim(text)), '\\s+')[1:20]) AS grams
+  FROM documents
+),
+exploded AS (
+  SELECT doc_id, lang, source, unnest(grams) AS g FROM toks
+),
+inter AS (
+  SELECT a.lang, a.source, a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_inter
+  FROM exploded a JOIN exploded b
+    ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY ALL
+),
+sizes AS (SELECT doc_id, len(grams) AS n FROM toks)
+SELECT i.a, i.b,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+"""
+
+
+@query("dedup-ngram-jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard ≥ 0.5 between documents blocked by
+    (lang, source) — the verification stage of a dedup pipeline.
+
+    Explode-join-count: |A∩B| via gram equi-join inside blocks, union by
+    inclusion-exclusion. The join shuffles on (gram, lang, source) — at
+    100 TB this runs on LSH-candidate pairs only; the (lang, source)
+    blocking here stands in for that candidate restriction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(
+        F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 20)
+    )
+    toks = d.select("doc_id", "lang", "source", grams.alias("grams"))
+    sizes = toks.select("doc_id", F.size("grams").alias("n"))
+    expl = toks.select(
+        "doc_id", "lang", "source", F.explode("grams").alias("g")
+    )
+    inter = (
+        expl.alias("a")
+        .join(
+            expl.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .filter(jac >= 0.5)
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,1 +1,263 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators for LLM data curation (SURVEY.md §2I, I4).
+
+All five queries are pure built-in column expressions over ``documents`` —
+narrow, shuffle-free per-document maps (plus one low-cardinality agg) that
+scale embarrassingly: at 100 TB each is a single parquet scan with column
+pruning (only ``text``/``lang`` read) and whole-stage codegen end-to-end.
+
+* ``text-analysis``     — corpus stats per language (the I4 contract row)
+* ``text-token-count``  — whitespace tokens + BPE-ish subword estimate
+* ``text-langid``       — marker-word n-gram-style language scorer
+* ``text-quality-score``— length/punctuation/stopword composite quality
+* ``text-fingerprint``  — polynomial rolling hash over tokens (engine-
+  portable: the same fold is expressed in DuckDB for the oracle)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_file_mover_spark.registry import query
+from spark_file_mover_spark.sources.io import load_table
+
+_STOPWORDS = ("a", "the", "of", "to", "and")
+
+# ---------------------------------------------------------------------------
+# I4 — corpus statistics per language
+# ---------------------------------------------------------------------------
+
+_ANALYSIS_ORACLE = """
+WITH t AS (
+  SELECT lang, n_chars,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+         len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS n_types
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+       ROUND(CAST(SUM(n_types) AS DOUBLE) / SUM(n_tokens), 6) AS type_token_ratio
+FROM t GROUP BY lang
+"""
+
+
+@query("text-analysis", oracle=_ANALYSIS_ORACLE)
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4: per-language corpus statistics — doc counts, char/token volumes,
+    type-token ratio. Map-side tokenize + 5-group agg; partial aggregation
+    makes the shuffle a few rows per language."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = d.select(
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.count("*"), 6
+        ).alias("avg_tokens"),
+        F.round(
+            F.sum("n_types").cast("double") / F.sum("n_tokens"), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish estimate)
+# ---------------------------------------------------------------------------
+
+_TOKEN_COUNT_ORACLE = """
+SELECT doc_id,
+       len(string_split_regex(lower(trim(text)), '\\s+')) AS n_ws_tokens,
+       length(regexp_replace(text, '\\s+', '', 'g')) AS n_non_ws_chars,
+       CAST(CEIL(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0) AS BIGINT)
+         AS n_bpe_est
+FROM documents
+"""
+
+
+@query("text-token-count", oracle=_TOKEN_COUNT_ORACLE)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count plus the standard chars/4 BPE estimate —
+    the budget arithmetic every training-data pipeline runs first."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    squeezed = F.regexp_replace("text", r"\s+", "")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_ws_tokens"),
+        F.length(squeezed).alias("n_non_ws_chars"),
+        F.ceil(F.length(squeezed) / 4.0).cast("bigint").alias("n_bpe_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic
+# ---------------------------------------------------------------------------
+
+# marker vocabularies per language (n-gram-heuristic stand-in; on real data
+# these would be char-trigram frequency profiles)
+_MARKERS = {
+    "en": ("the", "a", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "zh": ("de5", "shi4", "le5"),
+}
+
+
+def _marker_count_sql(lang: str) -> str:
+    toks = ", ".join(f"'{t}'" for t in _MARKERS[lang])
+    return (
+        "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        f"t -> list_contains([{toks}], t)))"
+    )
+
+
+_LANGID_ORACLE = f"""
+SELECT doc_id, lang,
+       CASE
+         WHEN {_marker_count_sql('es')} > {_marker_count_sql('en')} THEN 'es'
+         WHEN {_marker_count_sql('de')} > {_marker_count_sql('en')} THEN 'de'
+         WHEN {_marker_count_sql('fr')} > {_marker_count_sql('en')} THEN 'fr'
+         WHEN {_marker_count_sql('en')} > 0 THEN 'en'
+         ELSE 'und'
+       END AS predicted_lang
+FROM documents
+"""
+
+
+@query("text-langid", oracle=_LANGID_ORACLE)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language scorer: count per-language marker tokens, pick
+    the best-scoring language, 'und' when nothing matches. Pure map —
+    column-pruned scan, no shuffle. (The synthetic corpus shares one
+    vocabulary across langs, so predictions exercise the operator shape,
+    not linguistic accuracy.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+    def count(lang: str):
+        arr = F.array(*[F.lit(t) for t in _MARKERS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    pred = (
+        F.when(count("es") > count("en"), "es")
+        .when(count("de") > count("en"), "de")
+        .when(count("fr") > count("en"), "fr")
+        .when(count("en") > 0, "en")
+        .otherwise("und")
+    )
+    return d.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_SW = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         length(text) AS len_raw
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, n_chars, len_raw,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> list_contains([{_SW}], x))) AS n_stop,
+         ROUND(CAST(len_raw AS DOUBLE) / len(toks), 6) AS avg_tok_len
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, avg_tok_len,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       (n_tokens >= 20 AND n_tokens <= 1000
+        AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.01) AS passes_filter
+FROM m
+"""
+
+
+@query("text-quality-score", oracle=_QUALITY_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gates: token-count bounds + stopword-ratio
+    floor, emitted per document with the underlying signals. Pure map."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.round(F.length("text").cast("double") / n_tokens, 6).alias(
+            "avg_tok_len"
+        ),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        (
+            (n_tokens >= 20) & (n_tokens <= 1000) & (stop_ratio >= 0.01)
+        ).alias("passes_filter"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (rolling hash)
+# ---------------------------------------------------------------------------
+
+# Polynomial rolling hash over tokens, engine-portable: both engines fold
+# acc*31 + tok_sig (mod 2^31-1) left-to-right, where tok_sig is built from
+# plain string ops (length + first/last char codes) available in both SQLs.
+_FP_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks,
+             s -> CAST(length(s) * 131 + ascii(substr(s, 1, 1)) * 7
+                       + ascii(substr(s, length(s), 1)) AS BIGINT))),
+         (acc, sig) -> (acc * 31 + sig) % 2147483647) AS fingerprint,
+       len(toks) AS n_tokens
+FROM t
+"""
+
+
+@query("text-fingerprint", oracle=_FP_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: left fold of a polynomial
+    rolling hash over the token stream (two docs with the same token
+    multiset but different order fingerprint differently — complements
+    set-based MinHash). Expressed with F.aggregate so the fold runs
+    JVM-side inside codegen; no Python in the loop."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, s: F.pmod(
+            acc * 31
+            + (
+                F.length(s) * 131
+                + F.ascii(F.substring(s, 1, 1)) * 7
+                + F.ascii(F.substring(s, -1, 1))
+            ).cast("bigint"),
+            F.lit(2147483647),
+        ),
+    )
+    return d.select(
+        "doc_id", fp.alias("fingerprint"), F.size(toks).alias("n_tokens")
+    )
