@@ -1,1 +1,310 @@
-"""Placeholder — populated in a later milestone."""
+"""Category G — scalar function surface (SURVEY.md §2G, G1–G6).
+
+One declared query per function domain, each exercising the family's core
+functions as pure built-in column expressions (JVM-side, inside
+whole-stage codegen — the entire point of this category is that NONE of it
+needs Python). Every query is a narrow map over one table: column-pruned
+scan, zero shuffles, embarrassingly parallel at any scale.
+
+Cross-engine parity notes:
+* dates/timestamps are emitted as formatted strings or integer parts —
+  never raw timestamps (host-TZ hazard).
+* double-typed math (pow/log/sqrt) is rounded to 6 dp on BOTH sides;
+  libm implementations may differ in the last ulp.
+* Spark ``levenshtein`` ≡ DuckDB ``levenshtein``; Spark ``ascii`` ≡
+  DuckDB ``ascii`` (unicode code point of first char).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_file_mover_spark.registry import query
+from spark_file_mover_spark.sources.io import load_table
+
+# ---------------------------------------------------------------------------
+# G1 — strings
+# ---------------------------------------------------------------------------
+
+_STRING_ORACLE = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       lower(c_mktsegment) AS seg_lower,
+       substr(c_name, 1, 8) AS name_prefix,
+       length(c_name) AS name_len,
+       concat(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS seg_tag,
+       trim(concat('  ', c_name, '  ')) AS name_trimmed,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+       regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+       regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+       levenshtein(c_mktsegment, 'BUILDING') AS seg_lev,
+       string_split(c_name, '#')[1] AS name_head,
+       CASE WHEN c_name LIKE 'Customer%' THEN 1 ELSE 0 END AS is_customer
+FROM customer
+"""
+
+
+@query("fn-string", oracle=_STRING_ORACLE)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: the string workhorse set — case, substr, concat, trim, pad,
+    regexp extract/replace, levenshtein, split, LIKE."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("#", "c_mktsegment", F.col("c_custkey").cast("string")).alias(
+            "seg_tag"
+        ),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias(
+            "name_trimmed"
+        ),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.regexp_replace("c_name", r"[0-9]+", "#").alias("name_masked"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("seg_lev"),
+        F.split("c_name", "#").getItem(0).alias("name_head"),
+        F.when(F.col("c_name").like("Customer%"), 1).otherwise(0).alias(
+            "is_customer"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G2 — dates / timestamps
+# ---------------------------------------------------------------------------
+
+_DATE_ORACLE = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(year(o_orderdate) AS INTEGER) AS y,
+       CAST(month(o_orderdate) AS INTEGER) AS m,
+       CAST(day(o_orderdate) AS INTEGER) AS d,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,  -- DuckDB 0=Sun, Spark 1=Sun
+       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+       CAST(epoch(o_orderdate) AS BIGINT) AS unix_ts
+FROM orders
+"""
+
+
+@query("fn-date", oracle=_DATE_ORACLE)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: date decomposition, truncation, arithmetic, epoch conversion.
+    Timestamps never leave the query raw — everything is a string or an
+    integer part, so results are TZ-pinned and engine-portable."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("order_date"),
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.dayofweek(d).alias("dow"),  # 1=Sunday, same convention as DuckDB+1
+        F.quarter(d).alias("q"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.unix_timestamp(d).alias("unix_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G3 — math
+# ---------------------------------------------------------------------------
+
+_MATH_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       ROUND(l_extendedprice, 1) AS price_r1,
+       CAST(ABS(l_extendedprice - 1000) AS DOUBLE) AS abs_diff,
+       CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+       CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+       ROUND(POW(l_quantity, 2), 6) AS qty_sq,
+       ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
+       ROUND(LOG10(l_extendedprice + 1), 6) AS price_log10,
+       ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+       l_orderkey % 7 AS key_mod,
+       CAST(SIGN(l_discount - 0.05) AS INTEGER) AS disc_sign,
+       GREATEST(l_quantity, 25.0) AS qty_hi,
+       LEAST(l_quantity, 25.0) AS qty_lo
+FROM lineitem
+"""
+
+
+@query("fn-math", oracle=_MATH_ORACLE)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: rounding, abs, floor/ceil, pow/log/sqrt (rounded 6 dp — libm
+    ulp hazard), modulo, sign, greatest/least."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_extendedprice") - 1000).alias("abs_diff"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("price_log10"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("qty_hi"),
+        F.least("l_quantity", F.lit(25.0)).alias("qty_lo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G4 — arrays (incl. higher-order functions)
+# ---------------------------------------------------------------------------
+
+_ARRAY_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_toks,
+       list_contains(toks, 'spark') AS has_spark,
+       toks[1:5] AS first5,
+       list_sort(list_distinct(toks[1:5])) AS first5_sorted,
+       len(list_filter(toks, x -> length(x) > 4)) AS n_long,
+       list_transform(toks[1:3], x -> upper(x)) AS head_upper,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                   (a, b) -> a + b) AS total_len
+FROM t
+"""
+
+
+@query("fn-array", oracle=_ARRAY_ORACLE)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: size/contains/slice/sort/distinct plus higher-order
+    filter/transform/aggregate — all codegen'd JVM lambdas, the idiomatic
+    replacement for row-at-a-time Python list handling."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.slice(toks, 1, 5).alias("first5"),
+        F.array_sort(F.array_distinct(F.slice(toks, 1, 5))).alias(
+            "first5_sorted"
+        ),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)).alias(
+            "head_upper"
+        ),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.length(x).cast("bigint"),
+        ).alias("total_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G5 — map / JSON (events.props)
+# ---------------------------------------------------------------------------
+
+_MAPJSON_ORACLE = """
+SELECT event_id, event_type,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_value,
+       CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_string,
+       json_valid(props) AS is_valid_json,
+       CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+       CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) >= 50
+            THEN 'high' ELSE 'low' END AS k_band
+FROM events
+"""
+
+
+@query("fn-map-json", oracle=_MAPJSON_ORACLE)
+def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: JSON parsing of events.props — typed ``from_json`` (schema'd
+    struct, the scale-correct path: parsed once, columnar after) plus
+    ``get_json_object`` string extraction and map introspection."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
+    as_map = F.from_json("props", T.MapType(T.StringType(), T.StringType()))
+    return e.select(
+        "event_id",
+        "event_type",
+        parsed.getField("k").alias("k_value"),
+        F.get_json_object("props", "$.k").alias("k_string"),
+        as_map.isNotNull().alias("is_valid_json"),
+        F.size(F.map_keys(as_map)).alias("n_keys"),
+        F.when(parsed.getField("k") >= 50, "high").otherwise("low").alias(
+            "k_band"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G6 — case/when + casts
+# ---------------------------------------------------------------------------
+
+_CASE_CAST_ORACLE = """
+SELECT o_orderkey,
+       CASE o_orderstatus WHEN 'F' THEN 'finished'
+                          WHEN 'O' THEN 'open'
+                          ELSE 'pending' END AS status_name,
+       CASE WHEN o_totalprice > 100000 THEN 'large'
+            WHEN o_totalprice > 10000 THEN 'medium'
+            ELSE 'small' END AS size_band,
+       CAST(TRUNC(o_totalprice) AS BIGINT) AS price_int,  -- Spark cast truncates, DuckDB rounds
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+       CAST(o_orderkey AS DOUBLE) AS key_dbl,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS date_str,
+       CAST(strptime('2024-06-15 12:30:00', '%Y-%m-%d %H:%M:%S')
+            AS VARCHAR) AS fixed_ts_str,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'was_pending') AS status_coalesced
+FROM orders
+"""
+
+
+@query("fn-case-when-cast", oracle=_CASE_CAST_ORACLE)
+def fn_case_when_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: simple + searched CASE, numeric/string/date casts incl. a
+    timestamp↔string round trip, NULLIF/COALESCE."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("pending")
+        .alias("status_name"),
+        F.when(F.col("o_totalprice") > 100000, "large")
+        .when(F.col("o_totalprice") > 10000, "medium")
+        .otherwise("small")
+        .alias("size_band"),
+        F.col("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias(
+            "price_str"
+        ),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+            "date_str"
+        ),
+        F.to_timestamp(F.lit("2024-06-15 12:30:00"))
+        .cast("string")
+        .alias("fixed_ts_str"),
+        F.coalesce(
+            F.nullif("o_orderstatus", F.lit("P")), F.lit("was_pending")
+        ).alias("status_coalesced"),
+    )
