@@ -1,1 +1,234 @@
-"""Placeholder — populated in a later milestone."""
+"""Category H — streaming-shaped operators over ``events`` (SURVEY.md §2H).
+
+Each operator is declared BATCH-FIRST: ``window()`` / ``session_window()``
+/ ``dropDuplicates`` have identical semantics in batch and streaming, so
+the declared (oracle-checked) query runs the batch plan, and
+:func:`as_stream` + the tests exercise the same transformations as a real
+Structured Streaming job (file source → watermark → availableNow trigger
+→ memory sink) and assert the streamed result equals the batch result.
+
+Scale/streaming posture: tumbling/sliding aggs shuffle on (window, key) —
+partial aggregation applies, and the state store holds one row per open
+window per key, bounded by the watermark horizon. Session windows keep
+per-key session state, merged on arrival; ``withWatermark`` is what lets
+Spark evict state and drop late data — without it a 100 TB/day stream
+grows state without bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_file_mover_spark.operators._parity import dec
+from spark_file_mover_spark.registry import query
+from spark_file_mover_spark.sources.io import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+# ---------------------------------------------------------------------------
+# H1 — tumbling windows
+# ---------------------------------------------------------------------------
+
+_TUMBLING_ORACLE = """
+SELECT
+  strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("stream-tumbling", oracle=_TUMBLING_ORACLE)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1: per-type counts + exact-decimal value sums in 1-hour tumbling
+    windows. The window struct is projected to a formatted start string so
+    results are flat and engine-comparable."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# H2 — sliding windows
+# ---------------------------------------------------------------------------
+
+# A 1h/15m sliding window assigns each event to exactly 4 windows whose
+# starts are the four preceding 15-min grid points — expressed in DuckDB as
+# a cross join with the offset set {0,15,30,45}.
+_SLIDING_ORACLE = """
+SELECT
+  strftime(time_bucket(INTERVAL '15 minutes', ts) - INTERVAL (k.off) MINUTE,
+           '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  COUNT(*) AS n_events
+FROM events
+CROSS JOIN (VALUES (0), (15), (30), (45)) AS k(off)
+GROUP BY 1, 2
+"""
+
+
+@query("stream-sliding", oracle=_SLIDING_ORACLE)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: 1-hour windows sliding every 15 minutes — each event lands in 4
+    overlapping windows (Spark expands via its internal window generator;
+    the oracle expands explicitly)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# H3 — session windows
+# ---------------------------------------------------------------------------
+
+# Gaps-and-islands oracle: a new session starts when the gap from the
+# previous event of the same user exceeds 30 min; Spark's session_window
+# end = last event + gap, mirrored below.
+_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, session_no
+"""
+
+
+@query("stream-session", oracle=_SESSION_ORACLE)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3: session windows with a 30-minute inactivity gap per user.
+    ``session_window`` merges adjacent events server-side; in streaming
+    the same expression maintains per-user session state with watermark
+    eviction. Oracle is the classic gaps-and-islands rewrite."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            F.date_format("w.end", _TS_FMT).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# H4 — dedup with late-data semantics
+# ---------------------------------------------------------------------------
+
+_DEDUP_ORACLE = """
+WITH doubled AS (
+  SELECT * FROM events UNION ALL SELECT * FROM events
+)
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+  FROM doubled
+) WHERE rn = 1
+"""
+
+
+@query("stream-dedup-late", oracle=_DEDUP_ORACLE)
+def stream_dedup_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4: duplicate-event elimination — the stream is doubled to simulate
+    at-least-once redelivery, then deduplicated on event_id keeping the
+    earliest arrival. In streaming this is ``withWatermark +
+    dropDuplicates``: the watermark bounds how long an event_id is
+    remembered, which is exactly the late-data contract (a duplicate
+    arriving later than the watermark horizon is NOT caught — state can't
+    be infinite)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    doubled = e.unionAll(e)
+    w = W.partitionBy("event_id").orderBy("ts")
+    return (
+        doubled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", _TS_FMT).alias("ts_str"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming execution harness (used by tests; not a declared query)
+# ---------------------------------------------------------------------------
+
+
+def as_stream(spark: SparkSession, sf_dir: str, watermark: str = "10 minutes"):
+    """Materialize events as a real file-source stream: write the (nanos-
+    normalized) table to a temp parquet dir, open it with ``readStream``,
+    apply the watermark. Tests drive this with trigger(availableNow=True)
+    into a memory sink and compare against the batch plans above."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="sfm-stream-") + "/events"
+    batch = load_table(spark, sf_dir, "events")
+    batch.write.mode("overwrite").parquet(path)
+    return (
+        spark.readStream.schema(batch.schema)
+        .parquet(path)
+        .withWatermark("ts", watermark)
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
+    """Run a streaming query to completion on available data, return the
+    in-memory result table name."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name

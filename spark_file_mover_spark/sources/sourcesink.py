@@ -1,1 +1,192 @@
-"""Placeholder — populated in a later milestone."""
+"""Category B — scans, sources, sinks (SURVEY.md §2B, B1–B5).
+
+The write pipeline the reference file-mover is parasitic on
+(``df.write.partitionBy(...).csv(...)``, reference README.md:70-73 and
+test :52-59), declared as first-class queries: parquet scan manifest, CSV
+round-trip with explicit schema, Hive-partitioned sink (incl. the
+``__HIVE_DEFAULT_PARTITION__`` null encoding the mover must parse back),
+overwrite mode, and explicit output-file-count control.
+
+Round-trip queries write to a fresh temp dir and re-read, returning data
+that is oracle-checkable (values survive the format round trip exactly:
+int/string columns for CSV, everything for parquet). At 100 TB these same
+calls write partitioned/bucketed directories; nothing here assumes a
+single file or local FS.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_file_mover_spark.registry import query
+from spark_file_mover_spark.sources.io import TABLES, load_table
+
+# ---------------------------------------------------------------------------
+# B1 — parquet scan, declared
+# ---------------------------------------------------------------------------
+
+_SCAN_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation
+WHERE n_regionkey IN (0, 1, 2)
+"""
+
+
+@query("scan-parquet", oracle=_SCAN_ORACLE)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: declarative parquet scan with pushed filter + pruned columns —
+    ``.explain`` shows PushedFilters: [In(n_regionkey, ...)] and a
+    3-column ReadSchema; the foundation every other query builds on."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select("n_nationkey", "n_name", "n_regionkey").filter(
+        F.col("n_regionkey").isin(0, 1, 2)
+    )
+
+
+@query("scan-table-manifest")
+def scan_table_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 companion (rows-only): the catalog surface — one row per table
+    with row count and column count, read via the same declarative scans."""
+    rows = []
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        rows.append((name, df.count(), len(df.columns)))
+    return spark.createDataFrame(
+        rows, "table_name string, n_rows long, n_cols int"
+    ).orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# B2 — CSV round trip
+# ---------------------------------------------------------------------------
+
+_CSV_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+@query("scan-csv-roundtrip", oracle=_CSV_ORACLE)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: write nation as CSV, re-read with an explicit schema (never
+    inferSchema in production — one extra full pass and type drift), and
+    return the round-tripped rows. Int/string columns survive CSV exactly,
+    so the oracle is the original table."""
+    out = tempfile.mkdtemp(prefix="sfm-b2-") + "/nation_csv"
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    n.write.mode("overwrite").option("header", "true").csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return spark.read.csv(out, header=True, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# B3 — Hive-partitioned sink (incl. null partition encoding)
+# ---------------------------------------------------------------------------
+
+_PARTITIONED_ORACLE = """
+WITH src AS (
+  SELECT s_suppkey, s_name,
+         CASE WHEN s_nationkey % 5 = 0 THEN NULL
+              ELSE CAST(s_nationkey AS VARCHAR) END AS nation_bucket
+  FROM supplier
+)
+SELECT
+  COALESCE(nation_bucket, '__HIVE_DEFAULT_PARTITION__') AS nation_bucket,
+  COUNT(*) AS n_suppliers,
+  MIN(s_suppkey) AS min_key
+FROM src
+GROUP BY 1
+"""
+
+
+@query("sink-partitioned", oracle=_PARTITIONED_ORACLE)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: Hive-style partitioned write — every 5th nation bucket nulled so
+    the writer produces ``__HIVE_DEFAULT_PARTITION__`` directories
+    (the encoding the reference mover parses back, ref test :126-142) —
+    then re-read from the partitioned layout and aggregate per partition.
+    The re-read proves partition discovery: the bucket comes back as a
+    partition COLUMN read from directory names, not file contents."""
+    out = tempfile.mkdtemp(prefix="sfm-b3-") + "/supplier_part"
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.when(F.col("s_nationkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("s_nationkey").cast("string"))
+        .alias("nation_bucket"),
+    )
+    s.write.mode("overwrite").partitionBy("nation_bucket").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy(
+        # partition-column values come back typed from dir names; nulls
+        # surface as real NULLs — re-encode for a stable string key
+        F.coalesce(
+            F.col("nation_bucket").cast("string"),
+            F.lit("__HIVE_DEFAULT_PARTITION__"),
+        ).alias("nation_bucket")
+    ).agg(
+        F.count("*").alias("n_suppliers"),
+        F.min("s_suppkey").alias("min_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B4 — overwrite semantics
+# ---------------------------------------------------------------------------
+
+_OVERWRITE_ORACLE = """
+SELECT r_regionkey, r_name FROM region
+"""
+
+
+@query("sink-overwrite", oracle=_OVERWRITE_ORACLE)
+def sink_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: overwrite save mode — first write garbage, then overwrite with
+    the real rows; the re-read must see ONLY the second write. (The
+    reference always writes SaveMode.Overwrite, test :56.)"""
+    out = tempfile.mkdtemp(prefix="sfm-b4-") + "/region_pq"
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    garbage = r.withColumn("r_name", F.lit("GARBAGE"))
+    garbage.write.mode("overwrite").parquet(out)
+    r.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# B5 — explicit output-file-count control
+# ---------------------------------------------------------------------------
+
+
+@query("repartition-n")
+def repartition_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 (rows-only manifest): control output file count — repartition(4)
+    (full shuffle, even sizes) vs coalesce(1) (no shuffle, the reference
+    tests' repartition(1) pattern, test :80). Writes both layouts and
+    manifests {layout, n_files, n_rows}; re-read row counts prove no data
+    change. At scale: repartition before write is how you hit the
+    128 MB-file sweet spot; coalesce avoids the shuffle when collapsing."""
+    base = tempfile.mkdtemp(prefix="sfm-b5-")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    o.repartition(4).write.mode("overwrite").parquet(base + "/r4")
+    o.coalesce(1).write.mode("overwrite").parquet(base + "/c1")
+    rows = []
+    for layout, path in [("repartition_4", base + "/r4"), ("coalesce_1", base + "/c1")]:
+        back = spark.read.parquet(path)
+        n_files = back.select(F.input_file_name()).distinct().count()
+        rows.append((layout, n_files, back.count()))
+    return spark.createDataFrame(
+        rows, "layout string, n_files long, n_rows long"
+    ).orderBy("layout")

@@ -1,1 +1,182 @@
-"""Placeholder — populated in a later milestone."""
+"""Category J — UDF / UDAF / UDTF surface (SURVEY.md §2J).
+
+The engine's posture is built-ins first (every other category is
+UDF-free); this module is the declared escape hatch for logic that
+genuinely needs Python, expressed the only way that's acceptable at
+100 TB: Arrow-vectorized. Three shapes:
+
+* J1 ``udf-scalar-pandas`` — ``@pandas_udf``: batches arrive as
+  ``pd.Series`` over Arrow (no per-row pickling); still ~an order slower
+  than the equivalent built-in expression, so the docstring carries the
+  built-in rewrite it should become when possible.
+* J2 ``udaf-grouped-pandas`` — ``applyInPandas``: one pandas frame per
+  group after a hash shuffle on the keys. The hazard at scale is a skewed
+  group exceeding executor memory — keys here are bounded (5 langs);
+  salted two-phase aggregation is the fix when they aren't.
+* J3 ``udtf-explode-like`` — one-to-many generation. The declared query
+  uses the BUILT-IN ``posexplode`` (codegen'd, the right default); a real
+  Python UDTF (Spark 4 ``@udtf``) with identical semantics is exported as
+  :func:`token_explode_udtf` and exercised in tests — it is the shape to
+  reach for only when generation logic can't be an array expression.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from spark_file_mover_spark.registry import query
+from spark_file_mover_spark.sources.io import load_table
+
+# ---------------------------------------------------------------------------
+# J1 — vectorized scalar pandas UDF
+# ---------------------------------------------------------------------------
+
+
+def _normalize_series(s: pd.Series) -> pd.Series:
+    return (
+        s.str.lower()
+        .str.replace(r"[^a-z0-9\s]", "", regex=True)
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+    )
+
+
+_NORMALIZE_UDF = None
+
+
+def normalize_text():
+    """Arrow-batched text normalizer UDF: lowercase, trim, collapse
+    whitespace, strip non-alphanumerics. Built lazily (pandas_udf wants a
+    live session in Spark 4) and cached. Equivalent built-in rewrite
+    (preferred when the logic stays this simple):
+    ``lower(trim(regexp_replace(regexp_replace(text, '[^a-z0-9 ]', ''), '\\s+', ' ')))``.
+    """
+    global _NORMALIZE_UDF
+    if _NORMALIZE_UDF is None:
+        _NORMALIZE_UDF = pandas_udf(_normalize_series, "string")
+    return _NORMALIZE_UDF
+
+
+_SCALAR_ORACLE = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                           '\\s+', ' ', 'g')) AS norm_text,
+       length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                  '\\s+', ' ', 'g'))) AS norm_len
+FROM documents
+"""
+
+
+@query("udf-scalar-pandas", oracle=_SCALAR_ORACLE)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: the pandas UDF runs the normalization; the oracle runs the pure
+    SQL mirror — passing proves the vectorized Python path is semantics-
+    preserving, which is the whole point of declaring it."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize_text()
+    return d.select(
+        "doc_id",
+        norm("text").alias("norm_text"),
+        F.length(norm("text")).alias("norm_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — grouped-map applyInPandas
+# ---------------------------------------------------------------------------
+
+
+def _lang_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-language robust stats — the kind of whole-group computation
+    (median needs the full group) that justifies applyInPandas over
+    built-in aggregates."""
+    chars = pdf["n_chars"].sort_values()
+    return pd.DataFrame(
+        {
+            "lang": [pdf["lang"].iloc[0]],
+            "n_docs": [len(pdf)],
+            "median_chars": [float(chars.median())],
+            "iqr_chars": [
+                float(chars.quantile(0.75, interpolation="midpoint"))
+                - float(chars.quantile(0.25, interpolation="midpoint"))
+            ],
+            "min_doc_id": [int(pdf["doc_id"].min())],
+        }
+    )
+
+
+@query("udaf-grouped-pandas")
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (rows-only: quantile interpolation conventions differ across
+    engines): one pandas frame per language group via applyInPandas —
+    hash shuffle on lang, whole group in memory per task. Bounded keys
+    here; for unbounded/skewed keys pre-aggregate or salt."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .groupBy("lang")
+        .applyInPandas(
+            _lang_stats,
+            schema=(
+                "lang string, n_docs long, median_chars double, "
+                "iqr_chars double, min_doc_id long"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — one-to-many generation (built-in explode + real Python UDTF)
+# ---------------------------------------------------------------------------
+
+_EXPLODE_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+  WHERE doc_id < 50
+)
+SELECT doc_id,
+       CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos,
+       unnest(toks) AS tok,
+       length(unnest(toks)) AS tok_len
+FROM t
+"""
+
+
+@query("udtf-explode-like", oracle=_EXPLODE_ORACLE)
+def udtf_explode_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: one row per token with its ordinal — the built-in
+    ``posexplode`` path (codegen'd; ALWAYS prefer this when the generator
+    is expressible as an array). :func:`token_explode_udtf` is the Python
+    UDTF twin for generators that aren't."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return (
+        d.filter(F.col("doc_id") < 50)
+        .select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .select("doc_id", "pos", "tok", F.length("tok").alias("tok_len"))
+    )
+
+
+def token_explode_udtf():
+    """Real Python UDTF (Spark 4 ``@udtf``) with semantics identical to
+    ``udtf-explode-like`` — returned lazily so importing this module never
+    pays UDTF registration. Tests assert UDTF ≡ posexplode."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, tok string, tok_len int")
+    class TokenExplode:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            toks = text.strip().lower().split()
+            for pos, tok in enumerate(toks):
+                yield doc_id, pos, tok, len(tok)
+
+    return TokenExplode

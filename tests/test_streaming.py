@@ -1,0 +1,77 @@
+"""Structured Streaming execution tests: the declared H1-H4 queries run
+batch plans; these tests run the SAME transformations as real streaming
+jobs (file source → watermark → availableNow → memory sink) and assert
+stream ≡ batch. This is the semantic guarantee Spark makes (unified
+batch/stream) — worth checking, not assuming."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_file_mover_spark import registry
+from spark_file_mover_spark.operators.streaming import (
+    as_stream,
+    run_stream_to_memory,
+)
+
+registry.load_all()
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir):
+    stream = as_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    # complete mode: append would hold back windows newer than the final
+    # watermark (max(ts) - 10min), i.e. the last hour of data
+    run_stream_to_memory(agg, "t_tumbling", mode="complete")
+    streamed = spark.table("t_tumbling")
+    batch = registry.QUERIES["stream-tumbling"](spark, sf_dir)
+    cols = ["window_start", "event_type", "n_events"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_stream_dedup_matches_batch(spark, sf_dir):
+    stream = as_stream(spark, sf_dir)
+    dedup = stream.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    run_stream_to_memory(dedup, "t_dedup", mode="append")
+    streamed = spark.table("t_dedup")
+    batch = registry.QUERIES["stream-dedup-late"](spark, sf_dir)
+    cols = ["event_id", "user_id", "event_type"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_stream_session_window_runs(spark, sf_dir):
+    """Session windows need watermark + update/complete mode in streaming;
+    run on available data and sanity-check shape + row volume."""
+    stream = as_stream(spark, sf_dir, watermark="1 hour")
+    sess = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            "n_events",
+        )
+    )
+    run_stream_to_memory(sess, "t_session", mode="complete")
+    streamed = spark.table("t_session")
+    batch = registry.QUERIES["stream-session"](spark, sf_dir)
+    assert streamed.agg(F.sum("n_events")).collect()[0][0] == \
+        batch.agg(F.sum("n_events")).collect()[0][0]
