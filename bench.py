@@ -2,6 +2,12 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+Materialization: each query's result is consumed with an xxhash64-sum
+over EVERY output column — unlike ``df.count()`` (which lets Catalyst
+delete projections/windows that don't change cardinality), this forces
+every output value to be computed. Round-1 lesson: window-ranking's
+count()-based 0.36 s timed a bare row count, no Window at all.
 """
 
 from __future__ import annotations
@@ -15,10 +21,12 @@ from pathlib import Path
 REPO = str(Path(__file__).resolve().parent)
 sys.path.insert(0, REPO)
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from spark_file_mover_spark import registry  # noqa: E402
 from spark_file_mover_spark.session import get_spark  # noqa: E402
 
-# Headline set: one representative per SURVEY.md §2 category that exists.
+# Headline set: one representative per SURVEY.md §2 category.
 HEADLINE = [
     "agg-hash",
     "join-multiway-star",
@@ -26,13 +34,27 @@ HEADLINE = [
     "window-ranking",
     "topk-per-group",
     "stream-tumbling",
+    "stream-session",
     "dedup-exact",
     "dedup-near-minhash",
     "sim-search-topk",
     "text-analysis",
+    "text-fingerprint",
     "sort-limit",
     "fn-string",
+    "fn-map-json",
+    "move-template",
 ]
+
+
+def materialize(df) -> int:
+    """Execute the full plan: xxhash64 over all output columns, folded
+    with bit_xor (overflow-free under ANSI mode). Every column of every
+    row is computed and consumed; the collected result is one row."""
+    row = df.select(
+        F.xxhash64(*[F.col(c).cast("string") for c in df.columns]).alias("h")
+    ).agg(F.bit_xor("h").alias("s")).collect()
+    return row[0][0] or 0
 
 
 def main() -> None:
@@ -42,16 +64,20 @@ def main() -> None:
     spark = get_spark("spark_file_mover_spark-bench")
 
     keys = [k for k in HEADLINE if k in registry.QUERIES]
+    missing = [k for k in HEADLINE if k not in registry.QUERIES]
+    if missing:
+        print(f"# WARNING: headline keys not implemented: {missing}", file=sys.stderr)
+
     # Warm the JVM + parquet footers once (excluded from timings).
-    registry.QUERIES[keys[0]](spark, sf_dir).count()
+    materialize(registry.QUERIES[keys[0]](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for key in keys:
         t0 = time.perf_counter()
         df = registry.QUERIES[key](spark, sf_dir)
-        n = df.count()  # full materialization of the result
+        materialize(df)
         timings[key] = round(time.perf_counter() - t0, 4)
-        print(f"# {key}: {timings[key]:.3f}s rows={n}", file=sys.stderr)
+        print(f"# {key}: {timings[key]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(

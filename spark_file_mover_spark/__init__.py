@@ -17,4 +17,4 @@ from spark_file_mover_spark.session import get_spark
 from spark_file_mover_spark.registry import QUERIES, ORACLES
 
 __all__ = ["get_spark", "QUERIES", "ORACLES"]
-__version__ = "0.1.0"
+__version__ = "0.2.0"

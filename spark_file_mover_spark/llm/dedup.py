@@ -79,34 +79,57 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 32-bit fold of xxhash64(shingle); P = 2^31-1 (prime), a_i < 2^30 so the
 # product stays far below 2^63 (no Java long overflow).
 _P = 2_147_483_647
-_BANDS = 8
-_ROWS = 2
+_BANDS = 4
+_ROWS = 4  # threshold ≈ (1/b)^(1/r) = 0.71 Jaccard
+_MAX_BUCKET = 100  # drop degenerate buckets: near-universal signatures
 _rng = random.Random(42)
 _PERMS = [(_rng.randrange(1, 1 << 30), _rng.randrange(0, _P)) for _ in range(_BANDS * _ROWS)]
 
 
-def _minhash_signature(tokens_col):
-    """k minhash values over 3-word shingles of a token-array column."""
-    n = F.size(tokens_col)
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(tokens_col, i + 1),
-            F.element_at(tokens_col, i + 2),
-            F.element_at(tokens_col, i + 3),
-        ),
+def _minhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh15): k minhash values over 3-word shingles.
+
+    Shape matters at scale: shingles are exploded to ROWS and hashed ONCE,
+    then the k permuted minima come from a single groupBy(doc_id) with k
+    min() aggregates (map-side partial aggregation collapses each doc's
+    shingles within a task, so the shuffle carries one k-wide row per doc).
+    Two measured pitfalls this formulation avoids (sf0.1 numbers):
+    * k copies of a nested transform(shingles, ...) expression re-evaluate
+      the shingle pipeline k times per row — 100x slower end to end;
+    * building shingles directly off the split() expression re-runs the
+      regex split inside EVERY element_at of the (interpreted) lambda —
+      project the token array to a column first, then reference it
+      (~3x on the explode stage).
+    The repartition spreads per-doc compute across all cores — the scan
+    side is a single small file locally, and text-heavy per-row work
+    should never be serialized behind file parallelism.
+    """
+    spark = d.sparkSession
+    toks_expr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = d.select("doc_id", toks_expr.alias("toks")).repartition(
+        spark.sparkContext.defaultParallelism
     )
-    base = F.transform(
-        F.array_distinct(shingles),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)),
+    tc = F.col("toks")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(tc) - 3, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tc, i + 1),
+                F.element_at(tc, i + 2),
+                F.element_at(tc, i + 3),
+            ),
+        )
     )
-    return [
-        F.array_min(
-            F.transform(base, lambda h: F.pmod(a * h + b, F.lit(_P)))
-        ).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_PERMS)
-    ]
+    sh = t.select("doc_id", F.explode(shingles).alias("sh")).withColumn(
+        "h", F.pmod(F.xxhash64("sh"), F.lit(1 << 32))
+    )
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(a * F.col("h") + b, F.lit(_P))).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_PERMS)
+        ]
+    )
 
 
 @query("dedup-near-minhash")
@@ -119,14 +142,25 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate neighbor. Output is one row per document with its cluster.
 
     Scale: the self-join shuffles on band signatures only — linear in
-    corpus size; never an all-pairs crossJoin. Full transitive clustering
-    is an iterative connected-components pass (GraphFrames / iterate-until-
-    fixpoint) — one min-neighbor round is the standard single-pass
-    approximation and keeps this a two-shuffle plan.
+    corpus size; never an all-pairs crossJoin. Buckets larger than
+    _MAX_BUCKET are dropped BEFORE the pair join: an oversized bucket
+    means the band signature is near-universal (boilerplate shingles) and
+    would contribute O(bucket²) junk pairs — discarding it is standard
+    LSH practice and what keeps the pair stage linear in practice (the
+    round-1 formulation without the cap went quadratic on exactly this).
+    Full transitive clustering is an iterative connected-components pass
+    (GraphFrames / iterate-until-fixpoint) — one min-neighbor round is
+    the standard single-pass approximation and keeps this a
+    three-shuffle plan.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    sig = d.select("doc_id", *_minhash_signature(toks))
+    sig = _minhash_signatures(d)
+    # bands is consumed four times (bucket-size stats, anti-join, both
+    # sides of the self-join); persist the tiny post-agg relation (b rows
+    # per doc) or every consumer re-runs the shingle explode+agg upstream.
+    # MEMORY_AND_DISK: spills instead of OOM on wide corpora.
+    from pyspark import StorageLevel
+
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -142,7 +176,15 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
+    ).select("doc_id", "bs.band", "bs.sig").persist(StorageLevel.MEMORY_AND_DISK)
+    # oversized-bucket guard: anti-join degenerate signatures away
+    oversized = (
+        bands.groupBy("band", "sig")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > _MAX_BUCKET)
+        .select("band", "sig")
+    )
+    bands = bands.join(F.broadcast(oversized), ["band", "sig"], "left_anti")
     pairs = (
         bands.alias("l")
         .join(bands.alias("r"), ["band", "sig"])
@@ -152,9 +194,16 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    neighbors = pairs.select(F.col("a").alias("doc_id"), F.col("b").alias("nb")).unionAll(
-        pairs.select(F.col("b").alias("doc_id"), F.col("a").alias("nb"))
-    )
+    # both directions in ONE pass over pairs (a union of two projections
+    # would execute the pair join twice)
+    neighbors = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("doc_id"), F.col("b").alias("nb")),
+                F.struct(F.col("b").alias("doc_id"), F.col("a").alias("nb")),
+            )
+        ).alias("e")
+    ).select("e.doc_id", "e.nb")
     cluster = neighbors.groupBy("doc_id").agg(F.min("nb").alias("min_nb"))
     return (
         d.select("doc_id")

@@ -178,13 +178,17 @@ GROUP BY r.r_name, n.n_name
 def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D6: TPC-H Q5-shaped star join region→nation→customer→orders→lineitem.
 
-    All three dims are broadcast so the only shuffles are the orders⋈lineitem
-    fact join (hashes on orderkey) and the final aggregation — the minimal
-    shuffle count for this shape at any scale.
+    region/nation are unconditionally tiny → explicit broadcast. customer
+    is NOT hinted: at real TPC-H ratios it outgrows a broadcast beyond
+    ~sf10, so forcing it is an executor-OOM risk at 100 TB — AQE converts
+    the join to broadcast at runtime whenever the actual size allows,
+    which is the safe default for medium dims. The only guaranteed
+    shuffles are the orders⋈lineitem fact join (hash on orderkey) and the
+    final aggregation — minimal for this shape.
     """
     r = F.broadcast(load_table(spark, sf_dir, "region"))
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
-    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
