@@ -1,0 +1,73 @@
+"""Physical-plan assertions: the optimizations the engine's scale story
+depends on must be visible in the plan, not assumed. A refactor that
+silently drops a pushed filter or un-broadcasts a dim join should fail
+CI, not a 100 TB run."""
+
+from __future__ import annotations
+
+from spark_file_mover_spark import registry
+
+registry.load_all()
+
+
+def _formatted_plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_scan_parquet_pushes_filter_and_prunes(spark, sf_dir):
+    plan = _formatted_plan(spark, registry.QUERIES["scan-parquet"](spark, sf_dir))
+    assert "PushedFilters: [In(n_regionkey," in plan
+    # pruned read schema: exactly the three projected columns
+    assert "struct<n_nationkey:int,n_name:string,n_regionkey:int>" in plan
+
+
+def test_agg_hash_pushes_date_filter(spark, sf_dir):
+    plan = _formatted_plan(spark, registry.QUERIES["agg-hash"](spark, sf_dir))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("ReadSchema")[0]
+
+
+def test_join_broadcast_uses_broadcast_hash_join(spark, sf_dir):
+    plan = _formatted_plan(spark, registry.QUERIES["join-broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_join_pushes_date_range_to_orders_scan(spark, sf_dir):
+    plan = _formatted_plan(
+        spark, registry.QUERIES["join-multiway-star"](spark, sf_dir)
+    )
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    # lineitem scan reads only the 3 needed columns
+    assert "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    plan = _formatted_plan(spark, registry.QUERIES["topk-per-group"](spark, sf_dir))
+    # two WindowGroupLimit nodes = partial (map-side, before the
+    # exchange) + final; full partitions never shuffle
+    assert plan.count("WindowGroupLimit (") >= 2
+
+
+def test_sort_limit_uses_take_ordered(spark, sf_dir):
+    plan = _formatted_plan(spark, registry.QUERIES["sort-limit"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_products_in_relational_queries(spark, sf_dir):
+    """Cross joins are only ever legitimate against broadcast-small sides
+    (sim-search query sets, centroids); no relational/agg/window query may
+    plan a CartesianProduct."""
+    for key in [
+        "join-inner-equi",
+        "join-left-right-full",
+        "join-semi-anti",
+        "join-multiway-star",
+        "agg-hash",
+        "window-ranking",
+    ]:
+        plan = _formatted_plan(spark, registry.QUERIES[key](spark, sf_dir))
+        assert "CartesianProduct" not in plan, key
