@@ -240,18 +240,29 @@ def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct, the scale-correct path: parsed once, columnar after) plus
     ``get_json_object`` string extraction and map introspection."""
     e = load_table(spark, sf_dir, "events")
-    parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
-    as_map = F.from_json("props", T.MapType(T.StringType(), T.StringType()))
-    return e.select(
+    # parse ONCE into a typed struct + once into a generic map, project to
+    # columns, then derive — repeating from_json per derived column would
+    # re-parse the payload per reference
+    parsed = e.select(
         "event_id",
         "event_type",
-        parsed.getField("k").alias("k_value"),
-        F.get_json_object("props", "$.k").alias("k_string"),
-        as_map.isNotNull().alias("is_valid_json"),
-        F.size(F.map_keys(as_map)).alias("n_keys"),
-        F.when(parsed.getField("k") >= 50, "high").otherwise("low").alias(
-            "k_band"
+        "props",
+        F.from_json(
+            "props", T.StructType([T.StructField("k", T.IntegerType())])
+        ).alias("j"),
+        F.from_json("props", T.MapType(T.StringType(), T.StringType())).alias(
+            "m"
         ),
+    )
+    k = F.col("j.k")
+    return parsed.select(
+        "event_id",
+        "event_type",
+        k.alias("k_value"),
+        F.get_json_object("props", "$.k").alias("k_string"),
+        F.col("m").isNotNull().alias("is_valid_json"),
+        F.size(F.map_keys("m")).alias("n_keys"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_band"),
     )
 
 

@@ -199,6 +199,90 @@ def stream_dedup_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# H5 — custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_STATEFUL_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("stream-stateful-agg", oracle=_STATEFUL_ORACLE)
+def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5: per-user lifetime profile (count / exact value sum / first+last
+    seen). In batch this is a plain groupBy; in streaming the SAME result
+    is maintained incrementally by a custom ``applyInPandasWithState``
+    operator (see :func:`stateful_user_profile_stream` and the test that
+    proves stream ≡ batch). This is the declared batch anchor the
+    stateful operator is checked against.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+        F.date_format(F.min("ts"), _TS_FMT).alias("first_seen"),
+        F.date_format(F.max("ts"), _TS_FMT).alias("last_seen"),
+    )
+
+
+def stateful_user_profile_stream(stream_df: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user running profile via
+    ``applyInPandasWithState``. State = (count, value_sum_cents, first_ts,
+    last_ts) per user, updated per micro-batch, emitted in UPDATE mode.
+
+    Scale posture: state is a fixed-width tuple per user key held in the
+    state store (RocksDB-backed on a real cluster) — O(#users), not
+    O(#events); value accumulates in integer cents so the stream total is
+    exact and batch-identical regardless of micro-batch boundaries.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            n, cents, first_us, last_us = state.get
+        else:
+            n, cents, first_us, last_us = 0, 0, None, None
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(round(pdf["value"].map(
+                lambda v: int(round(v * 100))).sum()))
+            ts_us = pdf["ts"].astype("int64")  # epoch micros
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, cents, first_us, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                "first_us": [first_us],
+                "last_us": [last_us],
+            }
+        )
+
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_events long, total_value double, "
+            "first_us long, last_us long"
+        ),
+        stateStructType="n long, cents long, first_us long, last_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming execution harness (used by tests; not a declared query)
 # ---------------------------------------------------------------------------
 

@@ -12,6 +12,7 @@ from spark_file_mover_spark import registry
 from spark_file_mover_spark.operators.streaming import (
     as_stream,
     run_stream_to_memory,
+    stateful_user_profile_stream,
 )
 
 registry.load_all()
@@ -75,3 +76,27 @@ def test_stream_session_window_runs(spark, sf_dir):
     batch = registry.QUERIES["stream-session"](spark, sf_dir)
     assert streamed.agg(F.sum("n_events")).collect()[0][0] == \
         batch.agg(F.sum("n_events")).collect()[0][0]
+
+
+def test_stateful_operator_matches_batch(spark, sf_dir):
+    """applyInPandasWithState running profile: the LAST update emitted per
+    user must equal the batch groupBy profile — micro-batch boundaries
+    must not change totals (integer-cents accumulation)."""
+    stream = as_stream(spark, sf_dir)
+    prof = stateful_user_profile_stream(stream)
+    run_stream_to_memory(prof, "t_stateful", mode="update")
+    # update mode may emit a row per user per micro-batch; keep the last
+    streamed = (
+        spark.table("t_stateful")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+    )
+    batch = registry.QUERIES["stream-stateful-agg"](spark, sf_dir).select(
+        "user_id", "n_events", "total_value"
+    )
+    a = sorted(tuple(r) for r in streamed.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert a == b
