@@ -53,21 +53,28 @@ FROM (
 @query("dedup-exact", oracle=_EXACT_ORACLE)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I1: exact duplicate removal on whitespace/case-normalized text,
-    keeping the lowest doc_id per duplicate group.
+    keeping the lowest doc_id per duplicate group (deterministic survivor
+    — what a curation pipeline wants, vs ``dropDuplicates``' arbitrary
+    pick).
 
-    The window-on-normalized-text formulation (vs ``dropDuplicates``) makes
-    the survivor deterministic — required for oracle parity and generally
-    what a curation pipeline wants (stable survivor choice across runs).
+    Shuffle shape: group on xxhash64(norm_text) and carry the survivor's
+    metadata through min_by — the shuffle moves an 8-byte key + small
+    struct per doc instead of the full document text (the window-over-
+    norm-text alternative shuffles every byte of the corpus). A 64-bit
+    hash collision would merge two distinct documents with probability
+    ~n²/2⁶⁴ — at 10¹⁰ docs that is ~0.003 expected false merges; add the
+    text length to the key if even that matters.
     """
-    from pyspark.sql import Window as W
-
     d = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    key = F.xxhash64(norm)
+    survivor = F.min_by(
+        F.struct("doc_id", "lang", "source", "n_chars"), F.col("doc_id")
+    )
     return (
-        d.withColumn("rn", F.row_number().over(
-            W.partitionBy(norm).orderBy("doc_id")))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "source", "n_chars")
+        d.groupBy(key.alias("h"))
+        .agg(survivor.alias("s"))
+        .select("s.doc_id", "s.lang", "s.source", "s.n_chars")
     )
 
 

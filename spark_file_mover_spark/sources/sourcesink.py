@@ -168,6 +168,67 @@ def sink_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_BUCKETED_ORACLE = """
+SELECT o.o_orderstatus,
+       COUNT(*) AS n_lineitems,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+
+@query("sink-bucketed", oracle=_BUCKETED_ORACLE)
+def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: bucketed sink → shuffle-free co-located join.
+
+    Writes orders and lineitem bucketed by the join key (bucketBy(8,
+    orderkey) via saveAsTable — bucketing needs catalog metadata), then
+    joins the bucketed tables. Catalyst sees matching bucket specs and
+    plans a SortMergeJoin with NO Exchange on either side — this is THE
+    pattern for repeated fact-fact joins at 100 TB: pay the shuffle once
+    at write time, never again at read time. The plan is asserted
+    exchange-free in tests/test_plans.py.
+    """
+    db = "sfm_bucketed"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    from spark_file_mover_spark.filemover import _hadoop_fs
+
+    for name, df, key in [("orders_b", o, "o_orderkey"), ("lineitem_b", li, "l_orderkey")]:
+        # a fresh session may find the managed location on disk without a
+        # catalog entry (left by a previous process) — drop both
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        loc = f"{warehouse}/{db}.db/{name}"
+        fs, jpath = _hadoop_fs(spark, loc)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(f"{db}.{name}")
+        )
+    ob = spark.table(f"{db}.orders_b")
+    lb = spark.table(f"{db}.lineitem_b")
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )
+
+
 @query("repartition-n")
 def repartition_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5 (rows-only manifest): control output file count — repartition(4)

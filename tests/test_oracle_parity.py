@@ -32,6 +32,47 @@ def test_entry_smoke(spark):
 
 ROWS_ONLY_KEYS = sorted(set(registry.QUERIES) - set(registry.ORACLES))
 
+# SURVEY.md §2 declared contract — every key must stay registered; a
+# refactor that silently drops one should fail here, not in the driver.
+SURVEY_KEYS = {
+    # A
+    "move-list-files", "move-partition-extract", "move-template",
+    "move-collision-guard", "move-rename", "write-single-file",
+    # B
+    "scan-parquet", "scan-table-manifest", "scan-csv-roundtrip",
+    "sink-partitioned", "sink-overwrite", "sink-bucketed", "repartition-n",
+    # C
+    "project-select", "filter-pred", "filter-like-regexp",
+    # D
+    "join-inner-equi", "join-left-right-full", "join-semi-anti",
+    "join-broadcast", "join-range-theta", "join-multiway-star",
+    # E
+    "agg-hash", "agg-distinct", "agg-approx-distinct",
+    "agg-rollup-cube-gsets", "agg-having",
+    # F
+    "window-ranking", "window-analytic", "window-frame-agg",
+    "topk-per-group", "sort-limit", "set-union-intersect-except",
+    # G
+    "fn-string", "fn-date", "fn-math", "fn-array", "fn-map-json",
+    "fn-case-when-cast",
+    # H
+    "stream-tumbling", "stream-sliding", "stream-session",
+    "stream-dedup-late", "stream-stateful-agg",
+    # I
+    "dedup-exact", "dedup-near-minhash", "dedup-simhash",
+    "dedup-ngram-jaccard", "dedup-embedding-cosine", "sim-search-topk",
+    "sim-search-ivf", "text-analysis", "text-token-count", "text-langid",
+    "text-quality-score", "text-fingerprint", "multimodal-binary",
+    "multimodal-frame-sample",
+    # J
+    "udf-scalar-pandas", "udaf-grouped-pandas", "udtf-explode-like",
+}
+
+
+def test_survey_contract_fully_registered():
+    missing = SURVEY_KEYS - set(registry.QUERIES)
+    assert not missing, f"SURVEY.md §2 keys not registered: {sorted(missing)}"
+
 
 @pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
 def test_rows_only_query_runs(key, spark, sf_dir):

@@ -57,6 +57,29 @@ def test_sort_limit_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """The whole point of sink-bucketed: both sides pre-bucketed on the
+    join key → SortMergeJoin with zero shuffles feeding it. At test scale
+    the planner would (correctly) prefer a broadcast join, which hides
+    the bucketed path — disable broadcast to observe the plan that runs
+    when BOTH sides are too big to broadcast, i.e. the 100 TB case."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.QUERIES["sink-bucketed"](spark, sf_dir)
+        plan = _formatted_plan(spark, df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    # the ONLY Exchange allowed is the post-join aggregation shuffle
+    import re
+
+    names = [n for _, n in re.findall(r"\((\d+)\) (\w+)", plan)]
+    ji = names.index("SortMergeJoin")
+    assert "Exchange" not in names[:ji], names[: ji + 1]
+
+
 def test_no_cartesian_products_in_relational_queries(spark, sf_dir):
     """Cross joins are only ever legitimate against broadcast-small sides
     (sim-search query sets, centroids); no relational/agg/window query may
