@@ -208,3 +208,79 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+_SKEW_SALTED_ORACLE = """
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0 ELSE l_orderkey END AS hot_key,
+         l_quantity
+  FROM lineitem
+),
+dim AS (
+  SELECT DISTINCT CASE WHEN o_orderkey % 100 < 90 THEN 0 ELSE o_orderkey END AS hot_key,
+         CASE WHEN o_orderkey % 100 < 90 THEN 'hot' ELSE 'cold' END AS temperature
+  FROM orders
+)
+SELECT d.temperature,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(f.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM fact f JOIN dim d ON f.hot_key = d.hot_key
+GROUP BY d.temperature
+"""
+
+_SALT_BUCKETS = 8
+
+
+@query("join-skew-salted", oracle=_SKEW_SALTED_ORACLE)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7: explicit salted join over a manufactured 90%-hot key.
+
+    The fact side appends a deterministic salt (hash of the row's natural
+    key mod N); the dim side is replicated N× via explode(sequence) so
+    every (key, salt) pair exists. The join key becomes (hot_key, salt) —
+    the hot key's rows spread over N shuffle partitions instead of one.
+
+    AQE's skew-join splitting handles most cases at runtime and is ON in
+    this engine's session factory; manual salting remains the tool when
+    (a) the skewed side feeds a window/groupBy AFTER the join (AQE splits
+    the join but the downstream agg re-skews), or (b) the runtime is not
+    AQE-capable. Results are identical to the unsalted join by
+    construction — the oracle runs the plain join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    hot = lambda c: F.when(F.col(c) % 100 < 90, F.lit(0)).otherwise(  # noqa: E731
+        F.col(c)
+    ).cast("long")
+
+    fact = li.select(
+        hot("l_orderkey").alias("hot_key"),
+        "l_quantity",
+        # deterministic salt: same row always lands in the same bucket
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber", "l_quantity"),
+               F.lit(_SALT_BUCKETS)).alias("salt"),
+    )
+    dim = (
+        o.select(
+            hot("o_orderkey").alias("hot_key"),
+            F.when(F.col("o_orderkey") % 100 < 90, "hot")
+            .otherwise("cold")
+            .alias("temperature"),
+        )
+        .distinct()
+        .select(
+            "hot_key",
+            "temperature",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_SALT_BUCKETS - 1))
+            ).alias("salt"),
+        )
+    )
+    return (
+        fact.join(dim, ["hot_key", "salt"])
+        .groupBy("temperature")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(dec("l_quantity")).cast("double").alias("total_qty"),
+        )
+    )
