@@ -145,3 +145,30 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
         )
     )
+
+
+@query("agg-approx-quantile")
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 (rows-only: sketch-based, engine-specific like E3): streaming
+    quantile sketches per group — approx_percentile (Greenwald-Khanna) for
+    p50/p95/p99 of order totals per status.
+
+    This is how percentiles work at 100 TB: a mergeable fixed-size sketch
+    per partition combined at the final agg — one shuffle of sketch bytes,
+    never a sort of the data. Exact percentile would need a full sort or
+    per-group materialization. Deterministic for fixed input + accuracy.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    pct = F.percentile_approx(
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10_000
+    )
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(pct.getItem(0), 2).alias("p50"),
+            F.round(pct.getItem(1), 2).alias("p95"),
+            F.round(pct.getItem(2), 2).alias("p99"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -284,3 +284,64 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("l_quantity")).cast("double").alias("total_qty"),
         )
     )
+
+
+_RANGE_BINNED_ORACLE = """
+WITH campaigns AS (
+  SELECT n_nationkey AS campaign_id,
+         TIMESTAMP '2024-01-01' + INTERVAL (3 * n_nationkey) DAY AS start_ts,
+         TIMESTAMP '2024-01-01' + INTERVAL (3 * n_nationkey + 3) DAY AS end_ts
+  FROM nation WHERE n_nationkey < 10
+)
+SELECT c.campaign_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM campaigns c JOIN events e
+  ON e.ts >= c.start_ts AND e.ts < c.end_ts
+GROUP BY c.campaign_id
+"""
+
+
+@query("join-range-binned", oracle=_RANGE_BINNED_ORACLE)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: PURE range join (no natural equi key) — events falling inside
+    campaign time windows — executed as bin-then-refine.
+
+    A raw interval predicate can only plan as a (broadcast) nested-loop
+    join: O(|events| × |campaigns|) comparisons. Instead each campaign
+    EXPLODES into the day bins it spans and each event maps to its one day
+    bin; the join becomes an equi-join on the bin (hashable, shuffle-
+    partitionable) plus a residual refine on the exact bounds. Cost drops
+    to O(|events| + |campaigns| × span_days) join rows — the standard
+    interval-join strategy in distributed engines. The oracle runs the
+    naive range join, proving equivalence.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    e = load_table(spark, sf_dir, "events")
+    base = F.to_timestamp(F.lit("2024-01-01"))
+    camp = n.filter(F.col("n_nationkey") < 10).select(
+        F.col("n_nationkey").alias("campaign_id"),
+        F.timestamp_add("DAY", 3 * F.col("n_nationkey"), base).alias("start_ts"),
+        F.timestamp_add("DAY", 3 * F.col("n_nationkey") + 3, base).alias("end_ts"),
+    )
+    camp_bins = camp.select(
+        "campaign_id",
+        "start_ts",
+        "end_ts",
+        F.explode(
+            F.sequence(
+                F.to_date("start_ts"),
+                F.date_sub(F.to_date("end_ts"), 1),
+            )
+        ).alias("bin"),
+    )
+    ev = e.select("ts", "value", F.to_date("ts").alias("bin"))
+    return (
+        ev.join(F.broadcast(camp_bins), "bin")
+        .filter((F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")))
+        .groupBy("campaign_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )

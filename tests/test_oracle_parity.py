@@ -46,10 +46,10 @@ SURVEY_KEYS = {
     # D
     "join-inner-equi", "join-left-right-full", "join-semi-anti",
     "join-broadcast", "join-range-theta", "join-multiway-star",
-    "join-skew-salted",
+    "join-skew-salted", "join-range-binned",
     # E
     "agg-hash", "agg-distinct", "agg-approx-distinct",
-    "agg-rollup-cube-gsets", "agg-having",
+    "agg-rollup-cube-gsets", "agg-having", "agg-approx-quantile",
     # F
     "window-ranking", "window-analytic", "window-frame-agg",
     "topk-per-group", "sort-limit", "set-union-intersect-except",
