@@ -251,3 +251,45 @@ def repartition_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "layout string, n_files long, n_rows long"
     ).orderBy("layout")
+
+
+@query("sink-compact")
+def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 (rows-only manifest): small-file compaction — THE recurring
+    operational job on a 100 TB lake (streaming sinks and over-parallel
+    writers fragment tables; every downstream scan then pays per-file
+    open cost and tiny-row-group decoding).
+
+    Fragment orders into 64 shards, then compact by computing the target
+    partition count from actual on-disk bytes / 128 MB (floor 1) and
+    rewriting. The manifest proves rows survived and file count collapsed.
+    At scale this runs per-partition-directory with `coalesce` when
+    shrinking (no shuffle) — `repartition` only when files must also be
+    size-balanced.
+    """
+    base = tempfile.mkdtemp(prefix="sfm-b7-")
+    o = load_table(spark, sf_dir, "orders")
+    frag_path = base + "/fragmented"
+    o.repartition(64).write.mode("overwrite").parquet(frag_path)
+
+    frag = spark.read.parquet(frag_path)
+    import glob
+    import os
+
+    on_disk = sum(
+        os.path.getsize(f) for f in glob.glob(frag_path + "/*.parquet")
+    )
+    target_files = max(1, on_disk // (128 * 1024 * 1024))
+    compact_path = base + "/compacted"
+    frag.coalesce(int(target_files)).write.mode("overwrite").parquet(
+        compact_path
+    )
+
+    rows = []
+    for layout, path in [("fragmented", frag_path), ("compacted", compact_path)]:
+        back = spark.read.parquet(path)
+        n_files = back.select(F.input_file_name()).distinct().count()
+        rows.append((layout, n_files, back.count()))
+    return spark.createDataFrame(
+        rows, "layout string, n_files long, n_rows long"
+    ).orderBy("layout")

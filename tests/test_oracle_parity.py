@@ -40,7 +40,8 @@ SURVEY_KEYS = {
     "move-collision-guard", "move-rename", "write-single-file",
     # B
     "scan-parquet", "scan-table-manifest", "scan-csv-roundtrip",
-    "sink-partitioned", "sink-overwrite", "sink-bucketed", "repartition-n",
+    "sink-partitioned", "sink-overwrite", "sink-bucketed", "sink-compact",
+    "repartition-n",
     # C
     "project-select", "filter-pred", "filter-like-regexp",
     # D
