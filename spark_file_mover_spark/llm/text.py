@@ -261,3 +261,127 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", fp.alias("fingerprint"), F.size(toks).alias("n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Shared regex dialect subset (works identically in Java and RE2/PCRE):
+# no lookarounds, no \b ambiguity across engines.
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PHONE_RE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+_PII_ORACLE = f"""
+WITH tagged AS (
+  SELECT doc_id,
+         concat(text, ' contact-', CAST(doc_id AS VARCHAR),
+                '@example.com or 555-01', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
+                '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text
+  FROM documents
+)
+SELECT doc_id,
+       length(text) - length(regexp_replace(text, '{_EMAIL_RE}', '', 'g'))
+         > 0 AS had_email,
+       length(text) - length(regexp_replace(text, '{_PHONE_RE}', '', 'g'))
+         > 0 AS had_phone,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM tagged
+"""
+
+
+@query("text-pii-scrub", oracle=_PII_ORACLE)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails and phone numbers replaced with typed
+    placeholder tokens, plus per-document found-flags for audit counts.
+    PII is synthesized onto the synthetic corpus (which contains none) so
+    the scrub provably fires on every row. Pure regexp map — column-
+    pruned scan, no shuffle; the regex subset avoids dialect divergence
+    between engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tagged = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact-"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    def found(pat: str):
+        return (
+            F.length("text")
+            - F.length(F.regexp_replace("text", pat, ""))
+        ) > 0
+
+    return tagged.select(
+        "doc_id",
+        found(_EMAIL_RE).alias("had_email"),
+        found(_PHONE_RE).alias("had_phone"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("scrubbed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram frequency (contamination / memorization checks)
+# ---------------------------------------------------------------------------
+
+_NGRAM_ORACLE = """
+WITH toks AS (
+  SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT lang,
+         t[i] || ' ' || t[i+1] AS bigram
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+),
+counted AS (
+  SELECT lang, bigram, COUNT(*) AS n
+  FROM grams GROUP BY lang, bigram
+)
+SELECT lang, bigram, n, rnk FROM (
+  SELECT lang, bigram, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rnk
+  FROM counted
+) WHERE rnk <= 5
+"""
+
+
+@query("text-ngram-freq", oracle=_NGRAM_ORACLE)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 bigrams per language — the frequency table behind
+    benchmark-contamination and memorization checks. Explode bigrams →
+    count (map-side partials collapse repeats) → WindowGroupLimit top-k.
+    At 100 TB the count shuffle carries distinct (lang, bigram) pairs,
+    not token instances."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = d.select("lang", toks.alias("t"))
+    bigrams = t.select(
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    counted = bigrams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "bigram", "n", "rnk")
+    )

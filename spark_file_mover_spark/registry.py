@@ -57,6 +57,12 @@ def load_all() -> None:
         streaming,
     )
     from spark_file_mover_spark.functions import scalar  # noqa: F401
-    from spark_file_mover_spark.llm import dedup, similarity, text, multimodal  # noqa: F401
+    from spark_file_mover_spark.llm import (  # noqa: F401
+        dedup,
+        multimodal,
+        sampling,
+        similarity,
+        text,
+    )
     from spark_file_mover_spark import udfs, filemover_queries  # noqa: F401
     from spark_file_mover_spark.sources import sourcesink  # noqa: F401

@@ -64,8 +64,9 @@ SURVEY_KEYS = {
     "dedup-exact", "dedup-near-minhash", "dedup-simhash",
     "dedup-ngram-jaccard", "dedup-embedding-cosine", "sim-search-topk",
     "sim-search-ivf", "text-analysis", "text-token-count", "text-langid",
-    "text-quality-score", "text-fingerprint", "multimodal-binary",
-    "multimodal-frame-sample",
+    "text-quality-score", "text-fingerprint", "text-pii-scrub",
+    "text-ngram-freq", "sample-train-split", "sample-hash-stratified",
+    "multimodal-binary", "multimodal-frame-sample",
     # J
     "udf-scalar-pandas", "udaf-grouped-pandas", "udtf-explode-like",
 }
