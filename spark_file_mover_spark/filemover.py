@@ -38,7 +38,6 @@ for HDFS-like filesystems.
 
 from __future__ import annotations
 
-import posixpath
 import re
 from dataclasses import dataclass
 from typing import Optional

@@ -9,6 +9,17 @@ from spark_file_mover_spark.udfs import token_explode_udtf
 registry.load_all()
 
 
+def test_multimodal_decode_is_gated():
+    """The image decode step must be an explicit NotImplementedError stub
+    (media libs absent in this environment), never a silent fake."""
+    import pytest
+
+    from spark_file_mover_spark.llm.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
 def test_python_udtf_matches_posexplode(spark, sf_dir):
     from spark_file_mover_spark.sources.io import load_table
 
