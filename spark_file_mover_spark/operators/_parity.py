@@ -10,6 +10,16 @@ DOUBLE is then deterministic and identical too.
 ``o_totalprice`` is a full-precision double; round it to 2 decimals going
 through DECIMAL only when exactness of the *input* doesn't matter (e.g.
 comparisons use the raw double; aggregate outputs get dround()).
+
+Why DECIMAL and not int64 cents (measured at sf0.1, warm):
+decimal sums 0.63 s vs cents 0.37 s vs raw double 0.26 s for the Q1
+aggregate — cents is ~1.7x faster. Rejected anyway: revenue-style
+products (price_cents * (100 - disc_cents)) live in cents² units, and at
+100 TB row counts their per-group sums exceed int64 (~3e21 > 2^63).
+Decimal aggregation promotes precision on multiply and cannot overflow
+silently; that robustness is worth the constant factor on the exact-money
+path. Raw doubles are reserved for comparisons where last-ulp exactness
+is irrelevant.
 """
 
 from __future__ import annotations
