@@ -287,21 +287,29 @@ def stateful_user_profile_stream(stream_df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def as_stream(spark: SparkSession, sf_dir: str, watermark: str = "10 minutes"):
+def as_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "10 minutes",
+    n_files: int = 4,
+    files_per_trigger: int | None = None,
+):
     """Materialize events as a real file-source stream: write the (nanos-
-    normalized) table to a temp parquet dir, open it with ``readStream``,
-    apply the watermark. Tests drive this with trigger(availableNow=True)
-    into a memory sink and compare against the batch plans above."""
+    normalized) table to a temp parquet dir (``n_files`` shards), open it
+    with ``readStream``, apply the watermark. Tests drive this with
+    trigger(availableNow=True) into a memory sink and compare against the
+    batch plans above. Pass ``files_per_trigger=1`` to force one
+    micro-batch per shard — the honest way to exercise cross-batch state
+    merging instead of a single all-data batch."""
     import tempfile
 
     path = tempfile.mkdtemp(prefix="sfm-stream-") + "/events"
     batch = load_table(spark, sf_dir, "events")
-    batch.write.mode("overwrite").parquet(path)
-    return (
-        spark.readStream.schema(batch.schema)
-        .parquet(path)
-        .withWatermark("ts", watermark)
-    )
+    batch.repartition(n_files).write.mode("overwrite").parquet(path)
+    reader = spark.readStream.schema(batch.schema)
+    if files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+    return reader.parquet(path).withWatermark("ts", watermark)
 
 
 def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):

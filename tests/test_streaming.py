@@ -79,10 +79,12 @@ def test_stream_session_window_runs(spark, sf_dir):
 
 
 def test_stateful_operator_matches_batch(spark, sf_dir):
-    """applyInPandasWithState running profile: the LAST update emitted per
-    user must equal the batch groupBy profile — micro-batch boundaries
-    must not change totals (integer-cents accumulation)."""
-    stream = as_stream(spark, sf_dir)
+    """applyInPandasWithState running profile across FOUR micro-batches
+    (one file per trigger): the final per-user update must equal the
+    batch groupBy profile — state must merge correctly across batch
+    boundaries and integer-cents accumulation keeps totals exact
+    regardless of how rows are split."""
+    stream = as_stream(spark, sf_dir, files_per_trigger=1)
     prof = stateful_user_profile_stream(stream)
     run_stream_to_memory(prof, "t_stateful", mode="update")
     # update mode may emit a row per user per micro-batch; keep the last
