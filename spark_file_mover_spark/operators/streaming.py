@@ -324,3 +324,73 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
     )
     q.awaitTermination()
     return name
+
+
+# ---------------------------------------------------------------------------
+# H6 — funnel analysis over ordered event sequences
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+),
+per_user AS (
+  SELECT user_id,
+         CASE
+           WHEN t_view IS NOT NULL AND t_click > t_view
+                AND t_purchase > t_click THEN 3
+           WHEN t_view IS NOT NULL AND t_click > t_view THEN 2
+           WHEN t_view IS NOT NULL THEN 1
+           ELSE 0
+         END AS stage
+  FROM stages
+)
+SELECT stage, COUNT(*) AS n_users FROM per_user GROUP BY stage
+"""
+
+
+@query("events-funnel", oracle=_FUNNEL_ORACLE)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: ordered funnel (view → click → purchase) — how far did each
+    user progress, requiring each stage to happen strictly AFTER the
+    previous one (first occurrence each).
+
+    Plan: conditional MIN per stage in ONE groupBy(user) — no window, no
+    self-join, no explode; the per-user comparison is a post-agg map.
+    This is the shape to insist on at 100 TB: the naive formulation
+    (self-join events to events per stage pair) is quadratic per user,
+    and the window formulation sorts every user's history; conditional
+    aggregation does one pass and one shuffle of 3 timestamps per user.
+    NULL comparisons resolve to false, collapsing the stage logic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    stages = e.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    stage = (
+        F.when(
+            F.col("t_view").isNotNull()
+            & (F.col("t_click") > F.col("t_view"))
+            & (F.col("t_purchase") > F.col("t_click")),
+            3,
+        )
+        .when(
+            F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")),
+            2,
+        )
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        stages.select("user_id", stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -293,3 +293,67 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "layout string, n_files long, n_rows long"
     ).orderBy("layout")
+
+
+_MERGE_ORACLE = """
+WITH target AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 3 != 0
+),
+source AS (
+  SELECT o_orderkey,
+         'U' AS o_orderstatus,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)), 2)
+              AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+       COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+       COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+       CASE WHEN s.o_orderkey IS NULL THEN 'kept'
+            WHEN t.o_orderkey IS NULL THEN 'inserted'
+            ELSE 'updated' END AS merge_action
+FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+"""
+
+
+@query("sink-merge-upsert", oracle=_MERGE_ORACLE)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: MERGE/upsert semantics on plain parquet tables — the daily-load
+    primitive (when-matched-update / when-not-matched-insert) expressed as
+    a full outer join on the key with source-wins coalescing, plus an
+    action audit column.
+
+    This is exactly what table formats (Delta/Iceberg) execute under
+    MERGE INTO, minus their transaction log: at 100 TB the join shuffles
+    both sides on the key unless the target is bucketed by it (see
+    sink-bucketed) — bucket your upsert targets. Target/source here are
+    disjoint-ish slices of orders so all three actions occur.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    source = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        # price bump in exact decimal: double*1.1 then round diverges by
+        # one ulp-cent between engines; decimal arithmetic is identical
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(2,1)"),
+            2,
+        )
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+    t, s = target.alias("t"), source.alias("s")
+    return t.join(s, F.col("t.o_orderkey") == F.col("s.o_orderkey"), "full_outer").select(
+        F.coalesce("t.o_orderkey", "s.o_orderkey").alias("o_orderkey"),
+        F.coalesce("s.o_orderstatus", "t.o_orderstatus").alias("o_orderstatus"),
+        F.coalesce("s.o_totalprice", "t.o_totalprice").alias("o_totalprice"),
+        F.when(F.col("s.o_orderkey").isNull(), "kept")
+        .when(F.col("t.o_orderkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )

@@ -41,7 +41,7 @@ SURVEY_KEYS = {
     # B
     "scan-parquet", "scan-table-manifest", "scan-csv-roundtrip",
     "sink-partitioned", "sink-overwrite", "sink-bucketed", "sink-compact",
-    "repartition-n",
+    "sink-merge-upsert", "repartition-n",
     # C
     "project-select", "filter-pred", "filter-like-regexp",
     # D
@@ -60,7 +60,7 @@ SURVEY_KEYS = {
     "fn-case-when-cast",
     # H
     "stream-tumbling", "stream-sliding", "stream-session",
-    "stream-dedup-late", "stream-stateful-agg",
+    "stream-dedup-late", "stream-stateful-agg", "events-funnel",
     # I
     "dedup-exact", "dedup-near-minhash", "dedup-simhash",
     "dedup-ngram-jaccard", "dedup-embedding-cosine", "sim-search-topk",
