@@ -171,3 +171,39 @@ def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+_SCD2_ORACLE = """
+SELECT o_custkey,
+       o_orderstatus AS status_version,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(o_orderdate) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       lead(o_orderdate) OVER w IS NULL AS is_current,
+       row_number() OVER w AS version_no
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("etl-scd2", oracle=_SCD2_ORACLE)
+def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: SCD type-2 version-interval construction — each change event
+    becomes a [valid_from, valid_to) row, open-ended for the current
+    version. One window (lead + row_number share the same sort) over
+    (entity, change-time, tiebreak); this is the standard dimension-
+    history build, and downstream point-in-time lookups become a range
+    predicate on (valid_from, valid_to) — see join-range-binned for how
+    those joins avoid nested loops at scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return o.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status_version"),
+        F.date_format("o_orderdate", fmt).alias("valid_from"),
+        F.date_format(nxt, fmt).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.row_number().over(w).alias("version_no"),
+    )

@@ -55,6 +55,7 @@ SURVEY_KEYS = {
     # F
     "window-ranking", "window-analytic", "window-frame-agg",
     "topk-per-group", "sort-limit", "set-union-intersect-except",
+    "etl-scd2",
     # G
     "fn-string", "fn-date", "fn-math", "fn-array", "fn-map-json",
     "fn-case-when-cast",
