@@ -36,6 +36,13 @@ def get_spark(app_name: str = "spark_file_mover_spark", cpus: int | None = None)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime Bloom-filter join pruning: the build side injects a
+        # Bloom filter into the probe-side scan, skipping row groups
+        # before the shuffle — free selectivity on fact-fact joins
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # zstd: ~30% smaller than snappy at comparable read speed — at
+        # 100 TB the scan is IO-bound, so smaller files = faster queries
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
