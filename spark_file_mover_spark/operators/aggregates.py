@@ -203,3 +203,40 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
     )
+
+
+_STATS_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(AVG(l_quantity), 4) AS mean_qty,
+       ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+       ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+       ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(COVAR_SAMP(l_quantity, l_discount), 4) AS covar_qty_disc
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg-stats", oracle=_STATS_ORACLE)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: statistical moments per group — stddev/variance/correlation/
+    covariance. All are single-pass mergeable accumulators (sum, sum of
+    squares, co-moments) so they scale exactly like SUM: partial
+    aggregation map-side, tiny merge rows in the shuffle. Outputs rounded
+    to 4 dp in both engines — moment accumulation order differs across
+    partitionings, so last-bit equality is not defined for these.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias(
+            "covar_qty_disc"
+        ),
+    )

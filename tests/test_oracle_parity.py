@@ -51,7 +51,7 @@ SURVEY_KEYS = {
     # E
     "agg-hash", "agg-distinct", "agg-approx-distinct",
     "agg-rollup-cube-gsets", "agg-having", "agg-approx-quantile",
-    "agg-pivot",
+    "agg-pivot", "agg-stats",
     # F
     "window-ranking", "window-analytic", "window-frame-agg",
     "topk-per-group", "sort-limit", "set-union-intersect-except",
