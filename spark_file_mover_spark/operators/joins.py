@@ -345,3 +345,94 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value")).cast("double").alias("total_value"),
         )
     )
+
+
+_ASOF_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id,
+         TIMESTAMP '1995-01-01' + INTERVAL (event_id % 2400) DAY AS asof_ts
+  FROM events
+),
+best AS (
+  SELECT e.event_id, MAX(o.o_orderdate) AS d
+  FROM e LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.asof_ts
+  GROUP BY e.event_id
+),
+matched AS (
+  SELECT b.event_id, MAX(o.o_orderkey) AS matched_orderkey
+  FROM best b
+  JOIN e ON e.event_id = b.event_id
+  JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate = b.d
+  GROUP BY b.event_id
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.asof_ts, '%Y-%m-%d') AS asof_date,
+       m.matched_orderkey
+FROM e LEFT JOIN matched m ON m.event_id = e.event_id
+"""
+
+
+@query("join-asof", oracle=_ASOF_ORACLE)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9: AS-OF join — for each event, the customer's most recent order
+    at-or-before the event time (ties on date broken by max orderkey).
+
+    Implementation is the scalable union-and-window formulation: tag both
+    streams, union them, sort once per key by (time, stream-tag, orderkey)
+    and carry the last non-null order id forward with
+    ``last(ignorenulls)``. ONE shuffle + ONE sort over |orders|+|events| —
+    versus the naive inequality join, whose intermediate is |events| x
+    orders-per-key and which no planner can hash. This is how as-of joins
+    are built on any engine without a native operator; event timestamps
+    are folded into the order-date era so matches interleave in time.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.timestamp_add(
+            "DAY",
+            (F.col("event_id") % 2400).cast("int"),
+            F.to_timestamp(F.lit("1995-01-01")),
+        ).alias("asof_ts"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+
+    orders_side = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("asof_ts"),
+    )
+    events_side = e.select(
+        F.col("user_id").alias("key"),
+        F.col("asof_ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("long").alias("okey"),
+        "event_id",
+        "asof_ts",
+    )
+    from pyspark.sql import Window as W
+
+    # orders sort before events at equal t (asof is <=); same-date orders
+    # ascend by okey so the carried value is the max orderkey of that date
+    w = (
+        W.partitionBy("key")
+        .orderBy("t", "is_event", "okey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = orders_side.unionByName(events_side).withColumn(
+        "matched_orderkey", F.last("okey", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            F.date_format("asof_ts", "yyyy-MM-dd").alias("asof_date"),
+            "matched_orderkey",
+        )
+    )

@@ -47,7 +47,7 @@ SURVEY_KEYS = {
     # D
     "join-inner-equi", "join-left-right-full", "join-semi-anti",
     "join-broadcast", "join-range-theta", "join-multiway-star",
-    "join-skew-salted", "join-range-binned",
+    "join-skew-salted", "join-range-binned", "join-asof",
     # E
     "agg-hash", "agg-distinct", "agg-approx-distinct",
     "agg-rollup-cube-gsets", "agg-having", "agg-approx-quantile",
