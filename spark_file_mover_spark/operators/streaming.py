@@ -394,3 +394,52 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("stage")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# H7 — hypertable-style hierarchical rollup
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT
+  strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users_lower_bound
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("rollup-hierarchical", oracle=_ROLLUP_ORACLE)
+def rollup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7: hypertable-style continuous-aggregate cascade — DAILY built by
+    re-aggregating the HOURLY rollup, never the raw events.
+
+    This is the property that makes multi-resolution time-series tables
+    work: every aggregate kept in the hourly layer must be mergeable
+    (count→sum, sum→sum, distinct→per-hour user sets carried as the
+    grouping key until the final level). The oracle computes daily
+    DIRECTLY from raw events, so a hash match proves the cascade is
+    lossless. At 100 TB the hourly layer is what queries and the daily
+    cascade read — raw events are scanned once per hour, ever.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+        "user_id",  # kept through the hourly layer for exact distinct
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(dec("value")).alias("total_value"),
+    )
+    daily = hourly.groupBy(
+        F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_value").cast("double").alias("total_value"),
+        F.countDistinct("user_id").alias("approx_users_lower_bound"),
+    )
+    return daily

@@ -62,6 +62,7 @@ SURVEY_KEYS = {
     # H
     "stream-tumbling", "stream-sliding", "stream-session",
     "stream-dedup-late", "stream-stateful-agg", "events-funnel",
+    "rollup-hierarchical",
     # I
     "dedup-exact", "dedup-near-minhash", "dedup-simhash",
     "dedup-ngram-jaccard", "dedup-embedding-cosine", "sim-search-topk",
