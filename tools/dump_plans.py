@@ -30,6 +30,10 @@ NOTES = {
     "dedup-near-minhash": "Explode shingles -> hash once -> 16 min-aggs; band self-join shuffles on signatures only; oversized buckets anti-joined away; band relation persisted across its four consumers.",
     "sim-search-topk": "Query set broadcast; corpus scanned once, never shuffled; per-query rank-then-filter.",
     "sink-bucketed": "Both sides bucketed on the join key: SortMergeJoin with zero exchanges feeding it (broadcast disabled to show the at-scale plan).",
+    "join-asof": "Union-and-window as-of: both streams union, one shuffle+sort per key, last(ignorenulls) carries the match forward - no inequality join anywhere.",
+    "events-funnel": "Conditional MIN per stage in one groupBy - no self-join, no window sort; 3 timestamps per user cross the shuffle.",
+    "sink-merge-upsert": "MERGE as a full outer join on the key + source-wins coalesce; bucket the target to kill the shuffle (see sink-bucketed).",
+    "rollup-hierarchical": "Two-level agg cascade: hourly (mergeable aggs) then daily FROM hourly; raw scanned once.",
 }
 
 
