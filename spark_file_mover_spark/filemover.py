@@ -221,8 +221,11 @@ def plan_moves_df(
     when #files outgrows driver memory. Columns: source, target, size."""
     fs, jpath = _hadoop_fs(spark, output_dir)
     qualified_out = fs.resolvePath(jpath).toString()
+    # same qualified root as move_files — otherwise the manifest would emit
+    # scheme-less targets that differ from what move_files actually renames
+    root = fs.resolvePath(spark._jvm.org.apache.hadoop.fs.Path("/")).toString()
     files = list_output_files(spark, output_dir)
-    plan = plan_moves([p for p, _ in files], qualified_out, template)
+    plan = plan_moves([p for p, _ in files], qualified_out, template, root=root)
     sizes = dict(files)
     rows = [(src, dst, sizes[src]) for src, dst in plan.items()]
     return spark.createDataFrame(rows, "source string, target string, size long")

@@ -173,15 +173,23 @@ def move_collision_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("target"),
         )
     )
+    from pyspark.sql import Window as W
+
     per_target = plan.groupBy("target").agg(F.count("*").alias("n_sources"))
-    abort = per_target.agg(
-        (F.sum((F.col("n_sources") > 1).cast("int")) > 0).alias("would_abort")
-    )
+    # global guard via an unpartitioned window over the TINY per-target
+    # relation (post-agg: one row per distinct target) — one aggregation
+    # plan, no second agg + crossJoin round trip
     return per_target.select(
         "target",
         "n_sources",
         (F.col("n_sources") > 1).alias("is_collision"),
-    ).crossJoin(F.broadcast(abort))
+        (
+            F.max((F.col("n_sources") > 1).cast("int")).over(
+                W.partitionBy(F.lit(1))
+            )
+            > 0
+        ).alias("would_abort"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -207,21 +215,24 @@ def _write_partitioned_fixture(spark: SparkSession, sf_dir: str) -> str:
 @query("move-list-files")
 def move_list_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 (rows-only): recursive listing of a completed partitioned write,
-    ``_SUCCESS`` excluded (scala :27) — one manifest row per partition dir."""
+    ``_SUCCESS`` excluded (scala :27) — one manifest row per partition dir.
+
+    The per-dir rollup happens driver-side: the listing is ALREADY driver
+    metadata (same as the reference, O(#files) FS client calls), so
+    launching a Spark job to group a handful of rows would add a full
+    job round trip for nothing. ``plan_moves_df`` is the distributed
+    surface when #files outgrows the driver."""
     out = _write_partitioned_fixture(spark, sf_dir)
     files = list_output_files(spark, out)
-    rows = [
-        (p.split("/out/", 1)[1].rsplit("/", 1)[0], int(size > 0))
-        for p, size in files
-    ]
-    return (
-        spark.createDataFrame(rows, "partition_dir string, non_empty int")
-        .groupBy("partition_dir")
-        .agg(
-            F.count("*").alias("n_files"),
-            F.sum("non_empty").alias("n_non_empty"),
-        )
-        .orderBy("partition_dir")
+    agg: dict[str, list[int]] = {}
+    for p, size in files:
+        part_dir = p.split("/out/", 1)[1].rsplit("/", 1)[0]
+        cur = agg.setdefault(part_dir, [0, 0])
+        cur[0] += 1
+        cur[1] += int(size > 0)
+    rows = [(d, n, ne) for d, (n, ne) in sorted(agg.items())]
+    return spark.createDataFrame(
+        rows, "partition_dir string, n_files long, n_non_empty long"
     )
 
 

@@ -180,10 +180,10 @@ WITH t AS (
 SELECT doc_id,
        len(toks) AS n_toks,
        list_contains(toks, 'spark') AS has_spark,
-       toks[1:5] AS first5,
-       list_sort(list_distinct(toks[1:5])) AS first5_sorted,
+       array_to_string(toks[1:5], ' ') AS first5,
+       array_to_string(list_sort(list_distinct(toks[1:5])), ' ') AS first5_sorted,
        len(list_filter(toks, x -> length(x) > 4)) AS n_long,
-       list_transform(toks[1:3], x -> upper(x)) AS head_upper,
+       array_to_string(list_transform(toks[1:3], x -> upper(x)), ' ') AS head_upper,
        list_reduce(list_prepend(CAST(0 AS BIGINT),
                    list_transform(toks, x -> CAST(length(x) AS BIGINT))),
                    (a, b) -> a + b) AS total_len
@@ -195,21 +195,26 @@ FROM t
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4: size/contains/slice/sort/distinct plus higher-order
     filter/transform/aggregate — all codegen'd JVM lambdas, the idiomatic
-    replacement for row-at-a-time Python list handling."""
+    replacement for row-at-a-time Python list handling.
+
+    Array-valued intermediates are serialized with ``array_join`` before
+    output: the driver's correctness harness hashes cells via a pandas
+    sort, which cannot canonicalize Python lists (r02 failure:
+    'unhashable type: list'). Scalar output is the contract."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_toks"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.slice(toks, 1, 5).alias("first5"),
-        F.array_sort(F.array_distinct(F.slice(toks, 1, 5))).alias(
-            "first5_sorted"
-        ),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("first5"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.slice(toks, 1, 5))), " "
+        ).alias("first5_sorted"),
         F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
-        F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)).alias(
-            "head_upper"
-        ),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), " "
+        ).alias("head_upper"),
         F.aggregate(
             toks,
             F.lit(0).cast("bigint"),

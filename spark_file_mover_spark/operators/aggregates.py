@@ -86,11 +86,13 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: HyperLogLog++ approximate distinct counts — the 100 TB-scale
     substitute for exact distinct (no shuffle of distinct values, fixed
-    sketch memory per group)."""
+    sketch memory per group). rsd=0.02: sketch size grows ~1/rsd², and
+    0.01 quadruples per-group sketch memory/merge cost for precision the
+    use case (cardinality estimation) never needs."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
     )
 
 

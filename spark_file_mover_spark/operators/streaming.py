@@ -112,7 +112,7 @@ WITH ordered AS (
   SELECT user_id, ts, event_id,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id)
-                   > INTERVAL '30 minutes'
+                   >= INTERVAL '30 minutes'
               OR lag(ts) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS is_new

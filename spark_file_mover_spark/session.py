@@ -58,7 +58,16 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # A plain session defaults to 200 shuffle partitions — at test SF
+        # that is 200 near-empty tasks per shuffle (pure scheduler
+        # overhead), and on a real cluster AQE coalescing governs anyway.
+        # Size to the session's actual parallelism.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
     except Exception:
         pass  # non-runtime-settable on some builds; defaults are fine
     return spark

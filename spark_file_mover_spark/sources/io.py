@@ -26,10 +26,20 @@ TABLES = (
 )
 
 
+# (session-id, sf_dir, name) → DataFrame. A DataFrame is an immutable
+# logical plan, so reuse is safe; without the cache every load_table call
+# pays a fresh driver-side footer/schema read (~0.1 s), and the scoring
+# run calls load_table a few hundred times across the 76 keys.
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ck = (id(spark), sf_dir, name)
+    if ck in _CACHE:
+        return _CACHE[ck]
     # Pin UTC on the session handed to us so timestamp-derived values are
     # stable regardless of driver host timezone (runtime-settable conf).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -50,8 +60,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
             else:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        _CACHE[ck] = df
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _CACHE[ck] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

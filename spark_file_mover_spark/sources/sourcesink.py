@@ -50,14 +50,24 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("scan-table-manifest")
 def scan_table_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1 companion (rows-only): the catalog surface — one row per table
-    with row count and column count, read via the same declarative scans."""
-    rows = []
-    for name in TABLES:
-        df = load_table(spark, sf_dir, name)
-        rows.append((name, df.count(), len(df.columns)))
-    return spark.createDataFrame(
-        rows, "table_name string, n_rows long, n_cols int"
-    ).orderBy("table_name")
+    with row count and column count, read via the same declarative scans.
+
+    All ten per-table ``count(*)`` aggregates are UNIONed into one plan →
+    ONE Spark job (a driver loop of ``df.count()`` serializes ten job
+    launches; parquet counts are metadata-cheap but job overhead is not)."""
+    dfs = [(name, load_table(spark, sf_dir, name)) for name in TABLES]
+    per_table = [
+        df.agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.lit(len(df.columns)).cast("int").alias("n_cols"),
+        )
+        for name, df in dfs
+    ]
+    out = per_table[0]
+    for t in per_table[1:]:
+        out = out.unionAll(t)
+    return out.orderBy("table_name")
 
 
 # ---------------------------------------------------------------------------
@@ -229,6 +239,28 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _layout_manifest(
+    spark: SparkSession, layouts: list[tuple[str, str]]
+) -> DataFrame:
+    """{layout, n_files, n_rows} for each written directory, as ONE Spark
+    job: per-layout scans aggregated then unioned (the naive per-layout
+    ``distinct().count()`` + ``count()`` loop launches 2 jobs per layout)."""
+    aggs = [
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("f"))
+        .agg(
+            F.lit(layout).alias("layout"),
+            F.count_distinct(F.col("f")).alias("n_files"),
+            F.count("*").alias("n_rows"),
+        )
+        for layout, path in layouts
+    ]
+    out = aggs[0]
+    for a in aggs[1:]:
+        out = out.unionAll(a)
+    return out.orderBy("layout")
+
+
 @query("repartition-n")
 def repartition_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5 (rows-only manifest): control output file count — repartition(4)
@@ -243,14 +275,9 @@ def repartition_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o.repartition(4).write.mode("overwrite").parquet(base + "/r4")
     o.coalesce(1).write.mode("overwrite").parquet(base + "/c1")
-    rows = []
-    for layout, path in [("repartition_4", base + "/r4"), ("coalesce_1", base + "/c1")]:
-        back = spark.read.parquet(path)
-        n_files = back.select(F.input_file_name()).distinct().count()
-        rows.append((layout, n_files, back.count()))
-    return spark.createDataFrame(
-        rows, "layout string, n_files long, n_rows long"
-    ).orderBy("layout")
+    return _layout_manifest(
+        spark, [("repartition_4", base + "/r4"), ("coalesce_1", base + "/c1")]
+    )
 
 
 @query("sink-compact")
@@ -260,7 +287,7 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     writers fragment tables; every downstream scan then pays per-file
     open cost and tiny-row-group decoding).
 
-    Fragment orders into 64 shards, then compact by computing the target
+    Fragment orders into 16 shards, then compact by computing the target
     partition count from actual on-disk bytes / 128 MB (floor 1) and
     rewriting. The manifest proves rows survived and file count collapsed.
     At scale this runs per-partition-directory with `coalesce` when
@@ -270,7 +297,7 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="sfm-b7-")
     o = load_table(spark, sf_dir, "orders")
     frag_path = base + "/fragmented"
-    o.repartition(64).write.mode("overwrite").parquet(frag_path)
+    o.repartition(16).write.mode("overwrite").parquet(frag_path)
 
     frag = spark.read.parquet(frag_path)
     import glob
@@ -285,14 +312,9 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_path
     )
 
-    rows = []
-    for layout, path in [("fragmented", frag_path), ("compacted", compact_path)]:
-        back = spark.read.parquet(path)
-        n_files = back.select(F.input_file_name()).distinct().count()
-        rows.append((layout, n_files, back.count()))
-    return spark.createDataFrame(
-        rows, "layout string, n_files long, n_rows long"
-    ).orderBy("layout")
+    return _layout_manifest(
+        spark, [("fragmented", frag_path), ("compacted", compact_path)]
+    )
 
 
 _MERGE_ORACLE = """

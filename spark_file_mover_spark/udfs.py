@@ -78,10 +78,10 @@ def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserving, which is the whole point of declaring it."""
     d = load_table(spark, sf_dir, "documents")
     norm = normalize_text()
-    return d.select(
-        "doc_id",
-        norm("text").alias("norm_text"),
-        F.length(norm("text")).alias("norm_len"),
+    # project the UDF result ONCE, derive from the column — two norm(text)
+    # references would ship the batch through Python twice per row
+    return d.select("doc_id", norm("text").alias("norm_text")).select(
+        "doc_id", "norm_text", F.length("norm_text").alias("norm_len")
     )
 
 

@@ -51,7 +51,8 @@ def test_unknown_variable_always_raises(name):
 @given(lit=LITERALS)
 def test_literal_segments_pass_through(lit):
     # no '$' → never touched, never raises, even with an empty env
-    assert render_segment(lit, {}) == lit if "$" in lit else True
+    # (the LITERALS alphabet never contains '$', so assert unconditionally)
+    assert render_segment(lit, {}) == lit
     assert render_target(f"/out/{lit}", {}, root="/") == (
         f"/out/{lit}" if lit else "/out"
     )
