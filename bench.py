@@ -12,6 +12,7 @@ count()-based 0.36 s timed a bare row count, no Window at all.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import sys
@@ -26,7 +27,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from spark_file_mover_spark import registry  # noqa: E402
 from spark_file_mover_spark.session import get_spark  # noqa: E402
 
-# Headline set: one representative per SURVEY.md §2 category.
+# Headline set: one representative per SURVEY.md §2 category, including
+# the write-path plane (A/B keys) so write regressions surface per-round.
 HEADLINE = [
     "agg-hash",
     "join-multiway-star",
@@ -38,12 +40,17 @@ HEADLINE = [
     "dedup-exact",
     "dedup-near-minhash",
     "sim-search-topk",
+    "sim-search-ivf",
     "text-analysis",
     "text-fingerprint",
     "sort-limit",
     "fn-string",
     "fn-map-json",
     "move-template",
+    "write-single-file",
+    "sink-partitioned",
+    "sink-merge-upsert",
+    "sink-compact",
 ]
 
 
@@ -68,23 +75,30 @@ def main() -> None:
     if missing:
         print(f"# WARNING: headline keys not implemented: {missing}", file=sys.stderr)
 
-    # Warm the JVM + parquet footers once (excluded from timings).
-    materialize(registry.QUERIES[keys[0]](spark, sf_dir))
+    # Queries run with stdout re-routed to stderr: the bench contract is
+    # ONE JSON line on stdout, and the file-mover keys print their rename
+    # plan (reference-parity behavior, scala :49).
+    with contextlib.redirect_stdout(sys.stderr):
+        # Warm the JVM + parquet footers once (excluded from timings).
+        materialize(registry.QUERIES[keys[0]](spark, sf_dir))
 
-    # min-of-N: the minimum is the closest observation to the true cost
-    # (GC pauses, JIT, scheduler jitter only ever add time).
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings: dict[str, float] = {}
-    for key in keys:
-        best = None
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = registry.QUERIES[key](spark, sf_dir)
-            materialize(df)
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[key] = round(best, 4)
-        print(f"# {key}: {timings[key]:.3f}s (min of {runs})", file=sys.stderr)
+        # min-of-N: the minimum is the closest observation to the true
+        # cost (GC pauses, JIT, scheduler jitter only ever add time).
+        runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+        timings: dict[str, float] = {}
+        for key in keys:
+            best = None
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = registry.QUERIES[key](spark, sf_dir)
+                materialize(df)
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[key] = round(best, 4)
+            print(
+                f"# {key}: {timings[key]:.3f}s (min of {runs})",
+                file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 4)
     print(
