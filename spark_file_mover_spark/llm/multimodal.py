@@ -71,10 +71,33 @@ _FEATURE_SCHEMA = (
 )
 
 
-@query("multimodal-binary")
+# DuckDB's sha256 takes VARCHAR and hashes its utf-8 bytes — exactly what
+# hashlib.sha256(text.encode()) computes in the mapInPandas extractor, so
+# the content-hash column is cross-engine checkable without blob support.
+_BINARY_ORACLE = """
+WITH assets AS (
+  SELECT doc_id AS asset_id, text,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS mime
+  FROM documents
+  UNION ALL
+  SELECT doc_id, text, 'application/octet-stream' AS mime
+  FROM documents WHERE doc_id < 3
+)
+SELECT mime, COUNT(*) AS n_assets,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       COUNT(DISTINCT substr(sha256(text), 1, 16)) AS n_distinct_payloads,
+       CAST(MAX(16 + octet_length(encode(text)) % 64) AS BIGINT) AS max_width
+FROM assets GROUP BY mime
+"""
+
+
+@query("multimodal-binary", oracle=_BINARY_ORACLE)
 def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I5 (rows-only: binary features are engine-specific): the multimodal
-    asset pipeline end-to-end.
+    """I5: the multimodal asset pipeline end-to-end — oracle-checked: the
+    byte-level features (sha256 content hash, byte counts, derived dims)
+    are deterministic functions of the payload that DuckDB re-derives.
 
     1. Build a binary asset column (documents.text encoded to bytes — the
        testdata proxy for image payloads) + typed metadata.
@@ -129,12 +152,33 @@ def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal-frame-sample")
+# The sampled output is pure byte arithmetic over the utf-8 payload, so
+# the oracle re-derives it exactly: frame i covers bytes
+# [(i-1)*128, (i-1)*128+64) → its length is min(64, max(len-(i-1)*128, 0)).
+_FRAME_ORACLE = """
+WITH v AS (
+  SELECT doc_id AS asset_id, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT asset_id, n, greatest(n // 128, 1) AS n_frames FROM v
+)
+SELECT asset_id, n_frames,
+       CAST(list_reduce(
+         list_transform(range(1, n_frames + 1),
+                        i -> least(64, greatest(n - (i-1)*128, 0))),
+         (a, b) -> a + b) AS BIGINT) AS sampled_bytes
+FROM f
+"""
+
+
+@query("multimodal-frame-sample", oracle=_FRAME_ORACLE)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over (fake) video assets: each asset yields every
     k-th "frame" as its own row — the one-to-many explode shape a real
     frame sampler has, with byte-slice frames standing in for decoded
-    ones (rows-only: frame payloads are synthetic).
+    ones. Oracle-checked: the per-asset frame count and sampled byte
+    totals are deterministic byte arithmetic the oracle mirrors.
 
     posexplode keeps frame ordinals; at scale the explode multiplies rows
     before any shuffle, so repartition by asset afterwards if a downstream

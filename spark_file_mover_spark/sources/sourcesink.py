@@ -47,10 +47,31 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("scan-table-manifest")
+# column counts are part of the declared catalog contract (stable across
+# scale factors; the Spark side derives them from the live schema)
+_N_COLS = {
+    "region": 2,
+    "nation": 3,
+    "customer": 5,
+    "supplier": 4,
+    "part": 6,
+    "orders": 6,
+    "lineitem": 11,
+    "events": 6,
+    "documents": 5,
+    "embeddings": 3,
+}
+
+_MANIFEST_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows, {n} AS n_cols FROM {t}"
+    for t, n in _N_COLS.items()
+)
+
+
+@query("scan-table-manifest", oracle=_MANIFEST_ORACLE)
 def scan_table_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B1 companion (rows-only): the catalog surface — one row per table
-    with row count and column count, read via the same declarative scans.
+    """B1 companion: the catalog surface — one row per table with row
+    count and column count, read via the same declarative scans.
 
     All ten per-table ``count(*)`` aggregates are UNIONed into one plan →
     ONE Spark job (a driver loop of ``df.count()`` serializes ten job

@@ -93,28 +93,43 @@ def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lang_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-language robust stats — the kind of whole-group computation
     (median needs the full group) that justifies applyInPandas over
-    built-in aggregates."""
+    built-in aggregates. Quantiles use LINEAR interpolation — the same
+    convention as DuckDB ``quantile_cont`` — so the oracle can mirror
+    them; results rounded to 4 dp on both sides."""
     chars = pdf["n_chars"].sort_values()
+    q25 = float(chars.quantile(0.25, interpolation="linear"))
+    q75 = float(chars.quantile(0.75, interpolation="linear"))
     return pd.DataFrame(
         {
             "lang": [pdf["lang"].iloc[0]],
             "n_docs": [len(pdf)],
-            "median_chars": [float(chars.median())],
-            "iqr_chars": [
-                float(chars.quantile(0.75, interpolation="midpoint"))
-                - float(chars.quantile(0.25, interpolation="midpoint"))
+            "median_chars": [
+                round(float(chars.quantile(0.5, interpolation="linear")), 4)
             ],
+            "iqr_chars": [round(q75 - q25, 4)],
             "min_doc_id": [int(pdf["doc_id"].min())],
         }
     )
 
 
-@query("udaf-grouped-pandas")
+_GROUPED_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+       ROUND(quantile_cont(n_chars, 0.75) - quantile_cont(n_chars, 0.25), 4)
+         AS iqr_chars,
+       MIN(doc_id) AS min_doc_id
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("udaf-grouped-pandas", oracle=_GROUPED_ORACLE)
 def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 (rows-only: quantile interpolation conventions differ across
-    engines): one pandas frame per language group via applyInPandas —
-    hash shuffle on lang, whole group in memory per task. Bounded keys
-    here; for unbounded/skewed keys pre-aggregate or salt."""
+    """J2: one pandas frame per language group via applyInPandas — hash
+    shuffle on lang, whole group in memory per task. Bounded keys here;
+    for unbounded/skewed keys pre-aggregate or salt. Oracle-checked: the
+    pandas quantiles use linear interpolation ≡ DuckDB quantile_cont."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id", "lang", "n_chars")
