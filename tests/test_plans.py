@@ -94,3 +94,38 @@ def test_no_cartesian_products_in_relational_queries(spark, sf_dir):
     ]:
         plan = _formatted_plan(spark, registry.QUERIES[key](spark, sf_dir))
         assert "CartesianProduct" not in plan, key
+
+
+def test_oracle_queries_emit_only_atomic_types(spark, sf_dir):
+    """The scoring harness canonicalizes cells with a pandas sort, which
+    cannot hash list/map/struct cells (the r02 fn-array failure: array
+    columns -> 'unhashable type: list'). Every oracle-checked query must
+    therefore emit only atomic column types — serialize arrays with
+    array_join/to_json before output. Schema-only check: builds each
+    plan, executes nothing."""
+    from pyspark.sql import types as T
+
+    complex_types = (T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for key in sorted(registry.ORACLES):
+        schema = registry.QUERIES[key](spark, sf_dir).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, complex_types):
+                offenders.append((key, field.name, field.dataType.simpleString()))
+    assert not offenders, f"complex-typed output in oracle-checked keys: {offenders}"
+
+
+def test_registered_queries_tune_plain_sessions(spark, sf_dir):
+    """The driver hands queries a PLAIN SparkSession; the registry wrapper
+    must apply the engine posture (shuffle partitions sized to the
+    session's parallelism, not the 200 default; UTC)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        registry.QUERIES["project-select"](spark, sf_dir)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+            spark.sparkContext.defaultParallelism
+        )
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
