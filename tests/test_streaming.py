@@ -56,9 +56,30 @@ def test_stream_dedup_matches_batch(spark, sf_dir):
     assert _rows(streamed, cols) == _rows(batch, cols)
 
 
-def test_stream_session_window_runs(spark, sf_dir):
+def test_stream_sliding_matches_batch(spark, sf_dir):
+    stream = as_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    run_stream_to_memory(agg, "t_sliding", mode="complete")
+    streamed = spark.table("t_sliding")
+    batch = registry.QUERIES["stream-sliding"](spark, sf_dir)
+    cols = ["window_start", "event_type", "n_events"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_stream_session_window_matches_batch(spark, sf_dir):
     """Session windows need watermark + update/complete mode in streaming;
-    run on available data and sanity-check shape + row volume."""
+    the merged sessions (start + event count per user) must equal the
+    batch session_window result row-for-row."""
     stream = as_stream(spark, sf_dir, watermark="1 hour")
     sess = (
         stream.groupBy(
@@ -74,8 +95,8 @@ def test_stream_session_window_runs(spark, sf_dir):
     run_stream_to_memory(sess, "t_session", mode="complete")
     streamed = spark.table("t_session")
     batch = registry.QUERIES["stream-session"](spark, sf_dir)
-    assert streamed.agg(F.sum("n_events")).collect()[0][0] == \
-        batch.agg(F.sum("n_events")).collect()[0][0]
+    cols = ["user_id", "session_start", "n_events"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
 
 
 def test_stateful_operator_matches_batch(spark, sf_dir):
