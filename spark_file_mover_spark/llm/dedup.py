@@ -92,6 +92,9 @@ _MAX_BUCKET = 100  # drop degenerate buckets: near-universal signatures
 _rng = random.Random(42)
 _PERMS = [(_rng.randrange(1, 1 << 30), _rng.randrange(0, _P)) for _ in range(_BANDS * _ROWS)]
 
+# previous invocation's persisted bands relation (released on next call)
+_last_bands = None
+
 
 def _minhash_signatures(d: DataFrame) -> DataFrame:
     """(doc_id, mh0..mh15): k minhash values over 3-word shingles.
@@ -162,13 +165,23 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard single-pass approximation and keeps this a
     three-shuffle plan.
     """
+    global _last_bands
     d = load_table(spark, sf_dir, "documents")
     sig = _minhash_signatures(d)
     # bands is consumed four times (bucket-size stats, anti-join, both
     # sides of the self-join); persist the tiny post-agg relation (b rows
     # per doc) or every consumer re-runs the shingle explode+agg upstream.
     # MEMORY_AND_DISK: spills instead of OOM on wide corpora.
+    # Cache lifecycle: the returned plan is LAZY, so the cache cannot be
+    # released inside this call without forcing a blocking materialization
+    # on the hot path; instead the previous invocation's relation is
+    # released here, bounding the footprint to one cached bands relation
+    # (r02 bench leaked one per invocation: 'already cached' warnings).
     from pyspark import StorageLevel
+
+    if _last_bands is not None:
+        _last_bands.unpersist()
+        _last_bands = None
 
     cached = sig.select(
         "doc_id",
@@ -186,6 +199,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig").persist(StorageLevel.MEMORY_AND_DISK)
+    _last_bands = cached
     # oversized-bucket guard: anti-join degenerate signatures away
     oversized = (
         cached.groupBy("band", "sig")
@@ -214,14 +228,6 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.doc_id", "e.nb")
     cluster = neighbors.groupBy("doc_id").agg(F.min("nb").alias("min_nb"))
-    # Materialize the tiny (doc_id, min_nb) relation NOW so the
-    # multi-consumer `cached` bands relation can be released here instead
-    # of leaking across invocations (BENCH r02 logged 'already cached'
-    # warnings). localCheckpoint truncates the LSH lineage; the returned
-    # plan is a plain join against materialized partitions. Two longs per
-    # doc — negligible next to the corpus at any scale.
-    cluster = cluster.localCheckpoint(eager=True)
-    cached.unpersist()
     return (
         d.select("doc_id")
         .join(cluster, "doc_id", "left")
