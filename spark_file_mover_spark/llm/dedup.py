@@ -241,6 +241,66 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(
+    edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Transitive duplicate clustering: undirected ``(a, b)`` candidate
+    pairs → ``(doc_id, component_id)`` where ``component_id`` is the
+    minimum doc_id reachable through any chain of pairs.
+
+    This is the exact closure the single-pass min-neighbor step inside
+    ``dedup-near-minhash`` approximates (A~B~C collapses to one component
+    even when A and C never shared a bucket). Algorithm: iterative
+    min-label propagation — each round every node adopts the smallest
+    label among itself and its neighbors; converges in O(component
+    diameter) rounds, which for dedup graphs (dense near-clique clusters)
+    is typically 2-3.
+
+    Scale shape per round: one equi-join (labels onto the symmetric edge
+    list, shuffle on doc_id) + one min-groupBy (map-side partials). The
+    label relation is two longs per node and is eagerly
+    ``localCheckpoint``-ed every round — without lineage truncation an
+    iterative Spark plan grows exponentially and re-executes every prior
+    round. The convergence check is a count of changed labels (one action
+    per round), the standard stop condition.
+    """
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "component_id")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("component_id").alias("component_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup bucketing
 # ---------------------------------------------------------------------------

@@ -1,0 +1,36 @@
+"""connected_components: the transitive-closure clustering pass that the
+single-pass min-neighbor step in dedup-near-minhash approximates."""
+
+from __future__ import annotations
+
+from spark_file_mover_spark.llm.dedup import connected_components
+
+
+def _components(spark, pairs):
+    edges = spark.createDataFrame(pairs, "a long, b long")
+    rows = connected_components(edges).collect()
+    return {r.doc_id: r.component_id for r in rows}
+
+
+def test_chain_collapses_to_one_component(spark):
+    # 1-2, 2-3, 3-4: 1 and 4 never share a pair but are transitively dups
+    got = _components(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_disjoint_components_stay_disjoint(spark):
+    got = _components(spark, [(1, 2), (10, 11), (11, 12)])
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_long_chain_converges_within_iterations(spark):
+    # a 12-node path — worst case for label propagation (diameter 11);
+    # min-label still floods in O(diameter) rounds within max_iter
+    pairs = [(i, i + 1) for i in range(12)]
+    got = _components(spark, pairs)
+    assert set(got.values()) == {0}
+
+
+def test_direction_and_duplicates_are_irrelevant(spark):
+    got = _components(spark, [(5, 3), (3, 5), (5, 3), (7, 5)])
+    assert got == {3: 3, 5: 3, 7: 3}
