@@ -27,7 +27,7 @@ NOTES = {
     "sort-limit": "TakeOrderedAndProject: per-task top-100 merged on the driver; no global sort.",
     "stream-tumbling": "window() expands to a struct group key; partial agg before the shuffle; same plan streams with a watermark.",
     "dedup-exact": "Shuffle key is xxhash64(norm_text) (8 bytes) + min_by survivor struct; corpus text never shuffles.",
-    "dedup-near-minhash": "Explode shingles -> hash once -> 16 min-aggs; band self-join shuffles on signatures only; oversized buckets anti-joined away; band relation persisted across its consumers and released after cluster ids materialize (localCheckpoint).",
+    "dedup-near-minhash": "Explode shingles -> hash once -> 16 min-aggs; band self-join shuffles on signatures only; oversized buckets anti-joined away; band relation persisted across its consumers (released on the next invocation - the returned plan is lazy).",
     "sim-search-topk": "Query set broadcast; corpus scanned once, never shuffled; per-query rank-then-filter; norms projected once per side before the join (never per pair).",
     "sim-search-ivf": "Centroids from one posexplode agg, broadcast; probe relation broadcast onto a cell-pruned corpus scan; per-side norms projected before each join.",
     "dedup-embedding-cosine": "Within-block pair join with per-row norms projected pre-join; top-1 neighbor per vector via rank-then-filter (WindowGroupLimit).",
