@@ -173,23 +173,20 @@ def move_collision_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("target"),
         )
     )
-    from pyspark.sql import Window as W
-
     per_target = plan.groupBy("target").agg(F.count("*").alias("n_sources"))
-    # global guard via an unpartitioned window over the TINY per-target
-    # relation (post-agg: one row per distinct target) — one aggregation
-    # plan, no second agg + crossJoin round trip
+    # global guard as a second aggregate broadcast onto every row: the
+    # per-target relation is O(#files), so an unpartitioned window (all
+    # rows through ONE task) would be the wrong shape at 10^7 targets —
+    # the two-phase aggregate keeps map-side partials and broadcasts a
+    # single boolean row
+    abort = per_target.agg(
+        (F.sum((F.col("n_sources") > 1).cast("int")) > 0).alias("would_abort")
+    )
     return per_target.select(
         "target",
         "n_sources",
         (F.col("n_sources") > 1).alias("is_collision"),
-        (
-            F.max((F.col("n_sources") > 1).cast("int")).over(
-                W.partitionBy(F.lit(1))
-            )
-            > 0
-        ).alias("would_abort"),
-    )
+    ).crossJoin(F.broadcast(abort))
 
 
 # ---------------------------------------------------------------------------

@@ -180,7 +180,10 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     if _last_bands is not None:
-        _last_bands.unpersist()
+        try:
+            _last_bands.unpersist()
+        except Exception:
+            pass  # previous relation may belong to a stopped SparkSession
         _last_bands = None
 
     cached = sig.select(
@@ -257,13 +260,21 @@ def connected_components(
     is typically 2-3.
 
     Scale shape per round: one equi-join (labels onto the symmetric edge
-    list, shuffle on doc_id) + one min-groupBy (map-side partials). The
-    label relation is two longs per node and is eagerly
-    ``localCheckpoint``-ed every round — without lineage truncation an
-    iterative Spark plan grows exponentially and re-executes every prior
-    round. The convergence check is a count of changed labels (one action
-    per round), the standard stop condition.
+    list, shuffle on doc_id) + one min-groupBy (map-side partials). Each
+    round's label relation (two longs per node) is persisted and
+    materialized, and the previous round's is released — execution always
+    reads the cached previous round instead of replaying the whole
+    iteration lineage, and storage is bounded to two label relations.
+    The convergence check is a count of changed labels (one action per
+    round), the standard stop condition.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iter`` rounds (component diameter exceeds the budget) — a
+    silently returned partial closure would split one duplicate cluster
+    into several and keep duplicates.
     """
+    from pyspark import StorageLevel
+
     sym = edges.select(
         F.explode(
             F.array(
@@ -276,8 +287,10 @@ def connected_components(
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component_id", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    labels.count()  # materialize so each round starts from cache
+    converged = False
     for _ in range(max_iter):
         prop = (
             sym.join(labels, sym.src == labels.doc_id)
@@ -287,17 +300,25 @@ def connected_components(
             labels.unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("component_id").alias("component_id"))
-            .localCheckpoint(eager=True)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
+            .count()  # also materializes new_labels' cache
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds the budget); raise max_iter"
+        )
     return labels
 
 

@@ -26,18 +26,27 @@ TABLES = (
 )
 
 
-# (session-id, sf_dir, name) → DataFrame. A DataFrame is an immutable
-# logical plan, so reuse is safe; without the cache every load_table call
-# pays a fresh driver-side footer/schema read (~0.1 s), and the scoring
-# run calls load_table a few hundred times across the 76 keys.
-_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# (sf_dir, name) → DataFrame for ONE SparkSession at a time. A DataFrame
+# is an immutable logical plan, so reuse is safe; without the cache every
+# load_table call pays a fresh driver-side footer read + file listing
+# (~0.1 s), and the scoring run calls load_table a few hundred times
+# across the 76 keys. Contract: testdata parquet is immutable for the
+# process lifetime (the cached plan snapshots its file listing). The
+# cache is dropped whenever a different session appears, so stopped
+# sessions are never pinned by cached plans.
+_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CACHE_SESSION_ID: int | None = None
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan)."""
+    global _CACHE_SESSION_ID
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    ck = (id(spark), sf_dir, name)
+    if _CACHE_SESSION_ID != id(spark):
+        _CACHE.clear()
+        _CACHE_SESSION_ID = id(spark)
+    ck = (sf_dir, name)
     if ck in _CACHE:
         return _CACHE[ck]
     # Pin UTC on the session handed to us so timestamp-derived values are
@@ -60,9 +69,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
             else:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        _CACHE[ck] = df
-        return df
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _CACHE[ck] = df
     return df
 

@@ -3,6 +3,8 @@ single-pass min-neighbor step in dedup-near-minhash approximates."""
 
 from __future__ import annotations
 
+import pytest
+
 from spark_file_mover_spark.llm.dedup import connected_components
 
 
@@ -34,3 +36,13 @@ def test_long_chain_converges_within_iterations(spark):
 def test_direction_and_duplicates_are_irrelevant(spark):
     got = _components(spark, [(5, 3), (3, 5), (5, 3), (7, 5)])
     assert got == {3: 3, 5: 3, 7: 3}
+
+
+def test_non_convergence_raises_instead_of_returning_partial(spark):
+    # diameter 11 cannot flood within 3 rounds — a silent partial result
+    # would split one dup cluster into several, so the API must raise
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=3)

@@ -101,8 +101,10 @@ def test_oracle_queries_emit_only_atomic_types(spark, sf_dir):
     cannot hash list/map/struct cells (the r02 fn-array failure: array
     columns -> 'unhashable type: list'). Every oracle-checked query must
     therefore emit only atomic column types — serialize arrays with
-    array_join/to_json before output. Schema-only check: builds each
-    plan, executes nothing."""
+    array_join/to_json before output. Only the returned schema is
+    inspected, but note that building a write-path query's DataFrame
+    runs its fixture writes (the function bodies are eager up to the
+    returned plan)."""
     from pyspark.sql import types as T
 
     complex_types = (T.ArrayType, T.MapType, T.StructType)

@@ -28,6 +28,7 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from parity import compare
+    from spark_file_mover_spark.sources.io import TABLES
 
     spark = SparkSession.builder.master("local[8]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -40,8 +41,7 @@ def main() -> None:
 
     qs, osql = e.queries(), e.oracle_sql()
     con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
+    for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
         )
