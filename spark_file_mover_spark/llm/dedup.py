@@ -261,20 +261,26 @@ def connected_components(
 
     Scale shape per round: one equi-join (labels onto the symmetric edge
     list, shuffle on doc_id) + one min-groupBy (map-side partials). Each
-    round's label relation (two longs per node) is persisted and
-    materialized, and the previous round's is released — execution always
-    reads the cached previous round instead of replaying the whole
-    iteration lineage, and storage is bounded to two label relations.
-    The convergence check is a count of changed labels (one action per
-    round), the standard stop condition.
+    round's label relation (two longs per node) is ``localCheckpoint``-ed
+    EAGERLY — this is load-bearing, not an optimization: ``persist()``
+    caches *execution* but every round's **logical plan** still nests the
+    previous round's (the labels relation appears twice per round: in the
+    propagation join and the union), so plan size doubles per iteration
+    and a diameter-12 graph overflows the JVM stack in plan analysis
+    before any data moves. ``localCheckpoint`` truncates lineage: round
+    N's plan references a materialized block-manager relation, making
+    planning O(1) per round regardless of N. On a real cluster with
+    executor churn, substitute reliable ``checkpoint()`` (HDFS-backed) —
+    localCheckpoint blocks are lost with their executor. Freed blocks are
+    reclaimed by the ContextCleaner as the per-round Python references
+    drop. The convergence check is a count of changed labels (one action
+    per round), the standard stop condition.
 
     Raises ``RuntimeError`` if labels are still changing after
     ``max_iter`` rounds (component diameter exceeds the budget) — a
     silently returned partial closure would split one duplicate cluster
     into several and keep duplicates.
     """
-    from pyspark import StorageLevel
-
     sym = edges.select(
         F.explode(
             F.array(
@@ -282,14 +288,13 @@ def connected_components(
                 F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
             )
         ).alias("e")
-    ).select("e.src", "e.dst")
+    ).select("e.src", "e.dst").localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component_id", F.col("doc_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    labels.count()  # materialize so each round starts from cache
     converged = False
     for _ in range(max_iter):
         prop = (
@@ -300,21 +305,19 @@ def connected_components(
             labels.unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("component_id").alias("component_id"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .count()  # also materializes new_labels' cache
+            .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True
             break
     if not converged:
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(component diameter exceeds the budget); raise max_iter"
