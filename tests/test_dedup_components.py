@@ -27,7 +27,7 @@ def test_disjoint_components_stay_disjoint(spark):
 
 def test_long_chain_converges_within_iterations(spark):
     # a 12-node path — worst case for label propagation (diameter 11);
-    # min-label still floods in O(diameter) rounds within max_iter
+    # min-label + pointer jumping floods it in O(log diameter) rounds
     pairs = [(i, i + 1) for i in range(12)]
     got = _components(spark, pairs)
     assert set(got.values()) == {0}
@@ -39,10 +39,12 @@ def test_direction_and_duplicates_are_irrelevant(spark):
 
 
 def test_non_convergence_raises_instead_of_returning_partial(spark):
-    # diameter 11 cannot flood within 3 rounds — a silent partial result
-    # would split one dup cluster into several, so the API must raise
+    # with pointer jumping a round covers distance 2^(k+1)-1, so one
+    # round reaches distance 3 — diameter 11 cannot flood in a single
+    # round; a silent partial result would split one dup cluster into
+    # several, so the API must raise
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "a long, b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=3)
+        connected_components(edges, max_iter=1)
