@@ -27,6 +27,28 @@ from pyspark.sql import functions as F  # noqa: E402
 from spark_file_mover_spark import registry  # noqa: E402
 from spark_file_mover_spark.session import get_spark  # noqa: E402
 
+# Frozen comparison set: the 16 keys benched every round since r2.
+# NEVER grows — round-over-round regressions compare common16_total,
+# so adding headline keys can't bury a drift in set growth.
+COMMON16 = [
+    "agg-hash",
+    "join-multiway-star",
+    "join-inner-equi",
+    "window-ranking",
+    "topk-per-group",
+    "stream-tumbling",
+    "stream-session",
+    "dedup-exact",
+    "dedup-near-minhash",
+    "sim-search-topk",
+    "sim-search-ivf",
+    "text-analysis",
+    "text-fingerprint",
+    "sort-limit",
+    "fn-string",
+    "fn-map-json",
+]
+
 # Headline set: one representative per SURVEY.md §2 category, including
 # the write-path plane (A/B keys) so write regressions surface per-round.
 HEADLINE = [
@@ -101,12 +123,16 @@ def main() -> None:
             )
 
     total = round(sum(timings.values()), 4)
+    common16_total = round(
+        sum(timings[k] for k in COMMON16 if k in timings), 4
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "common16_total": common16_total,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
