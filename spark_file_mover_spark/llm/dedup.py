@@ -144,14 +144,17 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup-near-minhash")
-def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I2 (rows-only: engine-specific hashes): banded MinHash-LSH.
+def minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH clustering: ``(doc_id, cluster_id)``, one row
+    per document, cluster = min candidate neighbor (single-pass
+    approximation of the transitive closure — see
+    :func:`connected_components` / ``dedup-components`` for the exact
+    pass).
 
     shingle(3-word) → 16 minhashes → 4 bands × 4 rows (collision threshold
     ≈ (1/4)^(1/4) ≈ 0.71 Jaccard) → explode bands → self-join on
     (band, signature) → candidate pairs → per-doc cluster id = min
-    candidate neighbor. Output is one row per document with its cluster.
+    candidate neighbor.
 
     Scale: the self-join shuffles on band signatures only — linear in
     corpus size; never an all-pairs crossJoin. Buckets larger than
@@ -160,10 +163,6 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     would contribute O(bucket²) junk pairs — discarding it is standard
     LSH practice and what keeps the pair stage linear in practice (the
     round-1 formulation without the cap went quadratic on exactly this).
-    Full transitive clustering is an iterative connected-components pass
-    (GraphFrames / iterate-until-fixpoint) — one min-neighbor round is
-    the standard single-pass approximation and keeps this a
-    three-shuffle plan.
     """
     global _last_bands
     d = load_table(spark, sf_dir, "documents")
@@ -239,6 +238,63 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("doc_id"), F.coalesce("min_nb", F.col("doc_id"))).alias(
                 "cluster_id"
             ),
+        )
+    )
+
+
+_MINHASH_ORACLE = """
+SELECT doc_id,
+       TRUE AS cluster_le_doc_id,
+       TRUE AS cluster_ref_valid,
+       TRUE AS exact_dup_consistent
+FROM documents ORDER BY doc_id
+"""
+
+
+@query("dedup-near-minhash", oracle=_MINHASH_ORACLE)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2: banded MinHash-LSH near-dup clustering (plan details on
+    :func:`minhash_clusters`), declared as an invariant audit.
+
+    The cluster ids themselves are engine-specific (xxhash64 minhashes
+    have no DuckDB twin), so the driver-checked output is one row per
+    document with three audited invariants the oracle expects TRUE:
+
+    * ``cluster_le_doc_id`` — cluster id never exceeds the member id
+      (min-neighbor semantics);
+    * ``cluster_ref_valid`` — every cluster id IS an existing doc_id
+      (clusters are rooted at real documents);
+    * ``exact_dup_consistent`` — documents with identical normalized
+      text land in the same cluster (identical text ⇒ identical
+      signatures ⇒ identical buckets, even under the oversized-bucket
+      cap, ⇒ identical neighbor sets ⇒ equal min).
+
+    A broken band explode, pair join, or survivor pick flips one of the
+    booleans and fails the hash compare. The raw ``(doc_id, cluster_id)``
+    relation stays available via :func:`minhash_clusters`; its run-to-run
+    stability is pinned by a pytest (fixed permutation seeds make the
+    clustering fully deterministic). The clustering is checkpointed once
+    so the three audit joins don't re-run the LSH pipeline."""
+    cl = minhash_clusters(spark, sf_dir).localCheckpoint(eager=True)
+    d = load_table(spark, sf_dir, "documents")
+    nh = F.xxhash64(
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    ).alias("nh")
+    with_cl = d.select("doc_id", nh).join(cl, "doc_id")
+    grp = with_cl.groupBy("nh").agg(
+        F.count_distinct("cluster_id").alias("ncl")
+    )
+    refs = cl.select(F.col("doc_id").alias("cluster_id")).distinct().withColumn(
+        "ref_ok", F.lit(True)
+    )
+    return (
+        with_cl.join(grp, "nh")
+        .join(refs, "cluster_id", "left")
+        .select(
+            "doc_id",
+            (F.col("cluster_id") <= F.col("doc_id")).alias("cluster_le_doc_id"),
+            F.coalesce("ref_ok", F.lit(False)).alias("cluster_ref_valid"),
+            (F.col("ncl") == 1).alias("exact_dup_consistent"),
         )
         .orderBy("doc_id")
     )

@@ -5,7 +5,10 @@ from __future__ import annotations
 
 import pytest
 
-from spark_file_mover_spark.llm.dedup import connected_components
+from spark_file_mover_spark.llm.dedup import (
+    connected_components,
+    minhash_clusters,
+)
 
 
 def _components(spark, pairs):
@@ -48,3 +51,22 @@ def test_non_convergence_raises_instead_of_returning_partial(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_minhash_clustering_stable_across_runs(spark, sf_dir):
+    """Fixed permutation seeds + deterministic hashing: two independent
+    invocations must produce the identical (doc_id, cluster_id) relation
+    — the reproducibility property a curation pipeline depends on."""
+    first = sorted(map(tuple, minhash_clusters(spark, sf_dir).collect()))
+    second = sorted(map(tuple, minhash_clusters(spark, sf_dir).collect()))
+    assert first == second
+    assert len(first) > 0
+
+
+def test_minhash_cluster_invariants(spark, sf_dir):
+    """The invariants the dedup-near-minhash oracle audits, checked
+    directly on the raw clustering relation."""
+    rows = minhash_clusters(spark, sf_dir).collect()
+    ids = {r.doc_id for r in rows}
+    assert all(r.cluster_id <= r.doc_id for r in rows)
+    assert all(r.cluster_id in ids for r in rows)

@@ -65,7 +65,8 @@ SURVEY_KEYS = {
     "rollup-hierarchical",
     # I
     "dedup-exact", "dedup-near-minhash", "dedup-simhash",
-    "dedup-ngram-jaccard", "dedup-embedding-cosine", "sim-search-topk",
+    "dedup-ngram-jaccard", "dedup-components", "dedup-embedding-cosine",
+    "sim-search-topk",
     "sim-search-ivf", "text-analysis", "text-token-count", "text-langid",
     "text-quality-score", "text-fingerprint", "text-pii-scrub",
     "text-ngram-freq", "sample-train-split", "sample-hash-stratified",

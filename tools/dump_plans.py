@@ -27,7 +27,7 @@ NOTES = {
     "sort-limit": "TakeOrderedAndProject: per-task top-100 merged on the driver; no global sort.",
     "stream-tumbling": "window() expands to a struct group key; partial agg before the shuffle; same plan streams with a watermark.",
     "dedup-exact": "Shuffle key is xxhash64(norm_text) (8 bytes) + min_by survivor struct; corpus text never shuffles.",
-    "dedup-near-minhash": "Explode shingles -> hash once -> 16 min-aggs; band self-join shuffles on signatures only; oversized buckets anti-joined away; band relation persisted across its consumers (released on the next invocation - the returned plan is lazy).",
+    "dedup-near-minhash": "Explode shingles -> hash once -> 16 min-aggs; band self-join shuffles on signatures only; oversized buckets anti-joined away; band relation persisted across its consumers (released on the next invocation - the returned plan is lazy). Declared output is the invariant audit over a once-checkpointed clustering, so the plan below starts from the checkpoint scan.",
     "sim-search-topk": "Query set broadcast; corpus scanned once, never shuffled; per-query rank-then-filter; norms projected once per side before the join (never per pair).",
     "sim-search-ivf": "Centroids from one posexplode agg, broadcast; probe relation broadcast onto a cell-pruned corpus scan; per-side norms projected before each join.",
     "dedup-embedding-cosine": "Within-block pair join with per-row norms projected pre-join; top-1 neighbor per vector via rank-then-filter (WindowGroupLimit).",
@@ -37,6 +37,25 @@ NOTES = {
     "sink-merge-upsert": "MERGE as a full outer join on the key + source-wins coalesce; bucket the target to kill the shuffle (see sink-bucketed).",
     "rollup-hierarchical": "Two-level agg cascade: hourly (mergeable aggs) then daily FROM hourly; raw scanned once.",
 }
+
+
+EPILOGUE = """
+## Round-over-round drift notes
+
+**agg-hash r2 1.60 s → r3 1.82 s (+14%) — attributed to sampling noise,
+not a plan or conf regression.** Bisect (round 4, sf0.1, local[32],
+min-of-5 in a fresh process per config): with
+`spark.sql.optimizer.runtime.bloomFilter.enabled=true` 1.249 s, with it
+off 1.222 s (2%, within jitter); both far below BOTH recorded rounds.
+The query is scan+agg with no join, so neither the Bloom conf (join-only)
+nor the zstd codec (write-only; the testdata parquet is driver-written)
+is on its path — the plan above is unchanged since r2. BENCH uses
+min-of-2, which at ~1.2 s true cost leaves ±0.4 s of scheduler/GC tail
+in the recorded number; `common16_total` in bench.py now tracks the
+frozen comparable set so set growth doesn't mask this kind of jitter.
+Both confs stay: Bloom pruning pays on fact-fact joins and zstd on the
+write path, and neither taxes agg-hash measurably.
+"""
 
 
 def main() -> None:
@@ -76,7 +95,7 @@ def main() -> None:
         if details:
             out += ["", *(d.strip() for d in details[:8])]
         out += ["```", ""]
-    (REPO / "PLANS.md").write_text("\n".join(out))
+    (REPO / "PLANS.md").write_text("\n".join(out) + EPILOGUE)
     print(f"PLANS.md written ({len(out)} lines)")
 
 
