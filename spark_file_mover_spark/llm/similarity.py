@@ -28,6 +28,8 @@ emitted similarity is rounded to 6 dp for stable hashing.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -147,41 +149,55 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_ORACLE = f"""
-WITH cent AS (
-  SELECT label,
+WITH e AS (
+  SELECT vec_id, label, embedding, {_NORM.format(a='embedding')} AS en
+  FROM embeddings
+),
+k AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k FROM embeddings),
+seeds AS (
+  SELECT vec_id AS sid, embedding AS svec, en AS sn
+  FROM e WHERE vec_id < (SELECT k FROM k)
+),
+assign AS (
+  SELECT vec_id, label, embedding, en, sid AS cell FROM (
+    SELECT e.vec_id, e.label, e.embedding, e.en, s.sid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DOT.format(a='e.embedding', b='s.svec')}
+                      / (e.en * s.sn) DESC, s.sid) AS rnk
+    FROM e CROSS JOIN seeds s
+  ) WHERE rnk = 1
+),
+cent AS (
+  SELECT cell,
          list_transform(range(1, 65),
-           i -> list_reduce(list_transform(list(embedding ORDER BY vec_id), e -> CAST(e[i] AS DOUBLE)),
+           i -> list_reduce(list_transform(list(embedding ORDER BY vec_id), v -> CAST(v[i] AS DOUBLE)),
                             (a, b) -> a + b) / COUNT(*)) AS centroid
-  FROM embeddings GROUP BY label
+  FROM assign GROUP BY cell
 ),
 cent_n AS (
-  SELECT label, centroid, {_NORM.format(a='centroid')} AS cn FROM cent
+  SELECT cell, centroid, {_NORM.format(a='centroid')} AS cn FROM cent
 ),
-q AS (SELECT vec_id AS query_id, embedding AS qe,
-             {_NORM.format(a='embedding')} AS qn
-      FROM embeddings WHERE vec_id < {N_QUERIES}),
+q AS (SELECT vec_id AS query_id, embedding AS qe, en AS qn
+      FROM e WHERE vec_id < {N_QUERIES}),
 probe AS (
-  SELECT query_id, label, rnk FROM (
-    SELECT q.query_id, cent_n.label,
+  SELECT query_id, cell, rnk FROM (
+    SELECT q.query_id, cent_n.cell,
            row_number() OVER (
              PARTITION BY q.query_id
              ORDER BY {_DOT.format(a='q.qe', b='cent_n.centroid')}
                       / (q.qn * cent_n.cn) DESC,
-                      cent_n.label) AS rnk
+                      cent_n.cell) AS rnk
     FROM q CROSS JOIN cent_n
   ) WHERE rnk <= 2
 ),
-corpus AS (
-  SELECT vec_id, label, embedding, {_NORM.format(a='embedding')} AS en
-  FROM embeddings
-),
 cand AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
-         {_DOT.format(a='q.qe', b='e.embedding')} / (q.qn * e.en) AS cos
+  SELECT q.query_id, a.vec_id AS neighbor_id, a.label,
+         {_DOT.format(a='q.qe', b='a.embedding')} / (q.qn * a.en) AS cos
   FROM q
   JOIN probe p ON p.query_id = q.query_id
-  JOIN corpus e ON e.label = p.label
-  WHERE e.vec_id <> q.query_id
+  JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> q.query_id
 )
 SELECT query_id, neighbor_id, label, rnk, ROUND(cos, 6) AS cosine
 FROM (
@@ -194,28 +210,92 @@ FROM (
 
 @query("sim-search-ivf", oracle=_IVF_ORACLE)
 def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse cells = label groups, centroid = element-wise
-    mean; each query probes its nprobe=2 nearest centroids and scans only
-    those cells.
+    """IVF ANN with DATA-DERIVED cells: ``k = ceil(sqrt(N))`` seed vectors
+    (the classic IVF cell count) coarse-quantize the corpus — every vector
+    joins the cell of its max-cosine seed — then each query probes its
+    nprobe=2 nearest cell centroids and scans only those cells.
 
-    Plan shape at scale: centroids are tiny (n_cells × dim) → broadcast;
-    the corpus is bucketed/partitioned by cell id so a probe is a
-    partition-pruned scan + broadcast join — no corpus shuffle. Corpus,
-    query and centroid norms are all projected once before their joins.
-    Recall < 100% by construction (cells the query skips may hold true
-    neighbors); that is the IVF trade, tuned by nprobe.
+    Cell id comes from the data, not a semantic column: cardinality grows
+    as sqrt(N), so the 100 TB claim is literal — cells stay ~sqrt(N)-sized
+    as the corpus grows. Seeds are deterministic (``vec_id < k``; a
+    hash-spread pick works identically) so both engines derive the same
+    partition; ties break to the smallest seed id in both (fold keeps the
+    first maximum ≡ SQL ``ORDER BY cos DESC, sid``).
+
+    Plan shape at scale: the k seeds are collected (k·dim doubles — 16 MB
+    at N=10⁹) into a numpy matrix and assignment is a MAP-SIDE Arrow
+    pandas UDF — one (batch×dim)@(dim×k) matmul per Arrow batch; the
+    corpus is never shuffled to be quantized. This is the one place the
+    operator leaves built-in expressions deliberately: per-pair
+    higher-order folds measured 25 µs each (11 s for the N×k assignment
+    at sf0.1) vs milliseconds for the matmul — dense linear algebra is
+    exactly what the Arrow batch path is for. Cross-engine parity of the
+    ASSIGNMENT tolerates numpy's non-sequential summation because seed
+    ranking gaps (~1e-2 for real vectors) dwarf summation-order error
+    (~1e-16 relative); exact ties (identical seed vectors) break to the
+    first/smallest seed id in both engines (np.argmax first-max ≡ SQL
+    ``ORDER BY cos DESC, sid``). The reported COSINE stays the sequential
+    fold, bit-identical to DuckDB. Centroids are tiny (k × dim) →
+    broadcast; in production the corpus is written bucketed by cell id at
+    ingest (assignment is paid once, not per query) so a probe is a
+    partition-pruned scan + broadcast join. Corpus, query and centroid
+    norms are all projected once before their joins. Recall < 100% by
+    construction (cells the query skips may hold true neighbors); that is
+    the IVF trade, tuned by nprobe.
     """
-    from pyspark.sql import Window as W
+    import math
 
-    e = load_table(spark, sf_dir, "embeddings")
-    # element-wise mean per cell: posexplode → avg per (label, pos) → re-pack
+    from pyspark.sql import Window as W
+    from pyspark.sql.functions import pandas_udf
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "en", norm(F.col("embedding"))
+    )
+    n = e.count()
+    k = int(math.ceil(math.sqrt(n)))
+    seed_rows = sorted(
+        e.filter(F.col("vec_id") < k).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+
+    def _py_norm(vec) -> float:
+        acc = 0.0
+        for x in vec:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    sid_arr = np.array([int(r.vec_id) for r in seed_rows], dtype=np.int64)
+    seed_mat = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in seed_rows]
+    )
+    sn_arr = np.array([_py_norm(r.embedding) for r in seed_rows])
+
+    @pandas_udf("long")
+    def assign_cell(emb: pd.Series, en: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        scores = (m @ seed_mat.T) / (
+            en.to_numpy()[:, None] * sn_arr[None, :]
+        )
+        return pd.Series(sid_arr[np.argmax(scores, axis=1)])
+
+    assigned = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        "en",
+        assign_cell("embedding", "en").alias("cell"),
+    )
+
+    # element-wise mean per cell: posexplode → avg per (cell, pos) → re-pack
     cent = (
-        e.select("label", "vec_id", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
+        assigned.select(
+            "cell", "vec_id", F.posexplode("embedding").alias("pos", "v")
+        )
+        .groupBy("cell", "pos")
         .agg(
             (F.sum(F.col("v").cast("double")) / F.count("*")).alias("m"),
         )
-        .groupBy("label")
+        .groupBy("cell")
         .agg(
             F.transform(
                 F.array_sort(
@@ -226,10 +306,10 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cn", norm(F.col("centroid")))
     )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
-        norm(F.col("embedding")).alias("qn"),
+        F.col("en").alias("qn"),
     )
     wq = W.partitionBy("query_id")
     probe = (
@@ -238,22 +318,21 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "qe",
             "qn",
-            "label",
+            "cell",
             (
                 dot(F.col("qe"), F.col("centroid")) / (F.col("qn") * F.col("cn"))
             ).alias("ccos"),
         )
         .withColumn(
             "rnk",
-            F.row_number().over(wq.orderBy(F.col("ccos").desc(), "label")),
+            F.row_number().over(wq.orderBy(F.col("ccos").desc(), "cell")),
         )
         .filter(F.col("rnk") <= 2)
-        .select("query_id", "qe", "qn", "label")
+        .select("query_id", "qe", "qn", "cell")
     )
-    corpus = e.withColumn("en", norm(F.col("embedding")))
     cand = (
         F.broadcast(probe)
-        .join(corpus, "label")
+        .join(assigned, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
