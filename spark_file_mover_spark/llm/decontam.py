@@ -1,0 +1,199 @@
+"""Benchmark decontamination + intra-document repetition signals
+(SURVEY.md §2 I19–I21 block: training-data hygiene operators).
+
+* ``text-decontaminate`` — flag training documents sharing any n-token
+  gram with a held-out eval/benchmark set: THE standard pre-training
+  hygiene pass (GPT-3 appendix C / PaLM / Llama all use 8–13-gram
+  overlap). The eval set here is a deterministic slice of the corpus
+  (``doc_id % 10 == 0``) so both engines derive it identically; n = 5
+  because the synthetic testdata's contiguous overlaps are short —
+  production n=13 is a constant swap, the plan does not change.
+* ``text-repetition`` — Gopher-style repetition quality signals per
+  document: duplicate-bigram fraction and most-frequent-token fraction.
+  High values mark boilerplate/spam for the quality gate.
+
+Scale shape: decontamination joins the corpus' exploded grams against
+the EVAL side, which is small by nature (benchmarks are thousands of
+documents, not billions) — so the gram join is a broadcast semi-join
+and the corpus is scanned once, never shuffled. Spark joins on
+``xxhash64(gram)`` (8-byte key instead of the gram string; a collision
+falsely flags ~n_grams²/2⁶⁴ docs — negligible and conservative), while
+the DuckDB oracle joins the gram strings themselves: agreement at the
+gate also certifies the hash-key optimization. Repetition is per-doc
+array math (no shuffle) plus one explode + count/max agg with map-side
+partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_file_mover_spark.registry import query
+from spark_file_mover_spark.sources.io import load_table
+
+_GRAM_N = 5
+_EVAL_MOD = 10  # doc_id % 10 == 0 -> held-out eval slice (10%)
+
+_DECONTAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk)-{_GRAM_N - 1}, 0)+1),
+                 i -> array_to_string(tk[i:i+{_GRAM_N - 1}], ' '))) AS g
+  FROM toks
+),
+eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % {_EVAL_MOD} = 0),
+cont AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % {_EVAL_MOD} <> 0 AND g IN (SELECT g FROM eval_g)
+)
+SELECT d.doc_id,
+       d.doc_id % {_EVAL_MOD} = 0 AS is_eval,
+       COALESCE(c.doc_id IS NOT NULL, FALSE) AS contaminated
+FROM documents d LEFT JOIN cont c ON c.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@query("text-decontaminate", oracle=_DECONTAM_ORACLE)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: one row per document with ``is_eval``
+    (deterministic 10% slice) and ``contaminated`` (a non-eval document
+    sharing at least one contiguous 5-token gram with any eval document).
+
+    Plan: corpus grams exploded once; eval gram hashes broadcast into a
+    semi-join (the eval side is small by nature); contaminated ids
+    re-joined onto the full corpus for the total per-doc verdict. The
+    corpus text never shuffles — only 8-byte gram hashes move.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("tk")
+    )
+    tc = F.col("tk")
+    grams = F.when(
+        F.size(tc) >= _GRAM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tc) - (_GRAM_N - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tc, i + j) for j in range(_GRAM_N)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = t.select("doc_id", F.explode(grams).alias("g")).withColumn(
+        "gh", F.xxhash64("g")
+    )
+    eval_gh = (
+        g.filter(F.col("doc_id") % _EVAL_MOD == 0).select("gh").distinct()
+    )
+    cont = (
+        g.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(F.broadcast(eval_gh), "gh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        d.select("doc_id")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"),
+            F.coalesce("hit", F.lit(False)).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, tk,
+         list_transform(range(1, greatest(len(tk)-1, 0)+1),
+                        i -> array_to_string(tk[i:i+1], ' ')) AS bigrams
+  FROM toks
+),
+tokc AS (
+  SELECT doc_id, t, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+  GROUP BY doc_id, t
+),
+mx AS (SELECT doc_id, MAX(c) AS mc FROM tokc GROUP BY doc_id)
+SELECT b.doc_id,
+       ROUND(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                   / CAST(greatest(len(bigrams), 1) AS DOUBLE), 6)
+         AS dup_bigram_frac,
+       ROUND(CAST(mx.mc AS DOUBLE)
+             / CAST(greatest(len(b.tk), 1) AS DOUBLE), 6)
+         AS top_token_frac
+FROM bg b JOIN mx ON mx.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@query("text-repetition", oracle=_REPETITION_ORACLE)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    bigrams that are duplicates (``1 − |distinct bigrams| / |bigrams|``)
+    and the fraction of tokens taken by the single most frequent token.
+    Both are quality-gate inputs — high values mark boilerplate, spam,
+    and degenerate generations.
+
+    Shape: the bigram metric is pure per-row array math (no shuffle);
+    the top-token metric is one explode + (doc, token) count + per-doc
+    max, all with map-side partial aggregation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("tk")
+    )
+    tc = F.col("tk")
+    bigrams = F.when(
+        F.size(tc) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tc) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tc, i), F.element_at(tc, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    arr = t.select(
+        "doc_id",
+        F.size(tc).alias("n_tok"),
+        bigrams.alias("bg"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("bg")).cast("double")
+            / F.greatest(F.size("bg"), F.lit(1)).cast("double")
+        ).alias("dup_raw"),
+    )
+    mx = (
+        t.select("doc_id", F.explode(tc).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mc"))
+    )
+    return (
+        arr.join(mx, "doc_id")
+        .select(
+            "doc_id",
+            F.round("dup_raw", 6).alias("dup_bigram_frac"),
+            F.round(
+                F.col("mc").cast("double")
+                / F.greatest("n_tok", F.lit(1)).cast("double"),
+                6,
+            ).alias("top_token_frac"),
+        )
+        .orderBy("doc_id")
+    )

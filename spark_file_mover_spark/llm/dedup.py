@@ -112,14 +112,17 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
       (~3x on the explode stage).
     The repartition spreads per-doc compute across all cores when the
     input arrives under-parallel (a single small file locally) — but ONLY
-    then: it is guarded on the scan's partition count so a well-partitioned
-    100 TB input never pays a gratuitous full-corpus text shuffle.
+    then: it is guarded on the scan's file count so a well-partitioned
+    100 TB input never pays a gratuitous full-corpus text shuffle. The
+    guard probes ``inputFiles()`` (a listing already held by the plan),
+    not ``rdd.getNumPartitions()`` — constructing the RDD forces an extra
+    plan conversion through py4j per invocation.
     """
     spark = d.sparkSession
     toks_expr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     t = d.select("doc_id", toks_expr.alias("toks"))
     par = spark.sparkContext.defaultParallelism
-    if t.rdd.getNumPartitions() < par:
+    if len(d.inputFiles()) < par:
         t = t.repartition(par)
     tc = F.col("toks")
     shingles = F.array_distinct(
@@ -163,6 +166,12 @@ def minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     would contribute O(bucket²) junk pairs — discarding it is standard
     LSH practice and what keeps the pair stage linear in practice (the
     round-1 formulation without the cap went quadratic on exactly this).
+
+    Cache contract: each invocation persists its banded-signature
+    relation and RELEASES the previous invocation's — a still-held lazy
+    result DataFrame from an earlier call silently recomputes its shingle
+    explode on its next action, and invocations are not concurrency-safe.
+    Serial driver/bench use (the intended consumers) is unaffected.
     """
     global _last_bands
     d = load_table(spark, sf_dir, "documents")

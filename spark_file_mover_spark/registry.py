@@ -88,6 +88,7 @@ def load_all() -> None:
         dedup,
         similarity,
         sampling,
+        decontam,
     )
     from spark_file_mover_spark.operators import relational  # noqa: F401
     from spark_file_mover_spark.functions import scalar  # noqa: F401

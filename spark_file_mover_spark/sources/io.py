@@ -33,25 +33,32 @@ TABLES = (
 # across the 76 keys. Contract: testdata parquet is immutable for the
 # process lifetime (the cached plan snapshots its file listing). The
 # cache is dropped whenever a different session appears, so stopped
-# sessions are never pinned by cached plans.
+# sessions are never pinned by cached plans. Keyed on applicationId, not
+# id(spark): CPython recycles object ids, so a new session allocated at
+# a dead one's address must not be served plans bound to a stopped
+# SparkContext.
 _CACHE: dict[tuple[str, str], DataFrame] = {}
-_CACHE_SESSION_ID: int | None = None
+_CACHE_SESSION_KEY: str | None = None
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table as a DataFrame (lazy parquet scan)."""
-    global _CACHE_SESSION_ID
+    """Load one testdata table as a DataFrame (lazy parquet scan).
+
+    Every call — cache hit or miss — pins the session timezone to UTC so
+    timestamp-derived values are stable regardless of driver host
+    timezone (runtime-settable conf; direct callers outside the
+    registry's ``tune_session`` wrapper rely on this)."""
+    global _CACHE_SESSION_KEY
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    if _CACHE_SESSION_ID != id(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    session_key = spark.sparkContext.applicationId
+    if _CACHE_SESSION_KEY != session_key:
         _CACHE.clear()
-        _CACHE_SESSION_ID = id(spark)
+        _CACHE_SESSION_KEY = session_key
     ck = (sf_dir, name)
     if ck in _CACHE:
         return _CACHE[ck]
-    # Pin UTC on the session handed to us so timestamp-derived values are
-    # stable regardless of driver host timezone (runtime-settable conf).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark's reader
         # rejects outright; read the raw nanos and convert with integer

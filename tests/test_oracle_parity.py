@@ -69,7 +69,8 @@ SURVEY_KEYS = {
     "sim-search-topk",
     "sim-search-ivf", "text-analysis", "text-token-count", "text-langid",
     "text-quality-score", "text-fingerprint", "text-pii-scrub",
-    "text-ngram-freq", "sample-train-split", "sample-hash-stratified",
+    "text-ngram-freq", "text-decontaminate", "text-repetition",
+    "sample-train-split", "sample-hash-stratified",
     "multimodal-binary", "multimodal-frame-sample",
     # J
     "udf-scalar-pandas", "udaf-grouped-pandas", "udtf-explode-like",
