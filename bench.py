@@ -65,6 +65,7 @@ HEADLINE = [
     "sim-search-ivf",
     "text-analysis",
     "text-fingerprint",
+    "text-decontaminate",
     "sort-limit",
     "fn-string",
     "fn-map-json",

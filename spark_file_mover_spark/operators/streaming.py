@@ -231,6 +231,80 @@ def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# H8 — stream-stream interval join (view → purchase attribution)
+# ---------------------------------------------------------------------------
+
+_STREAM_JOIN_ORACLE = """
+WITH v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       COUNT(*) AS n_views_1h
+FROM p JOIN v ON v.user_id = p.user_id
+ AND v.vts <= p.ts AND v.vts >= p.ts - INTERVAL 1 HOUR
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
+@query("stream-join", oracle=_STREAM_JOIN_ORACLE)
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H8: view→purchase attribution — for each purchase, the number of
+    views by the same user in the preceding hour. This is the canonical
+    stream-stream interval join: equi key (user_id) + event-time range
+    condition; the streaming twin (see :func:`attribution_join_stream`
+    and its test) runs the SAME join with watermarks on both sides, which
+    is what lets Spark bound the join state (views older than the
+    watermark + interval are evicted).
+
+    Batch plan shape: shuffle both sides on user_id (equi join), range
+    condition applied as a residual filter — never a nested-loop join;
+    the subsequent per-purchase count reuses the same partitioning.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        p.join(v, "user_id")
+        .filter(
+            (F.col("vts") <= F.col("ts"))
+            & (F.col("vts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("event_id", "user_id", "ts")
+        .agg(F.count("*").alias("n_views_1h"))
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+            "n_views_1h",
+        )
+    )
+
+
+def attribution_join_stream(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """The streaming twin of ``stream-join``'s matching stage: inner
+    stream-stream join of two watermarked event streams on user_id with
+    a one-hour event-time interval. Emits matched (purchase, view) pairs
+    in append mode; both watermarks + the range condition are what allow
+    Spark to evict view state older than watermark − 1 h instead of
+    keeping the full stream."""
+    v = views.select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("vts")
+    )
+    p = purchases.select("event_id", "user_id", "ts")
+    return p.join(
+        v,
+        F.expr(
+            "v_user = user_id AND "
+            "vts BETWEEN ts - INTERVAL 1 HOUR AND ts"
+        ),
+    ).select("event_id", "user_id", "ts", "vts")
+
+
 def stateful_user_profile_stream(stream_df: DataFrame) -> DataFrame:
     """Custom stateful streaming operator: per-user running profile via
     ``applyInPandasWithState``. State = (count, value_sum_cents, first_ts,

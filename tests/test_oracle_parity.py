@@ -61,8 +61,8 @@ SURVEY_KEYS = {
     "fn-case-when-cast",
     # H
     "stream-tumbling", "stream-sliding", "stream-session",
-    "stream-dedup-late", "stream-stateful-agg", "events-funnel",
-    "rollup-hierarchical",
+    "stream-dedup-late", "stream-stateful-agg", "stream-join",
+    "events-funnel", "rollup-hierarchical",
     # I
     "dedup-exact", "dedup-near-minhash", "dedup-simhash",
     "dedup-ngram-jaccard", "dedup-components", "dedup-embedding-cosine",

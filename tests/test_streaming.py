@@ -123,3 +123,40 @@ def test_stateful_operator_matches_batch(spark, sf_dir):
     a = sorted(tuple(r) for r in streamed.collect())
     b = sorted(tuple(r) for r in batch.collect())
     assert a == b
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (two watermarked file-source streams)
+    must emit exactly the pairs the batch interval join produces."""
+    from spark_file_mover_spark.operators.streaming import (
+        attribution_join_stream,
+    )
+
+    views = as_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    purchases = as_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = attribution_join_stream(views, purchases)
+    run_stream_to_memory(joined, "t_ssjoin", mode="append")
+    streamed = spark.table("t_ssjoin")
+
+    from spark_file_mover_spark.sources.io import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    bv = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    bp = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    batch = (
+        bp.join(bv, "user_id")
+        .filter(
+            (F.col("vts") <= F.col("ts"))
+            & (F.col("vts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("event_id", "user_id", "ts", "vts")
+    )
+    cols = ["event_id", "user_id", "ts", "vts"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+    assert streamed.count() > 0

@@ -35,6 +35,7 @@ NOTES = {
     "join-asof": "Union-and-window as-of: both streams union, one shuffle+sort per key, last(ignorenulls) carries the match forward - no inequality join anywhere.",
     "events-funnel": "Conditional MIN per stage in one groupBy - no self-join, no window sort; 3 timestamps per user cross the shuffle.",
     "sink-merge-upsert": "MERGE as a full outer join on the key + source-wins coalesce; bucket the target to kill the shuffle (see sink-bucketed).",
+    "text-decontaminate": "Corpus grams exploded once, moved as 8-byte xxhash64 keys; eval gram set broadcast into a semi-join (eval sets are small by nature); corpus text never shuffles.",
     "rollup-hierarchical": "Two-level agg cascade: hourly (mergeable aggs) then daily FROM hourly; raw scanned once.",
 }
 
