@@ -122,6 +122,42 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B9 — JSON-Lines round trip (the lingua franca of LLM corpora)
+# ---------------------------------------------------------------------------
+
+_JSONL_ORACLE = """
+SELECT doc_id, lang, source, n_chars, text FROM documents
+"""
+
+
+@query("scan-jsonl-roundtrip", oracle=_JSONL_ORACLE)
+def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: write documents as JSON Lines and re-read with an explicit
+    schema — JSONL is the de-facto interchange format for LLM training
+    corpora, so the engine must round-trip it losslessly (JSON string
+    escaping covers newlines/quotes/unicode in ``text``). Explicit schema
+    on read, never ``inferSchema``: schema inference is an extra full
+    pass over 100 TB and silently drifts types (a numeric-looking string
+    column becomes a double). The oracle is the original table — the
+    round trip must be the identity."""
+    out = tempfile.mkdtemp(prefix="sfm-b9-") + "/documents_jsonl"
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    d.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).json(out)
+
+
+# ---------------------------------------------------------------------------
 # B3 — Hive-partitioned sink (incl. null partition encoding)
 # ---------------------------------------------------------------------------
 

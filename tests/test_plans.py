@@ -131,3 +131,22 @@ def test_registered_queries_tune_plain_sessions(spark, sf_dir):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval gram set must reach the corpus side as a broadcast
+    semi-join — a shuffled join here would move the full corpus' gram
+    hashes twice at 100 TB for an eval side that is small by nature."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["text-decontaminate"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_stream_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The interval join must plan as an equi join on user_id with the
+    time range as a residual condition — BroadcastNestedLoop over two
+    fact-sized event streams would be quadratic at scale."""
+    plan = _formatted_plan(spark, registry.QUERIES["stream-join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
