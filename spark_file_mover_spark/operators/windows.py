@@ -207,3 +207,100 @@ def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         F.row_number().over(w).alias("version_no"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F8 — CDC apply: ordered change capture onto a base snapshot
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp,
+         'I' AS op, 0 AS seq
+  FROM orders
+),
+upd AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0, 'U', 1
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+del AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 2
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+ins AS (
+  SELECT o_orderkey + 2000000000, 'N', o_totalprice, 'I', 1
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+feed AS (
+  SELECT * FROM base UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins
+),
+latest AS (
+  SELECT k, st, tp, op,
+         row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+  FROM feed
+)
+SELECT k AS o_orderkey, st AS o_orderstatus, tp AS o_totalprice
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@query("etl-cdc-apply", oracle=_CDC_ORACLE)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: CDC apply — compact an ordered change feed (insert / update /
+    delete with a per-key sequence) onto a base snapshot: the
+    highest-sequence operation per key wins, deletes drop the key. This
+    is the table-maintenance primitive behind every lakehouse MERGE/CDC
+    sink (Delta/Iceberg "apply changes"), distinct from B8's two-sided
+    upsert: the feed is ORDERED and may carry several ops per key.
+
+    The change feed here is derived deterministically from orders
+    (updates for keys ≡0 mod 7, deletes mod 11, fresh inserts mod 13 at
+    offset 2·10⁹) so both engines construct the identical feed. Plan:
+    union base+feed (no shuffle), ONE shuffle+sort per key for the
+    row_number compaction — the same single-window shape as etl-scd2;
+    at scale the window partitions by the natural bucket key, so a
+    bucketed base table compacts shuffle-free.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("tp"),
+        F.lit("I").alias("op"),
+        F.lit(0).alias("seq"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        (F.col("o_totalprice") + 10.0).alias("tp"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("tp"),
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 2000000000).alias("k"),
+        F.lit("N").alias("st"),
+        F.col("o_totalprice").alias("tp"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    feed = base.unionByName(upd).unionByName(dele).unionByName(ins)
+    w = W.partitionBy("k").orderBy(F.col("seq").desc())
+    return (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.col("st").alias("o_orderstatus"),
+            F.col("tp").alias("o_totalprice"),
+        )
+    )

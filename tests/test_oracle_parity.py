@@ -56,7 +56,7 @@ SURVEY_KEYS = {
     # F
     "window-ranking", "window-analytic", "window-frame-agg",
     "topk-per-group", "sort-limit", "set-union-intersect-except",
-    "etl-scd2",
+    "etl-scd2", "etl-cdc-apply",
     # G
     "fn-string", "fn-date", "fn-math", "fn-array", "fn-map-json",
     "fn-case-when-cast",
