@@ -158,6 +158,58 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B10 — sorted layout → row-group pruning
+# ---------------------------------------------------------------------------
+
+_SORTED_PRUNING_ORACLE = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1994-03-31'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("sink-sorted-pruning", oracle=_SORTED_PRUNING_ORACLE)
+def sink_sorted_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: write lineitem range-partitioned AND sorted by ``l_shipdate``,
+    then re-read with a narrow date filter — the data-layout lever for
+    scan-heavy workloads: range partitioning clusters each date into few
+    files and the in-file sort tightens parquet row-group min/max stats,
+    so a pushed date predicate skips whole files and row groups instead
+    of scanning 100 TB to keep 3 months. The re-read plan must show the
+    filter at the scan (pinned in tests); the oracle is the same
+    aggregate over the original table — layout must never change results.
+    """
+    out = tempfile.mkdtemp(prefix="sfm-b10-") + "/lineitem_sorted"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        F.col("l_shipdate").between("1994-01-01", "1994-03-31")
+    )
+    return (
+        back.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+# ---------------------------------------------------------------------------
 # B3 — Hive-partitioned sink (incl. null partition encoding)
 # ---------------------------------------------------------------------------
 

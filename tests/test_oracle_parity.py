@@ -40,7 +40,7 @@ SURVEY_KEYS = {
     "move-collision-guard", "move-rename", "write-single-file",
     # B
     "scan-parquet", "scan-table-manifest", "scan-csv-roundtrip",
-    "scan-jsonl-roundtrip",
+    "scan-jsonl-roundtrip", "sink-sorted-pruning",
     "sink-partitioned", "sink-overwrite", "sink-bucketed", "sink-compact",
     "sink-merge-upsert", "repartition-n",
     # C

@@ -150,3 +150,15 @@ def test_stream_join_is_equi_not_nested_loop(spark, sf_dir):
     plan = _formatted_plan(spark, registry.QUERIES["stream-join"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sorted_pruning_sink_pushes_date_range(spark, sf_dir):
+    """The whole point of B10: the re-read of the range-partitioned,
+    sorted layout must carry the date predicate into the parquet scan so
+    row-group min/max stats can skip."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["sink-sorted-pruning"](spark, sf_dir)
+    )
+    scan = plan.split("ReadSchema")[0]
+    assert "GreaterThanOrEqual(l_shipdate" in scan
+    assert "LessThanOrEqual(l_shipdate" in scan
