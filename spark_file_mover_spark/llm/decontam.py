@@ -197,3 +197,106 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-dedup hygiene)
+# ---------------------------------------------------------------------------
+
+# The testdata carries no URL column, so the op synthesizes a
+# deterministic, SHAPE-VARIED url per document (scheme http/https,
+# optional www., optional tracking query, optional trailing slash — all
+# keyed off doc_id so both engines construct the identical input) and
+# then runs the real normalization chain a crawl-dedup pipeline applies
+# before URL-level dedup: lowercase, strip scheme + www., drop tracking
+# params (utm_*, ref), tidy separators, strip the trailing slash.
+_URL_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END
+         || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+         || source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN '?utm_source=feed&ref=tw&id=' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END AS url
+  FROM documents
+),
+n AS (
+  SELECT doc_id, url,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(lower(url), '^https?://', ''),
+              '^www\\.', ''),
+            '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+          '[?&]+$', ''),
+        '\\?&', '?'),
+      '/$', '') AS canon_url
+  FROM u
+)
+SELECT doc_id, url, canon_url,
+       regexp_extract(canon_url, '^([^/?]+)', 1) AS domain
+FROM n ORDER BY doc_id
+"""
+
+
+@query("text-url-normalize", oracle=_URL_ORACLE)
+def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup: scheme/www stripped, utm_*
+    and ref tracking params removed, separators tidied, trailing slash
+    dropped, registrable host extracted. Pure ``regexp_replace`` chain —
+    map-side, shuffle-free, whole-stage-codegen'd; at 100 TB this runs as
+    a projection inside the scan stage and its output feeds the exact
+    dedup groupBy (an URL dedup is just ``dedup-exact`` keyed on
+    ``canon_url``)."""
+    d = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    url = F.concat(
+        F.when(k % 3 == 0, F.lit("http://")).otherwise(F.lit("https://")),
+        F.when(k % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        k.cast("string"),
+        F.when(k % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            k % 4 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&ref=tw&id="), k.cast("string")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(F.lower(F.col("url")), r"^https?://", ""),
+                        r"^www\.",
+                        "",
+                    ),
+                    r"(utm_[a-z]+|ref)=[^&]*&?",
+                    "",
+                ),
+                r"[?&]+$",
+                "",
+            ),
+            r"\?&",
+            "?",
+        ),
+        r"/$",
+        "",
+    )
+    return (
+        d.select("doc_id", url.alias("url"))
+        .withColumn("canon_url", canon)
+        .select(
+            "doc_id",
+            "url",
+            "canon_url",
+            F.regexp_extract("canon_url", r"^([^/?]+)", 1).alias("domain"),
+        )
+        .orderBy("doc_id")
+    )

@@ -70,3 +70,51 @@ def test_minhash_cluster_invariants(spark, sf_dir):
     ids = {r.doc_id for r in rows}
     assert all(r.cluster_id <= r.doc_id for r in rows)
     assert all(r.cluster_id in ids for r in rows)
+
+
+def _union_find(pairs):
+    """Reference closure: plain union-find with min-root relabeling."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=0, max_value=30),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def test_components_match_union_find(spark, pairs):
+        """Property: the distributed min-label closure equals a plain
+        union-find on any random edge list (self-loops and duplicates
+        included)."""
+        got = _components(spark, [(a, b) for a, b in pairs])
+        assert got == _union_find(pairs)
+
+except ImportError:  # pragma: no cover - hypothesis ships in the container
+    pass

@@ -71,6 +71,7 @@ SURVEY_KEYS = {
     "sim-search-ivf", "text-analysis", "text-token-count", "text-langid",
     "text-quality-score", "text-fingerprint", "text-pii-scrub",
     "text-ngram-freq", "text-decontaminate", "text-repetition",
+    "text-url-normalize",
     "sample-train-split", "sample-hash-stratified",
     "multimodal-binary", "multimodal-frame-sample",
     # J
