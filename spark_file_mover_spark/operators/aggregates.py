@@ -242,3 +242,45 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "covar_qty_disc"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# E9 — unpivot / melt
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT o_orderkey, measure, CAST(val AS DOUBLE) AS val
+FROM (
+  SELECT o_orderkey,
+         CAST(o_totalprice AS DOUBLE) AS totalprice,
+         CAST(o_custkey AS DOUBLE) AS custkey
+  FROM orders WHERE o_orderkey % 50 = 0
+)
+UNPIVOT (val FOR measure IN (totalprice, custkey))
+"""
+
+
+@query("agg-unpivot", oracle=_UNPIVOT_ORACLE)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9: UNPIVOT/melt — wide measure columns to (key, measure, value)
+    long form, the inverse of E7's pivot and the shape feature stores and
+    metric pipelines ingest. ``DataFrame.unpivot`` expands to a
+    generator-style projection (each input row emits one row per
+    measure) — map-side only, no shuffle, no UDF. The key filter keeps
+    the declared output compact; at scale unpivot cost is pure output
+    volume (rows × measures), so project only the measures you need
+    before melting."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 50 == 0
+    )
+    wide = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return wide.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )

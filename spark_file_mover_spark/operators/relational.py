@@ -76,3 +76,43 @@ def filter_like_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_name").like("%gear%") | F.col("p_type").like("ECONOMY%"))
         & F.col("p_brand").rlike("^Brand#1[0-9]$")
     ).select("p_partkey", "p_name", "p_type", "p_brand")
+
+
+# ---------------------------------------------------------------------------
+# C4 — scalar-subquery predicate
+# ---------------------------------------------------------------------------
+
+_SCALAR_SUBQ_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+  FROM customer
+)
+"""
+
+
+@query("filter-scalar-subquery", oracle=_SCALAR_SUBQ_ORACLE)
+def filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: filter against an uncorrelated scalar subquery (rows above the
+    table-wide average). Declared through ``spark.sql`` so Catalyst's
+    scalar-subquery machinery is what runs: the subquery executes once,
+    its single-row result is broadcast into the predicate — the plan is
+    one aggregate job + one filtered scan, never a join fan-out. The
+    mean follows the repo's decimal parity discipline (exact DECIMAL sum
+    → one double division), so the strict > threshold is bit-identical
+    in both engines regardless of partitioning/summation order."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_v"
+    )
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer_v
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*)
+          FROM customer_v
+        )
+        """
+    )

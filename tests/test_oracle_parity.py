@@ -45,6 +45,7 @@ SURVEY_KEYS = {
     "sink-merge-upsert", "repartition-n",
     # C
     "project-select", "filter-pred", "filter-like-regexp",
+    "filter-scalar-subquery",
     # D
     "join-inner-equi", "join-left-right-full", "join-semi-anti",
     "join-broadcast", "join-range-theta", "join-multiway-star",
@@ -52,7 +53,7 @@ SURVEY_KEYS = {
     # E
     "agg-hash", "agg-distinct", "agg-approx-distinct",
     "agg-rollup-cube-gsets", "agg-having", "agg-approx-quantile",
-    "agg-pivot", "agg-stats",
+    "agg-pivot", "agg-stats", "agg-unpivot",
     # F
     "window-ranking", "window-analytic", "window-frame-agg",
     "topk-per-group", "sort-limit", "set-union-intersect-except",
