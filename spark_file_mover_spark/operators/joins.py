@@ -436,3 +436,46 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "matched_orderkey",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D10 — correlated LATERAL subquery (top-1 per outer row)
+# ---------------------------------------------------------------------------
+
+_LATERAL_ORACLE = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+WHERE c.c_custkey % 10 = 0
+"""
+
+
+@query("join-lateral-topk", oracle=_LATERAL_ORACLE)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10: correlated LATERAL subquery — each customer's single highest-
+    value order, written the way an analyst writes it (per-row LIMIT 1
+    subquery). Catalyst DECORRELATES the lateral: the per-row subquery
+    becomes a ranked window over one shuffle of orders joined back to
+    customer — semantically the nested loop, physically the same plan as
+    topk-per-group. That rewrite is the point at 100 TB: the naive
+    interpretation re-scans orders once per customer; the decorrelated
+    plan scans it once, total. Deterministic tie-break (totalprice DESC,
+    orderkey) keeps both engines' pick identical."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "lat_customer_v"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "lat_orders_v"
+    )
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM lat_customer_v c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM lat_orders_v
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+        WHERE c.c_custkey % 10 = 0
+        """
+    )

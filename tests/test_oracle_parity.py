@@ -50,6 +50,7 @@ SURVEY_KEYS = {
     "join-inner-equi", "join-left-right-full", "join-semi-anti",
     "join-broadcast", "join-range-theta", "join-multiway-star",
     "join-skew-salted", "join-range-binned", "join-asof",
+    "join-lateral-topk",
     # E
     "agg-hash", "agg-distinct", "agg-approx-distinct",
     "agg-rollup-cube-gsets", "agg-having", "agg-approx-quantile",

@@ -162,3 +162,14 @@ def test_sorted_pruning_sink_pushes_date_range(spark, sf_dir):
     scan = plan.split("ReadSchema")[0]
     assert "GreaterThanOrEqual(l_shipdate" in scan
     assert "LessThanOrEqual(l_shipdate" in scan
+
+
+def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
+    """The correlated LATERAL LIMIT-1 subquery must decorrelate into a
+    ranked window — the naive interpretation re-scans orders once per
+    customer row."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["join-lateral-topk"](spark, sf_dir)
+    )
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
