@@ -62,20 +62,53 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
     return deco
 
 
-def load_all() -> None:
-    """Import every operator module so registrations run.
+# Scoring priority for the current round (r4). The driver consumes
+# ``queries()`` in dict insertion order under a wall-clock budget
+# (~50 keys/round; the r02 run was cut at position 51), so ``load_all``
+# rebuilds the registry dict in this order after all modules import:
+#
+#   1. Keys with NO driver row yet (new this round) or whose semantics
+#      changed this round (minhash audit, stratified band, IVF cells) —
+#      an unscored new key is a coverage hole, the worst outcome.
+#   2. Keys whose latest green row is from r2 (two rounds stale),
+#      including stream-session whose oracle gap condition changed.
+#   3. Everything else (r3-fresh), in module import order.
+_PRIORITY_R4 = [
+    # new in r4 — never scored
+    "dedup-components",
+    "text-decontaminate",
+    "text-repetition",
+    "text-url-normalize",
+    "stream-join",
+    "etl-cdc-apply",
+    "scan-jsonl-roundtrip",
+    "sink-sorted-pruning",
+    "agg-unpivot",
+    "filter-scalar-subquery",
+    "join-lateral-topk",
+    # changed semantics in r4
+    "dedup-near-minhash",
+    "sample-hash-stratified",
+    "sim-search-ivf",
+    # r2-stale block
+    "agg-hash", "agg-distinct", "agg-approx-distinct",
+    "agg-rollup-cube-gsets", "agg-having", "agg-approx-quantile",
+    "agg-pivot", "agg-stats",
+    "window-ranking", "window-analytic", "window-frame-agg",
+    "topk-per-group", "sort-limit", "etl-scd2",
+    "set-union-intersect-except",
+    "stream-tumbling", "stream-sliding", "stream-session",
+    "stream-dedup-late", "stream-stateful-agg", "events-funnel",
+    "rollup-hierarchical",
+    "join-multiway-star", "join-skew-salted", "join-range-binned",
+    "join-asof",
+]
 
-    ORDER IS THE SCORING ORDER: the driver consumes ``queries()`` in dict
-    insertion order and runs under a wall-clock budget (~50 keys/round; the
-    r02 run was cut at position 51). Rotation policy: modules whose keys
-    have the STALEST green driver rows register FIRST. For r4 that is the
-    r2-scored block (aggregates E, windows/setops F, streaming H, joins —
-    D6-D9 were last scored in r2, and the stream-session oracle changed
-    after its r2 row), then the modules changed this round (dedup incl.
-    the new dedup-components key, similarity with the data-derived IVF
-    cells, sampling), then the r3-green untouched tail — so a budget cut
-    only ever costs rows that are freshest from the prior round.
-    """
+
+def load_all() -> None:
+    """Import every operator module so registrations run, then rebuild
+    the registry dict in scoring-priority order (see ``_PRIORITY_R4``) —
+    dict insertion order IS the driver's scoring order."""
     # Imports are at call time so `import spark_file_mover_spark` stays cheap.
     from spark_file_mover_spark.operators import (  # noqa: F401
         aggregates,
@@ -95,3 +128,10 @@ def load_all() -> None:
     from spark_file_mover_spark.llm import multimodal, text  # noqa: F401
     from spark_file_mover_spark import filemover_queries, udfs  # noqa: F401
     from spark_file_mover_spark.sources import sourcesink  # noqa: F401
+
+    ordered = [k for k in _PRIORITY_R4 if k in QUERIES]
+    ordered += [k for k in QUERIES if k not in _PRIORITY_R4]
+    for mapping in (QUERIES, ORACLES):
+        snapshot = {k: mapping[k] for k in ordered if k in mapping}
+        mapping.clear()
+        mapping.update(snapshot)
