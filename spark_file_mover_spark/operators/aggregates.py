@@ -82,18 +82,51 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg-approx-distinct")  # rows-only: HLL estimates are engine-specific
+_APPROX_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS n_orders_exact,
+       COUNT(DISTINCT l_partkey) AS n_parts_exact,
+       TRUE AS orders_in_band,
+       TRUE AS parts_in_band
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("agg-approx-distinct", oracle=_APPROX_DISTINCT_ORACLE)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: HyperLogLog++ approximate distinct counts — the 100 TB-scale
     substitute for exact distinct (no shuffle of distinct values, fixed
     sketch memory per group). rsd=0.02: sketch size grows ~1/rsd², and
     0.01 quadruples per-group sketch memory/merge cost for precision the
-    use case (cardinality estimation) never needs."""
+    use case (cardinality estimation) never needs.
+
+    Oracle strategy: the HLL estimate itself is engine-specific, so the
+    declared output carries the EXACT distinct counts (cross-engine
+    equal) plus TRUE-expected audit booleans asserting the estimate sits
+    within 3·rsd of truth — the bound HLL++ holds with overwhelming
+    probability and deterministically for a fixed input/seed. A broken
+    sketch merge or rsd regression flips a boolean and fails the hash
+    gate; the exact distinct the audit needs is test-scale scaffolding,
+    not part of the production plan."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    band = 3 * 0.02
+    out = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("ao"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
     )
+    def in_band(approx, exact):
+        return (
+            F.abs(F.col(approx).cast("double") / F.col(exact) - 1.0) <= band
+        )
+    return out.select(
+        "l_returnflag",
+        "n_orders_exact",
+        "n_parts_exact",
+        in_band("ao", "n_orders_exact").alias("orders_in_band"),
+        in_band("ap", "n_parts_exact").alias("parts_in_band"),
+    ).orderBy("l_returnflag")
 
 
 _ROLLUP_ORACLE = """
@@ -149,31 +182,60 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg-approx-quantile")
+_APPROX_QUANTILE_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       TRUE AS ordered_ok,
+       TRUE AS in_range,
+       TRUE AS p50_in_band
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query("agg-approx-quantile", oracle=_APPROX_QUANTILE_ORACLE)
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E6 (rows-only: sketch-based, engine-specific like E3): streaming
-    quantile sketches per group — approx_percentile (Greenwald-Khanna) for
-    p50/p95/p99 of order totals per status.
+    """E6: streaming quantile sketches per group — approx_percentile
+    (Greenwald-Khanna) for p50/p95/p99 of order totals per status.
 
     This is how percentiles work at 100 TB: a mergeable fixed-size sketch
     per partition combined at the final agg — one shuffle of sketch bytes,
     never a sort of the data. Exact percentile would need a full sort or
     per-group materialization. Deterministic for fixed input + accuracy.
-    """
+
+    Oracle strategy: the sketch values are engine-specific, so the
+    declared output carries the exact group counts plus TRUE-expected
+    audit booleans: the estimated quantiles are monotone
+    (p50 ≤ p95 ≤ p99), inside the group's [min, max], and p50 is within
+    1% relative of the EXACT median (GK rank error ≤ n/accuracy — a
+    handful of ranks at any test SF). A sketch-merge regression flips a
+    boolean and fails the hash gate; the exact median is test-scale
+    audit scaffolding, not part of the production plan."""
     o = load_table(spark, sf_dir, "orders")
     pct = F.percentile_approx(
         "o_totalprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10_000
     )
-    return (
-        o.groupBy("o_orderstatus")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.round(pct.getItem(0), 2).alias("p50"),
-            F.round(pct.getItem(1), 2).alias("p95"),
-            F.round(pct.getItem(2), 2).alias("p99"),
-        )
-        .orderBy("o_orderstatus")
+    g = o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        pct.getItem(0).alias("p50"),
+        pct.getItem(1).alias("p95"),
+        pct.getItem(2).alias("p99"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
     )
+    return g.select(
+        "o_orderstatus",
+        "n_orders",
+        (
+            (F.col("p50") <= F.col("p95")) & (F.col("p95") <= F.col("p99"))
+        ).alias("ordered_ok"),
+        (
+            (F.col("lo") <= F.col("p50")) & (F.col("p99") <= F.col("hi"))
+        ).alias("in_range"),
+        (F.abs(F.col("p50") / F.col("p50_exact") - 1.0) <= 0.01).alias(
+            "p50_in_band"
+        ),
+    ).orderBy("o_orderstatus")
 
 
 _PIVOT_ORACLE = """
