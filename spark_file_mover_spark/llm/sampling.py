@@ -76,3 +76,68 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_SEQ_LEN = 2048
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM t
+)
+SELECT doc_id, n_tok,
+       cum - n_tok AS start_offset,
+       (cum - n_tok) // {_SEQ_LEN} AS first_seq,
+       ((cum - 1) // {_SEQ_LEN}) - ((cum - n_tok) // {_SEQ_LEN}) + 1
+         AS n_seqs_spanned
+FROM c ORDER BY doc_id
+"""
+
+
+@query("sample-pack-sequences", oracle=_PACK_ORACLE)
+def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing layout for pretraining: documents are concatenated
+    in doc_id order into one token stream sliced into fixed
+    2048-token training sequences; each document gets its byte-exact
+    stream offset, first sequence index, and the number of sequences it
+    spans (documents DO straddle boundaries — that is how GPT-style
+    packing works, vs padding each doc to its own sequence).
+
+    Pure integer window math (one running sum), so cross-engine parity is
+    exact. SCALE NOTE: a single global cumulative sum is inherently
+    one-partition here; at 100 TB this becomes the standard two-pass
+    layout — per-shard token totals (tiny) prefix-summed on the driver,
+    then each shard computes offsets locally from its shard base — same
+    arithmetic, shard-parallel. The declared query keeps the one-window
+    form the oracle can mirror literally."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "n_tok"
+        ),
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    start = F.col("cum") - F.col("n_tok")
+    return c.select(
+        "doc_id",
+        "n_tok",
+        start.alias("start_offset"),
+        F.floor(start / _SEQ_LEN).alias("first_seq"),
+        (
+            F.floor((F.col("cum") - 1) / _SEQ_LEN)
+            - F.floor(start / _SEQ_LEN)
+            + 1
+        ).alias("n_seqs_spanned"),
+    ).orderBy("doc_id")

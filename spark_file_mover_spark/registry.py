@@ -86,6 +86,7 @@ _PRIORITY_R4 = [
     "agg-unpivot",
     "filter-scalar-subquery",
     "join-lateral-topk",
+    "sample-pack-sequences",
     # changed semantics in r4
     "dedup-near-minhash",
     "sample-hash-stratified",

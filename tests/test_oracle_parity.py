@@ -75,6 +75,7 @@ SURVEY_KEYS = {
     "text-ngram-freq", "text-decontaminate", "text-repetition",
     "text-url-normalize",
     "sample-train-split", "sample-hash-stratified",
+    "sample-pack-sequences",
     "multimodal-binary", "multimodal-frame-sample",
     # J
     "udf-scalar-pandas", "udaf-grouped-pandas", "udtf-explode-like",
