@@ -495,15 +495,54 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("dedup-simhash")
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (rows-only: engine-specific hashes): 64-bit fingerprint via
-    per-bit votes of token xxhash64 values; near-dups share high bits.
+_SIMHASH_BITS = 60  # md5-hex-prefix hash: 15 hex chars = 60 bits, fits a
+# signed BIGINT in both engines with no sign-bit gymnastics
 
-    Plan: explode tokens → one row per (doc, token-hash) → groupBy doc with
-    64 sign-vote sums folded into the fingerprint — a single explode +
-    single agg, the cheapest near-dup signal there is (no pairwise step at
-    all; bucket on the top-16 bits to get candidate groups).
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT AS h
+  FROM toks
+),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, {_SIMHASH_BITS})) AS bit)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       SUM(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0::BIGINT END) AS simhash,
+       SUM(CASE WHEN v > 0 AND bit >= {_SIMHASH_BITS - 16}
+                THEN 1::BIGINT << (bit - {_SIMHASH_BITS - 16})
+                ELSE 0::BIGINT END) AS bucket16
+FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("dedup-simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 60-bit fingerprint via per-bit votes of token hashes;
+    near-dups share high bits (bucket on the top 16 for candidate
+    groups).
+
+    Plan: explode tokens → one row per (doc, token-hash) → groupBy doc
+    with 60 sign-vote sums folded into the fingerprint — a single
+    explode + single agg, the cheapest near-dup signal there is (no
+    pairwise step at all).
+
+    Token hash is the first 15 hex chars of md5 (60 bits) because BOTH
+    engines compute it bit-identically — which upgrades this key from
+    rows-only to full hash parity (the DuckDB oracle reproduces the
+    fingerprints via a bit-unnest formulation; identical integers prove
+    the voting math, not just row counts). Production swaps in xxhash64
+    for the ~5× cheaper hash — the plan shape does not change. The
+    DuckDB side uses a (doc, bit) unnest; the Spark side keeps the
+    60-agg-column form whose flat-array fold avoids the measured ~5 s
+    deep-expression codegen penalty.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
@@ -511,9 +550,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
         ).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    # bit masks built JVM-side with shiftleft: 1<<63 wraps to the long sign
-    # bit, which F.lit cannot carry from Python (unsigned 2^63 overflows).
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
+
     def mask(bit: int):
         return F.shiftleft(F.lit(1).cast("long"), bit)
 
@@ -521,20 +561,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("h").bitwiseAND(mask(bit)) != 0, 1).otherwise(-1)
         ).alias(f"v{bit}")
-        for bit in range(64)
+        for bit in range(_SIMHASH_BITS)
     ]
     voted = toks.groupBy("doc_id").agg(*votes)
-    # fingerprint = fold over a FLAT 64-element array of per-bit terms.
-    # A 64-deep nested `+` chain is semantically identical but costs ~5 s
-    # of one-time Catalyst/codegen work (expression-tree depth), measured
-    # vs ~1 s for the flat fold — and the scoring run compiles each plan
-    # exactly once.
     terms = F.array(
         *[
             F.when(F.col(f"v{bit}") > 0, mask(bit)).otherwise(
                 F.lit(0).cast("long")
             )
-            for bit in range(64)
+            for bit in range(_SIMHASH_BITS)
         ]
     )
     fingerprint = F.aggregate(
@@ -545,7 +580,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "simhash",
-            F.shiftright(F.col("simhash"), 48).alias("bucket16"),
+            F.shiftright(F.col("simhash"), _SIMHASH_BITS - 16).alias(
+                "bucket16"
+            ),
         )
         .orderBy("doc_id")
     )

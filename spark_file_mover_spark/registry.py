@@ -91,9 +91,12 @@ _PRIORITY_R4 = [
     "dedup-near-minhash",
     "sample-hash-stratified",
     "sim-search-ivf",
+    "dedup-simhash",
+    "agg-approx-distinct",
+    "agg-approx-quantile",
     # r2-stale block
-    "agg-hash", "agg-distinct", "agg-approx-distinct",
-    "agg-rollup-cube-gsets", "agg-having", "agg-approx-quantile",
+    "agg-hash", "agg-distinct",
+    "agg-rollup-cube-gsets", "agg-having",
     "agg-pivot", "agg-stats",
     "window-ranking", "window-analytic", "window-frame-agg",
     "topk-per-group", "sort-limit", "etl-scd2",
