@@ -209,10 +209,24 @@ def _write_partitioned_fixture(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-@query("move-list-files")
+# The listing's expected layout is fully determined by the data: one
+# Hive dir per distinct n_regionkey, exactly one non-empty file each
+# (coalesce(1) single-task write). Random temp paths and byte sizes stay
+# out of the output; the partition-derived layout IS the check.
+_LIST_FILES_ORACLE = """
+SELECT 'n_regionkey=' || CAST(n_regionkey AS VARCHAR) AS partition_dir,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(1 AS BIGINT) AS n_non_empty
+FROM (SELECT DISTINCT n_regionkey FROM nation)
+ORDER BY partition_dir
+"""
+
+
+@query("move-list-files", oracle=_LIST_FILES_ORACLE)
 def move_list_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 (rows-only): recursive listing of a completed partitioned write,
-    ``_SUCCESS`` excluded (scala :27) — one manifest row per partition dir.
+    """A1: recursive listing of a completed partitioned write,
+    ``_SUCCESS`` excluded (scala :27) — one manifest row per partition
+    dir, hash-checked against the partition set the data dictates.
 
     The per-dir rollup happens driver-side: the listing is ALREADY driver
     metadata (same as the reference, O(#files) FS client calls), so
@@ -233,10 +247,20 @@ def move_list_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("move-rename")
+_RENAME_ORACLE = """
+SELECT 'region_' || CAST(n_regionkey AS VARCHAR) || '.csv' AS landed_file,
+       TRUE AS was_renamed
+FROM (SELECT DISTINCT n_regionkey FROM nation)
+ORDER BY landed_file
+"""
+
+
+@query("move-rename", oracle=_RENAME_ORACLE)
 def move_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 (rows-only): execute the rename pass on a real partitioned write
-    and manifest the landed per-partition files (scala :52)."""
+    """A5: execute the rename pass on a real partitioned write and
+    manifest the landed per-partition files (scala :52) — hash-checked:
+    the template dictates one ``region_<rk>.csv`` per distinct partition
+    value, every one the product of an actual rename."""
     out = tempfile.mkdtemp(prefix="sfm-a5-") + "/out"
     n = load_table(spark, sf_dir, "nation")
     res = write_single_file(

@@ -94,6 +94,10 @@ _PRIORITY_R4 = [
     "dedup-simhash",
     "agg-approx-distinct",
     "agg-approx-quantile",
+    "move-list-files",
+    "move-rename",
+    "repartition-n",
+    "sink-compact",
     # r2-stale block
     "agg-hash", "agg-distinct",
     "agg-rollup-cube-gsets", "agg-having",

@@ -370,9 +370,21 @@ def _layout_manifest(
     return out.orderBy("layout")
 
 
-@query("repartition-n")
+# Expected layout is deterministic: repartition(4) writes exactly 4
+# nonempty files for this row count, coalesce(1) exactly one; re-read
+# row counts must equal the source row count.
+_REPARTITION_ORACLE = """
+SELECT 'coalesce_1' AS layout, CAST(1 AS BIGINT) AS n_files,
+       COUNT(*) AS n_rows FROM orders
+UNION ALL
+SELECT 'repartition_4', CAST(4 AS BIGINT), COUNT(*) FROM orders
+ORDER BY layout
+"""
+
+
+@query("repartition-n", oracle=_REPARTITION_ORACLE)
 def repartition_n(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B5 (rows-only manifest): control output file count — repartition(4)
+    """B5: control output file count — repartition(4)
     (full shuffle, even sizes) vs coalesce(1) (no shuffle, the reference
     tests' repartition(1) pattern, test :80). Writes both layouts and
     manifests {layout, n_files, n_rows}; re-read row counts prove no data
@@ -389,9 +401,21 @@ def repartition_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink-compact")
+# At test SF the byte-based target collapses to 1 file (bytes < 128 MB
+# floor); the fragmented side is exactly the 16 shards written. Both
+# n_files values and the invariant row counts are data-determined.
+_COMPACT_ORACLE = """
+SELECT 'compacted' AS layout, CAST(1 AS BIGINT) AS n_files,
+       COUNT(*) AS n_rows FROM orders
+UNION ALL
+SELECT 'fragmented', CAST(16 AS BIGINT), COUNT(*) FROM orders
+ORDER BY layout
+"""
+
+
+@query("sink-compact", oracle=_COMPACT_ORACLE)
 def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B7 (rows-only manifest): small-file compaction — THE recurring
+    """B7: small-file compaction — THE recurring
     operational job on a 100 TB lake (streaming sinks and over-parallel
     writers fragment tables; every downstream scan then pays per-file
     open cost and tiny-row-group decoding).
