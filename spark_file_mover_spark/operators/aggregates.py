@@ -346,3 +346,54 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+# ---------------------------------------------------------------------------
+# E10 — incremental aggregate maintenance (mergeable partials)
+# ---------------------------------------------------------------------------
+
+_INCR_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query("agg-incremental-merge", oracle=_INCR_ORACLE)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: incremental materialized-aggregate maintenance — the base
+    relation is split into an existing snapshot and a new batch
+    (``o_orderkey % 5``), each aggregated INDEPENDENTLY to mergeable
+    partials (count, exact decimal sum, min), and the partials are merged
+    with a second groupBy. The oracle aggregates the full table in one
+    pass: merge(partial(A), partial(B)) must equal full(A ∪ B), which is
+    precisely the algebraic property incremental view refresh — and
+    Spark's own partial/final hash aggregation — depends on. Decimal
+    money sums make the merge bit-exact regardless of how the data was
+    split. At scale the "new batch" is the latest partition and the
+    snapshot partials are a tiny stored table: refresh cost is
+    O(new data), not O(history)."""
+    o = load_table(spark, sf_dir, "orders")
+    snapshot = o.filter(F.col("o_orderkey") % 5 != 0)
+    batch = o.filter(F.col("o_orderkey") % 5 == 0)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+            F.min("o_orderkey").alias("mn"),
+        )
+
+    return (
+        partial(snapshot)
+        .unionByName(partial(batch))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("s").cast("double").alias("total"),
+            F.min("mn").cast("long").alias("first_key"),
+        )
+        .orderBy("o_orderstatus")
+    )

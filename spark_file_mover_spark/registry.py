@@ -87,6 +87,7 @@ _PRIORITY_R4 = [
     "filter-scalar-subquery",
     "join-lateral-topk",
     "sample-pack-sequences",
+    "agg-incremental-merge",
     # changed semantics in r4
     "dedup-near-minhash",
     "sample-hash-stratified",

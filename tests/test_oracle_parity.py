@@ -54,7 +54,7 @@ SURVEY_KEYS = {
     # E
     "agg-hash", "agg-distinct", "agg-approx-distinct",
     "agg-rollup-cube-gsets", "agg-having", "agg-approx-quantile",
-    "agg-pivot", "agg-stats", "agg-unpivot",
+    "agg-pivot", "agg-stats", "agg-unpivot", "agg-incremental-merge",
     # F
     "window-ranking", "window-analytic", "window-frame-agg",
     "topk-per-group", "sort-limit", "set-union-intersect-except",
