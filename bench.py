@@ -124,6 +124,14 @@ def main() -> None:
             )
 
     total = round(sum(timings.values()), 4)
+    missing16 = [k for k in COMMON16 if k not in timings]
+    if missing16:
+        # a shrunken frozen set would read as a perf win — flag it loudly
+        print(
+            f"# WARNING: COMMON16 keys missing from timings: {missing16} "
+            "— common16_total is NOT comparable to prior rounds",
+            file=sys.stderr,
+        )
     common16_total = round(
         sum(timings[k] for k in COMMON16 if k in timings), 4
     )

@@ -231,22 +231,47 @@ def plan_moves_df(
     return spark.createDataFrame(rows, "source string, target string, size long")
 
 
+def _split_fs_path(p: str) -> tuple[str, str, str]:
+    """Split a Hadoop-style path into (scheme, authority, path) WITHOUT
+    urllib: Hadoop ``Path.toString`` emits the on-disk name verbatim —
+    Hive partition escaping means names legitimately contain ``%23``,
+    ``#`` or ``?``, which urlparse would percent-decode or truncate into
+    the wrong file."""
+    m = _SCHEME_RE.match(p)
+    if not m:
+        return "file", "", p
+    scheme = p[: m.end() - 1]
+    rest = p[m.end():]
+    if rest.startswith("//"):
+        rest = rest[2:]
+        slash = rest.find("/")
+        if slash < 0:
+            return scheme, rest, "/"
+        return scheme, rest[:slash], rest[slash:]
+    return scheme, "", rest
+
+
 def _worker_rename(src: str, dst: str) -> Optional[str]:
     """Rename one file from inside an executor Python worker (no py4j JVM
     access exists there). Hadoop ``FileSystem.rename`` semantics mirrored:
     fail (don't overwrite) when the destination exists, fail when the
-    destination's parent is missing. Returns None on success, else a short
-    error string. ``file:`` URIs use the OS; ``hdfs:`` tries pyarrow's
-    libhdfs binding (absent in this container — explicitly gated, the
-    Spark-side plumbing is the tested part)."""
+    destination's parent is missing. One deliberate extension for task
+    RETRY idempotency: destination-exists-AND-source-gone is reported as
+    success — a re-executed task (executor loss mid-batch) re-visits
+    renames its first attempt already performed, and recording those as
+    failures would page on successful moves. Returns None on success,
+    else a short error string. ``file:`` URIs use the OS; ``hdfs:`` tries
+    pyarrow's libhdfs binding (absent in this container — explicitly
+    gated, the Spark-side plumbing is the tested part)."""
     import os
-    from urllib.parse import urlparse, unquote
 
-    su, du = urlparse(src), urlparse(dst)
-    scheme = su.scheme or "file"
+    scheme, _auth, _ = _split_fs_path(src)
     if scheme == "file" or scheme == "":
-        sp, dp = unquote(su.path), unquote(du.path)
+        _, _, sp = _split_fs_path(src)
+        _, _, dp = _split_fs_path(dst)
         if os.path.exists(dp):
+            if not os.path.exists(sp):
+                return None  # prior attempt already moved it (task retry)
             return "destination exists"
         if not os.path.isdir(os.path.dirname(dp)):
             return "destination parent missing"
@@ -273,8 +298,11 @@ def _worker_rename(src: str, dst: str) -> Optional[str]:
         except ImportError:  # pragma: no cover
             return "pyarrow.fs unavailable"
         try:
-            client = pafs.HadoopFileSystem(su.hostname or "default", su.port or 0)
-            client.move(su.path, du.path)
+            _, auth, sp = _split_fs_path(src)
+            _, _, dp = _split_fs_path(dst)
+            host, _, port = auth.partition(":")
+            client = pafs.HadoopFileSystem(host or "default", int(port or 0))
+            client.move(sp, dp)
             return None
         except Exception as ex:  # libhdfs not shipped in this container
             return f"hdfs client: {str(ex)[:160]}"
@@ -304,7 +332,11 @@ def execute_moves_distributed(
     workers have no py4j bridge, so the JVM Hadoop client is driver-only
     by construction). The manifest is materialized exactly once via an
     eager ``localCheckpoint`` — re-collecting the returned DataFrame
-    re-reads cached blocks and can never re-execute the renames.
+    re-reads cached blocks and can never re-execute the renames. Task
+    RETRY is idempotent (destination-exists-with-source-gone counts as
+    success, see :func:`_worker_rename`); do not enable speculative
+    execution (``spark.speculation``, default off) for a rename job —
+    two live attempts racing the same batch would interleave observably.
     """
     from pyspark.sql import functions as F
 

@@ -112,17 +112,20 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
       (~3x on the explode stage).
     The repartition spreads per-doc compute across all cores when the
     input arrives under-parallel (a single small file locally) — but ONLY
-    then: it is guarded on the scan's file count so a well-partitioned
-    100 TB input never pays a gratuitous full-corpus text shuffle. The
-    guard probes ``inputFiles()`` (a listing already held by the plan),
-    not ``rdd.getNumPartitions()`` — constructing the RDD forces an extra
-    plan conversion through py4j per invocation.
+    then: it is guarded on the scan's actual partition count so a
+    well-partitioned 100 TB input never pays a gratuitous full-corpus
+    text shuffle. The guard deliberately probes ``rdd.getNumPartitions()``
+    (one extra py4j plan conversion, driver-side only): a file-count
+    probe undercounts splittable formats — 1 000 multi-GB parquet files
+    scan as hundreds of thousands of split partitions, and mistaking that
+    for "under-parallel" would trigger the exact full shuffle the guard
+    exists to avoid.
     """
     spark = d.sparkSession
     toks_expr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     t = d.select("doc_id", toks_expr.alias("toks"))
     par = spark.sparkContext.defaultParallelism
-    if len(d.inputFiles()) < par:
+    if t.rdd.getNumPartitions() < par:
         t = t.repartition(par)
     tc = F.col("toks")
     shingles = F.array_distinct(
@@ -278,12 +281,19 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       signatures ⇒ identical buckets, even under the oversized-bucket
       cap, ⇒ identical neighbor sets ⇒ equal min).
 
-    A broken band explode, pair join, or survivor pick flips one of the
-    booleans and fails the hash compare. The raw ``(doc_id, cluster_id)``
-    relation stays available via :func:`minhash_clusters`; its run-to-run
-    stability is pinned by a pytest (fixed permutation seeds make the
-    clustering fully deterministic). The clustering is checkpointed once
-    so the three audit joins don't re-run the LSH pipeline."""
+    Honest scope of this audit: the first two booleans pin OUTPUT-SHAPE
+    invariants (they hold by construction of a correct projection and
+    catch schema/join regressions, not clustering-quality regressions),
+    and the third is conditionally vacuous when the corpus carries no
+    exact duplicates. The LOAD-BEARING correctness checks for the
+    clustering itself are (a) the pytest pinning run-to-run stability
+    and the cluster/reference invariants on the raw relation, and (b)
+    ``dedup-components``, which closes the deterministic jaccard pair
+    set through the same machinery and IS fully hash-verified against a
+    recursive-CTE oracle. The raw ``(doc_id, cluster_id)`` relation
+    stays available via :func:`minhash_clusters`; the clustering is
+    checkpointed once so the audit joins don't re-run the LSH
+    pipeline."""
     cl = minhash_clusters(spark, sf_dir).localCheckpoint(eager=True)
     d = load_table(spark, sf_dir, "documents")
     nh = F.xxhash64(

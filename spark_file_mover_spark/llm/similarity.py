@@ -278,13 +278,17 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pd.Series(sid_arr[np.argmax(scores, axis=1)])
 
+    # checkpoint eagerly: `assigned` feeds BOTH the centroid aggregation
+    # and the candidate join, and Spark has no cross-branch subexpression
+    # reuse — without this the corpus scan + quantizer matmul run twice
+    # per action
     assigned = e.select(
         "vec_id",
         "label",
         "embedding",
         "en",
         assign_cell("embedding", "en").alias("cell"),
-    )
+    ).localCheckpoint(eager=True)
 
     # element-wise mean per cell: posexplode → avg per (cell, pos) → re-pack
     cent = (

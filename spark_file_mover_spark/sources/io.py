@@ -33,12 +33,14 @@ TABLES = (
 # across the 76 keys. Contract: testdata parquet is immutable for the
 # process lifetime (the cached plan snapshots its file listing). The
 # cache is dropped whenever a different session appears, so stopped
-# sessions are never pinned by cached plans. Keyed on applicationId, not
-# id(spark): CPython recycles object ids, so a new session allocated at
-# a dead one's address must not be served plans bound to a stopped
-# SparkContext.
+# sessions are never pinned by cached plans. Keyed on
+# (applicationId, id(spark)): applicationId alone would conflate two
+# live sessions sharing one SparkContext (spark.newSession()) and hand
+# one session plans bound to the other; id(spark) alone can be recycled
+# by CPython after a stopped session is GC'd. The composite changes
+# whenever either distinct-session signal changes.
 _CACHE: dict[tuple[str, str], DataFrame] = {}
-_CACHE_SESSION_KEY: str | None = None
+_CACHE_SESSION_KEY: tuple[str, int] | None = None
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -52,7 +54,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    session_key = spark.sparkContext.applicationId
+    session_key = (spark.sparkContext.applicationId, id(spark))
     if _CACHE_SESSION_KEY != session_key:
         _CACHE.clear()
         _CACHE_SESSION_KEY = session_key
