@@ -29,7 +29,7 @@ NOTES = {
     "dedup-exact": "Shuffle key is xxhash64(norm_text) (8 bytes) + min_by survivor struct; corpus text never shuffles.",
     "dedup-near-minhash": "Explode shingles -> hash once -> 16 min-aggs; band self-join shuffles on signatures only; oversized buckets anti-joined away; band relation persisted across its consumers (released on the next invocation - the returned plan is lazy). Declared output is the invariant audit over a once-checkpointed clustering, so the plan below starts from the checkpoint scan.",
     "sim-search-topk": "Query set broadcast; corpus scanned once, never shuffled; per-query rank-then-filter; norms projected once per side before the join (never per pair).",
-    "sim-search-ivf": "Centroids from one posexplode agg, broadcast; probe relation broadcast onto a cell-pruned corpus scan; per-side norms projected before each join.",
+    "sim-search-ivf": "sqrt(N)-seed quantizer runs once into a checkpoint (Arrow matmul assignment); centroids from one posexplode agg, broadcast; probe relation broadcast onto a cell-pruned candidate scan; per-side norms projected before each join.",
     "dedup-embedding-cosine": "Within-block pair join with per-row norms projected pre-join; top-1 neighbor per vector via rank-then-filter (WindowGroupLimit).",
     "sink-bucketed": "Both sides bucketed on the join key: SortMergeJoin with zero exchanges feeding it (broadcast disabled to show the at-scale plan).",
     "join-asof": "Union-and-window as-of: both streams union, one shuffle+sort per key, last(ignorenulls) carries the match forward - no inequality join anywhere.",
