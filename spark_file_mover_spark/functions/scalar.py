@@ -324,3 +324,40 @@ def fn_case_when_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nullif("o_orderstatus", F.lit("P")), F.lit("was_pending")
         ).alias("status_coalesced"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G7 — bitwise functions
+# ---------------------------------------------------------------------------
+
+_BITWISE_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS lo_byte,
+       o_orderkey | 4096 AS with_flag,
+       xor(o_orderkey, 21845) AS toggled,
+       o_orderkey << 3 AS shifted_up,
+       o_orderkey >> 4 AS shifted_down,
+       bit_count(CAST(o_orderkey AS BIGINT)) AS popcount
+FROM orders WHERE o_orderkey % 100 = 0
+"""
+
+
+@query("fn-bitwise", oracle=_BITWISE_ORACLE)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: bitwise AND/OR/XOR, shifts, popcount — flag fields, bitmap
+    membership, hash mixing and bucket math all run on these; exact
+    integer semantics make cross-engine parity bit-for-bit (shifts on
+    BIGINT, no overflow at these operand sizes)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 100 == 0
+    )
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("lo_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("toggled"),
+        F.shiftleft(k, 3).alias("shifted_up"),
+        F.shiftright(k, 4).alias("shifted_down"),
+        F.bit_count(k).alias("popcount"),
+    )

@@ -88,6 +88,7 @@ _PRIORITY_R4 = [
     "join-lateral-topk",
     "sample-pack-sequences",
     "agg-incremental-merge",
+    "fn-bitwise",
     # changed semantics in r4
     "dedup-near-minhash",
     "sample-hash-stratified",

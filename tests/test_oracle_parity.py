@@ -61,7 +61,7 @@ SURVEY_KEYS = {
     "etl-scd2", "etl-cdc-apply",
     # G
     "fn-string", "fn-date", "fn-math", "fn-array", "fn-map-json",
-    "fn-case-when-cast",
+    "fn-case-when-cast", "fn-bitwise",
     # H
     "stream-tumbling", "stream-sliding", "stream-session",
     "stream-dedup-late", "stream-stateful-agg", "stream-join",
