@@ -110,3 +110,36 @@ def test_recollect_does_not_rerun_renames(spark, tmp_pair):
     second = sorted(map(tuple, manifest.collect()))
     assert first == second
     assert all(r[2] for r in second)
+
+
+def test_worker_rename_retry_idempotent(tmp_path):
+    """A re-executed task re-visits renames its first attempt performed:
+    destination-exists with source-gone must report success, while a
+    genuine collision (both exist) must still fail."""
+    from spark_file_mover_spark.filemover import _worker_rename
+
+    src, dst = tmp_path / "a.csv", tmp_path / "b.csv"
+    src.write_text("x")
+    assert _worker_rename(str(src), str(dst)) is None
+    # retry: src is gone, dst present -> success, not "destination exists"
+    assert _worker_rename(str(src), str(dst)) is None
+    # genuine conflict: both exist -> refuse
+    src.write_text("y")
+    assert _worker_rename(str(src), str(dst)) == "destination exists"
+
+
+def test_split_fs_path_preserves_special_chars():
+    """Hive partition escaping puts literal %XX / '#' / '?' in on-disk
+    names; the path splitter must never percent-decode or truncate."""
+    from spark_file_mover_spark.filemover import _split_fs_path
+
+    assert _split_fs_path("file:/t/p_brand=Brand%2313/f.csv") == (
+        "file", "", "/t/p_brand=Brand%2313/f.csv"
+    )
+    assert _split_fs_path("/t/x#frag?q=1") == ("file", "", "/t/x#frag?q=1")
+    assert _split_fs_path("file:///tmp/a b/c.csv") == (
+        "file", "", "/tmp/a b/c.csv"
+    )
+    assert _split_fs_path("hdfs://nn:9000/data/x%20y") == (
+        "hdfs", "nn:9000", "/data/x%20y"
+    )
