@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from spark_file_mover_spark.llm._textnorm import toks
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import load_table
 
@@ -174,18 +175,18 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ARRAY_ORACLE = """
 WITH t AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
   FROM documents
 )
 SELECT doc_id,
-       len(toks) AS n_toks,
-       list_contains(toks, 'spark') AS has_spark,
-       array_to_string(toks[1:5], ' ') AS first5,
-       array_to_string(list_sort(list_distinct(toks[1:5])), ' ') AS first5_sorted,
-       len(list_filter(toks, x -> length(x) > 4)) AS n_long,
-       array_to_string(list_transform(toks[1:3], x -> upper(x)), ' ') AS head_upper,
+       len(tk) AS n_toks,
+       list_contains(tk, 'spark') AS has_spark,
+       array_to_string(tk[1:5], ' ') AS first5,
+       array_to_string(list_sort(list_distinct(tk[1:5])), ' ') AS first5_sorted,
+       len(list_filter(tk, x -> length(x) > 4)) AS n_long,
+       array_to_string(list_transform(tk[1:3], x -> upper(x)), ' ') AS head_upper,
        list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                   list_transform(tk, x -> CAST(length(x) AS BIGINT))),
                    (a, b) -> a + b) AS total_len
 FROM t
 """
@@ -202,21 +203,21 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort, which cannot canonicalize Python lists (r02 failure:
     'unhashable type: list'). Scalar output is the contract."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tk = toks()
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_toks"),
-        F.array_contains(toks, "spark").alias("has_spark"),
-        F.array_join(F.slice(toks, 1, 5), " ").alias("first5"),
+        F.size(tk).alias("n_toks"),
+        F.array_contains(tk, "spark").alias("has_spark"),
+        F.array_join(F.slice(tk, 1, 5), " ").alias("first5"),
         F.array_join(
-            F.array_sort(F.array_distinct(F.slice(toks, 1, 5))), " "
+            F.array_sort(F.array_distinct(F.slice(tk, 1, 5))), " "
         ).alias("first5_sorted"),
-        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.size(F.filter(tk, lambda x: F.length(x) > 4)).alias("n_long"),
         F.array_join(
-            F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), " "
+            F.transform(F.slice(tk, 1, 3), lambda x: F.upper(x)), " "
         ).alias("head_upper"),
         F.aggregate(
-            toks,
+            tk,
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + F.length(x).cast("bigint"),
         ).alias("total_len"),

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_file_mover_spark.llm._textnorm import toks
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import load_table
 
@@ -72,7 +73,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("tk")
+        "doc_id", toks().alias("tk")
     )
     tc = F.col("tk")
     grams = F.when(
@@ -152,7 +153,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("tk")
+        "doc_id", toks().alias("tk")
     )
     tc = F.col("tk")
     bigrams = F.when(

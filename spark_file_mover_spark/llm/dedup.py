@@ -28,6 +28,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_file_mover_spark.llm._textnorm import toks
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import load_table
 
@@ -122,7 +123,7 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
     exists to avoid.
     """
     spark = d.sparkSession
-    toks_expr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks_expr = toks()
     t = d.select("doc_id", toks_expr.alias("toks"))
     par = spark.sparkContext.defaultParallelism
     if t.rdd.getNumPartitions() < par:
@@ -157,9 +158,20 @@ def minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`connected_components` / ``dedup-components`` for the exact
     pass).
 
-    shingle(3-word) → 16 minhashes → 4 bands × 4 rows (collision threshold
-    ≈ (1/4)^(1/4) ≈ 0.71 Jaccard) → explode bands → self-join on
-    (band, signature) → candidate pairs → per-doc cluster id = min
+    EXACT duplicates are collapsed FIRST: documents sharing a normalized
+    text hash reduce to their min-doc_id representative, LSH runs on
+    representatives only, and dups inherit their representative's
+    cluster. Two reasons, both load-bearing: (1) at scale, minhashing a
+    million copies of the same boilerplate page is pure waste — collapse
+    is the standard pre-LSH step; (2) it makes exact-dup cluster
+    consistency UNCONDITIONAL — without it, a duplicate group larger
+    than _MAX_BUCKET would have all its band buckets dropped by the
+    oversized-bucket guard and split into singletons, failing the
+    declared audit on exactly the corpora dedup exists for.
+
+    Then: shingle(3-word) → 16 minhashes → 4 bands × 4 rows (collision
+    threshold ≈ (1/4)^(1/4) ≈ 0.71 Jaccard) → explode bands → self-join
+    on (band, signature) → candidate pairs → per-rep cluster id = min
     candidate neighbor.
 
     Scale: the self-join shuffles on band signatures only — linear in
@@ -177,7 +189,16 @@ def minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Serial driver/bench use (the intended consumers) is unaffected.
     """
     global _last_bands
-    d = load_table(spark, sf_dir, "documents")
+    raw = load_table(spark, sf_dir, "documents")
+    nh = F.xxhash64(
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    ).alias("nh")
+    docs = raw.select("doc_id", "text", nh)
+    d = (
+        docs.groupBy("nh")
+        .agg(F.min_by(F.struct("doc_id", "text"), F.col("doc_id")).alias("r"))
+        .select(F.col("r.doc_id").alias("doc_id"), F.col("r.text").alias("text"), "nh")
+    )
     sig = _minhash_signatures(d)
     # bands is consumed four times (bucket-size stats, anti-join, both
     # sides of the self-join); persist the tiny post-agg relation (b rows
@@ -242,15 +263,20 @@ def minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.doc_id", "e.nb")
     cluster = neighbors.groupBy("doc_id").agg(F.min("nb").alias("min_nb"))
-    return (
-        d.select("doc_id")
+    rep_cluster = (
+        d.select("doc_id", "nh")
         .join(cluster, "doc_id", "left")
         .select(
-            "doc_id",
+            "nh",
             F.least(F.col("doc_id"), F.coalesce("min_nb", F.col("doc_id"))).alias(
                 "cluster_id"
             ),
         )
+    )
+    # expand: every document inherits its representative's cluster — the
+    # join key is the 8-byte normalized-text hash, never the text
+    return docs.select("doc_id", "nh").join(rep_cluster, "nh").select(
+        "doc_id", "cluster_id"
     )
 
 
@@ -277,17 +303,18 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``cluster_ref_valid`` — every cluster id IS an existing doc_id
       (clusters are rooted at real documents);
     * ``exact_dup_consistent`` — documents with identical normalized
-      text land in the same cluster (identical text ⇒ identical
-      signatures ⇒ identical buckets, even under the oversized-bucket
-      cap, ⇒ identical neighbor sets ⇒ equal min).
+      text land in the same cluster; since :func:`minhash_clusters`
+      collapses exact duplicates to a representative BEFORE LSH, this
+      holds unconditionally — including duplicate groups larger than
+      the oversized-bucket cap, which the pre-collapse formulation
+      silently split into singletons.
 
-    Honest scope of this audit: the first two booleans pin OUTPUT-SHAPE
-    invariants (they hold by construction of a correct projection and
-    catch schema/join regressions, not clustering-quality regressions),
-    and the third is conditionally vacuous when the corpus carries no
-    exact duplicates. The LOAD-BEARING correctness checks for the
-    clustering itself are (a) the pytest pinning run-to-run stability
-    and the cluster/reference invariants on the raw relation, and (b)
+    Honest scope of this audit: these booleans pin OUTPUT-SHAPE
+    invariants — they hold by construction of a correct pipeline and
+    catch schema/join/expansion regressions, not clustering-quality
+    regressions. The LOAD-BEARING correctness checks for the clustering
+    itself are (a) the pytest pinning run-to-run stability and the
+    cluster/reference invariants on the raw relation, and (b)
     ``dedup-components``, which closes the deterministic jaccard pair
     set through the same machinery and IS fully hash-verified against a
     recursive-CTE oracle. The raw ``(doc_id, cluster_id)`` relation
@@ -555,10 +582,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     deep-expression codegen penalty.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    tokh = d.select(
         "doc_id",
         F.explode(
-            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+            F.array_distinct(toks())
         ).alias("tok"),
     ).withColumn(
         "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
@@ -573,7 +600,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"v{bit}")
         for bit in range(_SIMHASH_BITS)
     ]
-    voted = toks.groupBy("doc_id").agg(*votes)
+    voted = tokh.groupBy("doc_id").agg(*votes)
     terms = F.array(
         *[
             F.when(F.col(f"v{bit}") > 0, mask(bit)).otherwise(
@@ -641,11 +668,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     grams = F.array_distinct(
-        F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 20)
+        F.slice(toks(), 1, 20)
     )
-    toks = d.select("doc_id", "lang", "source", grams.alias("grams"))
-    sizes = toks.select("doc_id", F.size("grams").alias("n"))
-    expl = toks.select(
+    tg = d.select("doc_id", "lang", "source", grams.alias("grams"))
+    sizes = tg.select("doc_id", F.size("grams").alias("n"))
+    expl = tg.select(
         "doc_id", "lang", "source", F.explode("grams").alias("g")
     )
     inter = (

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_file_mover_spark.llm._textnorm import toks
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import load_table
 
@@ -123,7 +124,7 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
-        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+        F.size(toks()).alias(
             "n_tok"
         ),
     )

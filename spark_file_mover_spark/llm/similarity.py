@@ -290,23 +290,34 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_cell("embedding", "en").alias("cell"),
     ).localCheckpoint(eager=True)
 
-    # element-wise mean per cell: posexplode → avg per (cell, pos) → re-pack
+    # element-wise mean per cell via a SEQUENTIAL vec_id-ordered fold —
+    # not F.sum over doubles: partial-aggregation order is partition-
+    # dependent, and the centroid feeds the probe-cell RANKING that the
+    # oracle hash-compares, so summation-order ULP drift here could flip
+    # a near-tie probe pick with partition layout. The fold replays the
+    # oracle's `list(embedding ORDER BY vec_id)` + list_reduce op
+    # sequence exactly. Cell size is ~sqrt(N) so the collected list is
+    # bounded (~16 MB/cell at N=10⁹); at extremes, switch both engines
+    # to fixed-point integer sums (associative, order-free).
+    dim = 64
+    esum = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
+            lambda s: s["embedding"],
+        ),
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, emb: F.zip_with(
+            acc, emb, lambda a, x: a + x.cast("double")
+        ),
+    )
     cent = (
-        assigned.select(
-            "cell", "vec_id", F.posexplode("embedding").alias("pos", "v")
-        )
-        .groupBy("cell", "pos")
-        .agg(
-            (F.sum(F.col("v").cast("double")) / F.count("*")).alias("m"),
-        )
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))
-                ),
-                lambda s: s["m"],
-            ).alias("centroid")
+        assigned.groupBy("cell")
+        .agg(esum.alias("s"), F.count("*").alias("n"))
+        .select(
+            "cell",
+            F.transform(F.col("s"), lambda v: v / F.col("n")).alias(
+                "centroid"
+            ),
         )
         .withColumn("cn", norm(F.col("centroid")))
     )

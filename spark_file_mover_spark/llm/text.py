@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_file_mover_spark.llm._textnorm import toks
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import load_table
 
@@ -50,12 +51,12 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-token ratio. Map-side tokenize + 5-group agg; partial aggregation
     makes the shuffle a few rows per language."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tk = toks()
     t = d.select(
         "lang",
         "n_chars",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.size(tk).alias("n_tokens"),
+        F.size(F.array_distinct(tk)).alias("n_types"),
     )
     return t.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -89,11 +90,11 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count plus the standard chars/4 BPE estimate —
     the budget arithmetic every training-data pipeline runs first."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tk = toks()
     squeezed = F.regexp_replace("text", r"\s+", "")
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_ws_tokens"),
+        F.size(tk).alias("n_ws_tokens"),
         F.length(squeezed).alias("n_non_ws_chars"),
         F.ceil(F.length(squeezed) / 4.0).cast("bigint").alias("n_bpe_est"),
     )
@@ -115,10 +116,10 @@ _MARKERS = {
 
 
 def _marker_count_sql(lang: str) -> str:
-    toks = ", ".join(f"'{t}'" for t in _MARKERS[lang])
+    tk = ", ".join(f"'{t}'" for t in _MARKERS[lang])
     return (
         "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
-        f"t -> list_contains([{toks}], t)))"
+        f"t -> list_contains([{tk}], t)))"
     )
 
 
@@ -143,11 +144,11 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary across langs, so predictions exercise the operator shape,
     not linguistic accuracy.)"""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tk = toks()
 
     def count(lang: str):
         arr = F.array(*[F.lit(t) for t in _MARKERS[lang]])
-        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        return F.size(F.filter(tk, lambda t: F.array_contains(arr, t)))
 
     pred = (
         F.when(count("es") > count("en"), "es")
@@ -168,15 +169,15 @@ _SW = ", ".join(f"'{w}'" for w in _STOPWORDS)
 _QUALITY_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, lang, n_chars,
-         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         string_split_regex(lower(trim(text)), '\\s+') AS tk,
          length(text) AS len_raw
   FROM documents
 ),
 m AS (
   SELECT doc_id, lang, n_chars, len_raw,
-         len(toks) AS n_tokens,
-         len(list_filter(toks, x -> list_contains([{_SW}], x))) AS n_stop,
-         ROUND(CAST(len_raw AS DOUBLE) / len(toks), 6) AS avg_tok_len
+         len(tk) AS n_tokens,
+         len(list_filter(tk, x -> list_contains([{_SW}], x))) AS n_stop,
+         ROUND(CAST(len_raw AS DOUBLE) / len(tk), 6) AS avg_tok_len
   FROM t
 )
 SELECT doc_id, lang, n_tokens, avg_tok_len,
@@ -192,10 +193,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality gates: token-count bounds + stopword-ratio
     floor, emitted per document with the underlying signals. Pure map."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tk = toks()
     sw = F.array(*[F.lit(w) for w in _STOPWORDS])
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    n_tokens = F.size(tk)
+    n_stop = F.size(F.filter(tk, lambda x: F.array_contains(sw, x)))
     stop_ratio = n_stop.cast("double") / n_tokens
     return d.select(
         "doc_id",
@@ -221,17 +222,17 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FP_ORACLE = """
 WITH t AS (
   SELECT doc_id,
-         string_split_regex(lower(trim(text)), '\\s+') AS toks
+         string_split_regex(lower(trim(text)), '\\s+') AS tk
   FROM documents
 )
 SELECT doc_id,
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
-           list_transform(toks,
+           list_transform(tk,
              s -> CAST(length(s) * 131 + ascii(substr(s, 1, 1)) * 7
                        + ascii(substr(s, length(s), 1)) AS BIGINT))),
          (acc, sig) -> (acc * 31 + sig) % 2147483647) AS fingerprint,
-       len(toks) AS n_tokens
+       len(tk) AS n_tokens
 FROM t
 """
 
@@ -244,9 +245,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     set-based MinHash). Expressed with F.aggregate so the fold runs
     JVM-side inside codegen; no Python in the loop."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tk = toks()
     fp = F.aggregate(
-        toks,
+        tk,
         F.lit(0).cast("bigint"),
         lambda acc, s: F.pmod(
             acc * 31
@@ -259,7 +260,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return d.select(
-        "doc_id", fp.alias("fingerprint"), F.size(toks).alias("n_tokens")
+        "doc_id", fp.alias("fingerprint"), F.size(tk).alias("n_tokens")
     )
 
 
@@ -268,9 +269,13 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Shared regex dialect subset (works identically in Java and RE2/PCRE):
-# no lookarounds, no \b ambiguity across engines.
+# no lookarounds, no \b ambiguity across engines. The phone middle group
+# is {3,4}: NANP-style 3-3-4 AND the 3-4-4 shape the synthesized test
+# numbers use — with a fixed {3} the synthesized "555-01XX-YYYY" never
+# matched, had_phone was FALSE on all 500 docs, and the gate silently
+# certified a dead scrub path (both engines agreed on doing nothing).
 _EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-_PHONE_RE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+_PHONE_RE = "[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}"
 
 _PII_ORACLE = f"""
 WITH tagged AS (
@@ -281,10 +286,8 @@ WITH tagged AS (
   FROM documents
 )
 SELECT doc_id,
-       length(text) - length(regexp_replace(text, '{_EMAIL_RE}', '', 'g'))
-         > 0 AS had_email,
-       length(text) - length(regexp_replace(text, '{_PHONE_RE}', '', 'g'))
-         > 0 AS had_phone,
+       regexp_matches(text, '{_EMAIL_RE}') AS had_email,
+       regexp_matches(text, '{_PHONE_RE}') AS had_phone,
        regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
                       '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
 FROM tagged
@@ -312,16 +315,13 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         ).alias("text"),
     )
-    def found(pat: str):
-        return (
-            F.length("text")
-            - F.length(F.regexp_replace("text", pat, ""))
-        ) > 0
-
+    # detection via rlike (one match scan), not replace-and-compare-
+    # lengths — the latter regex-rewrites every document twice just to
+    # throw the rewrite away
     return tagged.select(
         "doc_id",
-        found(_EMAIL_RE).alias("had_email"),
-        found(_PHONE_RE).alias("had_phone"),
+        F.col("text").rlike(_EMAIL_RE).alias("had_email"),
+        F.col("text").rlike(_PHONE_RE).alias("had_phone"),
         F.regexp_replace(
             F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
             _PHONE_RE,
@@ -335,14 +335,14 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _NGRAM_ORACLE = """
-WITH toks AS (
+WITH tk AS (
   SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS t
   FROM documents
 ),
 grams AS (
   SELECT lang,
          t[i] || ' ' || t[i+1] AS bigram
-  FROM toks, unnest(range(1, len(t))) AS u(i)
+  FROM tk, unnest(range(1, len(t))) AS u(i)
 ),
 counted AS (
   SELECT lang, bigram, COUNT(*) AS n
@@ -366,8 +366,8 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    t = d.select("lang", toks.alias("t"))
+    tk = toks()
+    t = d.select("lang", tk.alias("t"))
     bigrams = t.select(
         "lang",
         F.explode(

@@ -75,14 +75,22 @@ def join_left_right_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# EXISTS/NOT EXISTS, not IN/NOT IN: Spark's left_anti has NOT-EXISTS
+# semantics, and a single NULL o_custkey would turn the NOT IN branch
+# into zero rows (three-valued logic) while left_anti still returns
+# every non-matching customer — a hash mismatch born in the oracle.
 _SEMI_ANTI_ORACLE = """
 SELECT 'has_urgent_order' AS tag, c_custkey, c_name
-FROM customer
-WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
 UNION ALL
 SELECT 'no_urgent_order' AS tag, c_custkey, c_name
-FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 """
 
 

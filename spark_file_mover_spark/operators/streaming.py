@@ -329,7 +329,10 @@ def stateful_user_profile_stream(stream_df: DataFrame) -> DataFrame:
             n += len(pdf)
             cents += int(round(pdf["value"].map(
                 lambda v: int(round(v * 100))).sum()))
-            ts_us = pdf["ts"].astype("int64")  # epoch micros
+            # pin the unit before taking the integer view: a bare
+            # astype('int64') yields whatever resolution Arrow handed
+            # over (datetime64[ns] on some stacks = 1000x micros)
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
             lo, hi = int(ts_us.min()), int(ts_us.max())
             first_us = lo if first_us is None else min(first_us, lo)
             last_us = hi if last_us is None else max(last_us, hi)
@@ -375,9 +378,15 @@ def as_stream(
     batch plans above. Pass ``files_per_trigger=1`` to force one
     micro-batch per shard — the honest way to exercise cross-batch state
     merging instead of a single all-data batch."""
+    import atexit
+    import shutil
     import tempfile
 
-    path = tempfile.mkdtemp(prefix="sfm-stream-") + "/events"
+    base = tempfile.mkdtemp(prefix="sfm-stream-")
+    # each call writes a full events copy; without cleanup a test session
+    # (6 calls) or bench loop leaks one table copy per invocation
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = base + "/events"
     batch = load_table(spark, sf_dir, "events")
     batch.repartition(n_files).write.mode("overwrite").parquet(path)
     reader = spark.readStream.schema(batch.schema)

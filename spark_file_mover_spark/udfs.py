@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from spark_file_mover_spark.llm._textnorm import toks
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import load_table
 
@@ -152,14 +153,14 @@ def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EXPLODE_ORACLE = """
 WITH t AS (
   SELECT doc_id,
-         string_split_regex(lower(trim(text)), '\\s+') AS toks
+         string_split_regex(lower(trim(text)), '\\s+') AS tk
   FROM documents
   WHERE doc_id < 50
 )
 SELECT doc_id,
-       CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos,
-       unnest(toks) AS tok,
-       length(unnest(toks)) AS tok_len
+       CAST(generate_subscripts(tk, 1) - 1 AS INTEGER) AS pos,
+       unnest(tk) AS tok,
+       length(unnest(tk)) AS tok_len
 FROM t
 """
 
@@ -171,10 +172,10 @@ def udtf_explode_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     is expressible as an array). :func:`token_explode_udtf` is the Python
     UDTF twin for generators that aren't."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tk = toks()
     return (
         d.filter(F.col("doc_id") < 50)
-        .select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .select("doc_id", F.posexplode(tk).alias("pos", "tok"))
         .select("doc_id", "pos", "tok", F.length("tok").alias("tok_len"))
     )
 
@@ -190,8 +191,8 @@ def token_explode_udtf():
         def eval(self, doc_id: int, text: str):
             if text is None:
                 return
-            toks = text.strip().lower().split()
-            for pos, tok in enumerate(toks):
+            tk = text.strip().lower().split()
+            for pos, tok in enumerate(tk):
                 yield doc_id, pos, tok, len(tok)
 
     return TokenExplode

@@ -109,19 +109,30 @@ def test_stateful_operator_matches_batch(spark, sf_dir):
     prof = stateful_user_profile_stream(stream)
     run_stream_to_memory(prof, "t_stateful", mode="update")
     # update mode may emit a row per user per micro-batch; keep the last
+    # the timestamp columns must be genuine epoch MICROS (a bare
+    # astype('int64') silently becomes nanos on datetime64[ns] stacks);
+    # the batch anchor formats to whole seconds, so compare there — a
+    # 1000x unit error still lands ~50,000 years off
     streamed = (
         spark.table("t_stateful")
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
             F.max("total_value").alias("total_value"),
+            F.floor(F.min("first_us") / 1_000_000).alias("first_s"),
+            F.floor(F.max("last_us") / 1_000_000).alias("last_s"),
         )
     )
-    batch = registry.QUERIES["stream-stateful-agg"](spark, sf_dir).select(
-        "user_id", "n_events", "total_value"
+    batch = registry.QUERIES["stream-stateful-agg"](spark, sf_dir)
+    batch_s = batch.select(
+        "user_id",
+        "n_events",
+        "total_value",
+        F.unix_seconds(F.to_timestamp("first_seen")).alias("first_s"),
+        F.unix_seconds(F.to_timestamp("last_seen")).alias("last_s"),
     )
     a = sorted(tuple(r) for r in streamed.collect())
-    b = sorted(tuple(r) for r in batch.collect())
+    b = sorted(tuple(r) for r in batch_s.collect())
     assert a == b
 
 
