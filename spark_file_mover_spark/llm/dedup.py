@@ -158,16 +158,19 @@ def minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`connected_components` / ``dedup-components`` for the exact
     pass).
 
-    EXACT duplicates are collapsed FIRST: documents sharing a normalized
-    text hash reduce to their min-doc_id representative, LSH runs on
-    representatives only, and dups inherit their representative's
-    cluster. Two reasons, both load-bearing: (1) at scale, minhashing a
-    million copies of the same boilerplate page is pure waste — collapse
-    is the standard pre-LSH step; (2) it makes exact-dup cluster
-    consistency UNCONDITIONAL — without it, a duplicate group larger
-    than _MAX_BUCKET would have all its band buckets dropped by the
-    oversized-bucket guard and split into singletons, failing the
-    declared audit on exactly the corpora dedup exists for.
+    Exact-duplicate edges (every doc ↔ its normalized-text group's min
+    doc_id) are UNIONED into the LSH candidate neighbors before the min
+    aggregation. This makes exact-dup cluster consistency UNCONDITIONAL:
+    without it, a duplicate group larger than _MAX_BUCKET has all its
+    band buckets dropped by the oversized-bucket guard and splits into
+    singletons — failing dedup on exactly the boilerplate-heavy corpora
+    it exists for. The edge relation costs one 16-byte-per-row shuffle
+    (doc_id + text hash, never the text; measured: a rep-collapse
+    formulation that groups (doc_id, text) structs instead adds ~40% to
+    the whole key at sf0.1 because the corpus text crosses the wire).
+    At ingest-time scale you'd additionally collapse dups BEFORE
+    shingling so a million copies of one page cost one signature — an
+    upstream materialization choice, not a change to this plan.
 
     Then: shingle(3-word) → 16 minhashes → 4 bands × 4 rows (collision
     threshold ≈ (1/4)^(1/4) ≈ 0.71 Jaccard) → explode bands → self-join
@@ -189,15 +192,29 @@ def minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Serial driver/bench use (the intended consumers) is unaffected.
     """
     global _last_bands
-    raw = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents")
     nh = F.xxhash64(
         F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     ).alias("nh")
-    docs = raw.select("doc_id", "text", nh)
-    d = (
-        docs.groupBy("nh")
-        .agg(F.min_by(F.struct("doc_id", "text"), F.col("doc_id")).alias("r"))
-        .select(F.col("r.doc_id").alias("doc_id"), F.col("r.text").alias("text"), "nh")
+    # exact-dup edges: doc <-> its normalized-text group's min doc_id;
+    # only (doc_id, nh) pairs shuffle — never the text
+    nh_rel = d.select("doc_id", nh)
+    group_min = nh_rel.groupBy("nh").agg(F.min("doc_id").alias("gmin"))
+    exact_edges = (
+        nh_rel.join(group_min, "nh")
+        .filter(F.col("doc_id") != F.col("gmin"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_id"), F.col("gmin").alias("nb")),
+                    F.struct(
+                        F.col("gmin").alias("doc_id"),
+                        F.col("doc_id").alias("nb"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.doc_id", "e.nb")
     )
     sig = _minhash_signatures(d)
     # bands is consumed four times (bucket-size stats, anti-join, both
@@ -253,7 +270,9 @@ def minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # both directions in ONE pass over pairs (a union of two projections
-    # would execute the pair join twice)
+    # would execute the pair join twice), then the exact-dup edges join
+    # the candidate set so identical documents are neighbors regardless
+    # of what the oversized-bucket guard dropped
     neighbors = pairs.select(
         F.explode(
             F.array(
@@ -261,22 +280,17 @@ def minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(F.col("b").alias("doc_id"), F.col("a").alias("nb")),
             )
         ).alias("e")
-    ).select("e.doc_id", "e.nb")
+    ).select("e.doc_id", "e.nb").unionByName(exact_edges)
     cluster = neighbors.groupBy("doc_id").agg(F.min("nb").alias("min_nb"))
-    rep_cluster = (
-        d.select("doc_id", "nh")
+    return (
+        d.select("doc_id")
         .join(cluster, "doc_id", "left")
         .select(
-            "nh",
+            "doc_id",
             F.least(F.col("doc_id"), F.coalesce("min_nb", F.col("doc_id"))).alias(
                 "cluster_id"
             ),
         )
-    )
-    # expand: every document inherits its representative's cluster — the
-    # join key is the 8-byte normalized-text hash, never the text
-    return docs.select("doc_id", "nh").join(rep_cluster, "nh").select(
-        "doc_id", "cluster_id"
     )
 
 
@@ -304,10 +318,10 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       (clusters are rooted at real documents);
     * ``exact_dup_consistent`` — documents with identical normalized
       text land in the same cluster; since :func:`minhash_clusters`
-      collapses exact duplicates to a representative BEFORE LSH, this
-      holds unconditionally — including duplicate groups larger than
-      the oversized-bucket cap, which the pre-collapse formulation
-      silently split into singletons.
+      unions exact-dup edges into the candidate neighbors, this holds
+      unconditionally — including duplicate groups larger than the
+      oversized-bucket cap, which the LSH-only formulation silently
+      split into singletons.
 
     Honest scope of this audit: these booleans pin OUTPUT-SHAPE
     invariants — they hold by construction of a correct pipeline and
