@@ -566,10 +566,11 @@ votes AS (
   GROUP BY doc_id, bit
 )
 SELECT doc_id,
-       SUM(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0::BIGINT END) AS simhash,
-       SUM(CASE WHEN v > 0 AND bit >= {_SIMHASH_BITS - 16}
-                THEN 1::BIGINT << (bit - {_SIMHASH_BITS - 16})
-                ELSE 0::BIGINT END) AS bucket16
+       CAST(SUM(CASE WHEN v > 0 THEN 1::BIGINT << bit
+                     ELSE 0::BIGINT END) AS BIGINT) AS simhash,
+       CAST(SUM(CASE WHEN v > 0 AND bit >= {_SIMHASH_BITS - 16}
+                     THEN 1::BIGINT << (bit - {_SIMHASH_BITS - 16})
+                     ELSE 0::BIGINT END) AS BIGINT) AS bucket16
 FROM votes GROUP BY doc_id ORDER BY doc_id
 """
 

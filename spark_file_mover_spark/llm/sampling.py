@@ -95,10 +95,10 @@ c AS (
   FROM t
 )
 SELECT doc_id, n_tok,
-       cum - n_tok AS start_offset,
-       (cum - n_tok) // {_SEQ_LEN} AS first_seq,
-       ((cum - 1) // {_SEQ_LEN}) - ((cum - n_tok) // {_SEQ_LEN}) + 1
-         AS n_seqs_spanned
+       CAST(cum - n_tok AS BIGINT) AS start_offset,
+       CAST((cum - n_tok) // {_SEQ_LEN} AS BIGINT) AS first_seq,
+       CAST(((cum - 1) // {_SEQ_LEN}) - ((cum - n_tok) // {_SEQ_LEN}) + 1
+            AS BIGINT) AS n_seqs_spanned
 FROM c ORDER BY doc_id
 """
 

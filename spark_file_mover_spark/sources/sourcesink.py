@@ -166,7 +166,7 @@ SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
        COUNT(*) AS n_items,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
 FROM lineitem
-WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1994-03-31'
+WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-03-31'
 GROUP BY 1 ORDER BY 1
 """
 
@@ -193,7 +193,7 @@ def sink_sorted_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     back = spark.read.parquet(out).filter(
-        F.col("l_shipdate").between("1994-01-01", "1994-03-31")
+        F.col("l_shipdate").between("1995-01-01", "1995-03-31")
     )
     return (
         back.groupBy(

@@ -42,9 +42,38 @@ def canon_rows(cols: list[str], rows) -> list[tuple]:
     return out
 
 
-def compare(spark_df, duck_rel) -> tuple[bool, str]:
+# DuckDB result types the driver's canonicalization preserves exactly.
+# HUGEINT and DECIMAL are the r4 failure class: this harness compares via
+# fetchall() (exact Python ints), but the driver hashes cells through a
+# pandas/float path, so a HUGEINT `SUM()` that round-trips fine here loses
+# low bits there (688652606379068264 -> 6.886526e+17). Raw TIMESTAMP/DATE
+# are excluded too: registry policy formats temporals to strings on both
+# sides before output.
+_SAFE_DUCK_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+    "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN",
+}
+
+
+def compare(spark_df, duck_rel, allow_empty: bool = False) -> tuple[bool, str]:
     """Compare a Spark DataFrame against a DuckDB relation. Returns
-    (ok, message)."""
+    (ok, message).
+
+    Stricter than the driver in two ways: oracle result columns must use
+    driver-safe DuckDB types (see ``_SAFE_DUCK_TYPES``), and an empty
+    result set fails unless ``allow_empty=True`` — a 0-row == 0-row
+    "pass" certifies nothing (the r4 sink-sorted-pruning vacuity)."""
+    bad_types = [
+        (c, str(t))
+        for c, t in zip(duck_rel.columns, duck_rel.types)
+        if str(t) not in _SAFE_DUCK_TYPES
+    ]
+    if bad_types:
+        return False, (
+            "oracle column types unsafe under the driver's float-coercing "
+            f"canonicalization (cast to BIGINT/DOUBLE/VARCHAR): {bad_types}"
+        )
+
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
     d_cols = [d[0] for d in duck_rel.description]
@@ -54,6 +83,8 @@ def compare(spark_df, duck_rel) -> tuple[bool, str]:
         return False, f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
     if len(s_rows) != len(d_rows):
         return False, f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
+    if not s_rows and not allow_empty:
+        return False, "both sides returned 0 rows — vacuous check"
     sc = canon_rows(s_cols, s_rows)
     dc = canon_rows(d_cols, d_rows)
     if sc != dc:

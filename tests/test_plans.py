@@ -117,6 +117,27 @@ def test_oracle_queries_emit_only_atomic_types(spark, sf_dir):
     assert not offenders, f"complex-typed output in oracle-checked keys: {offenders}"
 
 
+def test_oracle_sql_emits_only_driver_safe_duck_types(duck):
+    """Oracle-side twin of the atomic-type lint above, closing the r4
+    blind spot: DuckDB's integer SUM() returns HUGEINT, which fetchall()
+    round-trips exactly (so local parity stayed green) but the driver's
+    pandas-path canonicalization coerces to float64, shredding 60-bit
+    fingerprints (dedup-simhash, sample-pack-sequences r4 hash-FAILs).
+    Binding the relation type-checks without executing, so this lint is
+    cheap and runs over every registered oracle."""
+    from tests.parity import _SAFE_DUCK_TYPES
+
+    offenders = []
+    for key in sorted(registry.ORACLES):
+        rel = duck.sql(registry.ORACLES[key])
+        for col, typ in zip(rel.columns, rel.types):
+            if str(typ) not in _SAFE_DUCK_TYPES:
+                offenders.append((key, col, str(typ)))
+    assert not offenders, (
+        f"oracle columns with driver-unsafe DuckDB types: {offenders}"
+    )
+
+
 def test_registered_queries_tune_plain_sessions(spark, sf_dir):
     """The driver hands queries a PLAIN SparkSession; the registry wrapper
     must apply the engine posture (shuffle partitions sized to the
