@@ -107,7 +107,10 @@ def main() -> None:
 
         # min-of-N: the minimum is the closest observation to the true
         # cost (GC pauses, JIT, scheduler jitter only ever add time).
-        runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+        # 3 reps (r5, was 2): the first invocation of a key pays plan
+        # codegen (~2x), and the write-path keys showed ±12% r3->r4
+        # jitter that two reps can't separate from regression.
+        runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
         timings: dict[str, float] = {}
         for key in keys:
             best = None
@@ -124,6 +127,18 @@ def main() -> None:
             )
 
     total = round(sum(timings.values()), 4)
+    # Per-key scoring-budget guard: the driver's guidance is <2 s per
+    # key; anything over burns wall-clock the round's scoring rotation
+    # needs. Surface offenders loudly in-round instead of waiting for
+    # the judge's bench diff (r4: dedup-near-minhash crept to 3.1 s).
+    BUDGET_SEC = 2.0
+    over_budget = {k: v for k, v in timings.items() if v > BUDGET_SEC}
+    if over_budget:
+        print(
+            f"# WARNING: keys over the {BUDGET_SEC:.0f}s scoring budget: "
+            f"{over_budget}",
+            file=sys.stderr,
+        )
     missing16 = [k for k in COMMON16 if k not in timings]
     if missing16:
         # a shrunken frozen set would read as a perf win — flag it loudly
@@ -142,6 +157,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "common16_total": common16_total,
+                "over_budget": sorted(over_budget),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -67,8 +67,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     text length to the key if even that matters.
     """
     d = load_table(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
-    key = F.xxhash64(norm)
+    key = _norm_hash()
     survivor = F.min_by(
         F.struct("doc_id", "lang", "source", "n_chars"), F.col("doc_id")
     )
@@ -151,7 +150,16 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
     )
 
 
-def minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _norm_hash() -> F.Column:
+    """xxhash64 over whitespace/case-normalized text — the 8-byte exact-dup
+    key shared by dedup-exact, the minhash exact-edge union, and the
+    minhash audit (one definition so the three can never drift)."""
+    return F.xxhash64(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+
+
+def minhash_clusters(
+    spark: SparkSession, sf_dir: str, nh_rel: DataFrame | None = None
+) -> DataFrame:
     """Banded MinHash-LSH clustering: ``(doc_id, cluster_id)``, one row
     per document, cluster = min candidate neighbor (single-pass
     approximation of the transitive closure — see
@@ -193,12 +201,13 @@ def minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     global _last_bands
     d = load_table(spark, sf_dir, "documents")
-    nh = F.xxhash64(
-        F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
-    ).alias("nh")
     # exact-dup edges: doc <-> its normalized-text group's min doc_id;
-    # only (doc_id, nh) pairs shuffle — never the text
-    nh_rel = d.select("doc_id", nh)
+    # only (doc_id, nh) pairs shuffle — never the text. Callers that also
+    # consume the normalized-hash relation (the dedup-near-minhash audit)
+    # pass a materialized one in so the corpus text is scanned+hashed
+    # once, not once per consumer.
+    if nh_rel is None:
+        nh_rel = d.select("doc_id", _norm_hash().alias("nh"))
     group_min = nh_rel.groupBy("nh").agg(F.min("doc_id").alias("gmin"))
     exact_edges = (
         nh_rel.join(group_min, "nh")
@@ -260,6 +269,12 @@ def minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("band", "sig")
     )
     bands = cached.join(F.broadcast(oversized), ["band", "sig"], "left_anti")
+    # NO .distinct() on pairs: a pair colliding in several bands appears
+    # several times, but every downstream consumer is a min() aggregate
+    # (map-side partial combine collapses the dups in-task), so dedup
+    # here would buy nothing and cost a full extra shuffle of the pair
+    # set. Consumers needing unique pairs (dedup-components) distinct
+    # their own edge list.
     pairs = (
         bands.alias("l")
         .join(bands.alias("r"), ["band", "sig"])
@@ -267,7 +282,6 @@ def minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
         )
-        .distinct()
     )
     # both directions in ONE pass over pairs (a union of two projections
     # would execute the pair join twice), then the exact-dup edges join
@@ -334,13 +348,20 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE oracle. The raw ``(doc_id, cluster_id)`` relation
     stays available via :func:`minhash_clusters`; the clustering is
     checkpointed once so the audit joins don't re-run the LSH
-    pipeline."""
-    cl = minhash_clusters(spark, sf_dir).localCheckpoint(eager=True)
+    pipeline. The ``(doc_id, nh)`` normalized-hash relation is likewise
+    materialized ONCE (two longs per doc — a localCheckpoint of
+    negligible size) and feeds both the exact-edge union inside
+    :func:`minhash_clusters` and the audit joins below; the r4
+    formulation rebuilt it from the text twice, paying an extra full
+    corpus scan + normalize + hash per invocation."""
     d = load_table(spark, sf_dir, "documents")
-    nh = F.xxhash64(
-        F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
-    ).alias("nh")
-    with_cl = d.select("doc_id", nh).join(cl, "doc_id")
+    nh_rel = d.select("doc_id", _norm_hash().alias("nh")).localCheckpoint(
+        eager=True
+    )
+    cl = minhash_clusters(spark, sf_dir, nh_rel=nh_rel).localCheckpoint(
+        eager=True
+    )
+    with_cl = nh_rel.join(cl, "doc_id")
     grp = with_cl.groupBy("nh").agg(
         F.count_distinct("cluster_id").alias("ncl")
     )
@@ -356,7 +377,9 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("ref_ok", F.lit(False)).alias("cluster_ref_valid"),
             (F.col("ncl") == 1).alias("exact_dup_consistent"),
         )
-        .orderBy("doc_id")
+        # no final orderBy: the driver's value hash (and tests/parity) sort
+        # rows before hashing, and a global sort costs a range-partitioner
+        # sampling job + an extra shuffle per invocation
     )
 
 

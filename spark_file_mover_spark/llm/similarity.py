@@ -163,8 +163,8 @@ assign AS (
     SELECT e.vec_id, e.label, e.embedding, e.en, s.sid,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY {_DOT.format(a='e.embedding', b='s.svec')}
-                      / (e.en * s.sn) DESC, s.sid) AS rnk
+             ORDER BY ROUND({_DOT.format(a='e.embedding', b='s.svec')}
+                      / (e.en * s.sn), 9) DESC, s.sid) AS rnk
     FROM e CROSS JOIN seeds s
   ) WHERE rnk = 1
 ),
@@ -276,7 +276,14 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scores = (m @ seed_mat.T) / (
             en.to_numpy()[:, None] * sn_arr[None, :]
         )
-        return pd.Series(sid_arr[np.argmax(scores, axis=1)])
+        # snap to 9 dp before argmax (oracle mirrors with ROUND(...,9)):
+        # the matmul's BLAS summation order differs from the oracle's
+        # sequential fold by ~1e-16 relative, so a near-tie between two
+        # seeds must be decided by the shared tie-break rule (smallest
+        # sid — argmax first-max over ascending sid_arr ≡ SQL ORDER BY
+        # score DESC, sid), not by which engine's rounding noise won.
+        # Measured seed-score gaps are ~1e-2; 1e-9 snaps only true ties.
+        return pd.Series(sid_arr[np.argmax(np.round(scores, 9), axis=1)])
 
     # checkpoint eagerly: `assigned` feeds BOTH the centroid aggregation
     # and the candidate join, and Spark has no cross-branch subexpression

@@ -62,62 +62,48 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
     return deco
 
 
-# Scoring priority for the current round (r4). The driver consumes
+# Scoring priority for the current round (r5). The driver consumes
 # ``queries()`` in dict insertion order under a wall-clock budget
 # (~50 keys/round; the r02 run was cut at position 51), so ``load_all``
 # rebuilds the registry dict in this order after all modules import:
 #
-#   1. Keys with NO driver row yet (new this round) or whose semantics
-#      changed this round (minhash audit, stratified band, IVF cells) —
-#      an unscored new key is a coverage hole, the worst outcome.
-#   2. Keys whose latest green row is from r2 (two rounds stale),
-#      including stream-session whose oracle gap condition changed.
-#   3. Everything else (r3-fresh), in module import order.
-_PRIORITY_R4 = [
-    # new in r4 — never scored
-    "dedup-components",
-    "text-decontaminate",
-    "text-repetition",
-    "text-url-normalize",
-    "stream-join",
-    "etl-cdc-apply",
-    "scan-jsonl-roundtrip",
-    "sink-sorted-pruning",
-    "agg-unpivot",
-    "filter-scalar-subquery",
-    "join-lateral-topk",
-    "sample-pack-sequences",
-    "agg-incremental-merge",
-    "fn-bitwise",
-    # changed semantics in r4
-    "dedup-near-minhash",
-    "sample-hash-stratified",
-    "sim-search-ivf",
+#   1. The three keys whose r4 row was red or vacuous, now fixed
+#      (oracle BIGINT casts; 1995-Q1 pruning window) — they need a fresh
+#      driver row above all else.
+#   2. dedup-near-minhash: implementation reworked this round (shared
+#      normalized-hash relation for the perf budget), so re-score.
+#   3. The 40 keys whose latest driver row is r3 (one round stale) —
+#      scoring them keeps every key at <=1-round staleness across r4|r5.
+#   4. Everything r4-fresh at the tail.
+_PRIORITY_R5 = [
+    # red/vacuous in r4, fixed this round
     "dedup-simhash",
-    "agg-approx-distinct",
-    "agg-approx-quantile",
-    "move-list-files",
-    "move-rename",
-    "repartition-n",
-    "sink-compact",
-    # r2-stale block
-    "agg-hash", "agg-distinct",
-    "agg-rollup-cube-gsets", "agg-having",
-    "agg-pivot", "agg-stats",
-    "window-ranking", "window-analytic", "window-frame-agg",
-    "topk-per-group", "sort-limit", "etl-scd2",
-    "set-union-intersect-except",
-    "stream-tumbling", "stream-sliding", "stream-session",
-    "stream-dedup-late", "stream-stateful-agg", "events-funnel",
-    "rollup-hierarchical",
-    "join-multiway-star", "join-skew-salted", "join-range-binned",
-    "join-asof",
+    "sample-pack-sequences",
+    "sink-sorted-pruning",
+    # implementation changed this round
+    "dedup-near-minhash",
+    # r3-stale block (latest green row is r3)
+    "project-select", "filter-pred", "filter-like-regexp",
+    "join-semi-anti", "join-broadcast", "join-range-theta",
+    "fn-string", "fn-date", "fn-math", "fn-array", "fn-map-json",
+    "fn-case-when-cast",
+    "dedup-exact", "sim-search-topk", "text-analysis",
+    "multimodal-binary", "dedup-ngram-jaccard", "dedup-embedding-cosine",
+    "text-token-count", "text-langid", "text-quality-score",
+    "text-fingerprint", "multimodal-frame-sample", "text-pii-scrub",
+    "text-ngram-freq", "sample-train-split",
+    "move-partition-extract", "move-template", "move-collision-guard",
+    "write-single-file",
+    "udf-scalar-pandas", "udaf-grouped-pandas", "udtf-explode-like",
+    "scan-parquet", "scan-table-manifest", "scan-csv-roundtrip",
+    "sink-partitioned", "sink-overwrite", "sink-bucketed",
+    "sink-merge-upsert",
 ]
 
 
 def load_all() -> None:
     """Import every operator module so registrations run, then rebuild
-    the registry dict in scoring-priority order (see ``_PRIORITY_R4``) —
+    the registry dict in scoring-priority order (see ``_PRIORITY_R5``) —
     dict insertion order IS the driver's scoring order."""
     # Imports are at call time so `import spark_file_mover_spark` stays cheap.
     from spark_file_mover_spark.operators import (  # noqa: F401
@@ -139,8 +125,8 @@ def load_all() -> None:
     from spark_file_mover_spark import filemover_queries, udfs  # noqa: F401
     from spark_file_mover_spark.sources import sourcesink  # noqa: F401
 
-    ordered = [k for k in _PRIORITY_R4 if k in QUERIES]
-    ordered += [k for k in QUERIES if k not in _PRIORITY_R4]
+    ordered = [k for k in _PRIORITY_R5 if k in QUERIES]
+    ordered += [k for k in QUERIES if k not in _PRIORITY_R5]
     for mapping in (QUERIES, ORACLES):
         snapshot = {k: mapping[k] for k in ordered if k in mapping}
         mapping.clear()
