@@ -251,18 +251,26 @@ def _split_fs_path(p: str) -> tuple[str, str, str]:
     return scheme, "", rest
 
 
-def _worker_rename(src: str, dst: str) -> Optional[str]:
+def _worker_rename(
+    src: str, dst: str, expected_size: Optional[int] = None
+) -> tuple[str, Optional[str]]:
     """Rename one file from inside an executor Python worker (no py4j JVM
     access exists there). Hadoop ``FileSystem.rename`` semantics mirrored:
     fail (don't overwrite) when the destination exists, fail when the
     destination's parent is missing. One deliberate extension for task
-    RETRY idempotency: destination-exists-AND-source-gone is reported as
-    success — a re-executed task (executor loss mid-batch) re-visits
-    renames its first attempt already performed, and recording those as
-    failures would page on successful moves. Returns None on success,
-    else a short error string. ``file:`` URIs use the OS; ``hdfs:`` tries
-    pyarrow's libhdfs binding (absent in this container — explicitly
-    gated, the Spark-side plumbing is the tested part)."""
+    RETRY idempotency: destination-exists-AND-source-gone is treated as a
+    prior attempt's completed rename — a re-executed task (executor loss
+    mid-batch) re-visits renames its first attempt already performed, and
+    recording those as failures would page on successful moves. That
+    branch is reported with its own ``already-moved`` status (not folded
+    into ``renamed``), and when the plan's recorded source size is
+    supplied, a landed file whose size disagrees fails instead of passing
+    — source-gone could otherwise mean a listed-then-deleted race or a
+    different producer landing the target. Returns ``(status, error)``
+    with status ∈ {renamed, already-moved, failed} and error None on
+    success. ``file:`` URIs use the OS; ``hdfs:`` tries pyarrow's libhdfs
+    binding (absent in this container — explicitly gated, the Spark-side
+    plumbing is the tested part)."""
     import os
 
     scheme, _auth, _ = _split_fs_path(src)
@@ -271,14 +279,25 @@ def _worker_rename(src: str, dst: str) -> Optional[str]:
         _, _, dp = _split_fs_path(dst)
         if os.path.exists(dp):
             if not os.path.exists(sp):
-                return None  # prior attempt already moved it (task retry)
-            return "destination exists"
+                if expected_size is not None:
+                    try:
+                        landed = os.path.getsize(dp)
+                    except OSError as ex:
+                        return "failed", str(ex)[:200]
+                    if landed != expected_size:
+                        return "failed", (
+                            "source gone and destination size "
+                            f"{landed} != planned {expected_size}; "
+                            "not claiming the rename"
+                        )
+                return "already-moved", None
+            return "failed", "destination exists"
         if not os.path.isdir(os.path.dirname(dp)):
-            return "destination parent missing"
+            return "failed", "destination parent missing"
         try:
             os.rename(sp, dp)
         except OSError as ex:
-            return str(ex)[:200]
+            return "failed", str(ex)[:200]
         # Hadoop's ChecksumFileSystem moves the hidden ".name.crc" sidecar
         # with the file on local FS; mirror it (best-effort — the sidecar
         # is a local-FS artifact, invisible to Spark readers either way)
@@ -291,22 +310,22 @@ def _worker_rename(src: str, dst: str) -> Optional[str]:
                 os.rename(crc_src, crc_dst)
             except OSError:
                 pass
-        return None
+        return "renamed", None
     if scheme == "hdfs":
         try:
             from pyarrow import fs as pafs
         except ImportError:  # pragma: no cover
-            return "pyarrow.fs unavailable"
+            return "failed", "pyarrow.fs unavailable"
         try:
             _, auth, sp = _split_fs_path(src)
             _, _, dp = _split_fs_path(dst)
             host, _, port = auth.partition(":")
             client = pafs.HadoopFileSystem(host or "default", int(port or 0))
             client.move(sp, dp)
-            return None
+            return "renamed", None
         except Exception as ex:  # libhdfs not shipped in this container
-            return f"hdfs client: {str(ex)[:160]}"
-    return f"unsupported scheme {scheme!r}"
+            return "failed", f"hdfs client: {str(ex)[:160]}"
+    return "failed", f"unsupported scheme {scheme!r}"
 
 
 def execute_moves_distributed(
@@ -318,8 +337,11 @@ def execute_moves_distributed(
     """A5 at 100 TB scale: execute the rename plan executor-side instead of
     in a driver loop — the path SCALE.md prescribes when #files outgrows
     ~10^5. Returns ``(manifest, moved)`` where manifest has columns
-    ``source, target, renamed, error`` (one row per planned file) and
-    ``moved`` is False iff the global collision guard aborted the pass.
+    ``source, target, renamed, status, error`` (one row per planned
+    file; status ∈ renamed / already-moved / failed, where already-moved
+    is a retry-idempotency claim verified against the plan's recorded
+    file size) and ``moved`` is False iff the global collision guard
+    aborted the pass.
 
     Semantics are identical to :func:`move_files` (scala :16-53): unknown
     template variables raise before any rename; any target collision
@@ -334,7 +356,8 @@ def execute_moves_distributed(
     eager ``localCheckpoint`` — re-collecting the returned DataFrame
     re-reads cached blocks and can never re-execute the renames. Task
     RETRY is idempotent (destination-exists-with-source-gone counts as
-    success, see :func:`_worker_rename`); do not enable speculative
+    ``already-moved`` when the landed size matches the plan, see
+    :func:`_worker_rename`); do not enable speculative
     execution (``spark.speculation``, default off) for a rename job —
     two live attempts racing the same batch would interleave observably.
     """
@@ -357,6 +380,7 @@ def execute_moves_distributed(
             "source",
             "target",
             F.lit(False).alias("renamed"),
+            F.lit("failed").alias("status"),
             F.lit("collision guard: target produced by >1 source").alias(
                 "error"
             ),
@@ -365,18 +389,20 @@ def execute_moves_distributed(
 
     def rename_batches(batches):
         for pdf in batches:
-            errors = [
-                _worker_rename(s, t)
-                for s, t in zip(pdf["source"], pdf["target"])
+            outcomes = [
+                _worker_rename(s, t, expected_size=int(sz))
+                for s, t, sz in zip(pdf["source"], pdf["target"], pdf["size"])
             ]
             pdf = pdf[["source", "target"]].copy()
-            pdf["renamed"] = [e is None for e in errors]
-            pdf["error"] = errors
+            pdf["renamed"] = [st != "failed" for st, _ in outcomes]
+            pdf["status"] = [st for st, _ in outcomes]
+            pdf["error"] = [err for _, err in outcomes]
             yield pdf
 
-    manifest = plan_df.select("source", "target").mapInPandas(
+    manifest = plan_df.select("source", "target", "size").mapInPandas(
         rename_batches,
-        "source string, target string, renamed boolean, error string",
+        "source string, target string, renamed boolean, "
+        "status string, error string",
     ).localCheckpoint(eager=True)
     return manifest, True
 

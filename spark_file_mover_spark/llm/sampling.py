@@ -44,39 +44,73 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STRATIFIED_ORACLE = """
-SELECT lang, COUNT(*) AS n_total, TRUE AS in_band
-FROM documents GROUP BY lang ORDER BY lang
+WITH s AS (
+  SELECT lang,
+         COUNT(*) AS n_total,
+         CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                            ::UBIGINT::BIGINT % 100 < 20
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_total, n_sampled,
+       CAST(n_sampled AS DOUBLE) / n_total AS achieved_frac,
+       (n_total < 1000)
+         OR abs(CAST(n_sampled AS DOUBLE) / n_total - CAST(0.2 AS DOUBLE))
+            <= 3 * sqrt(CAST(0.16 AS DOUBLE) / n_total) AS in_band
+FROM s ORDER BY lang
 """
 
 
 @query("sample-hash-stratified", oracle=_STRATIFIED_ORACLE)
 def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified 20% sample per language via stable key hashing.
-    ``pmod(xxhash64(doc_id), 100) < 20`` selects the same documents on any
-    cluster at any partitioning — the reproducibility property
-    ``df.sampleBy`` cannot give.
+    """Stratified 20% sample per language via stable key hashing —
+    hash-modulo selection picks the same documents on any cluster at any
+    partitioning, the reproducibility property ``df.sampleBy`` cannot
+    give.
 
-    Oracle strategy: the exact sampled count is engine-specific (xxhash64
-    has no DuckDB twin), so the declared output is the per-language total
-    plus an ``in_band`` audit — the achieved fraction must sit within 3
-    binomial sigmas of the 20% target (``|frac - 0.2| <= 3*sqrt(0.16/n)``)
-    — which a uniform hash satisfies deterministically (measured max
-    deviation across sf0.001/0.01/0.1: 2.1 sigma) and DuckDB expects to
-    be TRUE for every stratum. A hash-quality regression (biased key mix,
-    wrong modulus) flips in_band and fails the driver hash compare."""
+    The selection hash is the md5-hex-prefix 60-bit integer (same idiom
+    as dedup-simhash) because BOTH engines compute it bit-identically, so
+    the oracle verifies the EXACT per-stratum sampled count — not just a
+    statistical band. Production swaps in ``xxhash64(doc_id)`` (~5×
+    cheaper, no cross-engine twin); the plan shape — one map-side
+    predicate, one groupBy — is identical. Output carries ``n_sampled``
+    and ``achieved_frac`` so an out-of-band stratum is diagnosable from
+    the result itself, plus the ``in_band`` 3-binomial-sigma audit gated
+    on stratum size ≥ 1000 (below that the band is wider than the
+    [0,1] fraction range is informative for, and a tiny stratum could
+    deterministically fail a correct hash). All audit inputs are
+    identical integers in both engines, so in_band is computed — exact —
+    rather than assumed TRUE."""
     d = load_table(spark, sf_dir, "documents")
-    picked = F.pmod(F.xxhash64("doc_id"), F.lit(100)) < 20
-    frac = F.sum("picked") / F.count("*")
-    tol = 3 * F.sqrt(F.lit(0.2 * 0.8) / F.count("*"))
-    return (
+    picked = (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(100),
+        )
+        < 20
+    )
+    g = (
         d.select("lang", picked.cast("int").alias("picked"))
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_total"),
-            (F.abs(frac - 0.2) <= tol).alias("in_band"),
+            F.sum("picked").cast("long").alias("n_sampled"),
         )
-        .orderBy("lang")
     )
+    frac = F.col("n_sampled").cast("double") / F.col("n_total")
+    tol = 3 * F.sqrt(F.lit(0.16) / F.col("n_total"))
+    in_band = (F.col("n_total") < 1000) | (F.abs(frac - F.lit(0.2)) <= tol)
+    return g.select(
+        "lang",
+        "n_total",
+        "n_sampled",
+        frac.alias("achieved_frac"),
+        in_band.alias("in_band"),
+    ).orderBy("lang")
 
 
 _SEQ_LEN = 2048

@@ -9,6 +9,8 @@ nothing here assumes a single file.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,13 +36,24 @@ TABLES = (
 # process lifetime (the cached plan snapshots its file listing). The
 # cache is dropped whenever a different session appears, so stopped
 # sessions are never pinned by cached plans. Keyed on
-# (applicationId, id(spark)): applicationId alone would conflate two
+# (applicationId, nonce): applicationId alone would conflate two
 # live sessions sharing one SparkContext (spark.newSession()) and hand
-# one session plans bound to the other; id(spark) alone can be recycled
-# by CPython after a stopped session is GC'd. The composite changes
-# whenever either distinct-session signal changes.
+# one session plans bound to the other; the nonce is a monotonic counter
+# stamped onto each session object the first time we see it — unlike
+# id(spark), which CPython can recycle for a new session allocated after
+# the old one is GC'd, a counter value is never reused.
 _CACHE: dict[tuple[str, str], DataFrame] = {}
 _CACHE_SESSION_KEY: tuple[str, int] | None = None
+_SESSION_NONCES = itertools.count()
+_NONCE_ATTR = "_spark_file_mover_cache_nonce"
+
+
+def _session_nonce(spark: SparkSession) -> int:
+    nonce = getattr(spark, _NONCE_ATTR, None)
+    if nonce is None:
+        nonce = next(_SESSION_NONCES)
+        setattr(spark, _NONCE_ATTR, nonce)
+    return nonce
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -54,7 +67,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    session_key = (spark.sparkContext.applicationId, id(spark))
+    session_key = (spark.sparkContext.applicationId, _session_nonce(spark))
     if _CACHE_SESSION_KEY != session_key:
         _CACHE.clear()
         _CACHE_SESSION_KEY = session_key
@@ -62,17 +75,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if ck in _CACHE:
         return _CACHE[ck]
     if name == "events":
-        # events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark's reader
-        # rejects outright; read the raw nanos and convert with integer
-        # division (float division would lose sub-µs bits above 2^53).
-        # DuckDB truncates ns→µs the same way, so the oracle agrees.
+        # events.ts has shipped in two physical encodings across testdata
+        # generations: parquet INT64 TIMESTAMP(NANOS) (which Spark's reader
+        # rejects unless nanosAsLong is set) and plain timestamp[us]. Read
+        # with nanosAsLong enabled, then normalize whatever surfaced to
+        # TimestampType:
+        #   long           → raw nanos: integer-divide to µs (float division
+        #                    would lose sub-µs bits above 2^53); DuckDB
+        #                    truncates ns→µs the same way, so oracles agree.
+        #   timestamp_ntz  → value-preserving cast to TIMESTAMP (session tz
+        #                    is pinned UTC above, so the wall-clock is kept).
         # The legacy conf is scoped to this read (set → plan → restore) so
         # it doesn't leak into how other nanos parquet columns are decoded.
         prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            ts_type = df.schema["ts"].dataType.typeName()
+            if ts_type in ("long", "integer"):
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            elif ts_type != "timestamp":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         finally:
             if prev is None:
                 spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")

@@ -70,7 +70,9 @@ def test_identical_end_state_to_move_files(spark, tmp_pair):
     assert res.moved and moved
     rows = manifest.collect()
     assert len(rows) == len(res.renames)
-    assert all(r.renamed and r.error is None for r in rows)
+    assert all(
+        r.renamed and r.status == "renamed" and r.error is None for r in rows
+    )
     assert _tree(out_a) == _tree(out_b)
 
 
@@ -114,18 +116,31 @@ def test_recollect_does_not_rerun_renames(spark, tmp_pair):
 
 def test_worker_rename_retry_idempotent(tmp_path):
     """A re-executed task re-visits renames its first attempt performed:
-    destination-exists with source-gone must report success, while a
-    genuine collision (both exist) must still fail."""
+    destination-exists with source-gone must report the distinct
+    already-moved status (size-verified against the plan), while a
+    genuine collision (both exist) must still fail — and a landed file
+    whose size disagrees with the plan must NOT be claimed."""
     from spark_file_mover_spark.filemover import _worker_rename
 
     src, dst = tmp_path / "a.csv", tmp_path / "b.csv"
     src.write_text("x")
-    assert _worker_rename(str(src), str(dst)) is None
-    # retry: src is gone, dst present -> success, not "destination exists"
-    assert _worker_rename(str(src), str(dst)) is None
+    assert _worker_rename(str(src), str(dst), expected_size=1) == (
+        "renamed", None
+    )
+    # retry: src is gone, dst present and size matches -> already-moved
+    assert _worker_rename(str(src), str(dst), expected_size=1) == (
+        "already-moved", None
+    )
+    # retry with a size that contradicts the plan -> refuse the claim
+    status, err = _worker_rename(str(src), str(dst), expected_size=999)
+    assert status == "failed" and "size" in err
+    # no recorded size -> legacy lenient claim still reports the status
+    assert _worker_rename(str(src), str(dst)) == ("already-moved", None)
     # genuine conflict: both exist -> refuse
     src.write_text("y")
-    assert _worker_rename(str(src), str(dst)) == "destination exists"
+    assert _worker_rename(str(src), str(dst), expected_size=1) == (
+        "failed", "destination exists"
+    )
 
 
 def test_split_fs_path_preserves_special_chars():
