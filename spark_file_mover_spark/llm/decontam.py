@@ -211,7 +211,20 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then runs the real normalization chain a crawl-dedup pipeline applies
 # before URL-level dedup: lowercase, strip scheme + www., drop tracking
 # params (utm_*, ref), tidy separators, strip the trailing slash.
-_URL_ORACLE = """
+#
+# The tracking-param strip is ANCHORED to a parameter boundary: it
+# matches `([?&])` then a RUN of consecutive tracking params, re-emitting
+# the captured separator. Anchoring is what keeps params that merely
+# CONTAIN the substring (href=, pref=, xref=) intact — the %7 branch of
+# the synthesis exercises exactly that case. Matching a run (not one
+# param) matters because both engines' regexp_replace resume scanning
+# AFTER the replacement: a one-param pattern that consumed the trailing
+# '&' would leave the next tracking param separator-less and skip it.
+# RE2 (DuckDB) has no lookbehind, so the run form is also the only
+# portable anchoring.
+_TRACK_RUN = r"([?&])((?:utm_[a-z]+|ref)=[^&]*(?:&|$))+"
+
+_URL_ORACLE = f"""
 WITH u AS (
   SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END
@@ -220,6 +233,8 @@ WITH u AS (
          || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
          || CASE WHEN doc_id % 4 = 0
                  THEN '?utm_source=feed&ref=tw&id=' || CAST(doc_id AS VARCHAR)
+                 WHEN doc_id % 7 = 0
+                 THEN '?href=keep&utm_medium=m&xref=' || CAST(doc_id AS VARCHAR)
                  ELSE '' END AS url
   FROM documents
 ),
@@ -232,7 +247,7 @@ n AS (
             regexp_replace(
               regexp_replace(lower(url), '^https?://', ''),
               '^www\\.', ''),
-            '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+            '{_TRACK_RUN}', '\\1', 'g'),
           '[?&]+$', ''),
         '\\?&', '?'),
       '/$', '') AS canon_url
@@ -252,7 +267,9 @@ def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, shuffle-free, whole-stage-codegen'd; at 100 TB this runs as
     a projection inside the scan stage and its output feeds the exact
     dedup groupBy (an URL dedup is just ``dedup-exact`` keyed on
-    ``canon_url``)."""
+    ``canon_url``). The tracking strip is boundary-anchored (see
+    ``_TRACK_RUN``) so params merely containing the substring — href=,
+    pref=, xref= — survive; the %7 synthesis branch pins that."""
     d = load_table(spark, sf_dir, "documents")
     k = F.col("doc_id")
     url = F.concat(
@@ -267,7 +284,14 @@ def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(
                 F.lit("?utm_source=feed&ref=tw&id="), k.cast("string")
             ),
-        ).otherwise(F.lit("")),
+        )
+        .when(
+            k % 7 == 0,
+            F.concat(
+                F.lit("?href=keep&utm_medium=m&xref="), k.cast("string")
+            ),
+        )
+        .otherwise(F.lit("")),
     )
     canon = F.regexp_replace(
         F.regexp_replace(
@@ -278,8 +302,8 @@ def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                         r"^www\.",
                         "",
                     ),
-                    r"(utm_[a-z]+|ref)=[^&]*&?",
-                    "",
+                    _TRACK_RUN,
+                    "$1",
                 ),
                 r"[?&]+$",
                 "",

@@ -151,8 +151,10 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-partition here; at 100 TB this becomes the standard two-pass
     layout — per-shard token totals (tiny) prefix-summed on the driver,
     then each shard computes offsets locally from its shard base — same
-    arithmetic, shard-parallel. The declared query keeps the one-window
-    form the oracle can mirror literally."""
+    arithmetic, shard-parallel. That path is implemented as
+    :func:`pack_offsets_sharded` (tested equal to this form); the
+    declared query keeps the one-window form the oracle can mirror
+    literally."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
@@ -164,6 +166,74 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
     c = t.withColumn("cum", F.sum("n_tok").over(w))
+    start = F.col("cum") - F.col("n_tok")
+    return c.select(
+        "doc_id",
+        "n_tok",
+        start.alias("start_offset"),
+        F.floor(start / _SEQ_LEN).alias("first_seq"),
+        (
+            F.floor((F.col("cum") - 1) / _SEQ_LEN)
+            - F.floor(start / _SEQ_LEN)
+            + 1
+        ).alias("n_seqs_spanned"),
+    ).orderBy("doc_id")
+
+
+def pack_offsets_sharded(
+    spark: SparkSession, sf_dir: str, n_shards: int = 8
+) -> DataFrame:
+    """The 100 TB path for :func:`sample_pack_sequences`: identical
+    output, shard-parallel execution (no single global window).
+
+    Two passes:
+
+    1. Range-partition the ``(doc_id, n_tok)`` relation into contiguous
+       doc_id shards (``repartitionByRange`` — Spark's RangePartitioner
+       assigns ascending key ranges to ascending partition ids, so
+       partition id order IS doc_id order), then aggregate ONE token
+       total per shard. Only ``n_shards`` rows reach the driver — the
+       bounded-metadata collect this module's header prescribes.
+    2. Prefix-sum the shard totals driver-side into per-shard base
+       offsets, broadcast them back as a literal map, and compute each
+       document's offset as ``shard_base + local running sum`` with a
+       window PARTITIONED BY shard — every shard's window runs in
+       parallel, the global sort never materializes on one machine.
+
+    The sharded relation is localCheckpointed so pass 1's totals and
+    pass 2's offsets see the SAME partitioning (RangePartitioner samples
+    its bounds; re-planning between actions must not re-draw them). The
+    checkpoint holds two longs + a shard id per document — metadata
+    scale, not corpus scale."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(toks()).alias("n_tok"))
+    sharded = (
+        t.repartitionByRange(n_shards, "doc_id")
+        .withColumn("shard", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r["shard"]: r["tot"]
+        for r in sharded.groupBy("shard")
+        .agg(F.sum("n_tok").alias("tot"))
+        .collect()
+    }
+    bases: dict[int, int] = {}
+    acc = 0
+    for shard in sorted(totals):
+        bases[shard] = acc
+        acc += totals[shard]
+    base_map = F.create_map(
+        *[F.lit(x) for kv in sorted(bases.items()) for x in kv]
+    )
+    lw = W.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = sharded.withColumn(
+        "cum", base_map[F.col("shard")] + F.sum("n_tok").over(lw)
+    )
     start = F.col("cum") - F.col("n_tok")
     return c.select(
         "doc_id",
