@@ -27,7 +27,7 @@ NOTES = {
     "sort-limit": "TakeOrderedAndProject: per-task top-100 merged on the driver; no global sort.",
     "stream-tumbling": "window() expands to a struct group key; partial agg before the shuffle; same plan streams with a watermark.",
     "dedup-exact": "Shuffle key is xxhash64(norm_text) (8 bytes) + min_by survivor struct; corpus text never shuffles.",
-    "dedup-near-minhash": "Explode shingles -> hash once -> 16 min-aggs; band self-join shuffles on signatures only; oversized buckets anti-joined away; band relation persisted across its consumers (released on the next invocation - the returned plan is lazy). Declared output is the invariant audit over a once-checkpointed clustering, so the plan below starts from the checkpoint scan.",
+    "dedup-near-minhash": "Explode shingles -> hash once -> 16 min-aggs; band self-join shuffles on signatures only; oversized buckets anti-joined away; band relation persisted across its consumers (released on the next invocation - the returned plan is lazy). r5: the audit consumes the clustering exactly once (collect_set window over nh + doc-id reference join), so the full LSH DAG inlines below with NO checkpoint barrier - one fewer materialization job than r4.",
     "sim-search-topk": "Query set broadcast; corpus scanned once, never shuffled; per-query rank-then-filter; norms projected once per side before the join (never per pair).",
     "sim-search-ivf": "sqrt(N)-seed quantizer runs once into a checkpoint (Arrow matmul assignment); centroids from one posexplode agg, broadcast; probe relation broadcast onto a cell-pruned candidate scan; per-side norms projected before each join.",
     "dedup-embedding-cosine": "Within-block pair join with per-row norms projected pre-join; top-1 neighbor per vector via rank-then-filter (WindowGroupLimit).",
@@ -58,12 +58,13 @@ Both confs stay: Bloom pruning pays on fact-fact joins and zstd on the
 write path, and neither taxes agg-hash measurably.
 
 **dedup-near-minhash r4 semantics change (affects common16 comparisons):**
-the declared key now audits the clustering (checkpoint + three
-invariant joins) on top of the unchanged LSH pipeline so the driver can
-hash-compare it against a TRUE-expected oracle instead of rows-only.
-Measured cost of the audit at sf0.1: 2.04 s (raw clustering) → 2.51 s
-(audited), still under r3's recorded 2.79 s. Compare this key across
-rounds with that +0.5 s step in mind.
+the declared key now audits the clustering on top of the unchanged LSH
+pipeline so the driver can hash-compare it against a TRUE-expected
+oracle instead of rows-only. r4 paid a checkpoint + three cl scans for
+the audit; r5 restructured it to consume the clustering exactly once
+(no checkpoint job), measured ~1.1 s faster per invocation at sf0.1
+under identical load. Compare this key across rounds with both steps in
+mind.
 """
 
 
