@@ -74,6 +74,10 @@ HEADLINE = [
     "sink-partitioned",
     "sink-merge-upsert",
     "sink-compact",
+    # r5 additions (not in the frozen common16 set)
+    "text-chunk-sliding",
+    "text-tfidf-topk",
+    "embed-quantize-int8",
 ]
 
 

@@ -1,0 +1,287 @@
+"""Feature-engineering operators for training-data pipelines: sliding
+chunking, TF-IDF term ranking, int8 embedding quantization.
+
+All three are EXT surface (no reference counterpart — the reference is a
+post-write file mover, MoveFilesOutputCommitter.scala:1-56); they extend
+the LLM-pipeline family (I*) with the prep steps a pretraining/RAG corpus
+build runs between cleaning and serialization:
+
+* chunking feeds context-window-bounded training examples and retrieval
+  indexing;
+* TF-IDF top-k is the classic cheap keyword/relevance signal (quality
+  filters, near-dup triage, topic binning);
+* int8 quantization is how embedding stores shrink 4× before ANN
+  serving.
+
+Scale notes are on each operator; none of the three shuffles more than
+aggregate-sized relations except tfidf's vocabulary join, which is the
+textbook document-frequency shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_file_mover_spark.llm._textnorm import toks
+from spark_file_mover_spark.registry import query
+from spark_file_mover_spark.sources.io import load_table
+
+# ---------------------------------------------------------------------------
+# text-chunk-sliding — overlapping fixed-size windows over the token stream
+# ---------------------------------------------------------------------------
+
+_CHUNK = 64
+_STRIDE = 48
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         1 + (GREATEST(n_tok - {_CHUNK}, 0) + {_STRIDE} - 1) // {_STRIDE}
+           AS n_chunks
+  FROM t
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {_STRIDE} AS BIGINT) AS start_tok,
+       CAST(LEAST({_CHUNK}, n_tok - i * {_STRIDE}) AS BIGINT) AS chunk_len
+FROM c, (SELECT unnest(range(0, (SELECT MAX(n_chunks) FROM c))) AS i)
+WHERE i < n_chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@query("text-chunk-sliding", oracle=_CHUNK_ORACLE)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: each document's token stream is cut into
+    {chunk}-token windows advancing by {stride} tokens (overlap = 16), the
+    layout a context-window-bounded pretraining or RAG-indexing job
+    consumes. Output is one row per (doc, chunk) with exact token
+    offsets; the final short window is kept (its length is the remaining
+    token count), matching the usual "no token left behind" policy.
+
+    Chunk count is closed-form integer math — ``1 + ceil(max(n_tok - C,
+    0) / S)`` — so both engines derive identical rows without comparing
+    text. Plan: one projection computing n_tok, one ``explode(sequence)``
+    per document; NO shuffle anywhere — at 100 TB this is a map-only pass
+    whose output is ~n_tok/stride rows per doc, and the (doc_id ordered)
+    output sort exists only for the driver hash (the relation itself is
+    partition-local). The oracle mirrors the same arithmetic with a
+    bounded range table + ``i < n_chunks`` filter (DuckDB lacks a
+    per-row range lateral in 1.0 that Spark's sequence mirrors
+    bit-for-bit; MAX(n_chunks) keeps the helper range tiny)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(toks()).alias("n_tok"))
+    n_chunks = 1 + (
+        F.greatest(F.col("n_tok") - _CHUNK, F.lit(0)) + _STRIDE - 1
+    ).cast("long") / F.lit(_STRIDE)
+    c = t.withColumn("n_chunks", F.floor(n_chunks))
+    i = F.col("i")
+    return (
+        c.select(
+            "doc_id",
+            "n_tok",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            i.cast("long").alias("chunk_idx"),
+            (i * _STRIDE).cast("long").alias("start_tok"),
+            F.least(F.lit(_CHUNK), F.col("n_tok") - i * _STRIDE)
+            .cast("long")
+            .alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text-tfidf-topk — top-k terms per document by TF-IDF
+# ---------------------------------------------------------------------------
+
+_TOPK = 3
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (
+  SELECT doc_id, tok, tf, df,
+         ROUND(tf * ln((n_docs + CAST(1 AS DOUBLE)) / (df + 1)), 9)
+           AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, tok
+  ) AS rk
+  FROM s
+)
+SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {_TOPK}
+ORDER BY doc_id, rk
+"""
+
+
+@query("text-tfidf-topk", oracle=_TFIDF_ORACLE)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} terms per document by smoothed TF-IDF
+    (``tf * ln((N+1)/(df+1))``) — the classic cheap relevance/keyword
+    signal for quality filtering and topic binning.
+
+    Cross-engine parity: the score is snapped to 9 decimals BEFORE the
+    ranking window in BOTH engines (same policy as sim-search-ivf's
+    argmax snap) so the ordering decision rides on the snapped value +
+    the ``tok`` tiebreak, never on sub-ULP ``ln`` differences between
+    libm implementations. All other inputs (tf, df, N) are exact
+    integers.
+
+    Plan shape at 100 TB: token explode → (doc, tok) count (map-side
+    partial combine collapses within-doc repeats in-task) → df via a
+    second agg keyed on tok (the textbook document-frequency shuffle,
+    vocabulary-sized output) → tf⋈df on tok (AQE picks SMJ/broadcast by
+    vocabulary size) → N joined as a broadcast scalar relation (stays in
+    the plan — no driver collect) → per-doc ranking window, which
+    Spark executes as WindowGroupLimit: only each doc's running top-k
+    survives the sort buffer."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(toks()).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    s = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + 1)
+                ),
+                9,
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK)
+        .select(
+            "doc_id",
+            "tok",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "tfidf",
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("doc_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embed-quantize-int8 — symmetric per-vector int8 quantization
+# ---------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH a AS (
+  SELECT vec_id, len(embedding) AS n_dims, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+           AS absmax
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, n_dims, absmax,
+         CASE WHEN absmax > 0 THEN CAST(127 AS DOUBLE) / absmax
+              ELSE CAST(0 AS DOUBLE) END AS scale,
+         embedding
+  FROM a
+),
+e AS (
+  SELECT vec_id, n_dims, absmax,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * scale + 0.5)
+              AS BIGINT) AS q
+  FROM s
+)
+SELECT vec_id, n_dims, absmax,
+       CAST(SUM(q) AS BIGINT) AS q_sum,
+       CAST(SUM(abs(q)) AS BIGINT) AS q_l1,
+       CAST(SUM(q * q) AS BIGINT) AS q_sq
+FROM e
+GROUP BY vec_id, n_dims, absmax
+ORDER BY vec_id
+"""
+
+
+@query("embed-quantize-int8", oracle=_QUANT_ORACLE)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    ``q_i = floor(v_i * 127/absmax + 0.5)`` — the 4× shrink an embedding
+    store applies before ANN serving. Declared output audits the
+    quantized vector with three exact integer aggregates (sum, L1,
+    sum-of-squares) plus the fp32 absmax, so the driver hash certifies
+    every quantized value without shipping arrays through the atomic-
+    column compare.
+
+    Numeric parity is exact, not snapped: float→double widening,
+    ``127/absmax``, the per-element multiply and ``floor`` are all
+    correctly-rounded IEEE ops both engines execute identically, and the
+    three audits sum INTEGERS (order-independent). Zero vectors quantize
+    to all-zero via the guarded scale (0.0), not NaN.
+
+    Plan shape: map-only per row — no shuffle, no UDF, no explode-join.
+    The absmax is computed once per row inside a Generate
+    (``explode(array(...))``) barrier: CollapseProject would otherwise
+    re-inline the ``array_max`` into the per-element quantize lambda and
+    turn O(d) per row into O(d²) — the barrier pins the evaluation
+    count, and Generate-of-one-element costs nothing. Same trick pins
+    the quantized array itself before the three integer folds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x))
+    ).cast("double")
+    a = emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        "embedding",
+        F.explode(F.array(absmax)).alias("absmax"),
+    )
+    scale = F.when(
+        F.col("absmax") > 0, F.lit(127.0) / F.col("absmax")
+    ).otherwise(F.lit(0.0))
+    qarr = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)),
+    )
+    q = a.select(
+        "vec_id",
+        "n_dims",
+        "absmax",
+        F.explode(F.array(qarr)).alias("q"),
+    )
+    zero = F.lit(0).cast("long")
+    return q.select(
+        "vec_id",
+        "n_dims",
+        "absmax",
+        F.aggregate("q", zero, lambda acc, x: acc + x).alias("q_sum"),
+        F.aggregate("q", zero, lambda acc, x: acc + F.abs(x)).alias("q_l1"),
+        F.aggregate("q", zero, lambda acc, x: acc + x * x).alias("q_sq"),
+    ).orderBy("vec_id")

@@ -80,8 +80,16 @@ _PRIORITY_R5 = [
     "dedup-simhash",
     "sample-pack-sequences",
     "sink-sorted-pruning",
-    # implementation changed this round
+    # implementation/oracle changed this round — their r4 rows describe
+    # the OLD output schema, so they need fresh rows ahead of the stale
+    # block
     "dedup-near-minhash",
+    "sample-hash-stratified",
+    "text-url-normalize",
+    # new keys this round (no driver row yet)
+    "text-chunk-sliding",
+    "text-tfidf-topk",
+    "embed-quantize-int8",
     # r3-stale block (latest green row is r3)
     "project-select", "filter-pred", "filter-like-regexp",
     "join-semi-anti", "join-broadcast", "join-range-theta",
@@ -118,6 +126,7 @@ def load_all() -> None:
         similarity,
         sampling,
         decontam,
+        features,
     )
     from spark_file_mover_spark.operators import relational  # noqa: F401
     from spark_file_mover_spark.functions import scalar  # noqa: F401
