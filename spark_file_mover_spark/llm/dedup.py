@@ -95,6 +95,41 @@ _PERMS = [(_rng.randrange(1, 1 << 30), _rng.randrange(0, _P)) for _ in range(_BA
 # previous invocation's persisted bands relation (released on next call)
 _last_bands = None
 
+# Reusable unresolved-expression fragments, built once per SparkContext
+# (py4j Column construction is pure driver latency — the 16 permuted-min
+# aggregates plus the band-struct array cost ~150 gateway round trips,
+# a measured slice of the ~0.6 s plan build this key paid per
+# invocation). Unresolved Columns are immutable expression trees bound
+# to no plan, so reuse across queries is safe; the cache keys on
+# applicationId (a unique string per context — id() would be recyclable)
+# so a restarted JVM rebuilds its fragments.
+_EXPR_CACHE: dict[str, dict[str, object]] = {}
+
+
+def _expr_fragments(spark: SparkSession) -> dict:
+    app = spark.sparkContext.applicationId
+    frags = _EXPR_CACHE.get(app)
+    if frags is None:
+        _EXPR_CACHE.clear()  # at most one live context per process
+        aggs = [
+            F.min(F.pmod(a * F.col("h") + b, F.lit(_P))).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_PERMS)
+        ]
+        band_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[F.col(f"mh{b * _ROWS + r}") for r in range(_ROWS)]
+                    ).alias("sig"),
+                )
+                for b in range(_BANDS)
+            ]
+        )
+        frags = {"aggs": aggs, "band_arr": band_arr}
+        _EXPR_CACHE[app] = frags
+    return frags
+
 
 def _minhash_signatures(d: DataFrame) -> DataFrame:
     """(doc_id, mh0..mh15): k minhash values over 3-word shingles.
@@ -119,13 +154,23 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
     probe undercounts splittable formats — 1 000 multi-GB parquet files
     scan as hundreds of thousands of split partitions, and mistaking that
     for "under-parallel" would trigger the exact full shuffle the guard
-    exists to avoid.
+    exists to avoid. The probe result is memoized ON the input DataFrame
+    object (an attribute stamp, immune to id() recycling by
+    construction) — load_table hands every consumer the same cached
+    plan object per (session, table), its scan's file listing is frozen
+    at plan time, so the partition count cannot change for the object's
+    lifetime; the probe's plan→RDD conversion was a measured ~0.1 s of
+    pure driver latency on every invocation.
     """
     spark = d.sparkSession
     toks_expr = toks()
     t = d.select("doc_id", toks_expr.alias("toks"))
     par = spark.sparkContext.defaultParallelism
-    if t.rdd.getNumPartitions() < par:
+    n_part = getattr(d, "_sfm_scan_partitions", None)
+    if n_part is None:
+        n_part = t.rdd.getNumPartitions()
+        d._sfm_scan_partitions = n_part
+    if n_part < par:
         t = t.repartition(par)
     tc = F.col("toks")
     shingles = F.array_distinct(
@@ -142,12 +187,7 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
     sh = t.select("doc_id", F.explode(shingles).alias("sh")).withColumn(
         "h", F.pmod(F.xxhash64("sh"), F.lit(1 << 32))
     )
-    return sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.pmod(a * F.col("h") + b, F.lit(_P))).alias(f"mh{i}")
-            for i, (a, b) in enumerate(_PERMS)
-        ]
-    )
+    return sh.groupBy("doc_id").agg(*_expr_fragments(spark)["aggs"])
 
 
 def _norm_hash() -> F.Column:
@@ -246,19 +286,7 @@ def minhash_clusters(
 
     cached = sig.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"mh{b * _ROWS + r}") for r in range(_ROWS)]
-                        ).alias("sig"),
-                    )
-                    for b in range(_BANDS)
-                ]
-            )
-        ).alias("bs"),
+        F.explode(_expr_fragments(spark)["band_arr"]).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig").persist(StorageLevel.MEMORY_AND_DISK)
     _last_bands = cached
     # oversized-bucket guard: anti-join degenerate signatures away
