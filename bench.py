@@ -78,6 +78,7 @@ HEADLINE = [
     "text-chunk-sliding",
     "text-tfidf-topk",
     "embed-quantize-int8",
+    "sim-search-lsh",
 ]
 
 

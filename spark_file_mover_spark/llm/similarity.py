@@ -1,6 +1,7 @@
-"""Similarity search over the embeddings table (SURVEY.md §2I, I3/I8/I9).
+"""Similarity search over the embeddings table (SURVEY.md §2I,
+I3/I8/I9/I27).
 
-Three operators, mirroring how an ANN service is actually built:
+Four operators, mirroring how an ANN service is actually built:
 
 * ``sim-search-topk`` — brute-force cosine top-k: broadcast the (small)
   query set against the corpus, rank per query. Exact, and the right plan
@@ -11,6 +12,9 @@ Three operators, mirroring how an ANN service is actually built:
   (centroid per cell), probe only the nprobe nearest cells per query.
   At 100 TB the corpus is written bucketed by cell id, so a probe reads
   only matching buckets (partition pruning); recall is tunable via nprobe.
+* ``sim-search-lsh`` — LSH-bucketed retrieval: data-independent
+  sign-projection buckets instead of learned cells; no training pass,
+  incremental-friendly, partition-prunable the same way.
 * ``dedup-embedding-cosine`` — embedding near-dup pairs within blocks.
 
 Norms are PRECOMPUTED once per row on each side before any join (a
@@ -456,4 +460,144 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
             (F.col("cos") >= DEDUP_COS_THRESHOLD).alias("is_near_dup"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim-search-lsh — LSH-bucketed candidate retrieval (the second scale path)
+# ---------------------------------------------------------------------------
+
+# Sparse sign-projection LSH: bit i of the signature is the comparison
+# v[a_i] > v[b_i] for a deterministic index pair — i.e. the sign of the
+# projection onto a hyperplane with +1 at a_i and -1 at b_i (a very
+# sparse random projection in the Achlioptas sense). Chosen over dense
+# Gaussian hyperplanes for the oracle because a single float COMPARISON
+# is bit-exact in both engines with no summation order to control; the
+# production swap-in is dense sign-random-projection with the dot
+# expressed as the same sequential fold dot() uses — identical plan
+# shape. Pairs are seeded constants baked into BOTH engine expressions.
+import random as _random
+
+_LSH_SIG_BITS = 16
+_LSH_BUCKET_BITS = 6  # 64 buckets: non-vacuous at sf0.001/0.01/0.1
+# (every probe query has >=4 same-bucket candidates, max bucket 44 —
+# measured; more bits empty out test-scale buckets, fewer stop hashing)
+__lsh_rng = _random.Random(7)
+_LSH_PAIRS: list[tuple[int, int]] = []
+while len(_LSH_PAIRS) < _LSH_SIG_BITS:
+    __a, __b = __lsh_rng.randrange(64), __lsh_rng.randrange(64)
+    if __a != __b and (__a, __b) not in _LSH_PAIRS:
+        _LSH_PAIRS.append((__a, __b))
+
+
+def _lsh_sig(col, bits: int):
+    """Spark column: integer signature from the first ``bits`` index-pair
+    sign comparisons of the float embedding column."""
+    terms = [
+        F.when(
+            F.element_at(col, a + 1) > F.element_at(col, b + 1),
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, (a, b) in enumerate(_LSH_PAIRS[:bits])
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _lsh_sig_sql(bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN embedding[{a + 1}] > embedding[{b + 1}] "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, (a, b) in enumerate(_LSH_PAIRS[:bits])
+    )
+
+
+_LSH_ORACLE = f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         CAST({_lsh_sig_sql(_LSH_BUCKET_BITS)} AS BIGINT) AS bucket,
+         {_NORM.format(a='embedding')} AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket, nrm AS qn
+      FROM s WHERE vec_id < {N_QUERIES}),
+sims AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id, q.bucket,
+         {_DOT.format(a='q.qe', b='s.embedding')} / (q.qn * s.nrm) AS cos
+  FROM q JOIN s USING (bucket)
+  WHERE q.query_id <> s.vec_id
+)
+SELECT query_id, neighbor_id, CAST(bucket AS BIGINT) AS bucket, rnk,
+       ROUND(cos, 6) AS cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM sims
+) WHERE rnk <= {TOP_K}
+ORDER BY query_id, rnk
+"""
+
+
+@query("sim-search-lsh", oracle=_LSH_ORACLE)
+def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: corpus vectors are hashed into sign-projection
+    buckets; each query retrieves ONLY its own bucket's candidates and
+    ranks them by exact cosine — the candidate set is what shrinks, the
+    scoring stays exact. Complements ``sim-search-ivf``: IVF prunes by
+    learned Voronoi cells, LSH by data-independent hashes (no training
+    pass, stable under distribution drift, trivially incremental).
+
+    At 100 TB the corpus is written PARTITIONED BY bucket, so a probe
+    reads exactly one partition per table (multi-table/multiprobe raises
+    recall the standard way — more independent signatures, union the
+    candidates). Here the retrieval is the bucket equi-join below: the
+    corpus side is scanned once, never shuffled (broadcast query side),
+    and per-query ranking collapses to WindowGroupLimit.
+
+    Parity: signature bits are float COMPARISONS (no arithmetic), so
+    both engines agree exactly; the cosine is the proven sequential-fold
+    dot (bit-identical), ranked before any rounding, 6 dp on emit."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    s = e.select(
+        "vec_id",
+        "embedding",
+        _lsh_sig(F.col("embedding"), _LSH_BUCKET_BITS).alias("bucket"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    q = s.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "bucket",
+        F.col("nrm").alias("qn"),
+    )
+    sims = (
+        F.broadcast(q)
+        .join(s, "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "bucket",
+            (
+                dot(F.col("qe"), F.col("embedding"))
+                / (F.col("qn") * F.col("nrm"))
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.round("cos", 6).alias("cosine"),
+        )
+        .orderBy("query_id", "rnk")
     )
