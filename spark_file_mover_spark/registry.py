@@ -91,6 +91,7 @@ _PRIORITY_R5 = [
     "text-tfidf-topk",
     "embed-quantize-int8",
     "sim-search-lsh",
+    "scan-orc-roundtrip",
     # r3-stale block (latest green row is r3)
     "project-select", "filter-pred", "filter-like-regexp",
     "join-semi-anti", "join-broadcast", "join-range-theta",

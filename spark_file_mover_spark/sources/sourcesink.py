@@ -158,6 +158,47 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B11 — ORC round trip (the second columnar format Spark ships natively)
+# ---------------------------------------------------------------------------
+
+_ORC_ORACLE = """
+SELECT s_suppkey, s_name, s_nationkey,
+       CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+FROM supplier
+"""
+
+
+@query("scan-orc-roundtrip", oracle=_ORC_ORACLE)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: write supplier as ORC (zstd) and re-read it — ORC is the
+    second columnar format Spark ships a vectorized reader for, and the
+    interop target for Hive-era warehouses. A columnar→columnar round
+    trip is the identity for every type here (ints, strings, doubles:
+    both formats store them losslessly — no CSV text coercion, no JSON
+    escaping), so the oracle is the original table; the money column
+    goes through the repo-standard decimal canonicalization on BOTH
+    sides purely so the emitted doubles hash identically. ORC gets the
+    same predicate-pushdown/column-pruning treatment as parquet from
+    the same declarative scan (``spark.read.orc``) — no schema
+    inference, the writer's footer schema is authoritative."""
+    out = tempfile.mkdtemp(prefix="sfm-b11-") + "/supplier_orc"
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    s.write.mode("overwrite").option("compression", "zstd").orc(out)
+    rt = spark.read.orc(out)
+    return rt.select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.col("s_acctbal")
+        .cast(T.DecimalType(12, 2))
+        .cast("double")
+        .alias("acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # B10 — sorted layout → row-group pruning
 # ---------------------------------------------------------------------------
 
