@@ -194,3 +194,45 @@ def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
     )
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_and_quantize_are_map_only(spark, sf_dir):
+    """text-chunk-sliding and embed-quantize-int8 are per-row transforms;
+    the ONLY exchange allowed is the final presentation sort. A shuffle
+    appearing earlier means the map-only scale story silently broke."""
+    import re
+
+    for key in ["text-chunk-sliding", "embed-quantize-int8"]:
+        plan = _formatted_plan(spark, registry.QUERIES[key](spark, sf_dir))
+        names = [n for _, n in re.findall(r"\((\d+)\) (\w+)", plan)]
+        assert names.count("Exchange") <= 1, (key, names)
+        si = names.index("Sort")
+        assert "Exchange" not in names[si + 2:], (key, names)
+
+
+def test_quantize_pins_absmax_behind_generate_barrier(spark, sf_dir):
+    """The Generate (explode-of-one) barrier is what keeps absmax and the
+    quantized array at ONE evaluation per row instead of per element —
+    CollapseProject would otherwise inline them into the per-element
+    lambdas (O(d) -> O(d^2) per row)."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["embed-quantize-int8"](spark, sf_dir)
+    )
+    assert plan.count("Generate (") >= 2
+
+
+def test_lsh_broadcasts_query_side(spark, sf_dir):
+    """sim-search-lsh retrieval is a bucket equi-join with the (tiny)
+    query side broadcast — the corpus must never shuffle for a probe."""
+    plan = _formatted_plan(spark, registry.QUERIES["sim-search-lsh"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_uses_window_group_limit_and_broadcast_scalar(spark, sf_dir):
+    """Per-doc ranking must collapse to WindowGroupLimit (partial+final)
+    and the corpus-count scalar joins as a broadcast, not a shuffle."""
+    plan = _formatted_plan(spark, registry.QUERIES["text-tfidf-topk"](spark, sf_dir))
+    assert plan.count("WindowGroupLimit (") >= 2
+    assert "CartesianProduct" not in plan
