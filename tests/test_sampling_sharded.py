@@ -30,3 +30,42 @@ def test_sharded_offsets_are_contiguous(spark, sf_dir):
     for r in rows:
         assert r.start_offset == pos
         pos += r.n_tok
+
+
+def test_chunk_layout_tiles_with_overlap(spark, sf_dir):
+    """Property of the sliding-chunk math: per doc, chunk starts advance
+    by exactly the stride, the first chunk starts at 0, every chunk is
+    non-empty and at most CHUNK long, and the final chunk reaches (but
+    never passes) the document's token count."""
+    from spark_file_mover_spark.llm.features import (
+        _CHUNK,
+        _STRIDE,
+        text_chunk_sliding,
+    )
+    from spark_file_mover_spark.llm.sampling import sample_pack_sequences
+
+    rows = text_chunk_sliding(spark, sf_dir).collect()
+    n_tok = {
+        r.doc_id: r.n_tok for r in sample_pack_sequences(spark, sf_dir).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_tok)  # every doc is chunked
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        total = n_tok[doc_id]
+        for i, c in enumerate(chunks):
+            assert c.chunk_idx == i
+            assert c.start_tok == i * _STRIDE
+            assert 1 <= c.chunk_len <= _CHUNK
+        last = chunks[-1]
+        assert last.start_tok + last.chunk_len == min(
+            total, last.start_tok + _CHUNK
+        )
+        # the chunk set covers the whole stream: the last window reaches
+        # the end, and no extra window would start inside the stream
+        assert last.start_tok + last.chunk_len >= total or (
+            last.start_tok + _CHUNK >= total
+        )
+        assert (len(chunks) - 1) * _STRIDE < max(total - _CHUNK, 0) + _STRIDE
