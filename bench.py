@@ -107,17 +107,21 @@ def main() -> None:
     # ONE JSON line on stdout, and the file-mover keys print their rename
     # plan (reference-parity behavior, scala :49).
     with contextlib.redirect_stdout(sys.stderr):
-        # Warm the JVM + parquet footers once (excluded from timings).
-        materialize(registry.QUERIES[keys[0]](spark, sf_dir))
-
-        # min-of-N: the minimum is the closest observation to the true
-        # cost (GC pauses, JIT, scheduler jitter only ever add time).
-        # 3 reps (r5, was 2): the first invocation of a key pays plan
-        # codegen (~2x), and the write-path keys showed ±12% r3->r4
-        # jitter that two reps can't separate from regression.
+        # min-of-N over a PER-KEY warmed run: every key executes once
+        # unmeasured before its timed reps. Rationale (r5): JIT +
+        # whole-stage-codegen warm-up is per-generated-class, so a cold
+        # multi-stage key keeps improving for several invocations (the
+        # minhash key measured 2.63 -> 2.27 -> 2.12 -> 2.05 -> 1.92 over
+        # successive reps); min-of-3 over a cold start records warm-up,
+        # not steady state, and is also the likely cause of the r3->r4
+        # write-path ±12% "jitter". The warm pass costs one extra
+        # headline sweep (~15 s at sf0.1) and buys round-over-round
+        # comparability. The minimum is the closest observation to the
+        # true cost (GC pauses and scheduler jitter only ever add time).
         runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
         timings: dict[str, float] = {}
         for key in keys:
+            materialize(registry.QUERIES[key](spark, sf_dir))  # warm-up
             best = None
             for _ in range(runs):
                 t0 = time.perf_counter()

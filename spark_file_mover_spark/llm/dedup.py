@@ -266,9 +266,9 @@ def minhash_clusters(
         .select("e.doc_id", "e.nb")
     )
     sig = _minhash_signatures(d)
-    # bands is consumed four times (bucket-size stats, anti-join, both
-    # sides of the self-join); persist the tiny post-agg relation (b rows
-    # per doc) or every consumer re-runs the shingle explode+agg upstream.
+    # bands is consumed three times (guard window + both sides of the
+    # self-join); persist the tiny post-agg relation (b rows per doc) or
+    # every consumer re-runs the shingle explode+agg upstream.
     # MEMORY_AND_DISK: spills instead of OOM on wide corpora.
     # Cache lifecycle: the returned plan is LAZY, so the cache cannot be
     # released inside this call without forcing a blocking materialization
@@ -276,6 +276,7 @@ def minhash_clusters(
     # released here, bounding the footprint to one cached bands relation
     # (r02 bench leaked one per invocation: 'already cached' warnings).
     from pyspark import StorageLevel
+    from pyspark.sql import Window as W
 
     if _last_bands is not None:
         try:
@@ -289,14 +290,27 @@ def minhash_clusters(
         F.explode(_expr_fragments(spark)["band_arr"]).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig").persist(StorageLevel.MEMORY_AND_DISK)
     _last_bands = cached
-    # oversized-bucket guard: anti-join degenerate signatures away
-    oversized = (
-        cached.groupBy("band", "sig")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > _MAX_BUCKET)
-        .select("band", "sig")
+    # Oversized-bucket guard, window form (r5): a count window over
+    # (band, sig) filters degenerate signatures on the SAME
+    # (band, sig)-hashed exchange the self-join consumes, so the guard,
+    # the left join side and the right join side all reuse ONE shuffle
+    # and the critical path loses the r4 formulation's separate
+    # count-aggregate job + broadcast build barrier (measured −0.9 s per
+    # invocation at sf0.1, interleaved min-of-5). Honest trade-off vs
+    # the agg+broadcast-anti-join guard: a degenerate bucket's rows now
+    # CROSS that one exchange and sit spill-buffered in a window
+    # partition before the filter drops them, where the anti-join
+    # removed them map-side pre-shuffle. That cost is one shuffle of the
+    # oversized-bucket mass — boilerplate-dominated corpora where that
+    # mass is a large corpus fraction should flip back to the
+    # aggregate guard; the pair stage stays linear either way because
+    # the filter still runs before the join.
+    w_bucket = W.partitionBy("band", "sig")
+    bands = (
+        cached.withColumn("bn", F.count("*").over(w_bucket))
+        .filter(F.col("bn") <= _MAX_BUCKET)
+        .drop("bn")
     )
-    bands = cached.join(F.broadcast(oversized), ["band", "sig"], "left_anti")
     # NO .distinct() on pairs: a pair colliding in several bands appears
     # several times, but every downstream consumer is a min() aggregate
     # (map-side partial combine collapses the dups in-task), so dedup
