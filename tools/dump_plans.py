@@ -27,7 +27,7 @@ NOTES = {
     "sort-limit": "TakeOrderedAndProject: per-task top-100 merged on the driver; no global sort.",
     "stream-tumbling": "window() expands to a struct group key; partial agg before the shuffle; same plan streams with a watermark.",
     "dedup-exact": "Shuffle key is xxhash64(norm_text) (8 bytes) + min_by survivor struct; corpus text never shuffles.",
-    "dedup-near-minhash": "Explode shingles -> hash once -> 16 min-aggs; band self-join shuffles on signatures only; oversized buckets anti-joined away; band relation persisted across its consumers (released on the next invocation - the returned plan is lazy). r5: the audit consumes the clustering exactly once (collect_set window over nh + doc-id reference join), so the full LSH DAG inlines below with NO checkpoint barrier - one fewer materialization job than r4.",
+    "dedup-near-minhash": "Explode shingles -> hash once -> 16 min-aggs; band self-join shuffles on signatures only; oversized buckets filtered by a count window sharing the self-join's (band,sig) exchange; band relation persisted across its consumers (released on the next invocation - the returned plan is lazy). r5: the audit consumes the clustering exactly once (collect_set window over nh + doc-id reference join), so the full LSH DAG inlines below with NO checkpoint barrier - one fewer materialization job than r4.",
     "sim-search-topk": "Query set broadcast; corpus scanned once, never shuffled; per-query rank-then-filter; norms projected once per side before the join (never per pair).",
     "sim-search-ivf": "sqrt(N)-seed quantizer runs once into a checkpoint (Arrow matmul assignment); centroids from one posexplode agg, broadcast; probe relation broadcast onto a cell-pruned candidate scan; per-side norms projected before each join.",
     "dedup-embedding-cosine": "Within-block pair join with per-row norms projected pre-join; top-1 neighbor per vector via rank-then-filter (WindowGroupLimit).",
