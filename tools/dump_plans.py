@@ -26,6 +26,11 @@ NOTES = {
     "topk-per-group": "Two WindowGroupLimit nodes: partial (map-side, pre-shuffle) keeps <=5 rows/group per task.",
     "sort-limit": "TakeOrderedAndProject: per-task top-100 merged on the driver; no global sort.",
     "stream-tumbling": "window() expands to a struct group key; partial agg before the shuffle; same plan streams with a watermark.",
+    "text-chunk-sliding": "Map-only: closed-form chunk count -> explode(sequence) per doc; the only exchange is the presentation sort.",
+    "text-tfidf-topk": "Per-doc tf agg (map-side combine) + vocabulary df agg; df joins by AQE sizing, corpus-count scalar broadcast; partial+final WindowGroupLimit keeps only each doc's top-3.",
+    "embed-quantize-int8": "Map-only: two Generate barriers pin absmax and the quantized array to one evaluation per row; three integer folds audit the result; no shuffle before the presentation sort.",
+    "sim-search-lsh": "Sign-projection bucket key on both sides; query side broadcast onto the bucket equi-join (corpus scanned once, never shuffled); exact fold-cosine ranking under WindowGroupLimit.",
+    "scan-orc-roundtrip": "ORC write (zstd) then vectorized ORC scan; footer schema authoritative, same pushdown/pruning path as parquet.",
     "dedup-exact": "Shuffle key is xxhash64(norm_text) (8 bytes) + min_by survivor struct; corpus text never shuffles.",
     "dedup-near-minhash": "Explode shingles -> hash once -> 16 min-aggs; band self-join shuffles on signatures only; oversized buckets filtered by a count window sharing the self-join's (band,sig) exchange; band relation persisted across its consumers (released on the next invocation - the returned plan is lazy). r5: the audit consumes the clustering exactly once (collect_set window over nh + doc-id reference join), so the full LSH DAG inlines below with NO checkpoint barrier - one fewer materialization job than r4.",
     "sim-search-topk": "Query set broadcast; corpus scanned once, never shuffled; per-query rank-then-filter; norms projected once per side before the join (never per pair).",
