@@ -246,3 +246,81 @@ def pack_offsets_sharded(
             + 1
         ).alias("n_seqs_spanned"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# sample-temperature-weights — multi-source mixture rebalancing
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.7
+_TEMP_BUDGET = 100_000
+
+_TEMP_ORACLE = f"""
+WITH s AS (
+  SELECT lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+')))
+              AS BIGINT) AS n_toks
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n_docs, n_toks,
+         pow(n_docs, {_TEMP_ALPHA}) AS pd,
+         pow(n_toks, {_TEMP_ALPHA}) AS pt
+  FROM s
+)
+SELECT lang, n_docs, n_toks,
+       ROUND(pd / (SELECT SUM(pd) FROM w), 9) AS w_docs,
+       ROUND(pt / (SELECT SUM(pt) FROM w), 9) AS w_toks,
+       CAST(floor({_TEMP_BUDGET} * ROUND(pd / (SELECT SUM(pd) FROM w), 9)
+                  + 0.5) AS BIGINT) AS expected_docs
+FROM w ORDER BY lang
+"""
+
+
+@query("sample-temperature-weights", oracle=_TEMP_ORACLE)
+def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rebalancing — the standard multilingual /
+    multi-source recipe: sampling weight ∝ n^α (α=0.7 here, the common
+    pretraining default) renormalized across strata, which up-weights
+    low-resource strata relative to proportional sampling without
+    letting them dominate. Emitted per language: document and token
+    counts, both weightings, and the expected document draw for a
+    100 000-doc budget.
+
+    Parity: counts are exact integers; ``pow`` and the normalizing
+    division are snapped to 9 dp in BOTH engines before any derived
+    integer is computed (same policy as text-tfidf-topk's ln), so libm
+    ULP differences cannot leak into the hash. One tiny groupBy (|langs|
+    rows) + a scalar-aggregate normalizer that Spark plans as a
+    broadcast subquery — at 100 TB the whole key costs one corpus scan
+    with map-side partial counts."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks())).cast("long").alias("n_toks"),
+    )
+    w = s.select(
+        "*",
+        F.pow("n_docs", F.lit(_TEMP_ALPHA)).alias("pd"),
+        F.pow("n_toks", F.lit(_TEMP_ALPHA)).alias("pt"),
+    )
+    tot = w.agg(
+        F.sum("pd").alias("spd"), F.sum("pt").alias("spt")
+    )
+    w_docs = F.round(F.col("pd") / F.col("spd"), 9)
+    w_toks = F.round(F.col("pt") / F.col("spt"), 9)
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_toks",
+            w_docs.alias("w_docs"),
+            w_toks.alias("w_toks"),
+            F.floor(_TEMP_BUDGET * w_docs + F.lit(0.5))
+            .cast("long")
+            .alias("expected_docs"),
+        )
+        .orderBy("lang")
+    )

@@ -92,6 +92,7 @@ _PRIORITY_R5 = [
     "embed-quantize-int8",
     "sim-search-lsh",
     "scan-orc-roundtrip",
+    "sample-temperature-weights",
     # r3-stale block (latest green row is r3)
     "project-select", "filter-pred", "filter-like-regexp",
     "join-semi-anti", "join-broadcast", "join-range-theta",
