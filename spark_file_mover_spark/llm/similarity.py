@@ -601,3 +601,42 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+def lsh_write_bucketed(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """The ingest-side half of the sim-search-lsh 100 TB story, literal:
+    write the corpus PARTITIONED BY its LSH bucket so probes become
+    partition-pruned scans. One pass over the corpus (the signature is a
+    scan-stage projection), one Hive-layout directory per bucket; at
+    scale this is the once-per-ingest cost that every later probe
+    amortizes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    s = e.select(
+        "vec_id",
+        "embedding",
+        _lsh_sig(F.col("embedding"), _LSH_BUCKET_BITS).alias("bucket"),
+    )
+    s.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+
+
+def lsh_probe_bucketed(
+    spark: SparkSession, out_dir: str, query_vec, bucket: int
+) -> DataFrame:
+    """The probe-side half: read ONLY the query's bucket partition (the
+    bucket filter prunes at planning time — `PartitionFilters` in the
+    scan, zero non-matching files opened) and rank the bucket's
+    candidates by the exact fold-cosine. ``query_vec`` is a Python list
+    of floats (the serving path receives the vector, not a row id)."""
+    c = spark.read.parquet(out_dir).filter(F.col("bucket") == bucket)
+    qcol = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+    qn = norm(qcol)
+    return (
+        c.select(
+            "vec_id",
+            (dot(qcol, F.col("embedding")) / (qn * norm(F.col("embedding"))))
+            .alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+    )

@@ -236,3 +236,37 @@ def test_tfidf_uses_window_group_limit_and_broadcast_scalar(spark, sf_dir):
     plan = _formatted_plan(spark, registry.QUERIES["text-tfidf-topk"](spark, sf_dir))
     assert plan.count("WindowGroupLimit (") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_bucketed_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The literal scale path sim-search-lsh documents: corpus written
+    partitioned by LSH bucket, probe filtered to one bucket must prune
+    at planning time (PartitionFilters on the scan, not a post-scan
+    Filter over all buckets) and return exactly that bucket's rows."""
+    from spark_file_mover_spark.llm.similarity import (
+        _LSH_BUCKET_BITS,
+        _lsh_sig,
+        lsh_probe_bucketed,
+        lsh_write_bucketed,
+    )
+    from spark_file_mover_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "lsh_corpus")
+    lsh_write_bucketed(spark, sf_dir, out)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select(
+        "embedding", _lsh_sig(F.col("embedding"), _LSH_BUCKET_BITS).alias("b")
+    ).collect()[0]
+    probe = lsh_probe_bucketed(spark, out, row.embedding, row.b)
+    plan = _formatted_plan(spark, probe)
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # pruned read: every returned row is from the probed bucket, and the
+    # count matches a full-scan bucket count
+    expected = (
+        e.select(_lsh_sig(F.col("embedding"), _LSH_BUCKET_BITS).alias("b"))
+        .filter(F.col("b") == row.b)
+        .count()
+    )
+    assert probe.count() == expected > 0
