@@ -70,11 +70,14 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #   1. The three keys whose r4 row was red or vacuous, now fixed
 #      (oracle BIGINT casts; 1995-Q1 pruning window) — they need a fresh
 #      driver row above all else.
-#   2. dedup-near-minhash: implementation reworked this round (shared
-#      normalized-hash relation for the perf budget), so re-score.
-#   3. The 40 keys whose latest driver row is r3 (one round stale) —
+#   2. Keys whose implementation or ORACLE changed this round
+#      (minhash rework; stratified/url output-schema changes — their r4
+#      rows describe the OLD output and must not stand).
+#   3. The six NEW r5 keys (chunking, tfidf, quantize, lsh, orc,
+#      temperature) — no driver row exists yet.
+#   4. The 40 keys whose latest driver row is r3 (one round stale) —
 #      scoring them keeps every key at <=1-round staleness across r4|r5.
-#   4. Everything r4-fresh at the tail.
+#   5. Everything r4-fresh at the tail.
 _PRIORITY_R5 = [
     # red/vacuous in r4, fixed this round
     "dedup-simhash",
