@@ -166,6 +166,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "common16_total": common16_total,
+                # methodology marker: r5+ runs warm every key once before
+                # its timed reps (steady-state numbers); r2-r4 recorded
+                # cold-start min-of-N — compare across that boundary with
+                # the warm-up delta in mind (multi-stage keys ~10-20%).
+                "per_key_warmup": True,
                 "over_budget": sorted(over_budget),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
