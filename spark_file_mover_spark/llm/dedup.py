@@ -28,9 +28,13 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_file_mover_spark.llm._textnorm import toks
+from spark_file_mover_spark.llm._textnorm import (
+    MD5_PREFIX60_SQL as MD5P,
+    md5_prefix60,
+    toks,
+)
 from spark_file_mover_spark.registry import query
-from spark_file_mover_spark.sources.io import load_table
+from spark_file_mover_spark.sources.io import load_table, scan_partitions
 
 # ---------------------------------------------------------------------------
 # I1 — exact dedup
@@ -154,23 +158,17 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
     probe undercounts splittable formats — 1 000 multi-GB parquet files
     scan as hundreds of thousands of split partitions, and mistaking that
     for "under-parallel" would trigger the exact full shuffle the guard
-    exists to avoid. The probe result is memoized ON the input DataFrame
-    object (an attribute stamp, immune to id() recycling by
-    construction) — load_table hands every consumer the same cached
-    plan object per (session, table), its scan's file listing is frozen
-    at plan time, so the partition count cannot change for the object's
-    lifetime; the probe's plan→RDD conversion was a measured ~0.1 s of
-    pure driver latency on every invocation.
+    exists to avoid. The probe is memoized via
+    :func:`spark_file_mover_spark.sources.io.scan_partitions`, which
+    lives beside the load_table plan cache whose object-identity
+    contract makes the memo valid (~0.1 s of driver latency saved per
+    invocation).
     """
     spark = d.sparkSession
     toks_expr = toks()
     t = d.select("doc_id", toks_expr.alias("toks"))
     par = spark.sparkContext.defaultParallelism
-    n_part = getattr(d, "_sfm_scan_partitions", None)
-    if n_part is None:
-        n_part = t.rdd.getNumPartitions()
-        d._sfm_scan_partitions = n_part
-    if n_part < par:
+    if scan_partitions(d) < par:
         t = t.repartition(par)
     tc = F.col("toks")
     shingles = F.array_distinct(
@@ -628,7 +626,7 @@ WITH toks AS (
   FROM documents
 ),
 hashed AS (
-  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT AS h
+  SELECT doc_id, {MD5P.format(x='tok')} AS h
   FROM toks
 ),
 votes AS (
@@ -674,9 +672,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array_distinct(toks())
         ).alias("tok"),
-    ).withColumn(
-        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
-    )
+    ).withColumn("h", md5_prefix60(F.col("tok")))
 
     def mask(bit: int):
         return F.shiftleft(F.lit(1).cast("long"), bit)

@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_file_mover_spark.llm._textnorm import toks
+from spark_file_mover_spark.llm._textnorm import (
+    MD5_PREFIX60_SQL,
+    md5_prefix60,
+    toks,
+)
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import load_table
 
@@ -43,12 +47,12 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STRATIFIED_ORACLE = """
+_STRATIFIED_ORACLE = f"""
 WITH s AS (
   SELECT lang,
          COUNT(*) AS n_total,
-         CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                            ::UBIGINT::BIGINT % 100 < 20
+         CAST(SUM(CASE WHEN {MD5_PREFIX60_SQL.format(x='CAST(doc_id AS VARCHAR)')}
+                            % 100 < 20
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
   FROM documents GROUP BY lang
 )
@@ -83,15 +87,7 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than assumed TRUE."""
     d = load_table(spark, sf_dir, "documents")
     picked = (
-        F.pmod(
-            F.conv(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(100),
-        )
-        < 20
+        F.pmod(md5_prefix60(F.col("doc_id").cast("string")), F.lit(100)) < 20
     )
     g = (
         d.select("lang", picked.cast("int").alias("picked"))
@@ -268,13 +264,18 @@ w AS (
          pow(n_docs, {_TEMP_ALPHA}) AS pd,
          pow(n_toks, {_TEMP_ALPHA}) AS pt
   FROM s
+),
+t AS (
+  SELECT list_reduce(list_sort(list(pd)), (a, b) -> a + b) AS spd,
+         list_reduce(list_sort(list(pt)), (a, b) -> a + b) AS spt
+  FROM w
 )
 SELECT lang, n_docs, n_toks,
-       ROUND(pd / (SELECT SUM(pd) FROM w), 9) AS w_docs,
-       ROUND(pt / (SELECT SUM(pt) FROM w), 9) AS w_toks,
-       CAST(floor({_TEMP_BUDGET} * ROUND(pd / (SELECT SUM(pd) FROM w), 9)
-                  + 0.5) AS BIGINT) AS expected_docs
-FROM w ORDER BY lang
+       ROUND(pd / spd, 9) AS w_docs,
+       ROUND(pt / spt, 9) AS w_toks,
+       CAST(floor({_TEMP_BUDGET} * ROUND(pd / spd, 9) + 0.5) AS BIGINT)
+         AS expected_docs
+FROM w CROSS JOIN t ORDER BY lang
 """
 
 
@@ -288,13 +289,18 @@ def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, both weightings, and the expected document draw for a
     100 000-doc budget.
 
-    Parity: counts are exact integers; ``pow`` and the normalizing
-    division are snapped to 9 dp in BOTH engines before any derived
-    integer is computed (same policy as text-tfidf-topk's ln), so libm
-    ULP differences cannot leak into the hash. One tiny groupBy (|langs|
-    rows) + a scalar-aggregate normalizer that Spark plans as a
-    broadcast subquery — at 100 TB the whole key costs one corpus scan
-    with map-side partial counts."""
+    Parity: counts are exact integers. The per-stratum ``pow`` values
+    feed a normalizer that is summed via a SORTED sequential fold in
+    BOTH engines (``aggregate(array_sort(collect_list(...)))`` ≡
+    ``list_reduce(list_sort(list(...)))``) — a plain double ``SUM``'s
+    partial-aggregation order is partition-dependent, which is this
+    repo's named hazard for any float that feeds a hash-compared value
+    (see sim-search-ivf's centroid fold). The final ratio is then
+    snapped to 9 dp in both engines before the hash and before any
+    derived integer, so residual libm pow ULP (the tfidf-ln class of
+    risk) cannot leak past the snap. One tiny groupBy (|langs| rows) +
+    a broadcast scalar normalizer — at 100 TB the whole key costs one
+    corpus scan with map-side partial counts."""
     d = load_table(spark, sf_dir, "documents")
     s = d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -305,8 +311,16 @@ def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pow("n_docs", F.lit(_TEMP_ALPHA)).alias("pd"),
         F.pow("n_toks", F.lit(_TEMP_ALPHA)).alias("pt"),
     )
+
+    def _sorted_sum(col: str):
+        return F.aggregate(
+            F.array_sort(F.collect_list(col)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
     tot = w.agg(
-        F.sum("pd").alias("spd"), F.sum("pt").alias("spt")
+        _sorted_sum("pd").alias("spd"), _sorted_sum("pt").alias("spt")
     )
     w_docs = F.round(F.col("pd") / F.col("spd"), 9)
     w_toks = F.round(F.col("pt") / F.col("spt"), 9)

@@ -287,7 +287,14 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sid — argmax first-max over ascending sid_arr ≡ SQL ORDER BY
         # score DESC, sid), not by which engine's rounding noise won.
         # Measured seed-score gaps are ~1e-2; 1e-9 snaps only true ties.
-        return pd.Series(sid_arr[np.argmax(np.round(scores, 9), axis=1)])
+        # Half-mode matters: DuckDB ROUND is half-AWAY-from-zero while
+        # np.round is half-to-even — a score straddling a 9-dp half
+        # boundary would land on different grid points and defeat the
+        # snap. Reproduce half-away explicitly (sign-aware floor).
+        snapped = (
+            np.sign(scores) * np.floor(np.abs(scores) * 1e9 + 0.5) / 1e9
+        )
+        return pd.Series(sid_arr[np.argmax(snapped, axis=1)])
 
     # checkpoint eagerly: `assigned` feeds BOTH the centroid aggregation
     # and the candidate join, and Spark has no cross-branch subexpression
@@ -478,13 +485,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shape. Pairs are seeded constants baked into BOTH engine expressions.
 import random as _random
 
-_LSH_SIG_BITS = 16
 _LSH_BUCKET_BITS = 6  # 64 buckets: non-vacuous at sf0.001/0.01/0.1
 # (every probe query has >=4 same-bucket candidates, max bucket 44 —
-# measured; more bits empty out test-scale buckets, fewer stop hashing)
+# measured; more bits empty out test-scale buckets, fewer stop hashing).
+# Exactly the consumed pairs are generated; the multiprobe / multi-table
+# recall extension draws MORE pairs from this same seeded stream (the
+# prefix is stable), it does not change these six.
 __lsh_rng = _random.Random(7)
 _LSH_PAIRS: list[tuple[int, int]] = []
-while len(_LSH_PAIRS) < _LSH_SIG_BITS:
+while len(_LSH_PAIRS) < _LSH_BUCKET_BITS:
     __a, __b = __lsh_rng.randrange(64), __lsh_rng.randrange(64)
     if __a != __b and (__a, __b) not in _LSH_PAIRS:
         _LSH_PAIRS.append((__a, __b))

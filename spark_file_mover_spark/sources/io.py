@@ -113,3 +113,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all testdata tables as temp views for spark.sql queries."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+_SCAN_PARTS_ATTR = "_spark_file_mover_scan_partitions"
+
+
+def scan_partitions(df: DataFrame) -> int:
+    """Memoized ``df.rdd.getNumPartitions()`` for under-parallelism
+    guards. The probe is a full plan→RDD conversion (~0.1 s of driver
+    latency), so the result is stamped onto the DataFrame object itself —
+    attribute lifetime equals object lifetime, so a recycled ``id()``
+    can never alias a dead entry. The memo is VALID precisely because of
+    this module's cache contract: :func:`load_table` hands every
+    consumer the same cached plan object per (session, table) and the
+    scan's file listing is frozen at plan time, so the partition count
+    cannot change for the object's lifetime. Keeping the helper beside
+    the cache ties the two halves of that contract together — a cache
+    policy change here must revisit this memo too."""
+    n = getattr(df, _SCAN_PARTS_ATTR, None)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        setattr(df, _SCAN_PARTS_ATTR, n)
+    return n
