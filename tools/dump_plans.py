@@ -70,6 +70,18 @@ the audit; r5 restructured it to consume the clustering exactly once
 (no checkpoint job), measured ~1.1 s faster per invocation at sf0.1
 under identical load. Compare this key across rounds with both steps in
 mind.
+
+**Write-path r3→r4 "jitter" (sink-compact/partitioned/merge-upsert,
++10-12%) — attributed: cold-start JIT, resolved by methodology.** The
+r5 investigation found whole-stage-codegen JIT keeps improving a cold
+multi-stage key for ~5 invocations (minhash measured 2.63→1.92 s over
+six successive reps in one process); r2-r4's min-of-N from cold start
+therefore recorded a nondeterministic point on the warm-up curve, which
+is exactly a ±10% effect at these magnitudes. bench.py now warms every
+key once before its timed reps (`per_key_warmup: true` in the JSON) and
+r5 write-path numbers came in at or below r3's (compact 0.98 vs 1.25,
+partitioned 0.69 vs 0.73, merge-upsert 0.32 vs 0.45) with no plan
+change. Compare r5+ numbers to r2-r4 with the warm-up delta in mind.
 """
 
 
