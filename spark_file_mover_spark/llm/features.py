@@ -116,7 +116,7 @@ tf AS (
   SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
 ),
 df AS (
-  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
 ),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 s AS (
@@ -151,20 +151,22 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm implementations. All other inputs (tf, df, N) are exact
     integers.
 
-    Plan shape at 100 TB: token explode → (doc, tok) count (map-side
-    partial combine collapses within-doc repeats in-task) → df via a
-    second agg keyed on tok (the textbook document-frequency shuffle,
-    vocabulary-sized output) → tf⋈df on tok (AQE picks SMJ/broadcast by
-    vocabulary size) → N joined as a broadcast scalar relation (stays in
-    the plan — no driver collect) → per-doc ranking window, which
-    Spark executes as WindowGroupLimit: only each doc's running top-k
-    survives the sort buffer."""
+    Plan shape at 100 TB: ONE token explode → (doc, tok) count
+    (map-side partial combine collapses within-doc repeats in-task) →
+    df derived FROM the tf relation (one row per (doc, tok), so
+    ``count(*)`` per tok IS the document frequency — re-exploding the
+    corpus for df would scan and explode every token a second time) →
+    tf⋈df on tok (AQE picks SMJ/broadcast by vocabulary size) → N
+    joined as a broadcast scalar relation (stays in the plan — no
+    driver collect) → per-doc ranking window, which Spark executes as
+    WindowGroupLimit: only each doc's running top-k survives the sort
+    buffer."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(toks()).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     s = (
         tf.join(df, "tok")

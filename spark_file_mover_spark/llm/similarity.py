@@ -638,9 +638,14 @@ def lsh_probe_bucketed(
     scan, zero non-matching files opened) and rank the bucket's
     candidates by the exact fold-cosine. ``query_vec`` is a Python list
     of floats (the serving path receives the vector, not a row id)."""
+    import math
+
     c = spark.read.parquet(out_dir).filter(F.col("bucket") == bucket)
     qcol = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
-    qn = norm(qcol)
+    # query norm computed driver-side: norm(qcol) is an aggregate over a
+    # literal array, which Catalyst does not constant-fold — left in the
+    # plan it re-runs a 64-element fold per candidate row
+    qn = F.lit(math.sqrt(sum(float(x) * float(x) for x in query_vec)))
     return (
         c.select(
             "vec_id",
