@@ -654,3 +654,54 @@ def lsh_probe_bucketed(
         )
         .orderBy(F.col("cos").desc(), "vec_id")
     )
+
+
+def lsh_probe_multiprobe(
+    spark: SparkSession,
+    out_dir: str,
+    query_vec,
+    n_flip: int = 1,
+) -> DataFrame:
+    """Multiprobe over the bucketed LSH corpus: probe the query's own
+    bucket PLUS every bucket within Hamming distance ``n_flip`` of it
+    (standard multiprobe LSH — each signature bit is a sign comparison,
+    so the near-miss buckets are exactly the single-bit flips). Recall
+    rises with the probe count while the scan stays partition-pruned:
+    the ``bucket IN (...)`` filter still prunes at planning time, so
+    1 + C(bits, ≤n_flip) partitions are read instead of one — still a
+    vanishing fraction of the corpus at scale.
+
+    The query's base bucket is computed DRIVER-side from the raw vector
+    with the same index-pair comparisons the corpus-side signature uses
+    (pure float compares — no engine-math divergence possible)."""
+    import itertools
+
+    bits = _LSH_BUCKET_BITS
+    base = 0
+    for i, (a, b) in enumerate(_LSH_PAIRS[:bits]):
+        if float(query_vec[a]) > float(query_vec[b]):
+            base |= 1 << i
+    buckets = {base}
+    for r in range(1, n_flip + 1):
+        for flip in itertools.combinations(range(bits), r):
+            m = 0
+            for f in flip:
+                m |= 1 << f
+            buckets.add(base ^ m)
+
+    import math
+
+    c = spark.read.parquet(out_dir).filter(
+        F.col("bucket").isin(sorted(buckets))
+    )
+    qcol = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+    qn = F.lit(math.sqrt(sum(float(x) * float(x) for x in query_vec)))
+    return (
+        c.select(
+            "vec_id",
+            "bucket",
+            (dot(qcol, F.col("embedding")) / (qn * norm(F.col("embedding"))))
+            .alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+    )

@@ -270,3 +270,39 @@ def test_lsh_bucketed_probe_prunes_partitions(spark, sf_dir, tmp_path):
         .count()
     )
     assert probe.count() == expected > 0
+
+
+def test_lsh_multiprobe_supersets_single_probe(spark, sf_dir, tmp_path):
+    """Multiprobe must (a) still prune partitions via the bucket IN
+    filter, (b) return a strict superset of the single-bucket probe's
+    candidates, and (c) preserve the single-probe ranking among the
+    shared candidates (scores are identical expressions)."""
+    from spark_file_mover_spark.llm.similarity import (
+        lsh_probe_bucketed,
+        lsh_probe_multiprobe,
+        lsh_write_bucketed,
+        _lsh_sig,
+        _LSH_BUCKET_BITS,
+    )
+    from spark_file_mover_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "lsh_corpus_mp")
+    lsh_write_bucketed(spark, sf_dir, out)
+    e = load_table(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 1).select(
+        "embedding", _lsh_sig(F.col("embedding"), _LSH_BUCKET_BITS).alias("b")
+    ).collect()[0]
+
+    single = lsh_probe_bucketed(spark, out, row.embedding, row.b).collect()
+    multi = lsh_probe_multiprobe(spark, out, row.embedding, n_flip=1)
+    plan = _formatted_plan(spark, multi)
+    assert "PartitionFilters" in plan
+    mrows = multi.collect()
+    single_ids = {r.vec_id for r in single}
+    multi_ids = {r.vec_id for r in mrows}
+    assert single_ids <= multi_ids
+    assert len(multi_ids) > len(single_ids)  # 7 buckets > 1 bucket here
+    mscore = {r.vec_id: r.cos for r in mrows}
+    for r in single:
+        assert mscore[r.vec_id] == r.cos
