@@ -62,62 +62,54 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
     return deco
 
 
-# Scoring priority for the current round (r5). The driver consumes
+# Scoring priority for the current round (r6). The driver consumes
 # ``queries()`` in dict insertion order under a wall-clock budget
 # (~50 keys/round; the r02 run was cut at position 51), so ``load_all``
 # rebuilds the registry dict in this order after all modules import:
 #
-#   1. The three keys whose r4 row was red or vacuous, now fixed
-#      (oracle BIGINT casts; 1995-Q1 pruning window) — they need a fresh
-#      driver row above all else.
-#   2. Keys whose implementation or ORACLE changed this round
-#      (minhash rework; stratified/url output-schema changes — their r4
-#      rows describe the OLD output and must not stand).
-#   3. The six NEW r5 keys (chunking, tfidf, quantize, lsh, orc,
-#      temperature) — no driver row exists yet.
-#   4. The 40 keys whose latest driver row is r3 (one round stale) —
-#      scoring them keeps every key at <=1-round staleness across r4|r5.
-#   5. Everything r4-fresh at the tail.
-_PRIORITY_R5 = [
-    # red/vacuous in r4, fixed this round
-    "dedup-simhash",
-    "sample-pack-sequences",
-    "sink-sorted-pruning",
-    # implementation/oracle changed this round — their r4 rows describe
-    # the OLD output schema, so they need fresh rows ahead of the stale
-    # block
-    "dedup-near-minhash",
-    "sample-hash-stratified",
-    "text-url-normalize",
-    # new keys this round (no driver row yet)
-    "text-chunk-sliding",
-    "text-tfidf-topk",
-    "embed-quantize-int8",
-    "sim-search-lsh",
-    "scan-orc-roundtrip",
-    "sample-temperature-weights",
-    # r3-stale block (latest green row is r3)
-    "project-select", "filter-pred", "filter-like-regexp",
-    "join-semi-anti", "join-broadcast", "join-range-theta",
-    "fn-string", "fn-date", "fn-math", "fn-array", "fn-map-json",
-    "fn-case-when-cast",
-    "dedup-exact", "sim-search-topk", "text-analysis",
-    "multimodal-binary", "dedup-ngram-jaccard", "dedup-embedding-cosine",
-    "text-token-count", "text-langid", "text-quality-score",
-    "text-fingerprint", "multimodal-frame-sample", "text-pii-scrub",
-    "text-ngram-freq", "sample-train-split",
-    "move-partition-extract", "move-template", "move-collision-guard",
-    "write-single-file",
-    "udf-scalar-pandas", "udaf-grouped-pandas", "udtf-explode-like",
-    "scan-parquet", "scan-table-manifest", "scan-csv-roundtrip",
-    "sink-partitioned", "sink-overwrite", "sink-bucketed",
+#   1. The two keys whose latest green row is r3 (2 rounds stale —
+#      they sat at positions 51-52 of _PRIORITY_R5 and the budget cut
+#      exactly before them, two rounds running).
+#   2. The 44 keys whose latest driver row is r4 — scoring them keeps
+#      every key at <=1-round staleness across r5|r6.
+#   3. The NEW r6 keys (paragraph dedup, image dims) — no driver row.
+#   4. Keys whose implementation changed this round (minhash perf
+#      rework; chunk-count integer arithmetic) — output is meant to be
+#      identical, but a fresh row proves it.
+#   5. Everything r5-fresh at the tail.
+_PRIORITY_R6 = [
+    # 2-round-stale keys FIRST (cut at 51-52 in both r4 and r5)
+    "sink-bucketed",
     "sink-merge-upsert",
+    # r4-stale block (latest green row is r4)
+    "agg-hash", "agg-distinct", "agg-approx-distinct",
+    "agg-rollup-cube-gsets", "agg-having", "agg-approx-quantile",
+    "agg-pivot", "agg-stats", "agg-unpivot", "agg-incremental-merge",
+    "join-inner-equi", "join-left-right-full", "join-multiway-star",
+    "join-skew-salted", "join-range-binned", "join-asof",
+    "join-lateral-topk", "filter-scalar-subquery", "fn-bitwise",
+    "window-ranking", "window-analytic", "window-frame-agg",
+    "topk-per-group", "sort-limit", "set-union-intersect-except",
+    "etl-scd2", "etl-cdc-apply",
+    "stream-tumbling", "stream-sliding", "stream-session",
+    "stream-dedup-late", "stream-stateful-agg", "stream-join",
+    "events-funnel", "rollup-hierarchical",
+    "dedup-components", "sim-search-ivf",
+    "text-decontaminate", "text-repetition",
+    "move-list-files", "move-rename",
+    "scan-jsonl-roundtrip", "repartition-n", "sink-compact",
+    # new keys this round (no driver row yet)
+    "dedup-paragraph",
+    "multimodal-image-dims",
+    # implementation changed this round — fresh rows prove outputs held
+    "dedup-near-minhash",
+    "text-chunk-sliding",
 ]
 
 
 def load_all() -> None:
     """Import every operator module so registrations run, then rebuild
-    the registry dict in scoring-priority order (see ``_PRIORITY_R5``) —
+    the registry dict in scoring-priority order (see ``_PRIORITY_R6``) —
     dict insertion order IS the driver's scoring order."""
     # Imports are at call time so `import spark_file_mover_spark` stays cheap.
     from spark_file_mover_spark.operators import (  # noqa: F401
@@ -140,8 +132,8 @@ def load_all() -> None:
     from spark_file_mover_spark import filemover_queries, udfs  # noqa: F401
     from spark_file_mover_spark.sources import sourcesink  # noqa: F401
 
-    ordered = [k for k in _PRIORITY_R5 if k in QUERIES]
-    ordered += [k for k in QUERIES if k not in _PRIORITY_R5]
+    ordered = [k for k in _PRIORITY_R6 if k in QUERIES]
+    ordered += [k for k in QUERIES if k not in _PRIORITY_R6]
     for mapping in (QUERIES, ORACLES):
         snapshot = {k: mapping[k] for k in ordered if k in mapping}
         mapping.clear()
