@@ -266,8 +266,12 @@ def _worker_rename(
     into ``renamed``), and when the plan's recorded source size is
     supplied, a landed file whose size disagrees fails instead of passing
     — source-gone could otherwise mean a listed-then-deleted race or a
-    different producer landing the target. Returns ``(status, error)``
-    with status ∈ {renamed, already-moved, failed} and error None on
+    different producer landing the target. Without a recorded size the
+    claim cannot be verified, so it is reported as the distinct
+    ``already-moved-unverified`` status: the lenient path is opt-in and
+    visible in the manifest, never silently equivalent to a verified
+    claim. Returns ``(status, error)`` with status ∈ {renamed,
+    already-moved, already-moved-unverified, failed} and error None on
     success. ``file:`` URIs use the OS; ``hdfs:`` tries pyarrow's libhdfs
     binding (absent in this container — explicitly gated, the Spark-side
     plumbing is the tested part)."""
@@ -290,7 +294,14 @@ def _worker_rename(
                             f"{landed} != planned {expected_size}; "
                             "not claiming the rename"
                         )
-                return "already-moved", None
+                    return "already-moved", None
+                # No recorded size to check against: the claim cannot be
+                # verified, and destination-exists/source-gone is also the
+                # signature of a listed-then-deleted race or a foreign
+                # producer landing the target. Report it under a distinct
+                # status so the lenient claim is visible in the manifest
+                # instead of passing as a confirmed rename.
+                return "already-moved-unverified", None
             return "failed", "destination exists"
         if not os.path.isdir(os.path.dirname(dp)):
             return "failed", "destination parent missing"

@@ -77,10 +77,13 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit; MAX(n_chunks) keeps the helper range tiny)."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.size(toks()).alias("n_tok"))
-    n_chunks = 1 + (
-        F.greatest(F.col("n_tok") - _CHUNK, F.lit(0)) + _STRIDE - 1
-    ).cast("long") / F.lit(_STRIDE)
-    c = t.withColumn("n_chunks", F.floor(n_chunks))
+    # `div` is exact integer division — the oracle uses `//`, so the
+    # chunk count is identical by construction for ANY n_tok, not just
+    # below the ~2^49 range where double division happens to round right.
+    n_chunks = F.expr(
+        f"1L + (greatest(n_tok - {_CHUNK}, 0) + {_STRIDE - 1}) div {_STRIDE}"
+    )
+    c = t.withColumn("n_chunks", n_chunks)
     i = F.col("i")
     return (
         c.select(

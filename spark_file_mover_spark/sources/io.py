@@ -42,7 +42,12 @@ TABLES = (
 # stamped onto each session object the first time we see it — unlike
 # id(spark), which CPython can recycle for a new session allocated after
 # the old one is GC'd, a counter value is never reused.
-_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Cache entries are keyed (sf_dir, table_name); session scoping lives
+# entirely in _CACHE_SESSION_KEY ((applicationId, nonce)) — the cache is
+# cleared whenever the observed session key changes, so entry keys never
+# need to carry session identity themselves.
+_CacheKey = tuple[str, str]  # (sf_dir, table name)
+_CACHE: dict[_CacheKey, DataFrame] = {}
 _CACHE_SESSION_KEY: tuple[str, int] | None = None
 _SESSION_NONCES = itertools.count()
 _NONCE_ATTR = "_spark_file_mover_cache_nonce"

@@ -134,8 +134,11 @@ def test_worker_rename_retry_idempotent(tmp_path):
     # retry with a size that contradicts the plan -> refuse the claim
     status, err = _worker_rename(str(src), str(dst), expected_size=999)
     assert status == "failed" and "size" in err
-    # no recorded size -> legacy lenient claim still reports the status
-    assert _worker_rename(str(src), str(dst)) == ("already-moved", None)
+    # no recorded size -> the claim cannot be verified; it must surface
+    # under the distinct unverified status, not as a confirmed rename
+    assert _worker_rename(str(src), str(dst)) == (
+        "already-moved-unverified", None
+    )
     # genuine conflict: both exist -> refuse
     src.write_text("y")
     assert _worker_rename(str(src), str(dst), expected_size=1) == (

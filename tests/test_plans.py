@@ -286,6 +286,7 @@ def test_lsh_multiprobe_supersets_single_probe(spark, sf_dir, tmp_path):
     )
     from spark_file_mover_spark.sources.io import load_table
     from pyspark.sql import functions as F
+    import re
 
     out = str(tmp_path / "lsh_corpus_mp")
     lsh_write_bucketed(spark, sf_dir, out)
@@ -302,7 +303,14 @@ def test_lsh_multiprobe_supersets_single_probe(spark, sf_dir, tmp_path):
     single_ids = {r.vec_id for r in single}
     multi_ids = {r.vec_id for r in mrows}
     assert single_ids <= multi_ids
-    assert len(multi_ids) > len(single_ids)  # 7 buckets > 1 bucket here
+    # >= not >: whether the 6 Hamming-1 flip buckets hold any vectors
+    # depends on the (regenerated-per-round) testdata. What IS invariant
+    # is the probe set itself: 1 + C(16,1) bucket values in the pruning
+    # filter vs exactly one for the single probe.
+    assert len(multi_ids) >= len(single_ids)
+    in_lists = re.findall(r"bucket#\d+L? IN \(([^)]*)\)", plan)
+    assert in_lists, f"no bucket IN-list in the pruned scan:\n{plan}"
+    assert len(in_lists[0].split(",")) == 1 + _LSH_BUCKET_BITS
     mscore = {r.vec_id: r.cos for r in mrows}
     for r in single:
         assert mscore[r.vec_id] == r.cos
