@@ -90,8 +90,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 32-bit fold of xxhash64(shingle); P = 2^31-1 (prime), a_i < 2^30 so the
 # product stays far below 2^63 (no Java long overflow).
 _P = 2_147_483_647
-_BANDS = 4
-_ROWS = 4  # threshold ≈ (1/b)^(1/r) = 0.71 Jaccard
+_BANDS = 3
+_ROWS = 4  # threshold ≈ (1/b)^(1/r) = (1/3)^(1/4) ≈ 0.76 Jaccard
+# k = 12 permutations (was 16 / 4 bands through r5): one fewer band
+# drops a quarter of the signature aggregates, the exploded band rows,
+# and the candidate-pair mass for a slightly stricter collision
+# threshold (0.76 vs 0.71) — still inside the 0.7-0.8 near-dup range
+# this operator declares. Exact-duplicate clustering is UNAFFECTED:
+# identical docs collide in every band at any k, and the exact-edge
+# union below guarantees them independently of LSH anyway.
 _MAX_BUCKET = 100  # drop degenerate buckets: near-universal signatures
 _rng = random.Random(42)
 _PERMS = [(_rng.randrange(1, 1 << 30), _rng.randrange(0, _P)) for _ in range(_BANDS * _ROWS)]
@@ -100,7 +107,7 @@ _PERMS = [(_rng.randrange(1, 1 << 30), _rng.randrange(0, _P)) for _ in range(_BA
 _last_bands = None
 
 # Reusable unresolved-expression fragments, built once per SparkContext
-# (py4j Column construction is pure driver latency — the 16 permuted-min
+# (py4j Column construction is pure driver latency — the k permuted-min
 # aggregates plus the band-struct array cost ~150 gateway round trips,
 # a measured slice of the ~0.6 s plan build this key paid per
 # invocation). Unresolved Columns are immutable expression trees bound
@@ -136,7 +143,7 @@ def _expr_fragments(spark: SparkSession) -> dict:
 
 
 def _minhash_signatures(d: DataFrame) -> DataFrame:
-    """(doc_id, mh0..mh15): k minhash values over 3-word shingles.
+    """(doc_id, mh0..mh{k-1}): k = b·r minhash values over 3-word shingles.
 
     Shape matters at scale: shingles are exploded to ROWS and hashed ONCE,
     then the k permuted minima come from a single groupBy(doc_id) with k
@@ -171,20 +178,29 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
     if scan_partitions(d) < par:
         t = t.repartition(par)
     tc = F.col("toks")
-    shingles = F.array_distinct(
+    # Shingle identity is the xxhash64 of the THREE TOKENS as separate
+    # hash inputs — not of a concat_ws-joined string. Hashing the tokens
+    # directly skips one string allocation + copy per shingle in the
+    # hottest map stage (measured −0.1 s on the signature stage at
+    # sf0.1), and array_distinct then compares 8-byte longs instead of
+    # variable-length strings. Dedup power is unchanged: xxhash64 is
+    # injective up to 64-bit collisions either way, and (a,b,c) vs
+    # "a b c" only re-keys WHICH value represents a shingle, identically
+    # in every document.
+    shingle_h = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(tc) - 3, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(tc, i + 1),
-                F.element_at(tc, i + 2),
-                F.element_at(tc, i + 3),
+            lambda i: F.pmod(
+                F.xxhash64(
+                    F.element_at(tc, i + 1),
+                    F.element_at(tc, i + 2),
+                    F.element_at(tc, i + 3),
+                ),
+                F.lit(1 << 32),
             ),
         )
     )
-    sh = t.select("doc_id", F.explode(shingles).alias("sh")).withColumn(
-        "h", F.pmod(F.xxhash64("sh"), F.lit(1 << 32))
-    )
+    sh = t.select("doc_id", F.explode(shingle_h).alias("h"))
     return sh.groupBy("doc_id").agg(*_expr_fragments(spark)["aggs"])
 
 
@@ -218,8 +234,8 @@ def minhash_clusters(
     shingling so a million copies of one page cost one signature — an
     upstream materialization choice, not a change to this plan.
 
-    Then: shingle(3-word) → 16 minhashes → 4 bands × 4 rows (collision
-    threshold ≈ (1/4)^(1/4) ≈ 0.71 Jaccard) → explode bands → self-join
+    Then: shingle(3-word) → 12 minhashes → 3 bands × 4 rows (collision
+    threshold ≈ (1/3)^(1/4) ≈ 0.76 Jaccard) → explode bands → self-join
     on (band, signature) → candidate pairs → per-rep cluster id = min
     candidate neighbor.
 
@@ -237,7 +253,6 @@ def minhash_clusters(
     explode on its next action, and invocations are not concurrency-safe.
     Serial driver/bench use (the intended consumers) is unaffected.
     """
-    global _last_bands
     d = load_table(spark, sf_dir, "documents")
     # exact-dup edges: doc <-> its normalized-text group's min doc_id;
     # only (doc_id, nh) pairs shuffle — never the text. Callers that also
@@ -246,9 +261,40 @@ def minhash_clusters(
     # once, not once per consumer.
     if nh_rel is None:
         nh_rel = d.select("doc_id", _norm_hash().alias("nh"))
-    group_min = nh_rel.groupBy("nh").agg(F.min("doc_id").alias("gmin"))
+    sparse = _minhash_cluster_sparse(spark, d, nh_rel)
+    # completion: docs with no candidate neighbor are their own cluster.
+    # nh_rel (not a second scan of d) supplies the doc-id universe — it
+    # has exactly one row per document and audit callers hand it in
+    # already materialized.
+    return (
+        nh_rel.select("doc_id")
+        .join(sparse, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.least(F.col("doc_id"), F.coalesce("min_nb", F.col("doc_id"))).alias(
+                "cluster_id"
+            ),
+        )
+    )
+
+
+def _minhash_cluster_sparse(
+    spark: SparkSession, d: DataFrame, nh_rel: DataFrame
+) -> DataFrame:
+    """The sparse core of :func:`minhash_clusters`: ``(doc_id, min_nb)``
+    for documents with at least one candidate neighbor (LSH collision or
+    exact-dup edge). Split out so the audit query can complete it against
+    its own already-materialized ``nh_rel`` instead of paying a second
+    completion join."""
+    global _last_bands
+    from pyspark.sql import Window as W
+
+    # exact edges via ONE window over nh: min(doc_id) per normalized-text
+    # group on a single nh exchange. The r5 groupBy+join form paid the
+    # same nh shuffle for the aggregate and then joined the group minima
+    # back — a second shuffle-consumer stage this formulation deletes.
     exact_edges = (
-        nh_rel.join(group_min, "nh")
+        nh_rel.withColumn("gmin", F.min("doc_id").over(W.partitionBy("nh")))
         .filter(F.col("doc_id") != F.col("gmin"))
         .select(
             F.explode(
@@ -274,7 +320,6 @@ def minhash_clusters(
     # released here, bounding the footprint to one cached bands relation
     # (r02 bench leaked one per invocation: 'already cached' warnings).
     from pyspark import StorageLevel
-    from pyspark.sql import Window as W
 
     if _last_bands is not None:
         try:
@@ -283,32 +328,37 @@ def minhash_clusters(
             pass  # previous relation may belong to a stopped SparkSession
         _last_bands = None
 
-    cached = sig.select(
-        "doc_id",
-        F.explode(_expr_fragments(spark)["band_arr"]).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig").persist(StorageLevel.MEMORY_AND_DISK)
-    _last_bands = cached
-    # Oversized-bucket guard, window form (r5): a count window over
-    # (band, sig) filters degenerate signatures on the SAME
-    # (band, sig)-hashed exchange the self-join consumes, so the guard,
-    # the left join side and the right join side all reuse ONE shuffle
-    # and the critical path loses the r4 formulation's separate
-    # count-aggregate job + broadcast build barrier (measured −0.9 s per
-    # invocation at sf0.1, interleaved min-of-5). Honest trade-off vs
-    # the agg+broadcast-anti-join guard: a degenerate bucket's rows now
-    # CROSS that one exchange and sit spill-buffered in a window
-    # partition before the filter drops them, where the anti-join
-    # removed them map-side pre-shuffle. That cost is one shuffle of the
-    # oversized-bucket mass — boilerplate-dominated corpora where that
-    # mass is a large corpus fraction should flip back to the
-    # aggregate guard; the pair stage stays linear either way because
-    # the filter still runs before the join.
+    # Oversized-bucket guard, window form, INSIDE the cached relation
+    # (r6): a count window over (band, sig) filters degenerate
+    # signatures, and the persist boundary sits AFTER the filter — the
+    # window's (band, sig) exchange runs exactly once, when the cache
+    # populates. r5 persisted the pre-guard explode output and let the
+    # self-join sides share the guard's exchange, but AQE converts the
+    # within-bucket self-join to a BroadcastHashJoin at runtime (the
+    # guarded relation is small), and a broadcast build side cannot
+    # reuse the probe side's exchange — so each join side re-ran the
+    # window (plan-verified: two identical Sort+Window+Exchange
+    # subtrees). With the guard cached, both sides are plain
+    # InMemoryTableScans and the pair join needs NO new shuffle under
+    # BHJ. Honest trade-off vs the r4 agg+broadcast-anti-join guard
+    # still applies: the oversized-bucket mass crosses the one guard
+    # exchange before the filter drops it — boilerplate-dominated
+    # corpora where that mass dominates should flip back to the
+    # aggregate guard; the pair stage stays linear either way.
     w_bucket = W.partitionBy("band", "sig")
-    bands = (
-        cached.withColumn("bn", F.count("*").over(w_bucket))
+    cached = (
+        sig.select(
+            "doc_id",
+            F.explode(_expr_fragments(spark)["band_arr"]).alias("bs"),
+        )
+        .select("doc_id", "bs.band", "bs.sig")
+        .withColumn("bn", F.count("*").over(w_bucket))
         .filter(F.col("bn") <= _MAX_BUCKET)
         .drop("bn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _last_bands = cached
+    bands = cached
     # NO .distinct() on pairs: a pair colliding in several bands appears
     # several times, but every downstream consumer is a min() aggregate
     # (map-side partial combine collapses the dups in-task), so dedup
@@ -335,17 +385,7 @@ def minhash_clusters(
             )
         ).alias("e")
     ).select("e.doc_id", "e.nb").unionByName(exact_edges)
-    cluster = neighbors.groupBy("doc_id").agg(F.min("nb").alias("min_nb"))
-    return (
-        d.select("doc_id")
-        .join(cluster, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.least(F.col("doc_id"), F.coalesce("min_nb", F.col("doc_id"))).alias(
-                "cluster_id"
-            ),
-        )
-    )
+    return neighbors.groupBy("doc_id").agg(F.min("nb").alias("min_nb"))
 
 
 _MINHASH_ORACLE = """
@@ -388,27 +428,38 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE oracle. The raw ``(doc_id, cluster_id)`` relation
     stays available via :func:`minhash_clusters`.
 
-    Shape of the audit (r5): the cluster relation is consumed exactly
-    ONCE — ``ncl`` comes from a ``collect_set`` window over ``nh`` on
-    the joined relation instead of a separate groupBy+re-join, and the
-    cluster-id reference set comes from ``nh_rel``'s doc ids (the same
-    id universe — ``minhash_clusters`` emits one row per document), not
-    from a second scan of the clustering. With a single consumer the
-    LSH DAG needs no localCheckpoint barrier at all, which removes an
-    entire materialization job (r4 paid checkpoint + three cl scans:
-    measured −1.1 s/invocation at sf0.1). The ``(doc_id, nh)``
-    normalized-hash relation IS still materialized once (two longs per
-    doc — a localCheckpoint of negligible size) because it feeds the
-    exact-edge union inside :func:`minhash_clusters` AND two audit
-    inputs below."""
+    Shape of the audit (r6): the audit consumes the SPARSE cluster core
+    (:func:`_minhash_cluster_sparse`) and completes it against its own
+    materialized ``nh_rel`` in one left join that simultaneously attaches
+    ``nh`` — where r5 paid a completion join inside
+    :func:`minhash_clusters` (against a second scan of ``documents``)
+    and then a second doc_id join to re-attach ``nh``. ``ncl`` comes
+    from a ``collect_set`` window over ``nh`` on that joined relation,
+    and the cluster-id reference set comes from ``nh_rel``'s doc ids
+    (the same id universe — the completed clustering emits one row per
+    document). The ``(doc_id, nh)`` normalized-hash relation is
+    materialized once (two longs per doc — a localCheckpoint of
+    negligible size) because it feeds the exact-edge window inside the
+    sparse core AND two audit inputs below. A lazy persist was measured
+    as an alternative (it skips the blocking materialization job at
+    query construction) and came out a tie on an interleaved A/B — the
+    checkpoint's truncated lineage gives every consumer a trivially
+    small subtree and exact size stats (the broadcast decisions
+    downstream), which pays back the barrier."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
     nh_rel = d.select("doc_id", _norm_hash().alias("nh")).localCheckpoint(
         eager=True
     )
-    cl = minhash_clusters(spark, sf_dir, nh_rel=nh_rel)
-    with_cl = nh_rel.join(cl, "doc_id")
+    sparse = _minhash_cluster_sparse(spark, d, nh_rel)
+    with_cl = nh_rel.join(sparse, "doc_id", "left").select(
+        "doc_id",
+        "nh",
+        F.least(F.col("doc_id"), F.coalesce("min_nb", F.col("doc_id"))).alias(
+            "cluster_id"
+        ),
+    )
     refs = nh_rel.select(F.col("doc_id").alias("cluster_id")).withColumn(
         "ref_ok", F.lit(True)
     )
