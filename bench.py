@@ -49,6 +49,17 @@ COMMON16 = [
     "fn-map-json",
 ]
 
+# Second frozen comparison set (frozen at r6, NEVER grows): common16
+# plus the write-path and r5-era keys it predates, so write/ANN drift is
+# tracked with the same discipline. Both totals are emitted every round;
+# common16_total remains comparable back to r2, common20_total from r6.
+COMMON20 = COMMON16 + [
+    "write-single-file",
+    "sink-compact",
+    "text-tfidf-topk",
+    "sim-search-lsh",
+]
+
 # Headline set: one representative per SURVEY.md §2 category, including
 # the write-path plane (A/B keys) so write regressions surface per-round.
 HEADLINE = [
@@ -148,16 +159,21 @@ def main() -> None:
             f"{over_budget}",
             file=sys.stderr,
         )
-    missing16 = [k for k in COMMON16 if k not in timings]
-    if missing16:
-        # a shrunken frozen set would read as a perf win — flag it loudly
-        print(
-            f"# WARNING: COMMON16 keys missing from timings: {missing16} "
-            "— common16_total is NOT comparable to prior rounds",
-            file=sys.stderr,
-        )
+    for set_name, frozen in (("COMMON16", COMMON16), ("COMMON20", COMMON20)):
+        missing_frozen = [k for k in frozen if k not in timings]
+        if missing_frozen:
+            # a shrunken frozen set would read as a perf win — flag loudly
+            print(
+                f"# WARNING: {set_name} keys missing from timings: "
+                f"{missing_frozen} — {set_name.lower()}_total is NOT "
+                "comparable to prior rounds",
+                file=sys.stderr,
+            )
     common16_total = round(
         sum(timings[k] for k in COMMON16 if k in timings), 4
+    )
+    common20_total = round(
+        sum(timings[k] for k in COMMON20 if k in timings), 4
     )
     print(
         json.dumps(
@@ -166,6 +182,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "common16_total": common16_total,
+                "common20_total": common20_total,
                 # methodology marker: r5+ runs warm every key once before
                 # its timed reps (steady-state numbers); r2-r4 recorded
                 # cold-start min-of-N — compare across that boundary with
