@@ -834,3 +834,143 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("a", "b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# I29 — paragraph-level dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+# Paragraph granularity for the registered key: fixed 20-token blocks.
+# CCNet splits on blank lines; the synthetic corpus contains NO newlines
+# or punctuation (single-line word streams), so a blank-line split would
+# make every document one paragraph and the key vacuously equal to
+# dedup-exact. Fixed token blocks keep the PLAN identical to the real
+# operator (derive units -> hash -> first-occurrence survivor ->
+# doc-local reassembly) while giving the survivor logic real work on
+# this corpus (duplicated documents share every block; partially
+# overlapping documents share some). On a real corpus, swap the block
+# derivation for split(text, '\n{2,}') — nothing downstream changes.
+_PARA = 20
+
+_PARA_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, toks,
+         greatest((len(toks) + {_PARA - 1}) // {_PARA}, 1) AS n_para
+  FROM t
+),
+b AS (
+  SELECT doc_id, n_para, i AS idx,
+         array_to_string(toks[(i*{_PARA}+1):((i+1)*{_PARA})], ' ') AS para
+  FROM sized
+  CROSS JOIN (SELECT unnest(range(0, (SELECT max(n_para) FROM sized))) AS i)
+  WHERE i < n_para
+),
+k AS (
+  SELECT doc_id, idx, para FROM (
+    SELECT doc_id, idx, para,
+           row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+    FROM b
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(para, ' ' ORDER BY idx) AS kept_text
+  FROM k GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_para AS BIGINT) AS n_para,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       round(coalesce(a.n_kept, 0) / CAST(s.n_para AS DOUBLE), 9)
+         AS kept_frac,
+       coalesce(a.kept_text, '') AS kept_text
+FROM sized s LEFT JOIN agg a USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+@query("dedup-paragraph", oracle=_PARA_ORACLE)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I29: CCNet-style paragraph-level dedup — drop every paragraph
+    that already occurred earlier in the corpus (first occurrence in
+    (doc_id, position) order survives), then reassemble each document
+    from its surviving paragraphs with a kept-fraction audit. This is
+    the highest-frequency real-world dedup layer after exact/minhash:
+    boilerplate (headers, navigation, license blocks) repeats across
+    documents that are NOT near-duplicates of each other, so
+    whole-document dedup never touches it.
+
+    Paragraph unit here: fixed ``_PARA`` = 20-token blocks (see the module
+    comment — the synthetic corpus has no blank-line delimiters; a real
+    corpus would split on blank lines and nothing downstream changes).
+
+    Plan shape (100 TB story): document text NEVER crosses the
+    dedup shuffle. The exploded relation carries only
+    ``(doc_id, idx, xxhash64(paragraph))`` — the paragraph string is
+    built and hashed map-side inside the scan stage and immediately
+    discarded. The survivor decision is a ``min(struct(doc_id, idx))``
+    groupBy on the 8-byte hash (map-side partial combine collapses a
+    boilerplate paragraph repeated 10^9 times to one row per task — a
+    window-over-hash formulation would instead shuffle every occurrence
+    into ONE skewed partition), and the winner set joins back to the
+    id-only exploded relation on the same hash exchange. The kept
+    positions then group to a per-doc index list (ids only again), and
+    the text is rebuilt DOC-LOCALLY by slicing each document's own
+    token array — the only exchange any text crosses is the final
+    doc_id join of ``documents`` against its (tiny) kept-index list,
+    which a doc_id-bucketed corpus layout (see ``sink-bucketed``)
+    makes shuffle-free.
+
+    Cross-engine parity: Spark groups paragraphs by ``xxhash64(para)``,
+    the DuckDB oracle by the paragraph string itself — equivalent up to
+    64-bit collisions (same argument as ``dedup-exact``); the shared
+    tokenizer and 1-based slice arithmetic are mirrored verbatim, and
+    ``kept_frac`` gets the standard 9-dp snap on both sides."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", toks().alias("toks")).withColumn(
+        "n_para",
+        F.expr(f"greatest((size(toks) + {_PARA - 1}) div {_PARA}, 1L)"),
+    )
+    para_of = lambda i: F.array_join(  # noqa: E731
+        F.slice(F.col("toks"), i * _PARA + 1, _PARA), " "
+    )
+    e = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_para") - 1),
+                lambda i: F.xxhash64(para_of(i)),
+            )
+        ).alias("idx", "h"),
+    )
+    winners = e.groupBy("h").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("idx"))).alias("w")
+    )
+    kept = e.join(winners, "h").filter(
+        (F.col("doc_id") == F.col("w.doc_id"))
+        & (F.col("idx") == F.col("w.idx"))
+    )
+    keep_list = kept.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("idx")).alias("kept_idx"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        t.join(keep_list, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_para").cast("long").alias("n_para"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.round(
+                F.coalesce("n_kept", F.lit(0)) / F.col("n_para"), 9
+            ).alias("kept_frac"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(F.col("kept_idx"), para_of), " "
+                ),
+                F.lit(""),
+            ).alias("kept_text"),
+        )
+    )

@@ -40,7 +40,7 @@ SURVEY_KEYS = {
     "move-collision-guard", "move-rename", "write-single-file",
     # B
     "scan-parquet", "scan-table-manifest", "scan-csv-roundtrip",
-    "scan-jsonl-roundtrip", "sink-sorted-pruning",
+    "scan-jsonl-roundtrip", "scan-orc-roundtrip", "sink-sorted-pruning",
     "sink-partitioned", "sink-overwrite", "sink-bucketed", "sink-compact",
     "sink-merge-upsert", "repartition-n",
     # C
@@ -69,13 +69,16 @@ SURVEY_KEYS = {
     # I
     "dedup-exact", "dedup-near-minhash", "dedup-simhash",
     "dedup-ngram-jaccard", "dedup-components", "dedup-embedding-cosine",
+    "dedup-paragraph",
     "sim-search-topk",
-    "sim-search-ivf", "text-analysis", "text-token-count", "text-langid",
+    "sim-search-ivf", "sim-search-lsh",
+    "text-analysis", "text-token-count", "text-langid",
     "text-quality-score", "text-fingerprint", "text-pii-scrub",
     "text-ngram-freq", "text-decontaminate", "text-repetition",
-    "text-url-normalize",
+    "text-url-normalize", "text-chunk-sliding", "text-tfidf-topk",
+    "embed-quantize-int8",
     "sample-train-split", "sample-hash-stratified",
-    "sample-pack-sequences",
+    "sample-pack-sequences", "sample-temperature-weights",
     "multimodal-binary", "multimodal-frame-sample",
     # J
     "udf-scalar-pandas", "udaf-grouped-pandas", "udtf-explode-like",
