@@ -214,3 +214,167 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("asset_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal-image-dims — header-level width/height extraction, no decode
+# ---------------------------------------------------------------------------
+
+_PNG_SIG_HEX = "89504E470D0A1A0A"
+
+
+def _be_uint(content, pos, nbytes: int):
+    """Big-endian unsigned int read: bytes [pos, pos+nbytes) of a binary
+    column (1-based pos, Column or int) via hex → base-16 conv. Pure JVM
+    expressions — the whole point of header parsing without a codec."""
+    if not isinstance(pos, F.Column):
+        pos = F.lit(pos)
+    return F.conv(
+        F.hex(content.substr(pos, F.lit(nbytes))), 16, 10
+    ).cast("long")
+
+
+def png_dims(content: F.Column) -> tuple[F.Column, F.Column, F.Column]:
+    """(is_png, width, height) from a PNG payload's IHDR chunk.
+
+    Layout (PNG spec, fixed by definition): 8-byte signature, 4-byte
+    chunk length, 4-byte chunk type "IHDR", then width and height as
+    4-byte big-endian ints — i.e. width at 1-based offset 17, height at
+    21. The signature AND the IHDR type bytes are both checked so a
+    random payload can't alias in."""
+    is_png = (F.hex(content.substr(F.lit(1), F.lit(8))) == _PNG_SIG_HEX) & (
+        F.hex(content.substr(F.lit(13), F.lit(4))) == "49484452"  # "IHDR"
+    )
+    return is_png, _be_uint(content, 17, 4), _be_uint(content, 21, 4)
+
+
+def jpeg_dims(
+    content: F.Column, max_segments: int = 4
+) -> tuple[F.Column, F.Column, F.Column]:
+    """(is_jpeg, width, height) from a JPEG payload via a bounded SOF
+    segment walk — the real JPEG algorithm, unrolled as expressions.
+
+    JPEG is a marker stream: SOI (FFD8), then segments of
+    ``FF mm | len(2, includes itself) | payload``. Dimensions live in
+    the start-of-frame segment (SOF0/1/2 = FFC0/C1/C2): after its
+    2-byte length and 1-byte precision come height then width, 2-byte
+    big-endian each. The walk starts at offset 3 and hops
+    ``off += 2 + len`` until it hits a SOF marker, unrolled
+    ``max_segments`` times (APP0/JFIF + APP1/EXIF + quantization
+    tables land SOF within a handful of segments for baseline files;
+    raise the bound for EXIF-heavy corpora — each extra segment is one
+    more when() branch, still zero Python). Files whose SOF sits past
+    the bound parse as NULL dims rather than wrong ones."""
+    is_jpeg = F.hex(content.substr(F.lit(1), F.lit(2))) == "FFD8"
+    off = F.lit(3).cast("long")
+    w = F.lit(None).cast("long")
+    h = F.lit(None).cast("long")
+    done = F.lit(False)
+    for _ in range(max_segments):
+        marker = F.hex(content.substr(off, F.lit(2)))
+        is_sof = marker.isin("FFC0", "FFC1", "FFC2")
+        hit = is_sof & ~done
+        h = F.when(hit, _be_uint(content, off + 5, 2)).otherwise(h)
+        w = F.when(hit, _be_uint(content, off + 7, 2)).otherwise(w)
+        done = done | is_sof
+        off = off + 2 + _be_uint(content, off + 2, 2)
+    return is_jpeg, w, h
+
+
+# The oracle predicts what the parse MUST return from the same doc_id
+# formulas the synthesizer uses — Spark only matches if the byte
+# construction AND the offset/segment-walk parsing are both right.
+# Real-format ground truth (a genuine 1x1 PNG, a multi-APP-segment
+# JPEG) is pinned in tests/test_multimodal_dims.py.
+_DIMS_ORACLE = """
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 1021
+                 ELSE 1 + doc_id % 499 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 763
+                 ELSE 1 + doc_id % 257 END AS BIGINT) AS height,
+       TRUE AS magic_ok
+FROM documents
+ORDER BY asset_id
+"""
+
+
+@query("multimodal-image-dims", oracle=_DIMS_ORACLE)
+def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-level image dimension extraction with PURE byte
+    expressions — no decode library, no UDF, no Python in the plan.
+    This is the metadata pass a multimodal curation pipeline runs over
+    every asset (resolution filters, aspect-ratio buckets, thumbnail
+    routing) and it must not cost a codec invocation per row: width and
+    height sit at fixed offsets (PNG IHDR) or behind a short marker
+    walk (JPEG SOF), so ``substr``/``hex``/``conv`` expressions inside
+    whole-stage codegen extract them at scan speed, bytes never leaving
+    the JVM.
+
+    The corpus has no real image files, so the query first SYNTHESIZES
+    a spec-shaped header per document (PNG for even doc_ids, JPEG with a
+    doc_id-VARYING APP0 length for odd ones — so the segment walk
+    genuinely hops a different distance per row) and then parses it
+    back with :func:`png_dims` / :func:`jpeg_dims`. The oracle predicts
+    the expected dims independently from the doc_id formulas; the
+    genuine-file ground truth is a hand-built 1x1 PNG and a
+    multi-segment JPEG in the pytest file. ``fmt`` comes from the MAGIC
+    CHECK on the constructed bytes, not from the doc_id parity, so a
+    synthesis bug cannot cancel against a parsing bug.
+
+    Scale: map-only — zero shuffles before the driver-hash sort; at
+    100 TB this runs as a projection fused into the parquet scan."""
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    pw, ph = 1 + doc % 1021, 1 + doc % 763
+    jw, jh = 1 + doc % 499, 1 + doc % 257
+    hex4 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731
+    hex2 = lambda c: F.lpad(F.hex(c), 4, "0")  # noqa: E731
+    png_payload = F.unhex(
+        F.concat(
+            F.lit(_PNG_SIG_HEX),
+            F.lit("0000000D49484452"),  # IHDR length 13 + type
+            hex4(pw),
+            hex4(ph),
+            F.lit("0806000000"),  # bit depth / color / etc.
+        )
+    )
+    # APP0 length varies 16..23 with doc_id so SOF0's offset moves row
+    # to row and the unrolled walk has to actually follow the length
+    # field (a fixed offset would also pass a broken walk).
+    app0_len = F.lit(16) + doc % 8
+    app0_payload_hex = F.lit("00" * 32).substr(
+        F.lit(1), (app0_len - 2) * 2
+    )
+    jpeg_payload = F.unhex(
+        F.concat(
+            F.lit("FFD8"),
+            F.lit("FFE0"),
+            hex2(app0_len),
+            app0_payload_hex,
+            F.lit("FFC0"),
+            F.lit("0011"),  # SOF0 length 17
+            F.lit("08"),  # precision
+            hex2(jh),
+            hex2(jw),
+        )
+    )
+    assets = d.select(
+        doc.alias("asset_id"),
+        F.when(doc % 2 == 0, png_payload)
+        .otherwise(jpeg_payload)
+        .alias("content"),
+    )
+    c = F.col("content")
+    is_png, w_png, h_png = png_dims(c)
+    is_jpeg, w_jpeg, h_jpeg = jpeg_dims(c)
+    return assets.select(
+        "asset_id",
+        F.when(is_png, "png")
+        .when(is_jpeg, "jpeg")
+        .otherwise("unknown")
+        .alias("fmt"),
+        F.when(is_png, w_png).otherwise(w_jpeg).alias("width"),
+        F.when(is_png, h_png).otherwise(h_jpeg).alias("height"),
+        (is_png | is_jpeg).alias("magic_ok"),
+    )

@@ -1,0 +1,110 @@
+"""multimodal-image-dims: the byte-expression header parsers against
+GENUINE file bytes — a real 1x1 PNG (zlib-compressed IDAT and all) and
+crafted JPEGs with multiple leading APP segments — plus the map-only
+plan pin. The registered query's oracle checks synthesis+parse
+round-trip; these fixtures check the parse against the actual formats."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from pyspark.sql import functions as F
+
+from spark_file_mover_spark.llm.multimodal import jpeg_dims, png_dims
+
+
+def _real_png(width: int, height: int) -> bytes:
+    """A complete, spec-valid PNG (8-bit grayscale, all-zero pixels)."""
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload))
+        )
+
+    sig = b"\x89PNG\r\n\x1a\x0a"
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x00" * width for _ in range(height))
+    return (
+        sig
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _real_jpeg_header(width: int, height: int, n_app: int) -> bytes:
+    """SOI + n_app APP segments of varying length + SOF0 — the prefix a
+    real baseline JPEG starts with (dims parse needs nothing beyond)."""
+    out = b"\xff\xd8"
+    for i in range(n_app):
+        payload = bytes(10 + 3 * i)
+        out += bytes([0xFF, 0xE0 + i]) + struct.pack(">H", len(payload) + 2) + payload
+    sof_payload = b"\x08" + struct.pack(">HH", height, width) + b"\x03"
+    out += b"\xff\xc0" + struct.pack(">H", len(sof_payload) + 2) + sof_payload
+    return out
+
+
+def _parse(spark, payloads):
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "id long, content binary",
+    )
+    c = F.col("content")
+    is_png, pw, ph = png_dims(c)
+    is_jpeg, jw, jh = jpeg_dims(c)
+    rows = df.select(
+        "id",
+        is_png.alias("is_png"),
+        pw.alias("pw"),
+        ph.alias("ph"),
+        is_jpeg.alias("is_jpeg"),
+        jw.alias("jw"),
+        jh.alias("jh"),
+    ).collect()
+    return {r.id: r for r in rows}
+
+
+def test_real_png_dims(spark):
+    got = _parse(spark, [_real_png(1, 1), _real_png(640, 480)])
+    assert got[0].is_png and (got[0].pw, got[0].ph) == (1, 1)
+    assert got[1].is_png and (got[1].pw, got[1].ph) == (640, 480)
+    assert not got[0].is_jpeg
+
+
+def test_real_jpeg_sof_walk(spark):
+    # 0-3 leading APP segments: the walk must hop each one's length
+    payloads = [_real_jpeg_header(123, 45, n) for n in range(4)]
+    got = _parse(spark, payloads)
+    for i in range(4):
+        r = got[i]
+        assert r.is_jpeg and not r.is_png, i
+        assert (r.jw, r.jh) == (123, 45), (i, r)
+
+
+def test_jpeg_sof_past_bound_is_null_not_wrong(spark):
+    # SOF behind MORE segments than the default bound walks -> NULL dims
+    got = _parse(spark, [_real_jpeg_header(99, 88, 6)])
+    assert got[0].is_jpeg
+    assert got[0].jw is None and got[0].jh is None
+
+
+def test_non_image_bytes_fail_both_magics(spark):
+    got = _parse(spark, [b"plain text payload", b"\x89PNGnot really....."])
+    for r in got.values():
+        assert not r.is_png and not r.is_jpeg
+
+
+def test_image_dims_query_is_map_only(spark, sf_dir):
+    from spark_file_mover_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["multimodal-image-dims"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
