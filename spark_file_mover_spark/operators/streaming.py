@@ -370,6 +370,7 @@ def as_stream(
     watermark: str = "10 minutes",
     n_files: int = 4,
     files_per_trigger: int | None = None,
+    time_ordered: bool = False,
 ):
     """Materialize events as a real file-source stream: write the (nanos-
     normalized) table to a temp parquet dir (``n_files`` shards), open it
@@ -377,7 +378,13 @@ def as_stream(
     trigger(availableNow=True) into a memory sink and compare against the
     batch plans above. Pass ``files_per_trigger=1`` to force one
     micro-batch per shard — the honest way to exercise cross-batch state
-    merging instead of a single all-data batch."""
+    merging instead of a single all-data batch. ``time_ordered=True``
+    range-partitions the shards by ``ts`` so successive micro-batches
+    replay the stream in event-time order — the arrival pattern under
+    which the watermark ratchets forward batch over batch and state
+    EVICTION (not just merging) is observable; with random shards the
+    first batch jumps the watermark near max(ts) and later batches'
+    old rows are dropped as late instead of ever entering state."""
     import atexit
     import shutil
     import tempfile
@@ -388,7 +395,27 @@ def as_stream(
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     path = base + "/events"
     batch = load_table(spark, sf_dir, "events")
-    batch.repartition(n_files).write.mode("overwrite").parquet(path)
+    if time_ordered:
+        # The file source orders micro-batches by file MODIFICATION TIME
+        # (path only breaks exact ties), so a parallel
+        # repartitionByRange write — whose shards land within the same
+        # millisecond in arbitrary order — does NOT replay in time
+        # order (observed: mid-range shard first, watermark jumps,
+        # earlier shards dropped as late). Write the n_files time
+        # ranges SEQUENTIALLY instead: each append is one file with a
+        # strictly later mtime, so one-file triggers replay event time
+        # monotonically.
+        from pyspark.sql import Window
+
+        nt = batch.withColumn(
+            "_b", F.ntile(n_files).over(Window.orderBy("ts"))
+        )
+        for i in range(1, n_files + 1):
+            nt.filter(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+    else:
+        batch.repartition(n_files).write.mode("overwrite").parquet(path)
     reader = spark.readStream.schema(batch.schema)
     if files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", files_per_trigger)
@@ -396,8 +423,11 @@ def as_stream(
 
 
 def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
-    """Run a streaming query to completion on available data, return the
-    in-memory result table name."""
+    """Run a streaming query to completion on available data. Returns the
+    terminated StreamingQuery handle — its ``recentProgress`` carries the
+    per-micro-batch state-store metrics (numRowsTotal / numRowsRemoved)
+    the bounded-state tests assert on; the result rows are in the memory
+    table ``name``."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -406,7 +436,7 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
         .start()
     )
     q.awaitTermination()
-    return name
+    return q
 
 
 # ---------------------------------------------------------------------------

@@ -171,3 +171,66 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     cols = ["event_id", "user_id", "ts", "vts"]
     assert _rows(streamed, cols) == _rows(batch, cols)
     assert streamed.count() > 0
+
+
+def test_stream_join_multibatch_state_eviction(spark, sf_dir):
+    """Bounded join state PROVEN, not asserted in prose: replay both
+    sides of the interval join as time-ordered one-file-per-trigger
+    micro-batches, so the watermark ratchets forward batch over batch.
+    The state store must (a) actually evict view/purchase rows as the
+    eviction horizon advances (numRowsRemoved > 0), (b) finish holding
+    strictly fewer rows than it ingested (bounded, not accumulate-all),
+    and (c) still emit exactly the batch interval-join result — eviction
+    must only ever remove rows that can no longer match."""
+    import json
+
+    from spark_file_mover_spark.operators.streaming import (
+        attribution_join_stream,
+    )
+    from spark_file_mover_spark.sources.io import load_table
+
+    n_files = 8
+    views = as_stream(
+        spark, sf_dir, files_per_trigger=1, n_files=n_files, time_ordered=True
+    ).filter(F.col("event_type") == "view")
+    purchases = as_stream(
+        spark, sf_dir, files_per_trigger=1, n_files=n_files, time_ordered=True
+    ).filter(F.col("event_type") == "purchase")
+    joined = attribution_join_stream(views, purchases)
+    q = run_stream_to_memory(joined, "t_ssjoin_mb", mode="append")
+
+    progs = [json.loads(p.json) for p in q.recentProgress]
+    data_batches = [p for p in progs if p.get("numInputRows", 0) > 0]
+    assert len(data_batches) >= 2, "stream ran as a single micro-batch"
+    state_ops = [op for p in progs for op in p.get("stateOperators", [])]
+    assert state_ops, "no state operator metrics reported"
+    removed = sum(op.get("numRowsRemoved", 0) for op in state_ops)
+    assert removed > 0, "watermark never evicted any join state"
+    # final state is bounded well below everything ever ingested
+    final_total = sum(
+        op.get("numRowsTotal", 0) for op in progs[-1]["stateOperators"]
+    )
+    e = load_table(spark, sf_dir, "events")
+    ingested = e.filter(
+        F.col("event_type").isin("view", "purchase")
+    ).count()
+    assert 0 < final_total < ingested, (final_total, ingested)
+
+    # eviction removed only no-longer-matchable rows: stream == batch
+    streamed = spark.table("t_ssjoin_mb")
+    bv = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    bp = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    batch = (
+        bp.join(bv, "user_id")
+        .filter(
+            (F.col("vts") <= F.col("ts"))
+            & (F.col("vts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("event_id", "user_id", "ts", "vts")
+    )
+    cols = ["event_id", "user_id", "ts", "vts"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
