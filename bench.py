@@ -90,6 +90,9 @@ HEADLINE = [
     "text-tfidf-topk",
     "embed-quantize-int8",
     "sim-search-lsh",
+    # r6 additions (not in either frozen set)
+    "dedup-paragraph",
+    "multimodal-image-dims",
 ]
 
 
