@@ -93,6 +93,7 @@ HEADLINE = [
     # r6 additions (not in either frozen set)
     "dedup-paragraph",
     "multimodal-image-dims",
+    "multimodal-audio-meta",
 ]
 
 

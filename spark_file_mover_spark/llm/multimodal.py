@@ -378,3 +378,226 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_png, h_png).otherwise(h_jpeg).alias("height"),
         (is_png | is_jpeg).alias("magic_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal-audio-meta — WAV/RIFF header metadata, no decode
+# ---------------------------------------------------------------------------
+
+
+def _le_uint(content, pos, nbytes: int):
+    """LITTLE-endian unsigned int read (RIFF/WAV is little-endian,
+    unlike PNG/JPEG): byte i contributes ``b_i * 256^i``. Built from
+    single-byte big-endian reads — still pure JVM expressions."""
+    if not isinstance(pos, F.Column):
+        pos = F.lit(pos)
+    out = None
+    for i in range(nbytes):
+        term = _be_uint(content, pos + i, 1) * (256 ** i)
+        out = term if out is None else out + term
+    return out
+
+
+def with_wav_meta(
+    df: DataFrame, content: str = "content", max_chunks: int = 4
+) -> DataFrame:
+    """Append (is_wav, channels, sample_rate, bits_per_sample,
+    n_samples) parsed from a WAV payload's RIFF chunk stream.
+
+    Layout (RIFF spec): "RIFF" + 4-byte size + "WAVE", then chunks of
+    ``4-byte id | 4-byte LE size | payload`` starting at 1-based offset
+    13. The fmt chunk is USUALLY first but LIST/INFO chunks can precede
+    it, so this is a bounded chunk walk like :func:`jpeg_dims`, not a
+    fixed offset: hop ``8 + size`` until the id is "fmt " / "data";
+    channels at payload offset +2, sample rate +4, bits +14 (all
+    little-endian); n_samples = data chunk size / block align. Chunks
+    past the bound yield NULLs, never wrong values.
+
+    DataFrame-level (unlike the column-level :func:`png_dims` /
+    :func:`jpeg_dims`) because RIFF's little-endian sizes make the
+    naive nested-offset expression grow ~5x PER HOP (each LE size is
+    four single-byte reads that each embed the previous offset tree):
+    at four hops the generated projection method compiles past
+    janino's 64 KB limit and the whole stage silently drops to
+    interpreted eval. Each hop here is its own projection with an
+    ``explode(array(struct(...)))`` barrier pinning the walk state, so
+    the expression tree is LINEAR in the walk depth and every layer
+    stays inside whole-stage codegen."""
+    c = F.col(content)
+    is_wav = (F.hex(c.substr(F.lit(1), F.lit(4))) == "52494646") & (
+        F.hex(c.substr(F.lit(9), F.lit(4))) == "57415645"  # "WAVE"
+    )
+    passthrough = [col for col in df.columns]
+    cur = df.select(
+        "*",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(13).cast("long").alias("off"),
+                    is_wav.alias("is_wav"),
+                    F.lit(None).cast("long").alias("channels"),
+                    F.lit(None).cast("long").alias("rate"),
+                    F.lit(None).cast("long").alias("bits"),
+                    F.lit(None).cast("long").alias("block_align"),
+                    F.lit(None).cast("long").alias("data_size"),
+                )
+            )
+        ).alias("_w"),
+    )
+    for _ in range(max_chunks):
+        off = F.col("_w.off")
+        cid = F.hex(c.substr(off, F.lit(4)))
+        size = _le_uint(c, off + 4, 4)
+        is_fmt = cid == "666D7420"  # "fmt "
+        is_data = cid == "64617461"  # "data"
+        st = F.col("_w")
+        cur = cur.select(
+            *passthrough,
+            F.explode(
+                F.array(
+                    F.struct(
+                        (off + 8 + size).alias("off"),
+                        st.is_wav.alias("is_wav"),
+                        F.when(
+                            is_fmt & st.channels.isNull(),
+                            _le_uint(c, off + 10, 2),
+                        )
+                        .otherwise(st.channels)
+                        .alias("channels"),
+                        F.when(
+                            is_fmt & st.rate.isNull(),
+                            _le_uint(c, off + 12, 4),
+                        )
+                        .otherwise(st.rate)
+                        .alias("rate"),
+                        F.when(
+                            is_fmt & st.bits.isNull(),
+                            _le_uint(c, off + 22, 2),
+                        )
+                        .otherwise(st.bits)
+                        .alias("bits"),
+                        F.when(
+                            is_fmt & st.block_align.isNull(),
+                            _le_uint(c, off + 20, 2),
+                        )
+                        .otherwise(st.block_align)
+                        .alias("block_align"),
+                        F.when(is_data & st.data_size.isNull(), size)
+                        .otherwise(st.data_size)
+                        .alias("data_size"),
+                    )
+                )
+            ).alias("_w"),
+        )
+    st = F.col("_w")
+    return cur.select(
+        *passthrough,
+        st.is_wav.alias("is_wav"),
+        st.channels.alias("channels"),
+        st.rate.alias("sample_rate"),
+        st.bits.alias("bits_per_sample"),
+        (st.data_size / st.block_align).cast("long").alias("n_samples"),
+    )
+
+
+# Oracle predicts the parsed metadata from the same doc_id formulas the
+# synthesizer uses (see multimodal-image-dims for the pattern and why
+# fmt comes from the magic check, not the formula).
+_AUDIO_ORACLE = """
+SELECT doc_id AS asset_id,
+       TRUE AS is_wav,
+       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050
+            ELSE 44100 END AS BIGINT) AS sample_rate,
+       CAST(8 * (1 + doc_id % 2) AS BIGINT) AS bits_per_sample,
+       CAST(100 + doc_id % 400 AS BIGINT) AS n_samples
+FROM documents
+ORDER BY asset_id
+"""
+
+
+@query("multimodal-audio-meta", oracle=_AUDIO_ORACLE)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-asset metadata extraction with pure byte expressions — the
+    audio twin of ``multimodal-image-dims``: sample rate, channel count,
+    bit depth and sample count from the RIFF/WAVE chunk stream, the
+    metadata pass an audio curation pipeline runs per asset (duration
+    filters, mono/stereo routing, resample planning) without paying a
+    codec per row.
+
+    Synthesis mirrors image-dims: each document gets a spec-shaped WAV
+    whose fmt values derive from doc_id, with a doc_id-VARYING LIST
+    chunk inserted BEFORE fmt for odd doc_ids so the chunk walk has to
+    hop a different distance per row (a fixed-offset "parse" would fail
+    half the corpus). block_align = channels * bytes_per_sample, so the
+    derived n_samples exercises the LE multi-byte arithmetic end to
+    end. Real-format ground truth: a canonical 44-byte PCM WAV fixture
+    in tests/test_multimodal_dims.py.
+
+    Scale: map-only, zero shuffle, zero Python — fused into the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    channels = 1 + doc % 2
+    rate = (
+        F.when(doc % 3 == 0, 16000)
+        .when(doc % 3 == 1, 22050)
+        .otherwise(44100)
+    )
+    bits = 8 * (1 + doc % 2)
+    block_align = channels * (bits / 8).cast("long")
+    n_samples = 100 + doc % 400
+    data_size = n_samples * block_align
+    hexle2 = lambda c: F.concat(  # noqa: E731
+        F.lpad(F.hex(c % 256), 2, "0"), F.lpad(F.hex((c / 256).cast("long") % 256), 2, "0")
+    )
+    hexle4 = lambda c: F.concat(  # noqa: E731
+        hexle2(c % 65536), hexle2((c / 65536).cast("long"))
+    )
+    fmt_chunk = F.concat(
+        F.lit("666D7420"),  # "fmt "
+        hexle4(F.lit(16)),  # PCM fmt payload size
+        hexle2(F.lit(1)),  # audio format 1 = PCM
+        hexle2(channels),
+        hexle4(rate),
+        hexle4(rate * block_align),  # byte rate
+        hexle2(block_align),
+        hexle2(bits),
+    )
+    # odd docs: a LIST chunk of doc-varying size before fmt
+    list_len = 4 + (doc % 6) * 2
+    list_chunk = F.when(
+        doc % 2 == 1,
+        F.concat(
+            F.lit("4C495354"),  # "LIST"
+            hexle4(list_len),
+            F.lit("00" * 16).substr(F.lit(1), list_len * 2),
+        ),
+    ).otherwise(F.lit(""))
+    data_chunk = F.concat(
+        F.lit("64617461"),  # "data"
+        hexle4(data_size),
+        # payload itself omitted — header parsing never reads it, and
+        # appending n_samples*block_align zero bytes per row would only
+        # slow the fixture down. A truncated-data WAV is exactly what a
+        # header-only metadata pass must still handle.
+    )
+    payload_hex = F.concat(
+        F.lit("52494646"),  # "RIFF"
+        hexle4(F.length(F.concat(list_chunk, fmt_chunk, data_chunk)) / 2 + 4),
+        F.lit("57415645"),  # "WAVE"
+        list_chunk,
+        fmt_chunk,
+        data_chunk,
+    )
+    # explode(array(...)) barrier: CollapseProject would otherwise
+    # inline the ENTIRE synthesis expression into every one of the
+    # parser's ~30 byte reads — measured to blow the generated method
+    # past janino's 64 KB limit and drop the whole projection to
+    # interpreted mode. The Generate node pins `content` to ONE
+    # evaluation per row and keeps both halves inside codegen (same
+    # idiom as embed-quantize-int8's absmax/qarr barrier).
+    assets = d.select(
+        doc.alias("asset_id"),
+        F.explode(F.array(F.unhex(payload_hex))).alias("content"),
+    )
+    return with_wav_meta(assets).drop("content")

@@ -101,6 +101,7 @@ _PRIORITY_R6 = [
     # new keys this round (no driver row yet)
     "dedup-paragraph",
     "multimodal-image-dims",
+    "multimodal-audio-meta",
     # implementation changed this round — fresh rows prove outputs held
     "dedup-near-minhash",
     "text-chunk-sliding",

@@ -108,3 +108,60 @@ def test_image_dims_query_is_map_only(spark, sf_dir):
     )
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _real_wav(sample_rate: int, channels: int, bits: int, n_samples: int,
+              leading_list: int = 0) -> bytes:
+    """A spec-valid PCM WAV (canonical 44-byte header + zero samples),
+    optionally with a LIST chunk before fmt."""
+    block_align = channels * bits // 8
+    data = b"\x00" * (n_samples * block_align)
+    fmt = (
+        b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block_align, block_align, bits)
+    )
+    lst = b""
+    if leading_list:
+        lst = b"LIST" + struct.pack("<I", leading_list) + bytes(leading_list)
+    body = b"WAVE" + lst + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_real_wav_meta(spark):
+    from spark_file_mover_spark.llm.multimodal import with_wav_meta
+
+    payloads = [
+        _real_wav(44100, 2, 16, 100),
+        _real_wav(16000, 1, 8, 250, leading_list=10),
+        b"RIFFnotawave....",
+        b"plain text",
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "id long, content binary",
+    )
+    got = {r.id: r for r in with_wav_meta(df).collect()}
+    assert got[0].is_wav and (
+        got[0].channels, got[0].sample_rate, got[0].bits_per_sample,
+        got[0].n_samples,
+    ) == (2, 44100, 16, 100)
+    # LIST chunk before fmt: the walk must hop it
+    assert got[1].is_wav and (
+        got[1].channels, got[1].sample_rate, got[1].bits_per_sample,
+        got[1].n_samples,
+    ) == (1, 16000, 8, 250)
+    assert not got[2].is_wav  # RIFF but not WAVE
+    assert not got[3].is_wav
+
+
+def test_audio_meta_query_is_map_only_and_codegen_clean(spark, sf_dir):
+    from spark_file_mover_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["multimodal-audio-meta"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -80,7 +80,7 @@ SURVEY_KEYS = {
     "sample-train-split", "sample-hash-stratified",
     "sample-pack-sequences", "sample-temperature-weights",
     "multimodal-binary", "multimodal-frame-sample",
-    "multimodal-image-dims",
+    "multimodal-image-dims", "multimodal-audio-meta",
     # J
     "udf-scalar-pandas", "udaf-grouped-pandas", "udtf-explode-like",
 }
