@@ -94,6 +94,7 @@ HEADLINE = [
     "dedup-paragraph",
     "multimodal-image-dims",
     "multimodal-audio-meta",
+    "text-perplexity-proxy",
 ]
 
 

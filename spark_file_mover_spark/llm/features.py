@@ -290,3 +290,104 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("q", zero, lambda acc, x: acc + F.abs(x)).alias("q_l1"),
         F.aggregate("q", zero, lambda acc, x: acc + x * x).alias("q_sq"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# text-perplexity-proxy — unigram-LM cross-entropy quality signal
+# ---------------------------------------------------------------------------
+
+_XENT_QUALITY_MAX = 3.5  # rounded-xent threshold; splits the corpus (observed range ~3.38-3.70)
+
+_XENT_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+),
+freq AS (
+  SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY tok
+),
+n AS (SELECT SUM(cnt) AS n_total FROM freq),
+contrib AS (
+  SELECT doc_id, tf * ln(cnt / CAST(n_total AS DOUBLE)) AS c
+  FROM tf JOIN freq USING (tok) CROSS JOIN n
+),
+s AS (
+  SELECT doc_id,
+         list_reduce(list_sort(list(c)), (a, b) -> a + b) AS csum
+  FROM contrib GROUP BY doc_id
+),
+nt AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+  FROM documents
+)
+SELECT nt.doc_id,
+       CAST(nt.n_tok AS BIGINT) AS n_tok,
+       ROUND(-csum / nt.n_tok, 9) AS xent,
+       ROUND(-csum / nt.n_tok, 9) <= 3.5 AS quality_ok
+FROM nt JOIN s USING (doc_id)
+ORDER BY nt.doc_id
+"""
+
+
+@query("text-perplexity-proxy", oracle=_XENT_ORACLE)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document — the proxy for the LM
+    perplexity filter every CCNet-descended curation pipeline runs: fit
+    the simplest possible language model (corpus unigram frequencies)
+    and score each document by the mean negative log-probability of its
+    tokens. Gibberish / rare-token-soup documents score high, fluent
+    in-distribution text scores low; ``quality_ok`` thresholds the
+    ROUNDED score so the flag is deterministic cross-engine. (A real
+    deployment swaps the unigram model for KenLM scores — the Spark
+    plan is identical: per-token logprob lookup + per-doc mean.)
+
+    Plan shape at 100 TB (shared with text-tfidf-topk): ONE token
+    explode → (doc, tok) tf agg; the model's frequency table derives
+    FROM the tf relation (never a second corpus explode); the corpus
+    token total is a broadcast scalar relation (no driver collect);
+    scoring is a vocabulary-keyed join of tf against the frequency
+    table — vocabulary-sized, zipfian-skewed, exactly what AQE skew
+    handling is for.
+
+    Parity: the per-doc sum of ``tf·ln(cnt/N)`` runs as a SORTED
+    sequential fold in both engines (``aggregate(array_sort(...))`` ≡
+    ``list_reduce(list_sort(...))``) — double addition commutes for
+    equal values, so a value-sort fully determines the fold result —
+    and the final score is snapped to 9 dp before the flag compare and
+    the hash (the repo's standard treatment for libm ``ln`` ULP)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(toks()).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    freq = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    n = freq.agg(F.sum("cnt").alias("n_total"))
+    contrib = (
+        tf.join(freq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            (
+                F.col("tf")
+                * F.log(F.col("cnt") / F.col("n_total").cast("double"))
+            ).alias("c"),
+        )
+    )
+    csum = contrib.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("c")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("csum")
+    )
+    nt = d.select("doc_id", F.size(toks()).alias("n_tok"))
+    xent = F.round(-F.col("csum") / F.col("n_tok"), 9)
+    return nt.join(csum, "doc_id").select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        xent.alias("xent"),
+        (xent <= _XENT_QUALITY_MAX).alias("quality_ok"),
+    )

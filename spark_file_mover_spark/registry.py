@@ -102,6 +102,7 @@ _PRIORITY_R6 = [
     "dedup-paragraph",
     "multimodal-image-dims",
     "multimodal-audio-meta",
+    "text-perplexity-proxy",
     # implementation changed this round — fresh rows prove outputs held
     "dedup-near-minhash",
     "text-chunk-sliding",
