@@ -422,73 +422,20 @@ def with_wav_meta(
     interpreted eval. Each hop here is its own projection with an
     ``explode(array(struct(...)))`` barrier pinning the walk state, so
     the expression tree is LINEAR in the walk depth and every layer
-    stays inside whole-stage codegen."""
-    c = F.col(content)
-    is_wav = (F.hex(c.substr(F.lit(1), F.lit(4))) == "52494646") & (
-        F.hex(c.substr(F.lit(9), F.lit(4))) == "57415645"  # "WAVE"
-    )
+    stays inside whole-stage codegen.
+
+    Driver latency: every hop applies the SAME unresolved expression
+    over ``(content, _w)``, so the hop struct is built once and reused
+    for all hops, and the fragments are cached per SparkContext (the
+    dedup ``_EXPR_CACHE`` pattern) — py4j Column construction for the
+    ~60 byte-read nodes was the dominant per-invocation cost
+    (~1.2 s build+analyze vs ~0.7 s execute at sf0.1 before the
+    cache)."""
+    frags = _wav_fragments(df.sparkSession, content, max_chunks)
     passthrough = [col for col in df.columns]
-    cur = df.select(
-        "*",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(13).cast("long").alias("off"),
-                    is_wav.alias("is_wav"),
-                    F.lit(None).cast("long").alias("channels"),
-                    F.lit(None).cast("long").alias("rate"),
-                    F.lit(None).cast("long").alias("bits"),
-                    F.lit(None).cast("long").alias("block_align"),
-                    F.lit(None).cast("long").alias("data_size"),
-                )
-            )
-        ).alias("_w"),
-    )
+    cur = df.select("*", frags["init"].alias("_w"))
     for _ in range(max_chunks):
-        off = F.col("_w.off")
-        cid = F.hex(c.substr(off, F.lit(4)))
-        size = _le_uint(c, off + 4, 4)
-        is_fmt = cid == "666D7420"  # "fmt "
-        is_data = cid == "64617461"  # "data"
-        st = F.col("_w")
-        cur = cur.select(
-            *passthrough,
-            F.explode(
-                F.array(
-                    F.struct(
-                        (off + 8 + size).alias("off"),
-                        st.is_wav.alias("is_wav"),
-                        F.when(
-                            is_fmt & st.channels.isNull(),
-                            _le_uint(c, off + 10, 2),
-                        )
-                        .otherwise(st.channels)
-                        .alias("channels"),
-                        F.when(
-                            is_fmt & st.rate.isNull(),
-                            _le_uint(c, off + 12, 4),
-                        )
-                        .otherwise(st.rate)
-                        .alias("rate"),
-                        F.when(
-                            is_fmt & st.bits.isNull(),
-                            _le_uint(c, off + 22, 2),
-                        )
-                        .otherwise(st.bits)
-                        .alias("bits"),
-                        F.when(
-                            is_fmt & st.block_align.isNull(),
-                            _le_uint(c, off + 20, 2),
-                        )
-                        .otherwise(st.block_align)
-                        .alias("block_align"),
-                        F.when(is_data & st.data_size.isNull(), size)
-                        .otherwise(st.data_size)
-                        .alias("data_size"),
-                    )
-                )
-            ).alias("_w"),
-        )
+        cur = cur.select(*passthrough, frags["hop"].alias("_w"))
     st = F.col("_w")
     return cur.select(
         *passthrough,
@@ -498,6 +445,74 @@ def with_wav_meta(
         st.bits.alias("bits_per_sample"),
         (st.data_size / st.block_align).cast("long").alias("n_samples"),
     )
+
+
+# Unresolved-fragment cache for the WAV walk + the audio-meta synthesis
+# column, keyed on applicationId (same contract as dedup._EXPR_CACHE:
+# unresolved Columns are immutable trees bound to no plan, safe to reuse
+# across queries; a restarted JVM rebuilds).
+_WAV_EXPR_CACHE: dict[tuple, dict] = {}
+
+
+def _wav_fragments(spark: SparkSession, content: str, max_chunks: int) -> dict:
+    key = (spark.sparkContext.applicationId, content, max_chunks)
+    frags = _WAV_EXPR_CACHE.get(key)
+    if frags is not None:
+        return frags
+    if any(k[0] != key[0] for k in _WAV_EXPR_CACHE):
+        _WAV_EXPR_CACHE.clear()  # at most one live context per process
+    c = F.col(content)
+    is_wav = (F.hex(c.substr(F.lit(1), F.lit(4))) == "52494646") & (
+        F.hex(c.substr(F.lit(9), F.lit(4))) == "57415645"  # "WAVE"
+    )
+    init = F.explode(
+        F.array(
+            F.struct(
+                F.lit(13).cast("long").alias("off"),
+                is_wav.alias("is_wav"),
+                F.lit(None).cast("long").alias("channels"),
+                F.lit(None).cast("long").alias("rate"),
+                F.lit(None).cast("long").alias("bits"),
+                F.lit(None).cast("long").alias("block_align"),
+                F.lit(None).cast("long").alias("data_size"),
+            )
+        )
+    )
+    off = F.col("_w.off")
+    cid = F.hex(c.substr(off, F.lit(4)))
+    size = _le_uint(c, off + 4, 4)
+    is_fmt = cid == "666D7420"  # "fmt "
+    is_data = cid == "64617461"  # "data"
+    st = F.col("_w")
+    hop = F.explode(
+        F.array(
+            F.struct(
+                (off + 8 + size).alias("off"),
+                st.is_wav.alias("is_wav"),
+                F.when(is_fmt & st.channels.isNull(), _le_uint(c, off + 10, 2))
+                .otherwise(st.channels)
+                .alias("channels"),
+                F.when(is_fmt & st.rate.isNull(), _le_uint(c, off + 12, 4))
+                .otherwise(st.rate)
+                .alias("rate"),
+                F.when(is_fmt & st.bits.isNull(), _le_uint(c, off + 22, 2))
+                .otherwise(st.bits)
+                .alias("bits"),
+                F.when(
+                    is_fmt & st.block_align.isNull(),
+                    _le_uint(c, off + 20, 2),
+                )
+                .otherwise(st.block_align)
+                .alias("block_align"),
+                F.when(is_data & st.data_size.isNull(), size)
+                .otherwise(st.data_size)
+                .alias("data_size"),
+            )
+        )
+    )
+    frags = {"init": init, "hop": hop}
+    _WAV_EXPR_CACHE[key] = frags
+    return frags
 
 
 # Oracle predicts the parsed metadata from the same doc_id formulas the
@@ -534,8 +549,21 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     end. Real-format ground truth: a canonical 44-byte PCM WAV fixture
     in tests/test_multimodal_dims.py.
 
-    Scale: map-only, zero shuffle, zero Python — fused into the scan."""
+    Scale: map-only, zero shuffle, zero Python — fused into the scan.
+    The synthesis column is cached per SparkContext alongside the walk
+    fragments (~200 py4j-constructed nodes otherwise rebuilt per
+    invocation)."""
     d = load_table(spark, sf_dir, "documents")
+    synth_key = (spark.sparkContext.applicationId, "_audio_synth", 0)
+    cached = _WAV_EXPR_CACHE.get(synth_key)
+    if cached is not None:
+        assets = d.select(
+            F.col("doc_id").alias("asset_id"),
+            F.explode(F.array(F.unhex(cached["payload_hex"]))).alias(
+                "content"
+            ),
+        )
+        return with_wav_meta(assets).drop("content")
     doc = F.col("doc_id")
     channels = 1 + doc % 2
     rate = (
@@ -589,6 +617,7 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_chunk,
         data_chunk,
     )
+    _WAV_EXPR_CACHE[synth_key] = {"payload_hex": payload_hex}
     # explode(array(...)) barrier: CollapseProject would otherwise
     # inline the ENTIRE synthesis expression into every one of the
     # parser's ~30 byte reads — measured to blow the generated method

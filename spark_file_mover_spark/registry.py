@@ -72,10 +72,16 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #      exactly before them, two rounds running).
 #   2. The 44 keys whose latest driver row is r4 — scoring them keeps
 #      every key at <=1-round staleness across r5|r6.
-#   3. The NEW r6 keys (paragraph dedup, image dims) — no driver row.
+#   3. The NEW r6 keys (paragraph dedup, image dims, audio meta,
+#      perplexity proxy) — no driver row exists.
 #   4. Keys whose implementation changed this round (minhash perf
-#      rework; chunk-count integer arithmetic) — output is meant to be
-#      identical, but a fresh row proves it.
+#      rework; chunk-count integer arithmetic) — at positions 51-52
+#      they are the ones a ~50-key budget cut drops, which is safe
+#      HERE: both changes are value-identical by design (the minhash
+#      audit emits the same TRUE-invariant booleans; the chunk count
+#      moved from float-division-then-floor to exact integer `div`
+#      with equal results for every feasible n_tok), so their green
+#      r5 rows still describe the current output exactly.
 #   5. Everything r5-fresh at the tail.
 _PRIORITY_R6 = [
     # 2-round-stale keys FIRST (cut at 51-52 in both r4 and r5)
