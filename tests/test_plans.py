@@ -314,3 +314,22 @@ def test_lsh_multiprobe_supersets_single_probe(spark, sf_dir, tmp_path):
     mscore = {r.vec_id: r.cos for r in mrows}
     for r in single:
         assert mscore[r.vec_id] == r.cos
+
+
+def test_minhash_guard_window_runs_once_inside_cache(spark, sf_dir):
+    """r6 pin for the minhash pair stage: the oversized-bucket guard
+    window is computed ONCE (inside the persisted bands relation) and
+    both self-join sides read the cache. The r5 shape persisted the
+    pre-guard relation and let AQE's broadcast conversion silently run
+    the guard's Sort+Window+Exchange twice — once per join side."""
+    import re
+
+    df = registry.QUERIES["dedup-near-minhash"](spark, sf_dir)
+    plan = _formatted_plan(spark, df)
+    # the guard window appears exactly once (in the cached plan)...
+    assert len(re.findall(r"windowspecdefinition\(band#", plan)) == 1, plan
+    # ...both pair-join sides are cache scans...
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 2, plan
+    # ...and no (band, sig) exchange exists OUTSIDE the cached subtree:
+    # the pair join itself adds no shuffle.
+    assert len(re.findall(r"Exchange hashpartitioning\(band#", plan)) == 0, plan
