@@ -88,3 +88,56 @@ def test_paragraph_hash_shuffle_carries_no_text(spark, sf_dir):
         )
         checked += 1
     assert checked >= 1, "no hash-partitioned exchange found in plan"
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    def _py_reference(texts):
+        """Pure-Python first-occurrence block dedup (blocks of _PARA
+        whitespace tokens, docs in doc_id order)."""
+        seen = set()
+        out = {}
+        for doc_id, text in enumerate(texts, start=1):
+            toks = text.strip().lower().split()
+            n_para = max(-(-len(toks) // _PARA), 1)
+            kept = []
+            for i in range(n_para):
+                para = " ".join(toks[i * _PARA : (i + 1) * _PARA])
+                if para not in seen:
+                    seen.add(para)
+                    kept.append(para)
+            out[doc_id] = (n_para, len(kept), " ".join(kept))
+        return out
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        st.lists(
+            st.lists(
+                # tiny alphabet + doc lengths straddling the block size
+                # -> heavy cross-doc and within-doc block collisions
+                st.sampled_from(["aa", "bb", "cc"]),
+                min_size=1,
+                max_size=3 * _PARA,
+            ).map(" ".join),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_paragraph_dedup_matches_python_reference(spark, tmp_path_factory, texts):
+        sf = _write_docs(
+            spark, tmp_path_factory.mktemp("paradata"), texts
+        )
+        got = {
+            r.doc_id: (r.n_para, r.n_kept, r.kept_text)
+            for r in dedup_paragraph(spark, sf).collect()
+        }
+        assert got == _py_reference(texts)
+
+except ImportError:  # pragma: no cover - hypothesis ships in the container
+    pass
