@@ -95,6 +95,7 @@ HEADLINE = [
     "multimodal-image-dims",
     "multimodal-audio-meta",
     "text-perplexity-proxy",
+    "text-dup-span",
 ]
 
 

@@ -974,3 +974,136 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# I33 — cross-document duplicated-span detection (substring-dedup marking)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 5  # k-gram width for span detection
+
+_SPAN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         greatest(len(toks) - {_SPAN_K - 1}, 0) AS n_grams
+  FROM t
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[(i+1):(i+{_SPAN_K})], ' ') AS gram
+  FROM s
+  CROSS JOIN (SELECT unnest(range(0, (SELECT max(n_grams) FROM s))) AS i)
+  WHERE i < n_grams
+),
+dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)
+),
+dp AS (
+  SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)
+),
+r AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+  FROM dp
+),
+runs AS (
+  SELECT doc_id, rid, COUNT(*) AS rl FROM r GROUP BY doc_id, rid
+),
+m AS (
+  SELECT doc_id, MAX(rl) AS max_dup_run, SUM(rl) AS n_dup
+  FROM runs GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(m.n_dup, 0) AS BIGINT) AS n_dup_grams,
+       CAST(coalesce(m.max_dup_run, 0) AS BIGINT) AS max_dup_run,
+       CASE WHEN s.n_grams > 0
+            THEN round(coalesce(m.n_dup, 0) / CAST(s.n_grams AS DOUBLE), 9)
+            ELSE 0.0 END AS dup_frac
+FROM s LEFT JOIN m USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+@query("text-dup-span", oracle=_SPAN_ORACLE)
+def text_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I33: cross-document duplicated-span detection — the MARKING pass
+    of exact-substring dedup (the Lee et al. "Deduplicating Training
+    Data Makes Language Models Better" recipe, re-expressed relationally
+    at k-gram granularity instead of a suffix array): for every document,
+    how many of its {k}-token grams also occur in ANOTHER document, and
+    the longest contiguous run of such grams. Downstream policy then
+    drops documents above a dup_frac threshold or cuts the marked spans;
+    both consume exactly this relation.
+
+    Plan shape (the paragraph-dedup scale argument, one level finer):
+    document text never crosses a shuffle — grams are hashed map-side
+    and only ``(doc_id, pos, gh)`` leaves the scan stage. Cross-doc
+    duplication is a ``min(doc)≠max(doc)`` groupBy on the 8-byte hash
+    (map-side combine collapses hot boilerplate grams per task; a
+    countDistinct would carry doc-id sets), the survivor set SEMI-joins
+    back on the same hash exchange, and the run/space accounting is
+    doc_id-partitioned windows over integer positions. The classic
+    gaps-and-islands trick (``pos − row_number()`` is constant within a
+    consecutive run) turns span detection into one window + one small
+    groupBy.
+
+    Parity: Spark groups grams by ``xxhash64``, the oracle by the gram
+    string (the dedup-exact collision argument); dup_frac takes the
+    standard 9-dp snap; every other output is exact integer math."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", toks().alias("toks")).withColumn(
+        "n_grams",
+        F.greatest(F.size("toks") - (_SPAN_K - 1), F.lit(0)),
+    )
+    tc = F.col("toks")
+    gram_hashes = F.when(
+        F.col("n_grams") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_grams") - 1),
+            lambda i: F.xxhash64(
+                *[F.element_at(tc, i + j + 1) for j in range(_SPAN_K)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = t.select("doc_id", F.posexplode(gram_hashes).alias("pos", "gh"))
+    dup = (
+        g.groupBy("gh")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("gh")
+    )
+    dp = g.join(dup, "gh", "left_semi")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        dp.withColumn("rid", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "rid")
+        .agg(F.count("*").alias("rl"))
+    )
+    m = runs.groupBy("doc_id").agg(
+        F.max("rl").alias("max_dup_run"), F.sum("rl").alias("n_dup")
+    )
+    n_dup = F.coalesce("n_dup", F.lit(0)).cast("long")
+    return (
+        t.join(m, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            n_dup.alias("n_dup_grams"),
+            F.coalesce("max_dup_run", F.lit(0))
+            .cast("long")
+            .alias("max_dup_run"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(n_dup / F.col("n_grams"), 9),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )

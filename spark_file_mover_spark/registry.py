@@ -70,23 +70,35 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #   1. The two keys whose latest green row is r3 (2 rounds stale —
 #      they sat at positions 51-52 of _PRIORITY_R5 and the budget cut
 #      exactly before them, two rounds running).
-#   2. The 44 keys whose latest driver row is r4 — scoring them keeps
-#      every key at <=1-round staleness across r5|r6.
-#   3. The NEW r6 keys (paragraph dedup, image dims, audio meta,
-#      perplexity proxy) — no driver row exists.
+#   2. The FIVE new r6 keys — no driver row exists, and a missing row
+#      is a bigger coverage hole than one more round of staleness on a
+#      green one.
+#   3. The 44 keys whose latest driver row is r4 — scoring them keeps
+#      every key at <=1-round staleness across r5|r6 (a ~50-key cut
+#      drops only the block's tail).
 #   4. Keys whose implementation changed this round (minhash perf
-#      rework; chunk-count integer arithmetic) — at positions 51-52
-#      they are the ones a ~50-key budget cut drops, which is safe
-#      HERE: both changes are value-identical by design (the minhash
-#      audit emits the same TRUE-invariant booleans; the chunk count
-#      moved from float-division-then-floor to exact integer `div`
-#      with equal results for every feasible n_tok), so their green
-#      r5 rows still describe the current output exactly.
+#      rework; chunk-count integer arithmetic) — likely cut, which is
+#      safe HERE: both changes are value-identical by design (the
+#      minhash audit emits the same TRUE-invariant booleans; the chunk
+#      count moved from float-division-then-floor to exact integer
+#      `div` with equal results for every feasible n_tok), so their
+#      green r5 rows still describe the current output exactly.
 #   5. Everything r5-fresh at the tail.
 _PRIORITY_R6 = [
     # 2-round-stale keys FIRST (cut at 51-52 in both r4 and r5)
     "sink-bucketed",
     "sink-merge-upsert",
+    # new r6 keys next: a key with NO driver row at all is a bigger
+    # coverage hole than one more round of staleness on a green row, so
+    # the five new keys outrank the r4-stale block. With a ~50-key cut
+    # this drops the TAIL of the r4 block (sink-compact — benched fresh
+    # every round, so only its correctness row ages) and the two
+    # value-identical changed keys.
+    "dedup-paragraph",
+    "multimodal-image-dims",
+    "multimodal-audio-meta",
+    "text-perplexity-proxy",
+    "text-dup-span",
     # r4-stale block (latest green row is r4)
     "agg-hash", "agg-distinct", "agg-approx-distinct",
     "agg-rollup-cube-gsets", "agg-having", "agg-approx-quantile",
@@ -104,11 +116,6 @@ _PRIORITY_R6 = [
     "text-decontaminate", "text-repetition",
     "move-list-files", "move-rename",
     "scan-jsonl-roundtrip", "repartition-n", "sink-compact",
-    # new keys this round (no driver row yet)
-    "dedup-paragraph",
-    "multimodal-image-dims",
-    "multimodal-audio-meta",
-    "text-perplexity-proxy",
     # implementation changed this round — fresh rows prove outputs held
     "dedup-near-minhash",
     "text-chunk-sliding",

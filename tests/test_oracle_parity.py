@@ -76,7 +76,7 @@ SURVEY_KEYS = {
     "text-quality-score", "text-fingerprint", "text-pii-scrub",
     "text-ngram-freq", "text-decontaminate", "text-repetition",
     "text-url-normalize", "text-chunk-sliding", "text-tfidf-topk",
-    "text-perplexity-proxy",
+    "text-perplexity-proxy", "text-dup-span",
     "embed-quantize-int8",
     "sample-train-split", "sample-hash-stratified",
     "sample-pack-sequences", "sample-temperature-weights",
