@@ -169,36 +169,46 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
     :func:`spark_file_mover_spark.sources.io.scan_partitions`, which
     lives beside the load_table plan cache whose object-identity
     contract makes the memo valid (~0.1 s of driver latency saved per
-    invocation).
+    invocation). When the guard does fire, the repartition sits on the
+    RAW TEXT projection and tokenization happens on the receiving side —
+    shuffling the text (one compact string per doc) instead of the token
+    arrays it splits into (r7, measured −0.15 s on the signature stage
+    at sf0.1: an array of N short strings carries per-element offsets
+    and padding the flat text does not, and the regex split itself then
+    also runs on all cores instead of in the pre-shuffle map).
     """
     spark = d.sparkSession
-    toks_expr = toks()
-    t = d.select("doc_id", toks_expr.alias("toks"))
+    t = d.select("doc_id", "text")
     par = spark.sparkContext.defaultParallelism
     if scan_partitions(d) < par:
         t = t.repartition(par)
+    t = t.select("doc_id", toks().alias("toks"))
     tc = F.col("toks")
     # Shingle identity is the xxhash64 of the THREE TOKENS as separate
     # hash inputs — not of a concat_ws-joined string. Hashing the tokens
     # directly skips one string allocation + copy per shingle in the
     # hottest map stage (measured −0.1 s on the signature stage at
-    # sf0.1), and array_distinct then compares 8-byte longs instead of
-    # variable-length strings. Dedup power is unchanged: xxhash64 is
-    # injective up to 64-bit collisions either way, and (a,b,c) vs
-    # "a b c" only re-keys WHICH value represents a shingle, identically
-    # in every document.
-    shingle_h = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(tc) - 3, F.lit(0))),
-            lambda i: F.pmod(
-                F.xxhash64(
-                    F.element_at(tc, i + 1),
-                    F.element_at(tc, i + 2),
-                    F.element_at(tc, i + 3),
-                ),
-                F.lit(1 << 32),
+    # sf0.1). Dedup power is unchanged: xxhash64 is injective up to
+    # 64-bit collisions either way, and (a,b,c) vs "a b c" only re-keys
+    # WHICH value represents a shingle, identically in every document.
+    #
+    # NO array_distinct on the shingle array (r7): every consumer is a
+    # min() aggregate, and min over a multiset equals min over its
+    # support — within-doc duplicate shingles cannot change any minhash
+    # value. The distinct pass cost a per-row hash set build in the
+    # hottest map stage (measured −0.2 s on the signature stage at
+    # sf0.1); the duplicate rows it removed were already collapsed for
+    # free by the map-side partial aggregation right below.
+    shingle_h = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tc) - 3, F.lit(0))),
+        lambda i: F.pmod(
+            F.xxhash64(
+                F.element_at(tc, i + 1),
+                F.element_at(tc, i + 2),
+                F.element_at(tc, i + 3),
             ),
-        )
+            F.lit(1 << 32),
+        ),
     )
     sh = t.select("doc_id", F.explode(shingle_h).alias("h"))
     return sh.groupBy("doc_id").agg(*_expr_fragments(spark)["aggs"])
@@ -433,9 +443,11 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized ``nh_rel`` in one left join that simultaneously attaches
     ``nh`` — where r5 paid a completion join inside
     :func:`minhash_clusters` (against a second scan of ``documents``)
-    and then a second doc_id join to re-attach ``nh``. ``ncl`` comes
-    from a ``collect_set`` window over ``nh`` on that joined relation,
-    and the cluster-id reference set comes from ``nh_rel``'s doc ids
+    and then a second doc_id join to re-attach ``nh``. Exact-dup
+    consistency is "min == max cluster_id per nh group" over one window
+    (r7; the r6 ``size(collect_set)`` form paid a per-group hash-set
+    build on the same exchange), and the cluster-id reference set comes
+    from ``nh_rel``'s doc ids
     (the same id universe — the completed clustering emits one row per
     document). The ``(doc_id, nh)`` normalized-hash relation is
     materialized once (two longs per doc — a localCheckpoint of
@@ -463,17 +475,21 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     refs = nh_rel.select(F.col("doc_id").alias("cluster_id")).withColumn(
         "ref_ok", F.lit(True)
     )
+    w_nh = W.partitionBy("nh")
     return (
-        with_cl.withColumn(
-            "ncl",
-            F.size(F.collect_set("cluster_id").over(W.partitionBy("nh"))),
-        )
+        # "all cluster ids equal within the nh group" as min==max over one
+        # window — same single nh exchange as the r6 collect_set form, but
+        # two 8-byte agg buffers instead of a per-group hash set build
+        # (collect_set materializes every distinct id per group before
+        # size() throws the set away).
+        with_cl.withColumn("cl_min", F.min("cluster_id").over(w_nh))
+        .withColumn("cl_max", F.max("cluster_id").over(w_nh))
         .join(refs, "cluster_id", "left")
         .select(
             "doc_id",
             (F.col("cluster_id") <= F.col("doc_id")).alias("cluster_le_doc_id"),
             F.coalesce("ref_ok", F.lit(False)).alias("cluster_ref_valid"),
-            (F.col("ncl") == 1).alias("exact_dup_consistent"),
+            (F.col("cl_min") == F.col("cl_max")).alias("exact_dup_consistent"),
         )
         # no final orderBy: the driver's value hash (and tests/parity) sort
         # rows before hashing, and a global sort costs a range-partitioner
