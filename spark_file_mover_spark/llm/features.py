@@ -298,7 +298,7 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _XENT_QUALITY_MAX = 3.5  # rounded-xent threshold; splits the corpus (observed range ~3.38-3.70)
 
-_XENT_ORACLE = """
+_XENT_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id,
          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
@@ -327,9 +327,9 @@ nt AS (
 )
 SELECT nt.doc_id,
        CAST(nt.n_tok AS BIGINT) AS n_tok,
-       ROUND(-csum / nt.n_tok, 9) AS xent,
-       ROUND(-csum / nt.n_tok, 9) <= 3.5 AS quality_ok
-FROM nt JOIN s USING (doc_id)
+       ROUND(-COALESCE(csum, 0.0) / nt.n_tok, 9) AS xent,
+       ROUND(-COALESCE(csum, 0.0) / nt.n_tok, 9) <= {_XENT_QUALITY_MAX} AS quality_ok
+FROM nt LEFT JOIN s USING (doc_id)
 ORDER BY nt.doc_id
 """
 
@@ -384,8 +384,13 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("csum")
     )
     nt = d.select("doc_id", F.size(toks()).alias("n_tok"))
-    xent = F.round(-F.col("csum") / F.col("n_tok"), 9)
-    return nt.join(csum, "doc_id").select(
+    # LEFT join + coalesce (r7): a document producing zero tf rows keeps
+    # a row with csum=0 by construction, instead of relying on the
+    # tokenizer property that split(trim(x), '\s+') never yields an
+    # empty array. Value-identical today (both engines agree no such doc
+    # exists); robustness is structural, mirrored in the oracle.
+    xent = F.round(-F.coalesce("csum", F.lit(0.0)) / F.col("n_tok"), 9)
+    return nt.join(csum, "doc_id", "left").select(
         "doc_id",
         F.col("n_tok").cast("long").alias("n_tok"),
         xent.alias("xent"),

@@ -459,8 +459,11 @@ def _wav_fragments(spark: SparkSession, content: str, max_chunks: int) -> dict:
     frags = _WAV_EXPR_CACHE.get(key)
     if frags is not None:
         return frags
-    if any(k[0] != key[0] for k in _WAV_EXPR_CACHE):
-        _WAV_EXPR_CACHE.clear()  # at most one live context per process
+    stale = [k for k in _WAV_EXPR_CACHE if k[0] != key[0]]
+    for k in stale:  # evict only dead-context keys: a clear() would also
+        del _WAV_EXPR_CACHE[k]  # drop the current app's synth entry stored
+        # moments earlier by multimodal_audio_meta (one wasted rebuild
+        # on the first call after a SparkContext restart — ADVICE r6)
     c = F.col(content)
     is_wav = (F.hex(c.substr(F.lit(1), F.lit(4))) == "52494646") & (
         F.hex(c.substr(F.lit(9), F.lit(4))) == "57415645"  # "WAVE"

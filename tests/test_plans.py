@@ -305,8 +305,8 @@ def test_lsh_multiprobe_supersets_single_probe(spark, sf_dir, tmp_path):
     assert single_ids <= multi_ids
     # >= not >: whether the 6 Hamming-1 flip buckets hold any vectors
     # depends on the (regenerated-per-round) testdata. What IS invariant
-    # is the probe set itself: 1 + C(16,1) bucket values in the pruning
-    # filter vs exactly one for the single probe.
+    # is the probe set itself: 1 + _LSH_BUCKET_BITS (= 1 + C(6,1)) bucket
+    # values in the pruning filter vs exactly one for the single probe.
     assert len(multi_ids) >= len(single_ids)
     in_lists = re.findall(r"bucket#\d+L? IN \(([^)]*)\)", plan)
     assert in_lists, f"no bucket IN-list in the pruned scan:\n{plan}"
