@@ -96,6 +96,9 @@ HEADLINE = [
     "multimodal-audio-meta",
     "text-perplexity-proxy",
     "text-dup-span",
+    # r7 additions (not in either frozen set)
+    "multimodal-video-meta",
+    "text-dup-cut",
 ]
 
 

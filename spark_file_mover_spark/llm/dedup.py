@@ -998,6 +998,89 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_K = 5  # k-gram width for span detection
 
+
+def _span_tok_relation(d: DataFrame) -> DataFrame:
+    """(doc_id, toks, n_grams): the tokenized view both the marking pass
+    (``text-dup-span``) and the cutting pass (``text-dup-cut``) start
+    from — one definition so k-gram geometry can never drift between
+    them.
+
+    Same under-parallel-input guard as :func:`_minhash_signatures` (see
+    its docstring): when the scan arrives with fewer partitions than
+    cores, the RAW TEXT is repartitioned BEFORE tokenization so the
+    regex split + k-gram hashing run on all cores; a well-partitioned
+    100 TB input never pays the shuffle (the guard probes the memoized
+    scan partition count), and the gram-HASH exchanges downstream still
+    carry ids only — the plan pins check those, not this local-only
+    round-robin spread."""
+    spark = d.sparkSession
+    t = d.select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if scan_partitions(d) < par:
+        t = t.repartition(par)
+    return t.select("doc_id", toks().alias("toks")).withColumn(
+        "n_grams",
+        F.greatest(F.size("toks") - (_SPAN_K - 1), F.lit(0)),
+    )
+
+
+def _span_gram_relation(t: DataFrame) -> DataFrame:
+    """(doc_id, pos, gh): every k-gram's xxhash64, hashed MAP-SIDE from
+    the token array — the gram string itself is never materialized and
+    never leaves the scan stage (the 100 TB contract both span queries
+    pin in tests)."""
+    tc = F.col("toks")
+    gram_hashes = F.when(
+        F.col("n_grams") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_grams") - 1),
+            lambda i: F.xxhash64(
+                *[F.element_at(tc, i + j + 1) for j in range(_SPAN_K)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return t.select("doc_id", F.posexplode(gram_hashes).alias("pos", "gh"))
+
+
+# previous invocation's persisted gram relation (released on next call —
+# the minhash _last_bands lifecycle contract: serial driver/bench use)
+_last_grams = None
+
+
+def _span_dup_positions(g: DataFrame) -> DataFrame:
+    """(doc_id, pos, gh) of grams that occur in MORE THAN ONE document:
+    cross-doc duplication as a ``min(doc)≠max(doc)`` groupBy on the
+    8-byte hash (map-side combine collapses hot boilerplate grams per
+    task), semi-joined back on the same hash exchange.
+
+    ``g`` is consumed twice (the dup aggregate and the semi-join probe
+    side — AQE broadcasts the small dup set, and a broadcast build side
+    cannot reuse the probe's exchange), so the id-only gram relation is
+    persisted or every consumer re-runs the tokenize + k-gram explode
+    upstream (measured ~2x the map cost at sf0.1). 24 bytes a row —
+    at 10¹⁰-token corpus scale that is a few hundred GB cluster-wide,
+    MEMORY_AND_DISK spills instead of OOM; flip to recompute if cache
+    pressure ever beats the second scan."""
+    global _last_grams
+    from pyspark import StorageLevel
+
+    if _last_grams is not None:
+        try:
+            _last_grams.unpersist()
+        except Exception:
+            pass  # previous relation may belong to a stopped SparkSession
+        _last_grams = None
+    g = g.persist(StorageLevel.MEMORY_AND_DISK)
+    _last_grams = g
+    dup = (
+        g.groupBy("gh")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("gh")
+    )
+    return g.join(dup, "gh", "left_semi")
+
+
 _SPAN_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
@@ -1074,28 +1157,9 @@ def text_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", toks().alias("toks")).withColumn(
-        "n_grams",
-        F.greatest(F.size("toks") - (_SPAN_K - 1), F.lit(0)),
-    )
-    tc = F.col("toks")
-    gram_hashes = F.when(
-        F.col("n_grams") > 0,
-        F.transform(
-            F.sequence(F.lit(0), F.col("n_grams") - 1),
-            lambda i: F.xxhash64(
-                *[F.element_at(tc, i + j + 1) for j in range(_SPAN_K)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    g = t.select("doc_id", F.posexplode(gram_hashes).alias("pos", "gh"))
-    dup = (
-        g.groupBy("gh")
-        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
-        .filter(F.col("mn") != F.col("mx"))
-        .select("gh")
-    )
-    dp = g.join(dup, "gh", "left_semi")
+    t = _span_tok_relation(d)
+    g = _span_gram_relation(t)
+    dp = _span_dup_positions(g)
     w = W.partitionBy("doc_id").orderBy("pos")
     runs = (
         dp.withColumn("rid", F.col("pos") - F.row_number().over(w))
@@ -1122,4 +1186,138 @@ def text_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("dup_frac"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# I34 — exact-substring dedup, cutting pass (text-dup-cut)
+# ---------------------------------------------------------------------------
+
+_CUT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks, len(toks) AS n_tok,
+         greatest(len(toks) - {_SPAN_K - 1}, 0) AS n_grams
+  FROM t
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[(i+1):(i+{_SPAN_K})], ' ') AS gram
+  FROM s
+  CROSS JOIN (SELECT unnest(range(0, (SELECT max(n_grams) FROM s))) AS i)
+  WHERE i < n_grams
+),
+dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)
+),
+dp AS (
+  SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos + j AS i
+  FROM dp CROSS JOIN (SELECT unnest(range(0, {_SPAN_K})) AS j)
+),
+tokpos AS (
+  SELECT doc_id, i
+  FROM s
+  CROSS JOIN (SELECT unnest(range(0, (SELECT max(n_tok) FROM s))) AS i)
+  WHERE i < n_tok
+),
+kept AS (
+  SELECT tokpos.doc_id, tokpos.i
+  FROM tokpos LEFT JOIN cov
+    ON tokpos.doc_id = cov.doc_id AND tokpos.i = cov.i
+  WHERE cov.i IS NULL
+),
+agg AS (
+  SELECT kept.doc_id, COUNT(*) AS n_kept,
+         string_agg(s.toks[kept.i + 1], ' ' ORDER BY kept.i) AS kept_text
+  FROM kept JOIN s ON kept.doc_id = s.doc_id
+  GROUP BY kept.doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_tok AS BIGINT) AS n_tok,
+       CAST(s.n_tok - coalesce(a.n_kept, 0) AS BIGINT) AS n_cut,
+       round((s.n_tok - coalesce(a.n_kept, 0)) / CAST(s.n_tok AS DOUBLE), 9)
+         AS cut_frac,
+       coalesce(a.kept_text, '') AS kept_text
+FROM s LEFT JOIN agg a USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+@query("text-dup-cut", oracle=_CUT_ORACLE)
+def text_dup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I34: exact-substring dedup, CUTTING pass — the second half of the
+    Lee et al. recipe whose marking half is ``text-dup-span``: every
+    token covered by ANY cross-document duplicated {k}-gram is removed,
+    and each document is reassembled from its surviving tokens. (The
+    paper cuts one representative and keeps it somewhere; at k-gram
+    granularity the standard relaxation is to cut every covered span —
+    the policy downstream pipelines actually apply to boilerplate.)
+
+    Plan shape — the dedup-paragraph scale argument at token
+    granularity, and text never crosses a shuffle:
+
+    1. grams are hashed map-side; only ``(doc_id, pos, gh)`` leaves the
+       scan (shared relation builders with ``text-dup-span``);
+    2. cross-doc duplication is the same min≠max hash groupBy + semi
+       join back on the one gh exchange;
+    3. each duplicated gram position expands to its {k} covered token
+       indices (id-only explode — no distinct: the anti join below is
+       insensitive to build-side duplicates, and a distinct would buy
+       one exchange to save nothing);
+    4. kept positions = the doc's token-index sequence LEFT ANTI joined
+       against the covered set on ``(doc_id, i)`` — 16 bytes a row;
+    5. kept indices group to a per-doc sorted list and the text is
+       rebuilt DOC-LOCALLY by indexing the document's own token array
+       (``transform(kept_idx, i -> toks[i+1])``) — the only exchange
+       any text crosses is the final doc_id join of ``documents``
+       against its (tiny) kept-index list, which a doc_id-bucketed
+       layout makes shuffle-free.
+
+    Parity: Spark groups grams by ``xxhash64``, the oracle by the gram
+    string (the dedup-exact collision argument); the oracle's covered
+    set uses an explicit DISTINCT where Spark relies on anti-join
+    semantics — same set either way; ``cut_frac`` takes the standard
+    9-dp snap (n_tok ≥ 1 always: split(trim(x)) yields at least one
+    token)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = _span_tok_relation(d).withColumn("n_tok", F.size("toks"))
+    g = _span_gram_relation(t)
+    dp = _span_dup_positions(g)
+    cov = dp.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (_SPAN_K - 1))
+        ).alias("i"),
+    )
+    tokpos = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_tok") - 1)).alias("i"),
+    )
+    kept = tokpos.join(cov, ["doc_id", "i"], "left_anti")
+    keep_list = kept.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("i")).alias("kept_idx"),
+        F.count("*").alias("n_kept"),
+    )
+    n_cut = (F.col("n_tok") - F.coalesce("n_kept", F.lit(0))).cast("long")
+    return t.join(keep_list, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        n_cut.alias("n_cut"),
+        F.round(n_cut / F.col("n_tok"), 9).alias("cut_frac"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.col("kept_idx"),
+                    lambda i: F.element_at(F.col("toks"), i + 1),
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("kept_text"),
     )

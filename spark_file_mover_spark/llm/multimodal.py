@@ -633,3 +633,299 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(F.unhex(payload_hex))).alias("content"),
     )
     return with_wav_meta(assets).drop("content")
+
+
+# ---------------------------------------------------------------------------
+# multimodal-video-meta — MP4/ISO-BMFF atom walk, no decode
+# ---------------------------------------------------------------------------
+
+# Unresolved-fragment cache for the MP4 walk + synthesis column (same
+# contract as _WAV_EXPR_CACHE: keyed on applicationId, stale-context
+# keys evicted individually so the current app's entries survive).
+_MP4_EXPR_CACHE: dict[tuple, dict] = {}
+
+
+def _mp4_fragments(spark: SparkSession, content: str) -> dict:
+    key = (spark.sparkContext.applicationId, content)
+    frags = _MP4_EXPR_CACHE.get(key)
+    if frags is not None:
+        return frags
+    for k in [k for k in _MP4_EXPR_CACHE if k[0] != key[0]]:
+        del _MP4_EXPR_CACHE[k]
+    c = F.col(content)
+    nul = F.lit(None).cast("long")
+    # ---- top-level box walk state: find the moov container -----------
+    is_mp4 = F.hex(c.substr(F.lit(5), F.lit(4))) == "66747970"  # "ftyp"
+    init = F.explode(
+        F.array(
+            F.struct(
+                F.lit(1).cast("long").alias("off"),
+                is_mp4.alias("is_mp4"),
+                nul.alias("moov_off"),
+                nul.alias("moov_end"),
+            )
+        )
+    )
+    st = F.col("_m")
+    off = st.off
+    size = _be_uint(c, off, 4)
+    typ = F.hex(c.substr(off + 4, F.lit(4)))
+    found = (typ == "6D6F6F76") & st.moov_off.isNull()  # "moov"
+    top_hop = F.explode(
+        F.array(
+            F.struct(
+                (off + size).alias("off"),
+                st.is_mp4.alias("is_mp4"),
+                F.when(found, off + 8).otherwise(st.moov_off).alias("moov_off"),
+                F.when(found, off + size)
+                .otherwise(st.moov_end)
+                .alias("moov_end"),
+            )
+        )
+    )
+    # ---- moov-children walk state: mvhd fields + first trak's tkhd ---
+    inner_init = F.explode(
+        F.array(
+            F.struct(
+                st.moov_off.alias("off"),
+                st.moov_end.alias("end"),
+                st.is_mp4.alias("is_mp4"),
+                nul.alias("timescale"),
+                nul.alias("duration"),
+                nul.alias("width"),
+                nul.alias("height"),
+            )
+        )
+    )
+    sv = F.col("_v")
+    voff = sv.off
+    # bound the walk INSIDE moov: a child offset at/past the container
+    # end reads nothing — NULLs, never wrong values (the with_wav_meta
+    # contract).
+    active = voff.isNotNull() & (voff < sv.end)
+    vsize = _be_uint(c, voff, 4)
+    vtyp = F.hex(c.substr(voff + 4, F.lit(4)))
+    is_mvhd = active & (vtyp == "6D766864") & sv.timescale.isNull()
+    # trak is a container; its first child must be tkhd for the dims to
+    # be taken (checked, not assumed — offset +12 is the child's type).
+    is_trak = (
+        active
+        & (vtyp == "7472616B")
+        & (F.hex(c.substr(voff + 12, F.lit(4))) == "746B6864")  # "tkhd"
+        & sv.width.isNull()
+    )
+    inner_hop = F.explode(
+        F.array(
+            F.struct(
+                (voff + vsize).alias("off"),
+                sv.end.alias("end"),
+                sv.is_mp4.alias("is_mp4"),
+                # mvhd v0 payload: +12 timescale, +16 duration (4B BE)
+                F.when(is_mvhd, _be_uint(c, voff + 20, 4))
+                .otherwise(sv.timescale)
+                .alias("timescale"),
+                F.when(is_mvhd, _be_uint(c, voff + 24, 4))
+                .otherwise(sv.duration)
+                .alias("duration"),
+                # tkhd v0 payload: width/height at +76/+80 as 16.16
+                # fixed point — the INTEGER part is the leading 2 bytes
+                # (trak hdr 8 + tkhd hdr 8 + 76 = +92 from trak start)
+                F.when(is_trak, _be_uint(c, voff + 92, 2))
+                .otherwise(sv.width)
+                .alias("width"),
+                F.when(is_trak, _be_uint(c, voff + 96, 2))
+                .otherwise(sv.height)
+                .alias("height"),
+            )
+        )
+    )
+    frags = {
+        "init": init,
+        "top_hop": top_hop,
+        "inner_init": inner_init,
+        "inner_hop": inner_hop,
+    }
+    _MP4_EXPR_CACHE[key] = frags
+    return frags
+
+
+def with_mp4_meta(
+    df: DataFrame,
+    content: str = "content",
+    max_boxes: int = 3,
+    max_children: int = 4,
+) -> DataFrame:
+    """Append (is_mp4, timescale, duration, width, height) parsed from an
+    MP4 / ISO-BMFF payload's atom (box) stream.
+
+    Layout (ISO/IEC 14496-12): a sequence of boxes ``4-byte BE size |
+    4-byte type | payload``. The movie metadata lives in the ``moov``
+    container box — usually after ``ftyp`` and optional ``free``
+    padding (faststart layout), so finding it is a bounded top-level
+    walk, not a fixed offset. Inside ``moov``: the ``mvhd`` movie
+    header carries the timescale (ticks/second) and duration (ticks) at
+    payload offsets +12/+16 (version 0), and each ``trak`` container's
+    ``tkhd`` track header carries the presentation width/height at
+    payload offsets +76/+80 as 16.16 fixed point (the integer part is
+    read; the fraction is zero for every real encoder). The first
+    tkhd-bearing trak wins — for A/V files mux order puts video first;
+    a sound-only trak still records its (0, 0) dims honestly.
+
+    Same codegen architecture as :func:`with_wav_meta` (see its
+    docstring for why): every hop is its own projection behind an
+    ``explode(array(struct(...)))`` barrier pinning the walk state, so
+    expression growth is LINEAR in walk depth and each layer stays
+    inside whole-stage codegen; all hops reuse ONE unresolved hop
+    expression, cached per SparkContext. Unlike RIFF, box sizes are
+    big-endian — a single ``conv(hex(substr))`` read each, so the MP4
+    hop tree is ~4x smaller than the WAV one.
+
+    Scale: map-only, zero shuffle, zero Python — fused into the scan."""
+    frags = _mp4_fragments(df.sparkSession, content)
+    passthrough = [col for col in df.columns]
+    cur = df.select("*", frags["init"].alias("_m"))
+    for _ in range(max_boxes):
+        cur = cur.select(*passthrough, frags["top_hop"].alias("_m"))
+    cur = cur.select(*passthrough, frags["inner_init"].alias("_v"))
+    for _ in range(max_children):
+        cur = cur.select(*passthrough, frags["inner_hop"].alias("_v"))
+    sv = F.col("_v")
+    return cur.select(
+        *passthrough,
+        sv.is_mp4.alias("is_mp4"),
+        sv.timescale.alias("timescale"),
+        sv.duration.alias("duration"),
+        # exact by synthesis/spec: duration is a whole number of seconds
+        # in the fixture corpus; real fractional durations truncate,
+        # matching CAST semantics in both engines for exact doubles
+        (sv.duration / sv.timescale).cast("long").alias("duration_s"),
+        sv.width.alias("width"),
+        sv.height.alias("height"),
+    )
+
+
+# Oracle predicts the parsed metadata from the same doc_id formulas the
+# synthesizer uses (the multimodal-image-dims pattern: Spark only
+# matches if byte construction AND the two-level atom walk are both
+# right; is_mp4 comes from the magic check, not the formula).
+_VIDEO_ORACLE = """
+SELECT doc_id AS asset_id,
+       TRUE AS is_mp4,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+            ELSE 90000 END AS BIGINT) AS timescale,
+       CAST((CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+            ELSE 90000 END) * (1 + doc_id % 30) AS BIGINT) AS duration,
+       CAST(1 + doc_id % 30 AS BIGINT) AS duration_s,
+       CAST(160 + doc_id % 1760 AS BIGINT) AS width,
+       CAST(90 + doc_id % 990 AS BIGINT) AS height
+FROM documents
+ORDER BY asset_id
+"""
+
+
+@query("multimodal-video-meta", oracle=_VIDEO_ORACLE)
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-asset metadata extraction with pure byte expressions — the
+    video leg of the multimodal triad (image r6, audio r6): container
+    timescale, duration and track dimensions from the MP4/ISO-BMFF box
+    stream, the metadata pass a video curation pipeline runs per asset
+    (duration filters, resolution buckets, frame-sample planning)
+    without paying a demuxer per row.
+
+    Synthesis mirrors image/audio-dims: each document gets a spec-shaped
+    MP4 header whose mvhd/tkhd values derive from doc_id, with a
+    doc_id-VARYING ftyp compatible-brand list, a free box before moov
+    for odd doc_ids, AND a free child between mvhd and trak for odd
+    doc_ids — so both walk levels genuinely hop different distances per
+    row (a fixed-offset "parse" would fail half the corpus at each
+    level). Real-format ground truth: a spec-valid faststart MP4 built
+    with struct.pack in tests/test_multimodal_dims.py.
+
+    Scale: map-only, zero shuffle, zero Python — fused into the scan;
+    the synthesis column and both walk layers are cached per
+    SparkContext like the WAV machinery."""
+    d = load_table(spark, sf_dir, "documents")
+    synth_key = (spark.sparkContext.applicationId, "_video_synth")
+    cached = _MP4_EXPR_CACHE.get(synth_key)
+    if cached is None:
+        doc = F.col("doc_id")
+        hex4 = lambda v: F.lpad(F.hex(v), 8, "0")  # noqa: E731
+        hex2 = lambda v: F.lpad(F.hex(v), 4, "0")  # noqa: E731
+        timescale = (
+            F.when(doc % 3 == 0, 600).when(doc % 3 == 1, 1000).otherwise(90000)
+        )
+        duration = timescale * (1 + doc % 30)
+        width = 160 + doc % 1760
+        height = 90 + doc % 990
+        # ftyp: "isom" major, minor 0x200, 0-2 doc-varying compat brands
+        n_brands = (doc % 3).cast("int")
+        ftyp = F.concat(
+            hex4(F.lit(16) + n_brands * 4),
+            F.lit("6674797069736F6D00000200"),
+            F.repeat(F.lit("69736F6D"), n_brands),
+        )
+        # odd docs: free padding box before moov (faststart encoders
+        # leave these), size varies with doc_id
+        free_top_len = F.when(doc % 2 == 1, 8 + 2 * (doc % 7)).otherwise(
+            F.lit(0)
+        )
+        free_top = F.when(
+            doc % 2 == 1,
+            F.concat(
+                hex4(free_top_len),
+                F.lit("66726565"),  # "free"
+                F.repeat(F.lit("00"), (free_top_len - 8).cast("int")),
+            ),
+        ).otherwise(F.lit(""))
+        # mvhd v0: 108-byte box; timescale/duration at payload +12/+16
+        mvhd = F.concat(
+            F.lit("0000006C6D766864"),  # size 108 + "mvhd"
+            F.lit("00" * 12),  # version/flags, creation, modification
+            hex4(timescale),
+            hex4(duration),
+            F.lit("00" * 80),  # rate..next_track_ID (parser-ignored)
+        )
+        # odd docs: free child between mvhd and trak
+        free_in_len = F.when(doc % 2 == 1, 8 + 4 * (doc % 5)).otherwise(
+            F.lit(0)
+        )
+        free_in = F.when(
+            doc % 2 == 1,
+            F.concat(
+                hex4(free_in_len),
+                F.lit("66726565"),
+                F.repeat(F.lit("00"), (free_in_len - 8).cast("int")),
+            ),
+        ).otherwise(F.lit(""))
+        # tkhd v0: 92-byte box; width/height 16.16 at payload +76/+80
+        tkhd = F.concat(
+            F.lit("0000005C746B6864"),  # size 92 + "tkhd"
+            F.lit("00" * 76),  # version/flags .. matrix (parser-ignored)
+            hex2(width),
+            F.lit("0000"),  # 16.16 fraction
+            hex2(height),
+            F.lit("0000"),
+        )
+        trak = F.concat(F.lit("000000647472616B"), tkhd)  # size 100 + "trak"
+        moov = F.concat(
+            hex4(F.lit(8 + 108 + 100) + free_in_len),
+            F.lit("6D6F6F76"),  # "moov"
+            mvhd,
+            free_in,
+            trak,
+        )
+        # trailing mdat header for realism — the walk must stop at moov,
+        # not run off into (absent) media data
+        payload_hex = F.concat(
+            ftyp, free_top, moov, F.lit("000000086D646174")
+        )
+        cached = {"payload_hex": payload_hex}
+        _MP4_EXPR_CACHE[synth_key] = cached
+    # explode(array(...)) barrier: pins the synthesis expression to ONE
+    # evaluation per row (see multimodal_audio_meta for the janino
+    # rationale)
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.explode(F.array(F.unhex(cached["payload_hex"]))).alias("content"),
+    )
+    return with_mp4_meta(assets).drop("content")

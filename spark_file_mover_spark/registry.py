@@ -62,69 +62,66 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
     return deco
 
 
-# Scoring priority for the current round (r6). The driver consumes
+# Scoring priority for the current round (r7). The driver consumes
 # ``queries()`` in dict insertion order under a wall-clock budget
-# (~50 keys/round; the r02 run was cut at position 51), so ``load_all``
-# rebuilds the registry dict in this order after all modules import:
+# (~50 keys/round; the r02 run was cut at position 51 and r6 scored
+# exactly 50), so ``load_all`` rebuilds the registry dict in this order
+# after all modules import:
 #
-#   1. The two keys whose latest green row is r3 (2 rounds stale —
-#      they sat at positions 51-52 of _PRIORITY_R5 and the budget cut
-#      exactly before them, two rounds running).
-#   2. The FIVE new r6 keys — no driver row exists, and a missing row
-#      is a bigger coverage hole than one more round of staleness on a
-#      green one.
-#   3. The 44 keys whose latest driver row is r4 — scoring them keeps
-#      every key at <=1-round staleness across r5|r6 (a ~50-key cut
-#      drops only the block's tail).
-#   4. Keys whose implementation changed this round (minhash perf
-#      rework; chunk-count integer arithmetic) — likely cut, which is
-#      safe HERE: both changes are value-identical by design (the
-#      minhash audit emits the same TRUE-invariant booleans; the chunk
-#      count moved from float-division-then-floor to exact integer
-#      `div` with equal results for every feasible n_tok), so their
-#      green r5 rows still describe the current output exactly.
-#   5. Everything r5-fresh at the tail.
-_PRIORITY_R6 = [
-    # 2-round-stale keys FIRST (cut at 51-52 in both r4 and r5)
-    "sink-bucketed",
-    "sink-merge-upsert",
-    # new r6 keys next: a key with NO driver row at all is a bigger
-    # coverage hole than one more round of staleness on a green row, so
-    # the five new keys outrank the r4-stale block. With a ~50-key cut
-    # this drops the TAIL of the r4 block (sink-compact — benched fresh
-    # every round, so only its correctness row ages) and the two
-    # value-identical changed keys.
-    "dedup-paragraph",
-    "multimodal-image-dims",
-    "multimodal-audio-meta",
-    "text-perplexity-proxy",
-    "text-dup-span",
-    # r4-stale block (latest green row is r4)
-    "agg-hash", "agg-distinct", "agg-approx-distinct",
-    "agg-rollup-cube-gsets", "agg-having", "agg-approx-quantile",
-    "agg-pivot", "agg-stats", "agg-unpivot", "agg-incremental-merge",
-    "join-inner-equi", "join-left-right-full", "join-multiway-star",
-    "join-skew-salted", "join-range-binned", "join-asof",
-    "join-lateral-topk", "filter-scalar-subquery", "fn-bitwise",
-    "window-ranking", "window-analytic", "window-frame-agg",
-    "topk-per-group", "sort-limit", "set-union-intersect-except",
-    "etl-scd2", "etl-cdc-apply",
-    "stream-tumbling", "stream-sliding", "stream-session",
-    "stream-dedup-late", "stream-stateful-agg", "stream-join",
-    "events-funnel", "rollup-hierarchical",
-    "dedup-components", "sim-search-ivf",
-    "text-decontaminate", "text-repetition",
-    "move-list-files", "move-rename",
-    "scan-jsonl-roundtrip", "repartition-n", "sink-compact",
-    # implementation changed this round — fresh rows prove outputs held
+#   1. sink-compact — its last driver row is r4 (2 rounds stale): it
+#      sat at cut position 51 in r6, the exact pathology that kept
+#      sink-bucketed/sink-merge-upsert stale through r4/r5.
+#   2. The two keys whose implementations CHANGED in r6 but were cut
+#      at positions 52-53, so the driver has never scored the current
+#      code (dedup-near-minhash — changed again in r7's perf rework —
+#      and text-chunk-sliding).
+#   3. The two NEW r7 keys (multimodal-video-meta, text-dup-cut) — no
+#      driver row exists at all.
+#   4. The 48 keys whose latest driver row is r5 — scoring them keeps
+#      every key at <=1-round staleness; a ~50-key cut drops only this
+#      block's tail.
+#   5. text-perplexity-proxy LAST in the head: its r7 change (left
+#      join + coalesce) is value-identical by construction and it is
+#      r6-fresh, so it is the least-harm key to lose to the cut.
+#   6. Everything r6-fresh falls through to the tail (load_all appends
+#      registry order for keys not listed here).
+_PRIORITY_R7 = [
+    # 2-round-stale key FIRST (cut at position 51 in r6)
+    "sink-compact",
+    # changed in r6 (and r7), never driver-scored since
     "dedup-near-minhash",
     "text-chunk-sliding",
+    # new r7 keys: no driver row at all
+    "multimodal-video-meta",
+    "text-dup-cut",
+    # r5-stale block (latest green row is r5)
+    "move-partition-extract", "move-template", "move-collision-guard",
+    "write-single-file",
+    "scan-parquet", "scan-table-manifest", "scan-csv-roundtrip",
+    "sink-sorted-pruning", "scan-orc-roundtrip", "sink-partitioned",
+    "sink-overwrite",
+    "project-select", "filter-pred", "filter-like-regexp",
+    "join-semi-anti", "join-broadcast", "join-range-theta",
+    "fn-string", "fn-date", "fn-math", "fn-array", "fn-map-json",
+    "fn-case-when-cast",
+    "dedup-exact", "sim-search-topk", "text-analysis",
+    "multimodal-binary", "dedup-simhash", "dedup-ngram-jaccard",
+    "dedup-embedding-cosine", "text-token-count", "text-langid",
+    "text-quality-score", "text-fingerprint", "multimodal-frame-sample",
+    "text-pii-scrub", "text-ngram-freq", "sample-train-split",
+    "sample-hash-stratified", "text-url-normalize",
+    "sample-pack-sequences", "text-tfidf-topk", "embed-quantize-int8",
+    "sim-search-lsh", "sample-temperature-weights",
+    "udf-scalar-pandas", "udaf-grouped-pandas", "udtf-explode-like",
+    # changed r7 (value-identical left-join hardening), r6-fresh —
+    # deliberately the last head slot
+    "text-perplexity-proxy",
 ]
 
 
 def load_all() -> None:
     """Import every operator module so registrations run, then rebuild
-    the registry dict in scoring-priority order (see ``_PRIORITY_R6``) —
+    the registry dict in scoring-priority order (see ``_PRIORITY_R7``) —
     dict insertion order IS the driver's scoring order."""
     # Imports are at call time so `import spark_file_mover_spark` stays cheap.
     from spark_file_mover_spark.operators import (  # noqa: F401
@@ -147,8 +144,8 @@ def load_all() -> None:
     from spark_file_mover_spark import filemover_queries, udfs  # noqa: F401
     from spark_file_mover_spark.sources import sourcesink  # noqa: F401
 
-    ordered = [k for k in _PRIORITY_R6 if k in QUERIES]
-    ordered += [k for k in QUERIES if k not in _PRIORITY_R6]
+    ordered = [k for k in _PRIORITY_R7 if k in QUERIES]
+    ordered += [k for k in QUERIES if k not in _PRIORITY_R7]
     for mapping in (QUERIES, ORACLES):
         snapshot = {k: mapping[k] for k in ordered if k in mapping}
         mapping.clear()

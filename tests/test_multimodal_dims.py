@@ -165,3 +165,94 @@ def test_audio_meta_query_is_map_only_and_codegen_clean(spark, sf_dir):
     )
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _real_mp4(timescale: int, duration: int, width: int, height: int,
+              free_before_moov: int = 0, free_in_moov: int = 0,
+              n_brands: int = 1) -> bytes:
+    """A spec-valid MP4 header (ftyp + optional free + moov(mvhd
+    [+ free] + trak(tkhd)) + empty mdat), v0 boxes throughout."""
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" * n_brands)
+    mvhd = box(
+        b"mvhd",
+        bytes(4)  # version/flags
+        + bytes(8)  # creation/modification
+        + struct.pack(">II", timescale, duration)
+        + bytes(80),  # rate .. next_track_ID
+    )
+    tkhd = box(
+        b"tkhd",
+        bytes(76)  # version/flags .. matrix
+        + struct.pack(">HHHH", width, 0, height, 0),  # 16.16 fixed
+    )
+    trak = box(b"trak", tkhd)
+    inner = b""
+    if free_in_moov:
+        inner = box(b"free", bytes(free_in_moov))
+    moov = box(b"moov", mvhd + inner + trak)
+    out = ftyp
+    if free_before_moov:
+        out += box(b"free", bytes(free_before_moov))
+    return out + moov + box(b"mdat", b"")
+
+
+def test_real_mp4_meta(spark):
+    from spark_file_mover_spark.llm.multimodal import with_mp4_meta
+
+    payloads = [
+        _real_mp4(90000, 90000 * 7, 1920, 1080),
+        # both walk levels must hop: free before moov AND inside moov
+        _real_mp4(600, 600 * 3, 640, 360, free_before_moov=12,
+                  free_in_moov=20, n_brands=2),
+        b"\x00\x00\x00\x08notp" + bytes(16),  # valid box, not an mp4
+        b"plain text",
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "id long, content binary",
+    )
+    got = {r.id: r for r in with_mp4_meta(df).collect()}
+    assert got[0].is_mp4 and (
+        got[0].timescale, got[0].duration, got[0].duration_s,
+        got[0].width, got[0].height,
+    ) == (90000, 630000, 7, 1920, 1080)
+    assert got[1].is_mp4 and (
+        got[1].timescale, got[1].duration, got[1].duration_s,
+        got[1].width, got[1].height,
+    ) == (600, 1800, 3, 640, 360)
+    assert not got[2].is_mp4
+    assert not got[3].is_mp4
+    assert got[3].timescale is None and got[3].width is None
+
+
+def test_mp4_moov_past_bound_is_null_not_wrong(spark):
+    from spark_file_mover_spark.llm.multimodal import with_mp4_meta
+
+    # moov behind MORE top-level boxes than the default bound walks:
+    # ftyp + 3 free boxes push moov to hop 4 of a 3-hop walk
+    def box(typ, payload):
+        return struct.pack(">I", len(payload) + 8) + typ + payload
+
+    deep = (_real_mp4(600, 600, 100, 100)[:20]  # just the ftyp (20 bytes)
+            + box(b"free", bytes(4)) * 3
+            + _real_mp4(600, 600, 100, 100)[20:])
+    df = spark.createDataFrame([(0, bytearray(deep))], "id long, content binary")
+    got = with_mp4_meta(df).collect()[0]
+    assert got.is_mp4  # magic still matches
+    assert got.timescale is None and got.width is None  # NULL, not wrong
+
+
+def test_video_meta_query_is_map_only_and_codegen_clean(spark, sf_dir):
+    from spark_file_mover_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["multimodal-video-meta"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
