@@ -32,7 +32,7 @@ TABLES = (
 # is an immutable logical plan, so reuse is safe; without the cache every
 # load_table call pays a fresh driver-side footer read + file listing
 # (~0.1 s), and the scoring run calls load_table a few hundred times
-# across the 76 keys. Contract: testdata parquet is immutable for the
+# across all registered keys. Contract: testdata parquet is immutable for the
 # process lifetime (the cached plan snapshots its file listing). The
 # cache is dropped whenever a different session appears, so stopped
 # sessions are never pinned by cached plans. Keyed on

@@ -32,7 +32,7 @@ NOTES = {
     "sim-search-lsh": "Sign-projection bucket key on both sides; query side broadcast onto the bucket equi-join (corpus scanned once, never shuffled); exact fold-cosine ranking under WindowGroupLimit.",
     "scan-orc-roundtrip": "ORC write (zstd) then vectorized ORC scan; footer schema authoritative, same pushdown/pruning path as parquet.",
     "dedup-exact": "Shuffle key is xxhash64(norm_text) (8 bytes) + min_by survivor struct; corpus text never shuffles.",
-    "dedup-near-minhash": "Explode shingles -> hash once -> 16 min-aggs; band self-join shuffles on signatures only; oversized buckets filtered by a count window sharing the self-join's (band,sig) exchange; band relation persisted across its consumers (released on the next invocation - the returned plan is lazy). r5: the audit consumes the clustering exactly once (collect_set window over nh + doc-id reference join), so the full LSH DAG inlines below with NO checkpoint barrier - one fewer materialization job than r4.",
+    "dedup-near-minhash": "Explode shingles -> hash once -> 12 min-aggs (3 bands x 4 rows since r6); band self-join shuffles on signatures only; oversized buckets filtered by a count window INSIDE the persisted bands relation (runs once); band relation persisted across its consumers (released on the next invocation - the returned plan is lazy). r5: the audit consumes the clustering exactly once, so the full LSH DAG inlines below with NO checkpoint barrier. r7: raw text (not token arrays) crosses the under-parallel repartition, no array_distinct on shingles (min is multiset-invariant), and exact-dup consistency is min==max over one nh window instead of size(collect_set) - measured 2.00 -> 1.41 s at sf0.1 in a full sweep.",
     "sim-search-topk": "Query set broadcast; corpus scanned once, never shuffled; per-query rank-then-filter; norms projected once per side before the join (never per pair).",
     "sim-search-ivf": "sqrt(N)-seed quantizer runs once into a checkpoint (Arrow matmul assignment); centroids from one posexplode agg, broadcast; probe relation broadcast onto a cell-pruned candidate scan; per-side norms projected before each join.",
     "dedup-embedding-cosine": "Within-block pair join with per-row norms projected pre-join; top-1 neighbor per vector via rank-then-filter (WindowGroupLimit).",
@@ -42,6 +42,11 @@ NOTES = {
     "sink-merge-upsert": "MERGE as a full outer join on the key + source-wins coalesce; bucket the target to kill the shuffle (see sink-bucketed).",
     "text-decontaminate": "Corpus grams exploded once, moved as 8-byte xxhash64 keys; eval gram set broadcast into a semi-join (eval sets are small by nature); corpus text never shuffles.",
     "rollup-hierarchical": "Two-level agg cascade: hourly (mergeable aggs) then daily FROM hourly; raw scanned once.",
+    "text-dup-span": "Marking pass of exact-substring dedup: grams hashed map-side, only (doc_id, pos, gh) leaves the scan; id-only gram relation persisted across its two consumers (dup aggregate + semi-join probe); min!=max groupBy on the 8-byte hash; gaps-and-islands window for runs. Text never crosses a hash exchange (pinned).",
+    "text-dup-cut": "Cutting pass over the same gram relation builders as text-dup-span: duplicated gram positions expand to covered token indices (id-only explode, no distinct - the anti join is build-side-duplicate-insensitive); kept positions via 16-byte-per-row LEFT ANTI join on (doc_id, i); per-doc sorted index list; text rebuilt DOC-LOCALLY by indexing the doc's own token array.",
+    "multimodal-video-meta": "MP4/ISO-BMFF two-level atom walk as pinned projection layers (the WAV architecture, big-endian reads): top-level boxes -> moov children; mvhd timescale/duration, first trak's tkhd 16.16 dims. Map-only, zero shuffle, zero Python; bounded hops yield NULL past the bound, never wrong values.",
+    "multimodal-audio-meta": "RIFF/WAVE chunk walk as pinned projection layers: each hop is its own projection behind an explode(array(struct)) barrier so expression growth stays linear and inside janino's 64 KB codegen limit; fragments cached per SparkContext. Map-only, zero shuffle, zero Python.",
+    "dedup-paragraph": "First-occurrence paragraph dedup: (doc_id, idx, xxhash64(para)) only - paragraph text hashed map-side and discarded; min(struct(doc_id, idx)) groupBy on the 8-byte hash (map-side combine collapses boilerplate); doc-local rebuild by token-array slice (pinned: no text-bearing column crosses a hash exchange).",
 }
 
 
@@ -82,6 +87,18 @@ key once before its timed reps (`per_key_warmup: true` in the JSON) and
 r5 write-path numbers came in at or below r3's (compact 0.98 vs 1.25,
 partitioned 0.69 vs 0.73, merge-upsert 0.32 vs 0.45) with no plan
 change. Compare r5+ numbers to r2-r4 with the warm-up delta in mind.
+
+**dedup-near-minhash r6 k=16→12 recall delta (recorded per ADVICE r6):**
+dropping from 4 to 3 bands (r=4 both) raised the LSH collision
+threshold (1/b)^(1/r) from ≈0.71 to ≈0.76 — at Jaccard 0.75 the
+collision probability falls from ~0.78 to ~0.68. A real recall
+reduction inside the operator's declared 0.7–0.8 near-dup band,
+accepted as a perf/recall trade-off; exact duplicates are unaffected
+(the exact-edge union guarantees them independently of LSH). Do NOT
+ratchet k down again for perf — the r7 margin came from shuffle and
+expression shape instead (raw-text repartition before tokenization, no
+array_distinct on shingles, min==max audit window), leaving b·r
+untouched: 2.00 → 1.41 s at sf0.1 in a full warm sweep.
 """
 
 

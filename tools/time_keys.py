@@ -1,7 +1,7 @@
 """Time every registered query key the way the driver's correctness run
 does: build the Spark DataFrame, collect it, and (when an oracle exists)
 run the DuckDB oracle SQL. Prints one line per key, slowest last, plus a
-total — the feedback loop for keeping all 76 keys inside the driver's
+total — the feedback loop for keeping every registered key inside the driver's
 scoring budget.
 
 Usage: python tools/time_keys.py [--sf /root/testdata/sf0.01] [key ...]
