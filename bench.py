@@ -99,6 +99,8 @@ HEADLINE = [
     # r7 additions (not in either frozen set)
     "multimodal-video-meta",
     "text-dup-cut",
+    "dedup-image-phash",
+    "text-gopher-rules",
 ]
 
 

@@ -929,3 +929,194 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(F.unhex(cached["payload_hex"]))).alias("content"),
     )
     return with_mp4_meta(assets).drop("content")
+
+
+# ---------------------------------------------------------------------------
+# dedup-image-phash — perceptual-hash near-dup image detection
+# ---------------------------------------------------------------------------
+
+# 6x11 sample grid -> 6 rows x 10 comparisons = 60-bit difference hash
+# (60 not 64 bits: the sum of 2^0..2^59 terms stays far below the signed
+# BIGINT limit in BOTH engines, the same reason dedup-simhash uses 60
+# bit votes; the 4 dropped bits cost ~0.4 bits of discrimination).
+_PHASH_ROWS, _PHASH_COLS = 6, 11
+_PHASH_NPIX = _PHASH_ROWS * _PHASH_COLS
+_PHASH_BITS = _PHASH_ROWS * (_PHASH_COLS - 1)
+_PHASH_BAND_BITS = 15  # 4 bands x 15 bits
+_PHASH_NBANDS = _PHASH_BITS // _PHASH_BAND_BITS
+_PHASH_MAX_BUCKET = 100  # oversized-bucket guard (flat-image boilerplate)
+_PHASH_HAMMING_MAX = 8  # near-dup threshold (~13% of 60 bits)
+
+
+def _phash_sql(intdiv) -> str:
+    """The 60-bit dHash as ONE SQL expression, generated for either
+    engine (``intdiv`` renders integer division: Spark ``div``, DuckDB
+    ``//``; everything else — ascii/substr/length/greatest/%/CASE — is
+    shared dialect). Pixel i samples the payload at a stride that spans
+    the whole document (wrapping on short ones), the deterministic
+    stand-in for decode+grayscale+resize (the :func:`decode_image` codec
+    boundary); a real deployment swaps the sampler for decoded pixels
+    and NOTHING downstream changes — hash width, banding, hamming
+    verify, and clustering are decode-agnostic."""
+
+    def pixel(i: int) -> str:
+        stride = f"greatest({intdiv('length(text)', _PHASH_NPIX)}, 1)"
+        return (
+            f"ascii(substr(text, 1 + (({i} * {stride}) % length(text)), 1))"
+        )
+
+    terms = []
+    for r in range(_PHASH_ROWS):
+        for c in range(_PHASH_COLS - 1):
+            b = r * (_PHASH_COLS - 1) + c
+            left = pixel(r * _PHASH_COLS + c)
+            right = pixel(r * _PHASH_COLS + c + 1)
+            terms.append(
+                f"(CASE WHEN {left} > {right} THEN CAST({1 << b} AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END)"
+            )
+    return "(" + " + ".join(terms) + ")"
+
+
+_PHASH_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id AS asset_id, {_phash_sql(lambda a, b: f"({a} // {b})")} AS phash
+  FROM documents
+),
+b AS (
+  SELECT asset_id, phash, band,
+         (phash >> ({_PHASH_BAND_BITS} * band)) & {(1 << _PHASH_BAND_BITS) - 1} AS bits
+  FROM p CROSS JOIN (SELECT unnest(range(0, {_PHASH_NBANDS})) AS band)
+),
+bc AS (
+  SELECT band, bits FROM b GROUP BY band, bits
+  HAVING count(*) <= {_PHASH_MAX_BUCKET}
+),
+bg AS (SELECT b.* FROM b JOIN bc USING (band, bits)),
+pr AS (
+  SELECT l.asset_id AS a, r.asset_id AS nb2, l.phash AS pa, r.phash AS pb
+  FROM bg l JOIN bg r
+    ON l.band = r.band AND l.bits = r.bits AND l.asset_id < r.asset_id
+  WHERE bit_count(xor(l.phash, r.phash)) <= {_PHASH_HAMMING_MAX}
+),
+e AS (
+  SELECT a AS asset_id, nb2 AS nb FROM pr
+  UNION ALL
+  SELECT nb2, a FROM pr
+),
+m AS (SELECT asset_id, MIN(nb) AS min_nb FROM e GROUP BY asset_id)
+SELECT p.asset_id, p.phash,
+       least(p.asset_id, coalesce(m.min_nb, p.asset_id)) AS cluster_id,
+       m.min_nb IS NOT NULL AS has_near_dup
+FROM p LEFT JOIN m USING (asset_id)
+ORDER BY p.asset_id
+"""
+
+
+@query("dedup-image-phash", oracle=_PHASH_ORACLE)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate image detection — the image twin
+    of ``dedup-near-minhash``: a 60-bit difference hash (dHash) per
+    asset, banded LSH blocking on 15-bit hash bands, exact hamming
+    verification within buckets, min-neighbor clustering. This is how
+    image corpora are actually deduped at scale (resized re-encodes and
+    watermark variants collide in most bands; hamming distance confirms).
+
+    The "pixels" are deterministic byte samples of the payload (the
+    documented stand-in at the :func:`decode_image` codec boundary —
+    see :func:`_phash_sql`); everything downstream of the sampler is
+    the real pipeline and is what this key exercises end to end,
+    hash-verified: the SAME generated expression computes the hash in
+    both engines, so the driver compares actual 60-bit hashes, band
+    routing, hamming arithmetic, and cluster assignments value by value.
+
+    Scale shape (the minhash argument, image-flavored): candidate
+    generation shuffles only ``(asset_id, phash, band, bits)`` — never
+    payload bytes; the pair stage is confined to within-bucket pairs
+    with the same oversized-bucket guard (a near-constant image — flat
+    color, letterboxing — floods a band bucket exactly like boilerplate
+    shingles); hamming verify is two ``bit_count(xor)`` instructions per
+    candidate pair; clustering is one min-groupBy. The banded relation
+    is persisted across its two self-join consumers (the
+    ``_last_bands`` lifecycle contract).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window as W
+
+    global _last_phash_bands
+    d = load_table(spark, sf_dir, "documents")
+    # (asset_id, phash) is consumed twice (banded blocking + the final
+    # completion join) and deliberately NOT materialized: the 120-node
+    # sampler expression re-evaluates per consumer at ~0.29 s a pass at
+    # sf0.1, CHEAPER than a localCheckpoint barrier of the same
+    # relation (measured 0.66 s — block-manager materialization is not
+    # free) and cheaper still at scale where the scan is the cost and
+    # an extra pass is column-pruned to one string column.
+    p = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(_phash_sql(lambda a, b: f"({a} div {b})")).alias("phash"),
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("phash", _PHASH_BAND_BITS * b)
+                .bitwiseAND(F.lit((1 << _PHASH_BAND_BITS) - 1))
+                .alias("bits"),
+            )
+            for b in range(_PHASH_NBANDS)
+        ]
+    )
+    if _last_phash_bands is not None:
+        try:
+            _last_phash_bands.unpersist()
+        except Exception:
+            pass  # previous relation may belong to a stopped SparkSession
+        _last_phash_bands = None
+    bands = (
+        p.select("asset_id", "phash", F.explode(band_arr).alias("bs"))
+        .select("asset_id", "phash", "bs.band", "bs.bits")
+        .withColumn("bn", F.count("*").over(W.partitionBy("band", "bits")))
+        .filter(F.col("bn") <= _PHASH_MAX_BUCKET)
+        .drop("bn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _last_phash_bands = bands
+    pairs = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["band", "bits"])
+        .filter(F.col("l.asset_id") < F.col("r.asset_id"))
+        .filter(
+            F.bit_count(
+                F.col("l.phash").bitwiseXOR(F.col("r.phash"))
+            )
+            <= _PHASH_HAMMING_MAX
+        )
+        .select(
+            F.col("l.asset_id").alias("a"), F.col("r.asset_id").alias("b")
+        )
+    )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("asset_id"), F.col("b").alias("nb")),
+                F.struct(
+                    F.col("b").alias("asset_id"), F.col("a").alias("nb")
+                ),
+            )
+        ).alias("e")
+    ).select("e.asset_id", "e.nb")
+    m = edges.groupBy("asset_id").agg(F.min("nb").alias("min_nb"))
+    return p.join(m, "asset_id", "left").select(
+        "asset_id",
+        "phash",
+        F.least(
+            F.col("asset_id"), F.coalesce("min_nb", F.col("asset_id"))
+        ).alias("cluster_id"),
+        F.col("min_nb").isNotNull().alias("has_near_dup"),
+    )
+
+
+# previous invocation's persisted phash band relation (minhash _last_bands
+# lifecycle: released on the next invocation, serial driver/bench use)
+_last_phash_bands = None

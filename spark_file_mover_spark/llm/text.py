@@ -385,3 +385,142 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("lang", "bigram", "n", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# text-gopher-rules — the full Gopher word-level quality-rule panel
+# ---------------------------------------------------------------------------
+
+# Rule constants (Gopher, Rae et al. 2021, Appendix A — public paper;
+# the repetition rules live in text-repetition and the line-based rules
+# (bullet/ellipsis line fractions) are inapplicable to this newline-free
+# corpus and are documented as such rather than emitted degenerate).
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MEAN_LEN = 3.0
+_GOPHER_MAX_MEAN_LEN = 10.0
+_GOPHER_MIN_ALPHA_FRAC = 0.80
+_GOPHER_MAX_SYMBOL_RATIO = 0.10
+_GOPHER_REQUIRED = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_MIN_REQUIRED = 2
+
+_GOPHER_REQ_SQL = ", ".join(f"'{w}'" for w in _GOPHER_REQUIRED)
+
+_GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(tk) AS n_words,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(tk, x -> CAST(length(x) AS BIGINT))),
+           (a, b) -> a + b) AS len_sum,
+         len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3
+           AS n_symbols,
+         len(list_filter([{_GOPHER_REQ_SQL}], w -> list_contains(tk, w)))
+           AS n_required
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(CAST(len_sum AS DOUBLE) / n_words, 6) AS mean_word_len,
+       ROUND(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_frac,
+       ROUND(CAST(n_symbols AS DOUBLE) / n_words, 6) AS symbol_ratio,
+       CAST(n_required AS BIGINT) AS n_required_stop,
+       (n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS})
+         AS ok_word_count,
+       (ROUND(CAST(len_sum AS DOUBLE) / n_words, 6) >= {_GOPHER_MIN_MEAN_LEN}
+        AND ROUND(CAST(len_sum AS DOUBLE) / n_words, 6) <= {_GOPHER_MAX_MEAN_LEN})
+         AS ok_mean_len,
+       ROUND(CAST(n_alpha AS DOUBLE) / n_words, 6) >= {_GOPHER_MIN_ALPHA_FRAC}
+         AS ok_alpha,
+       ROUND(CAST(n_symbols AS DOUBLE) / n_words, 6) <= {_GOPHER_MAX_SYMBOL_RATIO}
+         AS ok_symbols,
+       n_required >= {_GOPHER_MIN_REQUIRED} AS ok_required,
+       ((n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS})
+        AND (ROUND(CAST(len_sum AS DOUBLE) / n_words, 6) >= {_GOPHER_MIN_MEAN_LEN}
+             AND ROUND(CAST(len_sum AS DOUBLE) / n_words, 6) <= {_GOPHER_MAX_MEAN_LEN})
+        AND ROUND(CAST(n_alpha AS DOUBLE) / n_words, 6) >= {_GOPHER_MIN_ALPHA_FRAC}
+        AND ROUND(CAST(n_symbols AS DOUBLE) / n_words, 6) <= {_GOPHER_MAX_SYMBOL_RATIO}
+        AND n_required >= {_GOPHER_MIN_REQUIRED}) AS gopher_pass
+FROM m
+ORDER BY doc_id
+"""
+
+
+@query("text-gopher-rules", oracle=_GOPHER_ORACLE)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher word-level quality-rule panel (Rae et al. 2021,
+    Appendix A) — per-rule booleans plus the combined verdict, per
+    document. ``text-quality-score`` (I12) is the compact composite this
+    key expands: real curation pipelines keep the per-rule flags so
+    threshold sweeps and ablations don't re-scan the corpus. Rules:
+    word-count bounds, mean-word-length bounds, alphabetic-word
+    fraction, symbol-to-word ratio (# and ellipsis), and the
+    required-stopword count. The repetition rules are
+    ``text-repetition``; the line-based rules (bullet / ellipsis line
+    fractions) need newline structure this corpus doesn't have and are
+    deliberately not emitted as degenerate constants.
+
+    Parity: every signal is exact integer math (token-length sum via a
+    sequential fold, symbol counts via length-difference after
+    ``replace``) divided once and snapped to 6 dp in BOTH engines
+    BEFORE the rule compare — so a ratio landing exactly on a threshold
+    decides identically; the boolean panel then compares snapped values
+    only.
+
+    Scale: map-only — one parquet scan reading ``doc_id, text``, zero
+    shuffles before the driver-hash sort; whole-stage codegen end to
+    end (no higher-order-function state crosses rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = toks()
+    t = d.select("doc_id", "text", tk.alias("tk"))
+    n_words = F.size("tk")
+    len_sum = F.aggregate(
+        F.transform(F.col("tk"), lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
+    n_alpha = F.size(F.filter(F.col("tk"), lambda x: x.rlike("[a-z]")))
+    n_symbols = (
+        F.length("text") - F.length(F.replace("text", F.lit("#")))
+    ) + (
+        (F.length("text") - F.length(F.replace("text", F.lit("...")))) / 3
+    ).cast("long")
+    req = F.array(*[F.lit(w) for w in _GOPHER_REQUIRED])
+    n_required = F.size(
+        F.filter(req, lambda w: F.array_contains(F.col("tk"), w))
+    )
+    mean_len = F.round(len_sum.cast("double") / n_words, 6)
+    alpha_frac = F.round(n_alpha.cast("double") / n_words, 6)
+    symbol_ratio = F.round(n_symbols.cast("double") / n_words, 6)
+    ok_word_count = (n_words >= _GOPHER_MIN_WORDS) & (
+        n_words <= _GOPHER_MAX_WORDS
+    )
+    ok_mean_len = (mean_len >= _GOPHER_MIN_MEAN_LEN) & (
+        mean_len <= _GOPHER_MAX_MEAN_LEN
+    )
+    ok_alpha = alpha_frac >= _GOPHER_MIN_ALPHA_FRAC
+    ok_symbols = symbol_ratio <= _GOPHER_MAX_SYMBOL_RATIO
+    ok_required = n_required >= _GOPHER_MIN_REQUIRED
+    return t.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        n_required.cast("long").alias("n_required_stop"),
+        ok_word_count.alias("ok_word_count"),
+        ok_mean_len.alias("ok_mean_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_symbols.alias("ok_symbols"),
+        ok_required.alias("ok_required"),
+        (
+            ok_word_count & ok_mean_len & ok_alpha & ok_symbols & ok_required
+        ).alias("gopher_pass"),
+    )

@@ -113,6 +113,11 @@ _PRIORITY_R7 = [
     "sample-pack-sequences", "text-tfidf-topk", "embed-quantize-int8",
     "sim-search-lsh", "sample-temperature-weights",
     "udf-scalar-pandas", "udaf-grouped-pandas", "udtf-explode-like",
+    # late-r7 extras: new keys placed AFTER the full r5-stale block so
+    # scoring them never costs a stale key its row (they have local sim
+    # + pytest evidence; a driver row follows in r8 at the latest)
+    "dedup-image-phash",
+    "text-gopher-rules",
     # changed r7 (value-identical left-join hardening), r6-fresh —
     # deliberately the last head slot
     "text-perplexity-proxy",
