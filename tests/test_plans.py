@@ -333,3 +333,37 @@ def test_minhash_guard_window_runs_once_inside_cache(spark, sf_dir):
     # ...and no (band, sig) exchange exists OUTSIDE the cached subtree:
     # the pair join itself adds no shuffle.
     assert len(re.findall(r"Exchange hashpartitioning\(band#", plan)) == 0, plan
+
+
+def test_gopher_rules_is_map_only(spark, sf_dir):
+    """r7 pin: the full rule panel is one scan — zero exchanges, zero
+    Python (every signal is built-in column math over (doc_id, text))."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["text-gopher-rules"](spark, sf_dir)
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_image_phash_shuffles_ids_only(spark, sf_dir):
+    """r7 pin for dedup-image-phash: every exchange moves only
+    (asset_id, phash, band, bits[, bn]) — the payload text column never
+    crosses a shuffle (the minhash 100 TB contract, image-flavored)."""
+    import re
+
+    df = registry.QUERIES["dedup-image-phash"](spark, sf_dir)
+    df.collect()
+    plan = _formatted_plan(spark, df)
+    blocks = re.split(r"\n\n", plan)
+    checked = 0
+    for block in blocks:
+        if not re.match(r"\(\d+\) Exchange", block.strip()):
+            continue
+        inputs = re.search(r"Input \[\d+\]: \[([^\]]*)\]", block)
+        assert inputs, block
+        cols = inputs.group(1)
+        assert "text" not in cols, (
+            f"payload column crosses an exchange: {cols}"
+        )
+        checked += 1
+    assert checked >= 1, "no exchange found in plan — shape changed?"

@@ -47,6 +47,8 @@ NOTES = {
     "multimodal-video-meta": "MP4/ISO-BMFF two-level atom walk as pinned projection layers (the WAV architecture, big-endian reads): top-level boxes -> moov children; mvhd timescale/duration, first trak's tkhd 16.16 dims. Map-only, zero shuffle, zero Python; bounded hops yield NULL past the bound, never wrong values.",
     "multimodal-audio-meta": "RIFF/WAVE chunk walk as pinned projection layers: each hop is its own projection behind an explode(array(struct)) barrier so expression growth stays linear and inside janino's 64 KB codegen limit; fragments cached per SparkContext. Map-only, zero shuffle, zero Python.",
     "dedup-paragraph": "First-occurrence paragraph dedup: (doc_id, idx, xxhash64(para)) only - paragraph text hashed map-side and discarded; min(struct(doc_id, idx)) groupBy on the 8-byte hash (map-side combine collapses boilerplate); doc-local rebuild by token-array slice (pinned: no text-bearing column crosses a hash exchange).",
+    "dedup-image-phash": "60-bit dHash per asset from ONE generated expression shared verbatim with the DuckDB oracle (div/// is the only dialect split); banded 15-bit blocking with the minhash oversized-bucket guard (count window inside the persisted band relation); bit_count(xor) hamming verify confined to within-bucket pairs; min-neighbor completion join. Only (asset_id, phash, band, bits) ever shuffles - payload bytes never do (pinned).",
+    "text-gopher-rules": "Map-only rule panel: every signal is exact integer math (token-length fold, replace-based symbol counts) snapped to 6 dp in both engines BEFORE the threshold compare; zero exchanges, zero Python (pinned).",
 }
 
 
