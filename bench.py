@@ -101,6 +101,7 @@ HEADLINE = [
     "text-dup-cut",
     "dedup-image-phash",
     "text-gopher-rules",
+    "sink-zorder",
 ]
 
 

@@ -118,6 +118,7 @@ _PRIORITY_R7 = [
     # + pytest evidence; a driver row follows in r8 at the latest)
     "dedup-image-phash",
     "text-gopher-rules",
+    "sink-zorder",
     # changed r7 (value-identical left-join hardening), r6-fresh —
     # deliberately the last head slot
     "text-perplexity-proxy",

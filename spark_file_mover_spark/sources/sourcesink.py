@@ -553,3 +553,120 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("merge_action"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B12 — Z-order clustered sink (multi-dimensional pruning layout)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10  # 10 bits per dimension -> 20-bit z-value
+
+
+def _zorder_sql(shl, shr, y_expr: str) -> str:
+    """The bit-interleave z-value as ONE SQL expression, generated for
+    either engine (``shl``/``shr`` render the shift ops: Spark
+    ``shiftleft/shiftright`` functions, DuckDB ``<<``/``>>`` operators;
+    ``%``/``&``/``+`` are shared dialect). Dimension x is the customer
+    key, dimension y the day number, each folded to ``_Z_BITS`` bits;
+    bit i of x lands at z-bit 2i, bit i of y at 2i+1 — the standard
+    Morton interleave, so records close in BOTH dimensions get close
+    z-values and one range-partitioned sort clusters them into the same
+    files and row groups."""
+    x = f"(o_custkey % {1 << _Z_BITS})"
+    y = f"({y_expr} % {1 << _Z_BITS})"
+    terms = [shl(f"(({shr(x, i)}) & 1)", 2 * i) for i in range(_Z_BITS)]
+    terms += [
+        shl(f"(({shr(y, i)}) & 1)", 2 * i + 1) for i in range(_Z_BITS)
+    ]
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+_ZORDER_SPARK_SQL = _zorder_sql(
+    lambda e, n: f"shiftleft({e}, {n})",
+    lambda e, n: f"shiftright({e}, {n})",
+    "datediff(o_orderdate, DATE '1992-01-01')",
+)
+
+_ZORDER_ORACLE = f"""
+WITH z AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         {_zorder_sql(lambda e, n: f"({e} << {n})",
+                      lambda e, n: f"({e} >> {n})",
+                      "date_diff('day', DATE '1992-01-01', o_orderdate)")}
+           AS zval
+  FROM orders
+),
+f AS (
+  SELECT * FROM z
+  WHERE o_custkey BETWEEN 100 AND 600
+    AND o_orderdate >= DATE '1994-01-01'
+    AND o_orderdate < DATE '1996-01-01'
+)
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_custkeys,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       BIT_XOR(zval) AS z_xor
+FROM f
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("sink-zorder", oracle=_ZORDER_ORACLE)
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: Z-order clustered write — the multi-dimensional
+    generalization of ``sink-sorted-pruning`` and what lakehouse
+    OPTIMIZE ZORDER does: interleave the bits of two filter dimensions
+    (customer key, order day) into one Morton z-value, range-partition
+    and sort the table by it, and every file/row-group becomes a small
+    rectangle in (custkey, date) space — so a predicate on EITHER
+    dimension (or both) skips most files via parquet min/max stats,
+    where a single-column sort only ever prunes its own column.
+
+    The re-read applies a genuine 2-D filter and aggregates per month;
+    ``z_xor`` folds every surviving row's z-value with BIT_XOR so the
+    oracle verifies the interleave arithmetic itself corpus-wide (both
+    engines evaluate the SAME generated expression — Spark
+    ``shiftleft``/DuckDB ``<<`` is the only dialect split), not just
+    the filtered aggregate. Layout must never change results: the
+    oracle computes over the original table.
+
+    Scale: the z-value is ~40 integer ops fused into the scan; the
+    write pays one range exchange (sampling job + shuffle) exactly like
+    any global sort; pruning pays back every subsequent scan. 10 bits a
+    dimension bounds the interleave at 20 bits — finer z resolution
+    than the file count can exploit buys nothing (pruning granularity
+    is the file/row-group rectangle, not the z tick)."""
+    out = tempfile.mkdtemp(prefix="sfm-b12-") + "/orders_zorder"
+    z = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.expr(_ZORDER_SPARK_SQL).alias("zval"),
+    )
+    (
+        z.repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        F.col("o_custkey").between(100, 600)
+        & (F.col("o_orderdate") >= "1994-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    return (
+        back.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custkeys"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.bit_xor("zval").alias("z_xor"),
+        )
+        .orderBy("order_month")
+    )

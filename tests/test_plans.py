@@ -367,3 +367,16 @@ def test_image_phash_shuffles_ids_only(spark, sf_dir):
         )
         checked += 1
     assert checked >= 1, "no exchange found in plan — shape changed?"
+
+
+def test_zorder_sink_pushes_both_dimension_filters(spark, sf_dir):
+    """r7 pin for sink-zorder: the whole point of the z-order layout is
+    that the re-read scan receives BOTH dimension predicates as pushed
+    filters (file/row-group min-max pruning then works on either)."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["sink-zorder"](spark, sf_dir)
+    )
+    scan_part = plan.split("ReadSchema")[0]
+    assert "GreaterThanOrEqual(o_custkey,100)" in plan
+    assert "LessThanOrEqual(o_custkey,600)" in plan
+    assert "o_orderdate" in scan_part and "PushedFilters" in plan
