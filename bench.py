@@ -102,6 +102,8 @@ HEADLINE = [
     "dedup-image-phash",
     "text-gopher-rules",
     "sink-zorder",
+    "agg-retention-cohort",
+    "dedup-cross-bloom",
 ]
 
 

@@ -397,3 +397,88 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# E11 — cohort retention matrix
+# ---------------------------------------------------------------------------
+
+_COHORT_EPOCH = "2024-01-01"  # testdata event horizon start (TESTDATA.md)
+
+_RETENTION_ORACLE = f"""
+WITH act AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '{_COHORT_EPOCH}', CAST(ts AS DATE)) // 7
+           AS week
+  FROM events
+),
+first_week AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size
+  FROM first_week GROUP BY cohort_week
+),
+ret AS (
+  SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+         COUNT(DISTINCT a.user_id) AS n_active
+  FROM act a JOIN first_week f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT r.cohort_week, r.week_offset, r.n_active,
+       s.cohort_size,
+       ROUND(CAST(r.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM ret r JOIN sizes s USING (cohort_week)
+ORDER BY r.cohort_week, r.week_offset
+"""
+
+
+@query("agg-retention-cohort", oracle=_RETENTION_ORACLE)
+def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11: the classic cohort retention matrix — users grouped by
+    first-activity week, then for every (cohort, week-offset) cell the
+    count and fraction of the cohort still active. The product-analytics
+    aggregate every events warehouse serves daily, and a shape worth
+    pinning because the naive formulation (self-join events × events on
+    user) is quadratic in events per user.
+
+    Plan shape at scale: events collapse FIRST to distinct
+    (user_id, week) — one groupBy whose map-side combine absorbs the
+    per-user event volume (the whole point: 10⁴ events/user become ≤
+    n_weeks rows before anything joins); first-activity week is a
+    min-groupBy OVER THAT (user-count-sized, not event-count-sized);
+    the retention join is user-keyed on the already-collapsed relation;
+    the final cohort-size join is broadcast (one row per cohort week).
+    Exact integer week arithmetic (calendar-day diff, floor-div 7)
+    mirrored in both engines; retention snapped to 6 dp."""
+    e = load_table(spark, sf_dir, "events")
+    week = F.expr(
+        f"datediff(to_date(ts), DATE '{_COHORT_EPOCH}') div 7"
+    )
+    act = e.select("user_id", week.alias("week")).distinct()
+    first_week = act.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    sizes = first_week.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    ret = (
+        act.join(first_week, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        ret.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )

@@ -119,6 +119,8 @@ _PRIORITY_R7 = [
     "dedup-image-phash",
     "text-gopher-rules",
     "sink-zorder",
+    "agg-retention-cohort",
+    "dedup-cross-bloom",
     # changed r7 (value-identical left-join hardening), r6-fresh —
     # deliberately the last head slot
     "text-perplexity-proxy",

@@ -140,3 +140,31 @@ def test_gopher_rules_boundaries(spark, tmp_path):
     assert not r3.ok_symbols and r3.symbol_ratio > 0.1
     r4 = rows[4]
     assert not r4.ok_alpha and not r4.ok_required and r4.n_required_stop == 0
+
+
+def test_cross_bloom_flags_exact_cross_corpus_dups(spark, tmp_path):
+    from spark_file_mover_spark.llm.dedup import dedup_cross_bloom
+
+    # doc_id % 3 == 0 -> reference corpus; others -> probe corpus.
+    # doc 3 (ref) and doc 4 (probe) share normalized text; doc 5 differs
+    # only by case/whitespace (still a normalized dup); docs 1, 2 unique.
+    texts = {
+        1: "probe only text with several words here",
+        2: "another unique probe document entirely",
+        3: "shared boilerplate text across corpora",
+        4: "shared boilerplate text across corpora",
+        5: "  SHARED   boilerplate TEXT across corpora ",
+        6: "reference only text never probed",
+        7: "yet another unique probe entry",
+    }
+    rows = [(i, t, "en", "t", len(t)) for i, t in sorted(texts.items())]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "sf")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    got = {r.doc_id: r for r in dedup_cross_bloom(spark, out).collect()}
+    assert set(got) == {1, 2, 4, 5, 7}  # probe docs only
+    assert got[4].is_dup and got[5].is_dup  # exact + normalized dup
+    assert not got[1].is_dup and not got[2].is_dup and not got[7].is_dup
+    assert all(r.bloom_no_false_negative for r in got.values())
