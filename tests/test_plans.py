@@ -380,3 +380,39 @@ def test_zorder_sink_pushes_both_dimension_filters(spark, sf_dir):
     assert "GreaterThanOrEqual(o_custkey,100)" in plan
     assert "LessThanOrEqual(o_custkey,600)" in plan
     assert "o_orderdate" in scan_part and "PushedFilters" in plan
+
+
+def test_parity_holds_with_aqe_disabled(spark, sf_dir, duck):
+    """Config-robustness pin: results must not depend on AQE's runtime
+    re-planning (broadcast conversions, partition coalescing, skew
+    splits). One representative per plan family re-runs with
+    spark.sql.adaptive.enabled=false and must still hash-match its
+    DuckDB oracle — a query whose VALUES change under a different
+    physical strategy has an order/partition dependence bug."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from parity import compare
+
+    keys = [
+        "agg-hash",  # partial+final agg
+        "join-multiway-star",  # broadcast chain
+        "topk-per-group",  # WindowGroupLimit
+        "dedup-paragraph",  # hash-shuffle + doc-local rebuild
+        "agg-retention-cohort",  # distinct + min-groupBy + broadcast
+        "dedup-cross-bloom",  # bit_or bitmap + semi join
+    ]
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for key in keys:
+            # __wrapped__ skips the registry's tune_session wrapper,
+            # which would silently re-enable AQE and void this test
+            fn = registry.QUERIES[key].__wrapped__
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+            ok, msg = compare(
+                fn(spark, sf_dir), duck.sql(registry.ORACLES[key])
+            )
+            assert ok, (key, msg)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

@@ -49,6 +49,9 @@ NOTES = {
     "dedup-paragraph": "First-occurrence paragraph dedup: (doc_id, idx, xxhash64(para)) only - paragraph text hashed map-side and discarded; min(struct(doc_id, idx)) groupBy on the 8-byte hash (map-side combine collapses boilerplate); doc-local rebuild by token-array slice (pinned: no text-bearing column crosses a hash exchange).",
     "dedup-image-phash": "60-bit dHash per asset from ONE generated expression shared verbatim with the DuckDB oracle (div/// is the only dialect split); banded 15-bit blocking with the minhash oversized-bucket guard (count window inside the persisted band relation); bit_count(xor) hamming verify confined to within-bucket pairs; min-neighbor completion join. Only (asset_id, phash, band, bits) ever shuffles - payload bytes never do (pinned).",
     "text-gopher-rules": "Map-only rule panel: every signal is exact integer math (token-length fold, replace-based symbol counts) snapped to 6 dp in both engines BEFORE the threshold compare; zero exchanges, zero Python (pinned).",
+    "sink-zorder": "Morton z-value (~40 fused integer ops) -> one range exchange (sampling job + shuffle, like any global sort) -> sorted parquet; the re-read scan receives BOTH dimension predicates as pushed filters (pinned) so file/row-group min-max stats prune on either.",
+    "agg-retention-cohort": "Events collapse FIRST to distinct (user, week) - map-side combine absorbs per-user event volume before any join; first-week min-groupBy runs over the collapsed (user-count-sized) relation; cohort-size join is broadcast. The naive events-x-events self-join this replaces is quadratic in events per user.",
+    "dedup-cross-bloom": "Reference corpus collapses to a 1024-row bit_or bitmap relation (broadcast); probe positions test against it map-side; only bloom-positive candidates pay the exact-verify semi-join on the 8-byte nh. Ids only on every exchange.",
 }
 
 
