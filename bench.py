@@ -104,6 +104,8 @@ HEADLINE = [
     "sink-zorder",
     "agg-retention-cohort",
     "dedup-cross-bloom",
+    "agg-sketch-hll-merge",
+    "scan-schema-evolution",
 ]
 
 

@@ -482,3 +482,89 @@ def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E12 — persisted-sketch rollup: HLL sketch build + union-merge
+# ---------------------------------------------------------------------------
+
+_HLL_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS n_exact,
+       TRUE AS merge_close,
+       TRUE AS estimate_in_band
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1996-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("agg-sketch-hll-merge", oracle=_HLL_ORACLE)
+def agg_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12: the persisted-sketch rollup pattern — Apache DataSketches
+    HLL via Spark's built-in ``hll_sketch_agg`` / ``hll_union_agg``:
+    per-(flag, ship-month) partial sketches (the rows a rollup table
+    stores as BINARY), then month sketches UNION-MERGED per flag
+    without ever rescanning raw data. This is how incremental distinct
+    counting actually ships at 100 TB: each ingest batch appends its
+    partial sketch; any time-range distinct count is a union over
+    sketch rows (bytes-sized), never a re-aggregation of the fact
+    table. ``agg-approx-distinct`` (E3) is the one-shot estimate;
+    ``agg-incremental-merge`` (E10) the mergeable sum/count partials —
+    this key completes the family with the mergeable DISTINCT sketch.
+
+    Oracle strategy (the E3 pattern): the sketch estimate is
+    engine-specific, so the output carries the exact distinct count
+    plus two TRUE-expected audits — ``merge_close`` pins
+    union-of-partials against the single-pass sketch within 5%
+    (NOT exact equality: a lone DataSketches HLL answers with the
+    update-order-dependent HIP estimator, which a union legitimately
+    discards for the composite estimator, so the two estimates differ
+    by design — but a broken merge or a lgConfigK mismatch blows far
+    past 5%) and ``estimate_in_band`` pins the merged estimate within
+    5% of truth (default lgConfigK=12 ⇒ rsd ≈ 1.6%)."""
+    # two shipping years: the rollup pattern needs a realistic handful
+    # of per-month partials, not the whole fact table — the date filter
+    # pushes to the scan, and the exact countDistinct (test-scale
+    # scaffolding for the band audit) shrinks with it
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1994-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+    )
+    month = F.date_format("l_shipdate", "yyyy-MM")
+    partials = li.groupBy(
+        "l_returnflag", month.alias("m")
+    ).agg(F.hll_sketch_agg("l_orderkey").alias("sk"))
+    merged = partials.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias(
+            "est_direct"
+        ),
+        F.countDistinct("l_orderkey").alias("n_exact"),
+    )
+    return (
+        direct.join(merged, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_exact",
+            (
+                F.abs(
+                    F.col("est_merged").cast("double")
+                    / F.col("est_direct")
+                    - 1.0
+                )
+                <= 0.05
+            ).alias("merge_close"),
+            (
+                F.abs(
+                    F.col("est_merged").cast("double") / F.col("n_exact")
+                    - 1.0
+                )
+                <= 0.05
+            ).alias("estimate_in_band"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -121,6 +121,8 @@ _PRIORITY_R7 = [
     "sink-zorder",
     "agg-retention-cohort",
     "dedup-cross-bloom",
+    "agg-sketch-hll-merge",
+    "scan-schema-evolution",
     # changed r7 (value-identical left-join hardening), r6-fresh —
     # deliberately the last head slot
     "text-perplexity-proxy",

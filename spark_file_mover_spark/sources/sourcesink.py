@@ -670,3 +670,88 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# B13 — schema evolution on read (mergeSchema)
+# ---------------------------------------------------------------------------
+
+_EVOLUTION_ORACLE = """
+WITH b1 AS (
+  SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE) AS s_acctbal, 1 AS batch
+  FROM supplier WHERE s_suppkey % 2 = 0
+),
+b2 AS (
+  SELECT s_suppkey, s_name, s_acctbal, 2 AS batch
+  FROM supplier WHERE s_suppkey % 2 = 1
+),
+u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+SELECT batch,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN s_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_acctbal,
+       MIN(s_suppkey) AS min_key,
+       CAST(SUM(CAST(coalesce(s_acctbal, 0) AS DECIMAL(12,2))) AS DOUBLE)
+         AS acctbal_total
+FROM u
+GROUP BY batch
+ORDER BY batch
+"""
+
+
+@query("scan-schema-evolution", oracle=_EVOLUTION_ORACLE)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13: schema evolution on read — the drift every long-lived
+    ingest hits: batch 1 was written BEFORE a column existed, batch 2
+    after. ``mergeSchema=true`` reconciles the parquet footers into the
+    union schema at scan time (an additive-only merge: Spark refuses
+    incompatible type changes), and rows from the pre-evolution batch
+    surface the new column as NULL — no rewrite of old files, which at
+    100 TB is the entire point.
+
+    Mechanics pinned here: the two batches land as sibling partition
+    directories (``batch=1``/``batch=2``) so the read also proves
+    partition discovery composes with footer merging; the aggregate
+    distinguishes physical-NULL (old files genuinely lack the column)
+    from value-NULL. Cost note for scale: ``mergeSchema`` footer
+    reconciliation reads every file's footer up front — on
+    million-file tables pin the merged schema explicitly
+    (``spark.read.schema(...)``) and pay the merge once, a
+    documentation-level contract this query's plan shape makes
+    visible.
+
+    Parity: exact counts/keys; the money sum is DECIMAL-exact over the
+    evolved column with NULLs coalesced identically in both engines."""
+    out = tempfile.mkdtemp(prefix="sfm-b13-") + "/supplier_evolving"
+    s = load_table(spark, sf_dir, "supplier")
+    (
+        s.filter(F.col("s_suppkey") % 2 == 0)
+        .select("s_suppkey", "s_name")
+        .write.mode("overwrite")
+        .parquet(out + "/batch=1")
+    )
+    (
+        s.filter(F.col("s_suppkey") % 2 == 1)
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .write.mode("overwrite")
+        .parquet(out + "/batch=2")
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return (
+        back.groupBy("batch")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("s_acctbal").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_null_acctbal"),
+            F.min("s_suppkey").alias("min_key"),
+            F.sum(
+                F.coalesce("s_acctbal", F.lit(0)).cast("decimal(12,2)")
+            )
+            .cast("double")
+            .alias("acctbal_total"),
+        )
+        .orderBy("batch")
+    )
