@@ -52,6 +52,8 @@ NOTES = {
     "sink-zorder": "Morton z-value (~40 fused integer ops) -> one range exchange (sampling job + shuffle, like any global sort) -> sorted parquet; the re-read scan receives BOTH dimension predicates as pushed filters (pinned) so file/row-group min-max stats prune on either.",
     "agg-retention-cohort": "Events collapse FIRST to distinct (user, week) - map-side combine absorbs per-user event volume before any join; first-week min-groupBy runs over the collapsed (user-count-sized) relation; cohort-size join is broadcast. The naive events-x-events self-join this replaces is quadratic in events per user.",
     "dedup-cross-bloom": "Reference corpus collapses to a 1024-row bit_or bitmap relation (broadcast); probe positions test against it map-side; only bloom-positive candidates pay the exact-verify semi-join on the 8-byte nh. Ids only on every exchange.",
+    "agg-sketch-hll-merge": "Pushed 2-year date filter; per-(flag, month) hll_sketch_agg partials (BINARY rows) union-merged per flag - any time-range distinct is a union over sketch rows, never a fact rescan; exact countDistinct is test-scale scaffolding for the band audit.",
+    "scan-schema-evolution": "Two sibling batch=N partition dirs with different footers; mergeSchema reconciles to the union schema at scan, partition discovery supplies the batch column, pre-evolution rows read the new column as NULL.",
 }
 
 
