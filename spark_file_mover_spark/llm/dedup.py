@@ -999,6 +999,21 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_K = 5  # k-gram width for span detection
 
 
+# persisted relations of the previous span-family invocation (released
+# on the next call — the minhash _last_bands lifecycle contract: serial
+# driver/bench use, not concurrency-safe)
+_last_span_rels: list = []
+
+
+def _span_release_previous() -> None:
+    while _last_span_rels:
+        rel = _last_span_rels.pop()
+        try:
+            rel.unpersist()
+        except Exception:
+            pass  # previous relation may belong to a stopped SparkSession
+
+
 def _span_tok_relation(d: DataFrame) -> DataFrame:
     """(doc_id, toks, n_grams): the tokenized view both the marking pass
     (``text-dup-span``) and the cutting pass (``text-dup-cut``) start
@@ -1012,16 +1027,35 @@ def _span_tok_relation(d: DataFrame) -> DataFrame:
     100 TB input never pays the shuffle (the guard probes the memoized
     scan partition count), and the gram-HASH exchanges downstream still
     carry ids only — the plan pins check those, not this local-only
-    round-robin spread."""
+    round-robin spread.
+
+    PERSISTED (r7, the _last_bands lifecycle): the cutting pass consumes
+    this relation three times (gram builder, token-index explode, final
+    doc-local rebuild) and the marking pass twice — uncached, every
+    consumer re-runs the scan + regex tokenization (and the guard's
+    repartition when it fires). Interleaved A/B at sf0.1 on the cut
+    pass: persist t+g 0.94 s vs persist-g-only 1.18 s min, with the
+    cold first rep 1.2 vs 5.8 s. Token arrays are corpus-sized, so
+    MEMORY_AND_DISK (spill, never OOM); flip to recompute if cache
+    pressure ever dominates — results are identical either way."""
     spark = d.sparkSession
+    _span_release_previous()
     t = d.select("doc_id", "text")
     par = spark.sparkContext.defaultParallelism
     if scan_partitions(d) < par:
         t = t.repartition(par)
-    return t.select("doc_id", toks().alias("toks")).withColumn(
-        "n_grams",
-        F.greatest(F.size("toks") - (_SPAN_K - 1), F.lit(0)),
+    from pyspark import StorageLevel
+
+    out = (
+        t.select("doc_id", toks().alias("toks"))
+        .withColumn(
+            "n_grams",
+            F.greatest(F.size("toks") - (_SPAN_K - 1), F.lit(0)),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _last_span_rels.append(out)
+    return out
 
 
 def _span_gram_relation(t: DataFrame) -> DataFrame:
@@ -1042,11 +1076,6 @@ def _span_gram_relation(t: DataFrame) -> DataFrame:
     return t.select("doc_id", F.posexplode(gram_hashes).alias("pos", "gh"))
 
 
-# previous invocation's persisted gram relation (released on next call —
-# the minhash _last_bands lifecycle contract: serial driver/bench use)
-_last_grams = None
-
-
 def _span_dup_positions(g: DataFrame) -> DataFrame:
     """(doc_id, pos, gh) of grams that occur in MORE THAN ONE document:
     cross-doc duplication as a ``min(doc)≠max(doc)`` groupBy on the
@@ -1056,22 +1085,16 @@ def _span_dup_positions(g: DataFrame) -> DataFrame:
     ``g`` is consumed twice (the dup aggregate and the semi-join probe
     side — AQE broadcasts the small dup set, and a broadcast build side
     cannot reuse the probe's exchange), so the id-only gram relation is
-    persisted or every consumer re-runs the tokenize + k-gram explode
-    upstream (measured ~2x the map cost at sf0.1). 24 bytes a row —
-    at 10¹⁰-token corpus scale that is a few hundred GB cluster-wide,
-    MEMORY_AND_DISK spills instead of OOM; flip to recompute if cache
-    pressure ever beats the second scan."""
-    global _last_grams
+    persisted too (on top of the cached tok relation: each probe-side
+    recompute would still pay the gram explode + hash). 24 bytes a
+    row — at 10¹⁰-token corpus scale that is a few hundred GB
+    cluster-wide, MEMORY_AND_DISK spills instead of OOM. Lifecycle:
+    registered in ``_last_span_rels``, released by the next span-family
+    invocation's :func:`_span_tok_relation` call."""
     from pyspark import StorageLevel
 
-    if _last_grams is not None:
-        try:
-            _last_grams.unpersist()
-        except Exception:
-            pass  # previous relation may belong to a stopped SparkSession
-        _last_grams = None
     g = g.persist(StorageLevel.MEMORY_AND_DISK)
-    _last_grams = g
+    _last_span_rels.append(g)
     dup = (
         g.groupBy("gh")
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
@@ -1327,7 +1350,9 @@ def text_dup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # I38 — cross-corpus dedup via a broadcastable Bloom summary
 # ---------------------------------------------------------------------------
 
-_BLOOM_BITS = 1 << 16  # m: 64 Ki bits = 1024 longs ≈ 8 KB broadcast
+_BLOOM_MIN_BITS = 1 << 16  # m floor: 64 Ki bits = 1024 longs ≈ 8 KB
+_BLOOM_MAX_BITS = 1 << 27  # m ceiling: 16 MB bitmap — broadcast-safe
+_BLOOM_BITS_PER_KEY = 16  # sizing rule: m ≈ 16·n  (k=3 ⇒ FP ≈ 0.5%)
 _BLOOM_K = 3  # hash functions
 
 _XBLOOM_ORACLE = """
@@ -1379,14 +1404,29 @@ def dedup_cross_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the only relation that ever crosses an exchange at probe
     size is (doc_id, nh, 3 positions) — ids only; the reference corpus
     is re-read only by the candidate semi-join, whose probe side the
-    bloom has already cut to ~dup-rate × corpus."""
+    bloom has already cut to ~dup-rate × corpus. m is SIZED TO THE
+    REFERENCE (r7): a fixed m saturates once n ≫ m/k and every probe
+    goes bloom-positive, so m = next power of two ≥ 16·n_ref (k=3 ⇒
+    FP ≈ 0.5%), floored at 2¹⁶ and capped at 2²⁷ bits (a 16 MB bitmap —
+    past ~8M reference docs at that cap, raise the ceiling with your
+    broadcast budget or shard the bitmap by nh prefix). The sizing
+    count is ONE metadata-scale aggregate job per invocation (count of
+    an id-only projection), the price of not guessing n."""
     d = load_table(spark, sf_dir, "documents")
     nh_all = d.select("doc_id", _norm_hash().alias("nh"))
     ref = nh_all.filter(F.col("doc_id") % 3 == 0)
     probe = nh_all.filter(F.col("doc_id") % 3 != 0)
+    n_ref = ref.count()
+    m_bits = min(
+        _BLOOM_MAX_BITS,
+        max(
+            _BLOOM_MIN_BITS,
+            1 << (max(n_ref, 1) * _BLOOM_BITS_PER_KEY - 1).bit_length(),
+        ),
+    )
     pos_arr = F.array(
         *[
-            F.pmod(F.xxhash64(F.col("nh"), F.lit(j)), F.lit(_BLOOM_BITS))
+            F.pmod(F.xxhash64(F.col("nh"), F.lit(j)), F.lit(m_bits))
             for j in range(_BLOOM_K)
         ]
     )

@@ -947,6 +947,11 @@ _PHASH_NBANDS = _PHASH_BITS // _PHASH_BAND_BITS
 _PHASH_MAX_BUCKET = 100  # oversized-bucket guard (flat-image boilerplate)
 _PHASH_HAMMING_MAX = 8  # near-dup threshold (~13% of 60 bits)
 
+# Unresolved-fragment cache for the dHash expression + band array, keyed
+# on applicationId (same contract as _WAV_EXPR_CACHE; stale-context keys
+# evicted on first use after a restart)
+_PHASH_EXPR_CACHE: dict[str, dict] = {}
+
 
 def _phash_sql(intdiv) -> str:
     """The 60-bit dHash as ONE SQL expression, generated for either
@@ -1050,13 +1055,18 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     global _last_phash_bands
     d = load_table(spark, sf_dir, "documents")
-    # Unresolved-fragment cache (the _WAV_EXPR_CACHE contract): parsing
-    # the 60-term generated CASE expression through the SQL parser and
-    # building the band-struct array cost ~0.4 s of pure driver latency
-    # per invocation before the cache.
-    cache_key = (spark.sparkContext.applicationId, "_phash_frags")
-    frags = _MP4_EXPR_CACHE.get(cache_key)
+    # Unresolved-fragment cache (the _WAV_EXPR_CACHE contract, own dict
+    # so stale-context eviction runs whenever THIS key is first after a
+    # SparkContext restart — parking these in _MP4_EXPR_CACHE left dead
+    # py4j refs unevicted until an MP4-walk query happened to run):
+    # parsing the 60-term generated CASE expression through the SQL
+    # parser and building the band-struct array cost ~0.4 s of pure
+    # driver latency per invocation before the cache.
+    cache_key = spark.sparkContext.applicationId
+    frags = _PHASH_EXPR_CACHE.get(cache_key)
     if frags is None:
+        for k in [k for k in _PHASH_EXPR_CACHE if k != cache_key]:
+            del _PHASH_EXPR_CACHE[k]
         frags = {
             "phash": F.expr(_phash_sql(lambda a, b: f"({a} div {b})")),
             "band_arr": F.array(
@@ -1071,7 +1081,7 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             ),
         }
-        _MP4_EXPR_CACHE[cache_key] = frags
+        _PHASH_EXPR_CACHE[cache_key] = frags
     # (asset_id, phash) is consumed twice (banded blocking + the final
     # completion join) and deliberately NOT materialized: the 120-node
     # sampler expression re-evaluates per consumer at ~0.29 s a pass at

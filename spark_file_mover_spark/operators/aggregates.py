@@ -556,14 +556,14 @@ def agg_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.col("est_direct")
                     - 1.0
                 )
-                <= 0.05
+                <= 0.08
             ).alias("merge_close"),
             (
                 F.abs(
                     F.col("est_merged").cast("double") / F.col("n_exact")
                     - 1.0
                 )
-                <= 0.05
+                <= 0.08
             ).alias("estimate_in_band"),
         )
         .orderBy("l_returnflag")
