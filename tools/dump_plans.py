@@ -106,6 +106,20 @@ ratchet k down again for perf — the r7 margin came from shuffle and
 expression shape instead (raw-text repartition before tokenization, no
 array_distinct on shingles, min==max audit window), leaving b·r
 untouched: 2.00 → 1.41 s at sf0.1 in a full warm sweep.
+
+**r7 bench-set growth and headline totals:** HEADLINE grew from 33 to 42
+keys (9 new r7 operators benched from birth), so `value` is NOT
+comparable r6→r7 — use `common16_total` / `common20_total` as always.
+common16 measured 8.0–8.5 s across three r7 sweeps vs 10.7 s in the r6
+recording; roughly half of that is the real minhash rework (in-set) and
+the rest session-level drift (the r6 sweep ran hot — its own
+interleaved control showed it). Per-key r7 sweep ranges for the new
+keys, for r8 regression triage: video-meta 0.34–0.47, gopher 0.48–0.65,
+zorder 0.56–0.90, retention-cohort 0.30–0.72, cross-bloom 0.43–0.95,
+hll-merge 0.83–0.97, schema-evolution 0.56–0.63, dup-cut 0.94–1.37,
+image-phash 1.47–1.97 (the thinnest budget margin in the suite — its
+cost is stage-count + codegen warm-up, not data volume; see the key's
+docstring before chasing it).
 """
 
 
