@@ -148,3 +148,69 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in the container
     pass
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from spark_file_mover_spark.llm.dedup import text_dup_span
+
+    def _py_span_reference(texts):
+        """Pure-Python marking pass: per doc (n_grams, n_dup_grams,
+        max_dup_run) with cross-document duplicated k-grams."""
+        docs = {
+            doc_id: text.strip().lower().split()
+            for doc_id, text in enumerate(texts, start=1)
+        }
+        gram_docs: dict[tuple, set] = {}
+        for doc_id, toks in docs.items():
+            for p in range(max(len(toks) - _SPAN_K + 1, 0)):
+                gram_docs.setdefault(
+                    tuple(toks[p : p + _SPAN_K]), set()
+                ).add(doc_id)
+        out = {}
+        for doc_id, toks in docs.items():
+            n_grams = max(len(toks) - _SPAN_K + 1, 0)
+            dup_pos = [
+                p
+                for p in range(n_grams)
+                if len(gram_docs[tuple(toks[p : p + _SPAN_K])]) > 1
+            ]
+            runs, prev = [], None
+            for p in dup_pos:
+                if prev is not None and p == prev + 1:
+                    runs[-1] += 1
+                else:
+                    runs.append(1)
+                prev = p
+            out[doc_id] = (n_grams, len(dup_pos), max(runs, default=0))
+        return out
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "c", "dd", "ee"]),
+                min_size=1,
+                max_size=3 * _SPAN_K,
+            ).map(" ".join),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def test_span_matches_python_reference(spark, tmp_path_factory, texts):
+        sf = _write_docs(spark, tmp_path_factory.mktemp("dupspan"), texts)
+        expect = _py_span_reference(texts)
+        got = {
+            r.doc_id: (r.n_grams, r.n_dup_grams, r.max_dup_run)
+            for r in text_dup_span(spark, sf).collect()
+        }
+        assert got == expect
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass

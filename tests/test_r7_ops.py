@@ -168,3 +168,70 @@ def test_cross_bloom_flags_exact_cross_corpus_dups(spark, tmp_path):
     assert got[4].is_dup and got[5].is_dup  # exact + normalized dup
     assert not got[1].is_dup and not got[2].is_dup and not got[7].is_dup
     assert all(r.bloom_no_false_negative for r in got.values())
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        st.lists(
+            # tiny alphabet -> heavy cross-corpus duplication pressure,
+            # whitespace/case noise exercises the normalization
+            st.sampled_from(
+                [
+                    "alpha beta gamma",
+                    "ALPHA  beta gamma",
+                    "delta epsilon",
+                    "zeta eta theta iota",
+                    "unique words here",
+                ]
+            ),
+            min_size=2,
+            max_size=9,
+        )
+    )
+    def test_cross_bloom_matches_exact_reference(
+        spark, tmp_path_factory, texts
+    ):
+        """dedup-cross-bloom must equal a plain exact membership test on
+        normalized text for ANY corpus split — the bloom layer can only
+        add verified-away false positives, never change the result."""
+        from spark_file_mover_spark.llm.dedup import dedup_cross_bloom
+
+        rows = [
+            (i, t, "en", "t", len(t)) for i, t in enumerate(texts, start=1)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = str(tmp_path_factory.mktemp("xbloom") / "sf")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{out}/documents.parquet"
+        )
+
+        def norm(t):
+            return " ".join(t.strip().lower().split())
+
+        ref_texts = {
+            norm(t) for i, t in enumerate(texts, start=1) if i % 3 == 0
+        }
+        expect = {
+            i: norm(t) in ref_texts
+            for i, t in enumerate(texts, start=1)
+            if i % 3 != 0
+        }
+        got = {
+            r.doc_id: r.is_dup
+            for r in dedup_cross_bloom(spark, out).collect()
+        }
+        assert got == expect
+
+except ImportError:  # pragma: no cover
+    pass
