@@ -106,6 +106,10 @@ HEADLINE = [
     "dedup-cross-bloom",
     "agg-sketch-hll-merge",
     "scan-schema-evolution",
+    "agg-outlier-mad",
+    "join-interval-overlap",
+    "embed-random-projection",
+    "graph-pagerank",
 ]
 
 

@@ -396,3 +396,133 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         xent.alias("xent"),
         (xent <= _XENT_QUALITY_MAX).alias("quality_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embed-random-projection — Johnson–Lindenstrauss sign projection 64 → 8
+# ---------------------------------------------------------------------------
+
+_RP_IN = 64  # embeddings.embedding dimension (FIXTURES.md)
+_RP_OUT = 8
+
+
+def _rp_sign(j: int, i: int) -> int:
+    """Deterministic ±1 Rademacher entry R[j][i], derived from md5 so
+    the sign pattern is structure-free (a linear-congruential parity
+    rule yields a rank-2 checkerboard). Computed in PYTHON at module
+    load — both engines receive the same ±1.0 literals, no cross-engine
+    hash function needed."""
+    import hashlib
+
+    h = hashlib.md5(f"rp_{j}_{i}".encode()).hexdigest()
+    return 1 if int(h[:8], 16) % 2 == 0 else -1
+
+
+def _rp_signs_sql(j: int) -> str:
+    """The row-j sign vector as a literal list, shared verbatim by both
+    engines' expressions."""
+    return (
+        "["
+        + ", ".join(f"{float(_rp_sign(j, i)):.1f}" for i in range(_RP_IN))
+        + "]"
+    )
+
+
+def _rp_oracle() -> str:
+    # DuckDB twin of the Spark fold: indexed list_transform multiplies
+    # each (1-based) element by its literal sign, list_reduce sums the
+    # products in sequence — the sim-search-topk _DOT parity technique.
+    def proj(j: int) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {_RP_IN} + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({_rp_signs_sql(j)})[i]), "
+            "(acc, x) -> acc + x)"
+        )
+
+    norm = (
+        "list_reduce(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)"
+    )
+    p_cols = ",\n         ".join(
+        f"ROUND({proj(j)}, 9) AS p{j}" for j in range(_RP_OUT)
+    )
+    pp = " + ".join(f"p{j} * p{j}" for j in range(_RP_OUT))
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         {p_cols},
+         ROUND({norm}, 9) AS nv
+  FROM embeddings
+)
+SELECT vec_id, {', '.join(f'p{j}' for j in range(_RP_OUT))},
+       ROUND(CASE WHEN nv > 0 THEN ({pp}) / ({_RP_OUT} * nv) END, 9)
+         AS norm_ratio
+FROM q ORDER BY vec_id
+"""
+
+
+@query("embed-random-projection", oracle=_rp_oracle())
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection of the embedding column,
+    64 → 8 dims with a fixed Rademacher (±1) matrix (Achlioptas 2001:
+    sign matrices satisfy the JL lemma with the same distortion bounds
+    as Gaussian matrices and need no stored floats) — the standard
+    cheap preprocessing for ANN indexing, clustering sketches and
+    distance-preserving dedup at 100 TB: an 8-double code per vector is
+    an 8× cut in the scan and shuffle volume every downstream consumer
+    pays on the raw embedding column.
+
+    Parity: each output dim is ``zip_with(embedding, signs, *)`` summed
+    by a sequential ``F.aggregate`` fold ≡ DuckDB indexed
+    ``list_transform`` + ``list_reduce`` — the identical IEEE op
+    sequence both engines already execute for sim-search-topk's dot
+    products; the ±1.0 literals are Python-generated md5 signs baked
+    verbatim into BOTH engines' expressions. ``norm_ratio`` =
+    ‖p‖²/(8·‖v‖²) is the JL distortion diagnostic (concentrates around
+    1), computed from the ROUNDED projections so published columns and
+    audit stay mutually consistent.
+
+    Plan shape: map-only, zero shuffle, zero Python at runtime. The
+    folds are loop-based higher-order functions, so codegen stays small
+    and inside whole-stage codegen at ANY dimension — the first cut
+    unrolled all 8 chains into ~600 scalar nodes and janino refused the
+    Generate method (interpreted fallback); the loop form is the fix,
+    not a smaller matrix. The Generate (``explode(array(struct(...)))``)
+    barrier pins each fold + the norm to ONE evaluation (CollapseProject
+    would inline every fold twice: output column + norm_ratio numerator
+    — the embed-quantize-int8 trick)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def proj(j: int):
+        signs = F.array(
+            *[F.lit(float(_rp_sign(j, i))) for i in range(_RP_IN)]
+        )
+        return F.aggregate(
+            F.zip_with("embedding", signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    norm = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    raw = F.struct(
+        *[proj(j).alias(f"p{j}") for j in range(_RP_OUT)],
+        norm.alias("nv"),
+    )
+    bar = emb.select("vec_id", F.explode(F.array(raw)).alias("s"))
+    p = [F.round(F.col(f"s.p{j}"), 9).alias(f"p{j}") for j in range(_RP_OUT)]
+    rp = [F.round(F.col(f"s.p{j}"), 9) for j in range(_RP_OUT)]
+    pp = rp[0] * rp[0]
+    for j in range(1, _RP_OUT):
+        pp = pp + rp[j] * rp[j]
+    nv = F.round(F.col("s.nv"), 9)
+    return bar.select(
+        "vec_id",
+        *p,
+        F.round(
+            F.when(nv > 0, pp / (F.lit(float(_RP_OUT)) * nv)), 9
+        ).alias("norm_ratio"),
+    ).orderBy("vec_id")

@@ -487,3 +487,114 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey % 10 = 0
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# D11 — interval-overlap join (interval × interval), bin-then-refine
+# ---------------------------------------------------------------------------
+
+_IOVERLAP_EPOCH = "1992-01-01"  # week-bin origin (orders date floor)
+_IOVERLAP_BIN_DAYS = 7
+
+_IOVERLAP_ORACLE = f"""
+WITH promo AS (
+  SELECT o_orderkey,
+         CAST(o_orderdate AS DATE) AS p_start,
+         CAST(o_orderdate AS DATE)
+           + INTERVAL (o_orderkey % 7 + 2) DAY AS p_end
+  FROM orders WHERE o_orderkey % 20 = 0
+),
+camp AS (
+  SELECT n_nationkey AS campaign_id,
+         DATE '{_IOVERLAP_EPOCH}' + INTERVAL (n_nationkey * 150) DAY
+           AS c_start,
+         DATE '{_IOVERLAP_EPOCH}' + INTERVAL (n_nationkey * 150 + 10) DAY
+           AS c_end
+  FROM nation WHERE n_nationkey < 15
+)
+SELECT c.campaign_id, p.o_orderkey,
+       date_diff('day', greatest(p.p_start, c.c_start),
+                 least(p.p_end, c.c_end)) AS overlap_days
+FROM promo p JOIN camp c
+  ON p.p_start < c.c_end AND c.c_start < p.p_end
+ORDER BY c.campaign_id, p.o_orderkey
+"""
+
+
+@query("join-interval-overlap", oracle=_IOVERLAP_ORACLE)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11: interval × interval OVERLAP join — promo windows (derived
+    from orders) against campaign windows — executed bin-then-refine.
+    D8 (``join-range-binned``) is the point-in-interval case; this is
+    the general two-sided one, the shape behind meeting-conflict,
+    session-concurrency and date-range reconciliation queries.
+
+    A raw overlap predicate (``a.start < b.end AND b.start < a.end``)
+    has no equi key, so Spark can only plan a (broadcast) nested-loop
+    join — O(|A|·|B|) comparisons. Instead BOTH sides explode into the
+    7-day bins their interval covers and the join becomes an equi-join
+    on the bin plus the exact residual predicate. Any overlapping pair
+    shares at least the bin containing ``greatest(a.start, b.start)``
+    (that date lies in both intervals), and keeping exactly the join
+    row where ``bin = week(greatest(a.start, b.start))`` counts each
+    pair ONCE — deduplication by arithmetic, not by a shuffling
+    DISTINCT. Cost: O(|A|·span_a/7 + |B|·span_b/7) join rows, each
+    side shuffle-partitionable on the bin key (the small campaign side
+    broadcasts here; with two large sides the same plan hash-shuffles
+    both on the bin). The oracle runs the naive overlap join, proving
+    bin+dedupe equivalence."""
+    epoch = F.lit(_IOVERLAP_EPOCH).cast("date")
+
+    def week(col):
+        return F.expr(
+            f"datediff({col}, DATE '{_IOVERLAP_EPOCH}') "
+            f"div {_IOVERLAP_BIN_DAYS}"
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    promo = o.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("p_start"),
+        F.date_add(
+            F.to_date("o_orderdate"),
+            (F.col("o_orderkey") % 7 + 2).cast("int"),
+        ).alias("p_end"),
+    )
+    n = load_table(spark, sf_dir, "nation")
+    camp = n.filter(F.col("n_nationkey") < 15).select(
+        F.col("n_nationkey").alias("campaign_id"),
+        F.date_add(epoch, (F.col("n_nationkey") * 150).cast("int")).alias(
+            "c_start"
+        ),
+        F.date_add(
+            epoch, (F.col("n_nationkey") * 150 + 10).cast("int")
+        ).alias("c_end"),
+    )
+    # half-open intervals: the last covered day is end - 1
+    promo_bins = promo.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(week("p_start"), week("date_sub(p_end, 1)"))
+        ),
+    )
+    camp_bins = camp.withColumn(
+        "bin",
+        F.explode(F.sequence(week("c_start"), week("date_sub(c_end, 1)"))),
+    )
+    first_shared = week("greatest(p_start, c_start)")
+    return (
+        promo_bins.join(F.broadcast(camp_bins), "bin")
+        .filter(
+            (F.col("p_start") < F.col("c_end"))
+            & (F.col("c_start") < F.col("p_end"))
+            & (F.col("bin") == first_shared)
+        )
+        .select(
+            "campaign_id",
+            "o_orderkey",
+            F.datediff(
+                F.least("p_end", "c_end"), F.greatest("p_start", "c_start")
+            ).alias("overlap_days"),
+        )
+        .orderBy("campaign_id", "o_orderkey")
+    )

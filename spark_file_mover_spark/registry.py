@@ -123,6 +123,10 @@ _PRIORITY_R7 = [
     "dedup-cross-bloom",
     "agg-sketch-hll-merge",
     "scan-schema-evolution",
+    "agg-outlier-mad",
+    "join-interval-overlap",
+    "embed-random-projection",
+    "graph-pagerank",
     # changed r7 (value-identical left-join hardening), r6-fresh —
     # deliberately the last head slot
     "text-perplexity-proxy",
@@ -148,7 +152,7 @@ def load_all() -> None:
         decontam,
         features,
     )
-    from spark_file_mover_spark.operators import relational  # noqa: F401
+    from spark_file_mover_spark.operators import graph, relational  # noqa: F401
     from spark_file_mover_spark.functions import scalar  # noqa: F401
     from spark_file_mover_spark.llm import multimodal, text  # noqa: F401
     from spark_file_mover_spark import filemover_queries, udfs  # noqa: F401

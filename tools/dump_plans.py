@@ -54,6 +54,10 @@ NOTES = {
     "dedup-cross-bloom": "Reference corpus collapses to a 1024-row bit_or bitmap relation (broadcast); probe positions test against it map-side; only bloom-positive candidates pay the exact-verify semi-join on the 8-byte nh. Ids only on every exchange.",
     "agg-sketch-hll-merge": "Pushed 2-year date filter; per-(flag, month) hll_sketch_agg partials (BINARY rows) union-merged per flag - any time-range distinct is a union over sketch rows, never a fact rescan; exact countDistinct is test-scale scaffolding for the band audit.",
     "scan-schema-evolution": "Two sibling batch=N partition dirs with different footers; mergeSchema reconciles to the union schema at scan, partition discovery supplies the batch column, pre-evolution rows read the new column as NULL.",
+    "agg-outlier-mad": "ONE events scan collapses to the per-(type, cent) COUNT distribution (map-side combine; bounded by the VALUE RANGE, ~49k rows/type at any data size, persisted across the median and MAD passes); medians are order-statistic lookups on the cumulative window; the outlier threshold compare is pure BIGINT (2a*10^4 > 44478*amed2) so the flag is boundary-exact cross-engine.",
+    "join-interval-overlap": "Interval x interval overlap as bin-then-refine: both sides explode to covered 7-day bins, equi-join on the bin (campaigns broadcast) + exact residual; each pair kept exactly once via bin == week(greatest(starts)) - dedupe by arithmetic, no shuffling DISTINCT.",
+    "embed-random-projection": "Map-only JL sign projection 64->8: per-dim zip_with(embedding, +-1 literals) + sequential fold, norm fold alongside; one Generate barrier pins all nine folds to one evaluation each. Loop-based HOFs keep codegen compact - the unrolled 600-node form broke janino (observed; interpreted fallback), the folds do not.",
+    "graph-pagerank": "Pregel-on-DataFrames: edges/degrees/nodes localCheckpoint once; each of 5 rounds = one rank-relation join shuffle + one dst agg shuffle + a one-row dangling aggregate crossJoined back (broadcast); ranks localCheckpoint per round to truncate lineage. Exact fixed-point BIGINT arithmetic - the plan below is the LAST round's (checkpointed RDD scans are the leaves).",
 }
 
 
