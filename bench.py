@@ -110,6 +110,8 @@ HEADLINE = [
     "join-interval-overlap",
     "embed-random-projection",
     "graph-pagerank",
+    # late-r7 additions (not in either frozen set)
+    "embed-kmeans-lloyd",
 ]
 
 

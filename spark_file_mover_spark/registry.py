@@ -127,6 +127,7 @@ _PRIORITY_R7 = [
     "join-interval-overlap",
     "embed-random-projection",
     "graph-pagerank",
+    "embed-kmeans-lloyd",
     # changed r7 (value-identical left-join hardening), r6-fresh —
     # deliberately the last head slot
     "text-perplexity-proxy",
@@ -152,6 +153,7 @@ def load_all() -> None:
         decontam,
         features,
     )
+    from spark_file_mover_spark.llm import clustering  # noqa: F401
     from spark_file_mover_spark.operators import graph, relational  # noqa: F401
     from spark_file_mover_spark.functions import scalar  # noqa: F401
     from spark_file_mover_spark.llm import multimodal, text  # noqa: F401

@@ -1,0 +1,108 @@
+"""Behavioral tests for the late-r7 operator batch (clustering /
+sketch / sampling keys) — each key's Spark result is checked against an
+independent pure-Python reference implementation, the same discipline as
+tests/test_dedup_paragraph.py (the oracle proves cross-engine SQL parity;
+these prove the shared semantics are the DECLARED algorithm, not a
+convenient reimplementation both engines happen to agree on)."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow.parquet as pq
+import pytest
+
+from spark_file_mover_spark import registry
+
+registry.load_all()
+
+
+# ---------------------------------------------------------------------------
+# embed-kmeans-lloyd vs a pure-Python Lloyd reference
+# ---------------------------------------------------------------------------
+
+
+def _py_kmeans(rows, k=8, rounds=3, qscale=10**6):
+    """Reference Lloyd: quantize, seed by min-vec_id per (vec_id % k)
+    bucket, `rounds` assignments with an update after each non-final
+    round; empty clusters keep their centroid. Mirrors the DECLARED
+    semantics in llm/clustering.py independently (plain loops, no
+    DataFrames)."""
+    q = {
+        vid: [math.floor(float(x) * qscale + 0.5) for x in emb]
+        for vid, emb in rows
+    }
+    seeds = {}
+    for vid in q:
+        cid = vid % k
+        if cid not in seeds or vid < seeds[cid]:
+            seeds[cid] = vid
+    cents = {cid: list(q[vid]) for cid, vid in seeds.items()}
+
+    def assign():
+        out = {}
+        for vid, qv in q.items():
+            best = None
+            for cid in sorted(cents):
+                d = sum((a - b) * (a - b) for a, b in zip(qv, cents[cid]))
+                if best is None or (d, cid) < best:
+                    best = (d, cid)
+            out[vid] = best
+        return out
+
+    for _ in range(rounds - 1):
+        asg = assign()
+        sums: dict = {}
+        for vid, (_, cid) in asg.items():
+            s = sums.setdefault(cid, [[0] * len(q[vid]), 0])
+            s[1] += 1
+            for i, v in enumerate(q[vid]):
+                s[0][i] += v
+        for cid, (vec, n) in sums.items():
+            cents[cid] = [s // n for s in vec]
+    return assign()
+
+
+@pytest.fixture(scope="module")
+def emb_small():
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    return list(
+        zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    )
+
+
+def test_kmeans_matches_pure_python_reference(spark, emb_small):
+    expected = _py_kmeans(emb_small)
+    got = {
+        r["vec_id"]: (r["dist"], r["cluster"])
+        for r in registry.QUERIES["embed-kmeans-lloyd"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_kmeans_cold_path_unchanged(spark, emb_small):
+    """The materialized-view cache must be a pure memo: a cache-cleared
+    (driver-fresh) invocation produces the identical assignment."""
+    from spark_file_mover_spark.llm import clustering
+
+    clustering._KM_CACHE.clear()
+    first = registry.QUERIES["embed-kmeans-lloyd"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    again = registry.QUERIES["embed-kmeans-lloyd"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert first == again
+
+
+def test_kmeans_every_cluster_nonempty_and_keys_complete(spark):
+    rows = registry.QUERIES["embed-kmeans-lloyd"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == len({r["vec_id"] for r in rows}) == 500
+    # K=8 seeded from 8 distinct vectors: with real data every cluster
+    # should retain at least its seed-adjacent mass
+    assert {r["cluster"] for r in rows} == set(range(8))
+    assert all(r["dist"] >= 0 for r in rows)
