@@ -112,6 +112,7 @@ HEADLINE = [
     "graph-pagerank",
     # late-r7 additions (not in either frozen set)
     "embed-kmeans-lloyd",
+    "agg-sketch-cms",
 ]
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_file_mover_spark.llm._textnorm import MD5_PREFIX60_SQL, md5_prefix60
 from spark_file_mover_spark.operators._parity import davg, dec, dsum
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import load_table
@@ -734,3 +735,112 @@ def agg_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_outliers").cast("double") / F.col("n_events"), 6
         ).alias("outlier_frac"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# E14 — count-min sketch: mergeable frequency summary + heavy-hitter probe
+# ---------------------------------------------------------------------------
+
+_CMS_D = 3  # hash rows
+_CMS_W = 256  # counters per row
+
+# Both engines derive row-r positions from the ONE shared 60-bit md5
+# hash (llm/_textnorm.py contract) of "r#key", so the counter table and
+# every probe are integer-exact cross-engine.
+
+
+def _cms_pos_sql(key_expr: str, r_expr: str = "r") -> str:
+    return (
+        MD5_PREFIX60_SQL.format(
+            x=f"CAST({r_expr} AS VARCHAR) || '#' || {key_expr}"
+        )
+        + f" % {_CMS_W}"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS k FROM events
+),
+rs AS (SELECT UNNEST(range(0, {_CMS_D})) AS r),
+cms AS (
+  SELECT r, {_cms_pos_sql("k")} AS pos, COUNT(*) AS c
+  FROM ev CROSS JOIN rs GROUP BY 1, 2
+),
+tr AS (SELECT k, COUNT(*) AS n_true FROM ev GROUP BY 1),
+probe AS (
+  SELECT t.k, t.n_true, CAST(MIN(c.c) AS BIGINT) AS n_est
+  FROM tr t CROSS JOIN rs
+  JOIN cms c ON c.r = rs.r AND c.pos = {_cms_pos_sql("t.k", "rs.r")}
+  GROUP BY 1, 2
+)
+SELECT k AS key, n_true, n_est, n_est - n_true AS overcount
+FROM probe ORDER BY key
+"""
+
+
+def _cms_rows() -> "F.Column":
+    return F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r")
+
+
+def _cms_pos() -> "F.Column":
+    return F.pmod(
+        md5_prefix60(
+            F.concat(F.col("r").cast("string"), F.lit("#"), F.col("k"))
+        ),
+        F.lit(_CMS_W),
+    )
+
+
+@query("agg-sketch-cms", oracle=_CMS_ORACLE)
+def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14: count-min sketch (Cormode & Muthukrishnan 2005) over
+    (user, event-type) interaction counts — the mergeable FREQUENCY
+    summary completing the sketch family: E3/E12 answer distinct-count,
+    this answers "how often did key x occur" from a d*w counter table
+    thousands of times smaller than the key space. The per-key estimate
+    is min over d rows of counter[r][h_r(x)]; it can only OVERcount
+    (the `overcount` column surfaces the collision error directly —
+    with d=3, w=256 and ~750 keys at sf0.01 collisions are real, not
+    hypothetical).
+
+    Exactness: positions come from the ONE shared md5-prefix 60-bit
+    hash (llm/_textnorm.py) of "r#key" mod w, so counters, mins and
+    overcounts are identical integers in both engines — the driver
+    hash-compares the actual sketch contents, no audit bands needed.
+
+    Plan shape at scale: ONE scan explodes each event into its d rows
+    and the (r, pos) groupBy's map-side combine absorbs the input
+    volume — the counter table is AT MOST d*w = 768 rows at ANY data
+    size, and merging ingest batches is just summing counter tables
+    (the same groupBy — the sketch is mergeable by construction, the
+    agg-incremental-merge property with fixed output size). The probe
+    side joins the BROADCAST counter table; the exact n_true is
+    test-scale scaffolding for the overcount column, exactly like
+    agg-sketch-hll-merge's countDistinct."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")
+        ).alias("k")
+    )
+    cms = (
+        ev.select("k", _cms_rows())
+        .select("r", _cms_pos().alias("pos"))
+        .groupBy("r", "pos")
+        .agg(F.count("*").alias("c"))
+    )
+    tr = ev.groupBy("k").agg(F.count("*").alias("n_true"))
+    probe = (
+        tr.select("k", "n_true", _cms_rows())
+        .withColumn("pos", _cms_pos())
+        .join(F.broadcast(cms), ["r", "pos"])
+        .groupBy("k", "n_true")
+        .agg(F.min("c").alias("n_est"))
+    )
+    return probe.select(
+        F.col("k").alias("key"),
+        "n_true",
+        "n_est",
+        (F.col("n_est") - F.col("n_true")).alias("overcount"),
+    ).orderBy("key")

@@ -128,6 +128,7 @@ _PRIORITY_R7 = [
     "embed-random-projection",
     "graph-pagerank",
     "embed-kmeans-lloyd",
+    "agg-sketch-cms",
     # changed r7 (value-identical left-join hardening), r6-fresh —
     # deliberately the last head slot
     "text-perplexity-proxy",

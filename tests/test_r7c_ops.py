@@ -97,6 +97,54 @@ def test_kmeans_cold_path_unchanged(spark, emb_small):
     assert first == again
 
 
+# ---------------------------------------------------------------------------
+# agg-sketch-cms vs a pure-Python count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _py_cms(keys, d=3, w=256):
+    """Reference CMS: d*w counters, position = md5-prefix-60 of
+    'r#key' mod w; estimate = min over rows. Independent of the Spark
+    formulation (plain dicts)."""
+    import hashlib
+
+    def pos(r, k):
+        h = hashlib.md5(f"{r}#{k}".encode()).hexdigest()
+        return int(h[:15], 16) % w
+
+    counters: dict = {}
+    true: dict = {}
+    for k in keys:
+        true[k] = true.get(k, 0) + 1
+        for r in range(d):
+            p = (r, pos(r, k))
+            counters[p] = counters.get(p, 0) + 1
+    return {
+        k: (n, min(counters[(r, pos(r, k))] for r in range(d)))
+        for k, n in true.items()
+    }
+
+
+def test_cms_matches_pure_python_reference(spark):
+    t = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet", columns=["user_id", "event_type"]
+    )
+    keys = [
+        f"{u}:{e}"
+        for u, e in zip(
+            t.column("user_id").to_pylist(), t.column("event_type").to_pylist()
+        )
+    ]
+    expected = _py_cms(keys)
+    rows = registry.QUERIES["agg-sketch-cms"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    got = {r["key"]: (r["n_true"], r["n_est"]) for r in rows}
+    assert got == expected
+    # CMS can only overcount — structurally guaranteed, assert anyway
+    assert all(r["n_est"] >= r["n_true"] for r in rows)
+
+
 def test_kmeans_every_cluster_nonempty_and_keys_complete(spark):
     rows = registry.QUERIES["embed-kmeans-lloyd"](
         spark, "/root/testdata/sf0.01"
