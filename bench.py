@@ -113,6 +113,8 @@ HEADLINE = [
     # late-r7 additions (not in either frozen set)
     "embed-kmeans-lloyd",
     "agg-sketch-cms",
+    "text-bpe-pairs",
+    "sample-reservoir-weighted",
 ]
 
 

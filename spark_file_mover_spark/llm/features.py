@@ -526,3 +526,89 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(nv > 0, pp / (F.lit(float(_RP_OUT)) * nv)), 9
         ).alias("norm_ratio"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# text-bpe-pairs — BPE merge-candidate statistics (first training iteration)
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 20
+
+_BPE_ORACLE = rf"""
+WITH w AS (
+  SELECT UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+p AS (
+  SELECT UNNEST(list_transform(range(1, length(tok)),
+                               i -> substr(tok, i, 2))) AS pair,
+         tok
+  FROM w WHERE length(tok) >= 2
+),
+c AS (
+  SELECT pair, COUNT(*) AS n_occ, COUNT(DISTINCT tok) AS n_toks
+  FROM p GROUP BY 1
+),
+r AS (
+  SELECT pair, n_occ, n_toks,
+         ROW_NUMBER() OVER (ORDER BY n_occ DESC, pair) AS rank
+  FROM c
+)
+SELECT pair, n_occ, n_toks, rank FROM r WHERE rank <= {_BPE_TOPK}
+ORDER BY rank
+"""
+
+
+@query("text-bpe-pairs", oracle=_BPE_ORACLE)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide BPE merge-candidate statistics — the pair-counting
+    step of byte-pair-encoding tokenizer training (Sennrich et al.
+    2016): every adjacent character pair inside every whitespace token,
+    counted across the corpus; the top pair is the merge BPE would
+    apply first. Emits the top-20 pairs with occurrence counts,
+    distinct-token support and rank — the profile a tokenizer-training
+    pipeline materializes per iteration, and a vocabulary-health signal
+    (tokenizer/corpus mismatch shows up as shifted pair mass).
+
+    Tokens come from the ONE shared tokenizer (llm/_textnorm.py), so
+    "pair" means the same thing here as in every other text-family key.
+    Counts are exact integers; rank ties break lexicographically in
+    both engines, so the top-20 cut is deterministic cross-engine.
+
+    Plan shape at scale: token explode → in-token pair explode (both
+    Generate, zero shuffle) → ONE pair groupBy whose map-side combine
+    absorbs the corpus volume — the aggregated relation is bounded by
+    the CHARSET squared (~1-4 k rows for natural-language text at ANY
+    corpus size), so the single-partition top-k window that follows
+    ranks a metadata-sized relation, the sort-limit pattern. n_toks is
+    a COUNT(DISTINCT tok) over the same exchange (expand, no extra
+    scan). BPE iteration 2+ would re-tokenize against the merged vocab
+    and re-run the identical plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(F.explode(toks()).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = w.select(
+        "tok",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    counted = pairs.groupBy("pair").agg(
+        F.count("*").alias("n_occ"),
+        F.countDistinct("tok").alias("n_toks"),
+    )
+    from pyspark.sql import Window
+
+    win = Window.orderBy(F.col("n_occ").desc(), F.col("pair"))
+    return (
+        counted.withColumn(
+            "rank", F.row_number().over(win).cast("long")
+        )
+        .filter(F.col("rank") <= _BPE_TOPK)
+        .select("pair", "n_occ", "n_toks", "rank")
+        .orderBy("rank")
+    )

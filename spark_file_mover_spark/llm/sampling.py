@@ -338,3 +338,101 @@ def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# sample-reservoir-weighted — deterministic weighted priority sampling
+# ---------------------------------------------------------------------------
+
+_RES_K = 50
+_RES_U_DEN = float(2**60)  # exactly representable power of two
+
+_RES_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, n_chars AS weight,
+         CAST(n_chars AS DOUBLE)
+           / (CAST({{h}} + 1 AS DOUBLE) / {_RES_U_DEN}) AS priority
+  FROM documents
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rn
+  FROM w
+),
+tau AS (
+  SELECT COALESCE(MAX(CASE WHEN rn = {_RES_K} + 1 THEN priority END), 0.0)
+           AS tau
+  FROM r
+)
+SELECT doc_id, weight, priority,
+       CASE WHEN CAST(weight AS DOUBLE) > tau
+            THEN CAST(weight AS DOUBLE) ELSE tau END AS est_weight
+FROM r CROSS JOIN tau
+WHERE rn <= {_RES_K}
+ORDER BY doc_id
+""".format(
+    h=MD5_PREFIX60_SQL.format(x="'res:' || CAST(doc_id AS VARCHAR)")
+)
+
+
+@query("sample-reservoir-weighted", oracle=_RES_ORACLE)
+def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling via PRIORITY SAMPLING (Duffield,
+    Lund & Thorup 2007): each document draws a deterministic uniform
+    u ∈ (0, 1] from the shared md5-prefix-60 hash, gets priority
+    q = weight / u, and the k = 50 highest-priority docs are the
+    sample; τ (the (k+1)-th priority) yields the Horvitz-Thompson
+    weight estimator ŵ = max(w, τ), which makes subset-sum estimates
+    from the sample unbiased — the standard way to keep a fixed-size
+    weighted sample of an unbounded corpus (here weight = n_chars, the
+    "sample long documents proportionally more" curation rule).
+
+    Exactness WITHOUT libm: u = (h+1)/2⁶⁰ and q = w/u are single IEEE
+    divisions (correctly rounded by the standard, so bit-identical in
+    both engines — unlike pow/ln whose last-ulp behavior is
+    library-specific; this is why priority sampling is declared here
+    rather than the pow-based Efraimidis-Spirakis keys). Priorities are
+    hash-compared at full double precision; ties break by doc_id.
+
+    Plan shape at scale: the priority is a map-side expression on the
+    scan; top-(k+1) is Spark's TakeOrderedAndProject (per-partition
+    heap of k+1 rows, then one merge of P·(k+1) candidates — no global
+    sort, no full shuffle); τ is a one-row aggregate over the k+1
+    relation broadcast back. The reservoir is maintainable
+    incrementally: a new batch's top-(k+1) unions with the stored
+    sample and the same operator re-runs over ≤ 2(k+1) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        md5_prefix60(
+            F.concat(F.lit("res:"), F.col("doc_id").cast("string"))
+        )
+        + F.lit(1)
+    ).cast("double") / F.lit(_RES_U_DEN)
+    w = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        (F.col("n_chars").cast("double") / u).alias("priority"),
+    )
+    topk1 = w.orderBy(F.col("priority").desc(), "doc_id").limit(_RES_K + 1)
+    from pyspark.sql import Window
+
+    win = Window.orderBy(F.col("priority").desc(), "doc_id")
+    ranked = topk1.withColumn("rn", F.row_number().over(win))
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == _RES_K + 1, F.col("priority"))),
+            F.lit(0.0),
+        ).alias("tau")
+    )
+    return (
+        ranked.filter(F.col("rn") <= _RES_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "weight",
+            "priority",
+            F.greatest(F.col("weight").cast("double"), F.col("tau")).alias(
+                "est_weight"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -129,6 +129,8 @@ _PRIORITY_R7 = [
     "graph-pagerank",
     "embed-kmeans-lloyd",
     "agg-sketch-cms",
+    "text-bpe-pairs",
+    "sample-reservoir-weighted",
     # changed r7 (value-identical left-join hardening), r6-fresh —
     # deliberately the last head slot
     "text-perplexity-proxy",

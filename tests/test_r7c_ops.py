@@ -145,6 +145,75 @@ def test_cms_matches_pure_python_reference(spark):
     assert all(r["n_est"] >= r["n_true"] for r in rows)
 
 
+# ---------------------------------------------------------------------------
+# text-bpe-pairs vs pure-Python pair counting
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pairs_matches_pure_python_reference(spark):
+    import re
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )
+    occ: dict = {}
+    toks: dict = {}
+    for text in t.column("text").to_pylist():
+        for tok in re.split(r"\s+", text.strip().lower()):
+            for i in range(len(tok) - 1):
+                pair = tok[i : i + 2]
+                occ[pair] = occ.get(pair, 0) + 1
+                toks.setdefault(pair, set()).add(tok)
+    expected = [
+        (pair, occ[pair], len(toks[pair]), rank + 1)
+        for rank, pair in enumerate(
+            sorted(occ, key=lambda p: (-occ[p], p))[:20]
+        )
+    ]
+    got = [
+        (r["pair"], r["n_occ"], r["n_toks"], r["rank"])
+        for r in registry.QUERIES["text-bpe-pairs"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    ]
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# sample-reservoir-weighted vs pure-Python priority sampling
+# ---------------------------------------------------------------------------
+
+
+def test_reservoir_matches_pure_python_reference(spark):
+    import hashlib
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "n_chars"],
+    )
+    pri = {}
+    for did, w in zip(
+        t.column("doc_id").to_pylist(), t.column("n_chars").to_pylist()
+    ):
+        h = int(hashlib.md5(f"res:{did}".encode()).hexdigest()[:15], 16)
+        u = float(h + 1) / float(2**60)
+        pri[did] = (float(w) / u, w)
+    order = sorted(pri, key=lambda d: (-pri[d][0], d))
+    sample, tau = order[:50], pri[order[50]][0]
+    expected = {
+        did: (pri[did][1], pri[did][0], max(float(pri[did][1]), tau))
+        for did in sample
+    }
+    got = {
+        r["doc_id"]: (r["weight"], r["priority"], r["est_weight"])
+        for r in registry.QUERIES["sample-reservoir-weighted"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    # priorities/est_weights are single IEEE divisions — exact equality
+    assert got == expected
+
+
 def test_kmeans_every_cluster_nonempty_and_keys_complete(spark):
     rows = registry.QUERIES["embed-kmeans-lloyd"](
         spark, "/root/testdata/sf0.01"
