@@ -115,6 +115,7 @@ HEADLINE = [
     "agg-sketch-cms",
     "text-bpe-pairs",
     "sample-reservoir-weighted",
+    "embed-pq-encode",
 ]
 
 

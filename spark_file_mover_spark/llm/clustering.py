@@ -221,3 +221,152 @@ def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cluster", "dist")
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# I42 — embed-pq-encode: product-quantization encoding against fixed
+# codebooks (the ANN compression stage)
+# ---------------------------------------------------------------------------
+
+_PQ_SUB = 8  # subspaces
+_PQ_DIM = 8  # dims per subspace (8 * 8 = the 64-dim embedding)
+_PQ_CENTS = 16  # centroids per subspace -> one 4-bit code each
+
+
+def _pq_val(s: int, j: int, d: int) -> float:
+    """Deterministic codebook entry C[s][j][d] in [-0.3, 0.3] (the
+    embedding column's observed range), derived from md5 at module load
+    — both engines receive the same decimal literals (shortest-
+    roundtrip repr), no cross-engine hash needed. A deployment would
+    swap in k-means-trained codebooks (embed-kmeans-lloyd IS that
+    trainer); the encode plan is identical either way."""
+    import hashlib
+
+    h = hashlib.md5(f"pq_{s}_{j}_{d}".encode()).hexdigest()
+    return ((int(h[:12], 16) % 600001) - 300000) / 1e6
+
+
+def _pq_dist_sql(s: int, j: int) -> str:
+    lits = "[" + ", ".join(
+        repr(_pq_val(s, j, d)) for d in range(_PQ_DIM)
+    ) + "]"
+    x = f"CAST(embedding[{s * _PQ_DIM} + i] AS DOUBLE)"
+    c = f"CAST(({lits})[i] AS DOUBLE)"
+    return (
+        f"list_reduce(list_transform(range(1, {_PQ_DIM} + 1), "
+        f"i -> ({x} - {c}) * ({x} - {c})), (acc, x) -> acc + x)"
+    )
+
+
+def _pq_oracle() -> str:
+    # per subspace: argmin over 16 fold-distances via lexicographic
+    # list_sort of [dist, code] pairs (ties -> lower code, matching
+    # Spark's (d, c) struct array_min)
+    bests = ",\n         ".join(
+        "list_sort(["
+        + ", ".join(
+            f"[{_pq_dist_sql(s, j)}, CAST({j} AS DOUBLE)]"
+            for j in range(_PQ_CENTS)
+        )
+        + f"])[1] AS b{s}"
+        for s in range(_PQ_SUB)
+    )
+    codes = ", ".join(
+        f"CAST(b{s}[2] AS BIGINT) AS code{s}" for s in range(_PQ_SUB)
+    )
+    err = " + ".join(f"b{s}[1]" for s in range(_PQ_SUB))
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         {bests}
+  FROM embeddings
+)
+SELECT vec_id, {codes},
+       ROUND({err}, 9) AS recon_err
+FROM q ORDER BY vec_id
+"""
+
+
+# Parsed-expression cache per SparkContext (the _PHASH_EXPR_CACHE
+# contract): the 8*16 fold Columns are pure expression trees whose py4j
+# construction cost is worth paying once per JVM, not per invocation.
+_PQ_EXPR_CACHE: dict = {}
+
+
+def _pq_best(s: int):
+    structs = []
+    for j in range(_PQ_CENTS):
+        lits = F.array(*[F.lit(_pq_val(s, j, d)) for d in range(_PQ_DIM)])
+        dist = F.aggregate(
+            F.zip_with(F.col(f"u.sub{s}"), lits, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(
+            F.struct(dist.alias("d"), F.lit(j).cast("long").alias("c"))
+        )
+    return F.array_min(F.array(*structs))
+
+
+@query("embed-pq-encode", oracle=_pq_oracle())
+def embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I42: product-quantization encoding (Jégou et al. 2011) of the
+    embedding column — 8 subspaces x 16 centroids, so each 64-dim
+    float vector compresses to eight 4-bit codes (256 bytes -> 4):
+    the standard memory layer under billion-scale ANN (IVF-PQ), where
+    distance tables over codes replace full-vector scans. Codebooks
+    here are fixed md5-derived literals at the documented
+    training-stub boundary (embed-kmeans-lloyd is the trainer a
+    deployment would plug in); code assignment, tie policy and
+    reconstruction-error audit are codebook-agnostic and fully real.
+
+    Parity: each of the 128 subspace-centroid distances is a
+    sequential ``aggregate(zip_with(...))`` fold of squared diffs ==
+    DuckDB ``list_reduce(list_transform(...))`` — the identical IEEE
+    op sequence (the sim-search-topk technique), with codebook
+    literals baked verbatim into both engines (shortest-roundtrip
+    repr parses to the same double). Argmin ties break to the lower
+    code via (dist, code) struct array_min == lexicographic list_sort.
+    ``recon_err`` (the quantization-quality audit) sums the 8 winning
+    distances in fixed subspace order, snapped to 9 dp.
+
+    Plan shape: map-only, zero shuffle, zero Python at runtime — two
+    pinned projection layers (the multimodal-audio-meta architecture):
+    layer 0 slices the 8 subvectors ONCE behind a Generate barrier
+    (each is consumed by 16 folds — CollapseProject would re-slice
+    128x), layer 1 computes the 8 argmins behind a second barrier
+    (each winner is consumed by code + err projections). Loop-based
+    HOF folds keep every generated method small, so whole-stage
+    codegen survives at any K (the embed-random-projection janino
+    lesson). Expression trees cache per SparkContext."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ck = spark.sparkContext.applicationId
+    cached = _PQ_EXPR_CACHE.get(ck)
+    if cached is None:
+        for k in [k for k in _PQ_EXPR_CACHE if k != ck]:
+            del _PQ_EXPR_CACHE[k]
+        subs = F.struct(
+            *[
+                F.transform(
+                    F.slice("embedding", s * _PQ_DIM + 1, _PQ_DIM),
+                    lambda x: x.cast("double"),
+                ).alias(f"sub{s}")
+                for s in range(_PQ_SUB)
+            ]
+        )
+        bests = F.struct(
+            *[_pq_best(s).alias(f"b{s}") for s in range(_PQ_SUB)]
+        )
+        cached = (subs, bests)
+        _PQ_EXPR_CACHE[ck] = cached
+    subs, bests = cached
+    st0 = emb.select("vec_id", F.explode(F.array(subs)).alias("u"))
+    st1 = st0.select("vec_id", F.explode(F.array(bests)).alias("bb"))
+    err = F.col("bb.b0.d")
+    for s in range(1, _PQ_SUB):
+        err = err + F.col(f"bb.b{s}.d")
+    return st1.select(
+        "vec_id",
+        *[F.col(f"bb.b{s}.c").alias(f"code{s}") for s in range(_PQ_SUB)],
+        F.round(err, 9).alias("recon_err"),
+    ).orderBy("vec_id")

@@ -131,6 +131,7 @@ _PRIORITY_R7 = [
     "agg-sketch-cms",
     "text-bpe-pairs",
     "sample-reservoir-weighted",
+    "embed-pq-encode",
     # changed r7 (value-identical left-join hardening), r6-fresh —
     # deliberately the last head slot
     "text-perplexity-proxy",

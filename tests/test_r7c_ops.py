@@ -214,6 +214,47 @@ def test_reservoir_matches_pure_python_reference(spark):
     assert got == expected
 
 
+# ---------------------------------------------------------------------------
+# embed-pq-encode vs pure-Python product quantization
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_matches_pure_python_reference(spark, emb_small):
+    from spark_file_mover_spark.llm.clustering import (
+        _PQ_CENTS,
+        _PQ_DIM,
+        _PQ_SUB,
+        _pq_val,
+    )
+
+    expected = {}
+    for vid, emb in emb_small:
+        codes, err = [], 0.0
+        for s in range(_PQ_SUB):
+            best = None
+            for j in range(_PQ_CENTS):
+                d = 0.0
+                for i in range(_PQ_DIM):
+                    t = float(emb[s * _PQ_DIM + i]) - _pq_val(s, j, i)
+                    d += t * t
+                if best is None or (d, j) < best:
+                    best = (d, j)
+            codes.append(best[1])
+            err += best[0]
+        expected[vid] = (tuple(codes), round(err, 9))
+    got = {
+        r["vec_id"]: (
+            tuple(r[f"code{s}"] for s in range(8)),
+            r["recon_err"],
+        )
+        for r in registry.QUERIES["embed-pq-encode"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    # folds are sequential in both implementations -> exact equality
+    assert got == expected
+
+
 def test_kmeans_every_cluster_nonempty_and_keys_complete(spark):
     rows = registry.QUERIES["embed-kmeans-lloyd"](
         spark, "/root/testdata/sf0.01"
