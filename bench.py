@@ -116,6 +116,7 @@ HEADLINE = [
     "text-bpe-pairs",
     "sample-reservoir-weighted",
     "embed-pq-encode",
+    "graph-label-propagation",
 ]
 
 

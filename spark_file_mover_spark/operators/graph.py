@@ -209,3 +209,146 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         (F.col("node") >= _PR_ENTITY_BASE).alias("is_entity"),
     ).orderBy("node_id")
+
+
+# ---------------------------------------------------------------------------
+# K3 — graph-label-propagation: synchronous LPA community detection
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+_LPA_ENTITY_BASE = _PR_ENTITY_BASE  # same node-id space as pagerank
+# Every 20th event: the full event set is a near-complete bipartite
+# graph on which LPA degenerately converges to one giant community —
+# the sparse slice (~e/20 edges over the same node space) has real
+# community structure, which is the regime LPA is FOR. Deterministic
+# (event_id is a stable key), mirrored in the oracle.
+_LPA_EDGE_MOD = 20
+
+_LPA_CACHE: dict = {}
+
+
+def _lpa_oracle() -> str:
+    """Synchronous label propagation compile-time-unrolled into chained
+    CTEs: per round every node adopts the most frequent neighbor label,
+    ties to the SMALLEST label — pure integer counting, so DuckDB
+    re-derives the exact labels the Spark loop computes."""
+    head = f"""
+WITH fwd AS (
+  SELECT DISTINCT user_id AS a,
+         {_LPA_ENTITY_BASE} + CAST(props->>'k' AS BIGINT) AS b
+  FROM events
+  WHERE event_id % {_LPA_EDGE_MOD} = 0
+),
+adj AS (SELECT a AS src, b AS dst FROM fwd
+        UNION ALL SELECT b, a FROM fwd),
+nodes AS (SELECT DISTINCT src AS node FROM adj),
+l0 AS (SELECT node, node AS lbl FROM nodes)"""
+    blocks = []
+    for i in range(1, _LPA_ROUNDS + 1):
+        p = i - 1
+        blocks.append(f""",
+n{i} AS (
+  SELECT adj.src AS node, l.lbl, COUNT(*) AS c
+  FROM adj JOIN l{p} l ON l.node = adj.dst GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM n{i}) WHERE rn = 1
+)""")
+    tail = f"""
+SELECT node AS node_id, lbl AS label,
+       COUNT(*) OVER (PARTITION BY lbl) AS n_members,
+       node >= {_LPA_ENTITY_BASE} AS is_entity
+FROM l{_LPA_ROUNDS}
+ORDER BY node_id
+"""
+    return head + "".join(blocks) + tail
+
+
+@query("graph-label-propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: synchronous label-propagation community detection
+    (Raghavan et al. 2007) over the UNDIRECTED user↔entity interaction
+    graph — 3 rounds, each node adopting its neighbors' most frequent
+    label with ties to the smallest — the cheap community signal
+    curation pipelines use for corpus mixing and spam-cluster
+    discovery, and with dedup-components (min-label closure) and
+    graph-pagerank (mass iteration) the third member of the
+    Pregel-on-DataFrames family: same loop skeleton, different
+    per-round aggregate (mode vs min vs sum).
+
+    Exactness: labels are node ids and every round is COUNT + argmax
+    with a total (count DESC, label ASC) order — pure integer
+    arithmetic, so the driver hash-compares exact labels after 3
+    rounds. Spark picks the mode as ``min(struct(-count, label))``
+    (one aggregate, no window); the oracle keeps the ROW_NUMBER
+    formulation so the two derivations stay independent.
+
+    Plan shape: adjacency localCheckpoints once (cached per
+    (SparkContext, sf_dir) — the _PR_GRAPH_CACHE contract); each round
+    is ONE join shuffle (adj ⋈ labels on dst) + two map-side-combined
+    aggregates, labels localCheckpoint per round to truncate lineage.
+    At cluster scale adjacency pre-partitions on dst so each round
+    shuffles only the 16 B/row label relation — edges never move after
+    round 0 (the pagerank posture). The final community-size window
+    shuffles the node-count-sized label relation once, by label."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LPA_CACHE.get(cache_key)
+    if cached is None:
+        for k in [k for k in _LPA_CACHE if k[0] != cache_key[0]]:
+            del _LPA_CACHE[k]
+        ev = load_table(spark, sf_dir, "events")
+        ent = F.lit(_LPA_ENTITY_BASE) + F.get_json_object(
+            "props", "$.k"
+        ).cast("long")
+        fwd = (
+            ev.filter(F.col("event_id") % _LPA_EDGE_MOD == 0)
+            .select(F.col("user_id").alias("a"), ent.alias("b"))
+            .distinct()
+        )
+        adj = (
+            fwd.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(
+                fwd.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+            )
+            .localCheckpoint(eager=True)
+        )
+        _LPA_CACHE[cache_key] = adj
+        cached = adj
+    adj = cached
+
+    labels = adj.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(_LPA_ROUNDS):
+        neigh = (
+            adj.join(labels, adj.dst == labels.node)
+            .groupBy(F.col("src"), F.col("lbl"))
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            neigh.groupBy("src")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("lbl").alias("l")
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("src").alias("node"), F.col("m.l").alias("lbl")
+            )
+            .localCheckpoint(eager=True)
+        )
+    from pyspark.sql import Window
+
+    return labels.select(
+        F.col("node").alias("node_id"),
+        F.col("lbl").alias("label"),
+        F.count("*")
+        .over(Window.partitionBy("lbl"))
+        .alias("n_members"),
+        (F.col("node") >= _LPA_ENTITY_BASE).alias("is_entity"),
+    ).orderBy("node_id")

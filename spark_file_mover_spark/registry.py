@@ -132,6 +132,7 @@ _PRIORITY_R7 = [
     "text-bpe-pairs",
     "sample-reservoir-weighted",
     "embed-pq-encode",
+    "graph-label-propagation",
     # changed r7 (value-identical left-join hardening), r6-fresh —
     # deliberately the last head slot
     "text-perplexity-proxy",

@@ -255,6 +255,54 @@ def test_pq_encode_matches_pure_python_reference(spark, emb_small):
     assert got == expected
 
 
+# ---------------------------------------------------------------------------
+# graph-label-propagation vs a pure-Python synchronous LPA
+# ---------------------------------------------------------------------------
+
+
+def test_lpa_matches_pure_python_reference(spark):
+    import json
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "user_id", "props"],
+    )
+    fwd = set()
+    for eid, uid, props in zip(
+        t.column("event_id").to_pylist(),
+        t.column("user_id").to_pylist(),
+        t.column("props").to_pylist(),
+    ):
+        if eid % 20 == 0:
+            fwd.add((uid, 10**6 + int(json.loads(props)["k"])))
+    adj: dict = {}
+    for a, b in fwd:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n, neigh in adj.items():
+            counts: dict = {}
+            for m in neigh:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            new[n] = min(counts, key=lambda l: (-counts[l], l))
+        labels = new
+    sizes: dict = {}
+    for l in labels.values():
+        sizes[l] = sizes.get(l, 0) + 1
+    expected = {
+        n: (l, sizes[l], n >= 10**6) for n, l in labels.items()
+    }
+    got = {
+        r["node_id"]: (r["label"], r["n_members"], r["is_entity"])
+        for r in registry.QUERIES["graph-label-propagation"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_kmeans_every_cluster_nonempty_and_keys_complete(spark):
     rows = registry.QUERIES["embed-kmeans-lloyd"](
         spark, "/root/testdata/sf0.01"
