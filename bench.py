@@ -117,6 +117,7 @@ HEADLINE = [
     "sample-reservoir-weighted",
     "embed-pq-encode",
     "graph-label-propagation",
+    "multimodal-image-exif",
 ]
 
 

@@ -1146,3 +1146,184 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # previous invocation's persisted phash band relation (minhash _last_bands
 # lifecycle: released on the next invocation, serial driver/bench use)
 _last_phash_bands = None
+
+
+# ---------------------------------------------------------------------------
+# multimodal-image-exif — TIFF/EXIF IFD metadata, both byte orders
+# ---------------------------------------------------------------------------
+
+_TIFF_MAX_ENTRIES = 4  # bounded IFD entry walk (spec: entries ascend by tag)
+
+
+def _tiff_uint(content, pos, nbytes: int, le):
+    """Endianness-selected unsigned read: TIFF carries its own byte
+    order in the header ("II" little / "MM" big), so every field read
+    branches on the parsed flag — still pure JVM byte expressions."""
+    return F.when(le, _le_uint(content, pos, nbytes)).otherwise(
+        _be_uint(content, pos, nbytes)
+    )
+
+
+def with_tiff_meta(df: DataFrame, content: str = "content") -> DataFrame:
+    """Append (is_tiff, byte_order, width, height, orientation) parsed
+    from a TIFF/EXIF payload's IFD0 — the metadata block EXIF embeds in
+    JPEG APP1 and every TIFF starts with.
+
+    Layout (TIFF 6.0 spec): bytes 0-1 byte order ("II" = little-endian,
+    "MM" = big-endian — BOTH orders are real in the wild and both are
+    parsed here), bytes 2-3 magic 42 in that order, bytes 4-7 IFD0
+    offset. IFD0: 2-byte entry count, then count x 12-byte entries of
+    ``tag(2) | type(2) | count(4) | value(4)`` sorted ascending by tag;
+    SHORT (type 3) values are left-justified in the 4-byte field, LONG
+    (type 4) fills it. The walk reads ImageWidth (0x0100), ImageLength
+    (0x0101) and Orientation (0x0112) from the first
+    ``_TIFF_MAX_ENTRIES`` entries — entry POSITIONS are fixed strides
+    off the single data-dependent IFD offset, so unlike the WAV/MP4
+    chunk walks the expression tree is naturally linear; one Generate
+    barrier pins (le, ifd_pos) so the ~40-node offset tree is built
+    once, not once per field read.
+
+    Files failing the magic check parse as NULLs, never wrong values."""
+    c = F.col(content)
+    le = F.hex(c.substr(F.lit(1), F.lit(2))) == "4949"
+    be = F.hex(c.substr(F.lit(1), F.lit(2))) == "4D4D"
+    order_ok = le | be
+    magic = _tiff_uint(c, F.lit(3), 2, le)
+    is_tiff = order_ok & (magic == 42)
+    ifd_pos = (_tiff_uint(c, F.lit(5), 4, le) + 1).cast("long")
+    st0 = df.select(
+        "*",
+        F.explode(
+            F.array(
+                F.struct(
+                    le.alias("le"),
+                    is_tiff.alias("is_tiff"),
+                    F.when(is_tiff, ifd_pos).alias("ifd"),
+                )
+            )
+        ).alias("_t"),
+    )
+    c = F.col(content)
+    le, ifd = F.col("_t.le"), F.col("_t.ifd")
+    n = _tiff_uint(c, ifd, 2, le)
+    width = F.lit(None).cast("long")
+    height = F.lit(None).cast("long")
+    orient = F.lit(None).cast("long")
+    for i in range(_TIFF_MAX_ENTRIES):
+        ep = ifd + 2 + 12 * i
+        tag = _tiff_uint(c, ep, 2, le)
+        typ = _tiff_uint(c, ep + 2, 2, le)
+        val = F.when(typ == 3, _tiff_uint(c, ep + 8, 2, le)).when(
+            typ == 4, _tiff_uint(c, ep + 8, 4, le)
+        )
+        live = F.lit(i) < n
+        width = F.when(live & (tag == 0x0100), val).otherwise(width)
+        height = F.when(live & (tag == 0x0101), val).otherwise(height)
+        orient = F.when(live & (tag == 0x0112), val).otherwise(orient)
+    return st0.select(
+        *[col for col in df.columns],
+        F.col("_t.is_tiff").alias("is_tiff"),
+        F.when(F.col("_t.is_tiff"), F.when(le, "II").otherwise("MM")).alias(
+            "byte_order"
+        ),
+        width.alias("width"),
+        height.alias("height"),
+        orient.alias("orientation"),
+    )
+
+
+# Oracle predicts the parse from the same doc_id formulas the
+# synthesizer uses (the _DIMS_ORACLE anti-cancellation setup); genuine
+# hand-packed TIFFs (both byte orders) are pinned in tests.
+_EXIF_ORACLE = """
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+       CAST(1 + doc_id % 2039 AS BIGINT) AS width,
+       CAST(1 + doc_id % 1531 AS BIGINT) AS height,
+       CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+       TRUE AS magic_ok
+FROM documents
+ORDER BY asset_id
+"""
+
+
+@query("multimodal-image-exif", oracle=_EXIF_ORACLE)
+def multimodal_image_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF/TIFF IFD metadata extraction with pure byte expressions —
+    the orientation/dimension pass a multimodal pipeline runs before
+    any decode (auto-rotate routing, resolution filters on TIFF and on
+    the EXIF block inside JPEG APP1), completing the header-parser
+    family: PNG/JPEG dims (fixed offset + marker walk), WAV (LE chunk
+    walk), MP4 (BE atom walk), and now TIFF — the only format carrying
+    its OWN endianness, so the same walk must parse both "II" and "MM"
+    files (synthesized 50/50 by doc parity here).
+
+    Synthesis varies the IFD offset (8 + 2*(doc_id%4) pad bytes) so the
+    parse must follow the offset field, inserts a dummy NewSubfileType
+    entry for every third doc so entry POSITION cannot stand in for tag
+    MATCHING, and mixes SHORT/LONG value types so the left-justified
+    SHORT read is exercised; ``byte_order`` in the output comes from
+    the PARSED header, not doc parity, so a synthesis bug cannot cancel
+    a parsing bug. Genuine hand-packed TIFFs of both orders are pinned
+    in tests/test_r7c_ops.py.
+
+    Scale: map-only, zero shuffle, zero Python — fused into the scan
+    like multimodal-image-dims."""
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    w, h, o = 1 + doc % 2039, 1 + doc % 1531, 1 + doc % 8
+    pad = (doc % 4) * 2
+    ifd_off = 8 + pad
+    n_entries = F.when(doc % 3 == 0, 4).otherwise(3)
+    le = doc % 2 == 0
+
+    hexpad = lambda c, n: F.lpad(F.hex(c), n, "0")  # noqa: E731
+
+    def u16(v):
+        bhex = hexpad(v, 4)
+        lhex = F.concat(bhex.substr(3, 2), bhex.substr(1, 2))
+        return F.when(le, lhex).otherwise(bhex)
+
+    def u32(v):
+        bhex = hexpad(v, 8)
+        lhex = F.concat(
+            bhex.substr(7, 2),
+            bhex.substr(5, 2),
+            bhex.substr(3, 2),
+            bhex.substr(1, 2),
+        )
+        return F.when(le, lhex).otherwise(bhex)
+
+    def entry(tag: int, typ: int, val):
+        # SHORT (type 3): value left-justified in the 4-byte field ->
+        # u16 bytes then zero padding, identical trailing both orders
+        vfield = (
+            F.concat(u16(val), F.lit("0000")) if typ == 3 else u32(val)
+        )
+        return F.concat(u16(F.lit(tag)), u16(F.lit(typ)), u32(F.lit(1)), vfield)
+
+    dummy = entry(0x00FE, 4, F.lit(0))  # NewSubfileType, tag-ascending first
+    payload = F.unhex(
+        F.concat(
+            F.when(le, "4949").otherwise("4D4D"),
+            u16(F.lit(42)),
+            u32(ifd_off),
+            F.lit("00" * 8).substr(F.lit(1), pad * 2),
+            u16(n_entries),
+            F.when(doc % 3 == 0, dummy).otherwise(F.lit("")),
+            entry(0x0100, 4, w),  # ImageWidth as LONG
+            entry(0x0101, 3, h),  # ImageLength as SHORT
+            entry(0x0112, 3, o),  # Orientation as SHORT
+            u32(F.lit(0)),  # next-IFD terminator
+        )
+    )
+    assets = d.select(doc.alias("asset_id"), payload.alias("content"))
+    parsed = with_tiff_meta(assets)
+    return parsed.select(
+        "asset_id",
+        "byte_order",
+        "width",
+        "height",
+        "orientation",
+        F.col("is_tiff").alias("magic_ok"),
+    ).orderBy("asset_id")

@@ -133,6 +133,7 @@ _PRIORITY_R7 = [
     "sample-reservoir-weighted",
     "embed-pq-encode",
     "graph-label-propagation",
+    "multimodal-image-exif",
     # changed r7 (value-identical left-join hardening), r6-fresh —
     # deliberately the last head slot
     "text-perplexity-proxy",

@@ -303,6 +303,58 @@ def test_lpa_matches_pure_python_reference(spark):
     assert got == expected
 
 
+# ---------------------------------------------------------------------------
+# multimodal-image-exif vs genuine hand-packed TIFFs (both byte orders)
+# ---------------------------------------------------------------------------
+
+
+def _pack_tiff(width, height, orientation, little: bool) -> bytes:
+    """A spec-valid minimal TIFF built with struct, independent of the
+    operator's column-expression synthesizer: header, one IFD whose
+    entries ascend by tag, SHORT values left-justified in the 4-byte
+    field per TIFF 6.0."""
+    import struct
+
+    e = "<" if little else ">"
+    entries = [
+        (0x00FE, 4, struct.pack(e + "I", 0)),  # NewSubfileType LONG
+        (0x0100, 4, struct.pack(e + "I", width)),  # ImageWidth LONG
+        (0x0101, 3, struct.pack(e + "H", height) + b"\x00\x00"),  # SHORT
+        (0x0112, 3, struct.pack(e + "H", orientation) + b"\x00\x00"),
+    ]
+    ifd = struct.pack(e + "H", len(entries))
+    for tag, typ, vfield in entries:
+        ifd += struct.pack(e + "HHI", tag, typ, 1) + vfield
+    ifd += struct.pack(e + "I", 0)
+    order = b"II" if little else b"MM"
+    return order + struct.pack(e + "H", 42) + struct.pack(e + "I", 8) + ifd
+
+
+def test_tiff_walk_parses_genuine_files(spark):
+    from spark_file_mover_spark.llm.multimodal import with_tiff_meta
+
+    fixtures = [
+        (1, _pack_tiff(640, 480, 6, little=True), "II", 640, 480, 6),
+        (2, _pack_tiff(31, 7, 1, little=False), "MM", 31, 7, 1),
+        (3, b"not a tiff at all----", None, None, None, None),
+        (4, b"II\x2b\x00????", None, None, None, None),  # BigTIFF magic 43
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c, *_ in fixtures], "asset_id long, content binary"
+    )
+    got = {
+        r["asset_id"]: (
+            r["byte_order"],
+            r["width"],
+            r["height"],
+            r["orientation"],
+        )
+        for r in with_tiff_meta(df).collect()
+    }
+    for aid, _, order, w, h, o in fixtures:
+        assert got[aid] == (order, w, h, o)
+
+
 def test_kmeans_every_cluster_nonempty_and_keys_complete(spark):
     rows = registry.QUERIES["embed-kmeans-lloyd"](
         spark, "/root/testdata/sf0.01"
