@@ -118,6 +118,7 @@ HEADLINE = [
     "embed-pq-encode",
     "graph-label-propagation",
     "multimodal-image-exif",
+    "sink-snapshot-read",
 ]
 
 

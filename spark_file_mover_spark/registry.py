@@ -134,6 +134,7 @@ _PRIORITY_R7 = [
     "embed-pq-encode",
     "graph-label-propagation",
     "multimodal-image-exif",
+    "sink-snapshot-read",
     # changed r7 (value-identical left-join hardening), r6-fresh —
     # deliberately the last head slot
     "text-perplexity-proxy",

@@ -755,3 +755,95 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch")
     )
+
+
+# ---------------------------------------------------------------------------
+# B14 — snapshot-isolated reads over manifest files (time travel)
+# ---------------------------------------------------------------------------
+
+# Snapshot composition in terms of o_orderkey % 4 buckets: v1 holds the
+# odd buckets; v2 appends {0, 2} and logically DELETES bucket 3 —
+# all three manifest transitions (retain, append, delete) in one step.
+_SNAP_V1 = (1, 3)
+_SNAP_V2 = (0, 1, 2)
+
+_SNAPSHOT_ORACLE = f"""
+SELECT 'v1' AS snapshot, CAST({len(_SNAP_V1)} AS BIGINT) AS n_files,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders WHERE o_orderkey % 4 IN {_SNAP_V1}
+UNION ALL
+SELECT 'v2', CAST({len(_SNAP_V2)} AS BIGINT), COUNT(*),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+FROM orders WHERE o_orderkey % 4 IN {_SNAP_V2}
+ORDER BY snapshot
+"""
+
+
+@query("sink-snapshot-read", oracle=_SNAPSHOT_ORACLE)
+def sink_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14: snapshot-isolated reads through manifest files — the core
+    mechanism of every table format (Iceberg/Delta/Hudi) minus the
+    format lock-in, and the natural extension of the reference's
+    file-layout plane (MoveFilesOutputCommitter.scala:18-46 enumerates
+    and places data files; a manifest is exactly that enumeration made
+    durable): a snapshot IS an immutable list of data files, commits
+    append a new manifest rather than mutating data, readers plan from
+    the manifest they pin — so concurrent writers never corrupt a
+    running read, and "time travel" is just reading an older manifest.
+
+    Here: orders land as one file per ``o_orderkey % 4`` bucket;
+    manifest v1 lists the odd buckets, manifest v2 appends buckets
+    {0, 2} and logically DELETES bucket 3 — retain, append and delete
+    in one transition, with bucket-3 bytes still on disk (v1 remains
+    readable; physical cleanup is a separate vacuum concern). The query
+    reads BOTH snapshots through their manifests and proves isolation
+    with per-snapshot row counts and DECIMAL-exact money sums.
+
+    Scale posture: manifest planning is metadata — the driver reads a
+    file LIST (the Iceberg model; thousands of entries at 100 TB, not
+    data volume) and hands Spark the leaf files, so a snapshot read
+    costs exactly the scan of its files, no directory listing of the
+    whole table and no reading of dead files. Writes append manifests
+    atomically (write-temp + rename — the reference's own rename
+    discipline). The scan itself stays fully distributed."""
+    import json
+    import os
+
+    base = tempfile.mkdtemp(prefix="sfm-b14-")
+    o = load_table(spark, sf_dir, "orders")
+    bucket_files = {}
+    for b in range(4):
+        path = f"{base}/bucket-{b}"
+        o.filter(F.col("o_orderkey") % 4 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        (pf,) = [
+            f"{path}/{f}"
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        bucket_files[b] = pf
+    os.makedirs(f"{base}/_manifests", exist_ok=True)
+    for version, buckets in (("v1", _SNAP_V1), ("v2", _SNAP_V2)):
+        tmp = f"{base}/_manifests/.{version}.json.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"files": [bucket_files[b] for b in buckets]}, fh)
+        os.rename(tmp, f"{base}/_manifests/{version}.json")  # atomic commit
+
+    def read_snapshot(version: str) -> DataFrame:
+        with open(f"{base}/_manifests/{version}.json") as fh:
+            files = json.load(fh)["files"]
+        df = spark.read.parquet(*files)
+        return df.agg(
+            F.lit(version).alias("snapshot"),
+            F.lit(len(files)).cast("long").alias("n_files"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+
+    return read_snapshot("v1").unionAll(read_snapshot("v2")).orderBy(
+        "snapshot"
+    )

@@ -355,6 +355,30 @@ def test_tiff_walk_parses_genuine_files(spark):
         assert got[aid] == (order, w, h, o)
 
 
+# ---------------------------------------------------------------------------
+# sink-snapshot-read: snapshot isolation semantics
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_read_isolation(spark):
+    t = pq.read_table(
+        "/root/testdata/sf0.001/orders.parquet",
+        columns=["o_orderkey"],
+    )
+    keys = t.column("o_orderkey").to_pylist()
+    v1 = sum(1 for k in keys if k % 4 in (1, 3))
+    v2 = sum(1 for k in keys if k % 4 in (0, 1, 2))
+    rows = {
+        r["snapshot"]: (r["n_files"], r["n_rows"])
+        for r in registry.QUERIES["sink-snapshot-read"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    # v1 stays readable (and correct) after the v2 commit that logically
+    # deleted one of its files — the snapshot-isolation contract
+    assert rows == {"v1": (2, v1), "v2": (3, v2)}
+
+
 def test_kmeans_every_cluster_nonempty_and_keys_complete(spark):
     rows = registry.QUERIES["embed-kmeans-lloyd"](
         spark, "/root/testdata/sf0.01"
