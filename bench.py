@@ -119,6 +119,7 @@ HEADLINE = [
     "graph-label-propagation",
     "multimodal-image-exif",
     "sink-snapshot-read",
+    "scan-dpp-join",
 ]
 
 

@@ -135,6 +135,7 @@ _PRIORITY_R7 = [
     "graph-label-propagation",
     "multimodal-image-exif",
     "sink-snapshot-read",
+    "scan-dpp-join",
     # changed r7 (value-identical left-join hardening), r6-fresh —
     # deliberately the last head slot
     "text-perplexity-proxy",

@@ -847,3 +847,78 @@ def sink_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot("v1").unionAll(read_snapshot("v2")).orderBy(
         "snapshot"
     )
+
+
+# ---------------------------------------------------------------------------
+# B15 — dynamic partition pruning: dim filter prunes fact partitions at run
+# ---------------------------------------------------------------------------
+
+_DPP_YEARS = (1996, 1997)  # the dim-side era filter; 2 of 7 fact years
+
+_DPP_ORACLE = f"""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS oyear,
+       'mid90s' AS era,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE EXTRACT(YEAR FROM o_orderdate) IN {_DPP_YEARS}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("scan-dpp-join", oracle=_DPP_ORACLE)
+def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15: dynamic partition pruning — the optimizer behavior that
+    makes star-schema joins viable on partitioned 100 TB facts: the
+    fact's partition filter is not known at compile time (it lives in
+    the DIM's predicate), so Catalyst plants a DynamicPruningExpression
+    on the fact scan that reuses the dim's broadcast result as a
+    runtime IN-filter over partition values — here the era dim keeps
+    1996-1997, so 5 of the 7 year partitions are never read. Without
+    DPP the scan reads every partition and the join discards 5/7 of
+    the rows after the fact; with it, pruning happens at SPLIT
+    GENERATION, before any IO.
+
+    Mechanics pinned: orders land partitioned by ``oyear`` (so this is
+    also the partitioned-sink + partition-discovery round trip), the
+    era dim is itself a parquet scan (DPP needs a filterable build
+    side), and the plan assertion in tests requires BOTH
+    ``dynamicpruningexpression`` on the fact's PartitionFilters AND
+    that the chosen strategy reuses the broadcast exchange rather than
+    running a second dim scan. Money sums are DECIMAL-exact; the year
+    extraction is UTC-pinned in both engines."""
+    base = tempfile.mkdtemp(prefix="sfm-b15-")
+    o = load_table(spark, sf_dir, "orders")
+    fact_path = base + "/orders_by_year"
+    (
+        o.withColumn("oyear", F.year("o_orderdate").cast("long"))
+        .write.partitionBy("oyear")
+        .mode("overwrite")
+        .parquet(fact_path)
+    )
+    dim_path = base + "/year_dim"
+    (
+        o.select(F.year("o_orderdate").cast("long").alias("oyear"))
+        .distinct()
+        .withColumn(
+            "era",
+            F.when(
+                F.col("oyear").isin(*_DPP_YEARS), "mid90s"
+            ).otherwise("other"),
+        )
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("era") == "mid90s")
+    return (
+        fact.join(F.broadcast(dim), "oyear")
+        .groupBy("oyear", "era")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("oyear")
+    )

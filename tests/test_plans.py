@@ -416,3 +416,16 @@ def test_parity_holds_with_aqe_disabled(spark, sf_dir, duck):
             assert ok, (key, msg)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_dpp_join_prunes_fact_partitions_at_runtime(spark, sf_dir):
+    """scan-dpp-join's entire point: the fact scan must carry a
+    DynamicPruningExpression in its PartitionFilters (runtime pruning
+    from the dim's broadcast — 5 of 7 year partitions never read) and
+    the pruning subquery must REUSE the join's broadcast exchange, not
+    run a second dim scan."""
+    df = registry.QUERIES["scan-dpp-join"](spark, sf_dir)
+    df.collect()  # finalize AQE so exchange reuse is decided, not pending
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
+    assert "ReusedExchange" in plan
