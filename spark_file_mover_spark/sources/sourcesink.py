@@ -349,6 +349,8 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     at write time, never again at read time. The plan is asserted
     exchange-free in tests/test_plans.py.
     """
+    import os
+
     db = "sfm_bucketed"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     o = load_table(spark, sf_dir, "orders").select(
@@ -359,7 +361,24 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from spark_file_mover_spark.filemover import _hadoop_fs
 
-    for name, df, key in [("orders_b", o, "o_orderkey"), ("lineitem_b", li, "l_orderkey")]:
+    # Table names carry the pid: two concurrent local sessions share
+    # ./spark-warehouse, and a fixed name makes one process's DROP race
+    # the other's scan (observed when a pytest run overlapped a
+    # driver-sim run). Same-process reruns still reuse one name; other
+    # pids' leftovers are swept best-effort (their owner may be live —
+    # ignore failures, the names can't collide with ours either way).
+    pid = os.getpid()
+    for t in spark.catalog.listTables(db):
+        if not t.name.endswith(f"_{pid}"):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {db}.{t.name}")
+            except Exception:
+                pass
+    names = {"orders_b": f"orders_b_{pid}", "lineitem_b": f"lineitem_b_{pid}"}
+    for name, df, key in [
+        (names["orders_b"], o, "o_orderkey"),
+        (names["lineitem_b"], li, "l_orderkey"),
+    ]:
         # a fresh session may find the managed location on disk without a
         # catalog entry (left by a previous process) — drop both
         spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
@@ -375,8 +394,8 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("parquet")
             .saveAsTable(f"{db}.{name}")
         )
-    ob = spark.table(f"{db}.orders_b")
-    lb = spark.table(f"{db}.lineitem_b")
+    ob = spark.table(f"{db}.{names['orders_b']}")
+    lb = spark.table(f"{db}.{names['lineitem_b']}")
     return (
         ob.join(lb, ob.o_orderkey == lb.l_orderkey)
         .groupBy("o_orderstatus")
