@@ -120,6 +120,7 @@ HEADLINE = [
     "multimodal-image-exif",
     "sink-snapshot-read",
     "scan-dpp-join",
+    "embed-ann-ivfpq",
 ]
 
 

@@ -136,6 +136,7 @@ _PRIORITY_R7 = [
     "multimodal-image-exif",
     "sink-snapshot-read",
     "scan-dpp-join",
+    "embed-ann-ivfpq",
     # changed r7 (value-identical left-join hardening), r6-fresh —
     # deliberately the last head slot
     "text-perplexity-proxy",

@@ -60,7 +60,7 @@ def _py_kmeans(rows, k=8, rounds=3, qscale=10**6):
                 s[0][i] += v
         for cid, (vec, n) in sums.items():
             cents[cid] = [s // n for s in vec]
-    return assign()
+    return assign(), cents, q
 
 
 @pytest.fixture(scope="module")
@@ -72,7 +72,7 @@ def emb_small():
 
 
 def test_kmeans_matches_pure_python_reference(spark, emb_small):
-    expected = _py_kmeans(emb_small)
+    expected, _, _ = _py_kmeans(emb_small)
     got = {
         r["vec_id"]: (r["dist"], r["cluster"])
         for r in registry.QUERIES["embed-kmeans-lloyd"](
@@ -252,6 +252,76 @@ def test_pq_encode_matches_pure_python_reference(spark, emb_small):
         ).collect()
     }
     # folds are sequential in both implementations -> exact equality
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# embed-ann-ivfpq vs a pure-Python IVF-PQ (ADC) reference
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_matches_pure_python_reference(spark, emb_small):
+    from spark_file_mover_spark.llm.clustering import (
+        _IVFPQ_NPROBE,
+        _IVFPQ_NQ,
+        _IVFPQ_TOPK,
+        _PQ_CENTS,
+        _PQ_DIM,
+        _PQ_SUB,
+        _pq_ival,
+    )
+
+    asg, cents, q = _py_kmeans(emb_small)
+
+    def sqd(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def sub(vec, s):
+        return vec[s * _PQ_DIM : (s + 1) * _PQ_DIM]
+
+    # residual-PQ codes per corpus vector (ties -> lower code)
+    codes = {}
+    for vid, (_, cid) in asg.items():
+        r = [a - b for a, b in zip(q[vid], cents[cid])]
+        codes[vid] = (
+            cid,
+            [
+                min(
+                    range(_PQ_CENTS),
+                    key=lambda j: (
+                        sqd(sub(r, s), [_pq_ival(s, j, d) for d in range(_PQ_DIM)]),
+                        j,
+                    ),
+                )
+                for s in range(_PQ_SUB)
+            ],
+        )
+    expected = {}
+    for qid in [v for v in q if v < _IVFPQ_NQ]:
+        probe = sorted(
+            cents, key=lambda cid: (sqd(q[qid], cents[cid]), cid)
+        )[:_IVFPQ_NPROBE]
+        scored = []
+        for vid, (cid, cvec) in codes.items():
+            if cid not in probe:
+                continue
+            qr = [a - b for a, b in zip(q[qid], cents[cid])]
+            adc = sum(
+                sqd(
+                    sub(qr, s),
+                    [_pq_ival(s, cvec[s], d) for d in range(_PQ_DIM)],
+                )
+                for s in range(_PQ_SUB)
+            )
+            scored.append((adc, vid))
+        for rank, (adc, vid) in enumerate(sorted(scored)[:_IVFPQ_TOPK], 1):
+            expected[(qid, rank)] = (vid, adc)
+    got = {
+        (r["query_id"], r["rank"]): (r["cand_id"], r["adc_dist"])
+        for r in registry.QUERIES["embed-ann-ivfpq"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
     assert got == expected
 
 
