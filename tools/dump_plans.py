@@ -67,6 +67,7 @@ NOTES = {
     "multimodal-image-exif": "TIFF/EXIF IFD walk, both byte orders: endianness-branched byte reads; entry slots are fixed strides off the ONE data-dependent IFD offset (naturally linear tree - no layered hops needed), one Generate barrier pins (le, ifd); synthesis + walk Columns cached per SparkContext. Map-only, zero shuffle, zero Python.",
     "sink-snapshot-read": "Manifest-planned snapshot reads (the Iceberg model): driver reads a FILE LIST per snapshot (metadata), Spark scans exactly those leaf files - dead files never read, no whole-table listing; manifest commits are atomic renames. Per-snapshot counts + DECIMAL-exact sums prove isolation.",
     "scan-dpp-join": "Dynamic partition pruning: the fact scan's PartitionFilters carry a DynamicPruningExpression fed by the era dim's broadcast (5 of 7 year partitions pruned at split generation); the pruning subquery REUSES the join's broadcast exchange (both pinned in tests/test_plans.py).",
+    "embed-ann-ivfpq": "IVF-PQ with exact integer ADC: the (cluster, code) index localCheckpoints once per (app, sf) - the ingest artifact; query side = 5-row assign, sorted-slice nprobe pick (no window shuffle), broadcast ADC tables (queries x nprobe x 128 ints), candidates join as id+code rows and score via one integer-sum groupBy. The plan below is the cached-index query path; expression trees cached per context.",
 }
 
 
