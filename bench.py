@@ -121,6 +121,9 @@ HEADLINE = [
     "sink-snapshot-read",
     "scan-dpp-join",
     "embed-ann-ivfpq",
+    "stream-disorder-metrics",
+    "agg-sketch-theta-setops",
+    "scan-csv-corrupt-recover",
 ]
 
 

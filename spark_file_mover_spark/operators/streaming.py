@@ -556,3 +556,97 @@ def rollup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("approx_users_lower_bound"),
     )
     return daily
+
+
+# ---------------------------------------------------------------------------
+# H9 — stream-disorder-metrics: out-of-order arrival accounting
+# ---------------------------------------------------------------------------
+
+_DISORDER_ORACLE = """
+WITH arr AS (
+  SELECT user_id, ts,
+         ('0x' || substr(md5('arr:' || CAST(event_id AS VARCHAR)), 1, 15))
+           ::UBIGINT::BIGINT AS akey
+  FROM events
+),
+w AS (
+  SELECT user_id, ts,
+         MAX(ts) OVER (PARTITION BY user_id ORDER BY akey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS wm
+  FROM arr
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE ts < wm) AS BIGINT) AS n_late,
+       CAST(COALESCE(MAX(CASE WHEN ts < wm
+                              THEN date_diff('second', ts, wm) END), 0)
+            AS BIGINT) AS max_late_s,
+       ROUND(CAST(COUNT(*) FILTER (WHERE ts < wm) AS DOUBLE) / COUNT(*), 6)
+         AS late_frac
+FROM w GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("stream-disorder-metrics", oracle=_DISORDER_ORACLE)
+def stream_disorder_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H9: out-of-order arrival accounting — the data-quality panel a
+    streaming ingest publishes to size its watermarks: per key, how
+    many events arrived BEHIND the running event-time high-water mark,
+    and how far behind. Too-tight watermarks silently drop exactly the
+    events this query counts (stream-dedup-late shows the drop; this
+    key measures the disorder that causes it, which is how the delay
+    threshold is actually chosen in production).
+
+    The testdata's events are perfectly ordered per user (lateness
+    identically zero — a vacuous metric), so arrival order is a
+    DETERMINISTIC md5-keyed permutation of each user's events
+    (simulated network reordering, mirrored exactly in the oracle);
+    the metric logic — per-key running max over arrival order, strict
+    late compare, lateness depth — is the real pipeline and is what
+    both engines hash-compare.
+
+    Plan shape at scale: ONE window partitioned by user (the stream's
+    key — this is exactly the state a per-key watermark tracker
+    holds), then the groupBy collapses each partition; both shuffles
+    are on the same key so the exchange is reused. No global-order
+    window anywhere — a GLOBAL watermark needs the two-pass sharded
+    running-max (the pack_offsets_sharded pattern at sampling.py),
+    deliberately out of scope for the per-key panel."""
+    from pyspark.sql import Window as W
+
+    from spark_file_mover_spark.llm._textnorm import md5_prefix60
+
+    e = load_table(spark, sf_dir, "events")
+    arr = e.select(
+        "user_id",
+        "ts",
+        md5_prefix60(
+            F.concat(F.lit("arr:"), F.col("event_id").cast("string"))
+        ).alias("akey"),
+    )
+    w = W.partitionBy("user_id").orderBy("akey")
+    wm = F.max("ts").over(w.rowsBetween(W.unboundedPreceding, -1))
+    marked = arr.select(
+        "user_id",
+        "ts",
+        wm.alias("wm"),
+    ).withColumn(
+        "late_s",
+        F.when(
+            F.col("ts") < F.col("wm"),
+            F.col("wm").cast("long") - F.col("ts").cast("long"),
+        ),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("late_s").alias("n_late"),
+            F.coalesce(F.max("late_s"), F.lit(0)).alias("max_late_s"),
+            F.round(
+                F.count("late_s").cast("double") / F.count("*"), 6
+            ).alias("late_frac"),
+        )
+        .orderBy("user_id")
+    )

@@ -137,6 +137,9 @@ _PRIORITY_R7 = [
     "sink-snapshot-read",
     "scan-dpp-join",
     "embed-ann-ivfpq",
+    "stream-disorder-metrics",
+    "agg-sketch-theta-setops",
+    "scan-csv-corrupt-recover",
     # changed r7 (value-identical left-join hardening), r6-fresh —
     # deliberately the last head slot
     "text-perplexity-proxy",

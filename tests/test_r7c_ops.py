@@ -449,6 +449,95 @@ def test_snapshot_read_isolation(spark):
     assert rows == {"v1": (2, v1), "v2": (3, v2)}
 
 
+# ---------------------------------------------------------------------------
+# stream-disorder-metrics vs a pure-Python watermark tracker
+# ---------------------------------------------------------------------------
+
+
+def test_disorder_metrics_match_pure_python_watermark(spark):
+    import hashlib
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+    )
+    per_user: dict = {}
+    for eid, uid, ts in zip(
+        t.column("event_id").to_pylist(),
+        t.column("user_id").to_pylist(),
+        t.column("ts").to_pylist(),
+    ):
+        akey = int(hashlib.md5(f"arr:{eid}".encode()).hexdigest()[:15], 16)
+        per_user.setdefault(uid, []).append((akey, ts))
+    from datetime import datetime
+
+    epoch = datetime(1970, 1, 1)
+
+    def esec(ts):
+        # second-boundary semantics (both engines truncate EACH side to
+        # seconds before subtracting), not truncation of the difference
+        return int((ts - epoch).total_seconds() // 1)
+
+    expected = {}
+    for uid, evs in per_user.items():
+        evs.sort()
+        wm, n_late, max_late = None, 0, 0
+        for _, ts in evs:
+            if wm is not None and ts < wm:
+                n_late += 1
+                max_late = max(max_late, esec(wm) - esec(ts))
+            wm = ts if wm is None else max(wm, ts)
+        expected[uid] = (len(evs), n_late, max_late)
+    got = {
+        r["user_id"]: (r["n_events"], r["n_late"], r["max_late_s"])
+        for r in registry.QUERIES["stream-disorder-metrics"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == expected
+    # the permutation must make the metric non-vacuous
+    assert sum(v[1] for v in got.values()) > 0
+
+
+# ---------------------------------------------------------------------------
+# agg-sketch-theta-setops / scan-csv-corrupt-recover invariants
+# ---------------------------------------------------------------------------
+
+
+def test_theta_setops_exact_identities(spark):
+    rows = registry.QUERIES["agg-sketch-theta-setops"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    for r in rows:
+        # inclusion-exclusion on the EXACT side is an identity
+        assert r["n_intersect"] == r["n_a"] + r["n_b"] - r["n_union"]
+        # real PARTIAL overlap: not disjoint, neither side contained
+        assert 0 < r["n_intersect"] < min(r["n_a"], r["n_b"])
+        assert r["union_in_band"] and r["intersect_in_band"]
+
+
+def test_csv_failfast_raises_where_permissive_recovers(spark):
+    """The third mode: FAILFAST must abort on the same feed PERMISSIVE
+    recovers (pinning that the corruption is real, not schema-tolerated)."""
+    import tempfile
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    base = tempfile.mkdtemp(prefix="sfm-b16t-")
+    spark.createDataFrame(
+        [("1,GOOD,4",), ("2,BAD,not_a_number",)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(base + "/feed")
+    reader = (
+        spark.read.schema("k INT, name STRING, r INT")
+        .option("mode", "FAILFAST")
+        .csv(base + "/feed")
+    )
+    with pytest.raises(Py4JJavaError):
+        reader.collect()
+
+
 def test_kmeans_every_cluster_nonempty_and_keys_complete(spark):
     rows = registry.QUERIES["embed-kmeans-lloyd"](
         spark, "/root/testdata/sf0.01"
