@@ -68,6 +68,9 @@ NOTES = {
     "sink-snapshot-read": "Manifest-planned snapshot reads (the Iceberg model): driver reads a FILE LIST per snapshot (metadata), Spark scans exactly those leaf files - dead files never read, no whole-table listing; manifest commits are atomic renames. Per-snapshot counts + DECIMAL-exact sums prove isolation.",
     "scan-dpp-join": "Dynamic partition pruning: the fact scan's PartitionFilters carry a DynamicPruningExpression fed by the era dim's broadcast (5 of 7 year partitions pruned at split generation); the pruning subquery REUSES the join's broadcast exchange (both pinned in tests/test_plans.py).",
     "embed-ann-ivfpq": "IVF-PQ with exact integer ADC: the (cluster, code) index localCheckpoints once per (app, sf) - the ingest artifact; query side = 5-row assign, sorted-slice nprobe pick (no window shuffle), broadcast ADC tables (queries x nprobe x 128 ints), candidates join as id+code rows and score via one integer-sum groupBy. The plan below is the cached-index query path; expression trees cached per context.",
+    "stream-disorder-metrics": "Per-key watermark panel: ONE window partitioned by user over the md5-permuted arrival order (running event-time max = exactly the state a per-key watermark tracker holds), then a groupBy on the same key - the exchange is reused. A GLOBAL watermark would need the two-pass sharded running-max (pack_offsets_sharded); per-key is the declared scope.",
+    "agg-sketch-theta-setops": "Set algebra over persisted sketches: each period contributes its own hll_sketch_agg rows (pushed date filters), union = sketch merge, intersection = inclusion-exclusion; the exact full-outer distinct join is test-scale scaffolding for the audit bands. At scale the periods never co-scan.",
+    "scan-csv-corrupt-recover": "Distributed CSV scan under PERMISSIVE with a quarantine column vs DROPMALFORMED over the same deterministic 1-in-5-corrupt feed; corruption never reaches typed columns (clean aggregate identical across modes), FAILFAST raise pinned in tests.",
 }
 
 
@@ -149,6 +152,15 @@ contract), ~1.2 s steady. Sweep singles for the other late-r7 keys,
 for r8 triage: kmeans 0.61, cms 0.86, bpe 1.02, reservoir 0.31,
 pq-encode 0.66, lpa 0.53 (snapshot-read and dpp-join entered HEADLINE
 after that sweep; expect ~1-2 s each, write-path keys).
+
+**Final r7 sweep (53 HEADLINE keys, all late-r7 additions in-set):**
+`over_budget: []` — the phash fix landed at 0.97 s (from 2.07), exif at
+0.89 (from 1.72), and the newest keys at: ivfpq 1.20, theta-setops 0.96,
+snapshot-read 0.89, dpp-join 0.85, disorder-metrics 0.32,
+csv-corrupt-recover 0.22. common16 7.53 s / common20 9.73 s — the best
+recorded values for both frozen sets (r6: 10.68 / 13.1-ish); treat the
+gap to the 8.0-8.5 mid-r7 range as session-level variance per the
+interleaved-control discipline, not as a claimable win.
 """
 
 
