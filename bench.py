@@ -124,6 +124,8 @@ HEADLINE = [
     "stream-disorder-metrics",
     "agg-sketch-theta-setops",
     "scan-csv-corrupt-recover",
+    "window-distribution",
+    "sample-balanced-downsample",
 ]
 
 

@@ -436,3 +436,87 @@ def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# sample-balanced-downsample — majority-class downsampling to parity
+# ---------------------------------------------------------------------------
+
+_BAL_ORACLE = """
+WITH sizes AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+),
+target AS (SELECT MIN(n) AS t FROM sizes),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5('bal:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15))::UBIGINT::BIGINT,
+                    doc_id) AS rn
+  FROM documents
+)
+SELECT r.lang,
+       CAST(s.n AS BIGINT) AS n_before,
+       COUNT(*) AS n_after,
+       CAST(MIN(r.doc_id) AS BIGINT) AS min_kept_doc,
+       CAST(SUM(r.doc_id) AS BIGINT) AS kept_doc_sum
+FROM ranked r
+JOIN sizes s USING (lang)
+CROSS JOIN target t
+WHERE r.rn <= t.t
+GROUP BY r.lang, s.n
+ORDER BY r.lang
+"""
+
+
+@query("sample-balanced-downsample", oracle=_BAL_ORACLE)
+def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling — the rebalancing step for skewed
+    training corpora: every language keeps exactly ``min(class size)``
+    documents, so the balanced output has uniform class mass without
+    upsampling duplicates. Selection within a class is a DETERMINISTIC
+    hash order (md5-keyed, doc_id tie-break) — a stable "random"
+    sample that reproduces across runs, partitionings and engines,
+    exactly like sample-hash-stratified's rate-based cousin (this key
+    is count-based: the target adapts to the rarest class).
+
+    Output carries per-class before/after sizes plus kept-set
+    aggregates (min + sum of kept ids), so the driver hash-verifies
+    the SELECTION, not just the counts.
+
+    Plan shape at scale: class sizes are a tiny groupBy broadcast back
+    as a one-row global minimum; the per-class pick is one window over
+    the class partition (the WindowGroupLimit pattern — each task
+    keeps only its running top-t) + the final per-class aggregate
+    reuses the same exchange. Nothing global-sorts."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    sizes = d.groupBy("lang").agg(F.count("*").alias("n_before"))
+    target = sizes.agg(F.min("n_before").alias("t"))
+    key = md5_prefix60(
+        F.concat(F.lit("bal:"), F.col("doc_id").cast("string"))
+    )
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy(key, F.col("doc_id")))
+        .alias("rn"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(target))
+        .filter(F.col("rn") <= F.col("t"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_after"),
+            F.min("doc_id").alias("min_kept_doc"),
+            F.sum("doc_id").alias("kept_doc_sum"),
+        )
+        .join(F.broadcast(sizes), "lang")
+        .select(
+            "lang", "n_before", "n_after", "min_kept_doc", "kept_doc_sum"
+        )
+        .orderBy("lang")
+    )

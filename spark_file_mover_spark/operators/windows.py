@@ -304,3 +304,51 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tp").alias("o_totalprice"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F9 — distribution window functions (percent_rank / cume_dist / nth_value)
+# ---------------------------------------------------------------------------
+
+_DISTRIBUTION_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       ROUND(percent_rank() OVER w, 9) AS pr,
+       ROUND(cume_dist() OVER w, 9) AS cd,
+       nth_value(c_custkey, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS third_key
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+@query("window-distribution", oracle=_DISTRIBUTION_ORACLE)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: the distribution window family — ``percent_rank`` (relative
+    rank in [0,1]), ``cume_dist`` (fraction of rows at-or-before) and
+    ``nth_value`` — completing the declared window-function surface
+    beyond F1's ranking family (row_number/rank/dense_rank/ntile) and
+    F2's analytics (lag/lead/first/last). These are the "where does
+    this row sit in its cohort" primitives percentile-based filters
+    and score normalizations use.
+
+    Exactness: the window is TOTALLY ordered (acctbal desc, custkey),
+    so ranks are deterministic; percent_rank = (rank-1)/(n-1) and
+    cume_dist = peers/n are SINGLE integer-ratio divisions —
+    correctly-rounded IEEE, identical both engines — snapped to 9 dp
+    per house style anyway. ``nth_value`` runs over the running frame
+    (NULL for the first two rows of each segment, never a default).
+
+    Plan: one shuffle on the partition key, one in-partition sort, all
+    three functions in the same Window node (same spec → single pass)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        F.nth_value("c_custkey", 3).over(wf).alias("third_key"),
+    )

@@ -140,6 +140,8 @@ _PRIORITY_R7 = [
     "stream-disorder-metrics",
     "agg-sketch-theta-setops",
     "scan-csv-corrupt-recover",
+    "window-distribution",
+    "sample-balanced-downsample",
     # changed r7 (value-identical left-join hardening), r6-fresh —
     # deliberately the last head slot
     "text-perplexity-proxy",

@@ -538,6 +538,26 @@ def test_csv_failfast_raises_where_permissive_recovers(spark):
         reader.collect()
 
 
+# ---------------------------------------------------------------------------
+# sample-balanced-downsample: balance + determinism invariants
+# ---------------------------------------------------------------------------
+
+
+def test_balanced_downsample_is_balanced_and_deterministic(spark):
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["lang"]
+    )
+    langs = t.column("lang").to_pylist()
+    target = min(langs.count(l) for l in set(langs))
+    q = registry.QUERIES["sample-balanced-downsample"]
+    first = q(spark, "/root/testdata/sf0.001").collect()
+    again = q(spark, "/root/testdata/sf0.001").collect()
+    assert first == again  # hash selection is run-stable
+    for r in first:
+        assert r["n_after"] == target  # every class at exactly the minimum
+        assert r["n_before"] >= r["n_after"]
+
+
 def test_kmeans_every_cluster_nonempty_and_keys_complete(spark):
     rows = registry.QUERIES["embed-kmeans-lloyd"](
         spark, "/root/testdata/sf0.01"
