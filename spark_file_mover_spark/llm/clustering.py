@@ -127,28 +127,46 @@ def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
 
-def _km_assign(qdf: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
-    """Map-only nearest-centroid assignment against LITERAL centroids:
-    per cluster one loop-based ``aggregate(zip_with(...))`` fold of
-    squared diffs (codegen stays small at any K), ``array_min`` over
-    (dist, cid) structs picks min-dist-then-min-cid, and the
-    explode-one-struct Generate barrier pins the winner to ONE
-    evaluation (CollapseProject would inline all K folds twice for the
-    dist and cluster projections — the embed-quantize-int8 trick)."""
+def _dist_structs(col, table, acc0) -> list:
+    """(d, c) distance structs against a literal candidate table: per
+    row one loop-based ``aggregate(zip_with(...))`` fold of squared
+    diffs (codegen stays small at any table size — the
+    embed-random-projection janino lesson). ``acc0`` selects the
+    arithmetic (long for fixed-point stages, 0.0 for float PQ)."""
     structs = []
-    for cid in sorted(cents):
-        lits = F.array(*[F.lit(int(v)) for v in cents[cid]])
+    for ident, lits in table:
+        arr = F.array(*[F.lit(v) for v in lits])
         dist = F.aggregate(
-            F.zip_with("qv", lits, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
+            F.zip_with(col, arr, lambda a, b: (a - b) * (a - b)),
+            acc0,
             lambda acc, x: acc + x,
         )
         structs.append(
-            F.struct(
-                dist.alias("d"), F.lit(cid).cast("long").alias("c")
-            )
+            F.struct(dist.alias("d"), F.lit(ident).cast("long").alias("c"))
         )
-    best = F.array_min(F.array(*structs))
+    return structs
+
+
+def _nearest_fold(col, table, acc0) -> F.Column:
+    """THE argmin-over-literal-table builder every clustering/PQ stage
+    shares (kmeans assignment, PQ encode, IVF-PQ residual codes —
+    the ivfpq probe pick reuses :func:`_dist_structs` with a sorted
+    slice instead of the min): ``array_min`` over (d, c) structs picks
+    min-dist-then-min-id."""
+    return F.array_min(F.array(*_dist_structs(col, table, acc0)))
+
+
+def _km_assign(qdf: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """Map-only nearest-centroid assignment against LITERAL centroids
+    (:func:`_nearest_fold`); the explode-one-struct Generate barrier
+    pins the winner to ONE evaluation (CollapseProject would inline
+    all K folds twice for the dist and cluster projections — the
+    embed-quantize-int8 trick)."""
+    best = _nearest_fold(
+        "qv",
+        [(cid, [int(v) for v in cents[cid]]) for cid in sorted(cents)],
+        F.lit(0).cast("long"),
+    )
     return qdf.select(
         "vec_id", "qv", F.explode(F.array(best)).alias("b")
     ).select(
@@ -234,8 +252,11 @@ def _km_model(spark: SparkSession, sf_dir: str) -> tuple:
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     cached = _KM_CACHE.get(cache_key)
     if cached is None:
-        for k in [k for k in _KM_CACHE if k[0] != cache_key[0]]:
-            del _KM_CACHE[k]
+        # ONE live entry (the phash-bands policy): a session sweeping
+        # several sf_dirs must not pin a checkpointed relation per dir
+        # for its lifetime — dropping the stale reference lets the
+        # ContextCleaner reclaim its blocks
+        _KM_CACHE.clear()
         cached = _km_fit(spark, sf_dir)
         _KM_CACHE[cache_key] = cached
     return cached
@@ -320,18 +341,14 @@ _PQ_EXPR_CACHE: dict = {}
 
 
 def _pq_best(s: int):
-    structs = []
-    for j in range(_PQ_CENTS):
-        lits = F.array(*[F.lit(_pq_val(s, j, d)) for d in range(_PQ_DIM)])
-        dist = F.aggregate(
-            F.zip_with(F.col(f"u.sub{s}"), lits, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        structs.append(
-            F.struct(dist.alias("d"), F.lit(j).cast("long").alias("c"))
-        )
-    return F.array_min(F.array(*structs))
+    return _nearest_fold(
+        F.col(f"u.sub{s}"),
+        [
+            (j, [_pq_val(s, j, d) for d in range(_PQ_DIM)])
+            for j in range(_PQ_CENTS)
+        ],
+        F.lit(0.0),
+    )
 
 
 @query("embed-pq-encode", oracle=_pq_oracle())
@@ -495,23 +512,35 @@ ORDER BY query_id, rank
     )
 
 
+def _cent_lookup(cents: dict, key: str = "cluster") -> F.Column:
+    """Centroid vector keyed BY CLUSTER ID (map lookup, not positional
+    array indexing): the kmeans fit tolerates sparse ids (an empty
+    ``vec_id % K`` residue class never seeds), and a positional
+    ``element_at(array, cluster+1)`` silently reads the WRONG centroid
+    as soon as ids have a gap."""
+    return F.element_at(
+        F.map_from_arrays(
+            F.array(
+                *[F.lit(int(cid)).cast("long") for cid in sorted(cents)]
+            ),
+            F.array(
+                *[
+                    F.array(*[F.lit(int(v)) for v in cents[cid]])
+                    for cid in sorted(cents)
+                ]
+            ),
+        ),
+        F.col(key),
+    )
+
+
 def _ivfpq_codes(asg: DataFrame, cents: dict) -> DataFrame:
     """(vec_id, cluster, s, code): residual-PQ codes per subspace —
-    residual = qv - centroid[cluster] (the centroid indexed from a
-    literal array-of-arrays by cluster id), then per subspace the
-    argmin over 16 INTEGER codebook entries; ties -> lower code. One
-    Generate barrier pins the residual, a second the 8 winners."""
-    cent_arrs = F.array(
-        *[
-            F.array(*[F.lit(int(v)) for v in cents[cid]])
-            for cid in sorted(cents)
-        ]
-    )
-    rv = F.zip_with(
-        "qv",
-        F.element_at(cent_arrs, (F.col("cluster") + 1).cast("int")),
-        lambda a, b: a - b,
-    )
+    residual = qv - centroid[cluster] (centroid via the keyed map
+    lookup), then per subspace the argmin over 16 INTEGER codebook
+    entries; ties -> lower code. One Generate barrier pins the
+    residual, a second the 8 winners."""
+    rv = F.zip_with("qv", _cent_lookup(cents), lambda a, b: a - b)
     st0 = asg.select(
         "vec_id",
         "cluster",
@@ -519,24 +548,14 @@ def _ivfpq_codes(asg: DataFrame, cents: dict) -> DataFrame:
     )
 
     def best(s: int):
-        structs = []
-        for j in range(_PQ_CENTS):
-            lits = F.array(
-                *[F.lit(_pq_ival(s, j, d)) for d in range(_PQ_DIM)]
-            )
-            dist = F.aggregate(
-                F.zip_with(
-                    F.slice("rv", s * _PQ_DIM + 1, _PQ_DIM),
-                    lits,
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            structs.append(
-                F.struct(dist.alias("d"), F.lit(j).cast("long").alias("c"))
-            )
-        return F.array_min(F.array(*structs)).getField("c")
+        return _nearest_fold(
+            F.slice("rv", s * _PQ_DIM + 1, _PQ_DIM),
+            [
+                (j, [_pq_ival(s, j, d) for d in range(_PQ_DIM)])
+                for j in range(_PQ_CENTS)
+            ],
+            F.lit(0).cast("long"),
+        ).getField("c")
 
     code_arr = F.array(*[best(s) for s in range(_PQ_SUB)])
     return st0.select(
@@ -586,7 +605,10 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_key = (app_id, sf_dir, "index")
     cached = _IVFPQ_CACHE.get(index_key)
     if cached is None:
-        for k in [k for k in _IVFPQ_CACHE if k[0] != app_id]:
+        # one live (app, sf) — stale checkpoints release via the
+        # ContextCleaner once dereferenced (the _KM_CACHE policy);
+        # the exprs entry for the same (app, sf) survives
+        for k in [k for k in _IVFPQ_CACHE if k[:2] != (app_id, sf_dir)]:
             del _IVFPQ_CACHE[k]
         asg = _km_assign(qdf, cents).select("vec_id", "qv", "cluster")
         cached = _ivfpq_codes(asg, cents).localCheckpoint(eager=True)
@@ -601,34 +623,18 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per context, measured 6.5 -> ~1.5 s per invocation).
     frags = _IVFPQ_CACHE.get((app_id, sf_dir, "exprs"))
     if frags is None:
-        cd = []
-        for cid in sorted(cents):
-            lits = F.array(*[F.lit(int(v)) for v in cents[cid]])
-            dist = F.aggregate(
-                F.zip_with("qqv", lits, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            cd.append(
-                F.struct(
-                    dist.alias("d"), F.lit(cid).cast("long").alias("cid")
-                )
-            )
+        cd = _dist_structs(
+            "qqv",
+            [(cid, [int(v) for v in cents[cid]]) for cid in sorted(cents)],
+            F.lit(0).cast("long"),
+        )
         # In integers (q - (c + cb))^2 == ((q - c) - cb)^2 exactly, so
         # the query RESIDUAL vs the probed cell pins once behind a
         # barrier and every ADC entry is a plain codebook fold over its
         # slice (the _ivfpq_codes shape — far fewer nodes than
         # reconstructing centroid+codebook per entry).
-        cent_arrs = F.array(
-            *[
-                F.array(*[F.lit(int(v)) for v in cents[cid]])
-                for cid in sorted(cents)
-            ]
-        )
         qres = F.zip_with(
-            "qqv",
-            F.element_at(cent_arrs, (F.col("cell") + 1).cast("int")),
-            lambda a, b: a - b,
+            "qqv", _cent_lookup(cents, key="cell"), lambda a, b: a - b
         )
         adct_entries = []
         for s in range(_PQ_SUB):
@@ -666,12 +672,15 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         _IVFPQ_CACHE[(app_id, sf_dir, "exprs")] = frags
 
-    queries = _km_assign(
-        qdf.filter(F.col("vec_id") < _IVFPQ_NQ), cents
-    ).select(F.col("vec_id").alias("qid"), F.col("qv").alias("qqv"))
+    # plain projection — the probe pick below derives its own cell
+    # distances, so running _km_assign here would pay K assignment
+    # folds per invocation only to discard the result
+    queries = qdf.filter(F.col("vec_id") < _IVFPQ_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qqv")
+    )
     probe = queries.select(
         "qid", "qqv", frags["probe_cells"].alias("pc")
-    ).select("qid", "qqv", F.col("pc.cid").alias("cell"))
+    ).select("qid", "qqv", F.col("pc.c").alias("cell"))
     from pyspark.sql import Window as W
 
     # ADC tables: per (query, probed cell) the 8x16 subspace-distance

@@ -451,9 +451,7 @@ ranked AS (
   SELECT doc_id, lang,
          ROW_NUMBER() OVER (
            PARTITION BY lang
-           ORDER BY ('0x' || substr(md5('bal:' || CAST(doc_id AS VARCHAR)),
-                                    1, 15))::UBIGINT::BIGINT,
-                    doc_id) AS rn
+           ORDER BY {h}, doc_id) AS rn
   FROM documents
 )
 SELECT r.lang,
@@ -467,7 +465,7 @@ CROSS JOIN target t
 WHERE r.rn <= t.t
 GROUP BY r.lang, s.n
 ORDER BY r.lang
-"""
+""".format(h=MD5_PREFIX60_SQL.format(x="'bal:' || CAST(doc_id AS VARCHAR)"))
 
 
 @query("sample-balanced-downsample", oracle=_BAL_ORACLE)

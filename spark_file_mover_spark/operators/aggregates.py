@@ -916,10 +916,25 @@ def agg_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a = period(*_THETA_A, "a")
     b = period(*_THETA_B, "b")
-    joined = a.join(b, "l_returnflag")
-    est_union = F.hll_sketch_estimate(
-        F.hll_union("sk_a", "sk_b")
-    ).cast("double")
+    # FULL OUTER like the oracle: a flag whose keys fall entirely in one
+    # window still gets a row (n=0 on the empty side, union estimate =
+    # the present side's sketch) — an inner join here silently dropped
+    # such groups (latent on this fixture, where all flags span both)
+    joined = a.join(b, "l_returnflag", "full_outer").select(
+        "l_returnflag",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        "sk_a",
+        "sk_b",
+    )
+    est_union = (
+        F.when(
+            F.col("sk_a").isNotNull() & F.col("sk_b").isNotNull(),
+            F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")),
+        )
+        .otherwise(F.hll_sketch_estimate(F.coalesce("sk_a", "sk_b")))
+        .cast("double")
+    )
     est_inter = (
         F.col("n_a").cast("double") + F.col("n_b").cast("double") - est_union
     )
@@ -967,9 +982,17 @@ def agg_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.abs(est_union / F.col("n_union") - 1.0) <= 0.08
             ).alias("union_in_band"),
-            (
+            # a truly disjoint pair has n_intersect = 0 — the relative
+            # band is undefined there, so bound the residual against
+            # the union instead (same 8% sketch tolerance)
+            F.when(
+                F.col("n_intersect") == 0,
+                F.abs(est_inter) <= 0.08 * F.col("n_union"),
+            )
+            .otherwise(
                 F.abs(est_inter / F.col("n_intersect") - 1.0) <= 0.15
-            ).alias("intersect_in_band"),
+            )
+            .alias("intersect_in_band"),
         )
         .orderBy("l_returnflag")
     )

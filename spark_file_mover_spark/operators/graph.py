@@ -130,8 +130,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     cached = _PR_GRAPH_CACHE.get(cache_key)
     if cached is None:
-        for k in [k for k in _PR_GRAPH_CACHE if k[0] != cache_key[0]]:
-            del _PR_GRAPH_CACHE[k]
+        # one live entry — stale checkpointed graph relations release
+        # via the ContextCleaner once dereferenced
+        _PR_GRAPH_CACHE.clear()
         ev = load_table(spark, sf_dir, "events")
         ent = F.lit(_PR_ENTITY_BASE) + F.get_json_object(
             "props", "$.k"
@@ -297,8 +298,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     cached = _LPA_CACHE.get(cache_key)
     if cached is None:
-        for k in [k for k in _LPA_CACHE if k[0] != cache_key[0]]:
-            del _LPA_CACHE[k]
+        # one live entry — see _KM_CACHE (stale checkpointed adjacency
+        # releases via the ContextCleaner once dereferenced)
+        _LPA_CACHE.clear()
         ev = load_table(spark, sf_dir, "events")
         ent = F.lit(_LPA_ENTITY_BASE) + F.get_json_object(
             "props", "$.k"

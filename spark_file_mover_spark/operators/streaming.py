@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_file_mover_spark.llm._textnorm import MD5_PREFIX60_SQL
 from spark_file_mover_spark.operators._parity import dec
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import load_table
@@ -564,9 +565,7 @@ def rollup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DISORDER_ORACLE = """
 WITH arr AS (
-  SELECT user_id, ts,
-         ('0x' || substr(md5('arr:' || CAST(event_id AS VARCHAR)), 1, 15))
-           ::UBIGINT::BIGINT AS akey
+  SELECT user_id, ts, {h} AS akey
   FROM events
 ),
 w AS (
@@ -585,7 +584,11 @@ SELECT user_id,
        ROUND(CAST(COUNT(*) FILTER (WHERE ts < wm) AS DOUBLE) / COUNT(*), 6)
          AS late_frac
 FROM w GROUP BY user_id ORDER BY user_id
-"""
+""".format(
+    # the ONE shared md5-prefix-60 hash (llm/_textnorm.py contract)
+    # renders the arrival key in the oracle, same as the Spark side
+    h=MD5_PREFIX60_SQL.format(x="'arr:' || CAST(event_id AS VARCHAR)")
+)
 
 
 @query("stream-disorder-metrics", oracle=_DISORDER_ORACLE)

@@ -364,16 +364,25 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Table names carry the pid: two concurrent local sessions share
     # ./spark-warehouse, and a fixed name makes one process's DROP race
     # the other's scan (observed when a pytest run overlapped a
-    # driver-sim run). Same-process reruns still reuse one name; other
-    # pids' leftovers are swept best-effort (their owner may be live —
-    # ignore failures, the names can't collide with ours either way).
+    # driver-sim run). Leftovers from other pids are swept at the
+    # FILESYSTEM level (the default in-memory catalog cannot see other
+    # processes' tables at all) and only when their owner pid is DEAD —
+    # a live concurrent session is never raced.
+    import re as _re
+
     pid = os.getpid()
-    for t in spark.catalog.listTables(db):
-        if not t.name.endswith(f"_{pid}"):
-            try:
-                spark.sql(f"DROP TABLE IF EXISTS {db}.{t.name}")
-            except Exception:
-                pass
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    fs, dbpath = _hadoop_fs(spark, f"{warehouse}/{db}.db")
+    if fs.exists(dbpath):
+        for st in fs.listStatus(dbpath):
+            m = _re.match(r".*_b_(\d+)$", st.getPath().getName())
+            if m and int(m.group(1)) != pid:
+                try:
+                    os.kill(int(m.group(1)), 0)  # raises if owner is dead
+                except OSError:
+                    fs.delete(st.getPath(), True)
+                except Exception:
+                    pass
     names = {"orders_b": f"orders_b_{pid}", "lineitem_b": f"lineitem_b_{pid}"}
     for name, df, key in [
         (names["orders_b"], o, "o_orderkey"),

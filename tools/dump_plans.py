@@ -71,6 +71,8 @@ NOTES = {
     "stream-disorder-metrics": "Per-key watermark panel: ONE window partitioned by user over the md5-permuted arrival order (running event-time max = exactly the state a per-key watermark tracker holds), then a groupBy on the same key - the exchange is reused. A GLOBAL watermark would need the two-pass sharded running-max (pack_offsets_sharded); per-key is the declared scope.",
     "agg-sketch-theta-setops": "Set algebra over persisted sketches: each period contributes its own hll_sketch_agg rows (pushed date filters), union = sketch merge, intersection = inclusion-exclusion; the exact full-outer distinct join is test-scale scaffolding for the audit bands. At scale the periods never co-scan.",
     "scan-csv-corrupt-recover": "Distributed CSV scan under PERMISSIVE with a quarantine column vs DROPMALFORMED over the same deterministic 1-in-5-corrupt feed; corruption never reaches typed columns (clean aggregate identical across modes), FAILFAST raise pinned in tests.",
+    "window-distribution": "percent_rank/cume_dist/nth_value over one totally ordered window spec - all three in the same Window node (single pass): one shuffle on the partition key, one in-partition sort. The two ratios are single integer divisions, IEEE-identical cross-engine.",
+    "sample-balanced-downsample": "Class sizes = tiny groupBy; global min broadcast as one row; per-class pick = one window over the class partition (running top-t per task) with the final per-class aggregate reusing the exchange. Deterministic md5-order selection - nothing global-sorts.",
 }
 
 
