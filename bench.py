@@ -126,6 +126,7 @@ HEADLINE = [
     "scan-csv-corrupt-recover",
     "window-distribution",
     "sample-balanced-downsample",
+    "join-asof-tolerance",
 ]
 
 

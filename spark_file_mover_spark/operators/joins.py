@@ -598,3 +598,123 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("campaign_id", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# D11 — as-of join with a tolerance (staleness) bound
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_DAYS = 90
+
+_ASOF_TOL_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, user_id,
+         TIMESTAMP '1995-01-01' + INTERVAL (event_id % 2400) DAY AS asof_ts
+  FROM events
+),
+best AS (
+  SELECT e.event_id, MAX(o.o_orderdate) AS d
+  FROM e LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.asof_ts
+  GROUP BY e.event_id
+),
+matched AS (
+  SELECT b.event_id, b.d, MAX(o.o_orderkey) AS okey
+  FROM best b
+  JOIN e ON e.event_id = b.event_id
+  JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate = b.d
+  GROUP BY b.event_id, b.d
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.asof_ts, '%Y-%m-%d') AS asof_date,
+       CASE WHEN m.d >= e.asof_ts - INTERVAL {_ASOF_TOL_DAYS} DAY
+            THEN m.okey END AS matched_orderkey,
+       CASE WHEN m.d >= e.asof_ts - INTERVAL {_ASOF_TOL_DAYS} DAY
+            THEN date_diff('day', m.d, e.asof_ts) END AS staleness_days,
+       m.okey IS NOT NULL
+         AND m.d < e.asof_ts - INTERVAL {_ASOF_TOL_DAYS} DAY AS too_stale
+FROM e LEFT JOIN matched m ON m.event_id = e.event_id
+ORDER BY e.event_id
+"""
+
+
+@query("join-asof-tolerance", oracle=_ASOF_TOL_ORACLE)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11: as-of join with a TOLERANCE bound — D9's semantics plus the
+    staleness rule every production as-of join actually ships with
+    (pandas ``merge_asof(tolerance=...)``, kdb ``wj``): a match older
+    than 90 days is no match (a stale quote/sensor reading is worse
+    than none). Emits the match, its staleness in days, and a
+    ``too_stale`` flag distinguishing "no order at all" from "an order
+    existed but aged out" — the two cases downstream imputation treats
+    differently.
+
+    Same scalable union-and-window shape as D9 (ONE shuffle + ONE sort
+    over |orders|+|events|; no inequality join), except the carried
+    value is a (time, orderkey) STRUCT so the tolerance predicate can
+    check the matched time AFTER the carry — the window itself is
+    unchanged, which is the point: tolerance is a post-filter on the
+    carried match, not a different join."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.timestamp_add(
+            "DAY",
+            (F.col("event_id") % 2400).cast("int"),
+            F.to_timestamp(F.lit("1995-01-01")),
+        ).alias("asof_ts"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    orders_side = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("asof_ts"),
+    )
+    events_side = e.select(
+        F.col("user_id").alias("key"),
+        F.col("asof_ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("long").alias("okey"),
+        "event_id",
+        "asof_ts",
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("key")
+        .orderBy("t", "is_event", "okey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = F.last(
+        F.when(
+            F.col("okey").isNotNull(),
+            F.struct(F.col("t").alias("mt"), F.col("okey").alias("mk")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    merged = orders_side.unionByName(events_side).withColumn("m", carried)
+    fresh = F.col("m.mt") >= F.timestamp_add(
+        "DAY", F.lit(-_ASOF_TOL_DAYS), F.col("asof_ts")
+    )
+    return (
+        merged.filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            F.date_format("asof_ts", "yyyy-MM-dd").alias("asof_date"),
+            F.when(fresh, F.col("m.mk")).alias("matched_orderkey"),
+            F.when(
+                fresh,
+                F.datediff(F.to_date("asof_ts"), F.to_date("m.mt")),
+            )
+            .cast("long")
+            .alias("staleness_days"),
+            (F.col("m.mk").isNotNull() & ~F.coalesce(fresh, F.lit(False)))
+            .alias("too_stale"),
+        )
+        .orderBy("event_id")
+    )

@@ -142,6 +142,7 @@ _PRIORITY_R7 = [
     "scan-csv-corrupt-recover",
     "window-distribution",
     "sample-balanced-downsample",
+    "join-asof-tolerance",
     # changed r7 (value-identical left-join hardening), r6-fresh —
     # deliberately the last head slot
     "text-perplexity-proxy",
