@@ -127,6 +127,7 @@ HEADLINE = [
     "window-distribution",
     "sample-balanced-downsample",
     "join-asof-tolerance",
+    "fn-variant-json",
 ]
 
 

@@ -362,3 +362,60 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 4).alias("shifted_down"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G8 — VARIANT semi-structured type (Spark 4)
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_id,
+       CAST(props->>'k' AS BIGINT) AS k,
+       CAST(props->>'k' AS BIGINT) % 10 AS k_bucket,
+       TRUE AS paths_agree,
+       'OBJECT<k: BIGINT>' AS vtype,
+       CAST(props->>'missing' AS BIGINT) AS missing_field
+FROM events
+WHERE event_id % 20 = 0
+ORDER BY event_id
+"""
+
+
+@query("fn-variant-json", oracle=_VARIANT_ORACLE)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: the VARIANT semi-structured type (new in Spark 4) — the
+    engine-native answer to JSON columns: ``parse_json`` decodes once
+    into a typed binary encoding, after which every path access
+    (``try_variant_get``) is a direct read, not a re-parse — on a
+    100 TB events table with string JSON, every ``get_json_object``
+    call re-parses the full document per row per path, which is
+    exactly the cost VARIANT deletes (and why ingest should convert
+    JSON strings to VARIANT at write time).
+
+    The declared output cross-checks the two access paths on the same
+    rows (``paths_agree`` pins variant_get ≡ get_json_object),
+    surfaces the inferred variant schema (``schema_of_variant`` — a
+    constant for this corpus, asserted literally by the oracle), and
+    pins missing-path semantics (NULL, never an error, matching JSON
+    ``->>`` on an absent key). The oracle reads the raw JSON with
+    DuckDB's native operators — two independent decoders agreeing on
+    every value.
+
+    Scale: map-only expression work fused into the scan; the
+    event_id slice is row-bounded output hygiene, not data-plane."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 20 == 0
+    )
+    v = F.parse_json("props")
+    kv = F.try_variant_get(v, "$.k", "long")
+    klegacy = F.get_json_object("props", "$.k").cast("long")
+    return e.select(
+        "event_id",
+        kv.alias("k"),
+        (kv % 10).alias("k_bucket"),
+        (
+            kv.eqNullSafe(klegacy)
+        ).alias("paths_agree"),
+        F.schema_of_variant(v).alias("vtype"),
+        F.try_variant_get(v, "$.missing", "long").alias("missing_field"),
+    ).orderBy("event_id")

@@ -143,6 +143,7 @@ _PRIORITY_R7 = [
     "window-distribution",
     "sample-balanced-downsample",
     "join-asof-tolerance",
+    "fn-variant-json",
     # changed r7 (value-identical left-join hardening), r6-fresh —
     # deliberately the last head slot
     "text-perplexity-proxy",
