@@ -73,6 +73,8 @@ NOTES = {
     "scan-csv-corrupt-recover": "Distributed CSV scan under PERMISSIVE with a quarantine column vs DROPMALFORMED over the same deterministic 1-in-5-corrupt feed; corruption never reaches typed columns (clean aggregate identical across modes), FAILFAST raise pinned in tests.",
     "window-distribution": "percent_rank/cume_dist/nth_value over one totally ordered window spec - all three in the same Window node (single pass): one shuffle on the partition key, one in-partition sort. The two ratios are single integer divisions, IEEE-identical cross-engine.",
     "sample-balanced-downsample": "Class sizes = tiny groupBy; global min broadcast as one row; per-class pick = one window over the class partition (running top-t per task) with the final per-class aggregate reusing the exchange. Deterministic md5-order selection - nothing global-sorts.",
+    "join-asof-tolerance": "D9's union-and-window as-of (ONE shuffle + ONE sort, no inequality join) carrying a (time, key) STRUCT so the 90-day staleness rule is a post-filter on the carried match; fresh / aged-out / no-match separated in the output.",
+    "fn-variant-json": "parse_json once into the VARIANT binary encoding; every try_variant_get is a direct read fused into the scan (vs get_json_object's per-row-per-path re-parse, cross-checked in the same projection). Map-only.",
 }
 
 
