@@ -558,6 +558,96 @@ def test_balanced_downsample_is_balanced_and_deterministic(spark):
         assert r["n_before"] >= r["n_after"]
 
 
+# ---------------------------------------------------------------------------
+# join-asof-tolerance vs a pure-Python as-of-with-tolerance reference
+# ---------------------------------------------------------------------------
+
+
+def test_asof_tolerance_matches_pure_python_reference(spark):
+    from datetime import datetime, timedelta
+
+    ev = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "user_id"],
+    )
+    od = pq.read_table(
+        "/root/testdata/sf0.001/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    orders: dict = {}
+    for k, c, d in zip(
+        od.column("o_orderkey").to_pylist(),
+        od.column("o_custkey").to_pylist(),
+        od.column("o_orderdate").to_pylist(),
+    ):
+        orders.setdefault(c, []).append((d, k))
+    for c in orders:
+        orders[c].sort()
+    base = datetime(1995, 1, 1)
+    expected = {}
+    for eid, uid in zip(
+        ev.column("event_id").to_pylist(), ev.column("user_id").to_pylist()
+    ):
+        asof = base + timedelta(days=eid % 2400)
+        elig = [(d, k) for d, k in orders.get(uid, []) if d <= asof]
+        if not elig:
+            expected[eid] = (None, None, False)
+            continue
+        d, k = max(elig)  # latest date, then max orderkey
+        if d >= asof - timedelta(days=90):
+            expected[eid] = (k, (asof - d).days, False)
+        else:
+            expected[eid] = (None, None, True)
+    got = {
+        r["event_id"]: (
+            r["matched_orderkey"],
+            r["staleness_days"],
+            r["too_stale"],
+        )
+        for r in registry.QUERIES["join-asof-tolerance"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == expected
+    # all three states must occur or the operator is vacuous
+    states = {
+        (v[0] is not None, v[2]) for v in got.values()
+    }
+    assert {(True, False), (False, True), (False, False)} <= states
+
+
+# ---------------------------------------------------------------------------
+# window-distribution / fn-variant-json semantics
+# ---------------------------------------------------------------------------
+
+
+def test_window_distribution_invariants(spark):
+    rows = registry.QUERIES["window-distribution"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_seg: dict = {}
+    for r in rows:
+        by_seg.setdefault(r["c_mktsegment"], []).append(r)
+    for seg_rows in by_seg.values():
+        prs = sorted(r["pr"] for r in seg_rows)
+        cds = sorted(r["cd"] for r in seg_rows)
+        assert prs[0] == 0.0 and prs[-1] == 1.0
+        assert cds[-1] == 1.0 and cds[0] > 0.0
+        # nth_value over the running frame: NULL for the first two rows
+        n_null = sum(1 for r in seg_rows if r["third_key"] is None)
+        assert n_null == min(2, len(seg_rows))
+
+
+def test_variant_missing_path_and_agreement(spark):
+    rows = registry.QUERIES["fn-variant-json"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    assert all(r["paths_agree"] for r in rows)
+    assert all(r["missing_field"] is None for r in rows)
+    assert all(r["vtype"] == "OBJECT<k: BIGINT>" for r in rows)
+
+
 def test_kmeans_every_cluster_nonempty_and_keys_complete(spark):
     rows = registry.QUERIES["embed-kmeans-lloyd"](
         spark, "/root/testdata/sf0.01"
