@@ -128,6 +128,7 @@ HEADLINE = [
     "sample-balanced-downsample",
     "join-asof-tolerance",
     "fn-variant-json",
+    "text-containment",
 ]
 
 

@@ -1484,3 +1484,196 @@ def dedup_cross_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bloom_no_false_negative"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text-containment — asymmetric doc-in-doc detection (quotes / reposts)
+# ---------------------------------------------------------------------------
+
+_CONT_N = 4  # shingle width (tokens)
+_CONT_THRESH = 0.5  # report floor
+_CONT_FLAG = 0.8  # "effectively contained" flag threshold
+_CONT_MAXDF = 20  # hot-shingle guard: grams in more docs are boilerplate
+
+_CONTAIN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN len(tk) >= {_CONT_N}
+              THEN list_distinct(list_transform(range(1, len(tk) - {_CONT_N - 2}),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))
+              ELSE [] END AS grams
+  FROM t
+),
+exploded AS (
+  SELECT doc_id, lang, source, unnest(grams) AS g FROM sh
+),
+rare AS (
+  SELECT lang, source, g FROM exploded
+  GROUP BY 1, 2, 3 HAVING COUNT(*) <= {_CONT_MAXDF}
+),
+er AS (
+  SELECT e.* FROM exploded e JOIN rare r
+    ON r.g = e.g AND r.lang = e.lang AND r.source = e.source
+),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_inter
+  FROM er a JOIN er b
+    ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
+   AND a.doc_id != b.doc_id
+  GROUP BY ALL
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM er GROUP BY doc_id),
+scored AS (
+  SELECT i.a, i.b,
+         ROUND(CAST(i.n_inter AS DOUBLE) / sa.n, 6) AS containment
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+),
+best AS (
+  SELECT a, b, containment FROM (
+    SELECT a, b, containment,
+           ROW_NUMBER() OVER (PARTITION BY a
+                              ORDER BY containment DESC, b) AS rn
+    FROM scored WHERE containment >= {_CONT_THRESH}) WHERE rn = 1
+)
+SELECT a AS doc_id, b AS container_id, containment,
+       containment >= {_CONT_FLAG} AS is_contained
+FROM best ORDER BY doc_id
+"""
+
+
+@query("text-containment", oracle=_CONTAIN_ORACLE)
+def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-set CONTAINMENT C(A→B) = |S_A ∩ S_B| / |S_A|
+    (Broder 1997's second resemblance measure) within (lang, source)
+    blocks — the doc-in-doc detector symmetric Jaccard structurally
+    misses: a short document quoted whole inside a long one has
+    containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so quote/repost/
+    boilerplate-wrapper relations never cross a Jaccard threshold.
+    Emits each document's best container (max containment, ties to the
+    lower id) above 0.5, flagged ``is_contained`` at 0.8 — the rows a
+    curation pipeline reviews before dropping subsumed documents.
+
+    Exactness: shingles are 4-token strings built identically in both
+    engines (shared tokenizer); counts are integers; containment is a
+    SINGLE division snapped to 6 dp BEFORE both the threshold compare
+    and the best-container ranking, so flag and winner are
+    boundary-exact cross-engine.
+
+    Plan shape (the dedup-ngram-jaccard argument, asymmetric flavor):
+    this is the VERIFY stage you run after LSH/banding blocks at
+    scale, never standalone — here (lang, source) blocking stands in
+    for the candidate generator; the pair join moves (doc_id, gram)
+    ids only, the per-pair count groupBy map-side combines, and the
+    per-doc winner is one WindowGroupLimit pass. Ordered pairs double
+    the exchange vs Jaccard's a<b — the price of an asymmetric
+    measure, paid in ids."""
+    d = load_table(spark, sf_dir, "documents")
+    # pin the token array behind a Generate barrier BEFORE the shingle
+    # lambda touches it: element_at inside transform() inlines its
+    # argument, so an unpinned toks() re-runs the regex split per
+    # element access — 4 accesses x ~90 shingles = ~360 splits of the
+    # full text per row (measured 27 s of the ungated 57 s at sf0.1;
+    # pinned, the split runs once per row)
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.array(F.struct(toks().alias("t")))).alias("s"),
+    ).select("doc_id", "lang", "source", F.col("s.t").alias("tk"))
+    tk = F.col("tk")
+    grams = F.when(
+        F.size(tk) >= _CONT_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - (_CONT_N - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(tk, (i + off).cast("int"))
+                        for off in range(_CONT_N)
+                    ],
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = base.select("doc_id", "lang", "source", grams.alias("grams"))
+    # shingles leave the scan as 8-byte xxhash64 keys, never strings
+    # (the text-decontaminate contract: the string-joining oracle
+    # certifies the hash key — a collision would fail the driver's
+    # value compare)
+    exploded = sh.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.transform("grams", lambda g: F.xxhash64(g))
+        ).alias("g"),
+    )
+    # hot-shingle guard (the LSH oversized-bucket discipline, gram-
+    # frequency flavored): a shingle in > MAXDF docs of its block is
+    # boilerplate — it carries no containment signal and its pair
+    # fanout is df² (the ungated join measured 57 s at sf0.1; gated,
+    # fanout per gram is bounded at MAXDF²). The measure becomes
+    # containment over INFORMATIVE shingles — numerator and
+    # denominator both restrict, mirrored in the oracle.
+    from pyspark.sql import Window as WG
+
+    er = (
+        exploded.withColumn(
+            "dfg",
+            F.count("*").over(WG.partitionBy("lang", "source", "g")),
+        )
+        .filter(F.col("dfg") <= _CONT_MAXDF)
+        .drop("dfg")
+        # three consumers (both join sides + sizes); checkpointed blocks
+        # release via the ContextCleaner when the invocation's DataFrame
+        # is dropped — no manual persist lifecycle
+        .localCheckpoint(eager=True)
+    )
+    a, b = er.alias("a"), er.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = er.groupBy("doc_id").agg(F.count("*").alias("n"))
+    scored = inter.join(sizes, inter.ia == sizes.doc_id).select(
+        "ia",
+        "ib",
+        F.round(F.col("n_inter").cast("double") / F.col("n"), 6).alias(
+            "containment"
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    best = (
+        scored.filter(F.col("containment") >= _CONT_THRESH)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("ia").orderBy(
+                    F.col("containment").desc(), F.col("ib")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return best.select(
+        F.col("ia").alias("doc_id"),
+        F.col("ib").alias("container_id"),
+        "containment",
+        (F.col("containment") >= _CONT_FLAG).alias("is_contained"),
+    ).orderBy("doc_id")

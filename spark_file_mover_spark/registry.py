@@ -144,6 +144,7 @@ _PRIORITY_R7 = [
     "sample-balanced-downsample",
     "join-asof-tolerance",
     "fn-variant-json",
+    "text-containment",
     # changed r7 (value-identical left-join hardening), r6-fresh —
     # deliberately the last head slot
     "text-perplexity-proxy",

@@ -648,6 +648,68 @@ def test_variant_missing_path_and_agreement(spark):
     assert all(r["vtype"] == "OBJECT<k: BIGINT>" for r in rows)
 
 
+# ---------------------------------------------------------------------------
+# text-containment vs a pure-Python containment reference (sf0.01 — the
+# relation is sparse; sf0.001 has no qualifying pair)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_matches_pure_python_reference(spark):
+    import re
+
+    t = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet",
+        columns=["doc_id", "lang", "source", "text"],
+    )
+    docs = list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("lang").to_pylist(),
+            t.column("source").to_pylist(),
+            t.column("text").to_pylist(),
+        )
+    )
+    shingles = {}
+    for did, lang, src, text in docs:
+        tk = re.split(r"\s+", text.strip().lower())
+        s = (
+            {" ".join(tk[i : i + 4]) for i in range(len(tk) - 3)}
+            if len(tk) >= 4
+            else set()
+        )
+        shingles[did] = ((lang, src), s)
+    # hot-shingle guard: df per (block, gram) <= 20
+    df: dict = {}
+    for did, (blk, s) in shingles.items():
+        for g in s:
+            df[(blk, g)] = df.get((blk, g), 0) + 1
+    rare = {
+        did: (blk, {g for g in s if df[(blk, g)] <= 20})
+        for did, (blk, s) in shingles.items()
+    }
+    expected = {}
+    for a, (blk_a, sa) in rare.items():
+        if not sa:
+            continue
+        best = None
+        for b, (blk_b, sb) in rare.items():
+            if a == b or blk_a != blk_b or not sb:
+                continue
+            c = round(len(sa & sb) / len(sa), 6)
+            if c >= 0.5 and (best is None or (-c, b) < best):
+                best = (-c, b)
+        if best is not None:
+            expected[a] = (best[1], -best[0], -best[0] >= 0.8)
+    got = {
+        r["doc_id"]: (r["container_id"], r["containment"], r["is_contained"])
+        for r in registry.QUERIES["text-containment"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert got == expected
+    assert got, "fixture must exercise at least one containment pair"
+
+
 def test_kmeans_every_cluster_nonempty_and_keys_complete(spark):
     rows = registry.QUERIES["embed-kmeans-lloyd"](
         spark, "/root/testdata/sf0.01"
