@@ -1621,7 +1621,7 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fanout per gram is bounded at MAXDF²). The measure becomes
     # containment over INFORMATIVE shingles — numerator and
     # denominator both restrict, mirrored in the oracle.
-    from pyspark.sql import Window as WG
+    from pyspark.sql import Window as WG  # one import serves guard + ranking
 
     er = (
         exploded.withColumn(
@@ -1657,14 +1657,12 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment"
         ),
     )
-    from pyspark.sql import Window as W
-
     best = (
         scored.filter(F.col("containment") >= _CONT_THRESH)
         .withColumn(
             "rn",
             F.row_number().over(
-                W.partitionBy("ia").orderBy(
+                WG.partitionBy("ia").orderBy(
                     F.col("containment").desc(), F.col("ib")
                 )
             ),

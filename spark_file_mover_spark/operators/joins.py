@@ -382,20 +382,15 @@ FROM e LEFT JOIN matched m ON m.event_id = e.event_id
 """
 
 
-@query("join-asof", oracle=_ASOF_ORACLE)
-def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D9: AS-OF join — for each event, the customer's most recent order
-    at-or-before the event time (ties on date broken by max orderkey).
-
-    Implementation is the scalable union-and-window formulation: tag both
-    streams, union them, sort once per key by (time, stream-tag, orderkey)
-    and carry the last non-null order id forward with
-    ``last(ignorenulls)``. ONE shuffle + ONE sort over |orders|+|events| —
-    versus the naive inequality join, whose intermediate is |events| x
-    orders-per-key and which no planner can hash. This is how as-of joins
-    are built on any engine without a native operator; event timestamps
-    are folded into the order-date era so matches interleave in time.
-    """
+def _asof_merged(spark: SparkSession, sf_dir: str):
+    """THE union-and-window as-of scaffolding D9 and D12 share (the
+    _textnorm single-definition discipline: the era-fold constant, the
+    null-column padding and the (t, is_event, okey) tie-break define
+    the as-of semantics — one copy, or the variants silently diverge):
+    tag both streams, union them, and return (merged, window) where
+    the window sorts once per key with orders BEFORE events at equal t
+    (as-of is <=) and same-date orders ascending by okey so a carried
+    last() is the max orderkey of that date."""
     e = load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -406,7 +401,6 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("asof_ts"),
     )
     o = load_table(spark, sf_dir, "orders")
-
     orders_side = o.select(
         F.col("o_custkey").alias("key"),
         F.col("o_orderdate").alias("t"),
@@ -425,18 +419,34 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    # orders sort before events at equal t (asof is <=); same-date orders
-    # ascend by okey so the carried value is the max orderkey of that date
     w = (
         W.partitionBy("key")
         .orderBy("t", "is_event", "okey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    merged = orders_side.unionByName(events_side).withColumn(
-        "matched_orderkey", F.last("okey", ignorenulls=True).over(w)
-    )
+    return orders_side.unionByName(events_side), w
+
+
+@query("join-asof", oracle=_ASOF_ORACLE)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9: AS-OF join — for each event, the customer's most recent order
+    at-or-before the event time (ties on date broken by max orderkey).
+
+    Implementation is the scalable union-and-window formulation
+    (:func:`_asof_merged`): sort once per key and carry the last
+    non-null order id forward with ``last(ignorenulls)``. ONE shuffle +
+    ONE sort over |orders|+|events| — versus the naive inequality join,
+    whose intermediate is |events| x orders-per-key and which no
+    planner can hash. This is how as-of joins are built on any engine
+    without a native operator; event timestamps are folded into the
+    order-date era so matches interleave in time.
+    """
+    merged, w = _asof_merged(spark, sf_dir)
     return (
-        merged.filter(F.col("is_event") == 1)
+        merged.withColumn(
+            "matched_orderkey", F.last("okey", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_event") == 1)
         .select(
             "event_id",
             F.col("key").alias("user_id"),
@@ -601,7 +611,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# D11 — as-of join with a tolerance (staleness) bound
+# D12 — as-of join with a tolerance (staleness) bound
 # ---------------------------------------------------------------------------
 
 _ASOF_TOL_DAYS = 90
@@ -641,7 +651,7 @@ ORDER BY e.event_id
 
 @query("join-asof-tolerance", oracle=_ASOF_TOL_ORACLE)
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D11: as-of join with a TOLERANCE bound — D9's semantics plus the
+    """D12: as-of join with a TOLERANCE bound — D9's semantics plus the
     staleness rule every production as-of join actually ships with
     (pandas ``merge_asof(tolerance=...)``, kdb ``wj``): a match older
     than 90 days is no match (a stale quote/sensor reading is worse
@@ -650,45 +660,14 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     existed but aged out" — the two cases downstream imputation treats
     differently.
 
-    Same scalable union-and-window shape as D9 (ONE shuffle + ONE sort
-    over |orders|+|events|; no inequality join), except the carried
-    value is a (time, orderkey) STRUCT so the tolerance predicate can
-    check the matched time AFTER the carry — the window itself is
-    unchanged, which is the point: tolerance is a post-filter on the
-    carried match, not a different join."""
-    e = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        F.timestamp_add(
-            "DAY",
-            (F.col("event_id") % 2400).cast("int"),
-            F.to_timestamp(F.lit("1995-01-01")),
-        ).alias("asof_ts"),
-    )
-    o = load_table(spark, sf_dir, "orders")
-    orders_side = o.select(
-        F.col("o_custkey").alias("key"),
-        F.col("o_orderdate").alias("t"),
-        F.lit(0).alias("is_event"),
-        F.col("o_orderkey").alias("okey"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.lit(None).cast("timestamp").alias("asof_ts"),
-    )
-    events_side = e.select(
-        F.col("user_id").alias("key"),
-        F.col("asof_ts").alias("t"),
-        F.lit(1).alias("is_event"),
-        F.lit(None).cast("long").alias("okey"),
-        "event_id",
-        "asof_ts",
-    )
-    from pyspark.sql import Window as W
-
-    w = (
-        W.partitionBy("key")
-        .orderBy("t", "is_event", "okey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    Same scalable union-and-window shape as D9 (shared scaffolding:
+    :func:`_asof_merged` — ONE shuffle + ONE sort over
+    |orders|+|events|; no inequality join), except the carried value
+    is a (time, orderkey) STRUCT so the tolerance predicate can check
+    the matched time AFTER the carry — the window itself is unchanged,
+    which is the point: tolerance is a post-filter on the carried
+    match, not a different join."""
+    merged, w = _asof_merged(spark, sf_dir)
     carried = F.last(
         F.when(
             F.col("okey").isNotNull(),
@@ -696,7 +675,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ignorenulls=True,
     ).over(w)
-    merged = orders_side.unionByName(events_side).withColumn("m", carried)
+    merged = merged.withColumn("m", carried)
     fresh = F.col("m.mt") >= F.timestamp_add(
         "DAY", F.lit(-_ASOF_TOL_DAYS), F.col("asof_ts")
     )
