@@ -55,3 +55,16 @@ def test_priority_list_is_valid():
     assert len(pri) == len(set(pri)), "duplicate keys in priority list"
     unknown = [k for k in pri if k not in registry.QUERIES]
     assert not unknown, f"priority keys not registered: {unknown}"
+
+
+def test_bench_headline_keys_are_registered():
+    """bench.py only WARNS on unknown HEADLINE keys at runtime — a
+    renamed key would silently drop out of every future sweep; fail CI
+    instead. Duplicates would double-count a key's time in totals."""
+    import bench
+
+    unknown = [k for k in bench.HEADLINE if k not in registry.QUERIES]
+    assert not unknown, f"HEADLINE keys not registered: {unknown}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    for frozen in (bench.COMMON16, bench.COMMON20):
+        assert set(frozen) <= set(bench.HEADLINE)
