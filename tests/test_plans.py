@@ -429,3 +429,56 @@ def test_dpp_join_prunes_fact_partitions_at_runtime(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower()
     assert "ReusedExchange" in plan
+
+
+def test_pq_encode_is_map_only(spark, sf_dir):
+    """embed-pq-encode's scale claim: zero shuffle before the
+    presentation sort — exactly ONE Exchange (the orderBy range
+    partitioning) and the two pinned projection layers (Generate
+    barriers) that stop CollapseProject re-slicing subvectors."""
+    df = registry.QUERIES["embed-pq-encode"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert plan.count("Generate") == 2
+
+
+def test_reservoir_uses_partial_topk_not_global_sort(spark, sf_dir):
+    """sample-reservoir-weighted must run the top-(k+1) as
+    TakeOrderedAndProject (per-partition heaps) with the one-row tau
+    aggregate broadcast back — a global Sort+Exchange over the corpus
+    would be the unscalable formulation."""
+    df = registry.QUERIES["sample-reservoir-weighted"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_ivfpq_broadcasts_adc_tables(spark, sf_dir):
+    """embed-ann-ivfpq's query path: the ADC lookup tables
+    (queries x nprobe x 128 integer rows) must reach the candidate
+    join as broadcasts — shuffling candidates against them would move
+    the corpus-sized side for a metadata-sized table."""
+    df = registry.QUERIES["embed-ann-ivfpq"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan and "BroadcastHashJoin" in plan
+
+
+def test_variant_json_is_map_only(spark, sf_dir):
+    """fn-variant-json is a pure projection over the scan: one
+    Exchange only (the presentation sort), no Python, no Generate."""
+    df = registry.QUERIES["fn-variant-json"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan
+
+
+def test_containment_shuffles_hashes_not_text(spark, sf_dir):
+    """text-containment's scale contract: after the scan stage, gram
+    STRINGS and document text never appear in an exchange — shingles
+    cross as 8-byte xxhash64 keys (the text-dup-span pin, containment
+    flavored)."""
+    df = registry.QUERIES["text-containment"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
