@@ -129,6 +129,7 @@ HEADLINE = [
     "join-asof-tolerance",
     "fn-variant-json",
     "text-containment",
+    "agg-mode-exact",
 ]
 
 

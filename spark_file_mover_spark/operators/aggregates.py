@@ -996,3 +996,70 @@ def agg_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# E16 — exact mode with deterministic tie-break (the distribution trick)
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH dist AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(MIN(CASE WHEN rn = 1 THEN cents END) AS DOUBLE) / 100
+         AS mode_value,
+       CAST(MIN(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS n_at_mode,
+       COUNT(*) AS n_distinct_values
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY cnt DESC, cents) AS rn
+  FROM dist)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("agg-mode-exact", oracle=_MODE_ORACLE)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16: EXACT modal value per group with a DETERMINISTIC tie-break
+    (smallest value wins) — completing the ordered-set aggregate
+    family next to E13's exact median/MAD. Spark ships ``mode()``
+    since 3.4, but its tie behavior is unspecified (whichever value
+    the hash map yields first) — useless under a hash-compare gate and
+    dangerous anywhere reproducibility matters; the distribution
+    formulation pins ties by construction.
+
+    The E13 trick makes it scale: ``events.value`` is an exact
+    2-decimal quantity, so one scan collapses to the per-(type, cent)
+    COUNT distribution (map-side combine absorbs row volume; the
+    relation is bounded by the VALUE RANGE at any data size), and the
+    mode is one ``min(struct(-count, value))`` aggregate over it — no
+    window, no second scan. ``n_distinct_values`` rides the same
+    exchange. Exact integer arithmetic end to end; the oracle keeps
+    the ROW_NUMBER form so the derivations stay independent."""
+    e = load_table(spark, sf_dir, "events")
+    dist = e.groupBy(
+        "event_type",
+        (dec("value") * 100).cast("bigint").alias("cents"),
+    ).agg(F.count("*").alias("cnt"))
+    return (
+        dist.groupBy("event_type")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("nc"), F.col("cents").alias("c")
+                )
+            ).alias("m"),
+            F.count("*").alias("n_distinct_values"),
+        )
+        .select(
+            "event_type",
+            (F.col("m.c").cast("double") / 100).alias("mode_value"),
+            (-F.col("m.nc")).alias("n_at_mode"),
+            "n_distinct_values",
+        )
+        .orderBy("event_type")
+    )

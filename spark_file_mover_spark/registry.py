@@ -145,6 +145,7 @@ _PRIORITY_R7 = [
     "join-asof-tolerance",
     "fn-variant-json",
     "text-containment",
+    "agg-mode-exact",
     # changed r7 (value-identical left-join hardening), r6-fresh —
     # deliberately the last head slot
     "text-perplexity-proxy",
