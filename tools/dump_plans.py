@@ -76,6 +76,7 @@ NOTES = {
     "join-asof-tolerance": "D9's union-and-window as-of (ONE shuffle + ONE sort, no inequality join) carrying a (time, key) STRUCT so the 90-day staleness rule is a post-filter on the carried match; fresh / aged-out / no-match separated in the output.",
     "fn-variant-json": "parse_json once into the VARIANT binary encoding; every try_variant_get is a direct read fused into the scan (vs get_json_object's per-row-per-path re-parse, cross-checked in the same projection). Map-only.",
     "text-containment": "Verify-stage asymmetric containment: token array pinned behind a Generate barrier (unpinned, element_at re-ran the regex split ~360x/row - 27 s of a 57 s ungated run), shingles cross exchanges as 8-byte xxhash64 keys (string-joining oracle certifies the hash), hot-shingle df-guard bounds pair fanout at df^2, winner = one WindowGroupLimit pass.",
+    "agg-mode-exact": "The E13 distribution trick, mode-flavored: one scan -> per-(type, cent) COUNT distribution (map-side combine, value-range-bounded), mode = one min(struct(-count, value)) aggregate - deterministic ties by construction, no window, no second scan.",
 }
 
 
