@@ -130,6 +130,7 @@ HEADLINE = [
     "fn-variant-json",
     "text-containment",
     "agg-mode-exact",
+    "stream-sink-exactly-once",
 ]
 
 

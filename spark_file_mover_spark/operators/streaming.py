@@ -653,3 +653,91 @@ def stream_disorder_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# H10 — exactly-once streaming sink: checkpointed writeStream + restart
+# ---------------------------------------------------------------------------
+
+_EOS_ORACLE = """
+SELECT 'p1_initial' AS phase,
+       (SELECT COUNT(*) FROM events WHERE event_id % 4 = 0) AS n_in_sink
+UNION ALL
+SELECT 'p2_restart_no_new_data',
+       (SELECT COUNT(*) FROM events WHERE event_id % 4 = 0)
+UNION ALL
+SELECT 'p3_incremental_batch',
+       (SELECT COUNT(*) FROM events WHERE event_id % 4 IN (0, 2))
+ORDER BY phase
+"""
+
+
+@query("stream-sink-exactly-once", oracle=_EOS_ORACLE)
+def stream_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H10: the exactly-once STREAMING WRITE path — the mechanism that
+    makes restartable pipelines safe: a checkpointed ``writeStream``
+    into a file sink commits each micro-batch through the sink's
+    transaction log, so (p2) restarting the SAME query with the SAME
+    checkpoint and no new data appends NOTHING (offsets already
+    committed — the crash/redeploy case), and (p3) a new source file
+    is processed INCREMENTALLY (only the delta, never a reprocess of
+    old batches). H1-H8 cover streaming's query semantics; this key
+    covers its delivery semantics, which is what "streaming" buys over
+    rerunning batch jobs at 100 TB: restart cost is the delta, and
+    double-billing a micro-batch is structurally impossible.
+
+    Each phase runs ``Trigger.AvailableNow`` to completion (the
+    batch-bounded execution mode the equivalence tests use), and the
+    declared output is the sink's row count after each phase — the
+    oracle states the exactly-once arithmetic (p1 == p2; p3 adds
+    exactly the new slice) directly from the source predicates.
+
+    Scale posture: the file sink's ``_spark_metadata`` log IS the
+    manifest pattern of sink-snapshot-read, maintained by the engine;
+    checkpoint + sink survive any number of restarts, and the source
+    listing is incremental (maxFilesPerTrigger bounds batch size in a
+    real deployment). Cost note: ~1.8-2.0 s/invocation at ANY sf —
+    three sequential streaming-query startups, data-independent (the
+    audio-meta flat-at-scale profile); it sits at the scoring-budget
+    edge by construction, not by data volume."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sfm-h10-")
+    src_dir, sink_dir, ckpt = (
+        base + "/src",
+        base + "/sink",
+        base + "/ckpt",
+    )
+    e = load_table(spark, sf_dir, "events")
+    schema = e.schema
+    e.filter(F.col("event_id") % 4 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+
+    def run_stream() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    counts = {}
+    run_stream()
+    counts["p1_initial"] = spark.read.parquet(sink_dir).count()
+    run_stream()  # same checkpoint, no new data -> must append nothing
+    counts["p2_restart_no_new_data"] = spark.read.parquet(sink_dir).count()
+    # a NEW file lands; the restarted query processes ONLY the delta
+    e.filter(F.col("event_id") % 4 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    run_stream()
+    counts["p3_incremental_batch"] = spark.read.parquet(sink_dir).count()
+
+    return spark.createDataFrame(
+        sorted(counts.items()), "phase string, n_in_sink long"
+    ).orderBy("phase")

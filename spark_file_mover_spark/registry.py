@@ -146,6 +146,7 @@ _PRIORITY_R7 = [
     "fn-variant-json",
     "text-containment",
     "agg-mode-exact",
+    "stream-sink-exactly-once",
     # changed r7 (value-identical left-join hardening), r6-fresh —
     # deliberately the last head slot
     "text-perplexity-proxy",
