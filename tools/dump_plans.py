@@ -77,6 +77,7 @@ NOTES = {
     "fn-variant-json": "parse_json once into the VARIANT binary encoding; every try_variant_get is a direct read fused into the scan (vs get_json_object's per-row-per-path re-parse, cross-checked in the same projection). Map-only.",
     "text-containment": "Verify-stage asymmetric containment: token array pinned behind a Generate barrier (unpinned, element_at re-ran the regex split ~360x/row - 27 s of a 57 s ungated run), shingles cross exchanges as 8-byte xxhash64 keys (string-joining oracle certifies the hash), hot-shingle df-guard bounds pair fanout at df^2, winner = one WindowGroupLimit pass.",
     "agg-mode-exact": "The E13 distribution trick, mode-flavored: one scan -> per-(type, cent) COUNT distribution (map-side combine, value-range-bounded), mode = one min(struct(-count, value)) aggregate - deterministic ties by construction, no window, no second scan.",
+    "stream-sink-exactly-once": "Delivery-semantics proof, not a plan shape: three AvailableNow writeStream phases against one checkpoint - restart appends nothing, a new file processes as its delta; the file sink's _spark_metadata log is the engine-maintained manifest. Cost = 3 streaming-query startups, data-independent.",
 }
 
 
