@@ -62,100 +62,123 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
     return deco
 
 
-# Scoring priority for the current round (r7). The driver consumes
+# Scoring priority for the current round (r8). The driver consumes
 # ``queries()`` in dict insertion order under a wall-clock budget
-# (~50 keys/round; the r02 run was cut at position 51 and r6 scored
-# exactly 50), so ``load_all`` rebuilds the registry dict in this order
-# after all modules import:
+# (~50 keys/round; r6 and r7 each scored exactly 50), so ``load_all``
+# rebuilds the registry dict in this order after all modules import:
 #
-#   1. sink-compact — its last driver row is r4 (2 rounds stale): it
-#      sat at cut position 51 in r6, the exact pathology that kept
-#      sink-bucketed/sink-merge-upsert stale through r4/r5.
-#   2. The two keys whose implementations CHANGED in r6 but were cut
-#      at positions 52-53, so the driver has never scored the current
-#      code (dedup-near-minhash — changed again in r7's perf rework —
-#      and text-chunk-sliding).
-#   3. The two NEW r7 keys (multimodal-video-meta, text-dup-cut) — no
-#      driver row exists at all.
-#   4. The 48 keys whose latest driver row is r5 — scoring them keeps
-#      every key at <=1-round staleness; a ~50-key cut drops only this
-#      block's tail.
-#   5. text-perplexity-proxy LAST in the head: its r7 change (left
-#      join + coalesce) is value-identical by construction and it is
-#      r6-fresh, so it is the least-harm key to lose to the cut.
-#   6. Everything r6-fresh falls through to the tail (load_all appends
-#      registry order for keys not listed here).
-_PRIORITY_R7 = [
-    # 2-round-stale key FIRST (cut at position 51 in r6)
-    "sink-compact",
-    # changed in r6 (and r7), never driver-scored since
-    "dedup-near-minhash",
-    "text-chunk-sliding",
-    # new r7 keys: no driver row at all
-    "multimodal-video-meta",
-    "text-dup-cut",
-    # r5-stale block (latest green row is r5)
-    "move-partition-extract", "move-template", "move-collision-guard",
-    "write-single-file",
-    "scan-parquet", "scan-table-manifest", "scan-csv-roundtrip",
-    "sink-sorted-pruning", "scan-orc-roundtrip", "sink-partitioned",
-    "sink-overwrite",
-    "project-select", "filter-pred", "filter-like-regexp",
-    "join-semi-anti", "join-broadcast", "join-range-theta",
-    "fn-string", "fn-date", "fn-math", "fn-array", "fn-map-json",
-    "fn-case-when-cast",
-    "dedup-exact", "sim-search-topk", "text-analysis",
-    "multimodal-binary", "dedup-simhash", "dedup-ngram-jaccard",
-    "dedup-embedding-cosine", "text-token-count", "text-langid",
-    "text-quality-score", "text-fingerprint", "multimodal-frame-sample",
-    "text-pii-scrub", "text-ngram-freq", "sample-train-split",
-    "sample-hash-stratified", "text-url-normalize",
-    "sample-pack-sequences", "text-tfidf-topk", "embed-quantize-int8",
-    "sim-search-lsh", "sample-temperature-weights",
-    "udf-scalar-pandas", "udaf-grouped-pandas", "udtf-explode-like",
-    # late-r7 extras: new keys placed AFTER the full r5-stale block so
-    # scoring them never costs a stale key its row (they have local sim
-    # + pytest evidence; a driver row follows in r8 at the latest)
+#   1. The 31 keys that have NEVER been driver-scored (every one
+#      landed behind r7's 50-key cut after the late-r7 additions).
+#      LLM-family keys first, then B/E/H/D/F/G — the exact order the
+#      r7 verdict asked for. All 31 are green in the full-inventory
+#      oracle sim; this buys the hard driver row.
+#   2. The 3 keys whose latest driver row is r5 (udf/udaf/udtf) —
+#      two rounds stale, the oldest rows in the registry.
+#   3. The full r6-scored block in tools/stale_keys.py order
+#      (text-perplexity-proxy first: its r7 left-join hardening has
+#      never been driver-scored). Positions 35-50 of the cut come
+#      from this block's head; if the driver scores past 50, it
+#      keeps consuming the stalest keys next rather than r7-fresh
+#      ones.
+#   4. Everything r7-fresh falls through to the tail (load_all
+#      appends registry order for keys not listed here).
+#
+# Round 8 adds NO new keys (verdict #2: freeze the count at 134 so
+# the rotation converges; any future addition goes at the HEAD).
+_PRIORITY_R8 = [
+    # -- 31 never-driver-scored keys (late-r7 additions) --
     "dedup-image-phash",
-    "text-gopher-rules",
-    "sink-zorder",
-    "agg-retention-cohort",
     "dedup-cross-bloom",
-    "agg-sketch-hll-merge",
-    "scan-schema-evolution",
-    "agg-outlier-mad",
-    "join-interval-overlap",
-    "embed-random-projection",
-    "graph-pagerank",
     "embed-kmeans-lloyd",
-    "agg-sketch-cms",
-    "text-bpe-pairs",
-    "sample-reservoir-weighted",
     "embed-pq-encode",
-    "graph-label-propagation",
+    "embed-ann-ivfpq",
+    "embed-random-projection",
     "multimodal-image-exif",
+    "text-bpe-pairs",
+    "text-containment",
+    "text-gopher-rules",
+    "sample-reservoir-weighted",
+    "sample-balanced-downsample",
+    "graph-pagerank",
+    "graph-label-propagation",
+    "sink-zorder",
     "sink-snapshot-read",
     "scan-dpp-join",
-    "embed-ann-ivfpq",
-    "stream-disorder-metrics",
-    "agg-sketch-theta-setops",
+    "scan-schema-evolution",
     "scan-csv-corrupt-recover",
-    "window-distribution",
-    "sample-balanced-downsample",
-    "join-asof-tolerance",
-    "fn-variant-json",
-    "text-containment",
+    "agg-retention-cohort",
+    "agg-sketch-hll-merge",
+    "agg-sketch-cms",
+    "agg-sketch-theta-setops",
+    "agg-outlier-mad",
     "agg-mode-exact",
+    "join-interval-overlap",
+    "join-asof-tolerance",
+    "window-distribution",
+    "fn-variant-json",
+    "stream-disorder-metrics",
     "stream-sink-exactly-once",
-    # changed r7 (value-identical left-join hardening), r6-fresh —
-    # deliberately the last head slot
+    # -- r5-stale J keys (oldest driver rows in the registry) --
+    "udf-scalar-pandas",
+    "udaf-grouped-pandas",
+    "udtf-explode-like",
+    # -- r6-scored block, stale_keys.py order --
     "text-perplexity-proxy",
+    "agg-hash",
+    "agg-distinct",
+    "agg-approx-distinct",
+    "agg-rollup-cube-gsets",
+    "agg-having",
+    "agg-approx-quantile",
+    "agg-pivot",
+    "agg-stats",
+    "agg-unpivot",
+    "agg-incremental-merge",
+    "window-ranking",
+    "window-analytic",
+    "window-frame-agg",
+    "topk-per-group",
+    "sort-limit",
+    "etl-scd2",
+    "etl-cdc-apply",
+    "set-union-intersect-except",
+    "stream-tumbling",
+    "stream-sliding",
+    "stream-session",
+    "stream-dedup-late",
+    "stream-stateful-agg",
+    "stream-join",
+    "events-funnel",
+    "rollup-hierarchical",
+    "join-inner-equi",
+    "join-left-right-full",
+    "join-multiway-star",
+    "join-skew-salted",
+    "join-range-binned",
+    "join-asof",
+    "join-lateral-topk",
+    "dedup-components",
+    "dedup-paragraph",
+    "text-dup-span",
+    "sim-search-ivf",
+    "text-decontaminate",
+    "text-repetition",
+    "filter-scalar-subquery",
+    "fn-bitwise",
+    "multimodal-image-dims",
+    "multimodal-audio-meta",
+    "move-list-files",
+    "move-rename",
+    "scan-jsonl-roundtrip",
+    "sink-bucketed",
+    "repartition-n",
+    "sink-merge-upsert",
 ]
 
 
 def load_all() -> None:
     """Import every operator module so registrations run, then rebuild
-    the registry dict in scoring-priority order (see ``_PRIORITY_R7``) —
+    the registry dict in scoring-priority order (see ``_PRIORITY_R8``) —
     dict insertion order IS the driver's scoring order."""
     # Imports are at call time so `import spark_file_mover_spark` stays cheap.
     from spark_file_mover_spark.operators import (  # noqa: F401
@@ -179,8 +202,8 @@ def load_all() -> None:
     from spark_file_mover_spark import filemover_queries, udfs  # noqa: F401
     from spark_file_mover_spark.sources import sourcesink  # noqa: F401
 
-    ordered = [k for k in _PRIORITY_R7 if k in QUERIES]
-    ordered += [k for k in QUERIES if k not in _PRIORITY_R7]
+    ordered = [k for k in _PRIORITY_R8 if k in QUERIES]
+    ordered += [k for k in QUERIES if k not in _PRIORITY_R8]
     for mapping in (QUERIES, ORACLES):
         snapshot = {k: mapping[k] for k in ordered if k in mapping}
         mapping.clear()
