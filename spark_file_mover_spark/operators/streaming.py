@@ -696,10 +696,13 @@ def stream_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest pattern of sink-snapshot-read, maintained by the engine;
     checkpoint + sink survive any number of restarts, and the source
     listing is incremental (maxFilesPerTrigger bounds batch size in a
-    real deployment). Cost note: ~1.8-2.0 s/invocation at ANY sf —
-    three sequential streaming-query startups, data-independent (the
-    audio-meta flat-at-scale profile); it sits at the scoring-budget
-    edge by construction, not by data volume."""
+    real deployment). Cost note: ~1.4-1.6 s/invocation warm (~0.5 s
+    more on a process's FIRST streaming start), data-independent at
+    ANY sf (the audio-meta flat-at-scale profile) — three sequential
+    streaming-query startups are the floor; the r8 consolidation pass
+    took the only cheap slack (schema-pinned sink count reads, below)
+    and measured the remaining cost as pure StreamExecution startup.
+    Do not chase this key below ~1.4 s without changing the proof."""
     import tempfile
 
     base = tempfile.mkdtemp(prefix="sfm-h10-")
@@ -726,17 +729,23 @@ def stream_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
+    # Sink counts pin the stream's declared schema: the sink holds
+    # exactly what the stream wrote, and skipping parquet footer
+    # inference saves ~0.1 s per read (~0.35 s/invocation, measured).
+    def sink_count() -> int:
+        return spark.read.schema(schema).parquet(sink_dir).count()
+
     counts = {}
     run_stream()
-    counts["p1_initial"] = spark.read.parquet(sink_dir).count()
+    counts["p1_initial"] = sink_count()
     run_stream()  # same checkpoint, no new data -> must append nothing
-    counts["p2_restart_no_new_data"] = spark.read.parquet(sink_dir).count()
+    counts["p2_restart_no_new_data"] = sink_count()
     # a NEW file lands; the restarted query processes ONLY the delta
     e.filter(F.col("event_id") % 4 == 2).coalesce(1).write.mode(
         "append"
     ).parquet(src_dir)
     run_stream()
-    counts["p3_incremental_batch"] = spark.read.parquet(sink_dir).count()
+    counts["p3_incremental_batch"] = sink_count()
 
     return spark.createDataFrame(
         sorted(counts.items()), "phase string, n_in_sink long"
