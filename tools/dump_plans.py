@@ -43,7 +43,7 @@ NOTES = {
     "text-decontaminate": "Corpus grams exploded once, moved as 8-byte xxhash64 keys; eval gram set broadcast into a semi-join (eval sets are small by nature); corpus text never shuffles.",
     "rollup-hierarchical": "Two-level agg cascade: hourly (mergeable aggs) then daily FROM hourly; raw scanned once.",
     "text-dup-span": "Marking pass of exact-substring dedup: grams hashed map-side, only (doc_id, pos, gh) leaves the scan; id-only gram relation persisted across its two consumers (dup aggregate + semi-join probe); min!=max groupBy on the 8-byte hash; gaps-and-islands window for runs. Text never crosses a hash exchange (pinned).",
-    "text-dup-cut": "Cutting pass over the same gram relation builders as text-dup-span: duplicated gram positions expand to covered token indices (id-only explode, no distinct - the anti join is build-side-duplicate-insensitive); kept positions via 16-byte-per-row LEFT ANTI join on (doc_id, i); per-doc sorted index list; text rebuilt DOC-LOCALLY by indexing the doc's own token array.",
+    "text-dup-cut": "Cutting pass over the same gram relation builders as text-dup-span: dup gram positions collect to one small per-doc list (the only added exchange - nothing per-token shuffles); covered indices expand doc-locally and kept positions are array_except(sequence(0,n_tok-1), covered) (hash-set build, ascending for free); text rebuilt DOC-LOCALLY by indexing the doc's own token array. r8: replaced the all-token-positions explode + (doc_id,i) anti-join exchange + kept-positions collect shuffle of the r7 form.",
     "multimodal-video-meta": "MP4/ISO-BMFF two-level atom walk as pinned projection layers (the WAV architecture, big-endian reads): top-level boxes -> moov children; mvhd timescale/duration, first trak's tkhd 16.16 dims. Map-only, zero shuffle, zero Python; bounded hops yield NULL past the bound, never wrong values.",
     "multimodal-audio-meta": "RIFF/WAVE chunk walk as pinned projection layers: each hop is its own projection behind an explode(array(struct)) barrier so expression growth stays linear and inside janino's 64 KB codegen limit; fragments cached per SparkContext. Map-only, zero shuffle, zero Python.",
     "dedup-paragraph": "First-occurrence paragraph dedup: (doc_id, idx, xxhash64(para)) only - paragraph text hashed map-side and discarded; min(struct(doc_id, idx)) groupBy on the 8-byte hash (map-side combine collapses boilerplate); doc-local rebuild by token-array slice (pinned: no text-bearing column crosses a hash exchange).",
