@@ -321,9 +321,19 @@ def test_minhash_guard_window_runs_once_inside_cache(spark, sf_dir):
     window is computed ONCE (inside the persisted bands relation) and
     both self-join sides read the cache. The r5 shape persisted the
     pre-guard relation and let AQE's broadcast conversion silently run
-    the guard's Sort+Window+Exchange twice — once per join side."""
+    the guard's Sort+Window+Exchange twice — once per join side.
+
+    The pin targets the COLD build plan, so the r8 cross-invocation
+    bands cache is evicted first (a warm InMemoryRelation renders its
+    materialized adaptive plan per scan, inflating the textual
+    windowspec count without any extra execution)."""
     import re
 
+    from spark_file_mover_spark.llm import dedup as _dedup
+
+    if _dedup._last_bands is not None:
+        _dedup._last_bands[1].unpersist()
+        _dedup._last_bands = None
     df = registry.QUERIES["dedup-near-minhash"](spark, sf_dir)
     plan = _formatted_plan(spark, df)
     # the guard window appears exactly once (in the cached plan)...
