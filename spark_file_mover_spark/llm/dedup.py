@@ -1588,7 +1588,20 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids only, the per-pair count groupBy map-side combines, and the
     per-doc winner is one WindowGroupLimit pass. Ordered pairs double
     the exchange vs Jaccard's a<b — the price of an asymmetric
-    measure, paid in ids."""
+    measure, paid in ids.
+
+    The guarded shingle relation ``er`` is a pure function of the
+    immutable input files, so it caches per (appId, sf_dir) — the
+    minhash/phash/span materialized-view contract (r8): scan,
+    tokenization, gram hashing and the hot-shingle guard are the
+    ingest cost; repeat invocations pay only the pair join + ranking.
+    Checkpointed blocks of an evicted entry release via the
+    ContextCleaner when the reference drops."""
+    global _last_cont_er
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if _last_cont_er is not None and _last_cont_er[0] == cache_key:
+        return _containment_query(_last_cont_er[1])
+    _last_cont_er = None
     d = load_table(spark, sf_dir, "documents")
     # pin the token array behind a Generate barrier BEFORE the shingle
     # lambda touches it: element_at inside transform() inlines its
@@ -1647,11 +1660,24 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dfg") <= _CONT_MAXDF)
         .drop("dfg")
-        # three consumers (both join sides + sizes); checkpointed blocks
-        # release via the ContextCleaner when the invocation's DataFrame
-        # is dropped — no manual persist lifecycle
+        # three consumers (both join sides + sizes) plus the cross-
+        # invocation cache; checkpointed blocks release via the
+        # ContextCleaner when the cached reference is dropped
         .localCheckpoint(eager=True)
     )
+    _last_cont_er = (cache_key, er)
+    return _containment_query(er)
+
+
+# ((appId, sf_dir), er) — the live checkpointed guarded-shingle relation
+_last_cont_er = None
+
+
+def _containment_query(er: DataFrame) -> DataFrame:
+    """Pair join + containment scoring + best-container ranking over the
+    cached guarded-shingle relation."""
+    from pyspark.sql import Window as WG
+
     a, b = er.alias("a"), er.alias("b")
     inter = (
         a.join(
