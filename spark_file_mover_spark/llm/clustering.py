@@ -127,33 +127,59 @@ def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
 
-def _dist_structs(col, table, acc0) -> list:
-    """(d, c) distance structs against a literal candidate table: per
-    row one loop-based ``aggregate(zip_with(...))`` fold of squared
-    diffs (codegen stays small at any table size — the
-    embed-random-projection janino lesson). ``acc0`` selects the
-    arithmetic (long for fixed-point stages, 0.0 for float PQ)."""
-    structs = []
-    for ident, lits in table:
-        arr = F.array(*[F.lit(v) for v in lits])
-        dist = F.aggregate(
-            F.zip_with(col, arr, lambda a, b: (a - b) * (a - b)),
-            acc0,
-            lambda acc, x: acc + x,
-        )
-        structs.append(
-            F.struct(dist.alias("d"), F.lit(ident).cast("long").alias("c"))
-        )
-    return structs
+def _long_lit(v) -> str:
+    return f"{int(v)}L"
 
 
-def _nearest_fold(col, table, acc0) -> F.Column:
+def _dbl_lit(v) -> str:
+    # repr is shortest-roundtrip; CAST(string AS DOUBLE) parses to the
+    # identical binary double F.lit(float) would ship (a bare SQL
+    # decimal literal would parse as DECIMAL, not DOUBLE)
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _dist_fold_sql(col_sql: str, lits, acc_sql: str, lit_fmt) -> str:
+    """One ``aggregate(zip_with(...))`` squared-diff fold as SQL text."""
+    arr = ", ".join(lit_fmt(v) for v in lits)
+    return (
+        f"aggregate(zip_with({col_sql}, array({arr}), "
+        f"(a, b) -> (a - b) * (a - b)), {acc_sql}, (acc, x) -> acc + x)"
+    )
+
+
+def _dist_structs_sql(col_sql: str, table, acc_sql: str, lit_fmt) -> list:
+    """(d, c) distance structs against a literal candidate table,
+    rendered as SQL text: per row one loop-based fold of squared diffs
+    (codegen stays small at any table size — the
+    embed-random-projection janino lesson). ``acc_sql`` selects the
+    arithmetic (BIGINT for fixed-point stages, DOUBLE for float PQ).
+
+    Rendered as TEXT rather than composed via pyspark Column calls
+    (r8): each ``F.lit``/``F.array``/``F.aggregate`` is a py4j gateway
+    round trip, and a K×DIM literal table costs hundreds of them —
+    measured seconds of pure driver latency per cold build across the
+    kmeans/PQ/IVF-PQ family. One ``F.expr`` parse of the generated
+    string is JVM-side and produces the identical expression tree."""
+    return [
+        "named_struct('d', "
+        + _dist_fold_sql(col_sql, lits, acc_sql, lit_fmt)
+        + f", 'c', CAST({ident} AS BIGINT))"
+        for ident, lits in table
+    ]
+
+
+def _nearest_fold_sql(col_sql: str, table, acc_sql: str, lit_fmt) -> str:
     """THE argmin-over-literal-table builder every clustering/PQ stage
-    shares (kmeans assignment, PQ encode, IVF-PQ residual codes —
-    the ivfpq probe pick reuses :func:`_dist_structs` with a sorted
+    shares (kmeans assignment, PQ encode, IVF-PQ residual codes — the
+    ivfpq probe pick reuses :func:`_dist_structs_sql` with a sorted
     slice instead of the min): ``array_min`` over (d, c) structs picks
     min-dist-then-min-id."""
-    return F.array_min(F.array(*_dist_structs(col, table, acc0)))
+    structs = ", ".join(_dist_structs_sql(col_sql, table, acc_sql, lit_fmt))
+    return f"array_min(array({structs}))"
+
+
+def _nearest_fold(col_sql: str, table, acc_sql: str, lit_fmt) -> F.Column:
+    return F.expr(_nearest_fold_sql(col_sql, table, acc_sql, lit_fmt))
 
 
 def _km_assign(qdf: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
@@ -165,7 +191,8 @@ def _km_assign(qdf: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
     best = _nearest_fold(
         "qv",
         [(cid, [int(v) for v in cents[cid]]) for cid in sorted(cents)],
-        F.lit(0).cast("long"),
+        "CAST(0 AS BIGINT)",
+        _long_lit,
     )
     return qdf.select(
         "vec_id", "qv", F.explode(F.array(best)).alias("b")
@@ -342,12 +369,13 @@ _PQ_EXPR_CACHE: dict = {}
 
 def _pq_best(s: int):
     return _nearest_fold(
-        F.col(f"u.sub{s}"),
+        f"u.sub{s}",
         [
             (j, [_pq_val(s, j, d) for d in range(_PQ_DIM)])
             for j in range(_PQ_CENTS)
         ],
-        F.lit(0.0),
+        "CAST(0 AS DOUBLE)",
+        _dbl_lit,
     )
 
 
@@ -512,25 +540,20 @@ ORDER BY query_id, rank
     )
 
 
-def _cent_lookup(cents: dict, key: str = "cluster") -> F.Column:
+def _cent_lookup_sql(cents: dict, key: str = "cluster") -> str:
     """Centroid vector keyed BY CLUSTER ID (map lookup, not positional
     array indexing): the kmeans fit tolerates sparse ids (an empty
     ``vec_id % K`` residue class never seeds), and a positional
     ``element_at(array, cluster+1)`` silently reads the WRONG centroid
-    as soon as ids have a gap."""
-    return F.element_at(
-        F.map_from_arrays(
-            F.array(
-                *[F.lit(int(cid)).cast("long") for cid in sorted(cents)]
-            ),
-            F.array(
-                *[
-                    F.array(*[F.lit(int(v)) for v in cents[cid]])
-                    for cid in sorted(cents)
-                ]
-            ),
-        ),
-        F.col(key),
+    as soon as ids have a gap. SQL text for the same py4j-latency
+    reason as :func:`_dist_structs_sql`."""
+    ids = ", ".join(f"CAST({int(cid)} AS BIGINT)" for cid in sorted(cents))
+    vecs = ", ".join(
+        "array(" + ", ".join(_long_lit(v) for v in cents[cid]) + ")"
+        for cid in sorted(cents)
+    )
+    return (
+        f"element_at(map_from_arrays(array({ids}), array({vecs})), {key})"
     )
 
 
@@ -540,7 +563,9 @@ def _ivfpq_codes(asg: DataFrame, cents: dict) -> DataFrame:
     lookup), then per subspace the argmin over 16 INTEGER codebook
     entries; ties -> lower code. One Generate barrier pins the
     residual, a second the 8 winners."""
-    rv = F.zip_with("qv", _cent_lookup(cents), lambda a, b: a - b)
+    rv = F.expr(
+        f"zip_with(qv, {_cent_lookup_sql(cents)}, (a, b) -> a - b)"
+    )
     st0 = asg.select(
         "vec_id",
         "cluster",
@@ -548,14 +573,19 @@ def _ivfpq_codes(asg: DataFrame, cents: dict) -> DataFrame:
     )
 
     def best(s: int):
-        return _nearest_fold(
-            F.slice("rv", s * _PQ_DIM + 1, _PQ_DIM),
-            [
-                (j, [_pq_ival(s, j, d) for d in range(_PQ_DIM)])
-                for j in range(_PQ_CENTS)
-            ],
-            F.lit(0).cast("long"),
-        ).getField("c")
+        return F.expr(
+            "("
+            + _nearest_fold_sql(
+                f"slice(rv, {s * _PQ_DIM + 1}, {_PQ_DIM})",
+                [
+                    (j, [_pq_ival(s, j, d) for d in range(_PQ_DIM)])
+                    for j in range(_PQ_CENTS)
+                ],
+                "CAST(0 AS BIGINT)",
+                _long_lit,
+            )
+            + ").c"
+        )
 
     code_arr = F.array(*[best(s) for s in range(_PQ_SUB)])
     return st0.select(
@@ -623,52 +653,56 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per context, measured 6.5 -> ~1.5 s per invocation).
     frags = _IVFPQ_CACHE.get((app_id, sf_dir, "exprs"))
     if frags is None:
-        cd = _dist_structs(
-            "qqv",
-            [(cid, [int(v) for v in cents[cid]]) for cid in sorted(cents)],
-            F.lit(0).cast("long"),
+        cd = ", ".join(
+            _dist_structs_sql(
+                "qqv",
+                [
+                    (cid, [int(v) for v in cents[cid]])
+                    for cid in sorted(cents)
+                ],
+                "CAST(0 AS BIGINT)",
+                _long_lit,
+            )
         )
         # In integers (q - (c + cb))^2 == ((q - c) - cb)^2 exactly, so
         # the query RESIDUAL vs the probed cell pins once behind a
         # barrier and every ADC entry is a plain codebook fold over its
         # slice (the _ivfpq_codes shape — far fewer nodes than
         # reconstructing centroid+codebook per entry).
-        qres = F.zip_with(
-            "qqv", _cent_lookup(cents, key="cell"), lambda a, b: a - b
+        qres = (
+            f"zip_with(qqv, {_cent_lookup_sql(cents, key='cell')}, "
+            "(a, b) -> a - b)"
         )
-        adct_entries = []
-        for s in range(_PQ_SUB):
-            for j in range(_PQ_CENTS):
-                lits = F.array(
-                    *[F.lit(_pq_ival(s, j, d)) for d in range(_PQ_DIM)]
-                )
-                pdist = F.aggregate(
-                    F.zip_with(
-                        F.slice("qres", s * _PQ_DIM + 1, _PQ_DIM),
-                        lits,
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                )
-                adct_entries.append(
-                    F.struct(
-                        F.lit(s).cast("int").alias("s"),
-                        F.lit(j).cast("long").alias("code"),
-                        pdist.alias("pdist"),
-                    )
-                )
+        adct_entries = ", ".join(
+            "named_struct('s', CAST({s} AS INT), 'code', "
+            "CAST({j} AS BIGINT), 'pdist', {fold})".format(
+                s=s,
+                j=j,
+                fold=_dist_fold_sql(
+                    f"slice(qres, {s * _PQ_DIM + 1}, {_PQ_DIM})",
+                    [_pq_ival(s, j, d) for d in range(_PQ_DIM)],
+                    "CAST(0 AS BIGINT)",
+                    _long_lit,
+                ),
+            )
+            for s in range(_PQ_SUB)
+            for j in range(_PQ_CENTS)
+        )
         frags = {
             # nprobe pick with NO window shuffle: array_sort orders the
             # (d, cid) structs lexicographically — exactly the
             # dist-then-lower-cid rule — and slice keeps the first
             # nprobe; the oracle keeps its ROW_NUMBER form so the two
-            # derivations stay independent
-            "probe_cells": F.explode(
-                F.slice(F.array_sort(F.array(*cd)), 1, _IVFPQ_NPROBE)
+            # derivations stay independent. All three fragments parse
+            # from generated SQL in one JVM-side pass each (r8 — the
+            # py4j Column composition they replace measured ~4.5 s of
+            # driver latency per cold build).
+            "probe_cells": F.expr(
+                f"explode(slice(array_sort(array({cd})), 1, "
+                f"{_IVFPQ_NPROBE}))"
             ),
-            "qres": F.explode(F.array(qres)),
-            "adct": F.explode(F.array(*adct_entries)),
+            "qres": F.expr(f"explode(array({qres}))"),
+            "adct": F.expr(f"explode(array({adct_entries}))"),
         }
         _IVFPQ_CACHE[(app_id, sf_dir, "exprs")] = frags
 
