@@ -758,26 +758,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok"),
     ).withColumn("h", md5_prefix60(F.col("tok")))
 
-    def mask(bit: int):
-        return F.shiftleft(F.lit(1).cast("long"), bit)
-
+    # the 60 vote aggregates + the fingerprint fold as generated SQL —
+    # one JVM-side parse each instead of ~400 py4j Column round trips
+    # per invocation (r8, the clustering-family lesson; identical trees)
     votes = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(mask(bit)) != 0, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (h & {1 << bit}L) != 0 THEN 1 ELSE -1 END)"
         ).alias(f"v{bit}")
         for bit in range(_SIMHASH_BITS)
     ]
     voted = tokh.groupBy("doc_id").agg(*votes)
-    terms = F.array(
-        *[
-            F.when(F.col(f"v{bit}") > 0, mask(bit)).otherwise(
-                F.lit(0).cast("long")
-            )
-            for bit in range(_SIMHASH_BITS)
-        ]
+    terms = ", ".join(
+        f"CASE WHEN v{bit} > 0 THEN {1 << bit}L ELSE CAST(0 AS BIGINT) END"
+        for bit in range(_SIMHASH_BITS)
     )
-    fingerprint = F.aggregate(
-        terms, F.lit(0).cast("long"), lambda acc, x: acc + x
+    fingerprint = F.expr(
+        f"aggregate(array({terms}), CAST(0 AS BIGINT), "
+        "(acc, x) -> acc + x)"
     )
     return (
         voted.withColumn("simhash", fingerprint)

@@ -461,6 +461,37 @@ FROM q ORDER BY vec_id
 """
 
 
+def _rp_struct_sql() -> str:
+    """The projection struct (p0..p{out-1}, nv) as generated SQL — the
+    sign matrix is static, so the string builds once per process and
+    one JVM-side ``F.expr`` parse replaces ~500 py4j Column round trips
+    per invocation (r8, the clustering-family lesson; identical
+    expression tree either way)."""
+    global _RP_SQL
+    if _RP_SQL is None:
+        fields = []
+        for j in range(_RP_OUT):
+            signs = ", ".join(
+                f"CAST('{float(_rp_sign(j, i))!r}' AS DOUBLE)"
+                for i in range(_RP_IN)
+            )
+            fields.append(
+                f"'p{j}', aggregate(zip_with(embedding, array({signs}), "
+                "(x, s) -> CAST(x AS DOUBLE) * s), CAST(0 AS DOUBLE), "
+                "(acc, x) -> acc + x)"
+            )
+        fields.append(
+            "'nv', aggregate(transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        _RP_SQL = "named_struct(" + ", ".join(fields) + ")"
+    return _RP_SQL
+
+
+_RP_SQL = None
+
+
 @query("embed-random-projection", oracle=_rp_oracle())
 def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss random projection of the embedding column,
@@ -492,27 +523,9 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     would inline every fold twice: output column + norm_ratio numerator
     — the embed-quantize-int8 trick)."""
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def proj(j: int):
-        signs = F.array(
-            *[F.lit(float(_rp_sign(j, i))) for i in range(_RP_IN)]
-        )
-        return F.aggregate(
-            F.zip_with("embedding", signs, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    norm = F.aggregate(
-        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    bar = emb.select(
+        "vec_id", F.expr(f"explode(array({_rp_struct_sql()}))").alias("s")
     )
-    raw = F.struct(
-        *[proj(j).alias(f"p{j}") for j in range(_RP_OUT)],
-        norm.alias("nv"),
-    )
-    bar = emb.select("vec_id", F.explode(F.array(raw)).alias("s"))
     p = [F.round(F.col(f"s.p{j}"), 9).alias(f"p{j}") for j in range(_RP_OUT)]
     rp = [F.round(F.col(f"s.p{j}"), 9) for j in range(_RP_OUT)]
     pp = rp[0] * rp[0]
