@@ -202,6 +202,22 @@ agg-hash itself is UNCHANGED (still the interleaved control; the
 int64-cents alternative measured 0.83 s but overflows sum_charge at
 extreme scale and was rejected — the decimal formulation is the
 100 TB-correct one).
+
+**r8b — driver-rotation cold-cost work (py4j → generated SQL):** the
+sf0.01 driver sim (one cold invocation per key, driver order) ran
+135.3 s before and 95.3 s after converting the clustering/PQ/IVF-PQ
+literal-table expressions, the simhash vote aggregates and the JL
+sign-matrix folds from py4j Column composition to generated-SQL
+`F.expr` strings (the phash r7 technique — hundreds of gateway round
+trips become one JVM-side parse, identical trees). Cold
+single-invocation costs: embed-ann-ivfpq 14.3→2.6 s, embed-pq-encode
+5.4→1.5 s, embed-random-projection 3.5→1.4 s. The 50-key priority
+head's cumulative driver cost fell 75.9→54.8 s. Remaining sim
+heavies and why they stay: graph-pagerank 5.7 s (5 checkpointed
+iteration jobs — the Pregel pattern's floor), dedup-image-phash 4.5 s
+(bands build + pair join, paid once per corpus), stream-sink-
+exactly-once 3.2 s cold (first streaming-query startup),
+multimodal exif/audio ~2.2-2.4 s (context-cached byte-walk builds).
 """
 
 
