@@ -109,6 +109,10 @@ _PERMS = [(_rng.randrange(1, 1 << 30), _rng.randrange(0, _P)) for _ in range(_BA
 # rebuilt when the corpus or context changes)
 _last_bands = None
 
+# ((appId, sf_dir), nh_rel) — the live checkpointed normalized-hash
+# relation the minhash audit consumes (same contract)
+_last_nh_rel = None
+
 # Reusable unresolved-expression fragments, built once per SparkContext
 # (py4j Column construction is pure driver latency — the k permuted-min
 # aggregates plus the band-struct array cost ~150 gateway round trips,
@@ -477,10 +481,19 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream), which pays back the barrier."""
     from pyspark.sql import Window as W
 
+    global _last_nh_rel
     d = load_table(spark, sf_dir, "documents")
-    nh_rel = d.select("doc_id", _norm_hash().alias("nh")).localCheckpoint(
-        eager=True
-    )
+    # the (doc_id, nh) relation is a pure function of the input files —
+    # cache the checkpoint per (appId, sf_dir) like the bands it feeds
+    # (r8); evicted blocks release via the ContextCleaner
+    nh_key = (spark.sparkContext.applicationId, sf_dir)
+    if _last_nh_rel is not None and _last_nh_rel[0] == nh_key:
+        nh_rel = _last_nh_rel[1]
+    else:
+        nh_rel = d.select("doc_id", _norm_hash().alias("nh")).localCheckpoint(
+            eager=True
+        )
+        _last_nh_rel = (nh_key, nh_rel)
     sparse = _minhash_cluster_sparse(spark, d, nh_rel, sf_dir)
     with_cl = nh_rel.join(sparse, "doc_id", "left").select(
         "doc_id",
