@@ -85,6 +85,12 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #
 # Round 8 adds NO new keys (verdict #2: freeze the count at 134 so
 # the rotation converges; any future addition goes at the HEAD).
+#
+# r9 playbook: once CORRECTNESS_r08.json lands, run
+# `python tools/stale_keys.py --list` and paste its output as
+# _PRIORITY_R9 — after r8 scores this head, the stalest block will be
+# the 50 r7-scored keys (2 rounds old), then this round's tail. Any
+# NEW key still goes at the HEAD, before the stale block.
 _PRIORITY_R8 = [
     # -- 31 never-driver-scored keys (late-r7 additions) --
     "dedup-image-phash",
