@@ -1,0 +1,82 @@
+"""End-to-end library composition: the curation pipeline a user of the
+engine would actually run — exact dedup -> quality gate -> token
+accounting -> PII scrub -> single-file export through the reference's
+signature ``write_single_file`` — with cross-stage invariants. This
+pins that the registry operators compose as a LIBRARY (shared doc_id
+keys, one SparkSession, interoperable schemas), not just as isolated
+driver keys.
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from spark_file_mover_spark import registry
+from spark_file_mover_spark.filemover import write_single_file
+
+registry.load_all()
+
+
+def _curated(spark, sf_dir):
+    survivors = registry.QUERIES["dedup-exact"](spark, sf_dir).select(
+        "doc_id"
+    )
+    quality = registry.QUERIES["text-quality-score"](spark, sf_dir).select(
+        "doc_id", "passes_filter"
+    )
+    tokens = registry.QUERIES["text-token-count"](spark, sf_dir).select(
+        "doc_id", "n_ws_tokens"
+    )
+    scrub = registry.QUERIES["text-pii-scrub"](spark, sf_dir).select(
+        "doc_id", "scrubbed"
+    )
+    return (
+        survivors.join(quality, "doc_id")
+        .filter("passes_filter")
+        .join(tokens, "doc_id")
+        .join(scrub, "doc_id")
+        .select("doc_id", "n_ws_tokens", "scrubbed")
+    )
+
+
+def test_curation_pipeline_composes(spark, sf_dir):
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_corpus = corpus.count()
+    cur = _curated(spark, sf_dir)
+    rows = cur.collect()
+
+    # survivors-only, quality-gated: a strict subset of the corpus
+    assert 0 < len(rows) <= n_corpus
+    corpus_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert {r.doc_id for r in rows} <= corpus_ids
+    # every curated doc carries a positive token count and scrubbed text
+    for r in rows:
+        assert r.n_ws_tokens >= 1
+        assert r.scrubbed is not None
+
+    # deterministic end to end: a second run yields the identical set
+    again = {(r.doc_id, r.n_ws_tokens) for r in _curated(spark, sf_dir).collect()}
+    assert again == {(r.doc_id, r.n_ws_tokens) for r in rows}
+
+
+def test_curated_corpus_exports_through_the_filemover(spark, sf_dir, tmp_path):
+    cur = _curated(spark, sf_dir).orderBy("doc_id")
+    n = cur.count()
+    out = str(tmp_path / "curated")
+    write_single_file(
+        cur.coalesce(1),
+        out,
+        template="$outputDirectory.csv",
+        fmt="csv",
+        options={"header": "true"},
+    )
+    target = Path(out + ".csv")
+    assert target.is_file()
+    with target.open() as fh:
+        reader = csv.reader(fh)
+        header = next(reader)
+        assert header == ["doc_id", "n_ws_tokens", "scrubbed"]
+        assert sum(1 for _ in reader) == n
