@@ -897,36 +897,49 @@ def agg_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~2x headroom over the observed ~7% worst case; a DataSketches
     theta sketch would tighten this — Spark 4 ships only HLL, the
     inclusion-exclusion layer is how HLL deployments actually answer
-    it). Exact counts come from one full-outer distinct join — the
-    test-scale scaffolding the bands compare against, like E12's
-    countDistinct."""
+    it).
+
+    Plan shape (r8 — one scan, two exchanges): ONE union-window scan
+    collapses to distinct ``(flag, orderkey)`` rows carrying per-window
+    membership flags, and everything derives from that relation in a
+    single flag-level aggregate — the per-window sketches
+    (``hll_sketch_agg`` over conditionally-nulled keys; HLL registers
+    are duplicate-insensitive so sketching the distinct rows is
+    value-identical to sketching the raw scan), the exact per-window
+    counts, AND the exact union/intersection scaffolding. The r7 form
+    paid four scans plus two full-outer joins for the identical output;
+    the union-merge step — the operator's declared subject — is
+    unchanged."""
     li = load_table(spark, sf_dir, "lineitem")
-
-    def period(lo: str, hi: str, name: str) -> DataFrame:
-        return (
-            li.filter(
-                (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
-            )
-            .groupBy("l_returnflag")
-            .agg(
-                F.hll_sketch_agg("l_orderkey").alias(f"sk_{name}"),
-                F.countDistinct("l_orderkey").alias(f"n_{name}"),
-            )
+    sd = F.col("l_shipdate")
+    in_a = (sd >= _THETA_A[0]) & (sd < _THETA_A[1])
+    in_b = (sd >= _THETA_B[0]) & (sd < _THETA_B[1])
+    dist = (
+        li.filter(in_a | in_b)
+        .groupBy("l_returnflag", "l_orderkey")
+        .agg(
+            F.max(in_a.cast("int")).alias("in_a"),
+            F.max(in_b.cast("int")).alias("in_b"),
         )
-
-    a = period(*_THETA_A, "a")
-    b = period(*_THETA_B, "b")
-    # FULL OUTER like the oracle: a flag whose keys fall entirely in one
-    # window still gets a row (n=0 on the empty side, union estimate =
-    # the present side's sketch) — an inner join here silently dropped
-    # such groups (latent on this fixture, where all flags span both)
-    joined = a.join(b, "l_returnflag", "full_outer").select(
-        "l_returnflag",
-        F.coalesce("n_a", F.lit(0)).alias("n_a"),
-        F.coalesce("n_b", F.lit(0)).alias("n_b"),
-        "sk_a",
-        "sk_b",
     )
+    per_flag = dist.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg(
+            F.when(F.col("in_a") == 1, F.col("l_orderkey"))
+        ).alias("sk_a"),
+        F.hll_sketch_agg(
+            F.when(F.col("in_b") == 1, F.col("l_orderkey"))
+        ).alias("sk_b"),
+        F.sum("in_a").alias("n_a"),
+        F.sum("in_b").alias("n_b"),
+        F.count("*").alias("n_union"),
+        F.sum(
+            ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("int")
+        ).alias("n_intersect"),
+    )
+    # a flag whose keys fall entirely in one window has a NULL sketch on
+    # the empty side (aggregates skip the conditionally-nulled keys);
+    # union estimate = the present side's sketch (latent on this
+    # fixture, where all flags span both windows)
     est_union = (
         F.when(
             F.col("sk_a").isNotNull() & F.col("sk_b").isNotNull(),
@@ -938,41 +951,8 @@ def agg_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_inter = (
         F.col("n_a").cast("double") + F.col("n_b").cast("double") - est_union
     )
-    # exact union/intersection scaffolding via one distinct full-outer
-    da = li.filter(
-        (F.col("l_shipdate") >= _THETA_A[0])
-        & (F.col("l_shipdate") < _THETA_A[1])
-    ).select("l_returnflag", "l_orderkey").distinct()
-    db = li.filter(
-        (F.col("l_shipdate") >= _THETA_B[0])
-        & (F.col("l_shipdate") < _THETA_B[1])
-    ).select("l_returnflag", "l_orderkey").distinct()
-    exact = (
-        da.alias("a")
-        .join(
-            db.alias("b"),
-            (F.col("a.l_returnflag") == F.col("b.l_returnflag"))
-            & (F.col("a.l_orderkey") == F.col("b.l_orderkey")),
-            "full_outer",
-        )
-        .groupBy(
-            F.coalesce("a.l_returnflag", "b.l_returnflag").alias(
-                "l_returnflag"
-            )
-        )
-        .agg(
-            F.count("*").alias("n_union"),
-            F.count(
-                F.when(
-                    F.col("a.l_orderkey").isNotNull()
-                    & F.col("b.l_orderkey").isNotNull(),
-                    1,
-                )
-            ).alias("n_intersect"),
-        )
-    )
     return (
-        joined.join(exact, "l_returnflag")
+        per_flag
         .select(
             "l_returnflag",
             F.col("n_a").alias("n_a"),
