@@ -69,7 +69,7 @@ NOTES = {
     "scan-dpp-join": "Dynamic partition pruning: the fact scan's PartitionFilters carry a DynamicPruningExpression fed by the era dim's broadcast (5 of 7 year partitions pruned at split generation); the pruning subquery REUSES the join's broadcast exchange (both pinned in tests/test_plans.py).",
     "embed-ann-ivfpq": "IVF-PQ with exact integer ADC: the (cluster, code) index localCheckpoints once per (app, sf) - the ingest artifact; query side = 5-row assign, sorted-slice nprobe pick (no window shuffle), broadcast ADC tables (queries x nprobe x 128 ints), candidates join as id+code rows and score via one integer-sum groupBy. The plan below is the cached-index query path; expression trees cached per context.",
     "stream-disorder-metrics": "Per-key watermark panel: ONE window partitioned by user over the md5-permuted arrival order (running event-time max = exactly the state a per-key watermark tracker holds), then a groupBy on the same key - the exchange is reused. A GLOBAL watermark would need the two-pass sharded running-max (pack_offsets_sharded); per-key is the declared scope.",
-    "agg-sketch-theta-setops": "Set algebra over persisted sketches: each period contributes its own hll_sketch_agg rows (pushed date filters), union = sketch merge, intersection = inclusion-exclusion; the exact full-outer distinct join is test-scale scaffolding for the audit bands. At scale the periods never co-scan.",
+    "agg-sketch-theta-setops": "Set algebra over persisted sketches, one scan (r8): the union-window scan collapses to distinct (flag, orderkey) rows with per-window membership; ONE flag-level aggregate derives both period sketches (HLL registers are duplicate-insensitive), the exact counts and the union/intersection scaffolding. Union = sketch merge, intersection = inclusion-exclusion residual with the widened 15% audit band. The r7 form paid 4 scans + 2 full-outer joins.",
     "scan-csv-corrupt-recover": "Distributed CSV scan under PERMISSIVE with a quarantine column vs DROPMALFORMED over the same deterministic 1-in-5-corrupt feed; corruption never reaches typed columns (clean aggregate identical across modes), FAILFAST raise pinned in tests.",
     "window-distribution": "percent_rank/cume_dist/nth_value over one totally ordered window spec - all three in the same Window node (single pass): one shuffle on the partition key, one in-partition sort. The two ratios are single integer divisions, IEEE-identical cross-engine.",
     "sample-balanced-downsample": "Class sizes = tiny groupBy; global min broadcast as one row; per-class pick = one window over the class partition (running top-t per task) with the final per-class aggregate reusing the exchange. Deterministic md5-order selection - nothing global-sorts.",
