@@ -29,6 +29,7 @@ CACHED_KEYS = [
     "text-dup-cut",
     "text-containment",
     "dedup-image-phash",
+    "stream-sink-exactly-once",
 ]
 
 
