@@ -30,6 +30,8 @@ CACHED_KEYS = [
     "text-containment",
     "dedup-image-phash",
     "stream-sink-exactly-once",
+    "text-tfidf-topk",
+    "text-perplexity-proxy",
 ]
 
 
