@@ -223,3 +223,40 @@ def test_minhash_signatures_match_stdlib_reference(spark, sf_dir):
         hs = _ref_shingle_hashes(_ref_toks(text))
         want = [min((a * h + b) % _P for h in hs) for a, b in _PERMS]
         assert got[doc_id] == want, f"doc {doc_id}"
+
+
+# ---------------------------------------------------------------------------
+# dedup-exact vs stdlib-XXH64 survivor selection
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_exact_matches_stdlib_reference(spark, sf_dir):
+    """Full survivor set from stdlib: group docs by the XXH64 of their
+    whitespace/case-normalized text, keep the min-doc_id row per group —
+    the exact semantics `dedup-exact` declares, with no Spark
+    expressions anywhere in the reference path."""
+    import pyarrow.parquet as pq2
+
+    from spark_file_mover_spark import registry
+
+    registry.load_all()
+    tbl = pq2.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_pylist()
+    groups: dict[int, dict] = {}
+    for row in tbl:
+        norm = re.sub(r"\s+", " ", row["text"]).strip().lower()
+        h = spark_xxhash64([norm])
+        cur = groups.get(h)
+        if cur is None or row["doc_id"] < cur["doc_id"]:
+            groups[h] = row
+    want = {
+        (r["doc_id"], r["lang"], r["source"], r["n_chars"])
+        for r in groups.values()
+    }
+    got = {
+        (r.doc_id, r.lang, r.source, r.n_chars)
+        for r in registry.QUERIES["dedup-exact"](spark, sf_dir).collect()
+    }
+    assert got == want
