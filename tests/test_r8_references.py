@@ -260,3 +260,61 @@ def test_dedup_exact_matches_stdlib_reference(spark, sf_dir):
         for r in registry.QUERIES["dedup-exact"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# text-fingerprint vs a stdlib rolling-hash fold
+# ---------------------------------------------------------------------------
+
+
+def _ref_fingerprint(text: str) -> int:
+    acc = 0
+    for t in _ref_toks(text):
+        first = ord(t[0]) if t else 0
+        last = ord(t[-1]) if t else 0
+        acc = (acc * 31 + (len(t) * 131 + first * 7 + last)) % 2147483647
+    return acc
+
+
+def test_fingerprint_matches_stdlib_reference(spark, sf_dir):
+    from spark_file_mover_spark import registry
+
+    registry.load_all()
+    got = {
+        r.doc_id: (r.fingerprint, r.n_tokens)
+        for r in registry.QUERIES["text-fingerprint"](spark, sf_dir).collect()
+    }
+    for doc_id, text in _load_documents(sf_dir):
+        toks = _ref_toks(text)
+        assert got[doc_id] == (_ref_fingerprint(text), len(toks)), doc_id
+
+
+# ---------------------------------------------------------------------------
+# sample-hash-stratified vs stdlib md5-prefix selection
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_matches_stdlib_reference(spark, sf_dir):
+    import collections
+
+    import pyarrow.parquet as pq2
+
+    from spark_file_mover_spark import registry
+
+    registry.load_all()
+    tbl = pq2.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).to_pylist()
+    total = collections.Counter()
+    sampled = collections.Counter()
+    for row in tbl:
+        total[row["lang"]] += 1
+        h = int(
+            hashlib.md5(str(row["doc_id"]).encode()).hexdigest()[:15], 16
+        )
+        if h % 100 < 20:
+            sampled[row["lang"]] += 1
+    rows = registry.QUERIES["sample-hash-stratified"](spark, sf_dir).collect()
+    assert {r.lang for r in rows} == set(total)
+    for r in rows:
+        assert (r.n_total, r.n_sampled) == (total[r.lang], sampled[r.lang])
