@@ -728,6 +728,8 @@ def stream_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = e.schema
     src_key = (spark.sparkContext.applicationId, sf_dir)
     if _last_eos_src is None or _last_eos_src[0] != src_key:
+        if _last_eos_src is not None:
+            shutil.rmtree(_last_eos_src[1], ignore_errors=True)
         stage = tempfile.mkdtemp(prefix="sfm-h10-stage-")
         e.filter(F.col("event_id") % 40 == 0).coalesce(1).write.mode(
             "overwrite"
