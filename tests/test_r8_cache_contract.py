@@ -32,6 +32,7 @@ CACHED_KEYS = [
     "stream-sink-exactly-once",
     "text-tfidf-topk",
     "text-perplexity-proxy",
+    "dedup-cross-bloom",
 ]
 
 
