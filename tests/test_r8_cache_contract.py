@@ -33,6 +33,7 @@ CACHED_KEYS = [
     "text-tfidf-topk",
     "text-perplexity-proxy",
     "dedup-cross-bloom",
+    "text-decontaminate",
 ]
 
 
