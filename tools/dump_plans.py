@@ -228,6 +228,15 @@ source-staging trim (it measured 2.61 in an equally hot sweep before
 it) and theta-setops at ~0.7 after the single-scan collapse. Driver
 sim closes at 112.5 s / 134 keys hot (95.3 s quiet). The r9 judge
 should compare common16 against the 7.0-7.5 band.
+
+**r8 FINAL quiet-process sweep (after the theta single-scan collapse,
+the exactly-once staging trim, the shared tf relation, and the Bloom /
+eval-gram caches):** common16 6.41 s / common20 8.54 s with the
+agg-hash control at 1.11 (its quiet band — the numbers are clean, not
+drift luck); `over_budget: []`, worst non-control key 1.19
+(multimodal-image-exif). vs the r2-era 11.47 s: 0.56x. Driver sim
+91.9 s / 134 keys quiet. The r9 comparable band for common16 is
+6.4-7.2.
 """
 
 
