@@ -216,25 +216,60 @@ def main() -> None:
     common20_total = round(
         sum(timings[k] for k in COMMON20 if k in timings), 4
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "common16_total": common16_total,
-                "common20_total": common20_total,
-                # methodology marker: r5+ runs warm every key once before
-                # its timed reps (steady-state numbers); r2-r4 recorded
-                # cold-start min-of-N — compare across that boundary with
-                # the warm-up delta in mind (multi-stage keys ~10-20%).
-                "per_key_warmup": True,
-                "over_budget": sorted(over_budget),
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "common16_total": common16_total,
+        "common20_total": common20_total,
+        # methodology marker: r5+ runs warm every key once before
+        # its timed reps (steady-state numbers); r2-r4 recorded
+        # cold-start min-of-N — compare across that boundary with
+        # the warm-up delta in mind (multi-stage keys ~10-20%).
+        "per_key_warmup": True,
+        "over_budget": sorted(over_budget),
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full-precision record for in-repo analysis (tools/, PLANS.md).
+    Path(REPO, "BENCH_FULL.json").write_text(json.dumps(payload, indent=1))
+    print(emit_line(payload))
+
+
+# The driver records only the LAST ~2000 chars of stdout and parses the
+# final line as JSON. r7/r8 lesson: with 60+ headline keys the
+# default-separator line is >2000 chars, the capture truncates its head,
+# and the driver stores `parsed: null`. Emit compactly and degrade
+# per-key precision (never the aggregate fields) until the line fits
+# with margin; full precision always lands in BENCH_FULL.json.
+_LINE_BUDGET = 1900
+
+
+def emit_line(payload: dict) -> str:
+    for prec in (4, 3, 2):
+        p = dict(payload)
+        p["queries"] = {k: round(v, prec) for k, v in payload["queries"].items()}
+        line = json.dumps(p, separators=(",", ":"))
+        if len(line) <= _LINE_BUDGET:
+            return line
+    # Last resort (≈130+ headline keys): keep the frozen comparison sets
+    # and as many budget offenders as fit inline; the sidecar holds the
+    # rest. over_budget is realistically ≤ a handful of keys, but the
+    # fit guarantee must hold unconditionally — drop offenders from the
+    # inline dict one at a time if the line is still long.
+    keep = [k for k in COMMON20 if k in payload["queries"]] + sorted(
+        set(payload["over_budget"]) - set(COMMON20)
     )
+    while True:
+        p = dict(payload)
+        p["queries"] = {
+            k: round(v, 2) for k, v in payload["queries"].items() if k in keep
+        }
+        p["queries_truncated"] = True
+        line = json.dumps(p, separators=(",", ":"))
+        if len(line) <= _LINE_BUDGET or not keep:
+            return line
+        keep = keep[:-1]
 
 
 if __name__ == "__main__":

@@ -57,6 +57,44 @@ def test_priority_list_is_valid():
     assert not unknown, f"priority keys not registered: {unknown}"
 
 
+def test_bench_line_fits_driver_capture():
+    """The driver stores the last ~2000 chars of bench stdout and parses
+    the final line; r7/r8 recorded `parsed: null` because the line grew
+    past the capture. Pin: emit_line output parses and fits the budget
+    even at worst-case per-key widths."""
+    import json
+
+    import bench
+
+    payload = {
+        "metric": "headline_queries_total",
+        "value": 9999.9999,
+        "unit": "sec",
+        "common16_total": 9999.9999,
+        "common20_total": 9999.9999,
+        "per_key_warmup": True,
+        "over_budget": [],
+        "queries": {k: 1.2345 for k in bench.HEADLINE},
+        "sf": 0.1,
+    }
+    # Realistic widths (every key under the 2 s budget): full set inline.
+    line = bench.emit_line(payload)
+    assert len(line) <= bench._LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["common16_total"] == payload["common16_total"]
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    # Pathological widths: the line must STILL parse and fit — the frozen
+    # comparison sets stay inline, the rest degrades to BENCH_FULL.json.
+    payload["queries"] = {k: 11111.2345 for k in bench.HEADLINE}
+    payload["over_budget"] = sorted(bench.HEADLINE)[:5]
+    line = bench.emit_line(payload)
+    assert len(line) <= bench._LINE_BUDGET or json.loads(line).get(
+        "queries_truncated"
+    )
+    parsed = json.loads(line)
+    assert set(bench.COMMON20) <= set(parsed["queries"])
+
+
 def test_bench_headline_keys_are_registered():
     """bench.py only WARNS on unknown HEADLINE keys at runtime — a
     renamed key would silently drop out of every future sweep; fail CI
