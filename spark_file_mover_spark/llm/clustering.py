@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_file_mover_spark.registry import query
-from spark_file_mover_spark.sources.io import load_table
+from spark_file_mover_spark.sources.io import artifact_cache_key, load_table
 
 # ---------------------------------------------------------------------------
 # K2 — embed-kmeans-lloyd: fixed-iteration Lloyd k-means in exact
@@ -276,7 +276,7 @@ def _km_model(spark: SparkSession, sf_dir: str) -> tuple:
     materialized-view cache — shared by embed-kmeans-lloyd (which
     declares it) and embed-ann-ivfpq (which uses the clusters as its
     IVF coarse quantizer)."""
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cache_key = artifact_cache_key(spark, sf_dir)
     cached = _KM_CACHE.get(cache_key)
     if cached is None:
         # ONE live entry (the phash-bands policy): a session sweeping

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from spark_file_mover_spark.llm._textnorm import toks
 from spark_file_mover_spark.registry import query
-from spark_file_mover_spark.sources.io import load_table
+from spark_file_mover_spark.sources.io import artifact_cache_key, load_table
 
 _GRAM_N = 5
 _EVAL_MOD = 10  # doc_id % 10 == 0 -> held-out eval slice (10%)
@@ -101,7 +101,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = t.select("doc_id", F.explode(grams).alias("g")).withColumn(
         "gh", F.xxhash64("g")
     )
-    eval_key = (spark.sparkContext.applicationId, sf_dir)
+    eval_key = artifact_cache_key(spark, sf_dir)
     if _last_eval_gh is not None and _last_eval_gh[0] == eval_key:
         eval_gh = _last_eval_gh[1]
     else:

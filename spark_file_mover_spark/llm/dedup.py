@@ -34,7 +34,11 @@ from spark_file_mover_spark.llm._textnorm import (
     toks,
 )
 from spark_file_mover_spark.registry import query
-from spark_file_mover_spark.sources.io import load_table, scan_partitions
+from spark_file_mover_spark.sources.io import (
+    artifact_cache_key,
+    load_table,
+    scan_partitions,
+)
 
 # ---------------------------------------------------------------------------
 # I1 — exact dedup
@@ -344,7 +348,7 @@ def _minhash_cluster_sparse(
     # hot path (r02 bench leaked one relation per invocation before).
     from pyspark import StorageLevel
 
-    bands_key = (spark.sparkContext.applicationId, sf_dir)
+    bands_key = artifact_cache_key(spark, sf_dir)
     if _last_bands is not None and _last_bands[0] == bands_key:
         return _minhash_neighbor_mins(_last_bands[1], exact_edges)
     if _last_bands is not None:
@@ -488,9 +492,13 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _last_nh_rel
     d = load_table(spark, sf_dir, "documents")
     # the (doc_id, nh) relation is a pure function of the input files —
-    # cache the checkpoint per (appId, sf_dir) like the bands it feeds
-    # (r8); evicted blocks release via the ContextCleaner
-    nh_key = (spark.sparkContext.applicationId, sf_dir)
+    # cache the checkpoint per artifact_cache_key like the bands it
+    # feeds (r8); evicted blocks release via the ContextCleaner.
+    # Truncated lineage means an executor lost between invocations
+    # fails later hits instead of recomputing — the documented
+    # serial-local trade (see llm/similarity.py's IVF cache note; on a
+    # cluster, materialize as a table at ingest instead)
+    nh_key = artifact_cache_key(spark, sf_dir)
     if _last_nh_rel is not None and _last_nh_rel[0] == nh_key:
         nh_rel = _last_nh_rel[1]
     else:
@@ -1070,7 +1078,7 @@ def _span_shared(spark: SparkSession, sf_dir: str):
     Flip to recompute if cache pressure ever dominates — results are
     identical either way."""
     global _span_cache
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = artifact_cache_key(spark, sf_dir)
     if _span_cache is not None and _span_cache[0] == key:
         return _span_cache[1]
     if _span_cache is not None:
@@ -1462,7 +1470,7 @@ def dedup_cross_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    bloom_key = (spark.sparkContext.applicationId, sf_dir)
+    bloom_key = artifact_cache_key(spark, sf_dir)
     if _last_bloom is not None and _last_bloom[0] == bloom_key:
         m_bits, bloom = _last_bloom[1]
     else:
@@ -1636,7 +1644,7 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Checkpointed blocks of an evicted entry release via the
     ContextCleaner when the reference drops."""
     global _last_cont_er
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cache_key = artifact_cache_key(spark, sf_dir)
     if _last_cont_er is not None and _last_cont_er[0] == cache_key:
         return _containment_query(_last_cont_er[1])
     _last_cont_er = None
@@ -1700,7 +1708,10 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("dfg")
         # three consumers (both join sides + sizes) plus the cross-
         # invocation cache; checkpointed blocks release via the
-        # ContextCleaner when the cached reference is dropped
+        # ContextCleaner when the cached reference is dropped. Lineage
+        # is truncated: executor loss between invocations fails later
+        # hits instead of recomputing (documented serial-local trade —
+        # see llm/similarity.py's IVF cache note)
         .localCheckpoint(eager=True)
     )
     _last_cont_er = (cache_key, er)

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from spark_file_mover_spark.llm._textnorm import toks
 from spark_file_mover_spark.registry import query
-from spark_file_mover_spark.sources.io import load_table
+from spark_file_mover_spark.sources.io import artifact_cache_key, load_table
 
 # ---------------------------------------------------------------------------
 # text-chunk-sliding — overlapping fixed-size windows over the token stream
@@ -152,7 +152,7 @@ _tf_cache = None
 
 def _tf_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _tf_cache
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = artifact_cache_key(spark, sf_dir)
     if _tf_cache is not None and _tf_cache[0] == key:
         return _tf_cache[1]
     if _tf_cache is not None:

@@ -936,17 +936,15 @@ def agg_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("int")
         ).alias("n_intersect"),
     )
-    # a flag whose keys fall entirely in one window has a NULL sketch on
-    # the empty side (aggregates skip the conditionally-nulled keys);
-    # union estimate = the present side's sketch (latent on this
-    # fixture, where all flags span both windows)
-    est_union = (
-        F.when(
-            F.col("sk_a").isNotNull() & F.col("sk_b").isNotNull(),
-            F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")),
-        )
-        .otherwise(F.hll_sketch_estimate(F.coalesce("sk_a", "sk_b")))
-        .cast("double")
+    # a flag whose keys fall entirely in one window contributes an
+    # EMPTY (non-null) sketch on the other side — hll_sketch_agg over
+    # an all-NULL input yields an empty sketch, not SQL NULL (verified
+    # on this Spark build; pinned by
+    # tests/test_r9_ops.py::test_hll_union_with_empty_side) — and
+    # union-with-empty is identity, so the plain union is total. Latent
+    # on this fixture (all flags span both windows).
+    est_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).cast(
+        "double"
     )
     est_inter = (
         F.col("n_a").cast("double") + F.col("n_b").cast("double") - est_union

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_file_mover_spark.registry import query
-from spark_file_mover_spark.sources.io import load_table
+from spark_file_mover_spark.sources.io import artifact_cache_key, load_table
 
 # ---------------------------------------------------------------------------
 # K1 — graph-pagerank: fixed-iteration PageRank in exact integer arithmetic
@@ -127,7 +127,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     of ranks only (the rank relation is 24 B/row; edges never move
     after round 0).
     """
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cache_key = artifact_cache_key(spark, sf_dir)
     cached = _PR_GRAPH_CACHE.get(cache_key)
     if cached is None:
         # one live entry — stale checkpointed graph relations release
@@ -295,7 +295,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles only the 16 B/row label relation — edges never move after
     round 0 (the pagerank posture). The final community-size window
     shuffles the node-count-sized label relation once, by label."""
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cache_key = artifact_cache_key(spark, sf_dir)
     cached = _LPA_CACHE.get(cache_key)
     if cached is None:
         # one live entry — see _KM_CACHE (stale checkpointed adjacency

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from spark_file_mover_spark.llm._textnorm import MD5_PREFIX60_SQL
 from spark_file_mover_spark.operators._parity import dec
 from spark_file_mover_spark.registry import query
-from spark_file_mover_spark.sources.io import load_table
+from spark_file_mover_spark.sources.io import artifact_cache_key, load_table
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -726,7 +726,7 @@ def stream_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = load_table(spark, sf_dir, "events")
     schema = e.schema
-    src_key = (spark.sparkContext.applicationId, sf_dir)
+    src_key = artifact_cache_key(spark, sf_dir)
     if _last_eos_src is None or _last_eos_src[0] != src_key:
         if _last_eos_src is not None:
             shutil.rmtree(_last_eos_src[1], ignore_errors=True)
@@ -765,18 +765,42 @@ def stream_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.schema(schema).parquet(sink_dir).count()
 
     counts = {}
-    run_stream()
-    counts["p1_initial"] = sink_count()
-    run_stream()  # same checkpoint, no new data -> must append nothing
-    counts["p2_restart_no_new_data"] = sink_count()
-    land_delta()  # a NEW file lands; the restart processes ONLY the delta
-    run_stream()
-    counts["p3_incremental_batch"] = sink_count()
+    try:
+        run_stream()
+        counts["p1_initial"] = sink_count()
+        run_stream()  # same checkpoint, no new data -> must append nothing
+        counts["p2_restart_no_new_data"] = sink_count()
+        land_delta()  # a NEW file lands; restart processes ONLY the delta
+        run_stream()
+        counts["p3_incremental_batch"] = sink_count()
+    finally:
+        # counts are plain Python ints by now — nothing returned reads
+        # base again, so the per-invocation src/sink/ckpt tree goes
+        # immediately (pre-r9 every invocation leaked one sfm-h10-*
+        # dir in the system tmp for the process lifetime and beyond)
+        shutil.rmtree(base, ignore_errors=True)
 
     return spark.createDataFrame(
         sorted(counts.items()), "phase string, n_in_sink long"
     ).orderBy("phase")
 
 
-# ((appId, sf_dir), staging dir) — the pre-written source-slice files
+# ((appId, sf_dir), staging dir) — the pre-written source-slice files.
+# Replacing an entry removes the old dir inline; the LIVE entry is
+# removed by the atexit hook below, so repeated bench/test runs don't
+# accumulate staging data in the system tmp dir.
 _last_eos_src = None
+
+
+def _cleanup_eos_staging() -> None:
+    global _last_eos_src
+    if _last_eos_src is not None:
+        import shutil
+
+        shutil.rmtree(_last_eos_src[1], ignore_errors=True)
+        _last_eos_src = None
+
+
+import atexit  # noqa: E402  (module-scope registration, one per process)
+
+atexit.register(_cleanup_eos_staging)

@@ -28,12 +28,64 @@ TABLES = (
 )
 
 
+def corpus_fingerprint(sf_dir: str) -> tuple:
+    """Cheap content fingerprint of the testdata tables under ``sf_dir``:
+    every ``*.parquet`` entry's (name, size, mtime_ns), as a tuple —
+    equality is all callers need, and the raw tuple can't collide.
+
+    Regenerating a corpus IN PLACE at the same path rewrites the files,
+    so their sizes/mtimes change and every artifact cache keyed through
+    :func:`artifact_cache_key` misses instead of silently serving
+    results computed from the old bytes (the r8 cache-contract gap: the
+    (appId, sf_dir) key only detected *switching* directories). Cost is
+    ~10 stat calls per lookup — re-statted every call on purpose, since
+    caching the fingerprint would reintroduce the staleness it exists
+    to catch. Directory-shaped tables (partitioned/multi-file datasets)
+    are walked one level of files deep, which covers any rewrite that
+    replaces or appends data files."""
+    import os
+
+    parts: list[tuple[str, int, int]] = []
+    try:
+        entries = sorted(os.scandir(sf_dir), key=lambda e: e.name)
+    except FileNotFoundError:
+        return ()
+    for e in entries:
+        if not e.name.endswith(".parquet"):
+            continue
+        if e.is_file():
+            st = e.stat()
+            parts.append((e.name, st.st_size, st.st_mtime_ns))
+        elif e.is_dir():
+            for root, _dirs, files in os.walk(e.path):
+                for fname in sorted(files):
+                    st = os.stat(os.path.join(root, fname))
+                    parts.append(
+                        (f"{e.name}/{fname}", st.st_size, st.st_mtime_ns)
+                    )
+    return hash(tuple(parts))
+
+
+def artifact_cache_key(spark: SparkSession, sf_dir: str) -> tuple:
+    """Key for cross-invocation materialized artifacts derived from a
+    corpus (minhash bands, IVF assignments, span gram relations, Bloom
+    summaries, graph adjacency, kmeans models, …): a cache entry is
+    valid only while (a) the SparkContext that owns its blocks is alive
+    (applicationId) and (b) the input files are byte-identical
+    (:func:`corpus_fingerprint`)."""
+    return (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        corpus_fingerprint(sf_dir),
+    )
+
+
 # (sf_dir, name) → DataFrame for ONE SparkSession at a time. A DataFrame
 # is an immutable logical plan, so reuse is safe; without the cache every
 # load_table call pays a fresh driver-side footer read + file listing
 # (~0.1 s), and the scoring run calls load_table a few hundred times
-# across all registered keys. Contract: testdata parquet is immutable for the
-# process lifetime (the cached plan snapshots its file listing). The
+# across all registered keys. In-place corpus rewrites are detected via
+# the fingerprint component of the key (see _CacheKey below). The
 # cache is dropped whenever a different session appears, so stopped
 # sessions are never pinned by cached plans. Keyed on
 # (applicationId, nonce): applicationId alone would conflate two
@@ -46,7 +98,13 @@ TABLES = (
 # entirely in _CACHE_SESSION_KEY ((applicationId, nonce)) — the cache is
 # cleared whenever the observed session key changes, so entry keys never
 # need to carry session identity themselves.
-_CacheKey = tuple[str, str]  # (sf_dir, table name)
+# A cached plan snapshots its file listing (sizes/offsets included), so
+# the key also carries the corpus fingerprint: rewriting a table's file
+# in place misses the cache and re-plans against the new bytes instead
+# of reading stale (or wrongly-sized) splits. Entries for a superseded
+# fingerprint linger until the session changes — harmless, they're
+# lazy plans, not pinned blocks.
+_CacheKey = tuple[str, str, tuple]  # (sf_dir, table name, fingerprint)
 _CACHE: dict[_CacheKey, DataFrame] = {}
 _CACHE_SESSION_KEY: tuple[str, int] | None = None
 _SESSION_NONCES = itertools.count()
@@ -76,7 +134,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if _CACHE_SESSION_KEY != session_key:
         _CACHE.clear()
         _CACHE_SESSION_KEY = session_key
-    ck = (sf_dir, name)
+    ck = (sf_dir, name, corpus_fingerprint(sf_dir))
     if ck in _CACHE:
         return _CACHE[ck]
     if name == "events":

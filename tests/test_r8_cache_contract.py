@@ -1,8 +1,10 @@
 """The r8 ingest-artifact cache contract: relations that are pure
 functions of the immutable input files (minhash bands, the IVF assigned
 relation, the span-family tok/gram/dup-position trio, the containment
-guarded-shingle checkpoint) persist per (applicationId, sf_dir) and are
-evicted + rebuilt when the corpus changes.
+guarded-shingle checkpoint) persist per artifact_cache_key — (appId,
+sf_dir, corpus fingerprint) since r9 — and are evicted + rebuilt when
+the corpus changes, including an IN-PLACE rewrite at the same path
+(tests/test_r9_ops.py pins that case).
 
 These tests pin the two paths a cached key can take wrong: a HIT that
 returns stale/incorrect results, and an EVICTION that fails to rebuild
