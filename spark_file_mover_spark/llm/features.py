@@ -656,3 +656,68 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pair", "n_occ", "n_toks", "rank")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# I48 — CCNet-style per-language perplexity buckets (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+_CCNET_ORACLE = f"""
+WITH scored AS ({_XENT_ORACLE}),
+b AS (
+  SELECT s.doc_id, d.lang, s.xent,
+         ntile(3) OVER (PARTITION BY d.lang ORDER BY s.xent, s.doc_id)
+           AS nt
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, xent,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket
+FROM b ORDER BY doc_id
+"""
+
+
+@query("text-ccnet-buckets", oracle=_CCNET_ORACLE)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I48: the CCNet bucketing step — split each language's corpus
+    into head/middle/tail TERCILES of LM perplexity (here the repo's
+    unigram cross-entropy proxy; a deployment swaps in KenLM scores,
+    same plan), the curation scheme CCNet introduced and CC-derived
+    pretraining sets still use: keep head+middle, sample or drop tail.
+    Completes the proxy's pipeline: text-perplexity-proxy scores and
+    thresholds globally; this key assigns the per-language relative
+    buckets downstream mixing actually consumes.
+
+    Shape at 100 TB: the scored relation (doc_id, xent — 16 B/row,
+    never text) joins the (doc_id, lang) projection and one window per
+    language assigns terciles; ntile needs the language partition
+    sorted, which is exactly the per-shuffle-partition sort a window
+    costs everywhere else in the repo. Languages are the natural skew
+    axis (en ≫ rest) — the production posture salts en by xent range
+    and merges tercile boundaries from per-salt histograms; at bench
+    scale the single window is the honest plan.
+
+    Parity: xent is already snapped to 9 dp inside the proxy (both
+    engines); the tercile order (xent, doc_id) is total, so ntile —
+    identical floor-split semantics in Spark and DuckDB — lands every
+    doc in the same bucket cross-engine."""
+    from pyspark.sql import Window as W
+
+    scored = text_perplexity_proxy(spark, sf_dir).select("doc_id", "xent")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    nt = F.ntile(3).over(
+        W.partitionBy("lang").orderBy("xent", "doc_id")
+    )
+    return (
+        scored.join(d, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "xent",
+            F.when(nt == 1, "head")
+            .when(nt == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

@@ -518,3 +518,80 @@ def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# I47 — deterministic weighted interleave of sources into one stream
+# ---------------------------------------------------------------------------
+
+_ILV_LIMIT = 200  # emitted prefix of the interleaved stream
+_ILV_ALPHA = 0.5  # mixing temperature: per-source rate ∝ n_source^alpha
+
+_ILV_ORACLE = f"""
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n_s
+  FROM documents
+),
+v AS (
+  SELECT source, doc_id,
+         CAST(rn AS DOUBLE) / pow(CAST(n_s AS DOUBLE), {_ILV_ALPHA}) AS vt
+  FROM r
+),
+t AS (SELECT * FROM v ORDER BY vt, source, doc_id LIMIT {_ILV_LIMIT})
+SELECT CAST(row_number() OVER (ORDER BY vt, source, doc_id) AS BIGINT)
+         AS pos,
+       source, doc_id, ROUND(vt, 9) AS vt
+FROM t ORDER BY pos
+"""
+
+
+@query("sample-interleave-sources", oracle=_ILV_ORACLE)
+def sample_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I47: deterministic weighted interleave — serialize N corpus
+    sources into ONE training stream where source s advances at rate
+    ∝ n_s^alpha (alpha = 0.5: the sub-proportional mix that keeps big
+    sources from drowning small ones — the streaming twin of
+    sample-temperature-weights, which computes the weights but not the
+    ORDER). Every document gets a virtual timestamp rn/w_s; the merged
+    stream is the virtual-time order. Deterministic by construction:
+    no RNG, stable under repartitioning and reruns (the module-top
+    contract), which is what makes a training run reproducible.
+
+    Shape at 100 TB: one window partitioned by source assigns rn and
+    n_s in a single exchange+sort; the stream prefix is
+    TakeOrderedAndProject (per-task top-k + driver merge — no global
+    sort materialization, the F5 plan), and the emitted positions come
+    from a window over the LIMITED prefix (k rows), not the corpus.
+    Parity: rn and n_s are exact integers; vt is one IEEE division by
+    a correctly-rounded pow — bit-identical cross-engine — and the
+    (vt, source, doc_id) order is total; vt is snapped to 9 dp in the
+    output only."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    wsrc = W.partitionBy("source")
+    r = d.select(
+        "source",
+        "doc_id",
+        F.row_number().over(wsrc.orderBy("doc_id")).alias("rn"),
+        F.count("*").over(wsrc).alias("n_s"),
+    )
+    vt = F.col("rn").cast("double") / F.pow(
+        F.col("n_s").cast("double"), F.lit(_ILV_ALPHA)
+    )
+    t = (
+        r.select("source", "doc_id", vt.alias("vt"))
+        .orderBy("vt", "source", "doc_id")
+        .limit(_ILV_LIMIT)
+    )
+    return t.select(
+        F.row_number()
+        .over(W.orderBy("vt", "source", "doc_id"))
+        .cast("long")
+        .alias("pos"),
+        "source",
+        "doc_id",
+        F.round("vt", 9).alias("vt"),
+    ).orderBy("pos")

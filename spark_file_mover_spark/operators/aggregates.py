@@ -1041,3 +1041,202 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# E17 — two-sample Kolmogorov–Smirnov drift statistic (data-QA gate)
+# ---------------------------------------------------------------------------
+
+# Split the observed January window into two halves: the "reference"
+# period A and the "candidate" period B a production drift monitor
+# compares against it.
+_KS_SPLIT = "2024-01-16 00:00:00"
+# Asymptotic two-sample KS critical coefficient at alpha = 0.05
+# (c(alpha) = sqrt(-ln(alpha/2)/2) = 1.3581; Smirnov's approximation —
+# public-domain statistics, see e.g. NIST/SEMATECH e-Handbook §1.3.5.16).
+_KS_COEFF = 1.3581
+
+_KS_ORACLE = f"""
+WITH dist AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         COUNT(*) FILTER (WHERE ts <  TIMESTAMP '{_KS_SPLIT}') AS a_cnt,
+         COUNT(*) FILTER (WHERE ts >= TIMESTAMP '{_KS_SPLIT}') AS b_cnt
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type,
+         SUM(a_cnt) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum_a,
+         SUM(b_cnt) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum_b,
+         SUM(a_cnt) OVER (PARTITION BY event_type) AS n_a,
+         SUM(b_cnt) OVER (PARTITION BY event_type) AS n_b
+  FROM dist
+)
+SELECT event_type,
+       CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       ROUND(MAX(ABS(CAST(cum_a AS DOUBLE) / n_a
+                   - CAST(cum_b AS DOUBLE) / n_b)), 9) AS ks_stat,
+       ROUND({_KS_COEFF} * sqrt(CAST(MAX(n_a) + MAX(n_b) AS DOUBLE)
+                                / (MAX(n_a) * MAX(n_b))), 9) AS ks_crit,
+       ROUND(MAX(ABS(CAST(cum_a AS DOUBLE) / n_a
+                   - CAST(cum_b AS DOUBLE) / n_b)), 9)
+         > ROUND({_KS_COEFF} * sqrt(CAST(MAX(n_a) + MAX(n_b) AS DOUBLE)
+                                    / (MAX(n_a) * MAX(n_b))), 9)
+         AS drift
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("agg-ks-drift", oracle=_KS_ORACLE)
+def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17: two-sample Kolmogorov–Smirnov statistic per event type
+    between two time windows — the standard nonparametric
+    distribution-drift gate a production data-QA layer runs on every
+    ingest batch (did this week's `value` distribution move vs the
+    reference period?). D = max |ECDF_A - ECDF_B|, compared against the
+    alpha=0.05 asymptotic critical value.
+
+    Shape at 100 TB (the E16/E13 "distribution trick"): the raw scan
+    collapses to DISTINCT (event_type, value-cents) rows carrying
+    per-window counts — bounded by value cardinality, not row count —
+    then ONE window partition per event type computes both ECDFs with
+    cumulative sums and a final bounded agg takes the sup. No sort of
+    raw rows, no per-row shuffle: the exchanges carry the distinct-value
+    relation only. The ordering axis is exact integer cents (the
+    agg-mode-exact money representation), so cumulative counts are
+    tie-free and engine-identical.
+
+    Parity: cumulative and total counts are exact BIGINTs; the two
+    ECDF divisions and their difference are IEEE-exact-input double ops
+    (deterministic), and both the statistic and the critical value are
+    snapped to 9 dp before the flag compare and the hash (sqrt is
+    correctly rounded per IEEE-754, the snap is belt-and-braces)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    in_a = (F.col("ts") < _KS_SPLIT).cast("long")
+    cents = (
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    ).alias("cents")
+    dist = (
+        e.select("event_type", cents, in_a.alias("in_a"))
+        .groupBy("event_type", "cents")
+        .agg(
+            F.sum("in_a").alias("a_cnt"),
+            F.sum(1 - F.col("in_a")).alias("b_cnt"),
+        )
+    )
+    cum = W.partitionBy("event_type").orderBy("cents").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    tot = W.partitionBy("event_type")
+    c = dist.select(
+        "event_type",
+        F.sum("a_cnt").over(cum).alias("cum_a"),
+        F.sum("b_cnt").over(cum).alias("cum_b"),
+        F.sum("a_cnt").over(tot).alias("n_a"),
+        F.sum("b_cnt").over(tot).alias("n_b"),
+    )
+    d_col = F.abs(
+        F.col("cum_a").cast("double") / F.col("n_a")
+        - F.col("cum_b").cast("double") / F.col("n_b")
+    )
+    ks = F.round(F.max(d_col), 9)
+    crit = F.round(
+        _KS_COEFF
+        * F.sqrt(
+            (F.max("n_a") + F.max("n_b")).cast("double")
+            / (F.max("n_a") * F.max("n_b"))
+        ),
+        9,
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            ks.alias("ks_stat"),
+            crit.alias("ks_crit"),
+            (ks > crit).alias("drift"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E18 — power-of-ten value histogram in exact integer space
+# ---------------------------------------------------------------------------
+
+_HIST_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         LENGTH(CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                     AS VARCHAR)) AS bucket
+  FROM events WHERE value IS NOT NULL
+),
+h AS (
+  SELECT event_type, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(bucket AS BIGINT) AS bucket,
+       ROUND(POW(10.0, bucket - 1) / 100.0, 9) AS bucket_lo,
+       ROUND(POW(10.0, bucket) / 100.0, 9) AS bucket_hi,
+       n,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY event_type), 9) AS share
+FROM h ORDER BY event_type, bucket
+"""
+
+
+@query("agg-hist-logbucket", oracle=_HIST_ORACLE)
+def agg_hist_logbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18: order-of-magnitude value histogram per event type — the
+    log-bucketed distribution profile a 100 TB data-QA sweep keeps per
+    column (long-tailed metrics are unreadable in linear buckets, and
+    a full exact histogram is unboundedly wide). Bucket = decimal digit
+    count of the exact integer cents, i.e. floor(log10)+1 computed in
+    INTEGER space: float floor(log10(x)) misassigns values sitting on
+    bucket edges (log10(1000.) ULP), digit count cannot.
+
+    Shape: one scan → map-side bucket expression → partial+final hash
+    agg on (event_type, bucket) — the agg-hash plan with a derived key,
+    ~45 output rows at any scale. The per-type share normalizer is a
+    window over the AGGREGATED relation (bucket-count-sized), not the
+    raw scan. Parity: buckets and counts are exact integers; share is
+    an int/int double division snapped to 9 dp; the bucket bounds are
+    pow(10, k) doubles snapped to 9 dp (exact integers well inside
+    double precision until k = 15)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.length(
+        ((F.col("value").cast("decimal(12,2)") * 100).cast("long")).cast(
+            "string"
+        )
+    )
+    h = (
+        e.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    share = F.round(
+        F.col("n").cast("double")
+        / F.sum("n").over(W.partitionBy("event_type")),
+        9,
+    )
+    return h.select(
+        "event_type",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.round(F.pow(F.lit(10.0), F.col("bucket") - 1) / 100.0, 9).alias(
+            "bucket_lo"
+        ),
+        F.round(F.pow(F.lit(10.0), F.col("bucket")) / 100.0, 9).alias(
+            "bucket_hi"
+        ),
+        "n",
+        share.alias("share"),
+    ).orderBy("event_type", "bucket")

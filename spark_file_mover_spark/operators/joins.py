@@ -697,3 +697,104 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D13 — Bloom-prefiltered join (semi-join pushdown without moving the dim)
+# ---------------------------------------------------------------------------
+
+_BLOOMJ_SEGMENT = "BUILDING"
+_BLOOMJ_MBITS = 1 << 16  # 8 KiB bitmap — 1024 bigint lanes
+_BLOOMJ_K = 3  # hash functions; FPR ~0.2% at n≈3k keys
+
+_BLOOMJ_ORACLE = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{_BLOOMJ_SEGMENT}'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("join-bloom-prefilter", oracle=_BLOOMJ_ORACLE)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13: the Bloom-prefilter join pattern — build an 8 KiB Bloom
+    bitmap over the FILTERED dimension's join keys, broadcast it as a
+    literal expression, and discard non-matching fact rows AT THE SCAN
+    before any exchange; the exact equi-join afterwards removes the
+    (~0.2%) false positives, so the result is identical to the plain
+    join by construction (which is why the oracle is the plain join).
+
+    Why it earns a key of its own at 100 TB: a selective dim predicate
+    (here one market segment) leaves a fact-side join that still
+    shuffles EVERY fact row under plain SMJ — the Bloom semi-filter
+    cuts the exchanged volume to ~selectivity of the dim filter for
+    8 KiB of broadcast state, the manual form of Spark's own
+    runtime-bloom pushdown (spark.sql.optimizer.runtime.bloomFilter.*)
+    that a pipeline uses when the dim side is computed (a dedup
+    survivor set, yesterday's id list) rather than a scanned table —
+    the relational-plane twin of dedup-cross-bloom's corpus summary.
+
+    The bitmap build shuffles 1024 (lane, bits) rows; the collect is
+    metadata-scale (1024 bigints, the dedup-cross-bloom precedent) and
+    the probe is a generated-SQL literal array (one JVM parse — the
+    r8b py4j lesson). At this SF the residual join broadcasts the dim;
+    at fact-fact ratios it would shuffle ~|segment| rows instead of
+    |orders| — the point of the pattern."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == _BLOOMJ_SEGMENT
+    )
+    o = load_table(spark, sf_dir, "orders")
+
+    lanes_rel = (
+        c.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col("c_custkey"), F.lit(j)),
+                            F.lit(_BLOOMJ_MBITS),
+                        )
+                        for j in range(_BLOOMJ_K)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .groupBy((F.col("pos") / 64).cast("long").alias("lane"))
+        .agg(
+            # shiftleft's numBits parameter is int-only in the Python
+            # API — the expression form takes a per-row column
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            ).alias("bits")
+        )
+    )
+    lane_bits = {int(r["lane"]): int(r["bits"]) for r in lanes_rel.collect()}
+    lanes_sql = ", ".join(
+        f"{lane_bits.get(i, 0)}L" for i in range(_BLOOMJ_MBITS // 64)
+    )
+    probes = " AND ".join(
+        f"((element_at(__bloom_lanes, CAST(pmod(xxhash64(o_custkey, {j}), "
+        f"{_BLOOMJ_MBITS}) / 64 AS INT) + 1) >> "
+        f"CAST(pmod(xxhash64(o_custkey, {j}), {_BLOOMJ_MBITS}) % 64 AS INT))"
+        f" & 1) = 1"
+        for j in range(_BLOOMJ_K)
+    )
+    prefiltered = (
+        o.withColumn("__bloom_lanes", F.expr(f"array({lanes_sql})"))
+        .filter(F.expr(probes))
+        .drop("__bloom_lanes")
+    )
+    return (
+        prefiltered.join(
+            F.broadcast(c.select("c_custkey")),
+            prefiltered.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("o_orderpriority")
+    )

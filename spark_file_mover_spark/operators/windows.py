@@ -352,3 +352,96 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 9).alias("cd"),
         F.nth_value("c_custkey", 3).over(wf).alias("third_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F10 — batch sessionization by inactivity gap
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, in exact microseconds
+
+_SESSIONIZE_ORACLE = f"""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN gap_us IS NULL OR gap_us > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+),
+per_session AS (
+  SELECT user_id, session_idx,
+         COUNT(*) AS n_events,
+         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+  FROM s GROUP BY user_id, session_idx
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singleton,
+       CAST(MAX(n_events) AS BIGINT) AS max_events,
+       CAST(MAX(duration_us) AS BIGINT) AS max_duration_us
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("window-session-batch", oracle=_SESSIONIZE_ORACLE)
+def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: BATCH sessionization — assign every event to a session by
+    inactivity gap (> 30 min starts a new session) with the classic
+    lag + cumulative-sum window pair, then roll sessions up per user.
+    H3 covers the streaming session window; this is its batch twin, the
+    form backfills and historical reprocessing actually run (CDP /
+    product-analytics sessionization over years of logs).
+
+    Shape at 100 TB: ONE shuffle on user_id serves both windows (lag
+    and the running sum share the same partitioning + (ts, event_id)
+    sort — Catalyst plans a single Exchange + Sort and two Window
+    nodes over it), then the two rollups reuse that partitioning
+    (groupBy(user_id, session_idx) and groupBy(user_id) are
+    co-partitioned with the window — no further exchange). Per-user
+    event counts bound the sort; a pathological single user is the
+    known skew case and would salt by day first.
+
+    Parity: gaps and durations are exact integer MICROSECONDS
+    (epoch_us both sides — float seconds would lose sub-µs bits);
+    the (ts, event_id) compound order is total, so lag and the
+    running sum are engine-identical."""
+    e = load_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w = W.partitionBy("user_id").orderBy(*order)
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > _SESSION_GAP_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    s = e.select(
+        "user_id",
+        "ts",
+        F.sum(is_new).over(wsum).alias("session_idx"),
+    )
+    per_session = s.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("int"))
+            .cast("long")
+            .alias("n_singleton"),
+            F.max("n_events").cast("long").alias("max_events"),
+            F.max("duration_us").cast("long").alias("max_duration_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -62,89 +62,31 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
     return deco
 
 
-# Scoring priority for the current round (r8). The driver consumes
+# Scoring priority for the current round (r9). The driver consumes
 # ``queries()`` in dict insertion order under a wall-clock budget
-# (~50 keys/round; r6 and r7 each scored exactly 50), so ``load_all``
-# rebuilds the registry dict in this order after all modules import:
+# (~50 keys/round), so ``load_all`` rebuilds the registry dict in this
+# order after all modules import:
 #
-#   1. The 31 keys that have NEVER been driver-scored (every one
-#      landed behind r7's 50-key cut after the late-r7 additions).
-#      LLM-family keys first, then B/E/H/D/F/G — the exact order the
-#      r7 verdict asked for. All 31 are green in the full-inventory
-#      oracle sim; this buys the hard driver row.
-#   2. The 3 keys whose latest driver row is r5 (udf/udaf/udtf) —
-#      two rounds stale, the oldest rows in the registry.
-#   3. The full r6-scored block in tools/stale_keys.py order
-#      (text-perplexity-proxy first: its r7 left-join hardening has
-#      never been driver-scored). Positions 35-50 of the cut come
-#      from this block's head; if the driver scores past 50, it
-#      keeps consuming the stalest keys next rather than r7-fresh
-#      ones.
-#   4. Everything r7-fresh falls through to the tail (load_all
-#      appends registry order for keys not listed here).
+#   1. The 6 NEW r9 keys (agg-ks-drift, agg-hist-logbucket,
+#      window-session-batch, join-bloom-prefilter,
+#      sample-interleave-sources, text-ccnet-buckets) — new keys always
+#      go at the HEAD so they earn a driver row the round they land
+#      (the r7 lesson: 33 tail-added keys sat unscored for a round).
+#   2. Everything else in tools/stale_keys.py order as of r8 scoring:
+#      the r6-scored block first (2 rounds stale — the 50-key r8 cut
+#      re-scored the 31 late-r7 keys + the r5 J-block + 16 r6-stale
+#      keys, leaving these), then r7-scored, then r8-fresh keys last.
 #
-# Round 8 adds NO new keys (verdict #2: freeze the count at 134 so
-# the rotation converges; any future addition goes at the HEAD).
-#
-# r9 playbook: once CORRECTNESS_r08.json lands, run
-# `python tools/stale_keys.py --list` and paste its output as
-# _PRIORITY_R9 — after r8 scores this head, the stalest block will be
-# the 50 r7-scored keys (2 rounds old), then this round's tail. Any
-# NEW key still goes at the HEAD, before the stale block.
-_PRIORITY_R8 = [
-    # -- 31 never-driver-scored keys (late-r7 additions) --
-    "dedup-image-phash",
-    "dedup-cross-bloom",
-    "embed-kmeans-lloyd",
-    "embed-pq-encode",
-    "embed-ann-ivfpq",
-    "embed-random-projection",
-    "multimodal-image-exif",
-    "text-bpe-pairs",
-    "text-containment",
-    "text-gopher-rules",
-    "sample-reservoir-weighted",
-    "sample-balanced-downsample",
-    "graph-pagerank",
-    "graph-label-propagation",
-    "sink-zorder",
-    "sink-snapshot-read",
-    "scan-dpp-join",
-    "scan-schema-evolution",
-    "scan-csv-corrupt-recover",
-    "agg-retention-cohort",
-    "agg-sketch-hll-merge",
-    "agg-sketch-cms",
-    "agg-sketch-theta-setops",
-    "agg-outlier-mad",
-    "agg-mode-exact",
-    "join-interval-overlap",
-    "join-asof-tolerance",
-    "window-distribution",
-    "fn-variant-json",
-    "stream-disorder-metrics",
-    "stream-sink-exactly-once",
-    # -- r5-stale J keys (oldest driver rows in the registry) --
-    "udf-scalar-pandas",
-    "udaf-grouped-pandas",
-    "udtf-explode-like",
-    # -- r6-scored block, stale_keys.py order --
-    "text-perplexity-proxy",
-    "agg-hash",
-    "agg-distinct",
-    "agg-approx-distinct",
-    "agg-rollup-cube-gsets",
-    "agg-having",
-    "agg-approx-quantile",
-    "agg-pivot",
-    "agg-stats",
-    "agg-unpivot",
-    "agg-incremental-merge",
-    "window-ranking",
-    "window-analytic",
-    "window-frame-agg",
-    "topk-per-group",
-    "sort-limit",
+# The r8 rotation converged: every registered key now holds a driver
+# row ≤2 rounds old. Rebuild this list each round from
+# `python tools/stale_keys.py --list` with any new keys at the HEAD.
+_PRIORITY_R9 = [
+    "agg-ks-drift",
+    "agg-hist-logbucket",
+    "window-session-batch",
+    "join-bloom-prefilter",
+    "sample-interleave-sources",
+    "text-ccnet-buckets",
     "etl-scd2",
     "etl-cdc-apply",
     "set-union-intersect-except",
@@ -179,12 +121,112 @@ _PRIORITY_R8 = [
     "sink-bucketed",
     "repartition-n",
     "sink-merge-upsert",
+    "join-semi-anti",
+    "join-broadcast",
+    "join-range-theta",
+    "dedup-exact",
+    "dedup-near-minhash",
+    "dedup-simhash",
+    "dedup-ngram-jaccard",
+    "text-dup-cut",
+    "sim-search-topk",
+    "dedup-embedding-cosine",
+    "sim-search-lsh",
+    "sample-train-split",
+    "sample-hash-stratified",
+    "sample-pack-sequences",
+    "sample-temperature-weights",
+    "text-url-normalize",
+    "text-chunk-sliding",
+    "text-tfidf-topk",
+    "embed-quantize-int8",
+    "project-select",
+    "filter-pred",
+    "filter-like-regexp",
+    "fn-string",
+    "fn-date",
+    "fn-math",
+    "fn-array",
+    "fn-map-json",
+    "fn-case-when-cast",
+    "multimodal-binary",
+    "multimodal-frame-sample",
+    "multimodal-video-meta",
+    "text-analysis",
+    "text-token-count",
+    "text-langid",
+    "text-quality-score",
+    "text-fingerprint",
+    "text-pii-scrub",
+    "text-ngram-freq",
+    "move-partition-extract",
+    "move-template",
+    "move-collision-guard",
+    "write-single-file",
+    "scan-parquet",
+    "scan-table-manifest",
+    "scan-csv-roundtrip",
+    "scan-orc-roundtrip",
+    "sink-sorted-pruning",
+    "sink-partitioned",
+    "sink-overwrite",
+    "sink-compact",
+    "dedup-image-phash",
+    "dedup-cross-bloom",
+    "embed-kmeans-lloyd",
+    "embed-pq-encode",
+    "embed-ann-ivfpq",
+    "embed-random-projection",
+    "multimodal-image-exif",
+    "text-bpe-pairs",
+    "text-containment",
+    "text-gopher-rules",
+    "sample-reservoir-weighted",
+    "sample-balanced-downsample",
+    "graph-pagerank",
+    "graph-label-propagation",
+    "sink-zorder",
+    "sink-snapshot-read",
+    "scan-dpp-join",
+    "scan-schema-evolution",
+    "scan-csv-corrupt-recover",
+    "agg-retention-cohort",
+    "agg-sketch-hll-merge",
+    "agg-sketch-cms",
+    "agg-sketch-theta-setops",
+    "agg-outlier-mad",
+    "agg-mode-exact",
+    "join-interval-overlap",
+    "join-asof-tolerance",
+    "window-distribution",
+    "fn-variant-json",
+    "stream-disorder-metrics",
+    "stream-sink-exactly-once",
+    "udf-scalar-pandas",
+    "udaf-grouped-pandas",
+    "udtf-explode-like",
+    "text-perplexity-proxy",
+    "agg-hash",
+    "agg-distinct",
+    "agg-approx-distinct",
+    "agg-rollup-cube-gsets",
+    "agg-having",
+    "agg-approx-quantile",
+    "agg-pivot",
+    "agg-stats",
+    "agg-unpivot",
+    "agg-incremental-merge",
+    "window-ranking",
+    "window-analytic",
+    "window-frame-agg",
+    "topk-per-group",
+    "sort-limit",
 ]
 
 
 def load_all() -> None:
     """Import every operator module so registrations run, then rebuild
-    the registry dict in scoring-priority order (see ``_PRIORITY_R8``) —
+    the registry dict in scoring-priority order (see ``_PRIORITY_R9``) —
     dict insertion order IS the driver's scoring order."""
     # Imports are at call time so `import spark_file_mover_spark` stays cheap.
     from spark_file_mover_spark.operators import (  # noqa: F401
@@ -208,8 +250,8 @@ def load_all() -> None:
     from spark_file_mover_spark import filemover_queries, udfs  # noqa: F401
     from spark_file_mover_spark.sources import sourcesink  # noqa: F401
 
-    ordered = [k for k in _PRIORITY_R8 if k in QUERIES]
-    ordered += [k for k in QUERIES if k not in _PRIORITY_R8]
+    ordered = [k for k in _PRIORITY_R9 if k in QUERIES]
+    ordered += [k for k in QUERIES if k not in _PRIORITY_R9]
     for mapping in (QUERIES, ORACLES):
         snapshot = {k: mapping[k] for k in ordered if k in mapping}
         mapping.clear()
