@@ -492,3 +492,79 @@ def test_containment_shuffles_hashes_not_text(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line, line
+
+
+def test_ks_drift_aggregates_distinct_values_before_window(spark, sf_dir):
+    """E17's scale claim: the window runs over the DISTINCT
+    (event_type, cents) relation — a hash aggregate must sit between
+    the scan and the first Window, and the window's sort must be by
+    cents (the distribution axis), never by raw event rows."""
+    import re
+
+    plan = _formatted_plan(spark, registry.QUERIES["agg-ks-drift"](spark, sf_dir))
+    tree = plan.split("(1) Scan")[0]
+    # a HashAggregate sits between the scan and the first Window in the
+    # tree (operators print leaf-last, so aggregate appears BELOW window
+    # textually — check both are present and aggregate count is 4:
+    # partial+final distinct-collapse, partial+final sup)
+    assert tree.count("HashAggregate") == 4
+    assert tree.count("Window") == 2
+    # exactly two hash exchanges: (type, cents) for the distinct
+    # collapse, (type) for the windows; the final agg reuses the
+    # window's partitioning
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 2
+
+
+def test_session_batch_windows_share_one_exchange(spark, sf_dir):
+    """F10's scale claim: lag + running sum + both rollups ride ONE
+    user_id exchange (shared partitioning and sort)."""
+    import re
+
+    plan = _formatted_plan(
+        spark, registry.QUERIES["window-session-batch"](spark, sf_dir)
+    )
+    hashparts = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert hashparts == ["user_id"], hashparts
+    assert plan.split("(1) Scan")[0].count("Window") == 2
+
+
+def test_bloom_prefilter_reaches_orders_scan(spark, sf_dir):
+    """D13's point: the Bloom probe must appear in the orders scan's
+    DataFilters (evaluated before any exchange), and the residual join
+    must broadcast the dim side."""
+    import re
+
+    plan = _formatted_plan(
+        spark, registry.QUERIES["join-bloom-prefilter"](spark, sf_dir)
+    )
+    # a Filter whose input is exactly the orders scan's two columns
+    # carries the bloom probe — scan-adjacent, inside the scan's
+    # whole-stage, before any exchange
+    m = re.search(
+        r"Filter\nInput \[2\]: \[o_custkey#\d+L, o_orderpriority#\d+\]\n"
+        r"Condition : .*element_at",
+        plan,
+    )
+    assert m, "bloom probe not scan-adjacent on orders"
+    # the ONLY exchanges are the post-join aggregate's — no exchange
+    # ever carries unfiltered fact rows
+    hashparts = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert set(hashparts) == {"o_orderpriority"}, hashparts
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_interleave_uses_take_ordered_prefix(spark, sf_dir):
+    """I47's scale claim: the stream prefix is TakeOrderedAndProject
+    (per-task top-k), not a global sort materialization; the position
+    window runs AFTER the limit."""
+    import re
+
+    plan = _formatted_plan(
+        spark, registry.QUERIES["sample-interleave-sources"](spark, sf_dir)
+    )
+    assert "TakeOrderedAndProject" in plan
+    # one exchange for the per-source window; the post-limit position
+    # window is single-partition over k rows and needs no hash exchange
+    hashparts = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert hashparts == ["source"], hashparts
