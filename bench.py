@@ -138,6 +138,8 @@ HEADLINE = [
     "join-bloom-prefilter",
     "sample-interleave-sources",
     "text-ccnet-buckets",
+    "dedup-semdedup",
+    "join-asof-nearest",
 ]
 
 
@@ -249,9 +251,10 @@ def main() -> None:
 # and the driver stores `parsed: null`. Emit compactly and degrade
 # per-key precision (never the aggregate fields) until the line fits
 # with margin; full precision always lands in BENCH_FULL.json. The
-# capture is the last 2000 chars of stdout — a final line of ≤1950
-# (plus newline) survives it whole even with output preceding it.
-_LINE_BUDGET = 1950
+# capture is the last 2000 chars of stdout; queries print with stdout
+# redirected to stderr, so the JSON line is stdout's ONLY content — any
+# line of ≤1999 chars incl. newline survives the capture whole.
+_LINE_BUDGET = 1985
 
 
 def emit_line(payload: dict) -> str:

@@ -758,3 +758,174 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# I49 — dedup-semdedup: semantic dedup inside k-means clusters
+# (Abbas et al. 2023, "SemDeDup" — cluster first, compare only within)
+# ---------------------------------------------------------------------------
+
+_SD_QSCALE = 1000  # coarse fixed-point for the similarity test: with
+# |x| <= ~0.53 and DIM 64, |q| <= ~530 so dot^2 <= ~3.2e14 and the
+# cross-multiplied cosine^2 compare below stays inside BIGINT — the
+# kmeans 10^6 scale would overflow int64 at dot^2
+_SD_THRESH = 0.95  # cosine duplicate threshold (flag; latent here)
+
+
+def _sd_oracle() -> str:
+    # Reuses the unrolled Lloyd CTE (the cluster assignment IS the
+    # kmeans model), then re-quantizes at the coarse scale, computes
+    # within-cluster pair dots in long format, and ranks each vector's
+    # neighbors by the 9-dp-snapped cosine.
+    return (
+        _km_cte_prefix()
+        + f""",
+qs AS (
+  SELECT vec_id, t.pos AS pos,
+         CAST(FLOOR(CAST(embedding[t.pos] AS DOUBLE) * {_SD_QSCALE} + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings
+  CROSS JOIN (SELECT UNNEST(range(1, {_KM_DIM} + 1)) AS pos) t
+),
+n2 AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2 FROM qs GROUP BY 1),
+asg AS (SELECT vec_id, cid FROM a{_KM_ROUNDS}),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+  FROM asg a
+  JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+  JOIN qs qa ON qa.vec_id = a.vec_id
+  JOIN qs qb ON qb.vec_id = b.vec_id AND qb.pos = qa.pos
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.va, p.vb,
+         ROUND(CAST(p.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+               / sqrt(CAST(nb.n2 AS DOUBLE)), 9) AS cos_r
+  FROM pairs p
+  JOIN n2 na ON na.vec_id = p.va
+  JOIN n2 nb ON nb.vec_id = p.vb
+),
+best AS (
+  SELECT va, vb, cos_r FROM (
+    SELECT va, vb, cos_r,
+           ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos_r DESC, vb) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT asg.vec_id,
+       CAST(asg.cid AS BIGINT) AS cluster,
+       b.vb AS nn_vec_id,
+       b.cos_r AS nn_cos,
+       COALESCE(b.cos_r >= {_SD_THRESH}, FALSE) AS is_dup
+FROM asg LEFT JOIN best b ON b.va = asg.vec_id
+ORDER BY asg.vec_id
+"""
+    )
+
+
+@query("dedup-semdedup", oracle=_sd_oracle())
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I49: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication that only ever compares embeddings INSIDE k-means
+    clusters: cluster the corpus (the embed-kmeans-lloyd model, reused
+    through the materialized-view cache), then for each vector find its
+    best within-cluster neighbor and flag cosine >= 0.95 as a semantic
+    duplicate. The clustering bounds the pair space to sum(|c|^2)
+    instead of N^2 — the whole point of the method at 10^9 vectors,
+    where K is chosen so N/K keeps per-cluster pair blocks executor-
+    sized. The emitted (neighbor, cosine) trace is the per-item
+    decision a curation run logs; the is_dup flag is latent on this
+    near-random fixture (max observed cosine ~0.51 — the theta-setops
+    audit-boolean pattern: a broken pair join or cosine flips rows).
+
+    Exactness: the similarity test runs on a COARSE fixed-point
+    re-quantization (10^3 — dot and the norms stay exact BIGINTs;
+    the kmeans 10^6 scale would overflow dot^2) shared verbatim by the
+    oracle; the ranking key is the 9-dp-snapped cosine (two correctly-
+    rounded sqrts + divisions — deterministic cross-engine) with
+    vec_id tie-break, so the argmax is engine-identical. Pair dots are
+    Spark-side zip_with/aggregate folds over the two 64-long arrays —
+    integer adds in fixed index order, no float, no UDF.
+
+    Plan shape: assignment is the cached kmeans map-only scan; the
+    pair join is a self-join ON cluster (hash exchange carries
+    (vec_id, cluster, qs, n2) — 64 longs/row, never raw embeddings
+    twice); top-1 per vector is the rank-then-filter WindowGroupLimit
+    form. Singleton clusters surface with NULL neighbor via the final
+    left join (structural, mirrored in the oracle)."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf, cents = _km_model(spark, sf_dir)
+    asg = _km_assign(qdf, cents).select("vec_id", "cluster")
+    qs = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _SD_QSCALE + F.lit(0.5)),
+        ).alias("qs"),
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.transform("qs", lambda q: q * q),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    side = asg.join(qs, "vec_id")
+    a = side.select(
+        F.col("vec_id").alias("va"),
+        "cluster",
+        F.col("qs").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    b = side.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cluster").alias("cluster_b"),
+        F.col("qs").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        a.join(
+            b,
+            (a.cluster == b.cluster_b) & (F.col("va") != F.col("vb")),
+        )
+        .select(
+            "va",
+            "vb",
+            F.round(
+                dot.cast("double")
+                / F.sqrt(F.col("na2").cast("double"))
+                / F.sqrt(F.col("nb2").cast("double")),
+                9,
+            ).alias("cos_r"),
+        )
+    )
+    best = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("va").orderBy(F.desc("cos_r"), "vb")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        asg.join(best, asg.vec_id == best.va, "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("vb").alias("nn_vec_id"),
+            F.col("cos_r").alias("nn_cos"),
+            F.coalesce(F.col("cos_r") >= _SD_THRESH, F.lit(False)).alias(
+                "is_dup"
+            ),
+        )
+        .orderBy("vec_id")
+    )

@@ -798,3 +798,126 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# D14 — as-of NEAREST join (closest order in either time direction)
+# ---------------------------------------------------------------------------
+
+_ASOF_NEAR_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id,
+         TIMESTAMP '1995-01-01' + INTERVAL (event_id % 2400) DAY AS asof_ts
+  FROM events
+),
+b AS (
+  SELECT e.event_id, MAX(o.o_orderdate) AS d
+  FROM e LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.asof_ts
+  GROUP BY e.event_id
+),
+f AS (
+  SELECT e.event_id, MIN(o.o_orderdate) AS d
+  FROM e LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate > e.asof_ts
+  GROUP BY e.event_id
+),
+pick AS (
+  SELECT e.event_id, e.user_id, e.asof_ts,
+         CASE
+           WHEN b.d IS NULL AND f.d IS NULL THEN NULL
+           WHEN f.d IS NULL THEN b.d
+           WHEN b.d IS NULL THEN f.d
+           WHEN date_diff('day', b.d, e.asof_ts)
+                <= date_diff('day', e.asof_ts, f.d) THEN b.d
+           ELSE f.d
+         END AS d
+  FROM e
+  JOIN b ON b.event_id = e.event_id
+  JOIN f ON f.event_id = e.event_id
+),
+matched AS (
+  SELECT p.event_id, MAX(o.o_orderkey) AS nearest_orderkey
+  FROM pick p
+  JOIN e ON e.event_id = p.event_id
+  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate = p.d
+  GROUP BY p.event_id
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.asof_ts, '%Y-%m-%d') AS asof_date,
+       m.nearest_orderkey,
+       CASE WHEN p.d IS NULL THEN 'none'
+            WHEN p.d <= p.asof_ts THEN 'backward'
+            ELSE 'forward' END AS direction,
+       CAST(CASE WHEN p.d IS NULL THEN NULL
+                 WHEN p.d <= p.asof_ts THEN date_diff('day', p.d, p.asof_ts)
+                 ELSE date_diff('day', p.asof_ts, p.d) END AS BIGINT)
+         AS dist_days
+FROM pick p LEFT JOIN matched m ON m.event_id = p.event_id
+"""
+
+
+@query("join-asof-nearest", oracle=_ASOF_NEAR_ORACLE)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D14: as-of join, direction='nearest' (pandas ``merge_asof``'s
+    third mode, completing the family: D9 backward, D12 backward with
+    tolerance) — each event matches the CLOSEST order in absolute time,
+    either side; equal distances prefer the backward match (pandas
+    semantics), same-date orderkey ties break to the max key (the D9
+    rule).
+
+    Same scalable union-and-window scaffolding as D9/D12 — NO
+    inequality join: both carried candidates come from the single
+    per-key merged stream, the backward one as ``last(ignorenulls)``
+    over ascending time and the forward one as ``first(ignorenulls)``
+    over a mirrored frame (currentRow → unboundedFollowing with okey
+    DESCENDING, so the first future row is the max orderkey of the
+    nearest future date; same-t orders sort BEFORE the event in both
+    orderings, putting distance-0 matches on the backward side exactly
+    once). ONE shuffle on the key; the two windows share the exchange
+    and differ only in sort order — two in-partition sorts, which is
+    still the plan every engine without a native as-of operator runs.
+    The winner is a null-safe least-distance CASE over the two carried
+    (date, okey) structs — pure integer day arithmetic, mirrored in
+    the oracle."""
+    merged, w = _asof_merged(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    wf = (
+        W.partitionBy("key")
+        .orderBy("t", "is_event", F.col("okey").desc())
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    cand = F.when(
+        F.col("is_event") == 0, F.struct(F.col("t"), F.col("okey"))
+    )
+    out = (
+        merged.withColumn("bk", F.last(cand, ignorenulls=True).over(w))
+        .withColumn("fw", F.first(cand, ignorenulls=True).over(wf))
+        .filter(F.col("is_event") == 1)
+    )
+    db = F.datediff(F.col("asof_ts"), F.col("bk.t"))
+    df_ = F.datediff(F.col("fw.t"), F.col("asof_ts"))
+    pick_bk = F.col("fw").isNull() | (
+        F.col("bk").isNotNull() & (db <= df_)
+    )
+    winner = F.when(
+        F.col("bk").isNull() & F.col("fw").isNull(), F.lit(None)
+    ).otherwise(F.when(pick_bk, F.col("bk")).otherwise(F.col("fw")))
+    return out.select(
+        "event_id",
+        F.col("key").alias("user_id"),
+        F.date_format("asof_ts", "yyyy-MM-dd").alias("asof_date"),
+        winner.getField("okey").alias("nearest_orderkey"),
+        F.when(winner.isNull(), "none")
+        .when(winner.getField("t") <= F.col("asof_ts"), "backward")
+        .otherwise("forward")
+        .alias("direction"),
+        F.when(
+            winner.getField("t") <= F.col("asof_ts"),
+            F.datediff(F.col("asof_ts"), winner.getField("t")),
+        )
+        .otherwise(F.datediff(winner.getField("t"), F.col("asof_ts")))
+        .cast("long")
+        .alias("dist_days"),
+    )

@@ -568,3 +568,33 @@ def test_interleave_uses_take_ordered_prefix(spark, sf_dir):
     # window is single-partition over k rows and needs no hash exchange
     hashparts = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
     assert hashparts == ["source"], hashparts
+
+
+def test_asof_nearest_single_exchange_two_windows(spark, sf_dir):
+    """D14's scale claim: the nearest-direction as-of is still the
+    union-and-window form — ONE shuffle on the key, two in-partition
+    sorts (backward + mirrored forward windows), and no inequality
+    join anywhere."""
+    import re
+
+    plan = _formatted_plan(
+        spark, registry.QUERIES["join-asof-nearest"](spark, sf_dir)
+    )
+    hashparts = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert hashparts == ["key"], hashparts
+    assert plan.split("(1) Scan")[0].count("Window") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pairs_join_on_cluster_not_cartesian(spark, sf_dir):
+    """I49's scale claim: the pair space is bounded by the cluster
+    equi-key — the self-join must be a hash/merge join on cluster,
+    never a cartesian product, and the top-1 neighbor must take the
+    WindowGroupLimit path."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["dedup-semdedup"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
