@@ -78,6 +78,14 @@ NOTES = {
     "text-containment": "Verify-stage asymmetric containment: token array pinned behind a Generate barrier (unpinned, element_at re-ran the regex split ~360x/row - 27 s of a 57 s ungated run), shingles cross exchanges as 8-byte xxhash64 keys (string-joining oracle certifies the hash), hot-shingle df-guard bounds pair fanout at df^2, winner = one WindowGroupLimit pass.",
     "agg-mode-exact": "The E13 distribution trick, mode-flavored: one scan -> per-(type, cent) COUNT distribution (map-side combine, value-range-bounded), mode = one min(struct(-count, value)) aggregate - deterministic ties by construction, no window, no second scan.",
     "stream-sink-exactly-once": "Delivery-semantics proof, not a plan shape: three AvailableNow writeStream phases against one checkpoint - restart appends nothing, a new file processes as its delta; the file sink's _spark_metadata log is the engine-maintained manifest. Cost = 3 streaming-query startups, data-independent; r8 staged the source-slice files per (app, sf_dir) (OS-copied per invocation) after a hot sweep brushed the budget - 2.6 -> ~1.3-1.4 s hot.",
+    "agg-ks-drift": "Two-sample KS per event type: the scan collapses to DISTINCT (type, cents) rows carrying per-window counts (value-cardinality-bounded, map-side combine); ONE window partition per type computes both ECDFs by cumulative sums; the final sup aggregate reuses the window's partitioning (plan: exactly two hash exchanges). Integer cents ordering = tie-free engine-identical cumulatives; statistic + critical value 9-dp snapped.",
+    "agg-hist-logbucket": "Power-of-ten histogram in exact integer space: bucket = digit count of integer cents (float floor(log10) misassigns edge values; digit count cannot); agg-hash plan with a derived key (~45 rows at any scale); the share normalizer windows over the AGGREGATED relation, never the raw scan.",
+    "window-session-batch": "Batch sessionization: lag + running-sum windows and BOTH rollups ride ONE user_id exchange (shared partitioning + (ts,event_id) sort - pinned); gaps/durations in exact integer microseconds via epoch_us both engines.",
+    "join-bloom-prefilter": "8 KiB Bloom bitmap over the FILTERED dim keys broadcast as a literal array expression; the probe sits scan-adjacent on orders (pinned: a Filter whose input is exactly the scan's columns), so non-matching fact rows die before ANY exchange; exact join removes the ~0.2% FPs - result equals the plain join by construction. Bitmap build shuffles 1024 (lane,bits) rows; collect is metadata-scale (the dedup-cross-bloom precedent).",
+    "sample-interleave-sources": "Deterministic n^0.5-weighted interleave: one per-source window assigns rn + n_s in a single exchange+sort; the merged-stream prefix is TakeOrderedAndProject (per-task top-k, the F5 plan - pinned); positions window over the LIMITED prefix only. vt = one IEEE division by a correctly-rounded pow - bit-identical cross-engine.",
+    "text-ccnet-buckets": "CCNet terciles: the scored relation is (doc_id, xent) - 16 B/row, never text - from the SHARED tf relation cache (tfidf/perplexity family); broadcast join to the (doc_id, lang) projection; ONE ntile window per language. xent pre-snapped to 9 dp, (xent, doc_id) total order = identical ntile splits cross-engine.",
+    "dedup-semdedup": "SemDeDup: own K=64 Lloyd model + the (vec_id, cluster, qs) side relation cached as ingest artifacts (the 1.1 s/invocation K=64 literal-centroid assignment leaves the hot path); pair stage = ONE Arrow applyInPandas int64 gemm per cluster (Q.Q^T gives every dot AND both norms exactly; the expression-tree pair join measured 28 us/pair interpreted - 4.9 s at sf0.1 vs ~0.2 s gemm; the similarity.py IVF-assigner precedent); cosine = engine expression over exact ints, 9-dp snap; top-1 via WindowGroupLimit; no cartesian anywhere (pinned).",
+    "join-asof-nearest": "Nearest-direction as-of: same union-and-window scaffolding as D9/D12 - ONE shuffle on the key (pinned), backward candidate last(ignorenulls) ascending, forward first(ignorenulls) over a mirrored okey-DESC frame (two in-partition sorts share the exchange); same-t orders land on the backward side exactly once; winner = null-safe least-distance CASE in integer day arithmetic. No inequality join.",
 }
 
 
