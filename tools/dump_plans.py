@@ -245,6 +245,32 @@ drift luck); `over_budget: []`, worst non-control key 1.19
 (multimodal-image-exif). vs the r2-era 11.47 s: 0.56x. Driver sim
 91.9 s / 134 keys quiet. The r9 comparable band for common16 is
 6.4-7.2.
+
+**r9 — eight new keys (drift/QA, sessionization, Bloom-prefilter,
+interleave, CCNet buckets, SemDeDup, nearest-asof) + the fingerprinted
+cache keys:** HEADLINE grew 64 → 72 (new keys benched from birth), so
+`value` is again NOT cross-round comparable; the frozen sets are. Full
+sweep after the semdedup rework (moderately hot process — driver sim +
+pytest ran earlier in the session; agg-hash control 1.22 vs its
+1.11-1.25 band): common16 7.83 s / common20 10.56 s, `over_budget: []`,
+worst key stream-sink-exactly-once 1.29 s (the documented
+streaming-startup floor). New keys: ks-drift 0.51, hist-logbucket 0.30,
+session-batch 0.39, bloom-prefilter 0.51, interleave 0.19,
+ccnet-buckets 1.25 (pays the perplexity DAG + one ntile window; shares
+the cached tf relation), semdedup 0.65, asof-nearest 0.63.
+
+The semdedup story is the round's measured scale lesson: the first cut
+(K=8 model + expression-tree pair dot) ran 4.93 s at sf0.1 — ~N/8
+vectors per cluster made the pair join quadratic AND the 64-term
+element_at sum evaluated interpreted at ~28 µs/pair; re-assigning K=64
+clusters per invocation then cost 1.1 s warm. Shipped shape: own K=64
+Lloyd model + the assigned side relation cached as ingest artifacts
+(the IVF-assigned precedent), pair stage as ONE Arrow applyInPandas
+int64 gemm per cluster (Q·Qᵀ = every dot + both norms, exact), cosine
+as an engine expression over the exact ints. 4.93 → 0.65 s; parity
+untouched. BENCH_r07/r08 recorded `parsed: null` because the bench
+JSON line outgrew the driver's 2000-char stdout capture — r9 emits
+compactly under the cap (full precision in BENCH_FULL.json).
 """
 
 
