@@ -43,7 +43,7 @@ _KM_QSCALE = 10**6  # fixed-point scale: |x| <= ~0.4 -> |q| <= ~4*10^5
 _KM_CACHE: dict = {}
 
 
-def _km_cte_prefix(k: int = _KM_K) -> str:
+def _km_cte_prefix(k: int = _KM_K, rounds: int = _KM_ROUNDS) -> str:
     """The Lloyd loop as chained CTE blocks, ending with the final
     assignment ``a{ROUNDS}`` and the centroids ``c{ROUNDS-1}`` it was
     computed against — shared verbatim by the kmeans oracle, the
@@ -66,7 +66,7 @@ c0 AS (
   FROM seeds s JOIN e ON e.vec_id = s.svid
 )"""
     blocks = []
-    for i in range(1, _KM_ROUNDS + 1):
+    for i in range(1, rounds + 1):
         p = i - 1
         blocks.append(f""",
 d{i} AS (
@@ -80,7 +80,7 @@ a{i} AS (
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
     FROM d{i}) WHERE rn = 1
 )""")
-        if i < _KM_ROUNDS:
+        if i < rounds:
             blocks.append(f""",
 u{i} AS (
   SELECT a.cid, e.pos, CAST(SUM(e.q) AS BIGINT) AS s, COUNT(*) AS n
@@ -205,8 +205,23 @@ def _km_assign(qdf: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
     )
 
 
-def _km_fit(spark: SparkSession, sf_dir: str, k: int = _KM_K) -> tuple:
-    """Run the Lloyd loop; returns (qdf, final centroid dict)."""
+def _km_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _KM_K,
+    assign=None,
+    rounds: int = _KM_ROUNDS,
+) -> tuple:
+    """Run the Lloyd loop; returns (qdf, final centroid dict).
+
+    ``assign`` picks the nearest-centroid implementation: the default
+    literal-fold expression (:func:`_km_assign` — whole-stage codegen,
+    the right shape at K=8) or the vectorized Arrow path
+    (:func:`_np_assign_fn` — at K=64 each round recompiles an 8x
+    bigger generated class, measured ~1.5 s/round of pure janino; the
+    numpy argmin is exact over the same integers)."""
+    if assign is None:
+        assign = _km_assign
     qdf = _km_quantized(spark, sf_dir)
     seeds = qdf.groupBy((F.col("vec_id") % k).alias("cid")).agg(
         F.min("vec_id").alias("svid")
@@ -217,8 +232,8 @@ def _km_fit(spark: SparkSession, sf_dir: str, k: int = _KM_K) -> tuple:
         .collect()
     )  # K rows of K*DIM ints — metadata-scale (the MLlib KMeans pattern)
     cents = {int(r["cid"]): list(r["qv"]) for r in srows}
-    for _ in range(_KM_ROUNDS - 1):
-        asg = _km_assign(qdf, cents)
+    for _ in range(rounds - 1):
+        asg = assign(qdf, cents)
         upd = (
             asg.select("cluster", F.posexplode("qv").alias("pos", "q"))
             .groupBy("cluster", "pos")
@@ -272,7 +287,13 @@ def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _km_model(spark: SparkSession, sf_dir: str, k: int = _KM_K) -> tuple:
+def _km_model(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _KM_K,
+    assign=None,
+    rounds: int = _KM_ROUNDS,
+) -> tuple:
     """(quantized relation, converged centroid dict) through the
     materialized-view cache — shared by embed-kmeans-lloyd (which
     declares it), embed-ann-ivfpq (whose IVF coarse quantizer it is,
@@ -288,7 +309,7 @@ def _km_model(spark: SparkSession, sf_dir: str, k: int = _KM_K) -> tuple:
     if cached is None:
         for stale in [kk for kk in _KM_CACHE if kk[0] != base]:
             del _KM_CACHE[stale]
-        cached = _km_fit(spark, sf_dir, k)
+        cached = _km_fit(spark, sf_dir, k, assign=assign, rounds=rounds)
         _KM_CACHE[cache_key] = cached
     return cached
 
@@ -774,12 +795,69 @@ _SD_QSCALE = 1000  # coarse fixed-point for the similarity test: with
 # cross-multiplied cosine^2 compare below stays inside BIGINT — the
 # kmeans 10^6 scale would overflow int64 at dot^2
 _SD_THRESH = 0.95  # cosine duplicate threshold (flag; latent here)
+_SD_ROUNDS = 2  # semdedup's model is a BLOCKING structure, not a
+# converged clustering — one update round is enough to spread the
+# mod-K seeds (clustering quality barely moves the dedup outcome);
+# each extra Lloyd round costs an assignment job + update collect on
+# the cold path
 _SD_K = 64  # semdedup's own cluster count: SemDeDup picks K so N/K keeps
 # per-cluster pair blocks small (the paper uses tens of thousands of
 # clusters at web scale) — the K=8 topic model left ~N/8 vectors per
 # cluster and a measured 4.9 s quadratic pair join at sf0.1; K=64 cuts
 # the pair space ~8x (0.6 s) while the assignment stays a map-only
 # literal-centroid fold
+
+
+def _np_assign(qdf: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """Vectorized Arrow twin of :func:`_km_assign` for large K: nearest
+    centroid by numpy int64 squared distances (exact — same integers,
+    same lowest-cid tie rule: centroids ordered by cid, argmin returns
+    the first minimum). mapInPandas so the quantized relation streams
+    through in Arrow batches; |q| ≤ ~1.5·10^6 keeps (q−c)² sums well
+    inside int64."""
+    import numpy as np
+    import pandas as pd
+
+    order = sorted(cents)
+    c_arr = [[int(v) for v in cents[cid]] for cid in order]
+    cid_arr = [int(cid) for cid in order]
+
+    def gen(batches):
+        cmat = np.asarray(c_arr, dtype=np.int64)
+        cids = np.asarray(cid_arr, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            # chunk rows so the n×K×DIM diff tensor stays small
+            best = np.empty(len(q), dtype=np.int64)
+            dist = np.empty(len(q), dtype=np.int64)
+            for lo in range(0, len(q), 256):
+                blk = q[lo : lo + 256]
+                d = ((blk[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+                bi = d.argmin(axis=1)
+                best[lo : lo + len(blk)] = bi
+                dist[lo : lo + len(blk)] = d[np.arange(len(blk)), bi]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "qv": pdf["qv"],
+                    "cluster": cids[best],
+                    "dist": dist,
+                }
+            )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("qv", T.ArrayType(T.LongType())),
+            T.StructField("cluster", T.LongType()),
+            T.StructField("dist", T.LongType()),
+        ]
+    )
+    return qdf.mapInPandas(gen, schema)
 
 
 def _sd_cluster_pairs(pdf):
@@ -830,8 +908,10 @@ def _sd_side(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
     if cached is not None:
         return cached
     _SD_SIDE_CACHE.clear()  # one live corpus (the _KM_CACHE policy)
-    qdf, cents = _km_model(spark, sf_dir, _SD_K)
-    asg = _km_assign(qdf, cents).select("vec_id", "cluster")
+    qdf, cents = _km_model(
+        spark, sf_dir, _SD_K, assign=_np_assign, rounds=_SD_ROUNDS
+    )
+    asg = _np_assign(qdf, cents).select("vec_id", "cluster")
     qs = emb.select(
         "vec_id",
         F.transform(
@@ -850,7 +930,7 @@ def _sd_oracle() -> str:
     # within-cluster pair dots in long format, and ranks each vector's
     # neighbors by the 9-dp-snapped cosine.
     return (
-        _km_cte_prefix(_SD_K)
+        _km_cte_prefix(_SD_K, _SD_ROUNDS)
         + f""",
 qs AS (
   SELECT vec_id, t.pos AS pos,
@@ -860,7 +940,7 @@ qs AS (
   CROSS JOIN (SELECT UNNEST(range(1, {_KM_DIM} + 1)) AS pos) t
 ),
 n2 AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2 FROM qs GROUP BY 1),
-asg AS (SELECT vec_id, cid FROM a{_KM_ROUNDS}),
+asg AS (SELECT vec_id, cid FROM a{_SD_ROUNDS}),
 pairs AS (
   SELECT a.vec_id AS va, b.vec_id AS vb,
          CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot

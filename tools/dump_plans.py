@@ -84,7 +84,7 @@ NOTES = {
     "join-bloom-prefilter": "8 KiB Bloom bitmap over the FILTERED dim keys broadcast as a literal array expression; the probe sits scan-adjacent on orders (pinned: a Filter whose input is exactly the scan's columns), so non-matching fact rows die before ANY exchange; exact join removes the ~0.2% FPs - result equals the plain join by construction. Bitmap build shuffles 1024 (lane,bits) rows; collect is metadata-scale (the dedup-cross-bloom precedent).",
     "sample-interleave-sources": "Deterministic n^0.5-weighted interleave: one per-source window assigns rn + n_s in a single exchange+sort; the merged-stream prefix is TakeOrderedAndProject (per-task top-k, the F5 plan - pinned); positions window over the LIMITED prefix only. vt = one IEEE division by a correctly-rounded pow - bit-identical cross-engine.",
     "text-ccnet-buckets": "CCNet terciles: the scored relation is (doc_id, xent) - 16 B/row, never text - from the SHARED tf relation cache (tfidf/perplexity family); broadcast join to the (doc_id, lang) projection; ONE ntile window per language. xent pre-snapped to 9 dp, (xent, doc_id) total order = identical ntile splits cross-engine.",
-    "dedup-semdedup": "SemDeDup: own K=64 Lloyd model + the (vec_id, cluster, qs) side relation cached as ingest artifacts (the 1.1 s/invocation K=64 literal-centroid assignment leaves the hot path); pair stage = ONE Arrow applyInPandas int64 gemm per cluster (Q.Q^T gives every dot AND both norms exactly; the expression-tree pair join measured 28 us/pair interpreted - 4.9 s at sf0.1 vs ~0.2 s gemm; the similarity.py IVF-assigner precedent); cosine = engine expression over exact ints, 9-dp snap; top-1 via WindowGroupLimit; no cartesian anywhere (pinned).",
+    "dedup-semdedup": "SemDeDup: own K=64, 2-round Lloyd model (a BLOCKING structure, not a converged clustering) + the (vec_id, cluster, qs) side relation cached as ingest artifacts; at K=64 the assignment runs on the vectorized Arrow path (_np_assign - the literal-fold form recompiled ~1.5 s of janino per round and evaluated the final assign at 1.1 s warm); pair stage = ONE applyInPandas int64 gemm per cluster (Q.Q^T gives every dot AND both norms exactly; the expression-tree pair join measured 28 us/pair interpreted - 4.9 s at sf0.1 vs ~0.2 s gemm); cosine = engine expression over exact ints, 9-dp snap; top-1 via WindowGroupLimit; no cartesian (pinned). Cold ~7 s = the Pregel-family sequential-small-jobs floor (fit + 2 checkpoints + first Python worker), paid once per corpus.",
     "join-asof-nearest": "Nearest-direction as-of: same union-and-window scaffolding as D9/D12 - ONE shuffle on the key (pinned), backward candidate last(ignorenulls) ascending, forward first(ignorenulls) over a mirrored okey-DESC frame (two in-partition sorts share the exchange); same-t orders land on the backward side exactly once; winner = null-safe least-distance CASE in integer day arithmetic. No inequality join.",
 }
 
