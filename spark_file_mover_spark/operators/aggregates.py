@@ -1078,15 +1078,22 @@ c AS (
 SELECT event_type,
        CAST(MAX(n_a) AS BIGINT) AS n_a,
        CAST(MAX(n_b) AS BIGINT) AS n_b,
-       ROUND(MAX(ABS(CAST(cum_a AS DOUBLE) / n_a
-                   - CAST(cum_b AS DOUBLE) / n_b)), 9) AS ks_stat,
-       ROUND({_KS_COEFF} * sqrt(CAST(MAX(n_a) + MAX(n_b) AS DOUBLE)
-                                / (MAX(n_a) * MAX(n_b))), 9) AS ks_crit,
-       ROUND(MAX(ABS(CAST(cum_a AS DOUBLE) / n_a
-                   - CAST(cum_b AS DOUBLE) / n_b)), 9)
-         > ROUND({_KS_COEFF} * sqrt(CAST(MAX(n_a) + MAX(n_b) AS DOUBLE)
-                                    / (MAX(n_a) * MAX(n_b))), 9)
-         AS drift
+       ROUND(MAX(CASE WHEN n_a > 0 AND n_b > 0
+                      THEN ABS(CAST(cum_a AS DOUBLE) / n_a
+                             - CAST(cum_b AS DOUBLE) / n_b) END), 9)
+         AS ks_stat,
+       CASE WHEN MAX(n_a) > 0 AND MAX(n_b) > 0
+            THEN ROUND({_KS_COEFF}
+                       * sqrt(CAST(MAX(n_a) + MAX(n_b) AS DOUBLE)
+                              / (MAX(n_a) * MAX(n_b))), 9) END AS ks_crit,
+       COALESCE(
+         ROUND(MAX(CASE WHEN n_a > 0 AND n_b > 0
+                        THEN ABS(CAST(cum_a AS DOUBLE) / n_a
+                               - CAST(cum_b AS DOUBLE) / n_b) END), 9)
+           > ROUND({_KS_COEFF}
+                   * sqrt(CAST(MAX(n_a) + MAX(n_b) AS DOUBLE)
+                          / (MAX(n_a) * MAX(n_b))), 9),
+         FALSE) AS drift
 FROM c GROUP BY event_type ORDER BY event_type
 """
 
@@ -1141,18 +1148,30 @@ def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a_cnt").over(tot).alias("n_a"),
         F.sum("b_cnt").over(tot).alias("n_b"),
     )
-    d_col = F.abs(
-        F.col("cum_a").cast("double") / F.col("n_a")
-        - F.col("cum_b").cast("double") / F.col("n_b")
+    # a type whose events fall entirely in ONE window has no second
+    # sample — KS is undefined there (statistic/critical value NULL,
+    # drift false), and under ANSI mode the unguarded ECDF division
+    # would raise DIVIDE_BY_ZERO (caught by the randomized differential
+    # test, tests/test_r9_properties.py — the fixture never hits it)
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    d_col = F.when(
+        both,
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("n_a")
+            - F.col("cum_b").cast("double") / F.col("n_b")
+        ),
     )
     ks = F.round(F.max(d_col), 9)
-    crit = F.round(
-        _KS_COEFF
-        * F.sqrt(
-            (F.max("n_a") + F.max("n_b")).cast("double")
-            / (F.max("n_a") * F.max("n_b"))
+    crit = F.when(
+        (F.max("n_a") > 0) & (F.max("n_b") > 0),
+        F.round(
+            _KS_COEFF
+            * F.sqrt(
+                (F.max("n_a") + F.max("n_b")).cast("double")
+                / (F.max("n_a") * F.max("n_b"))
+            ),
+            9,
         ),
-        9,
     )
     return (
         c.groupBy("event_type")
@@ -1161,7 +1180,7 @@ def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_b").cast("long").alias("n_b"),
             ks.alias("ks_stat"),
             crit.alias("ks_crit"),
-            (ks > crit).alias("drift"),
+            F.coalesce(ks > crit, F.lit(False)).alias("drift"),
         )
         .orderBy("event_type")
     )

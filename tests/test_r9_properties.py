@@ -1,0 +1,193 @@
+"""Randomized DIFFERENTIAL tests for the r9 operators: hypothesis
+generates random input tables, writes them as parquet into a tmp corpus
+dir, and both engines run the REGISTERED query + oracle over the same
+bytes — any data-dependent divergence (tie handling, empty windows,
+singleton groups, boundary values) fails here before the driver sees
+it. This also exercises the r9 fingerprinted-cache contract for real:
+every example REWRITES the same tmp path in place, so a stale artifact
+cache would serve the previous example's data and mismatch.
+
+Each example pays a Spark round trip, so example counts are small and
+the value universes are chosen to force collisions (few users, few
+distinct cents, same-timestamp events)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spark_file_mover_spark import registry
+from tests.parity import compare
+
+registry.load_all()
+
+_BASE = datetime(2024, 1, 1)
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _write_events(path, rows):
+    """rows: list of (user_id, day_offset, sub_us, event_type, cents)."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [
+                    _BASE + timedelta(days=d, microseconds=us)
+                    for _, d, us, _, _ in rows
+                ],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for u, *_ in rows], pa.int64()),
+            "event_type": pa.array(
+                [t for *_, t, _ in rows], pa.string()
+            ),
+            "value": pa.array(
+                [c / 100.0 for *_, c in rows], pa.float64()
+            ),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(path / "events.parquet"))
+
+
+def _run_both(key, spark, corpus_dir, tables):
+    con = duckdb.connect()
+    try:
+        for t in tables:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{corpus_dir}/{t}.parquet'"
+            )
+        return compare(
+            registry.QUERIES[key](spark, str(corpus_dir)),
+            con.sql(registry.ORACLES[key]),
+            allow_empty=True,
+        )
+    finally:
+        con.close()
+
+
+# few users / types / cents / days -> dense tie and boundary collisions
+_EVENT_ROW = st.tuples(
+    st.integers(min_value=0, max_value=3),  # user_id
+    st.integers(min_value=0, max_value=29),  # day offset
+    st.sampled_from([0, 1, 10**6, 1799_999_999, 1800_000_001]),  # sub µs
+    st.sampled_from(["click", "view"]),  # event_type
+    st.integers(min_value=1, max_value=30000),  # exact cents
+)
+
+
+@given(rows=st.lists(_EVENT_ROW, min_size=2, max_size=25))
+@settings(**_SETTINGS)
+def test_ks_drift_differential(rows, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("ksd")
+    _write_events(d, rows)
+    ok, msg = _run_both("agg-ks-drift", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_hist_logbucket_differential(rows, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("hist")
+    _write_events(d, rows)
+    ok, msg = _run_both("agg-hist-logbucket", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_session_batch_differential(rows, spark, tmp_path_factory):
+    # the sub-µs strategy values straddle the 30-min gap boundary
+    # (1800_000_001 µs ≈ 30 min + 1 µs after a same-day 0-offset event)
+    d = tmp_path_factory.mktemp("sess")
+    _write_events(d, rows)
+    ok, msg = _run_both("window-session-batch", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["srcA", "srcB", "srcC"]),
+            st.sampled_from(["en", "de"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_interleave_differential(docs, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("ilv")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(
+                [f"doc {i} words here" for i in range(len(docs))],
+                pa.string(),
+            ),
+            "lang": pa.array([l for _, l in docs], pa.string()),
+            "source": pa.array([s for s, _ in docs], pa.string()),
+            "n_chars": pa.array([17] * len(docs), pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    ok, msg = _run_both(
+        "sample-interleave-sources", spark, d, ["documents"]
+    )
+    assert ok, msg
+
+
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # custkey = user_id
+            st.integers(min_value=0, max_value=40),  # order day
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+    n_events=st.integers(min_value=1, max_value=10),
+)
+@settings(**_SETTINGS)
+def test_asof_nearest_differential(orders, n_events, spark, tmp_path_factory):
+    """Random order/event streams: same-date order collisions, keys
+    with zero orders, exact-midpoint distances (backward must win)."""
+    d = tmp_path_factory.mktemp("asofn")
+    # events table: event_id drives the oracle's era-folded asof_ts
+    _write_events(
+        d,
+        [(i % 4, i % 30, 0, "click", 100) for i in range(n_events)],
+    )
+    obase = datetime(1995, 1, 1)
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(len(orders)), pa.int64()),
+            "o_custkey": pa.array([c for c, _ in orders], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(orders), pa.string()),
+            "o_totalprice": pa.array([1.0] * len(orders), pa.float64()),
+            "o_orderdate": pa.array(
+                [obase + timedelta(days=dd) for _, dd in orders],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                ["1-URGENT"] * len(orders), pa.string()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(d / "orders.parquet"))
+    ok, msg = _run_both(
+        "join-asof-nearest", spark, d, ["events", "orders"]
+    )
+    assert ok, msg
