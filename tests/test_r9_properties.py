@@ -191,3 +191,37 @@ def test_asof_nearest_differential(orders, n_events, spark, tmp_path_factory):
         "join-asof-nearest", spark, d, ["events", "orders"]
     )
     assert ok, msg
+
+
+# Differential sweep over PRE-EXISTING events-only keys: the fixed
+# fixture is one draw; random draws exercise tie/boundary paths these
+# keys have never seen (empty stages in the funnel, single-value MAD
+# distributions, one-user cohorts). JSON-extraction keys are excluded
+# on purpose — engine JSON dialects differ on inputs outside the
+# testdata contract; everything here is pure integer/timestamp math.
+_EVENTS_KEYS = [
+    "agg-retention-cohort",
+    "agg-outlier-mad",
+    "agg-mode-exact",
+    "agg-sketch-cms",
+    "events-funnel",
+    "rollup-hierarchical",
+]
+
+_FUNNEL_ROW = st.tuples(
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=0, max_value=29),
+    st.sampled_from([0, 1, 10**6]),
+    st.sampled_from(["signup", "view", "click", "purchase", "error"]),
+    st.integers(min_value=1, max_value=30000),
+)
+
+
+@pytest.mark.parametrize("key", _EVENTS_KEYS)
+@given(rows=st.lists(_FUNNEL_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_events_keys_differential(key, rows, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("evk")
+    _write_events(d, rows)
+    ok, msg = _run_both(key, spark, d, ["events"])
+    assert ok, f"{key}: {msg}"
