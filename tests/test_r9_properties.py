@@ -225,3 +225,67 @@ def test_events_keys_differential(key, rows, spark, tmp_path_factory):
     _write_events(d, rows)
     ok, msg = _run_both(key, spark, d, ["events"])
     assert ok, f"{key}: {msg}"
+
+
+# Documents differential: random ASCII corpora with FORCED duplicate
+# structure (whole-doc dups, shared paragraphs, repeated n-grams) and
+# boundary shapes (one-word docs, long runs of one token) through the
+# text/dedup family. Vocab stays ASCII-words-and-punctuation — the
+# cross-engine tokenizer contract (_textnorm) is defined on that class;
+# unicode-whitespace dialect differences are out of declared scope.
+_WORDS = ["the", "cat", "sat", "on", "a", "mat", "dogs", "run", "fast."]
+
+
+@st.composite
+def _doc_corpus(draw):
+    n = draw(st.integers(min_value=2, max_value=12))
+    docs = []
+    for i in range(n):
+        words = draw(
+            st.lists(st.sampled_from(_WORDS), min_size=1, max_size=30)
+        )
+        docs.append(" ".join(words))
+    # force duplicate structure: copy a prefix of docs over a suffix
+    n_dup = draw(st.integers(min_value=0, max_value=n // 2))
+    for j in range(n_dup):
+        docs[n - 1 - j] = docs[j]
+    return docs
+
+
+_DOC_KEYS = [
+    "dedup-exact",
+    "dedup-paragraph",
+    "text-token-count",
+    "text-fingerprint",
+    "text-chunk-sliding",
+    "text-ngram-freq",
+    "text-repetition",
+    "sample-pack-sequences",
+    "text-dup-span",
+    "text-dup-cut",
+]
+
+
+@pytest.mark.parametrize("key", _DOC_KEYS)
+@given(docs=_doc_corpus())
+@settings(**_SETTINGS)
+def test_doc_keys_differential(key, docs, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("dock")
+    langs = ["en", "de"]
+    srcs = ["srcA", "srcB"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+            "lang": pa.array(
+                [langs[i % 2] for i in range(len(docs))], pa.string()
+            ),
+            "source": pa.array(
+                [srcs[i % 2] for i in range(len(docs))], pa.string()
+            ),
+            "n_chars": pa.array([len(t) for t in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    ok, msg = _run_both(key, spark, d, ["documents"])
+    assert ok, f"{key}: {msg}"
