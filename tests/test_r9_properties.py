@@ -289,3 +289,129 @@ def test_doc_keys_differential(key, docs, spark, tmp_path_factory):
     pq.write_table(tbl, str(d / "documents.parquet"))
     ok, msg = _run_both(key, spark, d, ["documents"])
     assert ok, f"{key}: {msg}"
+
+
+# Relational differential: random orders/customer tables through the
+# pure-compute relational keys (write-path and audit-band keys stay
+# out: file fixtures and tuned tolerance bands are fixture-scale
+# contracts, not data-independent ones). Money is generated as exact
+# 2-decimal cents/100 per the FIXTURES contract.
+def _write_orders(path, rows):
+    """rows: (custkey, day, status, cents, priority)."""
+    obase = datetime(1995, 1, 1)
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+            "o_custkey": pa.array([c for c, *_ in rows], pa.int64()),
+            "o_orderstatus": pa.array(
+                [s for _, _, s, _, _ in rows], pa.string()
+            ),
+            "o_totalprice": pa.array(
+                [c / 100.0 for *_, c, _ in rows], pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                [obase + timedelta(days=d) for _, d, *_ in rows],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                [p for *_, p in rows], pa.string()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(path / "orders.parquet"))
+
+
+def _write_customer(path, rows):
+    """rows: (nationkey, cents_bal, segment)."""
+    tbl = pa.table(
+        {
+            "c_custkey": pa.array(range(len(rows)), pa.int64()),
+            "c_name": pa.array(
+                [f"Customer#{i:09d}" for i in range(len(rows))],
+                pa.string(),
+            ),
+            "c_nationkey": pa.array([n for n, *_ in rows], pa.int32()),
+            "c_acctbal": pa.array(
+                [c / 100.0 for _, c, _ in rows], pa.float64()
+            ),
+            "c_mktsegment": pa.array([s for *_, s in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(path / "customer.parquet"))
+
+
+_ORDER_ROW = st.tuples(
+    st.integers(min_value=0, max_value=4),  # custkey: forces join fanout
+    st.integers(min_value=0, max_value=40),  # order-date day (collisions)
+    st.sampled_from(["O", "F", "P"]),
+    st.integers(min_value=1, max_value=500000),  # exact cents
+    st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"]),
+)
+_CUST_ROW = st.tuples(
+    st.integers(min_value=0, max_value=4),  # nationkey
+    st.integers(min_value=-99999, max_value=999999),  # acctbal cents
+    st.sampled_from(["BUILDING", "AUTOMOBILE", "MACHINERY"]),
+)
+
+_ORDERS_ONLY_KEYS = [
+    "agg-incremental-merge",
+    "agg-pivot",
+    "agg-unpivot",
+    "etl-cdc-apply",
+    "etl-scd2",
+    "filter-pred",
+    "fn-bitwise",
+    "fn-case-when-cast",
+    "fn-date",
+    "window-analytic",
+    "sort-limit",
+]
+_CUSTOMER_ONLY_KEYS = [
+    "filter-scalar-subquery",
+    "fn-string",
+    "project-select",
+    "set-union-intersect-except",
+    "topk-per-group",
+    "window-distribution",
+    "window-ranking",
+]
+_JOIN_KEYS = [
+    "join-inner-equi",
+    "join-semi-anti",
+    "join-lateral-topk",
+    "join-bloom-prefilter",
+]
+
+
+@pytest.mark.parametrize("key", _ORDERS_ONLY_KEYS)
+@given(rows=st.lists(_ORDER_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_orders_keys_differential(key, rows, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("ordk")
+    _write_orders(d, rows)
+    ok, msg = _run_both(key, spark, d, ["orders"])
+    assert ok, f"{key}: {msg}"
+
+
+@pytest.mark.parametrize("key", _CUSTOMER_ONLY_KEYS)
+@given(rows=st.lists(_CUST_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_customer_keys_differential(key, rows, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cusk")
+    _write_customer(d, rows)
+    ok, msg = _run_both(key, spark, d, ["customer"])
+    assert ok, f"{key}: {msg}"
+
+
+@pytest.mark.parametrize("key", _JOIN_KEYS)
+@given(
+    orows=st.lists(_ORDER_ROW, min_size=0, max_size=20),
+    crows=st.lists(_CUST_ROW, min_size=1, max_size=10),
+)
+@settings(**_SETTINGS)
+def test_join_keys_differential(key, orows, crows, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("joink")
+    _write_orders(d, orows)
+    _write_customer(d, crows)
+    ok, msg = _run_both(key, spark, d, ["orders", "customer"])
+    assert ok, f"{key}: {msg}"
