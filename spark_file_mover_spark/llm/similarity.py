@@ -79,10 +79,12 @@ _NORM = (
 _TOPK_ORACLE = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
                   {_NORM.format(a='embedding')} AS qn
-           FROM embeddings WHERE vec_id < {N_QUERIES}),
+           FROM embeddings
+           WHERE vec_id < {N_QUERIES}
+             AND {_NORM.format(a='embedding')} > 0),
 c AS (SELECT vec_id, embedding AS ce, label,
              {_NORM.format(a='embedding')} AS cn
-      FROM embeddings),
+      FROM embeddings WHERE {_NORM.format(a='embedding')} > 0),
 sims AS (
   SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
          {_DOT.format(a='q.qe', b='c.ce')} / (q.qn * c.cn) AS cos
@@ -113,18 +115,26 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
+    # zero-norm vectors (failed upstream embedding jobs produce them in
+    # real corpora) carry no direction — cosine is undefined, and under
+    # ANSI mode the division raises; both engines exclude them (latent
+    # on the fixture, exercised by the randomized differential tests)
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        norm(F.col("embedding")).alias("qn"),
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            norm(F.col("embedding")).alias("qn"),
+        )
+        .filter(F.col("qn") > 0)
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         "label",
         norm(F.col("embedding")).alias("cn"),
-    )
+    ).filter(F.col("cn") > 0)
     sims = (
         F.broadcast(q)
         .crossJoin(c)
@@ -156,6 +166,7 @@ _IVF_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, label, embedding, {_NORM.format(a='embedding')} AS en
   FROM embeddings
+  WHERE {_NORM.format(a='embedding')} > 0
 ),
 k AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k FROM embeddings),
 seeds AS (
@@ -289,12 +300,23 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "en", norm(F.col("embedding"))
     )
-    n = e.count()
+    n = e.count()  # k sizes off the RAW corpus (the oracle's k CTE)
+    # zero-norm exclusion AFTER sizing: see sim_search_topk (cosine is
+    # undefined for direction-free vectors; latent on the fixture)
+    e = e.filter(F.col("en") > 0)
     k = int(math.ceil(math.sqrt(n)))
     seed_rows = sorted(
         e.filter(F.col("vec_id") < k).select("vec_id", "embedding").collect(),
         key=lambda r: r.vec_id,
     )
+    if not seed_rows:
+        # a corpus whose seed range holds no usable vector has no cells
+        # to probe — typed empty result (mirrors the oracle, whose every
+        # CTE is empty over an empty filtered base)
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, label int, "
+            "rnk int, cosine double"
+        )
 
     def _py_norm(vec) -> float:
         acc = 0.0
@@ -441,7 +463,7 @@ _EMB_DEDUP_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, label, embedding,
          {_NORM.format(a='embedding')} AS nrm
-  FROM embeddings
+  FROM embeddings WHERE {_NORM.format(a='embedding')} > 0
 ),
 pairs AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, a.label,
@@ -486,19 +508,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
+    # zero-norm exclusion: see sim_search_topk
     e = load_table(spark, sf_dir, "embeddings")
     a = e.select(
         F.col("vec_id").alias("vec_id"),
         F.col("embedding").alias("ea"),
         "label",
         norm(F.col("embedding")).alias("na"),
-    )
+    ).filter(F.col("na") > 0)
     b = e.select(
         F.col("vec_id").alias("nn_id"),
         F.col("embedding").alias("eb"),
         "label",
         norm(F.col("embedding")).alias("nb"),
-    )
+    ).filter(F.col("nb") > 0)
     cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "nn_id")
     return (
@@ -575,7 +598,7 @@ WITH s AS (
   SELECT vec_id, embedding,
          CAST({_lsh_sig_sql(_LSH_BUCKET_BITS)} AS BIGINT) AS bucket,
          {_NORM.format(a='embedding')} AS nrm
-  FROM embeddings
+  FROM embeddings WHERE {_NORM.format(a='embedding')} > 0
 ),
 q AS (SELECT vec_id AS query_id, embedding AS qe, bucket, nrm AS qn
       FROM s WHERE vec_id < {N_QUERIES}),
@@ -618,12 +641,13 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = load_table(spark, sf_dir, "embeddings")
+    # zero-norm exclusion: see sim_search_topk
     s = e.select(
         "vec_id",
         "embedding",
         _lsh_sig(F.col("embedding"), _LSH_BUCKET_BITS).alias("bucket"),
         norm(F.col("embedding")).alias("nrm"),
-    )
+    ).filter(F.col("nrm") > 0)
     q = s.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),

@@ -415,3 +415,65 @@ def test_join_keys_differential(key, orows, crows, spark, tmp_path_factory):
     _write_customer(d, crows)
     ok, msg = _run_both(key, spark, d, ["orders", "customer"])
     assert ok, f"{key}: {msg}"
+
+
+# Embeddings differential: the exact-integer clustering/ANN family on
+# random float32 vectors — the quantize-once / integer-everything
+# parity strategy must hold for ANY vectors, not just the fixture's.
+# All ten embeddings-plane keys run, including the full Lloyd unroll
+# (kmeans/semdedup/ivfpq) and the brute-force/IVF/LSH searches.
+_EMB_DIM = 64
+_EMB_KEYS = [
+    "embed-quantize-int8",
+    "embed-random-projection",
+    "embed-kmeans-lloyd",
+    "embed-pq-encode",
+    "dedup-embedding-cosine",
+    "dedup-semdedup",
+    "sim-search-topk",
+    "sim-search-ivf",
+    "sim-search-lsh",
+    "embed-ann-ivfpq",
+]
+
+
+@st.composite
+def _emb_corpus(draw):
+    n = draw(st.integers(min_value=10, max_value=30))
+    # integer grid mapped to floats: st.floats trips hypothesis's FTZ
+    # detector in this process (a native lib in the JVM/Arrow stack
+    # flushes subnormals), and a /1000 grid exercises the quantizers'
+    # rounding boundaries anyway
+    comp = st.integers(min_value=-600, max_value=600)
+    vecs = [
+        [v / 1000.0 for v in draw(
+            st.lists(comp, min_size=_EMB_DIM, max_size=_EMB_DIM)
+        )]
+        for _ in range(n)
+    ]
+    # force near-duplicate structure for the dedup keys
+    n_dup = draw(st.integers(min_value=0, max_value=3))
+    for j in range(min(n_dup, n // 2)):
+        vecs[n - 1 - j] = list(vecs[j])
+    return vecs
+
+
+@pytest.mark.parametrize("key", _EMB_KEYS)
+@given(vecs=_emb_corpus())
+@settings(**_SETTINGS)
+def test_embeddings_keys_differential(key, vecs, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("embk")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                vecs, pa.list_(pa.float32())
+            ),
+            "label": pa.array(
+                [i % 10 for i in range(len(vecs))], pa.int32()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    ok, msg = _run_both(key, spark, d, ["embeddings"])
+    assert ok, f"{key}: {msg}"
