@@ -477,3 +477,129 @@ def test_embeddings_keys_differential(key, vecs, spark, tmp_path_factory):
     pq.write_table(tbl, str(d / "embeddings.parquet"))
     ok, msg = _run_both(key, spark, d, ["embeddings"])
     assert ok, f"{key}: {msg}"
+
+
+# Lineitem/part differential: the decimal-exact money arithmetic and
+# regex/windows over random TPC-H-ish rows. Sketch-audit keys (approx
+# distinct, HLL merge, theta set ops) stay out: their TRUE-expected
+# tolerance bands are calibrated for fixture-scale cardinalities and
+# legitimately fail on 25-row samples.
+def _write_lineitem(path, rows):
+    """rows: (okey, pkey, qty, cents_price, disc_pct, flagidx, day)."""
+    lbase = datetime(1994, 1, 1)
+    flags = ["A", "N", "R"]
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_suppkey": pa.array(
+                [r[1] % 5 for r in rows], pa.int64()
+            ),
+            "l_linenumber": pa.array(
+                [i % 7 + 1 for i in range(len(rows))], pa.int32()
+            ),
+            "l_quantity": pa.array(
+                [float(r[2]) for r in rows], pa.float64()
+            ),
+            "l_extendedprice": pa.array(
+                [r[3] / 100.0 for r in rows], pa.float64()
+            ),
+            "l_discount": pa.array(
+                [r[4] / 100.0 for r in rows], pa.float64()
+            ),
+            "l_tax": pa.array(
+                [(r[4] % 8) / 100.0 for r in rows], pa.float64()
+            ),
+            "l_returnflag": pa.array(
+                [flags[r[5] % 3] for r in rows], pa.string()
+            ),
+            "l_linestatus": pa.array(
+                ["O" if r[5] % 2 else "F" for r in rows], pa.string()
+            ),
+            "l_shipdate": pa.array(
+                [lbase + timedelta(days=r[6] * 90) for r in rows],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(tbl, str(path / "lineitem.parquet"))
+
+
+def _write_part(path, n):
+    brands = ["Brand#1", "Brand#2", "Brand#3"]
+    types = ["ECONOMY BRUSHED TIN", "STANDARD POLISHED COPPER",
+             "LARGE PLATED STEEL"]
+    tbl = pa.table(
+        {
+            "p_partkey": pa.array(range(n), pa.int64()),
+            "p_name": pa.array(
+                [f"part {i} olive {'azure' if i % 3 else 'navy'}"
+                 for i in range(n)],
+                pa.string(),
+            ),
+            "p_brand": pa.array(
+                [brands[i % 3] for i in range(n)], pa.string()
+            ),
+            "p_type": pa.array(
+                [types[i % 3] for i in range(n)], pa.string()
+            ),
+            "p_size": pa.array([i % 25 + 1 for i in range(n)], pa.int32()),
+            "p_retailprice": pa.array(
+                [round(900 + i * 1.5, 2) for i in range(n)], pa.float64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(path / "part.parquet"))
+
+
+_LI_ROW = st.tuples(
+    st.integers(min_value=0, max_value=8),  # orderkey
+    st.integers(min_value=0, max_value=9),  # partkey
+    st.integers(min_value=1, max_value=60),  # quantity (HAVING boundary)
+    st.integers(min_value=1, max_value=900000),  # price cents
+    st.integers(min_value=0, max_value=10),  # discount pct
+    st.integers(min_value=0, max_value=5),  # flag selector
+    st.integers(min_value=0, max_value=30),  # shipdate quarter
+)
+
+_LINEITEM_KEYS = [
+    "agg-hash",
+    "agg-distinct",
+    "agg-having",
+    "agg-rollup-cube-gsets",
+    "agg-stats",
+    "fn-math",
+    "window-frame-agg",
+]
+
+
+@pytest.mark.parametrize("key", _LINEITEM_KEYS)
+@given(rows=st.lists(_LI_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_lineitem_keys_differential(key, rows, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("lik")
+    _write_lineitem(d, rows)
+    ok, msg = _run_both(key, spark, d, ["lineitem"])
+    assert ok, f"{key}: {msg}"
+
+
+@given(
+    rows=st.lists(_LI_ROW, min_size=1, max_size=25),
+    n_parts=st.integers(min_value=1, max_value=10),
+)
+@settings(**_SETTINGS)
+def test_range_theta_differential(rows, n_parts, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("rtk")
+    _write_lineitem(d, rows)
+    _write_part(d, n_parts)
+    ok, msg = _run_both("join-range-theta", spark, d, ["lineitem", "part"])
+    assert ok, f"join-range-theta: {msg}"
+
+
+@given(n_parts=st.integers(min_value=1, max_value=25))
+@settings(**_SETTINGS)
+def test_like_regexp_differential(n_parts, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("lrk")
+    _write_part(d, n_parts)
+    ok, msg = _run_both("filter-like-regexp", spark, d, ["part"])
+    assert ok, f"filter-like-regexp: {msg}"
