@@ -921,3 +921,116 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dist_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D15 — SCD2 temporal dimension join (point-in-time version lookup)
+# ---------------------------------------------------------------------------
+
+_SCD2J_ORACLE = """
+WITH v AS (
+  SELECT o_custkey, o_orderstatus AS status_version,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER w AS valid_to,
+         row_number() OVER w AS version_no
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+e AS (
+  SELECT event_id, user_id,
+         TIMESTAMP '1995-01-01' + INTERVAL (event_id % 2400) DAY AS t
+  FROM events
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.t, '%Y-%m-%d') AS asof_date,
+       CAST(v.version_no AS BIGINT) AS version_no,
+       v.status_version,
+       CASE WHEN v.version_no IS NULL THEN NULL
+            ELSE v.valid_to IS NULL END AS is_current_version
+FROM e LEFT JOIN v
+  ON v.o_custkey = e.user_id
+ AND v.valid_from <= e.t
+ AND (v.valid_to IS NULL OR e.t < v.valid_to)
+"""
+
+
+@query("join-scd2-temporal", oracle=_SCD2J_ORACLE)
+def join_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15: the temporal dimension join — each fact row matches the
+    SCD2 dimension VERSION valid at its event time (valid_from <= t <
+    valid_to, open-ended current version), the lookup every Kimball-
+    style warehouse runs against F7's version intervals. At most one
+    version matches by construction (intervals partition each key's
+    timeline); facts before the first version, and keys with no
+    history, surface with NULL version columns.
+
+    NO range join: because versions PARTITION the timeline, "the
+    version valid at t" IS "the latest version starting at-or-before
+    t" — the D9 union-and-window carry. Zero-length versions (two
+    changes on one date — the [d, d) interval) are skipped naturally:
+    the same-date successor replaces them in the carry before any
+    event at t >= d reads it, exactly matching the oracle's empty
+    BETWEEN interval. Shape: one window on the dimension side builds
+    (version_no, valid_to) — orders-sized, partitioned by key — then
+    the merged stream pays ONE shuffle + sort; against the naive
+    inequality join (|events| x versions-per-key, nested-loop) this is
+    the plan that survives fact-scale. is_current is read off the
+    carried version, NULL when nothing matched (mirrored CASE in the
+    oracle)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    wv = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    vers = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("asof_ts"),
+        F.struct(
+            F.row_number().over(wv).cast("long").alias("version_no"),
+            F.col("o_orderstatus").alias("status_version"),
+            F.lead("o_orderdate").over(wv).alias("valid_to"),
+        ).alias("ver"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.timestamp_add(
+            "DAY",
+            (F.col("event_id") % 2400).cast("int"),
+            F.to_timestamp(F.lit("1995-01-01")),
+        ).alias("t"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("long").alias("okey"),
+        "event_id",
+    )
+    e = e.withColumn("asof_ts", F.col("t")).select(
+        "key", "t", "is_event", "okey", "event_id", "asof_ts",
+        F.lit(None)
+        .cast("struct<version_no:bigint,status_version:string,valid_to:timestamp>")
+        .alias("ver"),
+    )
+    merged = vers.unionByName(e)
+    w = (
+        W.partitionBy("key")
+        .orderBy("t", "is_event", "okey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = F.last("ver", ignorenulls=True).over(w)
+    return (
+        merged.withColumn("cv", carried)
+        .filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            F.date_format("asof_ts", "yyyy-MM-dd").alias("asof_date"),
+            F.col("cv.version_no").alias("version_no"),
+            F.col("cv.status_version").alias("status_version"),
+            F.when(
+                F.col("cv").isNull(), F.lit(None).cast("boolean")
+            )
+            .otherwise(F.col("cv.valid_to").isNull())
+            .alias("is_current_version"),
+        )
+    )

@@ -67,7 +67,8 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # (~50 keys/round), so ``load_all`` rebuilds the registry dict in this
 # order after all modules import:
 #
-#   1. The 8 NEW r9 keys (dedup-semdedup, join-asof-nearest,
+#   1. The 9 NEW r9 keys (join-scd2-temporal, dedup-semdedup,
+#      join-asof-nearest,
 #      agg-ks-drift, agg-hist-logbucket,
 #      window-session-batch, join-bloom-prefilter,
 #      sample-interleave-sources, text-ccnet-buckets) — new keys always
@@ -82,6 +83,7 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # row ≤2 rounds old. Rebuild this list each round from
 # `python tools/stale_keys.py --list` with any new keys at the HEAD.
 _PRIORITY_R9 = [
+    "join-scd2-temporal",
     "dedup-semdedup",
     "join-asof-nearest",
     "agg-ks-drift",

@@ -600,3 +600,20 @@ def test_semdedup_pairs_are_one_gemm_per_cluster(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_scd2_temporal_no_inequality_join(spark, sf_dir):
+    """D15's scale claim: the point-in-time lookup is the
+    union-and-window carry — exchanges only on the key, no
+    nested-loop/cartesian anywhere."""
+    import re
+
+    plan = _formatted_plan(
+        spark, registry.QUERIES["join-scd2-temporal"](spark, sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    hashparts = set(
+        re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    )
+    assert hashparts <= {"key", "o_custkey"}, hashparts

@@ -193,6 +193,53 @@ def test_asof_nearest_differential(orders, n_events, spark, tmp_path_factory):
     assert ok, msg
 
 
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+    n_events=st.integers(min_value=1, max_value=10),
+)
+@settings(**_SETTINGS)
+def test_scd2_temporal_differential(orders, n_events, spark, tmp_path_factory):
+    """Random version histories: same-date version collisions (the
+    zero-length-interval case), keys without history, events before
+    the first version."""
+    d = tmp_path_factory.mktemp("scd2j")
+    _write_events(
+        d,
+        [(i % 4, i % 30, 0, "click", 100) for i in range(n_events)],
+    )
+    obase = datetime(1995, 1, 1)
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(len(orders)), pa.int64()),
+            "o_custkey": pa.array([c for c, _ in orders], pa.int64()),
+            "o_orderstatus": pa.array(
+                ["O" if i % 2 else "F" for i in range(len(orders))],
+                pa.string(),
+            ),
+            "o_totalprice": pa.array([1.0] * len(orders), pa.float64()),
+            "o_orderdate": pa.array(
+                [obase + timedelta(days=dd) for _, dd in orders],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                ["1-URGENT"] * len(orders), pa.string()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(d / "orders.parquet"))
+    ok, msg = _run_both(
+        "join-scd2-temporal", spark, d, ["events", "orders"]
+    )
+    assert ok, msg
+
+
 # Differential sweep over PRE-EXISTING events-only keys: the fixed
 # fixture is one draw; random draws exercise tie/boundary paths these
 # keys have never seen (empty stages in the funnel, single-value MAD
