@@ -141,6 +141,11 @@ HEADLINE = [
     "dedup-semdedup",
     "join-asof-nearest",
     "join-scd2-temporal",
+    "agg-quantile-exact",
+    "agg-entropy",
+    "window-range-rolling",
+    "graph-bfs-levels",
+    "text-winnowing",
 ]
 
 
@@ -268,14 +273,20 @@ def emit_line(payload: dict) -> str:
         line = json.dumps(p, separators=(",", ":"))
         if len(line) <= _LINE_BUDGET:
             return line
-    # Last resort (≈130+ headline keys): keep the frozen comparison sets
-    # and as many budget offenders as fit inline; the sidecar holds the
-    # rest. over_budget is realistically ≤ a handful of keys, but the
-    # fit guarantee must hold unconditionally — drop offenders from the
-    # inline dict one at a time if the line is still long.
-    keep = [k for k in COMMON20 if k in payload["queries"]] + sorted(
-        set(payload["over_budget"]) - set(COMMON20)
-    )
+    # The full set no longer fits (78+ headline keys): keep an inline
+    # subset in priority order — the frozen comparison sets, then budget
+    # offenders, then the REST NEWEST-FIRST (HEADLINE appends new keys
+    # at the tail, and a key added this round has no committed history,
+    # so its driver-recorded reading matters most; old keys have rounds
+    # of BENCH_r*.json behind them). Drop from the end until the line
+    # fits; BENCH_FULL.json always holds every key at full precision.
+    keep = [k for k in COMMON20 if k in payload["queries"]]
+    keep += [k for k in sorted(payload["over_budget"]) if k not in keep]
+    keep += [
+        k
+        for k in reversed(list(payload["queries"]))
+        if k not in keep
+    ]
     while True:
         p = dict(payload)
         p["queries"] = {

@@ -524,3 +524,137 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ok_word_count & ok_mean_len & ok_alpha & ok_symbols & ok_required
         ).alias("gopher_pass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# I50 — winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3  # shingle width (tokens)
+_WIN_W = 4  # winnowing window (consecutive shingle hashes)
+_WIN_H40 = 1 << 40  # hash folded to 40 bits so key = h40·2^20 + pos' < 2^60
+_WIN_PBITS = 1 << 20  # position field width (docs capped below 2^20 grams)
+
+_WINNOW_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, len(tk) - {_WIN_K - 1} AS n_grams,
+         unnest(list_transform(range(1, len(tk) - {_WIN_K - 2}),
+           i -> {{'pos': i - 1,
+                 'h40': ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::UBIGINT::BIGINT % {_WIN_H40}}}),
+           recursive := true)
+  FROM t WHERE len(tk) >= {_WIN_K} AND len(tk) < {_WIN_PBITS + _WIN_K - 1}
+),
+win AS (
+  SELECT doc_id, n_grams, pos,
+         MIN(h40 * {_WIN_PBITS} + ({_WIN_PBITS - 1} - pos))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW) AS kmin
+  FROM g
+),
+sel AS (
+  SELECT DISTINCT doc_id, n_grams, kmin FROM win WHERE pos >= {_WIN_W - 1}
+)
+SELECT doc_id,
+       CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+       COUNT(*) AS n_fp,
+       bit_xor(kmin // {_WIN_PBITS}) AS fp_xor,
+       CAST(MIN({_WIN_PBITS - 1} - (kmin % {_WIN_PBITS})) AS BIGINT) AS first_pos,
+       CAST(MAX({_WIN_PBITS - 1} - (kmin % {_WIN_PBITS})) AS BIGINT) AS last_pos
+FROM sel GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("text-winnowing", oracle=_WINNOW_ORACLE)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I50: winnowing fingerprint selection (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the MOSS algorithm): hash every k-token
+    shingle, slide a w-hash window, keep each window's minimum with
+    ties to the RIGHTMOST position. The selected (hash, position) set
+    is the guaranteed-coverage local fingerprint sketch — any shared
+    substring of ≥ w+k-1 tokens yields a shared fingerprint
+    (MinHash cannot promise that; the full gram set is w+1 /2 times
+    bigger) — the standard plagiarism / local-overlap index a corpus
+    pipeline maintains next to global near-dup.
+
+    The tie rule is folded into the ORDER ITSELF: key = h40·2²⁰ +
+    (2²⁰−1−pos) makes "smaller hash, then larger position" a single
+    integer MIN, so the window argmin is one built-in frame aggregate
+    in both engines — no nested subquery per window, no UDF. Selected
+    keys decode back to (hash, position) by integer div/mod. Docs with
+    ≥ 2²⁰ grams are excluded by the encoding (none here; shard such
+    docs upstream — cf. text-chunk-sliding).
+
+    Plan shape: tokens pinned behind ONE Generate barrier (the
+    text-containment lesson: unpinned, transform() re-splits the text
+    per element access), shingle hashes leave the scan as 8-byte ints
+    — the shuffle to the per-doc window carries (doc_id, pos, key)
+    only, never text; selection + per-doc rollup reuse the window's
+    partitioning. Output is per-doc summary (count, XOR, span); the
+    fingerprint INDEX itself is the ``sel`` relation one join upstream.
+
+    Parity: md5-prefix hashing, the key encoding, frame membership and
+    the XOR/extrema rollup are all exact integer ops; expected density
+    2/(w+1) = 0.4 (measured 0.416 at sf0.01) pins the theory in
+    tests."""
+    from pyspark.sql import Window as W
+
+    from spark_file_mover_spark.llm._textnorm import md5_prefix60
+
+    d = load_table(spark, sf_dir, "documents")
+    # Generate-barrier pin: split once per row, not per element access
+    base = d.select(
+        "doc_id",
+        F.explode(F.array(F.struct(toks().alias("t")))).alias("s"),
+    ).select("doc_id", F.col("s.t").alias("tk"))
+    tk = F.col("tk")
+    base = base.filter(
+        (F.size(tk) >= _WIN_K) & (F.size(tk) < _WIN_PBITS + _WIN_K - 1)
+    )
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tk, (i + off).cast("int")) for off in range(_WIN_K)]
+    )
+    g = base.select(
+        "doc_id",
+        (F.size(tk) - (_WIN_K - 1)).cast("long").alias("n_grams"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - (_WIN_K - 1)),
+                lambda i: F.pmod(md5_prefix60(gram(i)), F.lit(_WIN_H40)),
+            )
+        ).alias("pos", "h40"),
+    )
+    key = (F.col("h40") * _WIN_PBITS + (_WIN_PBITS - 1 - F.col("pos"))).alias(
+        "key"
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WIN_W - 1), W.currentRow)
+    )
+    win = g.select(
+        "doc_id",
+        "n_grams",
+        "pos",
+        F.min(key).over(w).alias("kmin"),
+    )
+    sel = (
+        win.filter(F.col("pos") >= _WIN_W - 1)
+        .select("doc_id", "n_grams", "kmin")
+        .distinct()
+    )
+    pos_of = _WIN_PBITS - 1 - F.pmod(F.col("kmin"), F.lit(_WIN_PBITS))
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count("*").alias("n_fp"),
+            F.bit_xor(F.expr(f"kmin div {_WIN_PBITS}")).alias("fp_xor"),
+            F.min(pos_of).cast("long").alias("first_pos"),
+            F.max(pos_of).cast("long").alias("last_pos"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1259,3 +1259,197 @@ def agg_hist_logbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         share.alias("share"),
     ).orderBy("event_type", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# E19 — exact nearest-rank quantiles via the distinct-value distribution
+# ---------------------------------------------------------------------------
+
+_QEXACT_ORACLE = """
+WITH dist AS (
+  SELECT o_orderpriority AS priority, o_totalprice AS price,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+c AS (
+  SELECT priority, price,
+         SUM(cnt) OVER (PARTITION BY priority ORDER BY price
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY priority) AS n
+  FROM dist
+)
+SELECT priority,
+       CAST(MAX(n) AS BIGINT) AS n,
+       MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN price END) AS p50,
+       MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN price END) AS p90,
+       MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN price END) AS p99,
+       MIN(price) AS min_price,
+       MAX(price) AS max_price
+FROM c GROUP BY priority ORDER BY priority
+"""
+
+
+@query("agg-quantile-exact", oracle=_QEXACT_ORACLE)
+def agg_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19: EXACT nearest-rank percentiles (p50/p90/p99 of order value
+    per priority class) — the deterministic complement of E6's
+    approx_percentile: an SLA/billing report needs "the p99 is THIS
+    order's price", not an epsilon-band estimate, and nearest-rank
+    (smallest value whose cumulative count reaches ceil(q*n)) is the
+    definition that always returns an actual data value.
+
+    Shape at 100 TB (the E13/E16/E17 distribution trick): the scan
+    collapses map-side to DISTINCT (priority, price) rows with counts —
+    bounded by value cardinality, which for money-like columns is far
+    below row count — then ONE window partition per priority computes
+    the cumulative distribution and a final bounded agg selects the
+    target ranks. No global sort of raw rows, no row_number over the
+    full table (the naive rank-selection plan), no collect: this is
+    exactly how an MPP engine computes exact quantiles when asked to.
+
+    Parity: counts/ranks are exact integers (ceil via the (q*n+99) div
+    100 integer identity — no float rank arithmetic); the selected
+    quantiles are actual input doubles picked by integer comparison,
+    bit-identical in both engines."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    dist = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("price"),
+        ).agg(F.count("*").alias("cnt"))
+    )
+    cum = W.partitionBy("priority").orderBy("price").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = dist.select(
+        "priority",
+        "price",
+        F.sum("cnt").over(cum).alias("cum"),
+        F.sum("cnt").over(W.partitionBy("priority")).alias("n"),
+    )
+
+    def at(pct: int, alias: str) -> F.Column:
+        rank = F.expr(f"({pct} * n + 99) div 100")
+        return F.min(F.when(F.col("cum") >= rank, F.col("price"))).alias(alias)
+
+    return (
+        c.groupBy("priority")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            at(50, "p50"),
+            at(90, "p90"),
+            at(99, "p99"),
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E20 — categorical distribution entropy / gini per group
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH cl AS (
+  SELECT source, lang, COUNT(*) AS c, SUM(n_chars) AS ch
+  FROM documents GROUP BY 1, 2
+),
+t AS (
+  SELECT source, lang, c, ch,
+         SUM(c)  OVER (PARTITION BY source) AS n,
+         SUM(ch) OVER (PARTITION BY source) AS nch
+  FROM cl
+)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       CAST(-SUM(CAST(ROUND((CAST(c AS DOUBLE) / n)
+                            * ln(CAST(c AS DOUBLE) / n), 9)
+                      AS DECIMAL(18,9))) AS DOUBLE) AS entropy,
+       CASE WHEN MAX(nch) > 0 THEN
+         CAST(-SUM(CASE WHEN ch > 0 THEN
+                     CAST(ROUND((CAST(ch AS DOUBLE) / nch)
+                                * ln(CAST(ch AS DOUBLE) / nch), 9)
+                          AS DECIMAL(18,9))
+                   ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE)
+       END AS entropy_chars,
+       CAST(1 - SUM(CAST(ROUND((CAST(c AS DOUBLE) / n)
+                               * (CAST(c AS DOUBLE) / n), 9)
+                        AS DECIMAL(18,9))) AS DOUBLE) AS gini,
+       ROUND(CAST(MAX(c) AS DOUBLE) / MAX(n), 9) AS top_share
+FROM t GROUP BY source ORDER BY source
+"""
+
+
+@query("agg-entropy", oracle=_ENTROPY_ORACLE)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20: Shannon entropy + Gini impurity of the per-source language
+    distribution (doc-count and char-weighted) — the corpus-composition
+    diversity profile a curation pipeline tracks per shard/source: a
+    source whose language entropy collapses between crawls changed its
+    mix, and downstream sampling weights are functions of exactly these
+    shares (cf. sample-temperature-weights).
+
+    Shape: one scan → hash agg to (source, lang) counts (bounded by
+    |sources|x|langs|, tiny at any data size) → per-source window
+    normalizer over the AGGREGATED relation → final bounded agg. The
+    raw-row shuffle carries grouping keys only; everything after the
+    first agg is cardinality-bounded. The same plan as E18 with an
+    information-theoretic reducer.
+
+    Parity: counts are exact integers; each p·ln(p) / p² term is an
+    IEEE-exact-input double op snapped to 9 dp and summed in
+    DECIMAL(18,9) — exact, order-independent, so the entropy sum cannot
+    drift between engines on aggregation order (the tfidf ln
+    precedent)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    cl = d.groupBy("source", "lang").agg(
+        F.count("*").alias("c"), F.sum("n_chars").alias("ch")
+    )
+    w = W.partitionBy("source")
+    t = cl.select(
+        "source",
+        "c",
+        "ch",
+        F.sum("c").over(w).alias("n"),
+        F.sum("ch").over(w).alias("nch"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    pch = F.col("ch").cast("double") / F.col("nch")
+
+    def snap(col: F.Column) -> F.Column:
+        return F.round(col, 9).cast("decimal(18,9)")
+
+    return (
+        t.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_langs"),
+            (-F.sum(snap(p * F.log(p)))).cast("double").alias("entropy"),
+            # 0·ln 0 = 0 convention for zero-length-doc langs; a source
+            # whose every doc is empty has no char distribution → NULL
+            # (the differential harness caught both: ln(0) in DuckDB,
+            # ANSI DIVIDE_BY_ZERO in Spark)
+            F.when(
+                F.max("nch") > 0,
+                (
+                    -F.sum(
+                        F.when(
+                            (F.col("ch") > 0) & (F.col("nch") > 0),
+                            snap(pch * F.log(pch)),
+                        ).otherwise(F.lit(0).cast("decimal(18,9)"))
+                    )
+                ).cast("double"),
+            ).alias("entropy_chars"),
+            (1 - F.sum(snap(p * p))).cast("double").alias("gini"),
+            F.round(F.max("c").cast("double") / F.max("n"), 9).alias(
+                "top_share"
+            ),
+        )
+        .orderBy("source")
+    )

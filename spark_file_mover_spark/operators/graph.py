@@ -228,6 +228,38 @@ _LPA_EDGE_MOD = 20
 _LPA_CACHE: dict = {}
 
 
+def _sparse_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cached UNDIRECTED sparse user↔entity adjacency K3 and K4
+    share (every ``_LPA_EDGE_MOD``-th event, both edge directions) —
+    one localCheckpoint per (SparkContext, sf_dir), the
+    ``_PR_GRAPH_CACHE`` materialized-view contract."""
+    cache_key = artifact_cache_key(spark, sf_dir)
+    cached = _LPA_CACHE.get(cache_key)
+    if cached is None:
+        # one live entry — see _KM_CACHE (stale checkpointed adjacency
+        # releases via the ContextCleaner once dereferenced)
+        _LPA_CACHE.clear()
+        ev = load_table(spark, sf_dir, "events")
+        ent = F.lit(_LPA_ENTITY_BASE) + F.get_json_object(
+            "props", "$.k"
+        ).cast("long")
+        fwd = (
+            ev.filter(F.col("event_id") % _LPA_EDGE_MOD == 0)
+            .select(F.col("user_id").alias("a"), ent.alias("b"))
+            .distinct()
+        )
+        adj = (
+            fwd.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(
+                fwd.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+            )
+            .localCheckpoint(eager=True)
+        )
+        _LPA_CACHE[cache_key] = adj
+        cached = adj
+    return cached
+
+
 def _lpa_oracle() -> str:
     """Synchronous label propagation compile-time-unrolled into chained
     CTEs: per round every node adopts the most frequent neighbor label,
@@ -295,31 +327,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles only the 16 B/row label relation — edges never move after
     round 0 (the pagerank posture). The final community-size window
     shuffles the node-count-sized label relation once, by label."""
-    cache_key = artifact_cache_key(spark, sf_dir)
-    cached = _LPA_CACHE.get(cache_key)
-    if cached is None:
-        # one live entry — see _KM_CACHE (stale checkpointed adjacency
-        # releases via the ContextCleaner once dereferenced)
-        _LPA_CACHE.clear()
-        ev = load_table(spark, sf_dir, "events")
-        ent = F.lit(_LPA_ENTITY_BASE) + F.get_json_object(
-            "props", "$.k"
-        ).cast("long")
-        fwd = (
-            ev.filter(F.col("event_id") % _LPA_EDGE_MOD == 0)
-            .select(F.col("user_id").alias("a"), ent.alias("b"))
-            .distinct()
-        )
-        adj = (
-            fwd.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-            .unionAll(
-                fwd.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-            )
-            .localCheckpoint(eager=True)
-        )
-        _LPA_CACHE[cache_key] = adj
-        cached = adj
-    adj = cached
+    adj = _sparse_adjacency(spark, sf_dir)
 
     labels = adj.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
@@ -352,5 +360,105 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*")
         .over(Window.partitionBy("lbl"))
         .alias("n_members"),
+        (F.col("node") >= _LPA_ENTITY_BASE).alias("is_entity"),
+    ).orderBy("node_id")
+
+
+# ---------------------------------------------------------------------------
+# K4 — graph-bfs-levels: multi-source BFS distance labeling
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 4
+_BFS_SEED_MOD = 10  # seed set: every node id divisible by 10
+
+
+def _bfs_oracle() -> str:
+    """Multi-source BFS compile-time-unrolled into chained CTEs using
+    the FULL-RELAXATION formulation (d_i = min over d_{i-1} and
+    neighbor+1) — deliberately a different derivation from the Spark
+    frontier loop, so the two engines agree only if the distances are
+    actually right."""
+    head = f"""
+WITH fwd AS (
+  SELECT DISTINCT user_id AS a,
+         {_LPA_ENTITY_BASE} + CAST(props->>'k' AS BIGINT) AS b
+  FROM events
+  WHERE event_id % {_LPA_EDGE_MOD} = 0
+),
+adj AS (SELECT a AS src, b AS dst FROM fwd
+        UNION ALL SELECT b, a FROM fwd),
+nodes AS (SELECT DISTINCT src AS node FROM adj),
+d0 AS (SELECT node, 0 AS dist FROM nodes
+       WHERE node % {_BFS_SEED_MOD} = 0)"""
+    blocks = []
+    for i in range(1, _BFS_ROUNDS + 1):
+        p = i - 1
+        blocks.append(f""",
+d{i} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{p}
+    UNION ALL
+    SELECT adj.dst AS node, d.dist + 1 AS dist
+    FROM adj JOIN d{p} d ON d.node = adj.src
+  ) GROUP BY node
+)""")
+    tail = f"""
+SELECT node AS node_id, CAST(dist AS BIGINT) AS dist,
+       node >= {_LPA_ENTITY_BASE} AS is_entity
+FROM d{_BFS_ROUNDS}
+ORDER BY node_id
+"""
+    return head + "".join(blocks) + tail
+
+
+@query("graph-bfs-levels", oracle=_bfs_oracle())
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: multi-source breadth-first distance labeling over the K3
+    sparse undirected user↔entity graph — every node's hop distance to
+    the nearest seed (ids divisible by 10) within 4 rounds. The
+    traversal member of the Pregel-on-DataFrames family (with K1 sum,
+    K3 mode, dedup-components min-closure): "how far is this account /
+    document from a trusted or flagged set" is the standard
+    contamination- and influence-radius signal curation and
+    abuse pipelines compute.
+
+    Spark runs TRUE FRONTIER BFS: each round expands only the nodes
+    reached last round (adj ⋈ frontier), left-anti-joins already
+    settled nodes, and appends the new level — per-round work is
+    proportional to the frontier's edge neighborhood, not the graph
+    (the textbook full-relaxation recomputes every settled node every
+    round; the oracle keeps exactly that formulation as an independent
+    derivation). Settled/frontier relations localCheckpoint per round
+    (the K1/K3 lineage contract); adjacency comes from the shared
+    cached K3 relation. At cluster scale adjacency pre-partitions on
+    src so each round shuffles only the 12 B/row frontier.
+
+    Exactness: distances are small integers produced by joins + MIN —
+    no floats anywhere; unreached nodes are simply absent (they carry
+    no row, not a sentinel), identically in both engines."""
+    adj = _sparse_adjacency(spark, sf_dir)
+    settled = (
+        adj.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % _BFS_SEED_MOD == 0)
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled
+    for i in range(1, _BFS_ROUNDS + 1):
+        reached = (
+            adj.join(frontier, adj.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            reached.join(settled, "node", "left_anti")
+            .withColumn("dist", F.lit(i))
+            .localCheckpoint(eager=True)
+        )
+        settled = settled.unionAll(frontier).localCheckpoint(eager=True)
+    return settled.select(
+        F.col("node").alias("node_id"),
+        F.col("dist").cast("long").alias("dist"),
         (F.col("node") >= _LPA_ENTITY_BASE).alias("is_entity"),
     ).orderBy("node_id")

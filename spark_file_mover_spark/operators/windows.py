@@ -445,3 +445,76 @@ def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# F11 — time-RANGE rolling aggregates (trailing 7-day / 1-hour frames)
+# ---------------------------------------------------------------------------
+
+_US_7D = 7 * 86400 * 1_000_000
+_US_1H = 3600 * 1_000_000
+
+_RANGE_ROLLING_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+)
+SELECT event_id, user_id, ts_us,
+       COUNT(*) OVER w7 AS n_7d,
+       CAST(SUM(v) OVER w7 AS DOUBLE) AS sum_7d,
+       COUNT(*) OVER w1 AS n_1h
+FROM e
+WINDOW w7 AS (PARTITION BY user_id ORDER BY ts_us
+              RANGE BETWEEN {_US_7D} PRECEDING AND CURRENT ROW),
+       w1 AS (PARTITION BY user_id ORDER BY ts_us
+              RANGE BETWEEN {_US_1H} PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("window-range-rolling", oracle=_RANGE_ROLLING_ORACLE)
+def window_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: trailing time-RANGE rolling aggregates per user — events in
+    the last 7 days / last hour AT each event's own timestamp (rolling
+    activity counters, rate-limit lookbacks, trailing spend). This is
+    the VALUE-range frame F3's physical ROWS frame cannot express:
+    the frame holds whatever rows fall in the time interval, including
+    all timestamp peers of the current row, regardless of row position.
+
+    Shape: ONE Exchange on user_id + ONE in-partition sort on the
+    integer event time serves all three frame aggregates (same window
+    partitioning/ordering ⇒ a single Window node; frames are
+    per-expression). Nothing shuffles but (event_id, user_id, ts_us,
+    decimal value) — 32 B/row. At 100 TB this is the minimal plan for
+    the semantics; a per-user partition is a user's own event history,
+    far below executor memory even for bot-grade users.
+
+    Parity: the frame boundary is exact integer MICROSECONDS
+    (epoch_us / unix_micros — the F10 axis), so frame membership is
+    integer comparison in both engines; the rolling sum runs in exact
+    DECIMAL(12,2) (frame membership fixed ⇒ same addends) and counts
+    are integers. All-NULL frames yield NULL sums in both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        dec("value").alias("v"),
+    )
+    w7 = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_US_7D, W.currentRow)
+    )
+    w1 = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_US_1H, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w7).alias("n_7d"),
+        F.sum("v").over(w7).cast("double").alias("sum_7d"),
+        F.count(F.lit(1)).over(w1).alias("n_1h"),
+    )

@@ -83,6 +83,11 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # row ≤2 rounds old. Rebuild this list each round from
 # `python tools/stale_keys.py --list` with any new keys at the HEAD.
 _PRIORITY_R9 = [
+    "agg-quantile-exact",
+    "agg-entropy",
+    "window-range-rolling",
+    "graph-bfs-levels",
+    "text-winnowing",
     "join-scd2-temporal",
     "dedup-semdedup",
     "join-asof-nearest",

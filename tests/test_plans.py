@@ -617,3 +617,79 @@ def test_scd2_temporal_no_inequality_join(spark, sf_dir):
         re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
     )
     assert hashparts <= {"key", "o_custkey"}, hashparts
+
+
+def test_quantile_exact_distribution_before_window(spark, sf_dir):
+    """E19's scale claim: the CDF window runs over the DISTINCT
+    (priority, price) relation, never raw order rows — a hash
+    aggregate between scan and window (the E17 shape), exchanges on
+    (priority, price) then (priority), final agg reusing the window's
+    partitioning, and no global sort / row_number over the raw scan."""
+    import re
+
+    plan = _formatted_plan(
+        spark, registry.QUERIES["agg-quantile-exact"](spark, sf_dir)
+    )
+    tree = plan.split("(1) Scan")[0]
+    # CDF + per-group total split into two Window nodes over the SAME
+    # Exchange+Sort (different frames; the E17 posture)
+    assert tree.count("Window") == 2
+    # partial+final distinct collapse + partial+final rank-pick agg
+    assert tree.count("HashAggregate") == 4
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 2
+    assert "TakeOrderedAndProject" not in tree.split("Window")[0]
+
+
+def test_entropy_windows_aggregated_relation(spark, sf_dir):
+    """E20's scale claim: the normalizer window runs over the
+    (source, lang) AGGREGATED relation (cardinality-bounded), not the
+    scan; only grouping keys cross the first exchange."""
+    import re
+
+    plan = _formatted_plan(spark, registry.QUERIES["agg-entropy"](spark, sf_dir))
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Window") == 1
+    assert tree.count("HashAggregate") == 4
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 2
+    # the scan reads only the three needed columns
+    assert "ReadSchema" in plan
+    assert "text" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_range_rolling_single_window_node(spark, sf_dir):
+    """F11's scale claim: one Exchange on user_id + one integer-time
+    sort serves ALL THREE frame aggregates — a single Window node,
+    no per-frame re-sort, no extra exchange."""
+    import re
+
+    plan = _formatted_plan(
+        spark, registry.QUERIES["window-range-rolling"](spark, sf_dir)
+    )
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Window") == 1
+    assert tree.count("Sort") == 1
+    hashparts = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert hashparts == ["user_id"], hashparts
+
+
+def test_winnowing_shuffles_ints_not_text(spark, sf_dir):
+    """I50's scale contract: after the scan stage the document text and
+    gram strings never cross an exchange — the per-doc window receives
+    (doc_id, pos, key) integers only (the containment/dup-span pin,
+    winnowing flavored)."""
+    df = registry.QUERIES["text-winnowing"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
+            assert "tk#" not in line, line
+
+
+def test_bfs_levels_no_cartesian(spark, sf_dir):
+    """K4: frontier expansion is an equi-join on node ids — no
+    nested-loop/cartesian anywhere in the final composed plan."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["graph-bfs-levels"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

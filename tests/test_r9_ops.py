@@ -100,3 +100,25 @@ def test_cached_key_survives_inplace_rewrite(tmp_path, spark):
     finally:
         con.close()
     assert ok, f"{key} after in-place rewrite: {msg}"
+
+
+def test_winnowing_theory_invariants(spark):
+    """Winnowing guarantees (Schleimer et al. §3): expected density
+    2/(w+1) = 0.4 over random-ish text, and EVERY fingerprint position
+    lies in [w-1, n_grams-1] (each window selects from itself). A
+    selection-rule regression (e.g. leftmost ties, off-by-one frame)
+    shifts the density or breaks coverage before the oracle compare
+    would localize it."""
+    df = registry.QUERIES["text-winnowing"](spark, SRC_SF)
+    rows = df.collect()
+    assert rows, "no fingerprints at sf0.001"
+    n_fp = sum(r.n_fp for r in rows)
+    windows = sum(r.n_grams - 3 for r in rows if r.n_grams > 3)
+    density = n_fp / windows
+    assert 0.3 < density < 0.5, density
+    for r in rows:
+        # selected positions live in [0, n_grams-1]; the LAST window
+        # ([n-4, n-1]) guarantees a fingerprint in its own span — the
+        # coverage property that makes winnowing a local sketch
+        assert 0 <= r.first_pos <= r.last_pos <= r.n_grams - 1, r
+        assert r.last_pos >= r.n_grams - 4, r

@@ -650,3 +650,121 @@ def test_like_regexp_differential(n_parts, spark, tmp_path_factory):
     _write_part(d, n_parts)
     ok, msg = _run_both("filter-like-regexp", spark, d, ["part"])
     assert ok, f"filter-like-regexp: {msg}"
+
+
+# --- r9 continuation: the five session-2 keys ---------------------------
+
+
+def _write_docs_tbl(path, rows):
+    """rows: (text, lang, source)."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array([t for t, *_ in rows], pa.string()),
+            "lang": pa.array([l for _, l, _ in rows], pa.string()),
+            "source": pa.array([s for *_, s in rows], pa.string()),
+            "n_chars": pa.array(
+                [len(t) for t, *_ in rows], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(path / "documents.parquet"))
+
+
+def _write_graph_events(path, rows):
+    """rows: (user_id, k) — events whose props carry a real entity id."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [_BASE + timedelta(hours=i) for i in range(len(rows))],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(
+                ['{"k": %d}' % k for _, k in rows], pa.string()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(path / "events.parquet"))
+
+
+@given(rows=st.lists(_ORDER_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_quantile_exact_differential(rows, spark, tmp_path_factory):
+    """Random duplicate-heavy price sets: singleton groups (p50=p99),
+    all-equal groups, rank boundaries at tiny n."""
+    d = tmp_path_factory.mktemp("qex")
+    _write_orders(d, rows)
+    ok, msg = _run_both("agg-quantile-exact", spark, d, ["orders"])
+    assert ok, msg
+
+
+_DOC_ROW = st.tuples(
+    st.sampled_from(
+        ["", "a", "a b", "a b a", "a  b   a b", "x y z w v u t s",
+         "a b a b a b a b a b", "the quick brown fox jumps"]
+    ),
+    st.sampled_from(["en", "de", "fr"]),
+    st.sampled_from(["web", "book"]),
+)
+
+
+@given(rows=st.lists(_DOC_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_entropy_differential(rows, spark, tmp_path_factory):
+    """Singleton sources (entropy 0, gini 0), single-lang sources,
+    char-weight vs count-weight divergence."""
+    d = tmp_path_factory.mktemp("ent")
+    _write_docs_tbl(d, rows)
+    ok, msg = _run_both("agg-entropy", spark, d, ["documents"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_DOC_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_winnowing_differential(rows, spark, tmp_path_factory):
+    """Token-count boundaries: <k tokens (absent), k..w+k-2 (no full
+    window, absent), repeated-gram docs (dense kmin ties, the DISTINCT
+    path), multi-space splits."""
+    d = tmp_path_factory.mktemp("winn")
+    _write_docs_tbl(d, rows)
+    ok, msg = _run_both("text-winnowing", spark, d, ["documents"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_range_rolling_differential(rows, spark, tmp_path_factory):
+    """Timestamp peers (same user+ts → shared frame), events exactly
+    7 days apart (inclusive boundary), single-event users."""
+    d = tmp_path_factory.mktemp("rroll")
+    _write_events(d, rows)
+    ok, msg = _run_both("window-range-rolling", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),  # user_id
+            st.integers(min_value=0, max_value=6),  # entity k
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_bfs_levels_differential(rows, spark, tmp_path_factory):
+    """Random sparse graphs: no-seed components (absent nodes), seeds
+    with no edges (dist 0 only), chains longer than 4 hops (distance
+    capped by rounds), frontier-vs-full-relaxation equivalence."""
+    d = tmp_path_factory.mktemp("bfs")
+    # every-20th-event edge sampling: event ids 0,20,40,... — pad the
+    # row list so several rows land on sampled ids
+    padded = [rows[i % len(rows)] for i in range(20 * len(rows))]
+    _write_graph_events(d, padded)
+    ok, msg = _run_both("graph-bfs-levels", spark, d, ["events"])
+    assert ok, msg
