@@ -437,26 +437,39 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     no floats anywhere; unreached nodes are simply absent (they carry
     no row, not a sentinel), identically in both engines."""
     adj = _sparse_adjacency(spark, sf_dir)
-    settled = (
+    # ONE materialization per round: each round checkpoints only its
+    # frontier; "settled" stays a LAZY union of the already-checkpointed
+    # levels (≤ ROUNDS small relations), so the anti-join re-reads
+    # checkpointed blocks instead of re-materializing a settled relation
+    # every round (first cut checkpointed frontier AND settled: 12 jobs
+    # for 4 rounds; this shape pays 5).
+    levels = [
         adj.select(F.col("src").alias("node"))
         .distinct()
         .filter(F.col("node") % _BFS_SEED_MOD == 0)
         .withColumn("dist", F.lit(0))
         .localCheckpoint(eager=True)
-    )
-    frontier = settled
+    ]
     for i in range(1, _BFS_ROUNDS + 1):
+        frontier = levels[-1]
+        settled = levels[0]
+        for lv in levels[1:]:
+            settled = settled.unionAll(lv)
         reached = (
             adj.join(frontier, adj.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        frontier = (
-            reached.join(settled, "node", "left_anti")
+        levels.append(
+            reached.join(
+                settled.select("node"), "node", "left_anti"
+            )
             .withColumn("dist", F.lit(i))
             .localCheckpoint(eager=True)
         )
-        settled = settled.unionAll(frontier).localCheckpoint(eager=True)
+    settled = levels[0]
+    for lv in levels[1:]:
+        settled = settled.unionAll(lv)
     return settled.select(
         F.col("node").alias("node_id"),
         F.col("dist").cast("long").alias("dist"),
