@@ -87,6 +87,12 @@ NOTES = {
     "text-perplexity-proxy": "Unigram-LM cross-entropy: the (doc_id, n_tok, xent) SCORED relation is an ingest artifact since r9 (cached per fingerprinted corpus key - the tf-family contract one level up; a deployment stores the quality score as a column at ingest); the tf relation underneath is shared with tfidf. Per-invocation cost after: flag projection only (1.00 -> 0.14 s at sf0.1). Cross-round comparisons must note the r9 contract change.",
     "dedup-semdedup": "SemDeDup: own K=64, 2-round Lloyd model (a BLOCKING structure, not a converged clustering) + the (vec_id, cluster, qs) side relation cached as ingest artifacts; at K=64 the assignment runs on the vectorized Arrow path (_np_assign - the literal-fold form recompiled ~1.5 s of janino per round and evaluated the final assign at 1.1 s warm); pair stage = ONE applyInPandas int64 gemm per cluster (Q.Q^T gives every dot AND both norms exactly; the expression-tree pair join measured 28 us/pair interpreted - 4.9 s at sf0.1 vs ~0.2 s gemm); cosine = engine expression over exact ints, 9-dp snap; top-1 via WindowGroupLimit; no cartesian (pinned). Cold ~7 s = the Pregel-family sequential-small-jobs floor (fit + 2 checkpoints + first Python worker), paid once per corpus.",
     "join-asof-nearest": "Nearest-direction as-of: same union-and-window scaffolding as D9/D12 - ONE shuffle on the key (pinned), backward candidate last(ignorenulls) ascending, forward first(ignorenulls) over a mirrored okey-DESC frame (two in-partition sorts share the exchange); same-t orders land on the backward side exactly once; winner = null-safe least-distance CASE in integer day arithmetic. No inequality join.",
+    "join-scd2-temporal": "Point-in-time SCD2 lookup WITHOUT a range join: versions partition the timeline, so the valid version is the latest one starting at-or-before the fact's event time - the D9 union-and-window carry over (key, time); zero-length versions are skipped naturally by their same-date successor in the carry. Exchanges on the key only (pinned); no nested-loop/cartesian anywhere.",
+    "agg-quantile-exact": "Exact nearest-rank percentiles via the E13/E16/E17 distribution trick: scan collapses map-side to DISTINCT (priority, price) rows with counts; ONE exchange+sort feeds the CDF and per-group-total windows (two Window nodes, same partitioning - pinned); final bounded agg picks ceil(q*n) ranks with the (q*n+99) div 100 integer identity. No global sort, no row_number over raw rows; selected quantiles are input doubles picked by integer compare.",
+    "agg-entropy": "Distribution diversity per source: hash agg to (source, lang) doc+char counts (|sources|x|langs|-bounded), per-source window normalizer over the AGGREGATED relation (pinned: 2 exchanges, window after agg, text column never read); each p*ln(p) / p^2 term 9-dp-snapped and summed in DECIMAL(18,9) - order-independent, engine-exact (tfidf ln precedent). 0*ln0=0 for zero-length-doc langs; all-empty source -> NULL char entropy (both caught by the differential harness).",
+    "window-range-rolling": "Trailing 7-day/1-hour time-RANGE frames per user: ONE Exchange on user_id + ONE integer-microsecond sort serves all three frame aggregates (single Window node, frames per-expression - pinned); shuffle carries (event_id, user_id, ts_us, decimal value) = 32 B/row; rolling sums in exact DECIMAL(12,2), frame membership by integer compare incl. timestamp peers.",
+    "graph-bfs-levels": "Multi-source frontier BFS over the shared cached K3 adjacency: each round joins ONLY last round's frontier (adj JOIN frontier + left-anti vs the lazy union of checkpointed levels - one materialization job per round, 5 for 4 rounds), work proportional to the frontier neighborhood; the oracle keeps the textbook full-relaxation CTE unroll as an independent derivation. Pure integer joins+MIN; warm ~1.1 s at sf0.1 = the Pregel-family serial-job floor, not data volume.",
+    "text-winnowing": "Winnowing (SIGMOD'03): rightmost-min tie rule folded into the order itself - key = h40*2^20+(2^20-1-pos) makes the window argmin ONE integer frame-MIN, no per-window subquery; tokens pinned behind one Generate barrier (containment lesson); shingle hashes leave the scan as 8-byte ints, the per-doc window receives (doc_id, pos, key) only (pinned: no text/tk in any exchange); DISTINCT + per-doc rollup reuse the partitioning. Density 0.416 = 2/(w+1) theory, pinned in tests.",
 }
 
 
