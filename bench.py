@@ -146,6 +146,8 @@ HEADLINE = [
     "window-range-rolling",
     "graph-bfs-levels",
     "text-winnowing",
+    "window-ewma-decay",
+    "agg-benford-digit",
 ]
 
 

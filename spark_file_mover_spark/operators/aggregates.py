@@ -1453,3 +1453,103 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# E21 — Benford first-digit deviation (data-QA / fraud screening)
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) snapped to 12 dp as SHARED LITERALS: both engines
+# consume the same constant strings, so the expected shares carry zero
+# cross-libm ULP risk (the one place the entropy 9-dp-snap argument
+# would otherwise have to cover an output column directly)
+import math as _math
+
+_BENFORD_P = {d: f"{_math.log10(1 + 1 / d):.12f}" for d in range(1, 10)}
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN CAST({p} AS DOUBLE)" for d, p in _BENFORD_P.items()
+)
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT l_returnflag AS flag,
+         CAST(substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                               AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+           AS digit
+  FROM lineitem
+),
+h AS (
+  SELECT flag, digit, COUNT(*) AS n_d FROM digits GROUP BY 1, 2
+),
+t AS (
+  SELECT flag, digit, n_d,
+         SUM(n_d) OVER (PARTITION BY flag) AS n,
+         CASE digit {_BENFORD_CASE} END AS p
+  FROM h
+)
+SELECT flag, digit, n_d,
+       ROUND(CAST(n_d AS DOUBLE) / n, 9) AS share,
+       p AS benford_p,
+       CAST(SUM(CAST(ROUND(POW(n_d - n * p, 2) / (n * p), 9)
+                     AS DECIMAL(28,9)))
+            OVER (PARTITION BY flag) AS DOUBLE) AS chi2
+FROM t ORDER BY flag, digit
+"""
+
+
+@query("agg-benford-digit", oracle=_BENFORD_ORACLE)
+def agg_benford_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21: first-significant-digit distribution vs Benford's law per
+    return flag, with the χ² deviation statistic — the classic
+    fabricated-data / corruption screen a data-QA layer runs on every
+    money column (organically generated amounts follow
+    P(d)=log10(1+1/d); synthetic or truncated feeds don't).
+
+    Shape (the E13/E17/E18 family): digit extraction happens in EXACT
+    integer space (first char of the integer-cents string — float
+    log10-based extraction misassigns edge values by ULP), the scan
+    collapses map-side to ≤ flags×9 rows, and the χ² window runs over
+    that aggregated relation. ~27 output rows at any data size.
+
+    Parity: expected shares are SHARED 12-dp literal constants (both
+    engines consume the same strings — no cross-libm log10), counts
+    are exact integers, each χ² term is snapped to 9 dp and summed in
+    DECIMAL(28,9) (order-independent), shares are one int/int IEEE
+    division snapped to 9 dp."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        ((F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"))
+        .cast("string"),
+        1,
+        1,
+    ).cast("long")
+    h = (
+        li.select(F.col("l_returnflag").alias("flag"), digit.alias("digit"))
+        .groupBy("flag", "digit")
+        .agg(F.count("*").alias("n_d"))
+    )
+    wf = W.partitionBy("flag")
+    p = F.expr(f"CASE digit {_BENFORD_CASE} END")
+    t = h.select(
+        "flag",
+        "digit",
+        "n_d",
+        F.sum("n_d").over(wf).alias("n"),
+        p.alias("p"),
+    )
+    term = F.round(
+        F.pow(F.col("n_d") - F.col("n") * F.col("p"), 2)
+        / (F.col("n") * F.col("p")),
+        9,
+    ).cast("decimal(28,9)")
+    return t.select(
+        "flag",
+        "digit",
+        "n_d",
+        F.round(F.col("n_d").cast("double") / F.col("n"), 9).alias("share"),
+        F.col("p").alias("benford_p"),
+        F.sum(term).over(wf).cast("double").alias("chi2"),
+    ).orderBy("flag", "digit")

@@ -518,3 +518,103 @@ def window_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").over(w7).cast("double").alias("sum_7d"),
         F.count(F.lit(1)).over(w1).alias("n_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F12 — EWMA with exact dyadic decay over the last 8 events
+# ---------------------------------------------------------------------------
+
+_EWMA_TERMS = 8  # lookback depth
+# alpha = 1/2: weight of the k-th most recent value is 2^-(k+1) — a
+# DYADIC rational, exact in decimal, so the weighted sums are
+# bit-identical cross-engine regardless of accumulation order
+_EWMA_W = [f"{2 ** -(k + 1):.10f}" for k in range(_EWMA_TERMS)]
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"COALESCE(lag(v, {k}) OVER w * CAST({w} AS DECIMAL(12,10)), 0)"
+        for k, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(v, {k}) OVER w IS NOT NULL"
+        f" THEN CAST({w} AS DECIMAL(12,10))"
+        f" ELSE CAST(0 AS DECIMAL(12,10)) END)"
+        for k, w in enumerate(_EWMA_W)
+    )
+    n_hist = " + ".join(
+        f"(CASE WHEN lag(v, {k}) OVER w IS NOT NULL THEN 1 ELSE 0 END)"
+        for k in range(_EWMA_TERMS)
+    )
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_id, user_id, ts_us,
+       ROUND(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE), 9) AS ewma,
+       CAST({n_hist} AS BIGINT) AS n_hist
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
+@query("window-ewma-decay", oracle=_ewma_oracle())
+def window_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: exponentially weighted moving average (α=1/2, 8-term
+    lookback) of event value per user — the decayed rolling signal
+    (recent activity weighted over stale) rate limiters, anomaly
+    scores and engagement metrics use where F11's flat window
+    over-weights history. The truncated-lag formulation is the
+    DISTRIBUTABLE form of the recursive EWMA (the recurrence is
+    inherently serial; 8 dyadic terms bound the truncation error at
+    2⁻⁹ of the oldest weight while staying a pure window expression).
+
+    Shape: ONE exchange on user_id + one (ts_us, event_id) sort serves
+    all 8 lag terms, the weight mask and the history count — a single
+    Window node (identical spec per term). Nothing but
+    (event_id, user_id, ts_us, decimal value) shuffles.
+
+    Parity: α=1/2 makes every weight 2^-(k+1) — a dyadic rational,
+    EXACT in DECIMAL(12,10) — so numerator and denominator are exact
+    decimal sums (order-independent), the final value is ONE IEEE
+    division of identical doubles snapped to 9 dp, and the partial-
+    history normalization (divide by the PRESENT weight mass) is a
+    CASE-mask integer/decimal computation. The (ts_us, event_id)
+    total order pins lag() rows cross-engine even on timestamp ties."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            dec("value").alias("v"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lags = [F.lag("v", k).over(w) for k in range(_EWMA_TERMS)]
+    wts = [
+        F.expr(f"CAST({wt} AS DECIMAL(12,10))") for wt in _EWMA_W
+    ]
+    zero = F.expr("CAST(0 AS DECIMAL(12,10))")
+    num = sum(
+        (F.coalesce(lg * wt, F.lit(0)) for lg, wt in zip(lags, wts)),
+        start=F.lit(0),
+    )
+    den = sum(
+        (F.when(lg.isNotNull(), wt).otherwise(zero) for lg, wt in zip(lags, wts)),
+        start=F.lit(0),
+    )
+    n_hist = sum(
+        (F.when(lg.isNotNull(), 1).otherwise(0) for lg in lags),
+        start=F.lit(0),
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round(num.cast("double") / den.cast("double"), 9).alias("ewma"),
+        n_hist.cast("long").alias("n_hist"),
+    )

@@ -67,9 +67,11 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # (~50 keys/round), so ``load_all`` rebuilds the registry dict in this
 # order after all modules import:
 #
-#   1. The 9 NEW r9 keys (join-scd2-temporal, dedup-semdedup,
-#      join-asof-nearest,
-#      agg-ks-drift, agg-hist-logbucket,
+#   1. The 16 NEW r9 keys (second-session additions first:
+#      window-ewma-decay, agg-benford-digit, agg-quantile-exact,
+#      agg-entropy, window-range-rolling, graph-bfs-levels,
+#      text-winnowing; then join-scd2-temporal, dedup-semdedup,
+#      join-asof-nearest, agg-ks-drift, agg-hist-logbucket,
 #      window-session-batch, join-bloom-prefilter,
 #      sample-interleave-sources, text-ccnet-buckets) — new keys always
 #      go at the HEAD so they earn a driver row the round they land
@@ -83,6 +85,8 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # row ≤2 rounds old. Rebuild this list each round from
 # `python tools/stale_keys.py --list` with any new keys at the HEAD.
 _PRIORITY_R9 = [
+    "window-ewma-decay",
+    "agg-benford-digit",
     "agg-quantile-exact",
     "agg-entropy",
     "window-range-rolling",

@@ -693,3 +693,36 @@ def test_bfs_levels_no_cartesian(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_single_window_node(spark, sf_dir):
+    """F12's scale claim: all 8 lag terms + mask + count ride ONE
+    exchange on user_id and one (ts_us, event_id) sort — a single
+    Window node."""
+    import re
+
+    plan = _formatted_plan(
+        spark, registry.QUERIES["window-ewma-decay"](spark, sf_dir)
+    )
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Window") == 1
+    assert tree.count("Sort") == 1
+    hashparts = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert hashparts == ["user_id"], hashparts
+
+
+def test_benford_distribution_before_window(spark, sf_dir):
+    """E21's scale claim: the chi-square window runs over the
+    (flag, digit) AGGREGATED relation (<= flags x 9 rows), never the
+    scan; two hash exchanges total."""
+    import re
+
+    plan = _formatted_plan(
+        spark, registry.QUERIES["agg-benford-digit"](spark, sf_dir)
+    )
+    tree = plan.split("(1) Scan")[0]
+    # partial+final digit-histogram agg; chi2/share are windows over the
+    # aggregated relation — no second groupBy exists
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Window") >= 1
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 2

@@ -768,3 +768,27 @@ def test_bfs_levels_differential(rows, spark, tmp_path_factory):
     _write_graph_events(d, padded)
     ok, msg = _run_both("graph-bfs-levels", spark, d, ["events"])
     assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_ewma_decay_differential(rows, spark, tmp_path_factory):
+    """Timestamp ties (the (ts_us, event_id) total order pins lag
+    rows), partial history (< 8 events), single-event users
+    (ewma == value)."""
+    d = tmp_path_factory.mktemp("ewma")
+    _write_events(d, rows)
+    ok, msg = _run_both("window-ewma-decay", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_LI_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_benford_digit_differential(rows, spark, tmp_path_factory):
+    """Random cents force uneven digit histograms: missing digits
+    (absent rows), single-digit flags (chi2 from one term), flag
+    singletons."""
+    d = tmp_path_factory.mktemp("benf")
+    _write_lineitem(d, rows)
+    ok, msg = _run_both("agg-benford-digit", spark, d, ["lineitem"])
+    assert ok, msg
