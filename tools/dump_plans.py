@@ -93,6 +93,8 @@ NOTES = {
     "window-range-rolling": "Trailing 7-day/1-hour time-RANGE frames per user: ONE Exchange on user_id + ONE integer-microsecond sort serves all three frame aggregates (single Window node, frames per-expression - pinned); shuffle carries (event_id, user_id, ts_us, decimal value) = 32 B/row; rolling sums in exact DECIMAL(12,2), frame membership by integer compare incl. timestamp peers.",
     "graph-bfs-levels": "Multi-source frontier BFS over the shared cached K3 adjacency: each round joins ONLY last round's frontier (adj JOIN frontier + left-anti vs the lazy union of checkpointed levels - one materialization job per round, 5 for 4 rounds), work proportional to the frontier neighborhood; the oracle keeps the textbook full-relaxation CTE unroll as an independent derivation. Pure integer joins+MIN; warm ~1.1 s at sf0.1 = the Pregel-family serial-job floor, not data volume.",
     "text-winnowing": "Winnowing (SIGMOD'03): rightmost-min tie rule folded into the order itself - key = h40*2^20+(2^20-1-pos) makes the window argmin ONE integer frame-MIN, no per-window subquery; tokens pinned behind one Generate barrier (containment lesson); shingle hashes leave the scan as 8-byte ints, the per-doc window receives (doc_id, pos, key) only (pinned: no text/tk in any exchange); DISTINCT + per-doc rollup reuse the partitioning. Density 0.416 = 2/(w+1) theory, pinned in tests.",
+    "window-ewma-decay": "Truncated-lag EWMA (the DISTRIBUTABLE form of the inherently-serial recurrence; 8 dyadic terms, truncation <= 2^-9 of the oldest weight): all 8 lag terms + presence mask + history count ride ONE user_id exchange and one (ts_us, event_id) sort - a single Window node (pinned). alpha=1/2 makes every weight 2^-(k+1) EXACT in DECIMAL(12,10), so numerator/denominator are order-independent decimal sums; the final value is one IEEE division snapped 9 dp.",
+    "agg-benford-digit": "Benford first-digit QA screen: digit extracted in EXACT integer space (first char of the integer-cents string - float log10 extraction misassigns edge values by ULP); the scan collapses map-side to <= flags x 9 rows and the chi-square window runs over that AGGREGATED relation (pinned: 2 exchanges). Expected shares are SHARED 12-dp literal constants (zero cross-libm risk); chi-square terms 9-dp-snapped DECIMAL(28,9) sums.",
 }
 
 
