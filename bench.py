@@ -148,6 +148,10 @@ HEADLINE = [
     "text-winnowing",
     "window-ewma-decay",
     "agg-benford-digit",
+    "agg-distinct-bitmap",
+    "agg-proportion-ztest",
+    "window-streaks",
+    "graph-triangle-count",
 ]
 
 

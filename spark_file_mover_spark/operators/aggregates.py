@@ -1553,3 +1553,230 @@ def agg_benford_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("benford_p"),
         F.sum(term).over(wf).cast("double").alias("chi2"),
     ).orderBy("flag", "digit")
+
+
+# ---------------------------------------------------------------------------
+# E22 — exact distinct via 64-bit bitmap words (the roaring-bitmap pattern)
+# ---------------------------------------------------------------------------
+
+# 62 bits per word: bit 62 would need shiftleft(1,63) whose sign
+# behavior is the one place the two engines' BIGINT shifts could
+# diverge — a 62-bit word keeps every set bit strictly positive in
+# both. (id DIV 62, id % 62) is still a bijection for the non-negative
+# id contract the tables carry, so the count stays EXACT.
+_BITMAP_WORD_BITS = 62
+
+_BITMAP_ORACLE = f"""
+WITH w AS (
+  SELECT event_type,
+         user_id // {_BITMAP_WORD_BITS} AS bucket,
+         bit_or(CAST(1 AS BIGINT)
+                << CAST(user_id % {_BITMAP_WORD_BITS} AS INT)) AS word
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(SUM(bit_count(word)) AS BIGINT) AS n_users_bitmap,
+       COUNT(*) AS n_words,
+       (SELECT COUNT(DISTINCT user_id) FROM events e
+        WHERE e.event_type = w.event_type) AS n_users_exact,
+       CAST(SUM(bit_count(word)) AS BIGINT)
+         = (SELECT COUNT(DISTINCT user_id) FROM events e
+            WHERE e.event_type = w.event_type) AS bitmap_matches
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("agg-distinct-bitmap", oracle=_BITMAP_ORACLE)
+def agg_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22: EXACT distinct-user count per event type via 64-bit bitmap
+    words — the roaring-bitmap / ClickHouse ``groupBitmap`` pattern for
+    exact COUNT(DISTINCT dense_id) at scale. Each (type, id DIV 62)
+    group OR-folds one BIGINT word whose bit (id % 62) marks presence;
+    popcount-summing the words is the distinct count.
+
+    Why this beats the stock distinct at 100 TB: COUNT(DISTINCT)
+    shuffles every distinct (type, user) PAIR to the final aggregate;
+    the bitmap shuffles at most distinct_ids/62 8-byte words per type —
+    a 62× reduction on the wire for dense id spaces — and bit_or is
+    associative/commutative, so the partial (map-side) aggregate
+    collapses each input split's contribution to one word per bucket
+    before the exchange. Both aggregations are plain two-phase hash
+    aggs; no sketch error bars (vs E3's HLL).
+
+    The ``n_users_exact`` / ``bitmap_matches`` audit columns are
+    test-scale scaffolding (the E15 precedent): they pin
+    bitmap == exact on every run; a deployment drops them.
+
+    Parity: every value is BIGINT bit arithmetic — bit-identical by
+    construction. Word size 62 keeps set bits positive in both
+    engines' signed BIGINT shift."""
+    ev = load_table(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            F.expr(f"user_id DIV {_BITMAP_WORD_BITS}").alias("bucket"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(user_id % {_BITMAP_WORD_BITS} AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users_exact"))
+    )
+    per_type = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("n_users_bitmap"),
+        F.count("*").alias("n_words"),
+    )
+    return (
+        per_type.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "n_users_bitmap",
+            "n_words",
+            "n_users_exact",
+            (F.col("n_users_bitmap") == F.col("n_users_exact")).alias(
+                "bitmap_matches"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E23 — two-proportion z-test per conversion metric (experiment readout)
+# ---------------------------------------------------------------------------
+
+# |z| threshold for alpha = 0.05 two-sided, as a SHARED literal (the
+# Benford-constant discipline: both engines compare against the same
+# string, zero cross-libm risk from an inverse-normal call)
+_ZTEST_CRIT = "1.959963985"
+
+# The pooled two-proportion z statistic over EXACT integer counts
+# (xa, na, xb, nb). Every division is CAST(... AS DOUBLE)/...: bare
+# literals are DECIMAL in both engines with DIFFERENT division scales
+# (measured: 0.53982486 vs 0.539818112 on the same inputs) — all-double
+# arithmetic is IEEE-identical. Snapped to 9 dp; the significance flag
+# compares the SNAPPED z so both engines branch on the same value.
+_ZTEST_Z = f"""CASE WHEN na > 0 AND nb > 0
+     AND (xa + xb) > 0 AND (xa + xb) < (na + nb) THEN
+  ROUND(
+    (CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+    / SQRT((CAST(xa + xb AS DOUBLE) / (na + nb))
+           * (CAST(na + nb - xa - xb AS DOUBLE) / (na + nb))
+           * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)), 9)
+  END"""
+
+_ZTEST_ORACLE = f"""
+WITH u AS (
+  SELECT DISTINCT user_id,
+         {MD5_PREFIX60_SQL.format(x='CAST(user_id AS VARCHAR)')} % 2 AS v
+  FROM events
+),
+pop AS (
+  SELECT CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM u
+),
+conv AS (
+  SELECT e.event_type AS metric,
+         CAST(COUNT(DISTINCT CASE WHEN u.v = 0 THEN e.user_id END)
+              AS BIGINT) AS xa,
+         CAST(COUNT(DISTINCT CASE WHEN u.v = 1 THEN e.user_id END)
+              AS BIGINT) AS xb
+  FROM events e JOIN u ON u.user_id = e.user_id
+  GROUP BY e.event_type
+),
+t AS (SELECT metric, xa, na, xb, nb FROM conv CROSS JOIN pop)
+SELECT metric, xa, na, xb, nb,
+       CASE WHEN na > 0 THEN ROUND(CAST(xa AS DOUBLE) / na, 9) END AS p_a,
+       CASE WHEN nb > 0 THEN ROUND(CAST(xb AS DOUBLE) / nb, 9) END AS p_b,
+       {_ZTEST_Z} AS z,
+       COALESCE(abs({_ZTEST_Z}) > CAST({_ZTEST_CRIT} AS DOUBLE),
+                FALSE) AS significant
+FROM t ORDER BY metric
+"""
+
+
+@query("agg-proportion-ztest", oracle=_ZTEST_ORACLE)
+def agg_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23: pooled two-proportion z-test per conversion metric — the
+    A/B experiment readout (did variant A's users convert at a
+    different rate than B's?). Users are deterministically split 50/50
+    by the shared md5-prefix-60 key hash (the sample-hash-stratified
+    idiom — any engine, any run, same assignment); each event type is
+    one conversion metric: x = distinct converting users, n = variant
+    population.
+
+    Shape at 100 TB: ONE distinct over (event_type, user_id, variant)
+    collapses map-side; the per-variant population is a 2-value
+    relation broadcast to the 5-row metric table. No raw-event
+    shuffle beyond the distinct's hash exchange on user ids.
+
+    Parity: counts are exact BIGINTs; z is one compound all-double
+    expression (every division CAST AS DOUBLE — bare literals are
+    DECIMAL with engine-specific division scales, the measured
+    hazard), snapped to 9 dp; the significance flag branches on the
+    SNAPPED z against a shared literal critical value. Degenerate
+    windows (empty variant, all-or-none conversion → zero pooled
+    variance) yield NULL z / FALSE flag in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.pmod(
+                md5_prefix60(F.col("user_id").cast("string")), F.lit(2)
+            ).alias("v"),
+        )
+    )
+    pop = u.agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    conv = (
+        ev.join(u, "user_id")
+        .groupBy(F.col("event_type").alias("metric"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("v") == 0, F.col("user_id"))
+            )
+            .cast("long")
+            .alias("xa"),
+            F.countDistinct(
+                F.when(F.col("v") == 1, F.col("user_id"))
+            )
+            .cast("long")
+            .alias("xb"),
+        )
+    )
+    t = conv.crossJoin(F.broadcast(pop))
+    return t.select(
+        "metric",
+        "xa",
+        "na",
+        "xb",
+        "nb",
+        F.when(
+            F.col("na") > 0,
+            F.round(F.col("xa").cast("double") / F.col("na"), 9),
+        ).alias("p_a"),
+        F.when(
+            F.col("nb") > 0,
+            F.round(F.col("xb").cast("double") / F.col("nb"), 9),
+        ).alias("p_b"),
+        F.expr(_ZTEST_Z).alias("z"),
+        F.coalesce(
+            F.abs(F.expr(_ZTEST_Z))
+            > F.expr(f"CAST({_ZTEST_CRIT} AS DOUBLE)"),
+            F.lit(False),
+        ).alias("significant"),
+    ).orderBy("metric")

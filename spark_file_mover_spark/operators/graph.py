@@ -475,3 +475,215 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dist").cast("long").alias("dist"),
         (F.col("node") >= _LPA_ENTITY_BASE).alias("is_entity"),
     ).orderBy("node_id")
+
+
+# ---------------------------------------------------------------------------
+# K5 — graph-triangle-count: degree-oriented triangle enumeration
+# ---------------------------------------------------------------------------
+
+# Hot-item cap for the co-interaction projection: an entity touched by
+# u users contributes C(u,2) pairs, so one viral entity makes the
+# projection quadratic. Dropping entities above the cap is the
+# standard practice for co-occurrence graphs (the LSH oversized-bucket
+# guard, projection-flavored) and is mirrored exactly in the oracle.
+_TRI_MAX_ENT_USERS = 64
+
+
+_TRI_CACHE: dict = {}
+
+
+def _tri_relations(spark: SparkSession, sf_dir: str):
+    """The cached (oriented edges, degrees) pair for K5 — one
+    localCheckpoint each per (SparkContext, corpus fingerprint). The
+    triangle enumeration joins ``eo`` against itself THREE times;
+    without the checkpoint Spark re-derives the events-scan →
+    hot-entity guard → pair-join projection once per join input."""
+    cache_key = artifact_cache_key(spark, sf_dir)
+    cached = _TRI_CACHE.get(cache_key)
+    if cached is None:
+        _TRI_CACHE.clear()  # one live entry (the _KM_CACHE contract)
+        ev = load_table(spark, sf_dir, "events")
+        ent = F.get_json_object("props", "$.k").cast("long")
+        fwd = (
+            ev.filter(F.col("event_id") % _LPA_EDGE_MOD == 0)
+            .select(F.col("user_id").alias("u"), ent.alias("k"))
+            .distinct()
+        )
+        kept = fwd.groupBy("k").agg(F.count("*").alias("nu")).filter(
+            F.col("nu") <= _TRI_MAX_ENT_USERS
+        )
+        fk = fwd.join(F.broadcast(kept.select("k")), "k")
+        a, b = fk.alias("a"), fk.alias("b")
+        e = (
+            a.join(
+                b,
+                (F.col("a.k") == F.col("b.k"))
+                & (F.col("a.u") < F.col("b.u")),
+            )
+            .select(F.col("a.u").alias("x"), F.col("b.u").alias("y"))
+            .distinct()
+        )
+        deg = (
+            e.select(F.col("x").alias("node"))
+            .unionAll(e.select(F.col("y").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("degree"))
+            .localCheckpoint(eager=True)
+        )
+        da = deg.select(F.col("node").alias("x"), F.col("degree").alias("dx"))
+        db = deg.select(F.col("node").alias("y"), F.col("degree").alias("dy"))
+        fwd_is_x = (F.col("dx") < F.col("dy")) | (
+            (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+        )
+        # deg is node-cardinality — shuffle joins, NOT broadcast (a
+        # 100 TB graph's degree relation doesn't fit one executor)
+        eo = (
+            e.join(da, "x")
+            .join(db, "y")
+            .select(
+                F.when(fwd_is_x, F.col("x"))
+                .otherwise(F.col("y"))
+                .alias("src"),
+                F.when(fwd_is_x, F.col("y"))
+                .otherwise(F.col("x"))
+                .alias("dst"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cached = (eo, deg)
+        _TRI_CACHE[cache_key] = cached
+    return cached
+
+
+def _tri_oracle() -> str:
+    return f"""
+WITH fwd AS (
+  SELECT DISTINCT user_id AS u, CAST(props->>'k' AS BIGINT) AS k
+  FROM events WHERE event_id % {_LPA_EDGE_MOD} = 0
+),
+kept AS (
+  SELECT k FROM fwd GROUP BY k
+  HAVING COUNT(*) <= {_TRI_MAX_ENT_USERS}
+),
+e AS (
+  SELECT DISTINCT a.u AS x, b.u AS y
+  FROM fwd a JOIN fwd b ON a.k = b.k AND a.u < b.u
+  JOIN kept ON kept.k = a.k
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT x AS node FROM e UNION ALL SELECT y FROM e
+  ) GROUP BY node
+),
+eo AS (
+  SELECT CASE WHEN (da.degree, e.x) < (db.degree, e.y)
+              THEN e.x ELSE e.y END AS src,
+         CASE WHEN (da.degree, e.x) < (db.degree, e.y)
+              THEN e.y ELSE e.x END AS dst
+  FROM e JOIN deg da ON da.node = e.x JOIN deg db ON db.node = e.y
+),
+tri AS (
+  SELECT a.src AS n1, a.dst AS n2, b.dst AS n3
+  FROM eo a
+  JOIN eo b ON b.src = a.dst
+  JOIN eo c ON c.src = a.src AND c.dst = b.dst
+),
+pn AS (
+  SELECT node, COUNT(*) AS tri_count FROM (
+    SELECT n1 AS node FROM tri
+    UNION ALL SELECT n2 FROM tri
+    UNION ALL SELECT n3 FROM tri
+  ) GROUP BY node
+)
+SELECT deg.node AS node_id,
+       deg.degree,
+       CAST(COALESCE(pn.tri_count, 0) AS BIGINT) AS tri_count,
+       CASE WHEN deg.degree >= 2 THEN
+         ROUND(CAST(2 * COALESCE(pn.tri_count, 0) AS DOUBLE)
+               / (CAST(deg.degree AS DOUBLE) * (deg.degree - 1)), 9)
+       END AS clust_coeff
+FROM deg LEFT JOIN pn ON pn.node = deg.node
+ORDER BY node_id
+"""
+
+
+@query("graph-triangle-count", oracle=_tri_oracle())
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5: per-node triangle counts + local clustering coefficient over
+    the user co-interaction graph (two users are adjacent iff they
+    touched the same entity on the K3 sparse slice) — the community-
+    cohesion signal spam/bot screens read, and the canonical
+    "quadratic unless you orient" graph kernel.
+
+    Scale shape — three independently load-bearing guards:
+
+    1. The projection is capped: entities with more than
+       ``_TRI_MAX_ENT_USERS`` distinct users are dropped BEFORE the
+       pair join (one viral entity is C(u,2) pairs; the co-occurrence
+       hot-item cap every production projection applies).
+    2. Edges are DEGREE-ORIENTED (src = lower (degree, id) endpoint)
+       before enumeration — the compact-forward algorithm (Latapy
+       2008): every wedge is generated at its lowest-degree apex, so
+       wedge fanout is Σ outdeg² with outdeg ≤ O(√m) on any graph,
+       instead of Σ deg² which a hub node makes quadratic.
+    3. Each triangle is emitted exactly ONCE (no ÷6 dedup of the 3!
+       orderings an unoriented 3-way self-join produces).
+
+    All three joins shuffle the 16-byte edge relation only; per-node
+    counts are a union-all + hash agg on node id.
+
+    Parity: degrees, orientation, and counts are exact integer
+    decisions; the clustering coefficient is one all-double division
+    snapped to 9 dp (NULL for degree < 2).
+
+    The oriented-edge and degree relations are cached per
+    (SparkContext, corpus fingerprint) — the ``_PR_GRAPH_CACHE``
+    materialized-view contract: the projection is a pure function of
+    immutable input files, and ``eo`` feeds THREE join inputs (a
+    naive composition re-derives the whole events→projection DAG for
+    each)."""
+    eo, deg = _tri_relations(spark, sf_dir)
+    ea, eb, ec = eo.alias("ea"), eo.alias("eb"), eo.alias("ec")
+    tri = (
+        ea.join(eb, F.col("eb.src") == F.col("ea.dst"))
+        .join(
+            ec,
+            (F.col("ec.src") == F.col("ea.src"))
+            & (F.col("ec.dst") == F.col("eb.dst")),
+        )
+        .select(
+            F.col("ea.src").alias("n1"),
+            F.col("ea.dst").alias("n2"),
+            F.col("eb.dst").alias("n3"),
+        )
+    )
+    pn = (
+        tri.select(F.col("n1").alias("node"))
+        .unionAll(tri.select(F.col("n2").alias("node")))
+        .unionAll(tri.select(F.col("n3").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_count"))
+    )
+    two_tri = 2 * F.coalesce(F.col("tri_count"), F.lit(0))
+    return (
+        deg.join(pn, "node", "left")
+        .select(
+            F.col("node").alias("node_id"),
+            "degree",
+            F.coalesce(F.col("tri_count"), F.lit(0))
+            .cast("long")
+            .alias("tri_count"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    two_tri.cast("double")
+                    / (
+                        F.col("degree").cast("double")
+                        * (F.col("degree") - 1)
+                    ),
+                    9,
+                ),
+            ).alias("clust_coeff"),
+        )
+        .orderBy("node_id")
+    )

@@ -618,3 +618,98 @@ def window_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num.cast("double") / den.cast("double"), 9).alias("ewma"),
         n_hist.cast("long").alias("n_hist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F13 — gaps-and-islands: consecutive-day activity streaks per user
+# ---------------------------------------------------------------------------
+
+_STREAKS_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(ts AS DATE) - DATE '1970-01-01' AS day_num
+  FROM events
+),
+isl AS (
+  SELECT user_id, day_num,
+         day_num - ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY day_num) AS island
+  FROM d
+),
+s AS (
+  SELECT user_id, island,
+         COUNT(*) AS len,
+         MIN(day_num) AS start_day
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest,
+       CAST(MIN(CASE WHEN len = (SELECT MAX(s2.len) FROM s s2
+                                 WHERE s2.user_id = s.user_id)
+                     THEN start_day END) AS BIGINT) AS longest_start_day
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("window-streaks", oracle=_STREAKS_ORACLE)
+def window_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: gaps-and-islands — longest consecutive-day activity streak
+    per user (the engagement metric behind "7-day streak" badges and
+    churn features). The classic SQL island trick: over each user's
+    DISTINCT active days, ``day_num - row_number()`` is constant
+    within a consecutive run, so one window + one group-by recovers
+    every island without self-joins or iteration.
+
+    Shape at 100 TB: the raw scan collapses map-side to distinct
+    (user, day) — bounded by users × days, not event count — then ONE
+    exchange on user_id serves the row_number window, the island
+    aggregate, and the final per-user rollup (all three are
+    user-partitioned, so AQE keeps them in the same partitioning; no
+    second shuffle). Ties for the longest streak resolve to the
+    EARLIEST start day (deterministic).
+
+    Parity: day numbers, lengths, and counts are exact integers
+    (days-since-epoch via date subtraction in both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day_num"),
+        )
+        .distinct()
+    )
+    wu = W.partitionBy("user_id").orderBy("day_num")
+    isl = d.select(
+        "user_id",
+        "day_num",
+        (F.col("day_num") - F.row_number().over(wu)).alias("island"),
+    )
+    s = isl.groupBy("user_id", "island").agg(
+        F.count("*").alias("len"),
+        F.min("day_num").alias("start_day"),
+    )
+    wbest = W.partitionBy("user_id")
+    s2 = s.select(
+        "user_id",
+        "len",
+        "start_day",
+        F.max("len").over(wbest).alias("best"),
+    )
+    return (
+        s2.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("long").alias("n_active_days"),
+            F.count("*").alias("n_streaks"),
+            F.max("len").cast("long").alias("longest"),
+            F.min(
+                F.when(F.col("len") == F.col("best"), F.col("start_day"))
+            )
+            .cast("long")
+            .alias("longest_start_day"),
+        )
+        .orderBy("user_id")
+    )

@@ -726,3 +726,57 @@ def test_benford_distribution_before_window(spark, sf_dir):
     assert tree.count("HashAggregate") == 2
     assert tree.count("Window") >= 1
     assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 2
+
+
+def test_distinct_bitmap_partial_agg(spark, sf_dir):
+    """E22's scale claim: bit_or folds map-side (a partial aggregate
+    exists for the word relation), the audit join broadcasts, and the
+    scan reads only (event_type, user_id)."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["agg-distinct-bitmap"](spark, sf_dir)
+    )
+    assert "partial_bit_or" in plan or "partial_bitor" in plan.lower()
+    assert "BroadcastHashJoin" in plan
+    rs = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "user_id" in rs and "props" not in rs and "value" not in rs
+
+
+def test_proportion_ztest_shape(spark, sf_dir):
+    """E23's scale claim: the population relation is broadcast (2 rows
+    against the 5-row metric table — no shuffle for the cross join)
+    and no cartesian product on a non-broadcast side exists."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["agg-proportion-ztest"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    rs = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "props" not in rs and "value" not in rs
+
+
+def test_streaks_one_user_exchange_after_distinct(spark, sf_dir):
+    """F13's scale claim: beyond the distinct's own exchange, ONE
+    user_id exchange serves the row_number window, the island
+    aggregate, and the per-user rollup — two hash exchanges total,
+    both leading with user_id."""
+    import re
+
+    plan = _formatted_plan(
+        spark, registry.QUERIES["window-streaks"](spark, sf_dir)
+    )
+    hashparts = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert hashparts == ["user_id", "user_id"], hashparts
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Window") == 2  # row_number + max-len; no re-sort agg
+
+
+def test_triangle_count_no_cartesian_int_shuffles(spark, sf_dir):
+    """K5's scale claims: every join is an equi-join (no cartesian /
+    nested loop on non-broadcast sides), and nothing wider than ids +
+    degrees crosses an exchange (props/text never shuffle)."""
+    df = registry.QUERIES["graph-triangle-count"](spark, sf_dir)
+    plan = _formatted_plan(spark, df)
+    assert "CartesianProduct" not in plan
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in exec_plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "props#" not in line, line

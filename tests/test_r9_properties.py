@@ -792,3 +792,95 @@ def test_benford_digit_differential(rows, spark, tmp_path_factory):
     _write_lineitem(d, rows)
     ok, msg = _run_both("agg-benford-digit", spark, d, ["lineitem"])
     assert ok, msg
+
+
+_BITMAP_EVENT_ROW = st.tuples(
+    # user ids straddling the 62-bit word boundaries (61|62, 123|124)
+    st.sampled_from([0, 1, 3, 61, 62, 63, 123, 124, 200]),
+    st.integers(min_value=0, max_value=29),
+    st.sampled_from([0, 10**6]),
+    st.sampled_from(["click", "view"]),
+    st.integers(min_value=1, max_value=30000),
+)
+
+
+@given(rows=st.lists(_BITMAP_EVENT_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_distinct_bitmap_differential(rows, spark, tmp_path_factory):
+    """Word-boundary ids (61/62, 123/124 land in different buckets),
+    single-user types, repeated ids folding into one set bit."""
+    d = tmp_path_factory.mktemp("bmap")
+    _write_events(d, rows)
+    ok, msg = _run_both("agg-distinct-bitmap", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_proportion_ztest_differential(rows, spark, tmp_path_factory):
+    """Tiny populations force the degenerate branches: every user
+    converting on a type (pooled p = 1 → NULL z, FALSE flag), a hash
+    variant with zero users (n = 0 → NULL z), single-user variants."""
+    d = tmp_path_factory.mktemp("ztst")
+    _write_events(d, rows)
+    ok, msg = _run_both("agg-proportion-ztest", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_streaks_differential(rows, spark, tmp_path_factory):
+    """Random day sets: singleton islands, full-range runs, duplicate
+    (user, day) events collapsing to one active day, tie resolution
+    when two streaks share the max length (earliest start wins)."""
+    d = tmp_path_factory.mktemp("strk")
+    _write_events(d, rows)
+    ok, msg = _run_both("window-streaks", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),  # user_id
+            st.integers(min_value=0, max_value=4),  # entity k
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_triangle_count_differential(rows, spark, tmp_path_factory):
+    """Random dense-ish co-interaction graphs: isolated users (degree
+    rows with tri_count 0), degree ties (orientation falls back to id
+    order), multi-entity duplicate pairs collapsing to one edge."""
+    d = tmp_path_factory.mktemp("tri")
+    padded = [rows[i % len(rows)] for i in range(20 * len(rows))]
+    _write_graph_events(d, padded)
+    ok, msg = _run_both("graph-triangle-count", spark, d, ["events"])
+    assert ok, msg
+
+
+def test_triangle_count_hot_entity_cap(spark, tmp_path_factory):
+    """The projection cap: an entity with > 64 distinct users is
+    dropped by BOTH engines before the pair join — the triangle through
+    the hot entity disappears, triangles through cold entities stay."""
+    d = tmp_path_factory.mktemp("trihot")
+    # entity 0: 70 users (hot, dropped). entities 1-3: a cold triangle
+    # among users 100, 101, 102.
+    rows = [(u, 0) for u in range(70)]
+    rows += [(100, 1), (101, 1), (101, 2), (102, 2), (100, 3), (102, 3)]
+    # row i must land on a SAMPLED event id (20*i): i // 20, not i % n
+    padded = [rows[i // 20] for i in range(20 * len(rows))]
+    _write_graph_events(d, padded)
+    ok, msg = _run_both("graph-triangle-count", spark, d, ["events"])
+    assert ok, msg
+    from spark_file_mover_spark import registry as _r
+
+    out = {
+        r.node_id: r.tri_count
+        for r in _r.QUERIES["graph-triangle-count"](spark, str(d)).collect()
+    }
+    assert out.get(100) == 1 and out.get(101) == 1 and out.get(102) == 1
+    # hot-entity users survive only if a cold entity connects them
+    assert all(t == 0 for n, t in out.items() if n < 70)
