@@ -152,6 +152,8 @@ HEADLINE = [
     "agg-proportion-ztest",
     "window-streaks",
     "graph-triangle-count",
+    "dedup-edit-distance",
+    "multimodal-gif-meta",
 ]
 
 

@@ -33,6 +33,12 @@ from spark_file_mover_spark.llm._textnorm import (
     md5_prefix60,
     toks,
 )
+from spark_file_mover_spark.llm.text import (
+    _WIN_H40,
+    _WIN_K,
+    _WIN_PBITS,
+    _WIN_W,
+)
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import (
     artifact_cache_key,
@@ -1767,3 +1773,245 @@ def _containment_query(er: DataFrame) -> DataFrame:
         "containment",
         (F.col("containment") >= _CONT_FLAG).alias("is_contained"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# I51 — edit-distance near-dup verify over winnowing-fingerprint candidates
+# ---------------------------------------------------------------------------
+
+# Candidate rule: pairs sharing >= _ED_MIN_SHARED winnowing fingerprints
+# (the I50 MOSS sketch: any shared run of >= w+k-1 tokens shares one, so
+# real near-dups share many). Fingerprints present in more than
+# _ED_MAX_DOCS_PER_FP docs are dropped before the pair join — the
+# text-containment hot-shingle guard, fingerprint-flavored (a boilerplate
+# fingerprint in d docs is C(d,2) pairs).
+# ((appId, corpus fingerprint), fpc) — the live persisted guarded
+# winnowing-fingerprint relation (the _last_bands contract)
+_last_edfp = None
+
+_ED_MIN_SHARED = 3
+_ED_MAX_DOCS_PER_FP = 32
+# accept pairs with levenshtein <= 20% of the longer string — compared
+# as lev*5 <= greatest(la, lb) so the DECISION is exact-integer
+_ED_RATIO_DEN = 5
+
+# Verification runs on the ASCII projection of the normalized text:
+# Spark's levenshtein counts CODEPOINTS, DuckDB's counts BYTES (measured:
+# 2 vs 4 on 'héllo wörld'); printable-ASCII-only strings make the two
+# definitions coincide. The corpus is ASCII; on one that isn't, a real
+# deployment runs a single engine and drops the projection.
+_ED_NORM_SQL = (
+    "lower(trim(regexp_replace(regexp_replace(text,"
+    " '[^\\x20-\\x7e]', '', 'g'), '\\s+', ' ', 'g')))"
+)
+
+_EDITDIST_ORACLE = f"""
+WITH nt AS (
+  SELECT doc_id, {_ED_NORM_SQL} AS norm FROM documents
+),
+t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) - {_WIN_K - 2}),
+           i -> {{'pos': i - 1,
+                 'h40': ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::UBIGINT::BIGINT % {_WIN_H40}}}),
+           recursive := true)
+  FROM t WHERE len(tk) >= {_WIN_K} AND len(tk) < {_WIN_PBITS + _WIN_K - 1}
+),
+win AS (
+  SELECT doc_id, pos,
+         MIN(h40 * {_WIN_PBITS} + ({_WIN_PBITS - 1} - pos))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW) AS kmin
+  FROM g
+),
+fp AS (
+  SELECT DISTINCT doc_id, kmin // {_WIN_PBITS} AS h40
+  FROM win WHERE pos >= {_WIN_W - 1}
+),
+cold AS (
+  SELECT h40 FROM fp GROUP BY h40
+  HAVING COUNT(*) <= {_ED_MAX_DOCS_PER_FP}
+),
+cand AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_shared_fp
+  FROM fp a JOIN fp b ON a.h40 = b.h40 AND a.doc_id < b.doc_id
+  JOIN cold c ON c.h40 = a.h40
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_ED_MIN_SHARED}
+),
+v AS (
+  SELECT cand.a, cand.b, n_shared_fp, na.norm AS ta, nb.norm AS tb,
+         length(na.norm) AS la, length(nb.norm) AS lb
+  FROM cand
+  JOIN nt na ON na.doc_id = cand.a
+  JOIN nt nb ON nb.doc_id = cand.b
+  WHERE abs(length(na.norm) - length(nb.norm)) * {_ED_RATIO_DEN}
+          <= greatest(length(na.norm), length(nb.norm))
+),
+r AS (
+  SELECT a, b, n_shared_fp, la, lb, levenshtein(ta, tb) AS lev FROM v
+)
+SELECT a, b, n_shared_fp, CAST(lev AS BIGINT) AS lev,
+       ROUND(CAST(lev AS DOUBLE) / greatest(la, lb), 9) AS edit_ratio
+FROM r WHERE lev * {_ED_RATIO_DEN} <= greatest(la, lb)
+ORDER BY a, b
+"""
+
+
+@query("dedup-edit-distance", oracle=_EDITDIST_ORACLE)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I51: exact edit-distance near-dup verification over winnowing-
+    fingerprint candidates — the full MOSS-style pipeline (sketch →
+    block → exact verify) that backs "these two documents are edits of
+    each other" decisions where Jaccard (I7) is too loose (it ignores
+    order) and MinHash (I2) is probabilistic.
+
+    Three stages, each with its own scale guard:
+
+    1. Fingerprints: the I50 winnowing sketch (~2/(w+1) of grams, any
+       shared >= w+k-1-token run shares one) — 8-byte ints off the
+       scan; text never enters the candidate machinery.
+    2. Candidates: equi-join on fingerprint with the hot-fingerprint
+       guard (> _ED_MAX_DOCS_PER_FP docs → dropped BEFORE the pair
+       join; a boilerplate fingerprint is C(d,2) pairs), then
+       >= _ED_MIN_SHARED shared fingerprints. O(pairs-that-matter),
+       never O(N²).
+    3. Verify: Levenshtein(norm_a, norm_b) <= 20% of the longer — the
+       one stage that moves text, and only for surviving candidates.
+       The |len_a − len_b| lower bound (never > the distance) is
+       applied FIRST as an integer predicate, skipping the O(L²) DP
+       for hopeless pairs. Accept/reject compares lev*5 <= max_len in
+       exact integers; the reported ratio is one snapped division.
+
+    Parity: Spark's levenshtein counts codepoints, DuckDB's counts
+    bytes — verification therefore runs on the printable-ASCII
+    projection of the normalized text (identical under both
+    definitions; the corpus is ASCII anyway). Everything else is the
+    shared md5-prefix hash + integer arithmetic."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    nt = d.select(
+        "doc_id",
+        F.lower(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("text"), r"[^\x20-\x7e]", ""
+                    ),
+                    r"\s+",
+                    " ",
+                )
+            )
+        ).alias("norm"),
+    )
+    # fingerprint relation — the I50 machinery (Generate-barrier pin)
+    base = d.select(
+        "doc_id",
+        F.explode(F.array(F.struct(toks().alias("t")))).alias("s"),
+    ).select("doc_id", F.col("s.t").alias("tk"))
+    tk = F.col("tk")
+    base = base.filter(
+        (F.size(tk) >= _WIN_K) & (F.size(tk) < _WIN_PBITS + _WIN_K - 1)
+    )
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        *[F.element_at(tk, (i + off).cast("int")) for off in range(_WIN_K)],
+    )
+    g = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - (_WIN_K - 1)),
+                lambda i: F.pmod(md5_prefix60(gram(i)), F.lit(_WIN_H40)),
+            )
+        ).alias("pos", "h40"),
+    )
+    key = F.col("h40") * _WIN_PBITS + (_WIN_PBITS - 1 - F.col("pos"))
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WIN_W - 1), W.currentRow)
+    )
+    # The guarded fingerprint relation is consumed twice (both pair-join
+    # sides) and across invocations — a pure function of the immutable
+    # corpus, cached per (appId, corpus fingerprint) like the minhash
+    # bands relation; the hot-fingerprint guard sits INSIDE the cache
+    # boundary (window form — its h40 exchange runs once, at populate).
+    global _last_edfp
+    from pyspark import StorageLevel
+
+    ed_key = artifact_cache_key(spark, sf_dir)
+    if _last_edfp is not None and _last_edfp[0] == ed_key:
+        fpc = _last_edfp[1]
+    else:
+        if _last_edfp is not None:
+            try:
+                _last_edfp[1].unpersist()
+            except Exception:
+                pass  # previous relation may belong to a stopped session
+            _last_edfp = None
+        fp = (
+            g.select("doc_id", "pos", F.min(key).over(w).alias("kmin"))
+            .filter(F.col("pos") >= _WIN_W - 1)
+            .select(
+                "doc_id",
+                (F.col("kmin") / _WIN_PBITS).cast("long").alias("h40"),
+            )
+            .distinct()
+        )
+        fpc = (
+            fp.withColumn(
+                "nd", F.count("*").over(W.partitionBy("h40"))
+            )
+            .filter(F.col("nd") <= _ED_MAX_DOCS_PER_FP)
+            .drop("nd")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _last_edfp = (ed_key, fpc)
+    cand = (
+        fpc.alias("a")
+        .join(
+            fpc.alias("b"),
+            (F.col("a.h40") == F.col("b.h40"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
+        )
+        .agg(F.count("*").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= _ED_MIN_SHARED)
+    )
+    na = nt.select(F.col("doc_id").alias("a"), F.col("norm").alias("ta"))
+    nb = nt.select(F.col("doc_id").alias("b"), F.col("norm").alias("tb"))
+    mx = F.greatest(F.length("ta"), F.length("tb"))
+    v = (
+        cand.join(na, "a")
+        .join(nb, "b")
+        .filter(
+            F.abs(F.length("ta") - F.length("tb")) * _ED_RATIO_DEN <= mx
+        )
+    )
+    r = v.select(
+        "a",
+        "b",
+        "n_shared_fp",
+        F.levenshtein("ta", "tb").cast("long").alias("lev"),
+        mx.alias("mx"),
+    )
+    return (
+        r.filter(F.col("lev") * _ED_RATIO_DEN <= F.col("mx"))
+        .select(
+            "a",
+            "b",
+            "n_shared_fp",
+            "lev",
+            F.round(
+                F.col("lev").cast("double") / F.col("mx"), 9
+            ).alias("edit_ratio"),
+        )
+        .orderBy("a", "b")
+    )

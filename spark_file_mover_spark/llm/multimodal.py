@@ -1385,3 +1385,118 @@ def multimodal_image_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orientation",
         F.col("is_tiff").alias("magic_ok"),
     ).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# multimodal-gif-meta — GIF logical-screen-descriptor metadata, no decode
+# ---------------------------------------------------------------------------
+
+# The oracle predicts what the parse MUST return from the same doc_id
+# formulas the synthesizer uses (the image-dims contract): Spark only
+# matches if the byte construction AND the LSD field extraction agree
+# with the GIF87a/89a spec independently.
+_GIF_ORACLE = """
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 2 = 0 THEN '89a' ELSE '87a' END AS version,
+       CAST(1 + doc_id % 1365 AS BIGINT) AS width,
+       CAST(1 + doc_id % 877 AS BIGINT) AS height,
+       CAST(doc_id % 7 AS BIGINT) AS color_res,
+       CAST(2 * (1 << CAST(doc_id % 8 AS INT)) AS BIGINT) AS gct_colors,
+       CAST(doc_id % 16 AS BIGINT) AS bg_index,
+       TRUE AS magic_ok,
+       TRUE AS size_ok
+FROM documents
+ORDER BY asset_id
+"""
+
+
+@query("multimodal-gif-meta", oracle=_GIF_ORACLE)
+def multimodal_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF header metadata with pure byte expressions — the third
+    little-endian container (after WAV and MP4's big-endian walks) in
+    the no-codec metadata family: version, logical screen dimensions,
+    global-color-table geometry and background index straight from the
+    13-byte header, plus a structural size check that walks the
+    *declared* color-table length against the actual payload size.
+
+    Synthesis (the image-dims contract): each doc_id builds a
+    spec-shaped GIF — ``GIF89a``/``GIF87a`` magic by parity, LE u16
+    width/height, a packed LSD byte whose GCT-size exponent and color
+    resolution use DIFFERENT moduli (so one field can't alias into the
+    other), a 3·2^(exp+1)-byte color table, one trailer byte (0x3B).
+    The parse re-derives every field from the BYTES (bit fields by
+    div/mod on the packed byte, dims via :func:`_le_uint`); ``size_ok``
+    cross-checks that the DECLARED color table fits the payload
+    (``length >= 13 + 3·gct_colors + 1``, trailer byte 0x3B) — tight
+    on the synthesized corpus (no image data blocks), so a wrong
+    exponent fails it; genuine files carry data blocks in between.
+
+    Scale: map-only, zero shuffles — fused into the scan like the rest
+    of the family.
+
+    Parity: every output is an exact integer / string equality."""
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    w, h = 1 + doc % 1365, 1 + doc % 877
+    color_res, gct_exp, bg = doc % 7, doc % 8, doc % 16
+    hex1 = lambda c: F.lpad(F.hex(c), 2, "0")  # noqa: E731
+    be = F.lpad(F.hex(w), 4, "0")
+    w_le = F.concat(be.substr(3, 2), be.substr(1, 2))
+    be_h = F.lpad(F.hex(h), 4, "0")
+    h_le = F.concat(be_h.substr(3, 2), be_h.substr(1, 2))
+    packed = F.lit(128) + color_res * 16 + gct_exp
+    payload = F.unhex(
+        F.concat(
+            F.lit("474946"),  # "GIF"
+            F.when(doc % 2 == 0, F.lit("383961")).otherwise(  # "89a"
+                F.lit("383761")  # "87a"
+            ),
+            w_le,
+            h_le,
+            hex1(packed),
+            hex1(bg),
+            F.lit("00"),  # pixel aspect ratio
+            F.expr("repeat('AA', CAST(3 * shiftleft(2L, CAST(doc_id % 8 AS INT)) AS INT))"),
+            F.lit("3B"),  # trailer
+        )
+    )
+    assets = d.select(doc.alias("asset_id"), payload.alias("content"))
+    return assets.select("asset_id", *gif_meta_cols(F.col("content"))).orderBy(
+        "asset_id"
+    )
+
+
+def gif_meta_cols(c: F.Column) -> list:
+    """The GIF logical-screen-descriptor parse as aliased Columns —
+    shared by the registered query (synthesized corpus) and the
+    genuine-file ground-truth test (a real 1x1 GIF89a)."""
+    magic_ok = F.hex(c.substr(F.lit(1), F.lit(3))) == "474946"
+    version = c.substr(F.lit(4), F.lit(3)).cast("string")
+    pw = _le_uint(c, 7, 2)
+    ph = _le_uint(c, 9, 2)
+    pk = _be_uint(c, 11, 1)
+    p_res = F.floor(pk / 16) % 8
+    p_exp = pk % 8
+    # 2^(exp+1) via pow — exact in double for exp <= 7 (max 256), and
+    # F.shiftleft only takes a literal shift amount, not a Column
+    gct_colors = (F.lit(2) * F.pow(F.lit(2), p_exp)).cast("long")
+    p_bg = _be_uint(c, 12, 1)
+    has_gct = F.floor(pk / 128) == 1
+    size_ok = (
+        has_gct
+        & (F.length(c) >= 13 + 3 * gct_colors + 1)
+        & (
+            F.hex(c.substr(F.length(c).cast("int"), F.lit(1)))
+            == "3B"
+        )
+    )
+    return [
+        version.alias("version"),
+        pw.alias("width"),
+        ph.alias("height"),
+        p_res.cast("long").alias("color_res"),
+        gct_colors.alias("gct_colors"),
+        p_bg.alias("bg_index"),
+        magic_ok.alias("magic_ok"),
+        size_ok.alias("size_ok"),
+    ]

@@ -85,6 +85,8 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # row ≤2 rounds old. Rebuild this list each round from
 # `python tools/stale_keys.py --list` with any new keys at the HEAD.
 _PRIORITY_R9 = [
+    "dedup-edit-distance",
+    "multimodal-gif-meta",
     "agg-distinct-bitmap",
     "agg-proportion-ztest",
     "window-streaks",

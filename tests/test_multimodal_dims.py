@@ -256,3 +256,44 @@ def test_video_meta_query_is_map_only_and_codegen_clean(spark, sf_dir):
     )
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _real_gif(width: int, height: int) -> bytes:
+    """A complete, spec-valid 2-color GIF89a with one all-background
+    image data block — renders in any viewer."""
+    lsd = struct.pack("<HH", width, height) + bytes([0x80, 0x00, 0x00])
+    gct = b"\x00\x00\x00\xff\xff\xff"
+    img = (
+        b"\x2c"
+        + struct.pack("<HHHH", 0, 0, width, height)
+        + b"\x00"  # image descriptor, no LCT
+        + b"\x02\x02\x44\x01\x00"  # LZW min code 2, 2-byte data block
+    )
+    return b"GIF89a" + lsd + gct + img + b"\x3b"
+
+
+def test_gif_meta_on_genuine_file(spark):
+    """The LSD parse against real GIF bytes — version, LE dims, packed
+    bit fields, declared-GCT size check with data blocks present."""
+    from spark_file_mover_spark.llm.multimodal import gif_meta_cols
+
+    df = spark.createDataFrame(
+        [(0, bytearray(_real_gif(1, 1))), (1, bytearray(_real_gif(300, 7)))],
+        "id long, content binary",
+    )
+    rows = {
+        r.id: r for r in df.select("id", *gif_meta_cols(F.col("content"))).collect()
+    }
+    for i, (w, h) in ((0, (1, 1)), (1, (300, 7))):
+        r = rows[i]
+        assert r.version == "89a" and r.magic_ok and r.size_ok
+        assert (r.width, r.height) == (w, h)
+        assert r.gct_colors == 2 and r.color_res == 0 and r.bg_index == 0
+    # corrupted magic parses as not-a-gif
+    bad = df.select(
+        "id",
+        *gif_meta_cols(
+            F.concat(F.lit(bytearray(b"XX")), F.col("content").substr(3, 10000))
+        ),
+    ).collect()
+    assert not any(r.magic_ok for r in bad)

@@ -780,3 +780,30 @@ def test_triangle_count_no_cartesian_int_shuffles(spark, sf_dir):
     for line in exec_plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "props#" not in line, line
+
+
+def test_edit_distance_candidates_shuffle_ints(spark, sf_dir):
+    """I51's scale claims: the candidate machinery shuffles
+    (doc_id, h40) integers only — document text crosses an exchange
+    ONLY in the verify stage's id-keyed text joins, never keyed by or
+    carried with gram/fingerprint strings — and no cartesian exists."""
+    df = registry.QUERIES["dedup-edit-distance"](spark, sf_dir)
+    plan = _formatted_plan(spark, df)
+    assert "CartesianProduct" not in plan
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in exec_plan.splitlines():
+        if "Exchange hashpartitioning" in line and "h40#" in line:
+            assert "text#" not in line and "norm#" not in line, line
+        if "Exchange hashpartitioning" in line:
+            assert "tk#" not in line, line
+
+
+def test_gif_meta_map_only(spark, sf_dir):
+    """multimodal-gif-meta is map-only: no exchange before the final
+    driver-hash sort, scan reads only doc_id."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["multimodal-gif-meta"](spark, sf_dir)
+    )
+    assert "Exchange hashpartitioning" not in plan
+    rs = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "doc_id" in rs and "text" not in rs

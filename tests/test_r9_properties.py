@@ -884,3 +884,26 @@ def test_triangle_count_hot_entity_cap(spark, tmp_path_factory):
     assert out.get(100) == 1 and out.get(101) == 1 and out.get(102) == 1
     # hot-entity users survive only if a cold entity connects them
     assert all(t == 0 for n, t in out.items() if n < 70)
+
+
+@given(rows=st.lists(_DOC_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_edit_distance_differential(rows, spark, tmp_path_factory):
+    """Duplicate-heavy random docs: exact dups (lev 0), short docs with
+    no fingerprints (absent), shared-prefix families crossing the 20%
+    threshold, hot fingerprints from repeated tiny texts (the cap)."""
+    d = tmp_path_factory.mktemp("edd")
+    _write_docs_tbl(d, rows)
+    ok, msg = _run_both("dedup-edit-distance", spark, d, ["documents"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_DOC_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_gif_meta_differential(rows, spark, tmp_path_factory):
+    """doc_id-formula synthesis at random corpus sizes (ids dense from
+    0): every field parses back bit-exactly."""
+    d = tmp_path_factory.mktemp("gifm")
+    _write_docs_tbl(d, rows)
+    ok, msg = _run_both("multimodal-gif-meta", spark, d, ["documents"])
+    assert ok, msg

@@ -89,8 +89,10 @@ def test_bench_line_fits_driver_capture():
     assert set(bench.COMMON20) <= inline
     # the five newest keys (this round's additions) must be inline
     assert set(bench.HEADLINE[-5:]) <= inline
-    # degradation is marginal: at most a handful of old keys drop out
-    assert len(inline) >= len(bench.HEADLINE) - 12
+    # degradation is marginal: the inline set keeps a fixed-size head
+    # (~72 keys fit at 1.23-width values); only the oldest non-frozen
+    # keys drop to BENCH_FULL.json as HEADLINE grows
+    assert len(inline) >= min(len(bench.HEADLINE), 70)
     # Pathological widths: the line must STILL parse and fit — the frozen
     # comparison sets stay inline, the rest degrades to BENCH_FULL.json.
     payload["queries"] = {k: 11111.2345 for k in bench.HEADLINE}
