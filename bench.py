@@ -154,6 +154,10 @@ HEADLINE = [
     "graph-triangle-count",
     "dedup-edit-distance",
     "multimodal-gif-meta",
+    "window-zscore-anomaly",
+    "agg-ols-trend",
+    "etl-snapshot-diff",
+    "graph-jaccard-neighbors",
 ]
 
 

@@ -1780,3 +1780,133 @@ def agg_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("significant"),
     ).orderBy("metric")
+
+
+# ---------------------------------------------------------------------------
+# E24 — per-group OLS trend (slope / intercept / r²) from exact moments
+# ---------------------------------------------------------------------------
+
+# Moments are BIGINT-exact; the cross products n·Σxy, Σx·Σy etc. are
+# computed in DECIMAL(38,0) — exact integer arithmetic with ~10^38
+# headroom (BIGINT would overflow near n·Σxy ≈ 10^18 at bench scale
+# already). Only the final slope / intercept / r² are IEEE doubles,
+# each one division (or one product-of-two-doubles) snapped to 9 dp.
+_OLS_D38 = "DECIMAL(38,0)"
+
+_OLS_ORACLE = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+),
+m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS {_OLS_D38}) AS sx,
+         CAST(SUM(y) AS {_OLS_D38}) AS sy,
+         CAST(SUM(x * y) AS {_OLS_D38}) AS sxy,
+         CAST(SUM(x * x) AS {_OLS_D38}) AS sxx,
+         CAST(SUM(y * y) AS {_OLS_D38}) AS syy
+  FROM e GROUP BY event_type
+),
+d AS (
+  SELECT event_type, n, sx, sy,
+         CAST(n AS {_OLS_D38}) * sxy - sx * sy AS cxy,
+         CAST(n AS {_OLS_D38}) * sxx - sx * sx AS cxx,
+         CAST(n AS {_OLS_D38}) * syy - sy * sy AS cyy
+  FROM m
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CASE WHEN n >= 2 AND cxx > 0 THEN
+         ROUND(CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE), 9) END AS slope,
+       CASE WHEN n >= 2 AND cxx > 0 THEN
+         ROUND((CAST(sy AS DOUBLE) - (CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / n, 9) END AS intercept,
+       CASE WHEN n >= 2 AND cxx > 0 AND cyy > 0 THEN
+         ROUND((CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE))
+               * (CAST(cxy AS DOUBLE) / CAST(cyy AS DOUBLE)), 9) END AS r2
+FROM d ORDER BY event_type
+"""
+
+
+@query("agg-ols-trend", oracle=_OLS_ORACLE)
+def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24: simple linear regression per event type — value (cents)
+    against day number: slope (cents/day), intercept and r² — the
+    metric-trend readout a monitoring layer computes per series
+    ("is average spend drifting?"). Equivalent to SQL's
+    REGR_SLOPE/REGR_R2, re-derived from raw moments because the
+    built-ins accumulate in floating point with engine-specific
+    order (not oracle-comparable) — and the moment form is also the
+    scalable one: ONE map-side-partial hash aggregate collapses any
+    row count to 6 numbers per group; no second pass, no sort.
+
+    Parity: x (days) and y (cents) are exact integers; the five
+    moments are exact integer sums; the centered cross products
+    n·Σxy − ΣxΣy etc. are DECIMAL(38,0) exact (BIGINT would overflow
+    ~10^18 at bench scale); slope / intercept / r² are all-double
+    expressions over those exact values snapped to 9 dp, with
+    degenerate groups (n < 2, zero x-variance, constant y) → NULL.
+    r² is computed as (cxy/cxx)·(cxy/cyy) — two exact-operand
+    divisions and one product — NOT pow(corr, 2), keeping every
+    intermediate a deterministic IEEE op on identical operands."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("x"),
+            (dec("value") * 100).cast("long").alias("y"),
+        )
+    )
+    d38 = lambda c: c.cast(_OLS_D38.lower())  # noqa: E731
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast(_OLS_D38.lower()).alias("sx"),
+        F.sum("y").cast(_OLS_D38.lower()).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(_OLS_D38.lower()).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(_OLS_D38.lower()).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(_OLS_D38.lower()).alias("syy"),
+    )
+    n38 = d38(F.col("n"))
+    d = m.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        (n38 * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cxy"),
+        (n38 * F.col("sxx") - F.col("sx") * F.col("sx")).alias("cxx"),
+        (n38 * F.col("syy") - F.col("sy") * F.col("sy")).alias("cyy"),
+    )
+    ok = (F.col("n") >= 2) & (F.col("cxx") > 0)
+    slope = F.col("cxy").cast("double") / F.col("cxx").cast("double")
+    return d.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.when(ok, F.round(slope, 9)).alias("slope"),
+        F.when(
+            ok,
+            F.round(
+                (
+                    F.col("sy").cast("double")
+                    - slope * F.col("sx").cast("double")
+                )
+                / F.col("n"),
+                9,
+            ),
+        ).alias("intercept"),
+        F.when(
+            ok & (F.col("cyy") > 0),
+            F.round(
+                slope
+                * (
+                    F.col("cxy").cast("double")
+                    / F.col("cyy").cast("double")
+                ),
+                9,
+            ),
+        ).alias("r2"),
+    ).orderBy("event_type")

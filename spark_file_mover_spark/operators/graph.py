@@ -687,3 +687,119 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# K6 — graph-jaccard-neighbors: top-k similar users by shared entities
+# ---------------------------------------------------------------------------
+
+_JN_TOPK = 3
+
+
+def _jn_oracle() -> str:
+    return f"""
+WITH fwd AS (
+  SELECT DISTINCT user_id AS u, CAST(props->>'k' AS BIGINT) AS k
+  FROM events WHERE event_id % {_LPA_EDGE_MOD} = 0
+),
+kept AS (
+  SELECT k FROM fwd GROUP BY k
+  HAVING COUNT(*) <= {_TRI_MAX_ENT_USERS}
+),
+fk AS (SELECT fwd.u, fwd.k FROM fwd JOIN kept ON kept.k = fwd.k),
+deg AS (SELECT u, COUNT(*) AS d FROM fk GROUP BY u),
+pairs AS (
+  SELECT a.u AS u, b.u AS v, COUNT(*) AS shared
+  FROM fk a JOIN fk b ON a.k = b.k AND a.u != b.u
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.u, p.v, p.shared,
+         ROUND(CAST(p.shared AS DOUBLE) / (da.d + db.d - p.shared), 9)
+           AS jaccard
+  FROM pairs p JOIN deg da ON da.u = p.u JOIN deg db ON db.u = p.v
+)
+SELECT u AS user_id, v AS neighbor_id, shared, jaccard, rnk
+FROM (
+  SELECT u, v, shared, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY u
+                            ORDER BY jaccard DESC, shared DESC, v) AS rnk
+  FROM scored
+) WHERE rnk <= {_JN_TOPK}
+ORDER BY user_id, rnk
+"""
+
+
+@query("graph-jaccard-neighbors", oracle=_jn_oracle())
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6: top-k most similar users by entity-set Jaccard over the K3
+    sparse bipartite adjacency — collaborative-filtering candidate
+    generation ("users who touch what you touch") and the sybil/bot
+    signal (rings of accounts with near-identical interaction sets).
+
+    Shape: the K5 projection discipline — hot entities capped BEFORE
+    the pair join (C(u,2) blowup), the wedge join generates each
+    co-interacting pair at its shared entity and shuffles only
+    (user, user, count) triples; degrees join in as a 16-byte
+    relation; WindowGroupLimit keeps k rows per user out of the final
+    sort (no global materialization of the ranked list).
+
+    Parity: shared counts and degrees are exact integers; Jaccard via
+    inclusion-exclusion |A∩B| / (|A| + |B| − |A∩B|) is one snapped
+    division; the rank order ties break on (shared, neighbor id) —
+    fully deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    ent = F.get_json_object("props", "$.k").cast("long")
+    fwd = (
+        ev.filter(F.col("event_id") % _LPA_EDGE_MOD == 0)
+        .select(F.col("user_id").alias("u"), ent.alias("k"))
+        .distinct()
+    )
+    kept = fwd.groupBy("k").agg(F.count("*").alias("nu")).filter(
+        F.col("nu") <= _TRI_MAX_ENT_USERS
+    )
+    fk = fwd.join(F.broadcast(kept.select("k")), "k")
+    deg = fk.groupBy("u").agg(F.count("*").alias("d"))
+    pairs = (
+        fk.alias("a")
+        .join(
+            fk.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.u") != F.col("b.u")),
+        )
+        .groupBy(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
+        .agg(F.count("*").alias("shared"))
+    )
+    da = deg.select(F.col("u"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("v"), F.col("d").alias("db"))
+    scored = (
+        pairs.join(da, "u")
+        .join(db, "v")
+        .select(
+            "u",
+            "v",
+            "shared",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("da") + F.col("db") - F.col("shared")),
+                9,
+            ).alias("jaccard"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wu = W.partitionBy("u").orderBy(
+        F.col("jaccard").desc(), F.col("shared").desc(), F.col("v")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wu))
+        .filter(F.col("rnk") <= _JN_TOPK)
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("v").alias("neighbor_id"),
+            "shared",
+            "jaccard",
+            "rnk",
+        )
+        .orderBy("user_id", "rnk")
+    )

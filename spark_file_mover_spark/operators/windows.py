@@ -713,3 +713,208 @@ def window_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# F14 — trailing-window z-score anomaly flag (exact-integer moments)
+# ---------------------------------------------------------------------------
+
+_ZS_LOOKBACK = 8  # trailing history depth (excludes the current row)
+_ZS_MIN_HIST = 4  # below this, no verdict (NULL z)
+_ZS_CRIT = 3  # |z| > 3 flags
+
+_ZSCORE_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+m AS (
+  SELECT event_id, user_id, ts_us, c,
+         COUNT(c) OVER w AS n,
+         SUM(c)  OVER w AS s1,
+         SUM(c * c) OVER w AS s2
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN {_ZS_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts_us, c AS cents,
+       CAST(n AS BIGINT) AS n_hist,
+       CASE WHEN n >= {_ZS_MIN_HIST} AND n * s2 - s1 * s1 > 0 THEN
+         ROUND((CAST(c * n - s1 AS DOUBLE) / n)
+               / SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1))), 9)
+       END AS z,
+       COALESCE(abs(CASE WHEN n >= {_ZS_MIN_HIST} AND n * s2 - s1 * s1 > 0 THEN
+         ROUND((CAST(c * n - s1 AS DOUBLE) / n)
+               / SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1))), 9)
+       END) > {_ZS_CRIT}, FALSE) AS is_anomaly
+FROM m ORDER BY user_id, ts_us, event_id
+"""
+
+
+@query("window-zscore-anomaly", oracle=_ZSCORE_ORACLE)
+def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: trailing-window z-score anomaly flag per event — "is this
+    value > 3 sample standard deviations from the user's recent
+    history?", the standard online outlier screen for spend/latency
+    streams. The history frame EXCLUDES the current row (a spike must
+    not mask itself) and abstains (NULL z) below ``_ZS_MIN_HIST``
+    observations or at zero variance.
+
+    Shape: the F12 single-window contract — ONE exchange on user_id +
+    one (ts_us, event_id) total-order sort serves the count and both
+    moment sums (one Window node); map-only on either side.
+
+    Parity: the moments are EXACT integer sums over cents; the sample
+    variance numerator ``n·Σx² − (Σx)²`` and denominator ``n(n−1)``
+    stay in BIGINT (zero-variance and short-history decisions are
+    integer compares), and z is one all-double expression over those
+    exact integers snapped to 9 dp — the flag branches on the SNAPPED
+    z (the E23 discipline)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            (dec("value") * 100).cast("long").alias("c"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-_ZS_LOOKBACK, -1)
+    )
+    m = e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "c",
+        F.count("c").over(w).alias("n"),
+        F.sum("c").over(w).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("s2"),
+    )
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = F.when(
+        (F.col("n") >= _ZS_MIN_HIST) & (var_num > 0),
+        F.round(
+            (
+                (F.col("c") * F.col("n") - F.col("s1")).cast("double")
+                / F.col("n")
+            )
+            / F.sqrt(
+                var_num.cast("double") / (F.col("n") * (F.col("n") - 1))
+            ),
+            9,
+        ),
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("c").alias("cents"),
+        F.col("n").cast("long").alias("n_hist"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > _ZS_CRIT, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F15 — table snapshot diff (added / removed / changed + column masks)
+# ---------------------------------------------------------------------------
+
+# The two "snapshots" are deterministic functions of the immutable
+# orders table (the multimodal synthesize-then-parse contract, table
+# flavored): A drops keys % 13 == 5, B drops keys % 11 == 3, bumps
+# price by $10 on keys % 7 == 0 and flips status on keys % 17 == 0 —
+# so every diff class (added, removed, price-only, status-only, both)
+# is populated and the oracle can predict membership independently.
+_DIFF_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey AS k,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 13 != 5
+),
+b AS (
+  SELECT o_orderkey AS k,
+         CAST(o_totalprice AS DECIMAL(12,2))
+           + CASE WHEN o_orderkey % 7 = 0 THEN 10 ELSE 0 END AS price,
+         CASE WHEN o_orderkey % 17 = 0 THEN 'X'
+              ELSE o_orderstatus END AS status
+  FROM orders WHERE o_orderkey % 11 != 3
+)
+SELECT COALESCE(a.k, b.k) AS o_orderkey,
+       CASE WHEN a.k IS NULL THEN 'added'
+            WHEN b.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS diff,
+       (a.k IS NOT NULL AND b.k IS NOT NULL
+        AND a.price != b.price) AS price_changed,
+       (a.k IS NOT NULL AND b.k IS NOT NULL
+        AND a.status != b.status) AS status_changed,
+       CAST(a.price AS DOUBLE) AS old_price,
+       CAST(b.price AS DOUBLE) AS new_price
+FROM a FULL OUTER JOIN b ON a.k = b.k
+WHERE a.k IS NULL OR b.k IS NULL
+   OR a.price != b.price OR a.status != b.status
+ORDER BY o_orderkey
+"""
+
+
+@query("etl-snapshot-diff", oracle=_DIFF_ORACLE)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: keyed diff of two table snapshots — added / removed /
+    changed rows with per-column change flags, the data-diff operation
+    behind replication audits, regression gates on pipeline rewrites,
+    and CDC backfill validation. Unchanged rows are filtered OUT (at
+    100 TB the diff is read by humans and downstream alerts; emitting
+    the unchanged 99.9% defeats the point).
+
+    Shape: ONE full-outer shuffle join on the snapshot key — both
+    sides hash-partition on the key, membership and per-column
+    comparison are map-side after the join; no window, no second
+    shuffle. Column pruning pushes the 3-column projection into both
+    scans.
+
+    Parity: membership is key arithmetic; price comparison is exact
+    DECIMAL(12,2); outputs are exact flags + decimal-sourced doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    a = o.filter(key % 13 != 5).select(
+        key.alias("ka"),
+        dec("o_totalprice").alias("pa"),
+        F.col("o_orderstatus").alias("sa"),
+    )
+    b = o.filter(key % 11 != 3).select(
+        key.alias("kb"),
+        (
+            dec("o_totalprice")
+            + F.when(key % 7 == 0, 10).otherwise(0)
+        ).alias("pb"),
+        F.when(key % 17 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("sb"),
+    )
+    j = a.join(b, a.ka == b.kb, "full_outer")
+    both = F.col("ka").isNotNull() & F.col("kb").isNotNull()
+    return (
+        j.filter(
+            F.col("ka").isNull()
+            | F.col("kb").isNull()
+            | (F.col("pa") != F.col("pb"))
+            | (F.col("sa") != F.col("sb"))
+        )
+        .select(
+            F.coalesce(F.col("ka"), F.col("kb")).alias("o_orderkey"),
+            F.when(F.col("ka").isNull(), "added")
+            .when(F.col("kb").isNull(), "removed")
+            .otherwise("changed")
+            .alias("diff"),
+            (both & (F.col("pa") != F.col("pb"))).alias("price_changed"),
+            (both & (F.col("sa") != F.col("sb"))).alias("status_changed"),
+            F.col("pa").cast("double").alias("old_price"),
+            F.col("pb").cast("double").alias("new_price"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -807,3 +807,61 @@ def test_gif_meta_map_only(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
     rs = plan.split("ReadSchema")[1].splitlines()[0]
     assert "doc_id" in rs and "text" not in rs
+
+
+def test_zscore_anomaly_single_window(spark, sf_dir):
+    """F14's scale claim: count + both moment sums share ONE Window
+    node on one user_id exchange and one (ts_us, event_id) sort."""
+    import re
+
+    plan = _formatted_plan(
+        spark, registry.QUERIES["window-zscore-anomaly"](spark, sf_dir)
+    )
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Window") == 1
+    assert tree.count("Sort") == 1
+    hashparts = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert hashparts == ["user_id"], hashparts
+
+
+def test_ols_trend_single_partial_agg(spark, sf_dir):
+    """E24's scale claim: one two-phase hash aggregate (partial+final)
+    collapses the scan to 6 moments per group — exactly one hash
+    exchange, no window, no sort before the output ordering."""
+    import re
+
+    plan = _formatted_plan(
+        spark, registry.QUERIES["agg-ols-trend"](spark, sf_dir)
+    )
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Window") == 0
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1
+
+
+def test_snapshot_diff_single_join(spark, sf_dir):
+    """F15's scale claim: ONE full-outer SortMergeJoin on the key, the
+    3-column projection pushed into both scans."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["etl-snapshot-diff"](spark, sf_dir)
+    )
+    tree = plan.split("(1) Scan")[0]
+    assert (
+        tree.count("SortMergeJoin") == 1
+        or tree.count("ShuffledHashJoin") == 1
+    )
+    assert "FullOuter" in plan
+    rs = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "o_orderdate" not in rs and "o_custkey" not in rs
+
+
+def test_jaccard_neighbors_windowgrouplimit(spark, sf_dir):
+    """K6's scale claims: the per-user rank is bounded by
+    WindowGroupLimit (no global ranked-list materialization), no
+    cartesian product, and the hot-entity guard join broadcasts."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["graph-jaccard-neighbors"](spark, sf_dir)
+    )
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -907,3 +907,57 @@ def test_gif_meta_differential(rows, spark, tmp_path_factory):
     _write_docs_tbl(d, rows)
     ok, msg = _run_both("multimodal-gif-meta", spark, d, ["documents"])
     assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_zscore_anomaly_differential(rows, spark, tmp_path_factory):
+    """Short histories (abstention boundary at 4), constant-value
+    users (zero variance), timestamp ties pinned by the total order."""
+    d = tmp_path_factory.mktemp("zsc")
+    _write_events(d, rows)
+    ok, msg = _run_both("window-zscore-anomaly", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_ols_trend_differential(rows, spark, tmp_path_factory):
+    """Singleton groups (n < 2 → NULL), all-same-day groups (zero
+    x-variance), constant-value groups (zero y-variance → NULL r²)."""
+    d = tmp_path_factory.mktemp("ols")
+    _write_events(d, rows)
+    ok, msg = _run_both("agg-ols-trend", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_ORDER_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_snapshot_diff_differential(rows, spark, tmp_path_factory):
+    """Random key sets hit every diff class; duplicate prices cross
+    the decimal comparison; tiny tables exercise empty classes."""
+    d = tmp_path_factory.mktemp("sdiff")
+    _write_orders(d, rows)
+    ok, msg = _run_both("etl-snapshot-diff", spark, d, ["orders"])
+    assert ok, msg
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_jaccard_neighbors_differential(rows, spark, tmp_path_factory):
+    """Random bipartite graphs: jaccard ties broken by (shared, id),
+    single-entity users (jaccard 1 with twins), isolated users."""
+    d = tmp_path_factory.mktemp("jacn")
+    padded = [rows[i % len(rows)] for i in range(20 * len(rows))]
+    _write_graph_events(d, padded)
+    ok, msg = _run_both("graph-jaccard-neighbors", spark, d, ["events"])
+    assert ok, msg
