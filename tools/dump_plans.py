@@ -94,6 +94,16 @@ NOTES = {
     "graph-bfs-levels": "Multi-source frontier BFS over the shared cached K3 adjacency: each round joins ONLY last round's frontier (adj JOIN frontier + left-anti vs the lazy union of checkpointed levels - one materialization job per round, 5 for 4 rounds), work proportional to the frontier neighborhood; the oracle keeps the textbook full-relaxation CTE unroll as an independent derivation. Pure integer joins+MIN; warm ~1.1 s at sf0.1 = the Pregel-family serial-job floor, not data volume.",
     "text-winnowing": "Winnowing (SIGMOD'03): rightmost-min tie rule folded into the order itself - key = h40*2^20+(2^20-1-pos) makes the window argmin ONE integer frame-MIN, no per-window subquery; tokens pinned behind one Generate barrier (containment lesson); shingle hashes leave the scan as 8-byte ints, the per-doc window receives (doc_id, pos, key) only (pinned: no text/tk in any exchange); DISTINCT + per-doc rollup reuse the partitioning. Density 0.416 = 2/(w+1) theory, pinned in tests.",
     "window-ewma-decay": "Truncated-lag EWMA (the DISTRIBUTABLE form of the inherently-serial recurrence; 8 dyadic terms, truncation <= 2^-9 of the oldest weight): all 8 lag terms + presence mask + history count ride ONE user_id exchange and one (ts_us, event_id) sort - a single Window node (pinned). alpha=1/2 makes every weight 2^-(k+1) EXACT in DECIMAL(12,10), so numerator/denominator are order-independent decimal sums; the final value is one IEEE division snapped 9 dp.",
+    "agg-distinct-bitmap": "Exact distinct via 62-bit bitmap words (the groupBitmap pattern): bit_or folds MAP-SIDE (pinned: partial_bit_or), so each split contributes <= distinct_ids/62 8-byte words per type to the exchange - a 62x wire reduction vs shuffling (type, user) pairs; popcount-sum is a second 2-phase agg; the exact-countDistinct audit join broadcasts (declared test scaffolding, the E15 precedent).",
+    "agg-proportion-ztest": "A/B readout: ONE distinct over (type, user, variant) collapses map-side; the 2-row per-variant population broadcast onto the 5-row metric relation. z is one compound ALL-DOUBLE expression over exact BIGINT counts (bare literals are DECIMAL with engine-specific division scales - measured 0.53982486 vs 0.539818112 on identical inputs), snapped 9 dp; the significance flag branches on the SNAPPED z.",
+    "window-streaks": "Gaps-and-islands: the scan collapses map-side to DISTINCT (user, day) - bounded by users x days, not event count; then ONE user_id exchange serves the row_number window, the island aggregate AND the per-user rollup (pinned: exactly 2 hash exchanges, both leading user_id; 2 Window nodes, no re-sort). All-integer day arithmetic.",
+    "graph-triangle-count": "Degree-oriented triangle enumeration (compact-forward): hot entities capped BEFORE the pair join (C(u,2) blowup), edges oriented src=(lower degree, id) so wedge fanout is sum outdeg^2 with outdeg <= O(sqrt(m)) instead of hub-quadratic, each triangle emitted exactly once (no /6 dedup). The oriented-edge + degree relations localCheckpoint per (app, corpus) - eo feeds THREE join inputs; uncached, the events->projection DAG re-derived per input (measured 4.6 s -> 0.2 s warm at sf0.1).",
+    "dedup-edit-distance": "MOSS pipeline (sketch -> block -> exact verify): winnowing fingerprints leave the scan as 8-byte ints (text absent from candidate machinery - pinned); hot-fingerprint guard INSIDE the persisted relation (the bands contract, per (app, corpus)); pair join needs >= 3 shared fingerprints; the verify stage joins text for SURVIVING candidates only, applies the |len_a-len_b| lower bound as an integer predicate BEFORE the O(L^2) DP, and decides via lev*5 <= max_len in exact integers. Runs on the printable-ASCII projection (Spark levenshtein counts codepoints, DuckDB bytes - measured 2 vs 4 on the same UTF-8 pair).",
+    "multimodal-gif-meta": "Third container family (GIF, little-endian): map-only, zero exchanges (pinned), LSD fields via LE u16 reads + div/mod bit fields, declared-GCT length arithmetic cross-checked against the payload; synthesize-then-parse with DIFFERENT moduli per bit field so no field aliases into another; genuine renderable GIF89a pinned in tests.",
+    "window-zscore-anomaly": "Trailing z-score outlier screen: ONE user_id exchange + one (ts_us, event_id) sort serves count + both moment sums (single Window node, pinned); frame EXCLUDES the current row. Moments are exact integer sums over cents; variance numerator n*S2 - S1^2 and all degenerate-case decisions stay in BIGINT; z is one all-double expression snapped 9 dp, flag branches on the SNAPPED z.",
+    "agg-ols-trend": "Per-group OLS from raw moments: one partial+final hash agg collapses any row count to 6 exact numbers per group (pinned: 1 exchange, 0 windows); centered cross products in DECIMAL(38,0) (BIGINT overflows ~1e18 at bench scale); slope/intercept/r2 all-double over exact operands, snapped; REGR_* built-ins rejected as not oracle-comparable (engine-specific float accumulation order).",
+    "etl-snapshot-diff": "Keyed data-diff: ONE full-outer shuffle join (pinned), membership + per-column comparison map-side after it; unchanged rows filtered out (the diff is the product); 3-column projection pushed into both scans; price compares in exact DECIMAL(12,2).",
+    "graph-jaccard-neighbors": "Top-k neighbor similarity: hot-entity cap BEFORE the pair join (broadcast guard, pinned), wedge join emits each co-interacting pair at its shared entity shuffling (u, v, count) triples only, degrees join as a 16-byte relation, WindowGroupLimit bounds the ranked list at k per user (pinned - no global ranked materialization).",
     "agg-benford-digit": "Benford first-digit QA screen: digit extracted in EXACT integer space (first char of the integer-cents string - float log10 extraction misassigns edge values by ULP); the scan collapses map-side to <= flags x 9 rows and the chi-square window runs over that AGGREGATED relation (pinned: 2 exchanges). Expected shares are SHARED 12-dp literal constants (zero cross-libm risk); chi-square terms 9-dp-snapped DECIMAL(28,9) sums.",
 }
 
