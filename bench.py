@@ -158,6 +158,10 @@ HEADLINE = [
     "agg-ols-trend",
     "etl-snapshot-diff",
     "graph-jaccard-neighbors",
+    "scan-text-lines",
+    "fn-url-parse",
+    "window-period-over-period",
+    "agg-conversion-lag",
 ]
 
 

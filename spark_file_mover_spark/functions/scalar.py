@@ -419,3 +419,92 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.schema_of_variant(v).alias("vtype"),
         F.try_variant_get(v, "$.missing", "long").alias("missing_field"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# G9 — URL component extraction via shared regexes
+# ---------------------------------------------------------------------------
+
+# One regex per component, shared VERBATIM by both engines (Java regex
+# and RE2 agree on this subset: character classes, anchors, greedy
+# quantifiers — no lookarounds, no backrefs). Spark's parse_url is
+# rejected for the registered key because DuckDB has no counterpart;
+# a deployment on Spark alone would use it (same plan shape).
+_URL_RE = {
+    "scheme": "^([a-z][a-z0-9+.-]*)://",
+    "host": "://([^/:?#]*)",
+    "port": "://[^/:?#]*:([0-9]+)",
+    "path": "://[^/?#]*(/[^?#]*)",
+    "q_lang": "[?&]lang=([^&#]*)",
+    "fragment": "#(.*)$",
+}
+
+_URL_SYNTH_SQL = (
+    "'https://' || source || '.example.com:' || (8000 + doc_id % 3)"
+    " || '/docs/' || (doc_id // 100) || '/' || doc_id"
+    " || '?lang=' || lang || '&page=' || (doc_id % 7)"
+    " || CASE WHEN doc_id % 2 = 0 THEN '#s' || (doc_id % 5) ELSE '' END"
+)
+
+_URLPARSE_ORACLE = f"""
+WITH u AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents)
+SELECT doc_id, url,
+       regexp_extract(url, '{_URL_RE["scheme"]}', 1) AS scheme,
+       regexp_extract(url, '{_URL_RE["host"]}', 1) AS host,
+       regexp_extract(url, '{_URL_RE["port"]}', 1) AS port,
+       regexp_extract(url, '{_URL_RE["path"]}', 1) AS path,
+       regexp_extract(url, '{_URL_RE["q_lang"]}', 1) AS q_lang,
+       regexp_extract(url, '{_URL_RE["fragment"]}', 1) AS fragment
+FROM u ORDER BY doc_id
+"""
+
+
+@query("fn-url-parse", oracle=_URLPARSE_ORACLE)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: URL component extraction (scheme, host, port, path, one
+    query parameter, fragment) — the parse every crawl/referrer
+    pipeline runs before domain filtering, dedup keys, or blocklist
+    joins. URLs are SYNTHESIZED from doc_id formulas (the multimodal
+    contract) with doc_id-varying port, path depth, query values and
+    an only-sometimes-present fragment, so every extraction has to
+    actually navigate the grammar rather than read fixed offsets.
+
+    Each component is ONE regexp_extract with a regex shared VERBATIM
+    between the engines (the subset where Java regex and RE2 agree:
+    classes, anchors, greedy quantifiers — no lookarounds). Spark's
+    builtin ``parse_url`` is the production alternative (same map-only
+    plan); rejected here only because the oracle engine lacks it.
+
+    Scale: map-only, fused into the scan; zero shuffles. Non-matching
+    components extract as '' in both engines (pinned by the
+    fragment-absent rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    # built explicitly (not via _URL_SYNTH_SQL) because the synth uses
+    # DuckDB's `//` integer division, which Spark spells DIV
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com:"),
+        (8000 + F.col("doc_id") % 3).cast("string"),
+        F.lit("/docs/"),
+        F.expr("doc_id DIV 100").cast("string"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&page="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("#s"), (F.col("doc_id") % 5).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", url.alias("url"))
+    return t.select(
+        "doc_id",
+        "url",
+        *[
+            F.regexp_extract(F.col("url"), pat, 1).alias(name)
+            for name, pat in _URL_RE.items()
+        ],
+    ).orderBy("doc_id")

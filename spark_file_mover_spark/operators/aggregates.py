@@ -1910,3 +1910,108 @@ def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("r2"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# E25 — signup→purchase conversion lag (rate + exact lag percentiles)
+# ---------------------------------------------------------------------------
+
+_CONVLAG_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS ts0
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) - MAX(s.ts0) AS lag_us
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.ts0
+  GROUP BY e.user_id
+),
+h AS (
+  SELECT lag_us, COUNT(*) AS n_d FROM c GROUP BY lag_us
+),
+cdf AS (
+  SELECT lag_us,
+         SUM(n_d) OVER (ORDER BY lag_us) AS cum,
+         SUM(n_d) OVER () AS n
+  FROM h
+)
+SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+       (SELECT COUNT(*) FROM c) AS n_converted,
+       CASE WHEN (SELECT COUNT(*) FROM s) > 0 THEN
+         ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+               / (SELECT COUNT(*) FROM s), 9) END AS conversion_rate,
+       (SELECT MIN(lag_us) FROM cdf
+        WHERE cum >= (50 * n + 99) // 100) AS p50_lag_us,
+       (SELECT MIN(lag_us) FROM cdf
+        WHERE cum >= (90 * n + 99) // 100) AS p90_lag_us
+"""
+
+
+@query("agg-conversion-lag", oracle=_CONVLAG_ORACLE)
+def agg_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E25: signup→purchase conversion — rate plus EXACT nearest-rank
+    p50/p90 of the time-to-convert, the activation-funnel readout
+    growth teams track ("half our converts do it within X hours").
+    A user converts at their first purchase AT OR AFTER their first
+    signup; earlier purchases don't count (the funnel is ordered).
+
+    Shape: per-user firsts collapse map-side (min over (user, type)),
+    the ordering constraint is one window-free join on user_id, and
+    the lag percentiles ride the E19 distribution trick — the CDF
+    window runs over the DISTINCT-lag relation (bounded by value
+    cardinality), never the raw rows; no global sort.
+
+    Parity: timestamps are exact epoch-microsecond integers, the rank
+    thresholds use the (q·n+99) div 100 integer-ceil identity, picked
+    percentiles are actual input values selected by integer compare,
+    and the rate is one snapped division."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("ts0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("tp"))
+        .join(s, "user_id")
+        .filter(F.col("tp") >= F.col("ts0"))
+        .groupBy("user_id")
+        .agg((F.min("tp") - F.max("ts0")).alias("lag_us"))
+    )
+    from pyspark.sql import Window as W
+
+    h = c.groupBy("lag_us").agg(F.count("*").alias("n_d"))
+    wcum = W.orderBy("lag_us").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cdf = h.select(
+        "lag_us",
+        F.sum("n_d").over(wcum).alias("cum"),
+        F.sum("n_d").over(wall).alias("n"),
+    )
+    pick = lambda q: F.min(  # noqa: E731
+        F.when(
+            F.col("cum") >= F.expr(f"({q} * n + 99) DIV 100"),
+            F.col("lag_us"),
+        )
+    )
+    pcts = cdf.agg(
+        pick(50).alias("p50_lag_us"), pick(90).alias("p90_lag_us")
+    )
+    counts = s.agg(F.count("*").alias("n_signup")).crossJoin(
+        F.broadcast(c.agg(F.count("*").alias("n_converted")))
+    )
+    return counts.crossJoin(F.broadcast(pcts)).select(
+        "n_signup",
+        "n_converted",
+        F.when(
+            F.col("n_signup") > 0,
+            F.round(
+                F.col("n_converted").cast("double") / F.col("n_signup"), 9
+            ),
+        ).alias("conversion_rate"),
+        "p50_lag_us",
+        "p90_lag_us",
+    )

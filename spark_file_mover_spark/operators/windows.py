@@ -918,3 +918,79 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# F16 — period-over-period change (daily revenue per type, lag compare)
+# ---------------------------------------------------------------------------
+
+_POP_ORACLE = """
+WITH d AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, day_num, cents,
+       lag(day_num) OVER w AS prev_day,
+       lag(cents) OVER w AS prev_cents,
+       CASE WHEN lag(cents) OVER w > 0 THEN
+         ROUND(CAST(cents - lag(cents) OVER w AS DOUBLE)
+               / lag(cents) OVER w, 9) END AS pct_change,
+       COALESCE(day_num - lag(day_num) OVER w = 1, FALSE) AS is_consecutive
+FROM d
+WINDOW w AS (PARTITION BY event_type ORDER BY day_num)
+ORDER BY event_type, day_num
+"""
+
+
+@query("window-period-over-period", oracle=_POP_ORACLE)
+def window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: period-over-period change — daily revenue per event type
+    with the previous OBSERVED day's total, relative change, and a
+    consecutiveness flag (a gap day makes "day-over-day" a lie; the
+    flag lets the reader tell Δ1-day from Δn-day comparisons instead
+    of the query silently pretending). The standard reporting shape
+    behind every "+12% vs yesterday" tile.
+
+    Shape: the scan collapses map-side to (type, day) partial sums —
+    bounded by types×days regardless of event count — then ONE small
+    window per type orders observed days. Two exchanges total, both
+    over the aggregated relation.
+
+    Parity: daily sums are exact integer cents; pct_change is one
+    all-double division over exact operands snapped to 9 dp (NULL on
+    zero/absent base); the gap flag is integer day arithmetic."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day_num"),
+            (dec("value") * 100).cast("long").alias("c"),
+        )
+    )
+    d = e.groupBy("event_type", "day_num").agg(
+        F.sum("c").cast("long").alias("cents")
+    )
+    w = W.partitionBy("event_type").orderBy("day_num")
+    prev_c = F.lag("cents").over(w)
+    prev_d = F.lag("day_num").over(w)
+    return d.select(
+        "event_type",
+        "day_num",
+        "cents",
+        prev_d.alias("prev_day"),
+        prev_c.alias("prev_cents"),
+        F.when(
+            prev_c > 0,
+            F.round((F.col("cents") - prev_c).cast("double") / prev_c, 9),
+        ).alias("pct_change"),
+        F.coalesce(F.col("day_num") - prev_d == 1, F.lit(False)).alias(
+            "is_consecutive"
+        ),
+    ).orderBy("event_type", "day_num")

@@ -1043,3 +1043,55 @@ def scan_csv_corrupt_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read("dropmalformed").unionAll(read("permissive")).orderBy(
         "mode"
     )
+
+
+# ---------------------------------------------------------------------------
+# B17 — raw text-line source round trip (the crawl-dump entry format)
+# ---------------------------------------------------------------------------
+
+_TEXTLINES_ORACLE = """
+SELECT doc_id, lang,
+       ('0x' || substr(md5(lower(trim(text))), 1, 15))::UBIGINT::BIGINT
+         AS text_h
+FROM documents ORDER BY doc_id
+"""
+
+
+@query("scan-text-lines", oracle=_TEXTLINES_ORACLE)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17: line-oriented text source round trip — serialize each doc
+    as one delimited line (``doc_id|lang|md5-prefix-60 of the
+    normalized text``), write through ``df.write.text`` and re-read
+    with ``spark.read.text`` + a projection that parses the line back.
+    Raw line files are the entry format for crawl dumps and log
+    shippers; the engine must ingest them without a structured reader
+    (the value column arrives as ONE string; splitting/typing is plan
+    work, fused into the scan — no inferSchema pass).
+
+    The content hash (not the raw text) rides the line so the
+    round-trip proof is newline-safe: doc text may contain any bytes,
+    but the serialized line is [digits]|[token]|[digits] by
+    construction. The oracle recomputes the same hash from the source
+    table — the round trip must be the identity on all three fields.
+
+    Scale: text write/read are both splittable (one line per record,
+    newline-delimited); the parse is three map-side expressions."""
+    out = tempfile.mkdtemp(prefix="sfm-b17-") + "/documents_txt"
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.lower(F.trim(F.col("text")))), 1, 15), 16, 10
+    ).cast("long")
+    line = F.concat_ws(
+        "|", F.col("doc_id").cast("string"), F.col("lang"), h.cast("string")
+    )
+    d.select(line.alias("value")).write.mode("overwrite").text(out)
+    t = spark.read.text(out)
+    parts = F.split(F.col("value"), r"\|")
+    return (
+        t.select(
+            F.element_at(parts, 1).cast("long").alias("doc_id"),
+            F.element_at(parts, 2).alias("lang"),
+            F.element_at(parts, 3).cast("long").alias("text_h"),
+        )
+        .orderBy("doc_id")
+    )

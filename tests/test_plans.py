@@ -865,3 +865,37 @@ def test_jaccard_neighbors_windowgrouplimit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_url_parse_map_only(spark, sf_dir):
+    """G9 is map-only: no exchange before the presentation sort; the
+    scan reads only the three synthesis inputs."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["fn-url-parse"](spark, sf_dir)
+    )
+    assert "Exchange hashpartitioning" not in plan
+    rs = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "text" not in rs and "n_chars" not in rs
+
+
+def test_period_over_period_agg_before_window(spark, sf_dir):
+    """F16's scale claim: the lag window runs over the (type, day)
+    AGGREGATED relation — a partial+final hash agg collapses the scan
+    first (the E21 discipline)."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["window-period-over-period"](spark, sf_dir)
+    )
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Window") == 1
+
+
+def test_conversion_lag_cdf_over_distinct_lags(spark, sf_dir):
+    """E25's scale claim: the percentile CDF windows run over the
+    DISTINCT-lag aggregated relation, never raw rows; the funnel
+    constraint is a join, not a raw-event window; no cartesian on
+    non-broadcast sides."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["agg-conversion-lag"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan

@@ -961,3 +961,54 @@ def test_jaccard_neighbors_differential(rows, spark, tmp_path_factory):
     _write_graph_events(d, padded)
     ok, msg = _run_both("graph-jaccard-neighbors", spark, d, ["events"])
     assert ok, msg
+
+
+@given(rows=st.lists(_DOC_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_text_lines_differential(rows, spark, tmp_path_factory):
+    """Round trip at random corpus sizes; empty/whitespace texts hash
+    through trim+lower identically."""
+    d = tmp_path_factory.mktemp("txtl")
+    _write_docs_tbl(d, rows)
+    ok, msg = _run_both("scan-text-lines", spark, d, ["documents"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_DOC_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_url_parse_differential(rows, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("urlp")
+    _write_docs_tbl(d, rows)
+    ok, msg = _run_both("fn-url-parse", spark, d, ["documents"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_period_over_period_differential(rows, spark, tmp_path_factory):
+    """Gap days (is_consecutive false), zero-base days (NULL pct),
+    single-day types."""
+    d = tmp_path_factory.mktemp("pop")
+    _write_events(d, rows)
+    ok, msg = _run_both("window-period-over-period", spark, d, ["events"])
+    assert ok, msg
+
+
+_FUNNEL_EVENT_ROW = st.tuples(
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=0, max_value=29),
+    st.sampled_from([0, 1, 10**6]),
+    st.sampled_from(["signup", "purchase", "view"]),
+    st.integers(min_value=1, max_value=30000),
+)
+
+
+@given(rows=st.lists(_FUNNEL_EVENT_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_conversion_lag_differential(rows, spark, tmp_path_factory):
+    """Purchase-before-signup users (not converted), zero-lag
+    conversions (same timestamp), no-signup corpora (NULL rate)."""
+    d = tmp_path_factory.mktemp("clag")
+    _write_events(d, rows)
+    ok, msg = _run_both("agg-conversion-lag", spark, d, ["events"])
+    assert ok, msg
