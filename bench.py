@@ -162,6 +162,10 @@ HEADLINE = [
     "fn-url-parse",
     "window-period-over-period",
     "agg-conversion-lag",
+    "sim-search-hard-negatives",
+    "agg-markov-transitions",
+    "text-collocations-pmi",
+    "fn-time-buckets",
 ]
 
 

@@ -508,3 +508,64 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name, pat in _URL_RE.items()
         ],
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# G10 — time bucketing (the GROUP BY keys of every time-series rollup)
+# ---------------------------------------------------------------------------
+
+_US_15M = 15 * 60 * 1_000_000
+_US_1H_G10 = 3600 * 1_000_000
+_US_1D = 86400 * 1_000_000
+
+_TIMEBUCKET_ORACLE = f"""
+WITH e AS (SELECT event_id, epoch_us(ts) AS us,
+                  CAST(ts AS DATE) - DATE '1970-01-01' AS day_num
+           FROM events)
+SELECT event_id, us,
+       us - us % {_US_15M} AS bucket_15m_us,
+       us - us % {_US_1H_G10} AS bucket_1h_us,
+       us - us % {_US_1D} AS bucket_1d_us,
+       day_num - (day_num + 3) % 7 AS iso_week_start_day,
+       CAST((us % {_US_1D}) // {_US_1H_G10} AS BIGINT) AS hour_of_day,
+       CAST((day_num + 4) % 7 AS BIGINT) AS day_of_week
+FROM e ORDER BY event_id
+"""
+
+
+@query("fn-time-buckets", oracle=_TIMEBUCKET_ORACLE)
+def fn_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10: time bucketing — 15-minute / hourly / daily bucket starts,
+    ISO week start, hour-of-day and day-of-week, all as EXACT integer
+    arithmetic on epoch microseconds / epoch days. These are the GROUP
+    BY keys of every time-series rollup; doing them as integer
+    floor-division (rather than engine date_trunc calls) makes the
+    bucket boundary an arithmetic fact both engines — and any future
+    engine — agree on bit-for-bit, and keeps the expression inside
+    whole-stage codegen.
+
+    Week convention: epoch day 0 (1970-01-01) is a Thursday, so the
+    ISO (Monday-start) week begins at ``day − (day+3) mod 7`` and
+    day-of-week is ``(day+4) mod 7`` with 0 = Sunday … matching both
+    engines' strftime %w. Timestamps are UTC microseconds (the
+    session pins UTC; buckets are timezone-free by construction).
+
+    Scale: map-only, fused into the scan; zero shuffles."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_num"),
+    )
+    us, day = F.col("us"), F.col("day_num")
+    return e.select(
+        "event_id",
+        "us",
+        (us - us % _US_15M).alias("bucket_15m_us"),
+        (us - us % _US_1H_G10).alias("bucket_1h_us"),
+        (us - us % _US_1D).alias("bucket_1d_us"),
+        (day - (day + 3) % 7).alias("iso_week_start_day"),
+        F.expr(f"(us % {_US_1D}) DIV {_US_1H_G10}").alias("hour_of_day"),
+        ((day + 4) % 7).alias("day_of_week"),
+    ).orderBy("event_id")

@@ -752,3 +752,115 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# I53 — bigram collocations by PMI (corpus phrase mining)
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5  # minimum bigram support (kills noise, bounds output)
+
+_PMI_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+bi AS (
+  SELECT tk[i] AS x, tk[i + 1] AS y
+  FROM t CROSS JOIN (SELECT unnest(range(1, (SELECT MAX(len(tk)) FROM t))) AS i)
+  WHERE i < len(tk) AND len(tk) >= 2
+),
+cb AS (SELECT x, y, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2),
+uni AS (
+  SELECT u AS tok, COUNT(*) AS c FROM (SELECT unnest(tk) AS u FROM t)
+  GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n_uni,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bi) AS n_bi
+)
+SELECT cb.x, cb.y, CAST(cb.c_xy AS BIGINT) AS c_xy,
+       CAST(ux.c AS BIGINT) AS c_x, CAST(uy.c AS BIGINT) AS c_y,
+       ROUND(LN((CAST(cb.c_xy AS DOUBLE) * n_uni * n_uni)
+                / (CAST(n_bi AS DOUBLE) * ux.c * uy.c)), 9) AS pmi
+FROM cb JOIN uni ux ON ux.tok = cb.x JOIN uni uy ON uy.tok = cb.y
+CROSS JOIN tot
+WHERE cb.c_xy >= {_PMI_MIN_COUNT}
+ORDER BY x, y
+"""
+
+
+@query("text-collocations-pmi", oracle=_PMI_ORACLE)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I53: bigram collocation mining by pointwise mutual information —
+    PMI = ln(p(x,y) / (p(x)·p(y))) over consecutive token pairs, the
+    classic phrase detector (Church & Hanks 1990; the same statistic
+    word2phrase and tokenizer-vocab builders use to merge "new york"
+    into one unit).
+
+    Shape: the bigram explode leaves the scan as token pairs that
+    collapse MAP-SIDE into (x, y, count) — bounded by vocabulary², and
+    in practice by the support filter, which also bounds the output;
+    unigram counts are a second map-side collapse joined back in (two
+    small hash joins over aggregated relations); corpus totals are a
+    broadcast scalar. Document text never shuffles.
+
+    Parity: all counts exact integers; PMI is one all-double
+    expression over exact operands, snapped to 9 dp AFTER the ln (the
+    E20 entropy discipline — cross-libm ln differences live ~1e-16,
+    seven orders below the snap)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.explode(F.array(F.struct(toks().alias("t")))).alias("s"),
+    ).select("doc_id", F.col("s.t").alias("tk"))
+    tk = F.col("tk")
+    bi = (
+        base.filter(F.size(tk) >= 2)
+        .select(
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - 1),
+                    lambda i: F.struct(
+                        F.element_at(tk, i.cast("int")).alias("x"),
+                        F.element_at(tk, (i + 1).cast("int")).alias("y"),
+                    ),
+                )
+            ).alias("pos", "b")
+        )
+        .select("b.x", "b.y")
+    )
+    cb = bi.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    uni = (
+        base.select(F.explode(tk).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n_uni")).crossJoin(
+        F.broadcast(bi.agg(F.count("*").alias("n_bi")))
+    )
+    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    s = (
+        cb.filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+        .join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy").cast("double") * F.col("n_uni") * F.col("n_uni"))
+            / (F.col("n_bi").cast("double") * F.col("c_x") * F.col("c_y"))
+        ),
+        9,
+    )
+    return s.select(
+        "x",
+        "y",
+        F.col("c_xy").cast("long").alias("c_xy"),
+        F.col("c_x").cast("long").alias("c_x"),
+        F.col("c_y").cast("long").alias("c_y"),
+        pmi.alias("pmi"),
+    ).orderBy("x", "y")

@@ -776,3 +776,108 @@ def lsh_probe_multiprobe(
         )
         .orderBy(F.col("cos").desc(), "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# I54 — hard-negative mining (top-k most-similar vectors with a DIFFERENT
+# label) — the candidate generator for contrastive training pairs
+# ---------------------------------------------------------------------------
+
+_HN_TOP_K = 5
+
+_HARDNEG_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                  embedding AS qe, {_NORM.format(a='embedding')} AS qn
+           FROM embeddings
+           WHERE vec_id < {N_QUERIES}
+             AND {_NORM.format(a='embedding')} > 0),
+c AS (SELECT vec_id, label, embedding AS ce,
+             {_NORM.format(a='embedding')} AS cn
+      FROM embeddings WHERE {_NORM.format(a='embedding')} > 0),
+sims AS (
+  SELECT q.query_id, q.query_label, c.vec_id AS neighbor_id,
+         c.label AS neighbor_label,
+         {_DOT.format(a='q.qe', b='c.ce')} / (q.qn * c.cn) AS cos
+  FROM q CROSS JOIN c
+  WHERE c.label != q.query_label
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, rnk,
+       ROUND(cos, 6) AS cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM sims
+) WHERE rnk <= {_HN_TOP_K}
+ORDER BY query_id, rnk
+"""
+
+
+@query("sim-search-hard-negatives", oracle=_HARDNEG_ORACLE)
+def sim_search_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I54: hard-negative mining — for each anchor, the top-k most
+    similar vectors with a DIFFERENT label. This is the candidate
+    generator for contrastive / triplet training data (the negatives
+    that actually move the loss are the ones the current embedding
+    confuses), and the evaluation probe for label leakage ("why is a
+    'de' document's nearest non-'de' neighbor at cosine 0.98?").
+
+    Same plan contract as I3: the anchor set broadcasts, the corpus is
+    scanned ONCE and never shuffled, the label-inequality predicate
+    rides the broadcast join (map-side — negatives are filtered before
+    ranking, not after), and per-anchor rank-then-filter rewrites to
+    WindowGroupLimit so each task keeps ≤ k rows. At 100 TB with
+    anchor sets that scale with the corpus, block by IVF cell first
+    (``sim-search-ivf``) and mine within probed cells — same
+    inner shape.
+
+    Parity: the I3 discipline — sequential-fold dot, per-side
+    precomputed norms, zero-norm vectors excluded on both sides, ties
+    to neighbor id, 6-dp similarity."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("embedding").alias("qe"),
+            norm(F.col("embedding")).alias("qn"),
+        )
+        .filter(F.col("qn") > 0)
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("ce"),
+        norm(F.col("embedding")).alias("cn"),
+    ).filter(F.col("cn") > 0)
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            (
+                dot(F.col("qe"), F.col("ce"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _HN_TOP_K)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "rnk",
+            F.round("cos", 6).alias("cosine"),
+        )
+        .orderBy("query_id", "rnk")
+    )

@@ -2015,3 +2015,73 @@ def agg_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_lag_us",
         "p90_lag_us",
     )
+
+
+# ---------------------------------------------------------------------------
+# E26 — event-type transition matrix (first-order Markov estimate)
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id)
+           AS prev_type
+  FROM events
+),
+t AS (
+  SELECT COALESCE(prev_type, '_START') AS prev_type,
+         event_type AS next_type,
+         COUNT(*) AS n
+  FROM o GROUP BY 1, 2
+)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY prev_type), 9) AS p
+FROM t ORDER BY prev_type, next_type
+"""
+
+
+@query("agg-markov-transitions", oracle=_MARKOV_ORACLE)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E26: first-order Markov transition matrix over per-user event
+    sequences — P(next event type | previous event type), with a
+    synthetic ``_START`` state for each user's first event. The
+    session-flow model behind "what do users do after an error?",
+    next-action prediction baselines, and bot detection (bots have
+    degenerate transition rows).
+
+    Shape: one lag window per user (the F12 exchange+sort contract)
+    collapses immediately into a (prev, next) hash aggregate — output
+    is ≤ (types+1)×types rows at ANY corpus size; the probability
+    normalizer is a window over that aggregated relation (the E21
+    discipline).
+
+    Parity: the (ts_us, event_id) total order pins lag() on timestamp
+    ties; counts are exact; each probability is one snapped division
+    of exact integers."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    o = ev.select(
+        "event_type",
+        F.coalesce(F.lag("event_type").over(w), F.lit("_START")).alias(
+            "prev_type"
+        ),
+    )
+    t = (
+        o.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wp = W.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wp), 9
+        ).alias("p"),
+    ).orderBy("prev_type", "next_type")

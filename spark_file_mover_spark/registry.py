@@ -85,6 +85,10 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # row ≤2 rounds old. Rebuild this list each round from
 # `python tools/stale_keys.py --list` with any new keys at the HEAD.
 _PRIORITY_R9 = [
+    "sim-search-hard-negatives",
+    "agg-markov-transitions",
+    "text-collocations-pmi",
+    "fn-time-buckets",
     "scan-text-lines",
     "fn-url-parse",
     "window-period-over-period",

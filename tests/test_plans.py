@@ -899,3 +899,51 @@ def test_conversion_lag_cdf_over_distinct_lags(spark, sf_dir):
         spark, registry.QUERIES["agg-conversion-lag"](spark, sf_dir)
     )
     assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_corpus_not_shuffled(spark, sf_dir):
+    """I54's scale claim: the anchor set broadcasts (BroadcastNested
+    LoopJoin over the tiny side is the expected crossJoin shape), the
+    corpus side is scanned once with NO exchange before the per-anchor
+    WindowGroupLimit."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["sim-search-hard-negatives"](spark, sf_dir)
+    )
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+    # corpus embedding bytes must not hash-shuffle
+    tree = plan.split("(1) Scan")[0]
+    assert "Exchange hashpartitioning" not in tree.split("WindowGroupLimit")[0]
+
+
+def test_markov_agg_before_normalizer_window(spark, sf_dir):
+    """E26's scale claim: the probability window runs over the
+    (prev, next) AGGREGATED relation; the only raw-row window is the
+    per-user lag."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["agg-markov-transitions"](spark, sf_dir)
+    )
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Window") == 2  # user lag + prob normalizer
+
+
+def test_pmi_text_never_shuffles(spark, sf_dir):
+    """I53's scale claim: document text never crosses an exchange —
+    only token/bigram count relations shuffle."""
+    df = registry.QUERIES["text-collocations-pmi"](spark, sf_dir)
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in exec_plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line and "tk#" not in line, line
+
+
+def test_time_buckets_map_only(spark, sf_dir):
+    """G10 is map-only: no exchange before the presentation sort; scan
+    reads only (event_id, ts)."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["fn-time-buckets"](spark, sf_dir)
+    )
+    assert "Exchange hashpartitioning" not in plan
+    rs = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "props" not in rs and "value" not in rs

@@ -1012,3 +1012,36 @@ def test_conversion_lag_differential(rows, spark, tmp_path_factory):
     _write_events(d, rows)
     ok, msg = _run_both("agg-conversion-lag", spark, d, ["events"])
     assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_markov_transitions_differential(rows, spark, tmp_path_factory):
+    """Single-event users (pure _START rows), timestamp ties pinned by
+    the (ts_us, event_id) order, single-type corpora."""
+    d = tmp_path_factory.mktemp("mkv")
+    _write_events(d, rows)
+    ok, msg = _run_both("agg-markov-transitions", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_DOC_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_collocations_pmi_differential(rows, spark, tmp_path_factory):
+    """Repeated-token docs force high-support bigrams at tiny corpus
+    size; single-token and empty docs contribute no bigrams."""
+    d = tmp_path_factory.mktemp("pmi")
+    _write_docs_tbl(d, rows)
+    ok, msg = _run_both("text-collocations-pmi", spark, d, ["documents"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_time_buckets_differential(rows, spark, tmp_path_factory):
+    """Bucket boundaries: the sub-µs strategy values land exactly on
+    and one µs after 15-min/hour edges."""
+    d = tmp_path_factory.mktemp("tbk")
+    _write_events(d, rows)
+    ok, msg = _run_both("fn-time-buckets", spark, d, ["events"])
+    assert ok, msg
