@@ -166,6 +166,9 @@ HEADLINE = [
     "agg-markov-transitions",
     "text-collocations-pmi",
     "fn-time-buckets",
+    "text-langid-confusion",
+    "dedup-profile",
+    "join-null-safe-eq",
 ]
 
 

@@ -2015,3 +2015,65 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a", "b")
     )
+
+
+# ---------------------------------------------------------------------------
+# I56 — corpus duplication profile (cluster-size histogram)
+# ---------------------------------------------------------------------------
+
+_DUP_PROFILE_ORACLE = """
+WITH g AS (
+  SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+         COUNT(*) AS sz
+  FROM documents GROUP BY 1
+),
+h AS (
+  SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+         CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+  FROM g GROUP BY sz
+)
+SELECT cluster_size, n_clusters, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 9) AS doc_share,
+       ROUND(CAST(SUM(n_docs - n_clusters) OVER () AS DOUBLE)
+             / SUM(n_docs) OVER (), 9) AS corpus_dup_ratio
+FROM h ORDER BY cluster_size
+"""
+
+
+@query("dedup-profile", oracle=_DUP_PROFILE_ORACLE)
+def dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I56: corpus duplication profile — the histogram of exact-dup
+    cluster sizes (how many documents live in clusters of 1, 2, 3…)
+    plus each size's share and the overall duplication ratio
+    (docs that would be REMOVED by I1 / total). This is the
+    before-you-dedup diagnostic: it tells you whether duplication is
+    a few giant clusters (boilerplate — investigate) or a long tail
+    of pairs (mirrors — just dedup), and it is the number reported in
+    every dataset card.
+
+    Shape: group on xxhash64(norm_text) exactly like I1 — the shuffle
+    moves 8-byte keys, never text; the size histogram is a second
+    hash agg over the cluster relation (bounded by max cluster size);
+    the share normalizers window over THAT ~tens-of-rows relation.
+
+    Parity: the oracle groups on the normalized text itself (string
+    equality ≡ hash-group equality up to 64-bit collisions — the I1
+    argument); all counts exact, shares snapped."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy(_norm_hash().alias("h")).agg(F.count("*").alias("sz"))
+    h = g.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("sz") * F.count("*")).cast("long").alias("n_docs"),
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    tot = F.sum("n_docs").over(wall)
+    dups = F.sum(F.col("n_docs") - F.col("n_clusters")).over(wall)
+    return h.select(
+        "cluster_size",
+        "n_clusters",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / tot, 9).alias("doc_share"),
+        F.round(dups.cast("double") / tot, 9).alias("corpus_dup_ratio"),
+    ).orderBy("cluster_size")

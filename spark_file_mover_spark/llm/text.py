@@ -658,3 +658,79 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# I55 — language-ID confusion matrix (classifier eval as a query)
+# ---------------------------------------------------------------------------
+
+_LANGID_CASE_SQL = f"""CASE
+         WHEN {_marker_count_sql('es')} > {_marker_count_sql('en')} THEN 'es'
+         WHEN {_marker_count_sql('de')} > {_marker_count_sql('en')} THEN 'de'
+         WHEN {_marker_count_sql('fr')} > {_marker_count_sql('en')} THEN 'fr'
+         WHEN {_marker_count_sql('en')} > 0 THEN 'en'
+         ELSE 'und'
+       END"""
+
+_CONFUSION_ORACLE = f"""
+WITH p AS (
+  SELECT lang, {_LANGID_CASE_SQL} AS predicted_lang FROM documents
+),
+m AS (
+  SELECT lang, predicted_lang, COUNT(*) AS n FROM p GROUP BY 1, 2
+)
+SELECT lang, predicted_lang, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY lang), 9) AS recall_share,
+       lang = predicted_lang AS is_correct
+FROM m ORDER BY lang, predicted_lang
+"""
+
+
+@query("text-langid-confusion", oracle=_CONFUSION_ORACLE)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I55: confusion matrix of the I11 language-ID heuristic against
+    the labeled ``lang`` column — classifier evaluation AS A QUERY,
+    the shape every model-in-the-loop curation pipeline runs after
+    re-training a filter ("how much 'de' is the new langid eating?").
+    Per (actual, predicted) cell: count, recall share within the
+    actual class, and the diagonal flag.
+
+    Shape: the predictor is the SAME map-only expression as I11 (one
+    definition in both engines — the marker-count CASE), collapsing
+    straight into a hash aggregate bounded by langs² cells; the
+    recall normalizer windows over the aggregated relation (the E21
+    discipline). Document text never shuffles.
+
+    Parity: counts exact; shares one snapped division each."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = toks()
+
+    def count(lang: str):
+        arr = F.array(*[F.lit(t) for t in _MARKERS[lang]])
+        return F.size(F.filter(tk, lambda t: F.array_contains(arr, t)))
+
+    pred = (
+        F.when(count("es") > count("en"), "es")
+        .when(count("de") > count("en"), "de")
+        .when(count("fr") > count("en"), "fr")
+        .when(count("en") > 0, "en")
+        .otherwise("und")
+    )
+    m = (
+        d.select("lang", pred.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    wl = W.partitionBy("lang")
+    return m.select(
+        "lang",
+        "predicted_lang",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(wl), 9).alias(
+            "recall_share"
+        ),
+        (F.col("lang") == F.col("predicted_lang")).alias("is_correct"),
+    ).orderBy("lang", "predicted_lang")

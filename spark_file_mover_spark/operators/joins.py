@@ -1034,3 +1034,81 @@ def join_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_current_version"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D16 — null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+_NULLSAFE_ORACLE = """
+WITH k AS (
+  SELECT CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS nkey,
+         event_type
+  FROM events
+),
+l AS (SELECT nkey, COUNT(*) AS n_click FROM k
+      WHERE event_type = 'click' GROUP BY nkey),
+r AS (SELECT nkey, COUNT(*) AS n_view FROM k
+      WHERE event_type = 'view' GROUP BY nkey)
+SELECT COALESCE(CAST(l.nkey AS VARCHAR), CAST(r.nkey AS VARCHAR),
+                '_NULL_') AS key_repr,
+       CAST(COALESCE(l.n_click, 0) AS BIGINT) AS n_click,
+       CAST(COALESCE(r.n_view, 0) AS BIGINT) AS n_view,
+       (l.nkey IS NULL AND r.nkey IS NULL
+        AND (l.n_click IS NOT NULL OR r.n_view IS NOT NULL))
+         AS is_null_group
+FROM l FULL OUTER JOIN r ON l.nkey IS NOT DISTINCT FROM r.nkey
+ORDER BY key_repr
+"""
+
+
+@query("join-null-safe-eq", oracle=_NULLSAFE_ORACLE)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D16: null-safe equality join — Spark ``<=>`` ≡ SQL ``IS NOT
+    DISTINCT FROM``. Under plain ``=``, NULL join keys silently drop
+    from BOTH sides of even a full-outer join's matched set (NULL = NULL
+    is NULL), which is the classic reconciliation bug when an
+    "unknown" bucket exists on each side and must line up as ONE row.
+    The nullable key is derived deterministically (every 10th user →
+    NULL) so the NULL group is populated and the oracle predicts it.
+
+    Shape: both sides collapse map-side to per-key counts first (the
+    join runs over aggregated relations, not raw events); ``<=>`` is
+    a first-class equi-join key for Spark's hash exchanges — the plan
+    is a regular shuffled join, NOT a nested-loop fallback (pinned):
+    null-safe equality hashes NULL like any other value.
+
+    Parity: counts exact; the NULL group surfaces as the '_NULL_'
+    sentinel row flagged ``is_null_group``."""
+    ev = load_table(spark, sf_dir, "events")
+    nkey = F.when(F.col("user_id") % 10 == 0, F.lit(None)).otherwise(
+        F.col("user_id")
+    )
+    k = ev.select(nkey.alias("nkey"), "event_type")
+    l = (
+        k.filter(F.col("event_type") == "click")
+        .groupBy("nkey")
+        .agg(F.count("*").alias("n_click"))
+        .withColumnRenamed("nkey", "lk")
+    )
+    r = (
+        k.filter(F.col("event_type") == "view")
+        .groupBy("nkey")
+        .agg(F.count("*").alias("n_view"))
+        .withColumnRenamed("nkey", "rk")
+    )
+    j = l.join(r, l.lk.eqNullSafe(r.rk), "full_outer")
+    return j.select(
+        F.coalesce(
+            F.col("lk").cast("string"),
+            F.col("rk").cast("string"),
+            F.lit("_NULL_"),
+        ).alias("key_repr"),
+        F.coalesce(F.col("n_click"), F.lit(0)).cast("long").alias("n_click"),
+        F.coalesce(F.col("n_view"), F.lit(0)).cast("long").alias("n_view"),
+        (
+            F.col("lk").isNull()
+            & F.col("rk").isNull()
+            & (F.col("n_click").isNotNull() | F.col("n_view").isNotNull())
+        ).alias("is_null_group"),
+    ).orderBy("key_repr")

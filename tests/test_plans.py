@@ -947,3 +947,45 @@ def test_time_buckets_map_only(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
     rs = plan.split("ReadSchema")[1].splitlines()[0]
     assert "props" not in rs and "value" not in rs
+
+
+def test_langid_confusion_agg_before_window(spark, sf_dir):
+    """I55: the recall window runs over the langs^2 AGGREGATED cell
+    relation; document text never crosses an exchange."""
+    df = registry.QUERIES["text-langid-confusion"](spark, sf_dir)
+    plan = _formatted_plan(spark, df)
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Window") == 1
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in exec_plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
+
+
+def test_dedup_profile_hash_key_shuffle(spark, sf_dir):
+    """I56: the cluster grouping shuffles xxhash64 keys, never the
+    normalized text (the I1 contract)."""
+    df = registry.QUERIES["dedup-profile"](spark, sf_dir)
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in exec_plan
+    for line in exec_plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line and "norm#" not in line, line
+
+
+def test_null_safe_join_is_hash_not_nested_loop(spark, sf_dir):
+    """D16: <=> must plan as a hashable equi-join (SMJ/SHJ/BHJ), never
+    BroadcastNestedLoopJoin — null-safe equality hashes NULL like any
+    other value."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["join-null-safe-eq"](spark, sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    tree = plan.split("(1) Scan")[0]
+    assert (
+        "SortMergeJoin" in tree
+        or "ShuffledHashJoin" in tree
+        or "BroadcastHashJoin" in tree
+    )

@@ -1045,3 +1045,36 @@ def test_time_buckets_differential(rows, spark, tmp_path_factory):
     _write_events(d, rows)
     ok, msg = _run_both("fn-time-buckets", spark, d, ["events"])
     assert ok, msg
+
+
+@given(rows=st.lists(_DOC_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_langid_confusion_differential(rows, spark, tmp_path_factory):
+    """Tiny corpora: empty cells absent, single-lang corpora, 'und'
+    predictions from marker-free docs."""
+    d = tmp_path_factory.mktemp("conf")
+    _write_docs_tbl(d, rows)
+    ok, msg = _run_both("text-langid-confusion", spark, d, ["documents"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_DOC_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_dedup_profile_differential(rows, spark, tmp_path_factory):
+    """The sampled-text strategy forces big exact-dup clusters at tiny
+    corpus size; whitespace-variant texts collapse via normalization."""
+    d = tmp_path_factory.mktemp("dprof")
+    _write_docs_tbl(d, rows)
+    ok, msg = _run_both("dedup-profile", spark, d, ["documents"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_null_safe_join_differential(rows, spark, tmp_path_factory):
+    """user_id 0 (the NULL bucket) present/absent on each side; keys
+    on one side only (full-outer fringes)."""
+    d = tmp_path_factory.mktemp("nsj")
+    _write_events(d, rows)
+    ok, msg = _run_both("join-null-safe-eq", spark, d, ["events"])
+    assert ok, msg
