@@ -169,6 +169,9 @@ HEADLINE = [
     "text-langid-confusion",
     "dedup-profile",
     "join-null-safe-eq",
+    "sink-overwrite-dynamic",
+    "scan-json-nested",
+    "embed-norm-outliers",
 ]
 
 

@@ -864,3 +864,96 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_y").cast("long").alias("c_y"),
         pmi.alias("pmi"),
     ).orderBy("x", "y")
+
+
+# ---------------------------------------------------------------------------
+# I57 — embedding norm QA (per-label distribution + outlier screen)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL_I57 = (
+    "sqrt(list_reduce(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))"
+)
+
+_NORMQA_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, ROUND({_NORM_SQL_I57}, 6) AS nrm6
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, label, nrm6,
+         CAST(SUM(CAST(nrm6 AS DECIMAL(18,6))) OVER (PARTITION BY label)
+              AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY label) AS mean_nrm
+  FROM v
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       ROUND(MAX(mean_nrm), 9) AS mean_norm,
+       ROUND(MIN(nrm6), 6) AS min_norm,
+       ROUND(MAX(nrm6), 6) AS max_norm,
+       CAST(SUM(CASE WHEN nrm6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(SUM(CASE WHEN nrm6 * 2 > 3 * mean_nrm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM m GROUP BY label ORDER BY label
+"""
+
+
+@query("embed-norm-outliers", oracle=_NORMQA_ORACLE)
+def embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I57: embedding-norm QA per label — count, mean/min/max norm,
+    zero-norm count (failed embedding jobs) and the count of vectors
+    whose norm exceeds 1.5× the label mean. This is the health check
+    run BEFORE building any ANN index: zero-norm vectors crash cosine
+    math (the I3 family excludes them), and norm outliers distort
+    IVF cell assignment and PQ codebooks.
+
+    Shape: norms are a map-only sequential fold off the scan; the
+    per-label mean is ONE window over (label, norm) pairs — 16 bytes
+    a row regardless of embedding width — and the rollup reuses the
+    window's partitioning (no second exchange).
+
+    Parity: each norm is snapped to 6 dp at the source, the label
+    mean divides an ORDER-INDEPENDENT DECIMAL(18,6) sum (the E20
+    snap-then-decimal-sum discipline — a raw double SUM would be
+    accumulation-order-dependent across engines), and the outlier
+    decision compares ``2·norm > 3·mean`` — identical IEEE products
+    on identical operands, no 1.5 literal (bare decimals carry
+    engine-specific scales)."""
+    from pyspark.sql import Window as W
+
+    from spark_file_mover_spark.llm.similarity import norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "label", F.round(norm(F.col("embedding")), 6).alias("nrm6")
+    )
+    wl = W.partitionBy("label")
+    m = v.select(
+        "label",
+        "nrm6",
+        (
+            F.sum(F.col("nrm6").cast("decimal(18,6)")).over(wl).cast("double")
+            / F.count("*").over(wl)
+        ).alias("mean_nrm"),
+    )
+    return (
+        m.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.max("mean_nrm"), 9).alias("mean_norm"),
+            F.round(F.min("nrm6"), 6).alias("min_norm"),
+            F.round(F.max("nrm6"), 6).alias("max_norm"),
+            F.sum(F.when(F.col("nrm6") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero"),
+            F.sum(
+                F.when(F.col("nrm6") * 2 > 3 * F.col("mean_nrm"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("label")
+    )

@@ -1095,3 +1095,136 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B18 — DYNAMIC partition overwrite (replace only touched partitions)
+# ---------------------------------------------------------------------------
+
+_DYN_OVERWRITE_ORACLE = """
+SELECT o_orderkey,
+       o_orderstatus AS status,
+       CAST(CASE WHEN o_orderstatus = 'O'
+                 THEN CAST(o_totalprice AS DECIMAL(12,2)) + 5
+                 ELSE CAST(o_totalprice AS DECIMAL(12,2)) END
+            AS DOUBLE) AS price
+FROM orders ORDER BY o_orderkey
+"""
+
+
+@query("sink-overwrite-dynamic", oracle=_DYN_OVERWRITE_ORACLE)
+def sink_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18: DYNAMIC partition overwrite — the incremental-reprocess
+    primitive. A partitioned table is written once; a corrected slice
+    touching ONLY partition status='O' is then written with
+    ``partitionOverwriteMode=dynamic``: Spark replaces exactly the
+    partitions present in the incoming data and leaves every other
+    partition's files untouched. Under the default STATIC mode the
+    same ``mode("overwrite")`` call would have DELETED the F and P
+    partitions — the classic "backfill one day, lose the table" bug;
+    dynamic mode is how a 100 TB table takes daily corrections
+    without rewriting (or risking) the other 10⁴ partitions.
+
+    The re-read proves both halves: 'O' rows carry the corrected
+    price (+5), 'F'/'P' rows carry the original — the oracle predicts
+    the merged state from the source table.
+
+    Scale: the correction job's cost is proportional to the TOUCHED
+    partitions only; file listing/commit never visits untouched ones."""
+    out = tempfile.mkdtemp(prefix="sfm-b18-") + "/orders_part"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    o.write.mode("overwrite").partitionBy("status").parquet(out)
+    # decimal + literal widens to (13,2); cast back so both writes carry
+    # the IDENTICAL parquet logical type (mixed decimal annotations in
+    # one table fail the vectorized reader's schema check)
+    fixed = o.filter(F.col("status") == "O").withColumn(
+        "price", (F.col("price") + 5).cast("decimal(12,2)")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed.write.mode("overwrite").partitionBy("status").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(out)
+        .select(
+            "o_orderkey", "status", F.col("price").cast("double").alias("price")
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B19 — nested JSON source (struct + array columns through a round trip)
+# ---------------------------------------------------------------------------
+
+_JSON_NESTED_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, source,
+         string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+)
+SELECT doc_id, lang, source,
+       CAST(i - 1 AS INTEGER) AS pos, tk[i] AS tok
+FROM t CROSS JOIN (SELECT unnest(range(1, 4)) AS i)
+WHERE i <= least(len(tk), 3)
+ORDER BY doc_id, pos
+"""
+
+
+@query("scan-json-nested", oracle=_JSON_NESTED_ORACLE)
+def scan_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19: NESTED JSON round trip — each document serializes as
+    ``{"id": …, "meta": {"lang": …, "source": …}, "toks": [first 3
+    tokens]}``, writes through the JSON sink, re-reads with an
+    explicit NESTED schema (struct field access + posexplode of the
+    array). Nested records are the norm for API exports and training
+    manifests; the engine must read them with field pruning (the
+    scan's ReadSchema carries the nested struct, no flattening
+    pre-pass) and explode arrays lazily.
+
+    Explicit schema on read (never inferSchema — the B9 argument,
+    doubly so for nested: inference must sample deep paths).
+
+    Parity: the flattened (doc_id, lang, source, pos, tok) relation
+    is predicted by the oracle straight from the source table."""
+    out = tempfile.mkdtemp(prefix="sfm-b19-") + "/documents_nested"
+    d = load_table(spark, sf_dir, "documents")
+    from spark_file_mover_spark.llm._textnorm import toks
+
+    nested = d.select(
+        F.col("doc_id").alias("id"),
+        F.struct(F.col("lang"), F.col("source")).alias("meta"),
+        F.slice(toks(), 1, 3).alias("tks"),
+    )
+    nested.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("lang", T.StringType()),
+                        T.StructField("source", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField("tks", T.ArrayType(T.StringType())),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    return (
+        back.select(
+            F.col("id").alias("doc_id"),
+            F.col("meta.lang").alias("lang"),
+            F.col("meta.source").alias("source"),
+            F.posexplode("tks").alias("pos", "tok"),
+        )
+        .orderBy("doc_id", "pos")
+    )

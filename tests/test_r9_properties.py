@@ -1078,3 +1078,25 @@ def test_null_safe_join_differential(rows, spark, tmp_path_factory):
     _write_events(d, rows)
     ok, msg = _run_both("join-null-safe-eq", spark, d, ["events"])
     assert ok, msg
+
+
+@given(rows=st.lists(_ORDER_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_dynamic_overwrite_differential(rows, spark, tmp_path_factory):
+    """Random key/status mixes: corpora with no 'O' rows (dynamic
+    write of an EMPTY frame), single-status corpora."""
+    d = tmp_path_factory.mktemp("dyno")
+    _write_orders(d, rows)
+    ok, msg = _run_both("sink-overwrite-dynamic", spark, d, ["orders"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_DOC_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_json_nested_differential(rows, spark, tmp_path_factory):
+    """Docs with <3 tokens (short arrays), empty text (single empty
+    token after split)."""
+    d = tmp_path_factory.mktemp("njson")
+    _write_docs_tbl(d, rows)
+    ok, msg = _run_both("scan-json-nested", spark, d, ["documents"])
+    assert ok, msg
