@@ -112,6 +112,12 @@ NOTES = {
     "agg-markov-transitions": "One per-user lag window collapsing into a (prev, next) hash agg - output <= (types+1) x types rows at any size; the probability normalizer windows over the AGGREGATED relation (pinned: 2 aggs, 2 windows); (ts_us, event_id) total order pins lag on ties.",
     "text-collocations-pmi": "Bigram explode collapses map-side to (x, y, count) - bounded by vocab^2 and the support filter; unigram counts joined over aggregated relations; corpus totals broadcast scalars; text never crosses an exchange (pinned). PMI snapped 9 dp AFTER the ln (cross-libm differences ~1e-16, seven orders under the snap).",
     "fn-time-buckets": "Map-only integer floor-division bucketing (pinned: zero exchanges): bucket boundaries are arithmetic facts on epoch us / epoch days - engine-independent bit-for-bit, inside whole-stage codegen, timezone-free (session pins UTC).",
+    "text-langid-confusion": "Classifier eval as a query: the I11 marker-count CASE collapses into a langs^2 hash agg (pinned: 2 aggs), recall normalizer windows over the aggregated cells, text never crosses an exchange (pinned).",
+    "dedup-profile": "Duplication histogram on the I1 contract: xxhash64(norm_text) group keys shuffle (pinned: no text/norm in exchanges), size histogram is a second agg over the cluster relation, share normalizers window over tens of rows.",
+    "join-null-safe-eq": "<=> as a first-class hash-join key (pinned: SMJ/SHJ/BHJ, never BroadcastNestedLoopJoin): null-safe equality hashes NULL like any value; both sides collapse to per-key counts BEFORE the join; the NULL bucket lines up as ONE row (the reconciliation bug plain = silently drops).",
+    "sink-overwrite-dynamic": "partitionOverwriteMode=dynamic: the corrected slice replaces exactly the touched partition, siblings' files untouched (static mode deletes them - the backfill-one-day-lose-the-table bug); correction cost proportional to touched partitions; both writes pinned to the same parquet decimal annotation (mixed annotations fail the vectorized reader - found by the first run of this key).",
+    "scan-json-nested": "Nested JSON round trip: explicit nested schema (no deep-path inference pass), struct access + ONE lazy Generate (pinned), field pruning carries the struct through ReadSchema.",
+    "embed-norm-outliers": "Pre-ANN health check: map-only norm fold, ONE label exchange serves the mean window AND the rollup (pinned: hashpartitioning args == [label]); norms snapped 6 dp at source, label mean over an ORDER-INDEPENDENT DECIMAL(18,6) sum, outlier rule 2*norm > 3*mean (no 1.5 literal - bare decimals carry engine-specific scales).",
     "agg-benford-digit": "Benford first-digit QA screen: digit extracted in EXACT integer space (first char of the integer-cents string - float log10 extraction misassigns edge values by ULP); the scan collapses map-side to <= flags x 9 rows and the chi-square window runs over that AGGREGATED relation (pinned: 2 exchanges). Expected shares are SHARED 12-dp literal constants (zero cross-libm risk); chi-square terms 9-dp-snapped DECIMAL(28,9) sums.",
 }
 
