@@ -172,6 +172,10 @@ HEADLINE = [
     "sink-overwrite-dynamic",
     "scan-json-nested",
     "embed-norm-outliers",
+    # late-r9 additions (not in either frozen set)
+    "window-gap-fill",
+    "agg-cuped",
+    "embed-matryoshka",
 ]
 
 

@@ -957,3 +957,179 @@ def embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# I58 — Matryoshka (MRL) truncation audit: top-1 retrieval agreement per
+# prefix-dimension budget
+# ---------------------------------------------------------------------------
+
+_MRL_BUDGETS = (8, 16, 32, 64)
+_MRL_N_QUERIES = 5
+
+# DuckDB mirrors of the sequential-fold dot / norm over a PREFIX slice
+# (array_slice keeps the fold order identical to Spark's F.slice +
+# F.aggregate — same IEEE sequence, bit-identical before the 6-dp snap).
+_MRL_DOT = (
+    "list_reduce(list_transform(range(1, len(array_slice({a}, 1, {d}))+1), "
+    "i -> CAST(array_slice({a}, 1, {d})[i] AS DOUBLE) "
+    "* CAST(array_slice({b}, 1, {d})[i] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+_MRL_NORM = (
+    "sqrt(list_reduce(list_transform(array_slice({a}, 1, {d}), "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))"
+)
+_MRL_FULL_NORM = (
+    "sqrt(list_reduce(list_transform({a}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))"
+)
+
+_MRL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe
+  FROM embeddings
+  WHERE vec_id < {_MRL_N_QUERIES}
+    AND {_MRL_FULL_NORM.format(a='embedding')} > 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS ce
+  FROM embeddings WHERE {_MRL_FULL_NORM.format(a='embedding')} > 0
+),
+b AS (SELECT UNNEST([{', '.join(str(b) for b in _MRL_BUDGETS)}]) AS budget),
+sims AS (
+  SELECT q.query_id, c.neighbor_id, b.budget,
+         {_MRL_DOT.format(a='q.qe', b='c.ce', d='b.budget')}
+           / ({_MRL_NORM.format(a='q.qe', d='b.budget')}
+              * {_MRL_NORM.format(a='c.ce', d='b.budget')}) AS cos
+  FROM q CROSS JOIN c CROSS JOIN b
+  WHERE q.query_id <> c.neighbor_id
+    AND {_MRL_NORM.format(a='q.qe', d='b.budget')} > 0
+    AND {_MRL_NORM.format(a='c.ce', d='b.budget')} > 0
+),
+top AS (
+  SELECT query_id, budget, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id, budget
+                            ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM sims
+),
+sel AS (SELECT query_id, budget, neighbor_id, cos FROM top WHERE rnk = 1)
+SELECT query_id,
+       CAST(budget AS BIGINT) AS budget,
+       neighbor_id,
+       ROUND(cos, 6) AS cosine,
+       CAST(neighbor_id = MAX(CASE WHEN budget = {_MRL_BUDGETS[-1]}
+                              THEN neighbor_id END)
+            OVER (PARTITION BY query_id) AS BIGINT) AS agree_full
+FROM sel ORDER BY query_id, budget
+"""
+
+
+@query("embed-matryoshka", oracle=_MRL_ORACLE)
+def embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I58: Matryoshka truncation audit (Kusupati et al. 2022,
+    arXiv:2205.13147 — MRL): before serving truncated embeddings (the
+    4-8x index-shrink every large retrieval deployment wants), measure
+    what prefix-dimension budgets DO to retrieval — per anchor and
+    budget d in {8,16,32,64}, the exact top-1 neighbor under
+    prefix-d cosine and whether it AGREES with the full-dimension
+    top-1. The d=64 rows are the identity anchor (agree_full = 1 by
+    construction); disagreement rates at 8/16/32 are the truncation
+    cost curve a deployment reads before picking d.
+
+    Shape at 100 TB: the I3/I54 plan contract — anchors broadcast,
+    corpus scanned ONCE and never shuffled, budget fanout is a map-side
+    4x Generate on the broadcast-joined stream, per-(anchor, budget)
+    top-1 via WindowGroupLimit (partial top-k per task, no global
+    sort). Prefix dots re-fold per budget; with |budgets| fixed at 4
+    that is a constant-factor map cost, and at production anchor
+    counts the mining moves inside IVF cells (I9) unchanged.
+
+    Parity: prefix slice + sequential fold is the same IEEE op
+    sequence in both engines (F.slice+F.aggregate = array_slice +
+    list_reduce), so cosines are bit-identical before the 6-dp snap
+    and the (cos desc, neighbor_id) top-1 is deterministic. Zero
+    full-norm vectors are excluded per the I8 contract; zero PREFIX
+    norms (a vector whose first d dims are all zero) are excluded per
+    (pair, budget) in both engines rather than emitting an engine-
+    specific division-by-zero artifact.
+    """
+    from pyspark.sql import Window as W
+
+    from spark_file_mover_spark.llm.similarity import norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    full_norm = norm(F.col("embedding"))
+    q = (
+        e.filter(F.col("vec_id") < _MRL_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+        )
+        .filter(full_norm > 0)
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+    ).filter(full_norm > 0)
+
+    def pdot(a, b, d):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(a, 1, d),
+                F.slice(b, 1, d),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def pnorm(a, d):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.slice(a, 1, d),
+                    lambda x: x.cast("double") * x.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    budget = F.explode(
+        F.array(*[F.lit(b) for b in _MRL_BUDGETS])
+    ).alias("budget")
+    d = F.col("budget")
+    qn = pnorm(F.col("qe"), d)
+    cn = pnorm(F.col("ce"), d)
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qe", "ce", budget)
+        .filter((qn > 0) & (cn > 0))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("budget").cast("long").alias("budget"),
+            (pdot(F.col("qe"), F.col("ce"), d) / (qn * cn)).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id", "budget").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    sel = (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("query_id", "budget", "neighbor_id", "cos")
+    )
+    wq = W.partitionBy("query_id")
+    full_top = F.max(
+        F.when(F.col("budget") == _MRL_BUDGETS[-1], F.col("neighbor_id"))
+    ).over(wq)
+    return sel.select(
+        "query_id",
+        "budget",
+        "neighbor_id",
+        F.round("cos", 6).alias("cosine"),
+        (F.col("neighbor_id") == full_top).cast("long").alias("agree_full"),
+    ).orderBy("query_id", "budget")

@@ -2085,3 +2085,156 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(wp), 9
         ).alias("p"),
     ).orderBy("prev_type", "next_type")
+
+
+# ---------------------------------------------------------------------------
+# E27 — CUPED variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+
+_CUPED_CUT = "2024-01-16 00:00:00"
+
+_CUPED_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+              THEN CAST(value AS DECIMAL(12,2)) END), 0) * 100
+              AS DECIMAL(18,0)) AS xc,
+         CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+              THEN CAST(value AS DECIMAL(12,2)) END), 0) * 100
+              AS DECIMAL(18,0)) AS yc
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT user_id % 2 AS variant,
+         COUNT(*) AS n_users,
+         SUM(xc) AS sxv,
+         SUM(yc) AS syv,
+         SUM(xc * yc) AS sxyv,
+         SUM(xc * xc) AS sxxv,
+         SUM(yc * yc) AS syyv
+  FROM per_user GROUP BY user_id % 2
+),
+g AS (
+  SELECT variant, n_users,
+         CAST(CAST(sxv AS DECIMAL(38,0)) AS BIGINT) AS sum_x_cents,
+         CAST(CAST(syv AS DECIMAL(38,0)) AS BIGINT) AS sum_y_cents,
+         CAST(SUM(n_users) OVER () AS DOUBLE) AS n,
+         CAST(SUM(sxv) OVER () AS DOUBLE) AS sx,
+         CAST(SUM(syv) OVER () AS DOUBLE) AS sy,
+         CAST(SUM(sxyv) OVER () AS DOUBLE) AS sxy,
+         CAST(SUM(sxxv) OVER () AS DOUBLE) AS sxx,
+         CAST(SUM(syyv) OVER () AS DOUBLE) AS syy
+  FROM v
+)
+SELECT variant, n_users, sum_x_cents, sum_y_cents,
+       ROUND((CAST(sum_y_cents AS DOUBLE) / n_users) / 100, 9) AS mean_y,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+         AS theta,
+       ROUND(((CAST(sum_y_cents AS DOUBLE) / n_users)
+              - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                * ((CAST(sum_x_cents AS DOUBLE) / n_users) - (sx / n)))
+             / 100, 9) AS mean_y_cuped,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+             9) AS var_reduction
+FROM g
+ORDER BY variant
+"""
+
+
+@query("agg-cuped", oracle=_CUPED_ORACLE)
+def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E27: CUPED variance-reduced experiment readout (Deng et al.,
+    WSDM'13 — the adjustment every large experimentation platform
+    applies before reading an A/B test): per-user pre-period spend X
+    (days before Jan 16) de-noises the post-period metric Y via
+    Y' = Y - theta (X - mean X), theta = cov(X,Y)/var(X) pooled across
+    variants. Emits per-variant raw vs adjusted means, theta, and the
+    theoretical variance-reduction factor rho^2.
+
+    Shape at 100 TB: ONE corpus scan, one corpus shuffle (groupBy
+    user_id folds pre and post sums in a single pass via conditional
+    aggregation); the moments (n, sum X, sum Y, sum XY, sum X^2,
+    sum Y^2) are aggregated PER VARIANT over the per-user relation and
+    the pooled globals come from a window-sum over that 2-row relation
+    — the mergeable-partials trick (E10), so the per-user subtree is
+    consumed exactly once (a naive global-moments + per-variant pair
+    of aggregates makes Catalyst re-run the corpus scan and user
+    shuffle twice — plan-pinned against regression). No second pass
+    over the log, no driver collect.
+
+    Parity: per-user sums are exact DECIMAL cents (DECIMAL(18,0)), the
+    cross moments are exact DECIMAL(38,0) sums of 36-digit products —
+    order-independent in both engines; every global moment is then cast
+    ONCE to double (correctly rounded, identical), and theta / the
+    adjusted means / rho^2 are computed with the same textual operation
+    order in both engines, so the IEEE sequences match bit for bit
+    before the 9-dp snap. The uncentered moment formula loses digits to
+    cancellation when means dwarf variances (at extreme scale compute
+    centered second moments in a second pass over the per-user
+    relation, same shape); fine at any realistic spend scale and
+    engine-identical regardless.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit(_CUPED_CUT))
+    cents = "decimal(18,0)"
+    per_user = e.groupBy("user_id").agg(
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < cut, dec("value"))), F.lit(0)
+            )
+            * 100
+        )
+        .cast(cents)
+        .alias("xc"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= cut, dec("value"))), F.lit(0)
+            )
+            * 100
+        )
+        .cast(cents)
+        .alias("yc"),
+    )
+    v = per_user.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count("*").alias("n_users"),
+        F.sum("xc").alias("sxv"),
+        F.sum("yc").alias("syv"),
+        F.sum(F.col("xc") * F.col("yc")).alias("sxyv"),
+        F.sum(F.col("xc") * F.col("xc")).alias("sxxv"),
+        F.sum(F.col("yc") * F.col("yc")).alias("syyv"),
+    )
+    from pyspark.sql import Window as W
+
+    wg = W.partitionBy()
+    j = v.select(
+        "variant",
+        "n_users",
+        F.col("sxv").cast("decimal(38,0)").cast("long").alias("sum_x_cents"),
+        F.col("syv").cast("decimal(38,0)").cast("long").alias("sum_y_cents"),
+        F.sum("n_users").over(wg).cast("double").alias("n"),
+        F.sum("sxv").over(wg).cast("double").alias("sx"),
+        F.sum("syv").over(wg).cast("double").alias("sy"),
+        F.sum("sxyv").over(wg).cast("double").alias("sxy"),
+        F.sum("sxxv").over(wg).cast("double").alias("sxx"),
+        F.sum("syyv").over(wg).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    theta = num / den_x
+    mean_y_d = F.col("sum_y_cents").cast("double") / F.col("n_users")
+    mean_x_d = F.col("sum_x_cents").cast("double") / F.col("n_users")
+    return j.select(
+        "variant",
+        "n_users",
+        "sum_x_cents",
+        "sum_y_cents",
+        F.round(mean_y_d / 100, 9).alias("mean_y"),
+        F.round(theta, 9).alias("theta"),
+        F.round(
+            (mean_y_d - theta * (mean_x_d - F.col("sx") / F.col("n"))) / 100,
+            9,
+        ).alias("mean_y_cuped"),
+        F.round(num * num / (den_x * den_y), 9).alias("var_reduction"),
+    ).orderBy("variant")

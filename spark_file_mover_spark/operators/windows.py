@@ -994,3 +994,98 @@ def window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_consecutive"
         ),
     ).orderBy("event_type", "day_num")
+
+
+# ---------------------------------------------------------------------------
+# F17 — calendar gap-fill + forward fill (time-series densification)
+# ---------------------------------------------------------------------------
+
+_GAP_FILL_ORACLE = """
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(12,2))) AS v
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+g AS (
+  SELECT user_id, day, v,
+         lag(day) OVER w AS pday, lag(v) OVER w AS pv
+  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day)
+),
+x AS (
+  SELECT user_id, day, v, pv,
+         (UNNEST(generate_series(COALESCE(pday + 1, day), day,
+                                 INTERVAL 1 DAY)))::DATE AS day2
+  FROM g
+)
+SELECT user_id,
+       strftime(day2, '%Y-%m-%d') AS day,
+       CASE WHEN day2 = day THEN CAST(v AS DOUBLE) END AS observed,
+       CAST(CASE WHEN day2 = day THEN v ELSE pv END AS DOUBLE) AS filled,
+       CAST(CASE WHEN day2 = day THEN 0 ELSE 1 END AS BIGINT) AS is_gap
+FROM x
+ORDER BY user_id, day
+"""
+
+
+@query("window-gap-fill", oracle=_GAP_FILL_ORACLE)
+def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17: calendar gap-fill with forward fill (LOCF) — densify each
+    user's daily-spend series so every calendar day between their first
+    and last activity has a row, gaps carrying the last observed value.
+    The densification every time-series consumer (forecasting features,
+    retention curves, charting) needs, and the op BI engines expose as
+    ``GAP FILL`` / ``date_spine``.
+
+    Shape at 100 TB: the only corpus-sized shuffle is the daily rollup
+    (map-side combine into user x day cells); everything after runs on
+    that daily relation — users x active-days rows, orders of magnitude
+    smaller than the event log. Gap rows are generated by exploding the
+    RUN between consecutive observed days (lag + ``sequence``) — one
+    window (one exchange on user_id) and a map-side Generate, versus
+    the naive calendar-spine formulation whose spine build, left join
+    and fill window each pay another exchange over the dense relation.
+    Fanout per row = gap length, bounded by the calendar span, not the
+    data; a years-long dead account emits its span once.
+
+    Parity: daily sums are exact DECIMAL (order-independent) surfaced
+    as DOUBLE; days are integer date arithmetic formatted to strings;
+    the fill value pv is the previous OBSERVED day's decimal, so every
+    gap day in a run carries the identical exact value in both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum(dec("value")).alias("v"))
+    w = W.partitionBy("user_id").orderBy("day")
+    g = d.select(
+        "user_id",
+        "day",
+        "v",
+        F.lag("day").over(w).alias("pday"),
+        F.lag("v").over(w).alias("pv"),
+    )
+    x = g.select(
+        "user_id",
+        F.col("day").alias("obs_day"),
+        "v",
+        "pv",
+        F.explode(
+            F.sequence(
+                F.coalesce(F.date_add("pday", 1), F.col("day")),
+                F.col("day"),
+            )
+        ).alias("day2"),
+    )
+    on_day = F.col("day2") == F.col("obs_day")
+    return x.select(
+        "user_id",
+        F.date_format("day2", "yyyy-MM-dd").alias("day"),
+        F.when(on_day, F.col("v").cast("double")).alias("observed"),
+        F.when(on_day, F.col("v"))
+        .otherwise(F.col("pv"))
+        .cast("double")
+        .alias("filled"),
+        F.when(on_day, F.lit(0)).otherwise(F.lit(1)).cast("long").alias(
+            "is_gap"
+        ),
+    ).orderBy("user_id", "day")

@@ -85,6 +85,9 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # row ≤2 rounds old. Rebuild this list each round from
 # `python tools/stale_keys.py --list` with any new keys at the HEAD.
 _PRIORITY_R9 = [
+    "window-gap-fill",
+    "agg-cuped",
+    "embed-matryoshka",
     "sink-overwrite-dynamic",
     "scan-json-nested",
     "embed-norm-outliers",

@@ -1050,3 +1050,45 @@ def test_norm_outliers_single_label_exchange(spark, sf_dir):
     assert hashparts == ["label"], hashparts
     rs = plan.split("ReadSchema")[1].splitlines()[0]
     assert "vec_id" not in rs
+
+
+def test_gap_fill_single_window_exchange_no_spine_join(spark, sf_dir):
+    """F17's scale claim: gap rows come from a lag + sequence explode —
+    one (user_id, day) rollup exchange + one user_id window exchange,
+    a map-side Generate, and NO join (the calendar-spine formulation
+    would show a SortMergeJoin/BroadcastHashJoin over the dense
+    relation)."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["window-gap-fill"](spark, sf_dir)
+    )
+    assert "Join" not in plan
+    assert "Generate" in plan
+    rs = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "event_id" not in rs and "props" not in rs
+
+
+def test_cuped_single_corpus_scan(spark, sf_dir):
+    """E27's scale claim: the mergeable-partials rewrite consumes the
+    per-user subtree exactly once — ONE events scan (a naive global +
+    per-variant aggregate pair re-runs the corpus scan and the user_id
+    shuffle twice)."""
+    import re
+
+    plan = _formatted_plan(spark, registry.QUERIES["agg-cuped"](spark, sf_dir))
+    assert plan.count("ReadSchema") == 1
+    hashparts = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert hashparts.count("user_id") == 1, hashparts
+
+
+def test_matryoshka_corpus_not_shuffled_topk_limited(spark, sf_dir):
+    """I58 rides the I3/I54 contract: anchors broadcast (BNLJ over the
+    corpus scan — no corpus exchange before ranking), budget fanout is
+    a map-side Generate, and the per-(anchor,budget) top-1 runs as
+    WindowGroupLimit."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["embed-matryoshka"](spark, sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "Generate" in plan
+    assert "SortMergeJoin" not in plan
