@@ -176,6 +176,10 @@ HEADLINE = [
     "window-gap-fill",
     "agg-cuped",
     "embed-matryoshka",
+    "graph-kcore",
+    "etl-dq-audit",
+    "fn-ip-cidr",
+    "sample-group-kfold",
 ]
 
 

@@ -569,3 +569,135 @@ def fn_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(us % {_US_1D}) DIV {_US_1H_G10}").alias("hour_of_day"),
         ((day + 4) % 7).alias("day_of_week"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# G11 — IPv4 parse + CIDR classification
+# ---------------------------------------------------------------------------
+
+# RFC 1918 private blocks as integer ranges (o1*2^24 + o2*2^16 + ...):
+_IP10_LO, _IP10_HI = 10 * 2**24, 11 * 2**24 - 1
+_IP172_LO = 172 * 2**24 + 16 * 2**16
+_IP172_HI = 172 * 2**24 + 32 * 2**16 - 1
+_IP192_LO = 192 * 2**24 + 168 * 2**16
+_IP192_HI = 192 * 2**24 + 169 * 2**16 - 1
+
+_IP_ORACLE = f"""
+WITH synth AS (
+  SELECT event_id,
+         CAST(CASE event_id % 5
+              WHEN 0 THEN 10 WHEN 1 THEN 172 WHEN 2 THEN 192
+              ELSE 1 + (event_id * 7) % 223 END AS VARCHAR)
+         || '.' ||
+         CAST(CASE event_id % 5
+              WHEN 1 THEN 16 + event_id % 16 WHEN 2 THEN 168
+              ELSE (event_id * 11) % 256 END AS VARCHAR)
+         || '.' || CAST((event_id * 13) % 256 AS VARCHAR)
+         || '.' || CAST(1 + (event_id * 3) % 254 AS VARCHAR) AS ip
+  FROM events WHERE event_id % 17 = 0
+),
+parsed AS (
+  SELECT event_id, ip,
+         CAST(split_part(ip, '.', 1) AS BIGINT) AS o1,
+         CAST(split_part(ip, '.', 2) AS BIGINT) AS o2,
+         CAST(split_part(ip, '.', 3) AS BIGINT) AS o3,
+         CAST(split_part(ip, '.', 4) AS BIGINT) AS o4
+  FROM synth
+),
+num AS (
+  SELECT event_id, ip, o1, o2, o3,
+         o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_num
+  FROM parsed
+)
+SELECT event_id, ip, ip_num,
+       CASE
+         WHEN ip_num BETWEEN {_IP10_LO} AND {_IP10_HI} THEN 'private-10'
+         WHEN ip_num BETWEEN {_IP172_LO} AND {_IP172_HI}
+           THEN 'private-172-16'
+         WHEN ip_num BETWEEN {_IP192_LO} AND {_IP192_HI}
+           THEN 'private-192-168'
+         ELSE 'public'
+       END AS cidr_class,
+       CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
+         || CAST(o3 AS VARCHAR) || '.0/24' AS net24
+FROM num ORDER BY event_id
+"""
+
+
+@query("fn-ip-cidr", oracle=_IP_ORACLE)
+def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11: IPv4 parsing + CIDR-block classification — the access-log
+    staple: split dotted-quad strings into octets, rebuild the 32-bit
+    integer form, classify against the RFC 1918 private ranges as
+    INTEGER RANGE predicates (the form a planner can prune and an
+    analyst can index — never string prefixes, which misclassify
+    '1921.6...' style accidents), and emit the /24 network the
+    rate-limit / geo rollups group by.
+
+    The synthesize-then-parse contract (G9 url-parse, I52 gif-meta):
+    the fixture derives deterministic dotted quads from event_id with
+    different moduli per octet (no aliasing between fields) and forces
+    all three private families into the population; the PARSER then
+    re-derives every output from the string alone — both engines run
+    the same split/cast/arithmetic, so results are exact integers and
+    strings end to end.
+
+    Shape at 100 TB: map-only — fused into the scan, no shuffle, no
+    UDF (split_part + integer arithmetic are whole-stage-codegen
+    expressions in Spark and vectorized in DuckDB); the modulus filter
+    is only row-bounding for the driver compare."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 17 == 0
+    )
+    eid = F.col("event_id")
+    m = eid % 5
+    o1s = (
+        F.when(m == 0, F.lit(10))
+        .when(m == 1, F.lit(172))
+        .when(m == 2, F.lit(192))
+        .otherwise(1 + (eid * 7) % 223)
+    )
+    o2s = (
+        F.when(m == 1, 16 + eid % 16)
+        .when(m == 2, F.lit(168))
+        .otherwise((eid * 11) % 256)
+    )
+    synth = e.select(
+        "event_id",
+        F.concat_ws(
+            ".",
+            o1s.cast("string"),
+            o2s.cast("string"),
+            ((eid * 13) % 256).cast("string"),
+            (1 + (eid * 3) % 254).cast("string"),
+        ).alias("ip"),
+    )
+    o1 = F.split_part(F.col("ip"), F.lit("."), F.lit(1)).cast("long")
+    o2 = F.split_part(F.col("ip"), F.lit("."), F.lit(2)).cast("long")
+    o3 = F.split_part(F.col("ip"), F.lit("."), F.lit(3)).cast("long")
+    o4 = F.split_part(F.col("ip"), F.lit("."), F.lit(4)).cast("long")
+    parsed = synth.select(
+        "event_id",
+        "ip",
+        o1.alias("o1"),
+        o2.alias("o2"),
+        o3.alias("o3"),
+        (o1 * 16777216 + o2 * 65536 + o3 * 256 + o4).alias("ip_num"),
+    )
+    ipn = F.col("ip_num")
+    return parsed.select(
+        "event_id",
+        "ip",
+        "ip_num",
+        F.when(ipn.between(_IP10_LO, _IP10_HI), F.lit("private-10"))
+        .when(ipn.between(_IP172_LO, _IP172_HI), F.lit("private-172-16"))
+        .when(ipn.between(_IP192_LO, _IP192_HI), F.lit("private-192-168"))
+        .otherwise(F.lit("public"))
+        .alias("cidr_class"),
+        F.concat_ws(
+            ".",
+            F.col("o1").cast("string"),
+            F.col("o2").cast("string"),
+            F.concat(F.col("o3").cast("string"), F.lit(".0/24")),
+        ).alias("net24"),
+    ).orderBy("event_id")

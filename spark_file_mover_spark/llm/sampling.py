@@ -595,3 +595,87 @@ def sample_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round("vt", 9).alias("vt"),
     ).orderBy("pos")
+
+
+# ---------------------------------------------------------------------------
+# I59 — leakage-safe group k-fold assignment
+# ---------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+_KFOLD_ORACLE = f"""
+WITH normed AS (
+  SELECT doc_id, lang,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         MIN(doc_id) OVER (PARTITION BY norm_text) AS rep
+  FROM normed
+),
+f AS (
+  SELECT doc_id, lang, rep,
+         {MD5_PREFIX60_SQL.format(x="CAST(rep AS VARCHAR)")} % {_KFOLD_K}
+           AS fold
+  FROM r
+)
+SELECT fold, lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT rep) AS n_clusters,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM f GROUP BY fold, lang ORDER BY fold, lang
+"""
+
+
+@query("sample-group-kfold", oracle=_KFOLD_ORACLE)
+def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I59: leakage-safe GROUP k-fold assignment — every document goes
+    to one of k=5 folds by hashing its exact-duplicate CLUSTER
+    representative (min doc_id over the I1 normalized-text group), so
+    verbatim copies can never straddle a train/eval boundary. Plain
+    row-hash splits (I17) leak: a duplicated document lands in
+    different folds with probability (k-1)/k, and eval scores inherit
+    memorized copies — group-wise assignment is the standard fix
+    (sklearn GroupKFold semantics, dedup-cluster-as-group). Output is
+    the per-(fold, lang) audit a split ships with: doc count, cluster
+    count, and the selection checksum (sum of assigned doc_ids) so the
+    driver verifies the ASSIGNMENT, not just marginals.
+
+    Shape at 100 TB: the cluster key is xxhash64(norm_text) computed
+    map-side, so the grouping window shuffles (8-byte hash, doc_id,
+    lang) — text never crosses the wire (the I1 argument, collision
+    odds documented there); fold = md5-prefix-60 of the representative
+    id modulo k is one scalar expression; the final rollup is a
+    k x langs-bounded hash aggregate. One corpus-sized shuffle total,
+    everything else metadata-scale.
+
+    Parity: Spark partitions the window by xxhash64(norm_text), the
+    oracle by norm_text itself — hash-group equality equals
+    string-group equality up to 64-bit collisions (I1/I56 precedent);
+    fold hashing goes through the shared md5-prefix-60 contract
+    (engine-exact), and all outputs are exact integers."""
+    from pyspark.sql import Window as W
+
+    from spark_file_mover_spark.llm.dedup import _norm_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("nh")
+    r = d.select(
+        "doc_id", "lang", _norm_hash().alias("nh")
+    ).withColumn("rep", F.min("doc_id").over(w))
+    f = r.withColumn(
+        "fold",
+        F.pmod(
+            md5_prefix60(F.col("rep").cast("string")), F.lit(_KFOLD_K)
+        ),
+    )
+    return (
+        f.groupBy("fold", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("rep").alias("n_clusters"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("fold", "lang")
+    )

@@ -803,3 +803,151 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# K7 — graph-kcore: iterative k-core peel (bounded rounds)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    """The peel loop compile-time-unrolled into chained CTEs: round i
+    keeps nodes whose degree in the round-(i-1)-induced subgraph is
+    >= k; removed nodes record their peel round. Pure integer joins +
+    counts, so DuckDB re-derives the exact peel the Spark loop runs."""
+    head = f"""
+WITH fwd AS (
+  SELECT DISTINCT user_id AS a,
+         {_LPA_ENTITY_BASE} + CAST(props->>'k' AS BIGINT) AS b
+  FROM events
+  WHERE event_id % {_LPA_EDGE_MOD} = 0
+),
+adj AS (SELECT a AS src, b AS dst FROM fwd
+        UNION ALL SELECT b, a FROM fwd),
+s0 AS (SELECT DISTINCT src AS node FROM adj)"""
+    blocks = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        p = i - 1
+        blocks.append(f""",
+d{i} AS (
+  SELECT adj.src AS node, COUNT(*) AS c
+  FROM adj
+  JOIN s{p} sa ON sa.node = adj.src
+  JOIN s{p} sb ON sb.node = adj.dst
+  GROUP BY adj.src
+),
+s{i} AS (SELECT node FROM d{i} WHERE c >= {_KCORE_K}),
+r{i} AS (SELECT node, {i} AS rr FROM s{p}
+         WHERE node NOT IN (SELECT node FROM s{i}))""")
+    last = _KCORE_ROUNDS
+    tail = f""",
+df AS (
+  SELECT adj.src AS node, COUNT(*) AS c
+  FROM adj
+  JOIN s{last} sa ON sa.node = adj.src
+  JOIN s{last} sb ON sb.node = adj.dst
+  GROUP BY adj.src
+)
+SELECT node AS node_id,
+       node >= {_LPA_ENTITY_BASE} AS is_entity,
+       removed_round, deg_final
+FROM (
+  SELECT s{last}.node, CAST(NULL AS BIGINT) AS removed_round,
+         COALESCE(df.c, 0) AS deg_final
+  FROM s{last} LEFT JOIN df ON df.node = s{last}.node
+  UNION ALL
+  SELECT node, CAST(rr AS BIGINT), CAST(NULL AS BIGINT)
+  FROM ({' UNION ALL '.join(f'SELECT * FROM r{i}' for i in range(1, last + 1))})
+)
+ORDER BY node_id
+"""
+    return head + "".join(blocks) + tail
+
+
+@query("graph-kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7: k-core decomposition by iterative peel (k=2, 3 bounded
+    rounds) over the K3 sparse undirected user↔entity graph — each
+    round removes every node whose degree in the surviving subgraph is
+    below k, recording its peel round; survivors report their residual
+    degree. The density/cohesion filter spam screens and
+    community-mining pipelines run before anything quadratic (a node's
+    peel round lower-bounds its coreness; bounded rounds are the
+    production posture — full convergence is the same loop run to
+    fixpoint, and 3 rounds already separates the 1-degree fringe from
+    the dense core on any real graph).
+
+    Pregel-on-DataFrames family member #5 (K1 sum, K3 mode, K4
+    frontier-min, components min-closure; k-core = filter-by-degree):
+    same loop skeleton, each round = TWO semi-joins restricting the
+    shared cached adjacency (_sparse_adjacency, the _PR_GRAPH_CACHE
+    contract) to surviving endpoints + ONE map-side-combined degree
+    aggregate; the surviving-node relation localCheckpoints per round
+    (8 B/row — at cluster scale adjacency pre-partitions on src and
+    only the node relation shuffles). Removed-node relations stay LAZY
+    unions of checkpointed inputs (the K4 lesson: checkpoint only the
+    per-round frontier, not every derived relation).
+
+    Exactness: pure integer joins + counts, removal is a >= k integer
+    predicate — the driver hash-compares exact peel rounds and
+    residual degrees. The oracle keeps the NOT IN formulation where
+    Spark runs left-anti joins, so the derivations stay independent."""
+    adj = _sparse_adjacency(spark, sf_dir)
+    surv = (
+        adj.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    removed = []  # lazy (node, removed_round) slices over checkpoints
+    for i in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            adj.join(surv.withColumnRenamed("node", "s_src"),
+                     F.col("src") == F.col("s_src"))
+            .join(surv.withColumnRenamed("node", "s_dst"),
+                  F.col("dst") == F.col("s_dst"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").alias("c"))
+        )
+        new_surv = (
+            deg.filter(F.col("c") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        removed.append(
+            surv.join(new_surv, "node", "left_anti").select(
+                "node", F.lit(i).cast("long").alias("removed_round")
+            )
+        )
+        surv = new_surv
+    deg_final = (
+        adj.join(surv.withColumnRenamed("node", "s_src"),
+                 F.col("src") == F.col("s_src"))
+        .join(surv.withColumnRenamed("node", "s_dst"),
+              F.col("dst") == F.col("s_dst"))
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("c"))
+    )
+    survivors = surv.join(deg_final, "node", "left").select(
+        "node",
+        F.lit(None).cast("long").alias("removed_round"),
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("deg_final"),
+    )
+    peeled = removed[0]
+    for r in removed[1:]:
+        peeled = peeled.unionAll(r)
+    peeled = peeled.select(
+        "node", "removed_round", F.lit(None).cast("long").alias("deg_final")
+    )
+    return (
+        survivors.unionAll(peeled)
+        .select(
+            F.col("node").alias("node_id"),
+            (F.col("node") >= _LPA_ENTITY_BASE).alias("is_entity"),
+            "removed_round",
+            "deg_final",
+        )
+        .orderBy("node_id")
+    )

@@ -1089,3 +1089,181 @@ def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_gap"
         ),
     ).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# F18 — declarative data-quality audit (Deequ-style check suite)
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+WITH o AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           AS n_null_cust,
+         CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS n_distinct_key,
+         CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS min_price,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS n_bad_status,
+         CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '2026-01-01 00:00:00'
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS n_future
+  FROM orders
+),
+l AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS n_bad_qty
+  FROM lineitem
+),
+ri AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_keys,
+         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) AS n_orphan
+  FROM (SELECT DISTINCT l_orderkey FROM lineitem) lk
+  LEFT JOIN (SELECT o_orderkey FROM orders) o
+         ON o.o_orderkey = lk.l_orderkey
+)
+SELECT check_name, table_name, ROUND(metric, 9) AS metric, passed FROM (
+  SELECT 'completeness_custkey' AS check_name, 'orders' AS table_name,
+         n_null_cust / n AS metric,
+         CAST(CASE WHEN n_null_cust = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS passed
+  FROM o
+  UNION ALL
+  SELECT 'uniqueness_orderkey', 'orders', 1 - n_distinct_key / n,
+         CAST(CASE WHEN n_distinct_key = n THEN 1 ELSE 0 END AS BIGINT)
+  FROM o
+  UNION ALL
+  SELECT 'min_totalprice_positive', 'orders', min_price,
+         CAST(CASE WHEN min_price > 0 THEN 1 ELSE 0 END AS BIGINT)
+  FROM o
+  UNION ALL
+  SELECT 'domain_orderstatus', 'orders', n_bad_status,
+         CAST(CASE WHEN n_bad_status = 0 THEN 1 ELSE 0 END AS BIGINT)
+  FROM o
+  UNION ALL
+  SELECT 'freshness_no_future_dates', 'orders', n_future,
+         CAST(CASE WHEN n_future = 0 THEN 1 ELSE 0 END AS BIGINT)
+  FROM o
+  UNION ALL
+  SELECT 'range_quantity_1_50', 'lineitem', n_bad_qty,
+         CAST(CASE WHEN n_bad_qty = 0 THEN 1 ELSE 0 END AS BIGINT)
+  FROM l
+  UNION ALL
+  SELECT 'ri_lineitem_orders', 'lineitem', n_orphan / n_keys,
+         CAST(CASE WHEN n_orphan = 0 THEN 1 ELSE 0 END AS BIGINT)
+  FROM ri
+)
+ORDER BY check_name
+"""
+
+
+@query("etl-dq-audit", oracle=_DQ_ORACLE)
+def etl_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18: declarative data-quality audit — the Deequ/Great-
+    Expectations check-suite shape (Schelter et al., VLDB'18: "Unit
+    tests for data") as one query: completeness (null rate),
+    uniqueness (key duplication), value range (money positive,
+    quantity in [1,50]), domain membership (order status), freshness
+    (no future-dated rows) and cross-table referential integrity
+    (every lineitem points at an existing order). One row per check
+    with its metric and pass flag — the gate a production pipeline
+    evaluates before publishing a batch.
+
+    Shape at 100 TB: each single-table family is ONE aggregate over
+    one scan — every metric a map-side-combinable sum/min/countDistinct
+    collapsed to a single row, fanned out to check rows by a map-side
+    ``stack`` on that one-row relation (NOT one subquery per check:
+    Catalyst would re-run the scan per metric — the E27 lesson). The
+    RI check is the only join: distinct FK keys (map-side distinct
+    collapse) left-joined to the PK relation, shuffling 8-byte keys
+    only. Three scans total over the two tables, zero driver-side
+    logic; add a check = add a column to the right aggregate.
+
+    Parity: counts exact; rates are single double divisions of exact
+    counts, snapped 9 dp; min price goes through DECIMAL so the double
+    is identical; pass flags are integer predicates on exact counts."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o_agg = o.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("o_custkey").isNull().cast("int"))
+        .cast("double")
+        .alias("n_null_cust"),
+        F.countDistinct("o_orderkey").cast("double").alias("n_distinct_key"),
+        F.min(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("min_price"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("int"))
+        .cast("double")
+        .alias("n_bad_status"),
+        F.sum(
+            (
+                F.col("o_orderdate")
+                >= F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            ).cast("int")
+        )
+        .cast("double")
+        .alias("n_future"),
+    )
+    o_checks = o_agg.selectExpr(
+        """stack(5,
+           'completeness_custkey', 'orders', n_null_cust / n,
+               CAST(CASE WHEN n_null_cust = 0 THEN 1 ELSE 0 END AS BIGINT),
+           'uniqueness_orderkey', 'orders', 1 - n_distinct_key / n,
+               CAST(CASE WHEN n_distinct_key = n THEN 1 ELSE 0 END AS BIGINT),
+           'min_totalprice_positive', 'orders', min_price,
+               CAST(CASE WHEN min_price > 0 THEN 1 ELSE 0 END AS BIGINT),
+           'domain_orderstatus', 'orders', n_bad_status,
+               CAST(CASE WHEN n_bad_status = 0 THEN 1 ELSE 0 END AS BIGINT),
+           'freshness_no_future_dates', 'orders', n_future,
+               CAST(CASE WHEN n_future = 0 THEN 1 ELSE 0 END AS BIGINT)
+        ) AS (check_name, table_name, metric, passed)"""
+    )
+    l_agg = li.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast(
+                "int"
+            )
+        )
+        .cast("double")
+        .alias("n_bad_qty"),
+    )
+    l_checks = l_agg.selectExpr(
+        """stack(1,
+           'range_quantity_1_50', 'lineitem', n_bad_qty,
+               CAST(CASE WHEN n_bad_qty = 0 THEN 1 ELSE 0 END AS BIGINT)
+        ) AS (check_name, table_name, metric, passed)"""
+    )
+    ri_agg = (
+        li.select(F.col("l_orderkey")).distinct()
+        .join(
+            o.select(F.col("o_orderkey")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left",
+        )
+        .agg(
+            F.count("*").cast("double").alias("n_keys"),
+            F.sum(F.col("o_orderkey").isNull().cast("int"))
+            .cast("double")
+            .alias("n_orphan"),
+        )
+    )
+    ri_checks = ri_agg.selectExpr(
+        """stack(1,
+           'ri_lineitem_orders', 'lineitem', n_orphan / n_keys,
+               CAST(CASE WHEN n_orphan = 0 THEN 1 ELSE 0 END AS BIGINT)
+        ) AS (check_name, table_name, metric, passed)"""
+    )
+    return (
+        o_checks.unionAll(l_checks)
+        .unionAll(ri_checks)
+        .select(
+            "check_name",
+            "table_name",
+            F.round("metric", 9).alias("metric"),
+            "passed",
+        )
+        .orderBy("check_name")
+    )

@@ -88,6 +88,10 @@ _PRIORITY_R9 = [
     "window-gap-fill",
     "agg-cuped",
     "embed-matryoshka",
+    "graph-kcore",
+    "etl-dq-audit",
+    "fn-ip-cidr",
+    "sample-group-kfold",
     "sink-overwrite-dynamic",
     "scan-json-nested",
     "embed-norm-outliers",

@@ -1092,3 +1092,46 @@ def test_matryoshka_corpus_not_shuffled_topk_limited(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "Generate" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_kcore_no_cartesian_node_relation_shuffles(spark, sf_dir):
+    """K7: the peel loop joins the cached adjacency against the 8-byte
+    surviving-node relation — no cartesian products, no corpus text."""
+    plan = _formatted_plan(spark, registry.QUERIES["graph-kcore"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dq_audit_one_aggregate_per_table_family(spark, sf_dir):
+    """F18: the orders checks ride ONE aggregate over one orders scan
+    (stack fanout, not a subquery per check) — at most one orders scan
+    beyond the RI join's key projection, and exactly one join (the RI
+    check)."""
+    plan = _formatted_plan(spark, registry.QUERIES["etl-dq-audit"](spark, sf_dir))
+    # scans: orders (metrics) + lineitem (metrics) + lineitem keys +
+    # orders keys for RI = 4 total, not 5+ (one per orders check would
+    # be 7+); the RI-join scans project ONLY the key column
+    assert plan.count("ReadSchema") == 4, plan.count("ReadSchema")
+    assert "stack" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan
+    assert "ReadSchema: struct<o_orderkey:bigint>" in plan
+
+
+def test_ip_cidr_map_only(spark, sf_dir):
+    """G11: no exchange other than the output ordering's range
+    partition; no UDF (BatchEvalPython absent)."""
+    plan = _formatted_plan(spark, registry.QUERIES["fn-ip-cidr"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_group_kfold_text_never_shuffles(spark, sf_dir):
+    """I59: the grouping window partitions on the 8-byte norm hash —
+    the exchange carries (hash, doc_id, lang), never the text column."""
+    import re
+
+    plan = _formatted_plan(
+        spark, registry.QUERIES["sample-group-kfold"](spark, sf_dir)
+    )
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(1)
