@@ -1055,23 +1055,6 @@ def embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    from spark_file_mover_spark.llm.similarity import norm
-
-    e = load_table(spark, sf_dir, "embeddings")
-    full_norm = norm(F.col("embedding"))
-    q = (
-        e.filter(F.col("vec_id") < _MRL_N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-        )
-        .filter(full_norm > 0)
-    )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ce"),
-    ).filter(full_norm > 0)
-
     def pdot(a, b, d):
         return F.aggregate(
             F.zip_with(
@@ -1095,23 +1078,55 @@ def embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    budget = F.explode(
-        F.array(*[F.lit(b) for b in _MRL_BUDGETS])
-    ).alias("budget")
-    d = F.col("budget")
-    qn = pnorm(F.col("qe"), d)
-    cn = pnorm(F.col("ce"), d)
+    def with_prefix_norms(df, vec: str, idc: str, out_id: str, out_vec: str):
+        """Project (id, vec, prefix-norm array) with the norm array
+        PINNED behind a one-struct Generate barrier — norms fold once
+        per ROW per side, never per pair (the similarity.py hoisting
+        contract, prefix-flavored; unpinned, CollapseProject inlines
+        the 120-term fold into every pair)."""
+        ns = F.array(*[pnorm(F.col(vec), b) for b in _MRL_BUDGETS])
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.col(vec).alias(out_vec),
+            F.explode(F.array(F.struct(ns.alias("ns")))).alias("s"),
+        ).select(out_id, out_vec, F.col("s.ns").alias(f"{out_vec}_ns"))
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = with_prefix_norms(
+        e.filter(F.col("vec_id") < _MRL_N_QUERIES),
+        "embedding",
+        "vec_id",
+        "query_id",
+        "qe",
+    ).filter(F.element_at("qe_ns", len(_MRL_BUDGETS)) > 0)
+    c = with_prefix_norms(
+        e, "embedding", "vec_id", "neighbor_id", "ce"
+    ).filter(F.element_at("ce_ns", len(_MRL_BUDGETS)) > 0)
+
+    # dots fold ONCE per pair inside the budget structs; the explode
+    # fans the (budget, dot, qn, cn) quadruples out map-side
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("b"),
+                pdot(F.col("qe"), F.col("ce"), b).alias("d"),
+                F.element_at("qe_ns", i + 1).alias("qn"),
+                F.element_at("ce_ns", i + 1).alias("cn"),
+            )
+            for i, b in enumerate(_MRL_BUDGETS)
+        ]
+    )
     sims = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qe", "ce", budget)
-        .filter((qn > 0) & (cn > 0))
+        .select("query_id", "neighbor_id", F.explode(structs).alias("s"))
+        .filter((F.col("s.qn") > 0) & (F.col("s.cn") > 0))
         .select(
             "query_id",
             "neighbor_id",
-            F.col("budget").cast("long").alias("budget"),
-            (pdot(F.col("qe"), F.col("ce"), d) / (qn * cn)).alias("cos"),
+            F.col("s.b").alias("budget"),
+            (F.col("s.d") / (F.col("s.qn") * F.col("s.cn"))).alias("cos"),
         )
     )
     w = W.partitionBy("query_id", "budget").orderBy(

@@ -119,6 +119,13 @@ NOTES = {
     "scan-json-nested": "Nested JSON round trip: explicit nested schema (no deep-path inference pass), struct access + ONE lazy Generate (pinned), field pruning carries the struct through ReadSchema.",
     "embed-norm-outliers": "Pre-ANN health check: map-only norm fold, ONE label exchange serves the mean window AND the rollup (pinned: hashpartitioning args == [label]); norms snapped 6 dp at source, label mean over an ORDER-INDEPENDENT DECIMAL(18,6) sum, outlier rule 2*norm > 3*mean (no 1.5 literal - bare decimals carry engine-specific scales).",
     "agg-benford-digit": "Benford first-digit QA screen: digit extracted in EXACT integer space (first char of the integer-cents string - float log10 extraction misassigns edge values by ULP); the scan collapses map-side to <= flags x 9 rows and the chi-square window runs over that AGGREGATED relation (pinned: 2 exchanges). Expected shares are SHARED 12-dp literal constants (zero cross-libm risk); chi-square terms 9-dp-snapped DECIMAL(28,9) sums.",
+    "window-gap-fill": "Calendar densification by exploding the RUN between consecutive observed days (lag + sequence): one (user, day) rollup exchange + one user window exchange + a map-side Generate, NO join (pinned) - the calendar-spine formulation pays a spine build, a left join and a fill window over the DENSE relation; fanout per row = gap length, bounded by calendar span; daily sums exact decimal.",
+    "agg-cuped": "CUPED A/B readout from MERGEABLE per-variant moments: one corpus scan (pinned: 1 ReadSchema), one user_id shuffle folding pre/post sums conditionally, 2-row variant relation window-summed into pooled globals - the naive global+per-variant aggregate pair re-runs the scan and the user shuffle twice (the measured first cut). Moments exact DECIMAL cents/cent^2, cast ONCE to double, theta/rho^2 share textual IEEE order with the oracle.",
+    "embed-matryoshka": "MRL truncation audit on the I3 contract: anchors broadcast (BNLJ over one un-shuffled corpus scan, pinned), budget fanout a map-side 4x Generate, per-(anchor,budget) top-1 via partial+final WindowGroupLimit; prefix slice + sequential fold keeps cosines bit-identical cross-engine; zero full-norm AND zero prefix-norm guards on both sides.",
+    "graph-kcore": "Bounded k-core peel (Pregel member #5): per round two semi-joins restrict the cached adjacency to surviving endpoints + one map-side-combined degree agg; the 8-byte node relation localCheckpoints per round, removed slices stay LAZY unions over checkpoints (the K4 lesson); pinned: no cartesian/BNLJ anywhere.",
+    "etl-dq-audit": "Deequ-style check suite: each single-table family is ONE aggregate over ONE scan fanned to rows by a map-side stack (pinned: exactly 4 ReadSchema - a subquery per check would re-scan per metric); the RI join ships 8-byte keys only (pinned: both RI scans project just the key column); counts exact, rates single snapped divisions.",
+    "fn-ip-cidr": "IPv4 parse + RFC 1918 classification, synthesize-then-parse: split_part + integer arithmetic end to end, CIDR membership as integer RANGE predicates (prunable), /24 rollup key; map-only and UDF-free (pinned: no hashpartitioning, no BatchEvalPython).",
+    "sample-group-kfold": "Leakage-safe GroupKFold: cluster key = map-side xxhash64(norm_text), the grouping window shuffles (hash, doc_id, lang) - text never crosses the wire (pinned); fold = shared md5-prefix-60 of the cluster representative mod k; rollup k x langs-bounded; straddle-freedom itself is asserted in tests/test_r9b_ops.py.",
 }
 
 
