@@ -2128,14 +2128,14 @@ g AS (
 )
 SELECT variant, n_users, sum_x_cents, sum_y_cents,
        ROUND((CAST(sum_y_cents AS DOUBLE) / n_users) / 100, 9) AS mean_y,
-       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+       ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 9)
          AS theta,
        ROUND(((CAST(sum_y_cents AS DOUBLE) / n_users)
-              - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+              - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0))
                 * ((CAST(sum_x_cents AS DOUBLE) / n_users) - (sx / n)))
              / 100, 9) AS mean_y_cuped,
        ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-             / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+             / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0),
              9) AS var_reduction
 FROM g
 ORDER BY variant
@@ -2222,7 +2222,9 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    theta = num / den_x
+    # a degenerate covariate (constant X — e.g. a single user, or no
+    # pre-period at all) has no defined theta: NULL, not a 0/0 NaN
+    theta = num / F.nullif(den_x, F.lit(0.0))
     mean_y_d = F.col("sum_y_cents").cast("double") / F.col("n_users")
     mean_x_d = F.col("sum_x_cents").cast("double") / F.col("n_users")
     return j.select(
@@ -2236,5 +2238,7 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mean_y_d - theta * (mean_x_d - F.col("sx") / F.col("n"))) / 100,
             9,
         ).alias("mean_y_cuped"),
-        F.round(num * num / (den_x * den_y), 9).alias("var_reduction"),
+        F.round(
+            num * num / F.nullif(den_x * den_y, F.lit(0.0)), 9
+        ).alias("var_reduction"),
     ).orderBy("variant")

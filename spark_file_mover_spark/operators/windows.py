@@ -1125,12 +1125,12 @@ ri AS (
 )
 SELECT check_name, table_name, ROUND(metric, 9) AS metric, passed FROM (
   SELECT 'completeness_custkey' AS check_name, 'orders' AS table_name,
-         n_null_cust / n AS metric,
+         n_null_cust / NULLIF(n, 0) AS metric,
          CAST(CASE WHEN n_null_cust = 0 THEN 1 ELSE 0 END AS BIGINT)
            AS passed
   FROM o
   UNION ALL
-  SELECT 'uniqueness_orderkey', 'orders', 1 - n_distinct_key / n,
+  SELECT 'uniqueness_orderkey', 'orders', 1 - n_distinct_key / NULLIF(n, 0),
          CAST(CASE WHEN n_distinct_key = n THEN 1 ELSE 0 END AS BIGINT)
   FROM o
   UNION ALL
@@ -1150,7 +1150,7 @@ SELECT check_name, table_name, ROUND(metric, 9) AS metric, passed FROM (
          CAST(CASE WHEN n_bad_qty = 0 THEN 1 ELSE 0 END AS BIGINT)
   FROM l
   UNION ALL
-  SELECT 'ri_lineitem_orders', 'lineitem', n_orphan / n_keys,
+  SELECT 'ri_lineitem_orders', 'lineitem', n_orphan / NULLIF(n_keys, 0),
          CAST(CASE WHEN n_orphan = 0 THEN 1 ELSE 0 END AS BIGINT)
   FROM ri
 )
@@ -1208,9 +1208,9 @@ def etl_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o_checks = o_agg.selectExpr(
         """stack(5,
-           'completeness_custkey', 'orders', n_null_cust / n,
+           'completeness_custkey', 'orders', n_null_cust / nullif(n, 0),
                CAST(CASE WHEN n_null_cust = 0 THEN 1 ELSE 0 END AS BIGINT),
-           'uniqueness_orderkey', 'orders', 1 - n_distinct_key / n,
+           'uniqueness_orderkey', 'orders', 1 - n_distinct_key / nullif(n, 0),
                CAST(CASE WHEN n_distinct_key = n THEN 1 ELSE 0 END AS BIGINT),
            'min_totalprice_positive', 'orders', min_price,
                CAST(CASE WHEN min_price > 0 THEN 1 ELSE 0 END AS BIGINT),
@@ -1252,7 +1252,7 @@ def etl_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ri_checks = ri_agg.selectExpr(
         """stack(1,
-           'ri_lineitem_orders', 'lineitem', n_orphan / n_keys,
+           'ri_lineitem_orders', 'lineitem', n_orphan / nullif(n_keys, 0),
                CAST(CASE WHEN n_orphan = 0 THEN 1 ELSE 0 END AS BIGINT)
         ) AS (check_name, table_name, metric, passed)"""
     )

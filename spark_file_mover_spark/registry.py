@@ -67,23 +67,22 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # (~50 keys/round), so ``load_all`` rebuilds the registry dict in this
 # order after all modules import:
 #
-#   1. The 16 NEW r9 keys (second-session additions first:
-#      window-ewma-decay, agg-benford-digit, agg-quantile-exact,
-#      agg-entropy, window-range-rolling, graph-bfs-levels,
-#      text-winnowing; then join-scd2-temporal, dedup-semdedup,
-#      join-asof-nearest, agg-ks-drift, agg-hist-logbucket,
-#      window-session-batch, join-bloom-prefilter,
-#      sample-interleave-sources, text-ccnet-buckets) — new keys always
-#      go at the HEAD so they earn a driver row the round they land
-#      (the r7 lesson: 33 tail-added keys sat unscored for a round).
-#   2. Everything else in tools/stale_keys.py order as of r8 scoring:
-#      the r6-scored block first (2 rounds stale — the 50-key r8 cut
-#      re-scored the 31 late-r7 keys + the r5 J-block + 16 r6-stale
-#      keys, leaving these), then r7-scored, then r8-fresh keys last.
+#   1. The 47 NEW r9 keys, newest batch first — the continuation-4
+#      batch (window-gap-fill, agg-cuped, embed-matryoshka,
+#      graph-kcore, etl-dq-audit, fn-ip-cidr, sample-group-kfold),
+#      then each earlier r9 batch in reverse-landing order down to the
+#      first r9 batch (... text-ccnet-buckets). New keys always go at
+#      the HEAD so they earn a driver row the round they land (the r7
+#      lesson: 33 tail-added keys sat unscored for a round). 47 new
+#      keys fit the ~50-key cut with 3 slots to spare, so no r9 key
+#      ships sim-only — which is why the session froze additions at 47.
+#   2. The remaining ~3 scored slots (and the full tail, should the
+#      driver score deeper) in tools/stale_keys.py order as of r8
+#      scoring: the r6-scored block first (etl-scd2, etl-cdc-apply,
+#      set-union-intersect-except, ...), then r7, then r8-fresh last.
 #
-# The r8 rotation converged: every registered key now holds a driver
-# row ≤2 rounds old. Rebuild this list each round from
-# `python tools/stale_keys.py --list` with any new keys at the HEAD.
+# Rebuild this list each round from `python tools/stale_keys.py --list`
+# with any new keys at the HEAD; keep (new keys) ≤ (cut − a few slots).
 _PRIORITY_R9 = [
     "window-gap-fill",
     "agg-cuped",

@@ -310,6 +310,9 @@ _DOC_KEYS = [
     "sample-pack-sequences",
     "text-dup-span",
     "text-dup-cut",
+    # duplicate-heavy corpora force multi-doc clusters through the
+    # group-fold assignment (hash-group ≡ string-group, checksum)
+    "sample-group-kfold",
 ]
 
 
@@ -481,6 +484,9 @@ _EMB_KEYS = [
     "sim-search-ivf",
     "sim-search-lsh",
     "embed-ann-ivfpq",
+    # prefix-zero vectors (first d dims all zero) exercise I58's
+    # per-budget zero-norm exclusion; grid values its fold parity
+    "embed-matryoshka",
 ]
 
 
@@ -1099,4 +1105,78 @@ def test_json_nested_differential(rows, spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("njson")
     _write_docs_tbl(d, rows)
     ok, msg = _run_both("scan-json-nested", spark, d, ["documents"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_gap_fill_differential(rows, spark, tmp_path_factory):
+    """Random sparse daily series: single-day users (no gaps), multi-
+    day gaps (run explode), same-day duplicate events (decimal sums),
+    and day boundaries straddled by the sub-µs offsets."""
+    d = tmp_path_factory.mktemp("gapf")
+    _write_events(d, rows)
+    ok, msg = _run_both("window-gap-fill", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_cuped_differential(rows, spark, tmp_path_factory):
+    """Degenerate covariates on purpose: all users in one variant, a
+    constant/absent pre-period (var(X)=0 → NULL theta, not a 0/0 NaN),
+    single-user populations."""
+    d = tmp_path_factory.mktemp("cuped")
+    _write_events(d, rows)
+    ok, msg = _run_both("agg-cuped", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_ip_cidr_differential(rows, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("ipc")
+    _write_events(d, rows)
+    ok, msg = _run_both("fn-ip-cidr", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(
+    orows=st.lists(_ORDER_ROW, min_size=0, max_size=20),
+    lrows=st.lists(_LI_ROW, min_size=0, max_size=20),
+)
+@settings(**_SETTINGS)
+def test_dq_audit_differential(orows, lrows, spark, tmp_path_factory):
+    """Dirty-by-chance corpora: duplicate order keys (uniqueness),
+    lineitem FKs pointing past the order range (RI orphans), and EMPTY
+    tables (NULLIF-guarded rates, NULL min — both engines must agree
+    on the vacuous-pass flags)."""
+    d = tmp_path_factory.mktemp("dqa")
+    _write_orders(d, orows)
+    _write_lineitem(d, lrows)
+    ok, msg = _run_both(
+        "etl-dq-audit", spark, d, ["orders", "lineitem"]
+    )
+    assert ok, msg
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # user
+            st.integers(min_value=0, max_value=4),  # entity k
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_kcore_differential(rows, spark, tmp_path_factory):
+    """Random sparse graphs: full-peel graphs (everything degree-1),
+    stable cores, cascade removals across the 3 bounded rounds,
+    zero-degree survivors of a final-round neighbor removal."""
+    d = tmp_path_factory.mktemp("kcore")
+    padded = [rows[i % len(rows)] for i in range(20 * len(rows))]
+    _write_graph_events(d, padded)
+    ok, msg = _run_both("graph-kcore", spark, d, ["events"])
     assert ok, msg
