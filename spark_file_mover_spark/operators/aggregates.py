@@ -2161,7 +2161,10 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumed exactly once (a naive global-moments + per-variant pair
     of aggregates makes Catalyst re-run the corpus scan and user
     shuffle twice — plan-pinned against regression). No second pass
-    over the log, no driver collect.
+    over the log, no driver collect. The pooled window is UNPARTITIONED
+    by construction — it runs over the |variants|-row relation (2 rows
+    here, never more than the experiment's arm count), so the WindowExec
+    single-partition warning it triggers is about metadata, not data.
 
     Parity: per-user sums are exact DECIMAL cents (DECIMAL(18,0)), the
     cross moments are exact DECIMAL(38,0) sums of 36-digit products —

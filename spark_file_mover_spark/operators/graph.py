@@ -523,9 +523,12 @@ def _tri_relations(spark: SparkSession, sf_dir: str):
             .select(F.col("a.u").alias("x"), F.col("b.u").alias("y"))
             .distinct()
         )
+        # explode, not union-all: the two union branches would each
+        # re-run the unmaterialized pair join during this build
         deg = (
-            e.select(F.col("x").alias("node"))
-            .unionAll(e.select(F.col("y").alias("node")))
+            e.select(
+                F.explode(F.array(F.col("x"), F.col("y"))).alias("node")
+            )
             .groupBy("node")
             .agg(F.count("*").alias("degree"))
             .localCheckpoint(eager=True)
@@ -632,6 +635,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     All three joins shuffle the 16-byte edge relation only; per-node
     counts are a union-all + hash agg on node id.
 
+    4. (r9) The join inputs are repartitioned with an EXPLICIT
+       partition count (defaultParallelism): AQE coalesces shuffle
+       reads by input BYTES, and a 2 MB edge relation collapses to ~3
+       partitions — but the wedge join's OUTPUT is Σ outdeg² rows
+       (~10M at sf0.1), so the CPU-heavy stage ran 3-wide on 32
+       cores. Explicit-N repartition is exempt from AQE coalescing;
+       measured 2.2-3.0 s → ~0.8 s warm at sf0.1. The general lesson:
+       AQE sizes by bytes in, not rows out — a join whose fanout is
+       the cost needs its parallelism pinned.
+
     Parity: degrees, orientation, and counts are exact integer
     decisions; the clustering coefficient is one all-double division
     snapped to 9 dp (NULL for degree < 2).
@@ -643,7 +656,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive composition re-derives the whole events→projection DAG for
     each)."""
     eo, deg = _tri_relations(spark, sf_dir)
-    ea, eb, ec = eo.alias("ea"), eo.alias("eb"), eo.alias("ec")
+    par = spark.sparkContext.defaultParallelism
+    ea = eo.repartition(par, "dst").alias("ea")
+    eb = eo.repartition(par, "src").alias("eb")
+    ec = eo.alias("ec")
     tri = (
         ea.join(eb, F.col("eb.src") == F.col("ea.dst"))
         .join(
@@ -657,10 +673,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("eb.dst").alias("n3"),
         )
     )
+    # ONE pass: a union-all of tri.select(n1)/(n2)/(n3) re-executes the
+    # whole wedge+closing join per branch (Catalyst does not reuse
+    # unmaterialized subtrees — the E27 lesson, join-flavored); the
+    # explode fans each triangle to its three corners map-side.
+    # Measured 2.2-3.0 s → ~1 s warm at sf0.1.
     pn = (
-        tri.select(F.col("n1").alias("node"))
-        .unionAll(tri.select(F.col("n2").alias("node")))
-        .unionAll(tri.select(F.col("n3").alias("node")))
+        tri.select(
+            F.explode(
+                F.array(F.col("n1"), F.col("n2"), F.col("n3"))
+            ).alias("node")
+        )
         .groupBy("node")
         .agg(F.count("*").alias("tri_count"))
     )

@@ -97,7 +97,7 @@ NOTES = {
     "agg-distinct-bitmap": "Exact distinct via 62-bit bitmap words (the groupBitmap pattern): bit_or folds MAP-SIDE (pinned: partial_bit_or), so each split contributes <= distinct_ids/62 8-byte words per type to the exchange - a 62x wire reduction vs shuffling (type, user) pairs; popcount-sum is a second 2-phase agg; the exact-countDistinct audit join broadcasts (declared test scaffolding, the E15 precedent).",
     "agg-proportion-ztest": "A/B readout: ONE distinct over (type, user, variant) collapses map-side; the 2-row per-variant population broadcast onto the 5-row metric relation. z is one compound ALL-DOUBLE expression over exact BIGINT counts (bare literals are DECIMAL with engine-specific division scales - measured 0.53982486 vs 0.539818112 on identical inputs), snapped 9 dp; the significance flag branches on the SNAPPED z.",
     "window-streaks": "Gaps-and-islands: the scan collapses map-side to DISTINCT (user, day) - bounded by users x days, not event count; then ONE user_id exchange serves the row_number window, the island aggregate AND the per-user rollup (pinned: exactly 2 hash exchanges, both leading user_id; 2 Window nodes, no re-sort). All-integer day arithmetic.",
-    "graph-triangle-count": "Degree-oriented triangle enumeration (compact-forward): hot entities capped BEFORE the pair join (C(u,2) blowup), edges oriented src=(lower degree, id) so wedge fanout is sum outdeg^2 with outdeg <= O(sqrt(m)) instead of hub-quadratic, each triangle emitted exactly once (no /6 dedup). The oriented-edge + degree relations localCheckpoint per (app, corpus) - eo feeds THREE join inputs; uncached, the events->projection DAG re-derived per input (measured 4.6 s -> 0.2 s warm at sf0.1).",
+    "graph-triangle-count": "Degree-oriented triangle enumeration (compact-forward): hot entities capped BEFORE the pair join (C(u,2) blowup), edges oriented src=(lower degree, id) so wedge fanout is sum outdeg^2 with outdeg <= O(sqrt(m)) instead of hub-quadratic, each triangle emitted exactly once (no /6 dedup). The oriented-edge + degree relations localCheckpoint per (app, corpus) - eo feeds THREE join inputs; uncached, the events->projection DAG re-derived per input (measured 4.6 s -> 0.2 s warm at sf0.1). Two late-r9 fixes on the dense sf0.1 graph (110k edges/1447 nodes, 6.8M wedges, 2.37M triangles): per-node rollup via explode(array(n1,n2,n3)) - the union-all-of-three-projections form re-executed the whole wedge+closing join per branch - and explicit-N repartition of the join inputs (AQE coalesces by input BYTES; a 2 MB edge relation collapsed the 7M-row-output wedge stage to 3 partitions on 32 cores). 2.2-3.0 s -> ~1.0-1.6 s warm.",
     "dedup-edit-distance": "MOSS pipeline (sketch -> block -> exact verify): winnowing fingerprints leave the scan as 8-byte ints (text absent from candidate machinery - pinned); hot-fingerprint guard INSIDE the persisted relation (the bands contract, per (app, corpus)); pair join needs >= 3 shared fingerprints; the verify stage joins text for SURVIVING candidates only, applies the |len_a-len_b| lower bound as an integer predicate BEFORE the O(L^2) DP, and decides via lev*5 <= max_len in exact integers. Runs on the printable-ASCII projection (Spark levenshtein counts codepoints, DuckDB bytes - measured 2 vs 4 on the same UTF-8 pair).",
     "multimodal-gif-meta": "Third container family (GIF, little-endian): map-only, zero exchanges (pinned), LSD fields via LE u16 reads + div/mod bit fields, declared-GCT length arithmetic cross-checked against the payload; synthesize-then-parse with DIFFERENT moduli per bit field so no field aliases into another; genuine renderable GIF89a pinned in tests.",
     "window-zscore-anomaly": "Trailing z-score outlier screen: ONE user_id exchange + one (ts_us, event_id) sort serves count + both moment sums (single Window node, pinned); frame EXCLUDES the current row. Moments are exact integer sums over cents; variance numerator n*S2 - S1^2 and all degenerate-case decisions stay in BIGINT; z is one all-double expression snapped 9 dp, flag branches on the SNAPPED z.",
