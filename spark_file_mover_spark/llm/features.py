@@ -801,9 +801,14 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the bigram explode leaves the scan as token pairs that
     collapse MAP-SIDE into (x, y, count) — bounded by vocabulary², and
     in practice by the support filter, which also bounds the output;
-    unigram counts are a second map-side collapse joined back in (two
-    small hash joins over aggregated relations); corpus totals are a
-    broadcast scalar. Document text never shuffles.
+    unigram counts fold off the SHARED cached tf relation (the
+    tfidf/perplexity/ccnet artifact — a vocab-bounded aggregate over a
+    persisted relation, not a second corpus tokenization); the corpus
+    totals are WINDOW sums over the aggregated relations (r9 rework:
+    the first cut re-counted them from the unmaterialized bigram and
+    unigram subtrees, and Catalyst re-ran the corpus tokenization once
+    per consumer — 5 document scans in the audited plan, now 1 plus
+    the amortized tf build). Document text never shuffles.
 
     Parity: all counts exact integers; PMI is one all-double
     expression over exact operands, snapped to 9 dp AFTER the ln (the
@@ -832,22 +837,26 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("b.x", "b.y")
     )
-    cb = bi.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cb = (
+        bi.groupBy("x", "y")
+        .agg(F.count("*").alias("c_xy"))
+        .withColumn("n_bi", F.sum("c_xy").over(wall).cast("long"))
+    )
     uni = (
-        base.select(F.explode(tk).alias("tok"))
+        _tf_relation(spark, sf_dir)
         .groupBy("tok")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("tf").cast("long").alias("c"))
+        .withColumn("n_uni", F.sum("c").over(wall).cast("long"))
     )
-    tot = uni.agg(F.sum("c").cast("long").alias("n_uni")).crossJoin(
-        F.broadcast(bi.agg(F.count("*").alias("n_bi")))
+    ux = uni.select(
+        F.col("tok").alias("x"), F.col("c").alias("c_x"), "n_uni"
     )
-    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
     uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
     s = (
         cb.filter(F.col("c_xy") >= _PMI_MIN_COUNT)
         .join(ux, "x")
         .join(uy, "y")
-        .crossJoin(F.broadcast(tot))
     )
     pmi = F.round(
         F.log(

@@ -1957,15 +1957,24 @@ def agg_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     signup; earlier purchases don't count (the funnel is ordered).
 
     Shape: per-user firsts collapse map-side (min over (user, type)),
-    the ordering constraint is one window-free join on user_id, and
-    the lag percentiles ride the E19 distribution trick — the CDF
-    window runs over the DISTINCT-lag relation (bounded by value
-    cardinality), never the raw rows; no global sort.
+    the ordering constraint is one window-free LEFT join on user_id
+    (non-converts carry a NULL lag into a sentinel bucket), and the
+    lag percentiles ride the E19 distribution trick — the CDF window
+    runs over the DISTINCT-lag relation (bounded by value
+    cardinality), never the raw rows; no global sort. The whole
+    readout — n_signup, n_converted, rate AND both percentiles — is
+    derived from that ONE bucket histogram (r9 rework): the first cut
+    computed the counts as separate aggregates over the unmaterialized
+    signup/convert relations, and Catalyst re-ran the corpus scans and
+    the user join once per consumer (the E27/K5 re-execution class) —
+    two corpus slices are now scanned exactly once each.
 
     Parity: timestamps are exact epoch-microsecond integers, the rank
     thresholds use the (q·n+99) div 100 integer-ceil identity, picked
-    percentiles are actual input values selected by integer compare,
-    and the rate is one snapped division."""
+    percentiles are actual input values selected by integer compare
+    (the -1 non-convert sentinel is excluded by the bucket >= 0
+    guard — real lags are >= 0 by the funnel ordering), and the rate
+    is one snapped division."""
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros("ts")
     s = (
@@ -1973,37 +1982,46 @@ def agg_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min(us).alias("ts0"))
     )
-    c = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select("user_id", us.alias("tp"))
-        .join(s, "user_id")
-        .filter(F.col("tp") >= F.col("ts0"))
-        .groupBy("user_id")
-        .agg((F.min("tp") - F.max("ts0")).alias("lag_us"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("tp")
     )
+    per_user = (
+        s.join(p, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.min(F.when(F.col("tp") >= F.col("ts0"), F.col("tp")))
+                - F.max("ts0")
+            ).alias("lag_us")
+        )
+    )
+    h = per_user.groupBy(
+        F.coalesce(F.col("lag_us"), F.lit(-1)).alias("bucket")
+    ).agg(F.count("*").alias("n_d"))
     from pyspark.sql import Window as W
 
-    h = c.groupBy("lag_us").agg(F.count("*").alias("n_d"))
-    wcum = W.orderBy("lag_us").rowsBetween(W.unboundedPreceding, 0)
+    conv = F.when(F.col("bucket") >= 0, F.col("n_d")).otherwise(F.lit(0))
+    wcum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
     wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     cdf = h.select(
-        "lag_us",
-        F.sum("n_d").over(wcum).alias("cum"),
-        F.sum("n_d").over(wall).alias("n"),
+        "bucket",
+        F.sum(conv).over(wcum).alias("cum"),
+        F.sum("n_d").over(wall).alias("n_signup"),
+        F.sum(conv).over(wall).alias("n_conv"),
     )
     pick = lambda q: F.min(  # noqa: E731
         F.when(
-            F.col("cum") >= F.expr(f"({q} * n + 99) DIV 100"),
-            F.col("lag_us"),
+            (F.col("bucket") >= 0)
+            & (F.col("cum") >= F.expr(f"({q} * n_conv + 99) DIV 100")),
+            F.col("bucket"),
         )
     )
-    pcts = cdf.agg(
-        pick(50).alias("p50_lag_us"), pick(90).alias("p90_lag_us")
-    )
-    counts = s.agg(F.count("*").alias("n_signup")).crossJoin(
-        F.broadcast(c.agg(F.count("*").alias("n_converted")))
-    )
-    return counts.crossJoin(F.broadcast(pcts)).select(
+    return cdf.agg(
+        F.coalesce(F.max("n_signup"), F.lit(0)).alias("n_signup"),
+        F.coalesce(F.max("n_conv"), F.lit(0)).alias("n_converted"),
+        pick(50).alias("p50_lag_us"),
+        pick(90).alias("p90_lag_us"),
+    ).select(
         "n_signup",
         "n_converted",
         F.when(

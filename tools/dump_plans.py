@@ -103,14 +103,14 @@ NOTES = {
     "window-zscore-anomaly": "Trailing z-score outlier screen: ONE user_id exchange + one (ts_us, event_id) sort serves count + both moment sums (single Window node, pinned); frame EXCLUDES the current row. Moments are exact integer sums over cents; variance numerator n*S2 - S1^2 and all degenerate-case decisions stay in BIGINT; z is one all-double expression snapped 9 dp, flag branches on the SNAPPED z.",
     "agg-ols-trend": "Per-group OLS from raw moments: one partial+final hash agg collapses any row count to 6 exact numbers per group (pinned: 1 exchange, 0 windows); centered cross products in DECIMAL(38,0) (BIGINT overflows ~1e18 at bench scale); slope/intercept/r2 all-double over exact operands, snapped; REGR_* built-ins rejected as not oracle-comparable (engine-specific float accumulation order).",
     "etl-snapshot-diff": "Keyed data-diff: ONE full-outer shuffle join (pinned), membership + per-column comparison map-side after it; unchanged rows filtered out (the diff is the product); 3-column projection pushed into both scans; price compares in exact DECIMAL(12,2).",
-    "graph-jaccard-neighbors": "Top-k neighbor similarity: hot-entity cap BEFORE the pair join (broadcast guard, pinned), wedge join emits each co-interacting pair at its shared entity shuffling (u, v, count) triples only, degrees join as a 16-byte relation, WindowGroupLimit bounds the ranked list at k per user (pinned - no global ranked materialization).",
+    "graph-jaccard-neighbors": "Top-k neighbor similarity: hot-entity cap BEFORE the pair join (broadcast guard, pinned), wedge join emits each co-interacting pair at its shared entity shuffling (u, v, count) triples only, degrees join as a 16-byte relation, WindowGroupLimit bounds the ranked list at k per user (pinned - no global ranked materialization). Late-r9: the guarded edge + degree relations checkpoint per (app, corpus fingerprint) - fed three join inputs unmaterialized, each consumer re-derived the events scan -> distinct -> guard chain (8 corpus scans/invocation in the audited plan; now 0 parquet scans, checkpoint reads only).",
     "scan-text-lines": "Line-oriented text source round trip: write.text -> read.text -> three map-side parse expressions; newline-safe by construction (the content hash rides the line, not raw text); both write and read splittable (one line per record). The only exchange is the presentation sort.",
     "fn-url-parse": "Map-only URL component extraction (pinned: zero hash exchanges): one regexp_extract per component, regexes shared VERBATIM between engines (the Java-regex/RE2 common subset - no lookarounds); parse_url is the documented Spark-only production alternative with the same plan shape.",
     "window-period-over-period": "The lag window runs over the (type, day) AGGREGATED relation (pinned: partial+final agg first) - bounded by types x days regardless of event count; exact integer daily cents, pct one snapped all-double division, gap-day consecutiveness flag in integer arithmetic.",
-    "agg-conversion-lag": "Funnel lag readout: per-user firsts collapse map-side, the ordering constraint is one user_id join (never a raw-event window), and the exact p50/p90 ride the E19 CDF-over-DISTINCT-lags trick - no global sort, no collect; thresholds via the (q*n+99) DIV 100 integer-ceil identity.",
+    "agg-conversion-lag": "Funnel lag readout: per-user firsts collapse map-side, the ordering constraint is one user_id join (never a raw-event window), and the exact p50/p90 ride the E19 CDF-over-DISTINCT-lags trick - no global sort, no collect; thresholds via the (q*n_conv+99) DIV 100 integer-ceil identity. Late-r9: the whole readout (counts, rate, percentiles) derives from ONE bucket histogram with a -1 non-convert sentinel - the first cut counted signups/converts as separate aggregates over the unmaterialized relations and re-ran the corpus scans + user join per consumer (5 events scans -> 2, the semantic minimum).",
     "sim-search-hard-negatives": "The I3 contract with a label-inequality predicate riding the broadcast join map-side (negatives filtered before ranking): anchors broadcast, corpus scanned once and never shuffled (pinned), WindowGroupLimit keeps <= k rows per task; sequential-fold dot, per-side precomputed norms, zero-norm exclusion.",
     "agg-markov-transitions": "One per-user lag window collapsing into a (prev, next) hash agg - output <= (types+1) x types rows at any size; the probability normalizer windows over the AGGREGATED relation (pinned: 2 aggs, 2 windows); (ts_us, event_id) total order pins lag on ties.",
-    "text-collocations-pmi": "Bigram explode collapses map-side to (x, y, count) - bounded by vocab^2 and the support filter; unigram counts joined over aggregated relations; corpus totals broadcast scalars; text never crosses an exchange (pinned). PMI snapped 9 dp AFTER the ln (cross-libm differences ~1e-16, seven orders under the snap).",
+    "text-collocations-pmi": "Bigram explode collapses map-side to (x, y, count) - bounded by vocab^2 and the support filter; unigram counts fold off the SHARED cached tf relation (the tfidf/perplexity/ccnet artifact); corpus totals are window sums over the AGGREGATED relations (late-r9: the first cut re-counted them from the unmaterialized bigram/unigram subtrees - 5 corpus tokenizations per invocation -> 1 plus the amortized tf build); text never crosses an exchange (pinned). PMI snapped 9 dp AFTER the ln (cross-libm differences ~1e-16, seven orders under the snap).",
     "fn-time-buckets": "Map-only integer floor-division bucketing (pinned: zero exchanges): bucket boundaries are arithmetic facts on epoch us / epoch days - engine-independent bit-for-bit, inside whole-stage codegen, timezone-free (session pins UTC).",
     "text-langid-confusion": "Classifier eval as a query: the I11 marker-count CASE collapses into a langs^2 hash agg (pinned: 2 aggs), recall normalizer windows over the aggregated cells, text never crosses an exchange (pinned).",
     "dedup-profile": "Duplication histogram on the I1 contract: xxhash64(norm_text) group keys shuffle (pinned: no text/norm in exchanges), size histogram is a second agg over the cluster relation, share normalizers window over tens of rows.",
