@@ -333,6 +333,29 @@ the r10 judge should normalize common16 by the control (7.35/1.33 ≈
 the 6.4-7.2 r8 quiet band, i.e. no regression) rather than read the
 raw delta. Final driver sim: 142/142 hash-pass in 108.7 s under
 TZ=America/New_York. Full per-key precision: BENCH_FULL.json.
+
+**r9 continuation (post-snapshot session): 7 new keys (181 total) and
+the subtree re-execution audit.** HEADLINE grew 72 → 79 (gap-fill,
+CUPED, matryoshka, k-core, DQ audit, IP/CIDR, group k-fold — benched
+from birth, so `value` is again NOT cross-round comparable; the frozen
+sets are). The round snapshot's BENCH_FULL had recorded
+graph-triangle-count at 4.64 s — over budget; the audit (SCALE.md
+continuation-5) traced it to a union-all re-executing the wedge+closing
+join per branch PLUS an AQE bytes-based coalesce collapsing the
+7M-row-output stage to 3 partitions, and the same audit caught
+jaccard-neighbors (8 corpus scans → checkpointed relations),
+conversion-lag (5 → 2 scans, one-histogram readout) and PMI (5 → 1
+tokenizations, shared tf artifact — cross-round comparisons of PMI
+must note the contract change, the minhash/IVF precedent). Final
+quiet-ish sweep (control 1.40 vs its 1.11–1.25 band): common16 7.84 s /
+common20 10.43 s — control-normalized ≈ the 6.4–7.2 r8 quiet band, no
+regression; `over_budget: []`; worst non-control key 1.24 s
+(dedup-edit-distance); triangle-count 1.17 s. New keys: gap-fill 0.52,
+cuped 0.58, matryoshka 1.00 (2.26 before the per-row prefix-norm
+hoist), kcore 0.90, dq-audit 0.55, ip-cidr 0.25, group-kfold 0.28.
+Driver sim 181/181 hash-pass, 124 s quiet (the reworks also cut the
+sim ~8 s); the 50-key priority head costs 45.5 s cumulative — inside
+the driver's scoring budget with margin.
 """
 
 
