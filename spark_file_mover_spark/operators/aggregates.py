@@ -1819,13 +1819,15 @@ d AS (
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
        CASE WHEN n >= 2 AND cxx > 0 THEN
-         ROUND(CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE), 9) END AS slope,
+         FLOOR((CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE)) * 1e9 + 0.5)
+           / 1e9 END AS slope,
        CASE WHEN n >= 2 AND cxx > 0 THEN
-         ROUND((CAST(sy AS DOUBLE) - (CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE))
-                * CAST(sx AS DOUBLE)) / n, 9) END AS intercept,
+         FLOOR(((CAST(sy AS DOUBLE) - (CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / n) * 1e9 + 0.5) / 1e9 END AS intercept,
        CASE WHEN n >= 2 AND cxx > 0 AND cyy > 0 THEN
-         ROUND((CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE))
-               * (CAST(cxy AS DOUBLE) / CAST(cyy AS DOUBLE)), 9) END AS r2
+         FLOOR(((CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE))
+               * (CAST(cxy AS DOUBLE) / CAST(cyy AS DOUBLE))) * 1e9 + 0.5)
+           / 1e9 END AS r2
 FROM d ORDER BY event_type
 """
 
@@ -1883,30 +1885,38 @@ def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ok = (F.col("n") >= 2) & (F.col("cxx") > 0)
     slope = F.col("cxy").cast("double") / F.col("cxx").cast("double")
+
+    # snap9: floor(x*1e9 + 0.5)/1e9 as a TEXTUAL IEEE sequence instead
+    # of library ROUND. The engines' round(double, 9) implementations
+    # disagree on tie-adjacent values (Spark: HALF_UP over the
+    # shortest-decimal representation; DuckDB: multiply-based) — the
+    # randomized differential caught an n=8 intercept whose eighths
+    # terminate exactly on the 9-dp tie (…5465 → 547 vs 546). With the
+    # identical multiply/add/floor/divide sequence in both engines the
+    # snapped bits cannot diverge, whatever the tie convention.
+    snap9 = lambda c: F.floor(c * 1e9 + 0.5) / 1e9  # noqa: E731
     return d.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
-        F.when(ok, F.round(slope, 9)).alias("slope"),
+        F.when(ok, snap9(slope)).alias("slope"),
         F.when(
             ok,
-            F.round(
+            snap9(
                 (
                     F.col("sy").cast("double")
                     - slope * F.col("sx").cast("double")
                 )
-                / F.col("n"),
-                9,
+                / F.col("n")
             ),
         ).alias("intercept"),
         F.when(
             ok & (F.col("cyy") > 0),
-            F.round(
+            snap9(
                 slope
                 * (
                     F.col("cxy").cast("double")
                     / F.col("cyy").cast("double")
-                ),
-                9,
+                )
             ),
         ).alias("r2"),
     ).orderBy("event_type")

@@ -168,3 +168,31 @@ def test_group_kfold_no_cluster_straddles_folds(spark, sf_dir):
     out = registry.QUERIES["sample-group-kfold"](spark, sf_dir).collect()
     assert sum(r["n_docs"] for r in out) == total
     assert {r["fold"] for r in out} <= set(range(_KFOLD_K))
+
+
+def test_ols_snap_tie_regression(spark, tmp_path):
+    """The hypothesis-found cross-engine ROUND divergence, pinned
+    deterministically: n=8 clicks make the intercept an exact eighth
+    whose decimal expansion lands on the 9-dp tie (…5465), and Spark's
+    HALF_UP-over-shortest-decimal round disagreed with DuckDB's
+    multiply-based round (…547 vs …546). agg-ols-trend now snaps via
+    the textual floor(x*1e9 + 0.5)/1e9 sequence in BOTH engines, which
+    cannot diverge whatever each library's tie convention is."""
+    from tests.test_r9_properties import _run_both, _write_events
+
+    rows = [
+        (0, 0, 0, "click", 1),
+        (0, 0, 0, "view", 1),
+        (0, 0, 0, "view", 1),
+        (0, 0, 0, "view", 1),
+        (0, 0, 0, "click", 1),
+        (0, 0, 0, "click", 131),
+        (0, 0, 0, "click", 8937),
+        (0, 6, 0, "click", 1),
+        (0, 0, 0, "click", 16),
+        (0, 0, 0, "click", 93),
+        (0, 1, 0, "click", 1),
+    ]
+    _write_events(tmp_path, rows)
+    ok, msg = _run_both("agg-ols-trend", spark, tmp_path, ["events"])
+    assert ok, msg
