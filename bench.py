@@ -180,6 +180,9 @@ HEADLINE = [
     "etl-dq-audit",
     "fn-ip-cidr",
     "sample-group-kfold",
+    "agg-auc-rank",
+    "window-attribution",
+    "agg-srm-check",
 ]
 
 

@@ -2273,3 +2273,198 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             num * num / F.nullif(den_x * den_y, F.lit(0.0)), 9
         ).alias("var_reduction"),
     ).orderBy("variant")
+
+
+# ---------------------------------------------------------------------------
+# E28 — exact ROC-AUC via the rank-sum (Mann-Whitney) identity
+# ---------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH ex AS (
+  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+b AS (
+  SELECT score,
+         CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(SUM(1 - y) AS BIGINT) AS neg
+  FROM ex GROUP BY score
+),
+c AS (
+  SELECT score, pos, neg,
+         COALESCE(SUM(neg) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS neg_below,
+         SUM(pos) OVER () AS n_pos,
+         SUM(neg) OVER () AS n_neg
+  FROM b
+)
+SELECT CAST(MAX(n_pos) AS BIGINT) AS n_pos,
+       CAST(MAX(n_neg) AS BIGINT) AS n_neg,
+       CAST(SUM(CASE WHEN pos > 0 AND neg > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tied_scores,
+       CASE WHEN MAX(n_pos) > 0 AND MAX(n_neg) > 0 THEN
+         FLOOR((CAST(SUM(2 * neg_below * pos + pos * neg) AS DOUBLE)
+                / (2.0 * MAX(n_pos) * MAX(n_neg))) * 1e9 + 0.5) / 1e9
+       END AS auc,
+       CASE WHEN MAX(n_pos) > 0 AND MAX(n_neg) > 0 THEN
+         FLOOR(((CAST(SUM(2 * neg_below * pos + pos * neg) AS DOUBLE)
+                / (1.0 * MAX(n_pos) * MAX(n_neg))) - 1.0) * 1e9 + 0.5) / 1e9
+       END AS gini
+FROM c
+"""
+
+
+@query("agg-auc-rank", oracle=_AUC_ORACLE)
+def agg_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E28: EXACT ROC-AUC of a score column against a binary outcome
+    via the rank-sum identity (Mann-Whitney U; Hanley & McNeil 1982) —
+    model evaluation AS A QUERY, the complement of the langid confusion
+    matrix (I55) for continuous scorers: every model-in-the-loop
+    curation pipeline (quality scorer, spam classifier, relevance
+    ranker) reads AUC after retraining, and at corpus scale it has to
+    be computed BY THE ENGINE, not by scikit on a driver sample. Here
+    the fixture asks "does event value discriminate purchases from
+    clicks"; a deployment swaps the score/label projections.
+
+    Tie-exact formulation: examples collapse to per-SCORE (pos, neg)
+    buckets — bounded by value cardinality, never row count (the E19
+    distribution trick) — and AUC = sum(2 x neg_below x pos +
+    pos x neg) / (2 x n_pos x n_neg): the pos x neg term IS the
+    tied-pair half-credit doubled into integer space, so U2 is an
+    exact BIGINT and AUC is ONE double division. gini = 2 AUC - 1
+    computed from the same exact operands.
+
+    Shape at 100 TB: one filtered scan collapsing map-side into score
+    buckets, one bounded window pass over the bucket relation for the
+    exclusive below-count and the class totals, one final aggregate —
+    no per-row ranks, no global sort of examples. Degenerate single-
+    class inputs yield NULL AUC in both engines.
+
+    Parity: all counts exact integers; the division's operands are
+    bit-identical; the snap is the floor(x*1e9 + 0.5)/1e9 textual
+    sequence (the OLS tie-regression remedy — library ROUNDs disagree
+    on tie-adjacent values and AUC over small cohorts is exactly the
+    small-denominator rational that lands on ties)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    ex = e.filter(F.col("event_type").isin("purchase", "click")).select(
+        (dec("value") * 100).cast("long").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    b = ex.groupBy("score").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("neg"),
+    )
+    wbelow = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    c = b.select(
+        "score",
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(wbelow), F.lit(0)).alias("neg_below"),
+        F.sum("pos").over(wall).alias("n_pos"),
+        F.sum("neg").over(wall).alias("n_neg"),
+    )
+    u2 = F.sum(
+        2 * F.col("neg_below") * F.col("pos") + F.col("pos") * F.col("neg")
+    )
+    np_, nn = F.max("n_pos"), F.max("n_neg")
+    snap9 = lambda col: F.floor(col * 1e9 + 0.5) / 1e9  # noqa: E731
+    have_both = (np_ > 0) & (nn > 0)
+    return c.agg(
+        np_.cast("long").alias("n_pos"),
+        nn.cast("long").alias("n_neg"),
+        F.sum(((F.col("pos") > 0) & (F.col("neg") > 0)).cast("int"))
+        .cast("long")
+        .alias("n_tied_scores"),
+        F.when(
+            have_both,
+            snap9(u2.cast("double") / (2.0 * np_ * nn)),
+        ).alias("auc"),
+        F.when(
+            have_both,
+            snap9(u2.cast("double") / (1.0 * np_ * nn) - 1.0),
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E29 — sample-ratio-mismatch gate (experiment assignment health)
+# ---------------------------------------------------------------------------
+
+# chi-square df=1 critical value at p=0.05, shared literal (E23 style)
+_SRM_CRIT = "3.841458821"
+
+_SRM_ORACLE = f"""
+WITH u AS (
+  SELECT DISTINCT user_id,
+         {MD5_PREFIX60_SQL.format(x="CAST(user_id AS VARCHAR)")} % 2
+           AS variant
+  FROM events
+),
+c AS (
+  SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n0,
+         CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1
+  FROM u
+)
+SELECT n0, n1,
+       CASE WHEN n0 + n1 > 0 THEN
+         FLOOR((CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1))
+               * 1e9 + 0.5) / 1e9 END AS chi2,
+       CASE WHEN n0 + n1 > 0 THEN
+         FLOOR((CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1))
+               * 1e9 + 0.5) / 1e9 > {_SRM_CRIT}
+       END AS srm_detected
+FROM c
+"""
+
+
+@query("agg-srm-check", oracle=_SRM_ORACLE)
+def agg_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E29: sample-ratio-mismatch gate — the trust check every
+    experimentation platform runs BEFORE reading any A/B result
+    (Fabijan et al. 2019): if the 50/50 assignment's observed split is
+    chi-square-improbable, the experiment is corrupted (bot filtering,
+    logging loss, redirect bias) and E23's z-test / E27's CUPED
+    readout must not be believed. Completes the experiment-health
+    triptych: SRM gate -> z-test -> CUPED.
+
+    For two cells against a 50/50 expectation the chi-square statistic
+    collapses algebraically to (n0 - n1)^2 / n — an exact-integer
+    ratio, ONE double division. Assignment uses the shared
+    md5-prefix-60 user hash (the E23/I18 contract, engine-exact).
+
+    Shape at 100 TB: one DISTINCT over (user, variant) collapsing
+    map-side (the variant is a pure function of user_id, so the
+    distinct is really over users), then a 2-cell conditional count —
+    nothing else moves. Parity: exact counts; the statistic snaps via
+    the floor(x*1e9 + 0.5)/1e9 textual sequence and the flag branches
+    on the SNAPPED value against the shared critical literal (E23
+    discipline)."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.select(
+        "user_id",
+        F.pmod(
+            md5_prefix60(F.col("user_id").cast("string")), F.lit(2)
+        ).alias("variant"),
+    ).distinct()
+    c = u.agg(
+        F.sum((F.col("variant") == 0).cast("int")).cast("long").alias("n0"),
+        F.sum((F.col("variant") == 1).cast("int")).cast("long").alias("n1"),
+    )
+    n = F.col("n0") + F.col("n1")
+    diff = F.col("n0") - F.col("n1")
+    chi2 = (
+        F.floor((diff * diff).cast("double") / n * 1e9 + 0.5) / 1e9
+    )
+    return c.select(
+        "n0",
+        "n1",
+        F.when(n > 0, chi2).alias("chi2"),
+        F.when(n > 0, chi2 > float(_SRM_CRIT)).alias("srm_detected"),
+    )

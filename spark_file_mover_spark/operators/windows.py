@@ -1267,3 +1267,132 @@ def etl_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("check_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# F19 — last-touch marketing attribution (lookback-windowed)
+# ---------------------------------------------------------------------------
+
+_ATTR_LOOKBACK_US = 7 * 86400 * 1_000_000  # 7-day lookback
+
+_ATTRIBUTION_ORACLE = f"""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type, 0 AS kind, event_id,
+         CAST(NULL AS DECIMAL(12,2)) AS rev
+  FROM events WHERE event_type IN ('click', 'view')
+  UNION ALL
+  SELECT user_id, epoch_us(ts), event_type, 1, event_id,
+         CAST(value AS DECIMAL(12,2))
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT *,
+         last_value(CASE WHEN kind = 0 THEN us END IGNORE NULLS)
+           OVER w AS t_us,
+         last_value(CASE WHEN kind = 0 THEN event_type END IGNORE NULLS)
+           OVER w AS t_ch
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, kind, event_id
+                      ROWS UNBOUNDED PRECEDING)
+),
+p AS (
+  SELECT CASE WHEN t_us IS NOT NULL
+                   AND t_us >= us - {_ATTR_LOOKBACK_US}
+              THEN t_ch ELSE 'direct' END AS channel,
+         rev
+  FROM c WHERE kind = 1
+),
+a AS (
+  SELECT channel, COUNT(*) AS n_conversions, SUM(rev) AS srev
+  FROM p GROUP BY channel
+)
+SELECT channel, n_conversions,
+       CAST(srev AS DOUBLE) AS revenue,
+       FLOOR((CAST(n_conversions AS DOUBLE)
+              / SUM(n_conversions) OVER ()) * 1e9 + 0.5) / 1e9 AS share
+FROM a ORDER BY channel
+"""
+
+
+@query("window-attribution", oracle=_ATTRIBUTION_ORACLE)
+def window_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19: last-touch marketing attribution with a 7-day lookback —
+    every purchase credits the user's most recent click/view touch
+    within the window, else the 'direct' bucket; per-channel
+    conversion counts, attributed revenue and conversion share. The
+    revenue-allocation readout every growth/ads pipeline computes, and
+    the classic case where naive SQL goes quadratic (per-purchase
+    correlated subquery over touches).
+
+    Shape at 100 TB: the D9 union-and-carry contract — touches and
+    conversions union into ONE stream, one shuffle + sort per user
+    carries the latest touch forward with last(ignorenulls) (two
+    carried columns null out on the same rows, so they always travel
+    from the same touch row), the lookback is an integer-microsecond
+    predicate on the carried timestamp, and the channel rollup is a
+    channels-bounded hash agg. No inequality join, no per-conversion
+    probe; the share normalizer windows over the channel-count
+    relation.
+
+    Parity: exact integer microseconds, exact decimal revenue summed
+    order-independently and cast once to double, share snapped via the
+    floor(x*1e9 + 0.5)/1e9 textual sequence (the OLS tie-regression
+    remedy — conversion shares are small-denominator rationals)."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        us.alias("us"),
+        "event_type",
+        F.lit(0).alias("kind"),
+        "event_id",
+        F.lit(None).cast("decimal(12,2)").alias("rev"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        us.alias("us"),
+        "event_type",
+        F.lit(1).alias("kind"),
+        "event_id",
+        dec("value").alias("rev"),
+    )
+    t = touches.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_touch = F.col("kind") == 0
+    c = t.select(
+        "*",
+        F.last(F.when(is_touch, F.col("us")), ignorenulls=True)
+        .over(w)
+        .alias("t_us"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("t_ch"),
+    )
+    p = c.filter(F.col("kind") == 1).select(
+        F.when(
+            F.col("t_us").isNotNull()
+            & (F.col("t_us") >= F.col("us") - _ATTR_LOOKBACK_US),
+            F.col("t_ch"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        "rev",
+    )
+    a = p.groupBy("channel").agg(
+        F.count("*").alias("n_conversions"),
+        F.sum("rev").alias("srev"),
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    share = (
+        F.col("n_conversions").cast("double")
+        / F.sum("n_conversions").over(wall)
+    )
+    return a.select(
+        "channel",
+        "n_conversions",
+        F.col("srev").cast("double").alias("revenue"),
+        (F.floor(share * 1e9 + 0.5) / 1e9).alias("share"),
+    ).orderBy("channel")

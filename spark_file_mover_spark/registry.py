@@ -67,23 +67,28 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # (~50 keys/round), so ``load_all`` rebuilds the registry dict in this
 # order after all modules import:
 #
-#   1. The 47 NEW r9 keys, newest batch first — the continuation-4
-#      batch (window-gap-fill, agg-cuped, embed-matryoshka,
-#      graph-kcore, etl-dq-audit, fn-ip-cidr, sample-group-kfold),
-#      then each earlier r9 batch in reverse-landing order down to the
-#      first r9 batch (... text-ccnet-buckets). New keys always go at
-#      the HEAD so they earn a driver row the round they land (the r7
-#      lesson: 33 tail-added keys sat unscored for a round). 47 new
-#      keys fit the ~50-key cut with 3 slots to spare, so no r9 key
-#      ships sim-only — which is why the session froze additions at 47.
-#   2. The remaining ~3 scored slots (and the full tail, should the
-#      driver score deeper) in tools/stale_keys.py order as of r8
-#      scoring: the r6-scored block first (etl-scd2, etl-cdc-apply,
-#      set-union-intersect-except, ...), then r7, then r8-fresh last.
+#   1. The 50 NEW r9 keys, newest batch first — the eval/attribution
+#      trio (agg-auc-rank, window-attribution, agg-srm-check), the
+#      continuation-4 batch (window-gap-fill, agg-cuped,
+#      embed-matryoshka, graph-kcore, etl-dq-audit, fn-ip-cidr,
+#      sample-group-kfold), then each earlier r9 batch in
+#      reverse-landing order down to the first r9 batch
+#      (... text-ccnet-buckets). New keys always go at the HEAD so
+#      they earn a driver row the round they land (the r7 lesson: 33
+#      tail-added keys sat unscored for a round). 50 new keys fill the
+#      ~50-key cut EXACTLY — additions froze there; every r9 key earns
+#      a driver row and zero slots remain for stale refresh this round.
+#   2. The tail (scored only if the driver goes deeper) in
+#      tools/stale_keys.py order as of r8 scoring: the r6-scored block
+#      first (etl-scd2, etl-cdc-apply, set-union-intersect-except,
+#      ...), then r7, then r8-fresh last.
 #
 # Rebuild this list each round from `python tools/stale_keys.py --list`
 # with any new keys at the HEAD; keep (new keys) ≤ (cut − a few slots).
 _PRIORITY_R9 = [
+    "agg-auc-rank",
+    "window-attribution",
+    "agg-srm-check",
     "window-gap-fill",
     "agg-cuped",
     "embed-matryoshka",

@@ -1135,3 +1135,35 @@ def test_group_kfold_text_never_shuffles(spark, sf_dir):
     )
     for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(1)
+
+
+def test_auc_buckets_before_window(spark, sf_dir):
+    """E28: the type filter is pushed to the scan, examples collapse
+    map-side into score buckets BEFORE the single bounded window pass
+    — no per-row ranks, no global example sort."""
+    plan = _formatted_plan(spark, registry.QUERIES["agg-auc-rank"](spark, sf_dir))
+    assert "PushedFilters" in plan and "event_type" in plan.split("ReadSchema")[0]
+    # partial agg (score buckets) must appear below the Window in the tree
+    assert plan.index("HashAggregate") < plan.index("Window")
+
+
+def test_attribution_single_user_exchange(spark, sf_dir):
+    """F19: the union-and-carry stream rides ONE user_id exchange; no
+    join anywhere (the correlated-subquery formulation would show
+    one)."""
+    import re
+
+    plan = _formatted_plan(
+        spark, registry.QUERIES["window-attribution"](spark, sf_dir)
+    )
+    assert "Join" not in plan
+    hashparts = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert hashparts.count("user_id") == 1, hashparts
+
+
+def test_srm_map_side_distinct(spark, sf_dir):
+    """E29: the (user, variant) distinct collapses map-side (partial
+    agg before the exchange) and the scan reads only user_id."""
+    plan = _formatted_plan(spark, registry.QUERIES["agg-srm-check"](spark, sf_dir))
+    rs = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "user_id" in rs and "props" not in rs and "value" not in rs

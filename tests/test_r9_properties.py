@@ -1180,3 +1180,48 @@ def test_kcore_differential(rows, spark, tmp_path_factory):
     _write_graph_events(d, padded)
     ok, msg = _run_both("graph-kcore", spark, d, ["events"])
     assert ok, msg
+
+
+# _EVENT_ROW only emits click/view — the eval/attribution trio needs
+# purchases in the population (AUC's positive class, attribution's
+# conversions); same collision-forcing universes otherwise
+_EVENT_ROW_P = st.tuples(
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=0, max_value=29),
+    st.sampled_from([0, 1, 10**6, 1799_999_999, 1800_000_001]),
+    st.sampled_from(["click", "view", "purchase"]),
+    st.integers(min_value=1, max_value=30000),
+)
+
+
+@given(rows=st.lists(_EVENT_ROW_P, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_auc_rank_differential(rows, spark, tmp_path_factory):
+    """Duplicate-heavy scores force the tied-pair half-credit path;
+    single-class corpora (all-click or all-purchase draws) must yield
+    NULL AUC in both engines."""
+    d = tmp_path_factory.mktemp("auc")
+    _write_events(d, rows)
+    ok, msg = _run_both("agg-auc-rank", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW_P, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_attribution_differential(rows, spark, tmp_path_factory):
+    """Random touch/purchase interleavings: purchases with no prior
+    touch (direct), touches outside the 7-day lookback (the day
+    offsets span 29 days), same-timestamp touch+purchase ordering."""
+    d = tmp_path_factory.mktemp("attr")
+    _write_events(d, rows)
+    ok, msg = _run_both("window-attribution", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW_P, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_srm_differential(rows, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("srm")
+    _write_events(d, rows)
+    ok, msg = _run_both("agg-srm-check", spark, d, ["events"])
+    assert ok, msg

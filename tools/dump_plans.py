@@ -126,6 +126,9 @@ NOTES = {
     "etl-dq-audit": "Deequ-style check suite: each single-table family is ONE aggregate over ONE scan fanned to rows by a map-side stack (pinned: exactly 4 ReadSchema - a subquery per check would re-scan per metric); the RI join ships 8-byte keys only (pinned: both RI scans project just the key column); counts exact, rates single snapped divisions.",
     "fn-ip-cidr": "IPv4 parse + RFC 1918 classification, synthesize-then-parse: split_part + integer arithmetic end to end, CIDR membership as integer RANGE predicates (prunable), /24 rollup key; map-only and UDF-free (pinned: no hashpartitioning, no BatchEvalPython).",
     "sample-group-kfold": "Leakage-safe GroupKFold: cluster key = map-side xxhash64(norm_text), the grouping window shuffles (hash, doc_id, lang) - text never crosses the wire (pinned); fold = shared md5-prefix-60 of the cluster representative mod k; rollup k x langs-bounded; straddle-freedom itself is asserted in tests/test_r9b_ops.py.",
+    "agg-auc-rank": "Exact ROC-AUC via rank-sum: type filter pushed to the scan (pinned), examples collapse map-side into per-SCORE (pos, neg) buckets BEFORE the single bounded window pass (pinned: HashAggregate below Window) - bounded by value cardinality, never row count; tied pairs get exact half-credit via the doubled-integer U2; one division, floor-snap (the OLS tie remedy).",
+    "window-attribution": "Last-touch attribution on the D9 union-and-carry contract: touches + conversions in ONE stream, one user_id exchange (pinned: exactly one, no join - the correlated-subquery formulation is quadratic), last(ignorenulls) carries the latest touch, integer-us lookback predicate, channels-bounded rollup, floor-snapped share.",
+    "agg-srm-check": "Sample-ratio-mismatch gate: map-side DISTINCT over (user, md5-prefix-60 variant) with the scan reading only user_id (pinned); 2-cell chi-square collapses algebraically to (n0-n1)^2/n - one exact-integer ratio, floor-snapped, flag branches on the SNAPPED statistic.",
 }
 
 
