@@ -183,6 +183,10 @@ HEADLINE = [
     "agg-auc-rank",
     "window-attribution",
     "agg-srm-check",
+    "agg-welch-ttest",
+    "agg-chisq-independence",
+    "window-cusum-changepoint",
+    "graph-assortativity",
 ]
 
 

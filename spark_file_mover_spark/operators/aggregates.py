@@ -2468,3 +2468,362 @@ def agg_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n > 0, chi2).alias("chi2"),
         F.when(n > 0, chi2 > float(_SRM_CRIT)).alias("srm_detected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E30 — Welch two-sample t-test on per-user spend (unequal variances)
+# ---------------------------------------------------------------------------
+
+# Large-sample two-sided 5% critical value (N(0,1) 97.5th percentile).
+# Welch df at bench scale is ~population-sized, where t ≈ z; the flag
+# documents this convention — small-cohort callers compare t against
+# their own t-table using the emitted df.
+_WT_CRIT = "1.959963985"
+
+# Shared textual fragments — interpolated VERBATIM into the DuckDB
+# oracle and the Spark selectExpr chain so every double op runs the
+# identical IEEE sequence in both engines (the CUPED/OLS discipline).
+# Operands n{i} are BIGINT, c{i} DECIMAL(38,0)-exact centered sums.
+_WT_V0 = "CAST(c0 AS DOUBLE) / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0))"
+_WT_V1 = "CAST(c1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))"
+_WT_T = (
+    "(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / SQRT(a0 + a1)"
+)
+_WT_DF = (
+    "((a0 + a1) * (a0 + a1))"
+    " / (a0 * a0 / (CAST(n0 AS DOUBLE) - 1.0)"
+    " + a1 * a1 / (CAST(n1 AS DOUBLE) - 1.0))"
+)
+_WT_OK = "n0 >= 2 AND n1 >= 2 AND a0 + a1 > 0"
+
+_WELCH_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id % 2 AS v,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
+              AS BIGINT) AS yc
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT
+    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(COALESCE(SUM(CASE WHEN v = 0 THEN yc END), 0)
+         AS DECIMAL(38,0)) AS s0,
+    CAST(COALESCE(SUM(CASE WHEN v = 1 THEN yc END), 0)
+         AS DECIMAL(38,0)) AS s1,
+    CAST(COALESCE(SUM(CASE WHEN v = 0 THEN yc * yc END), 0)
+         AS DECIMAL(38,0)) AS q0,
+    CAST(COALESCE(SUM(CASE WHEN v = 1 THEN yc * yc END), 0)
+         AS DECIMAL(38,0)) AS q1
+  FROM per_user
+),
+c AS (
+  SELECT *,
+         CAST(n0 AS DECIMAL(38,0)) * q0 - s0 * s0 AS c0,
+         CAST(n1 AS DECIMAL(38,0)) * q1 - s1 * s1 AS c1
+  FROM m
+),
+vv AS (
+  SELECT *,
+         CASE WHEN n0 >= 2 THEN {_WT_V0} END AS v0,
+         CASE WHEN n1 >= 2 THEN {_WT_V1} END AS v1
+  FROM c
+),
+aa AS (
+  SELECT *, v0 / CAST(n0 AS DOUBLE) AS a0, v1 / CAST(n1 AS DOUBLE) AS a1
+  FROM vv
+)
+SELECT n0, n1,
+  CASE WHEN n0 >= 1 THEN FLOOR((CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+       / 100.0) * 1e9 + 0.5) / 1e9 END AS mean_0,
+  CASE WHEN n1 >= 1 THEN FLOOR((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+       / 100.0) * 1e9 + 0.5) / 1e9 END AS mean_1,
+  CASE WHEN {_WT_OK} THEN
+    FLOOR(({_WT_T}) * 1e9 + 0.5) / 1e9 END AS t_welch,
+  CASE WHEN {_WT_OK} THEN
+    FLOOR(({_WT_DF}) * 1e9 + 0.5) / 1e9 END AS df_welch,
+  COALESCE(ABS(CASE WHEN {_WT_OK} THEN
+    FLOOR(({_WT_T}) * 1e9 + 0.5) / 1e9 END)
+    > CAST({_WT_CRIT} AS DOUBLE), FALSE) AS significant
+FROM aa
+"""
+
+
+@query("agg-welch-ttest", oracle=_WELCH_ORACLE)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E30: Welch two-sample t-test on per-user TOTAL spend between
+    the two hash variants — the means test that closes the experiment
+    readout family: SRM (E29) gates assignment health, the z-test
+    (E23) reads conversion proportions, CUPED (E27) de-noises the
+    metric, and Welch answers "did average spend per user move?"
+    without the equal-variance assumption Student's t needs (variant
+    populations routinely have unequal spend variance — that is WHY
+    platforms default to Welch; Welch 1947).
+
+    Shape at 100 TB: one corpus shuffle to the per-user relation
+    (map-side-combinable conditional sums), then ONE one-row
+    conditional aggregate collapses any user count to six numbers
+    (n, Σy, Σy² per variant); the statistic is driver-free arithmetic
+    on that row. No second scan, no broadcast beyond the one-row
+    relation.
+
+    Parity: per-user cents are exact BIGINTs; the centered sums
+    n·Σy² − (Σy)² are DECIMAL(38,0)-exact (the OLS discipline); every
+    double expression — variance, SE terms, t, Welch–Satterthwaite df
+    — is a shared textual fragment interpolated verbatim into BOTH
+    engines' SQL, each division over exact-valued operands, snapped
+    via the floor(x·1e9+0.5)/1e9 sequence. Degenerate cohorts (either
+    variant < 2 users, zero pooled variance) → NULL t/df and a FALSE
+    flag in both engines; the flag branches on the SNAPPED t against
+    the shared critical literal (large-sample convention, documented
+    at _WT_CRIT)."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.coalesce((F.sum(dec("value")) * 100).cast("long"), F.lit(0))
+        .alias("yc")
+    ).select((F.col("user_id") % 2).alias("v"), "yc")
+    d38 = "decimal(38,0)"
+    m = pu.agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("v") == 0, F.col("yc"))), F.lit(0))
+        .cast(d38)
+        .alias("s0"),
+        F.coalesce(F.sum(F.when(F.col("v") == 1, F.col("yc"))), F.lit(0))
+        .cast(d38)
+        .alias("s1"),
+        F.coalesce(
+            F.sum(F.when(F.col("v") == 0, F.col("yc") * F.col("yc"))),
+            F.lit(0),
+        )
+        .cast(d38)
+        .alias("q0"),
+        F.coalesce(
+            F.sum(F.when(F.col("v") == 1, F.col("yc") * F.col("yc"))),
+            F.lit(0),
+        )
+        .cast(d38)
+        .alias("q1"),
+    )
+    c = m.withColumns(
+        {
+            "c0": F.expr("CAST(n0 AS DECIMAL(38,0)) * q0 - s0 * s0"),
+            "c1": F.expr("CAST(n1 AS DECIMAL(38,0)) * q1 - s1 * s1"),
+        }
+    )
+    vv = c.withColumns(
+        {
+            "v0": F.expr(f"CASE WHEN n0 >= 2 THEN {_WT_V0} END"),
+            "v1": F.expr(f"CASE WHEN n1 >= 2 THEN {_WT_V1} END"),
+        }
+    )
+    aa = vv.withColumns(
+        {
+            "a0": F.expr("v0 / CAST(n0 AS DOUBLE)"),
+            "a1": F.expr("v1 / CAST(n1 AS DOUBLE)"),
+        }
+    )
+    return aa.selectExpr(
+        "n0",
+        "n1",
+        "CASE WHEN n0 >= 1 THEN FLOOR((CAST(s0 AS DOUBLE)"
+        " / CAST(n0 AS DOUBLE) / 100.0) * 1e9 + 0.5) / 1e9 END AS mean_0",
+        "CASE WHEN n1 >= 1 THEN FLOOR((CAST(s1 AS DOUBLE)"
+        " / CAST(n1 AS DOUBLE) / 100.0) * 1e9 + 0.5) / 1e9 END AS mean_1",
+        f"CASE WHEN {_WT_OK} THEN"
+        f" FLOOR(({_WT_T}) * 1e9 + 0.5) / 1e9 END AS t_welch",
+        f"CASE WHEN {_WT_OK} THEN"
+        f" FLOOR(({_WT_DF}) * 1e9 + 0.5) / 1e9 END AS df_welch",
+        f"COALESCE(ABS(CASE WHEN {_WT_OK} THEN"
+        f" FLOOR(({_WT_T}) * 1e9 + 0.5) / 1e9 END)"
+        f" > CAST({_WT_CRIT} AS DOUBLE), FALSE) AS significant",
+    )
+
+
+# ---------------------------------------------------------------------------
+# E31 — chi-square test of independence (time-of-day × event type)
+# ---------------------------------------------------------------------------
+
+_CHI_US_6H = 6 * 3600 * 1_000_000
+_CHI_US_1D = 86400 * 1_000_000
+
+# Shared double fragments (verbatim in both engines). Operands: o, r, c,
+# n BIGINT exact; rc/num/den DECIMAL(38,0)-exact products. The expected
+# count and the standardized residual reuse the same textual sub-terms.
+_CHI_EXP = "CAST(rc AS DOUBLE) / CAST(n AS DOUBLE)"
+_CHI_CONTRIB = "CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"
+_CHI_STDRES = (
+    "(CAST(o AS DOUBLE) - CAST(rc AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / SQRT((CAST(rc AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (1.0 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))"
+)
+_CHI_STDRES_OK = "r < n AND c < n"
+
+_CHISQ_ORACLE = f"""
+WITH e AS (
+  SELECT CAST((epoch_us(ts) % {_CHI_US_1D}) // {_CHI_US_6H} AS BIGINT)
+           AS bucket,
+         event_type
+  FROM events
+),
+obs AS (
+  SELECT bucket, event_type, CAST(COUNT(*) AS BIGINT) AS o
+  FROM e GROUP BY 1, 2
+),
+cells AS (
+  SELECT b.bucket, t.event_type, COALESCE(obs.o, 0) AS o
+  FROM (SELECT DISTINCT bucket FROM obs) b
+  CROSS JOIN (SELECT DISTINCT event_type FROM obs) t
+  LEFT JOIN obs ON obs.bucket = b.bucket
+              AND obs.event_type = t.event_type
+),
+dims AS (
+  SELECT CAST(COUNT(DISTINCT bucket) AS BIGINT) AS nb,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS ne
+  FROM obs
+),
+tot AS (
+  SELECT bucket, event_type, o,
+         SUM(o) OVER (PARTITION BY bucket) AS r,
+         SUM(o) OVER (PARTITION BY event_type) AS c,
+         SUM(o) OVER () AS n,
+         nb, ne
+  FROM cells CROSS JOIN dims
+),
+x AS (
+  SELECT bucket, event_type, o, r, c, n, nb, ne,
+         CAST(r AS DECIMAL(38,0)) * c AS rc,
+         (CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c)
+           * (CAST(n AS DECIMAL(38,0)) * o
+              - CAST(r AS DECIMAL(38,0)) * c) AS num,
+         CAST(n AS DECIMAL(38,0)) * r * c AS den
+  FROM tot
+),
+y AS (
+  SELECT *,
+         FLOOR(({_CHI_CONTRIB}) * 1e9 + 0.5) AS contrib_i9
+  FROM x
+)
+SELECT bucket, event_type, o AS observed,
+       FLOOR(({_CHI_EXP}) * 1e9 + 0.5) / 1e9 AS expected,
+       contrib_i9 / 1e9 AS contribution,
+       CASE WHEN {_CHI_STDRES_OK} THEN
+         FLOOR(({_CHI_STDRES}) * 1e9 + 0.5) / 1e9 END AS std_residual,
+       COALESCE(ABS(CASE WHEN {_CHI_STDRES_OK} THEN
+         FLOOR(({_CHI_STDRES}) * 1e9 + 0.5) / 1e9 END) > 2.0, FALSE)
+         AS cell_flag,
+       CAST(SUM(CAST(contrib_i9 AS DECIMAL(18,0))) OVER () AS DOUBLE)
+         / 1e9 AS chi2_total,
+       CAST((nb - 1) * (ne - 1) AS BIGINT) AS df
+FROM y
+ORDER BY bucket, event_type
+"""
+
+
+@query("agg-chisq-independence", oracle=_CHISQ_ORACLE)
+def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E31: Pearson chi-square test of independence over the
+    time-of-day × event-type contingency table — "does the event mix
+    depend on when users are active?", the categorical-association
+    readout that complements the continuous tests (Welch E30, z E23):
+    segment × outcome, device × conversion, source × language are the
+    same query with different projections. Emits the full analyst
+    view: every cell with observed, expected, chi-square contribution
+    and its standardized (adjusted) residual — the per-cell signal
+    that localizes WHICH cells drive dependence (|stdres| > 2) — plus
+    the exact chi-square total and degrees of freedom on every row;
+    callers compare chi2_total against the critical value for df.
+
+    Shape at 100 TB: the time bucket is exact integer arithmetic on
+    epoch µs fused into the scan (the G10 contract); ONE hash
+    aggregate collapses the corpus to |buckets|×|types| observed
+    cells; the zero-cell completion cross-joins two DISTINCT
+    relations of that bounded table (a proper contingency table
+    includes empty cells — their expected counts still contribute);
+    margins come from windows over the CELL relation. Nothing after
+    the first aggregate touches raw rows.
+
+    Parity: counts and margins are exact BIGINTs; n·O − R·C and its
+    square are DECIMAL(38,0)-exact (n·O ~ 1e10 at bench scale already
+    overflows the square in BIGINT); each cell's contribution is
+    snapped to an INTEGER-VALUED double (floor(x·1e9+0.5), < 2^53),
+    cast losslessly to DECIMAL(18,0) and summed exactly — the total
+    is order-independent (the E20 entropy mechanism, tie-safe via the
+    floor-snap). The residual's guard (R<n and C<n) NULLs the cells
+    where the adjusted denominator degenerates (single-row or
+    single-column tables) in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr(
+            f"(unix_micros(ts) % {_CHI_US_1D}) DIV {_CHI_US_6H}"
+        ).alias("bucket"),
+        "event_type",
+    )
+    obs = e.groupBy("bucket", "event_type").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    b = obs.select("bucket").distinct()
+    t = obs.select("event_type").distinct()
+    cells = (
+        b.crossJoin(t)
+        # obs is |buckets|x|types|-bounded at ANY corpus size:
+        # broadcast it so the zero-cell completion never shuffles
+        .join(F.broadcast(obs), ["bucket", "event_type"], "left")
+        .select(
+            "bucket",
+            "event_type",
+            F.coalesce(F.col("o"), F.lit(0).cast("long")).alias("o"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    dims = obs.agg(
+        F.countDistinct("bucket").cast("long").alias("nb"),
+        F.countDistinct("event_type").cast("long").alias("ne"),
+    )
+    wb = W.partitionBy("bucket")
+    we = W.partitionBy("event_type")
+    wall = W.partitionBy()
+    tot = cells.select(
+        "bucket",
+        "event_type",
+        "o",
+        F.sum("o").over(wb).alias("r"),
+        F.sum("o").over(we).alias("c"),
+        F.sum("o").over(wall).alias("n"),
+    ).crossJoin(F.broadcast(dims))
+    x = tot.withColumns(
+        {
+            "rc": F.expr("CAST(r AS DECIMAL(38,0)) * c"),
+            "num": F.expr(
+                "(CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0))"
+                " * c) * (CAST(n AS DECIMAL(38,0)) * o"
+                " - CAST(r AS DECIMAL(38,0)) * c)"
+            ),
+            "den": F.expr("CAST(n AS DECIMAL(38,0)) * r * c"),
+        }
+    )
+    y = x.withColumn(
+        "contrib_i9", F.expr(f"FLOOR(({_CHI_CONTRIB}) * 1e9 + 0.5)")
+    )
+    return y.selectExpr(
+        "bucket",
+        "event_type",
+        "o AS observed",
+        f"FLOOR(({_CHI_EXP}) * 1e9 + 0.5) / 1e9 AS expected",
+        "contrib_i9 / 1e9 AS contribution",
+        f"CASE WHEN {_CHI_STDRES_OK} THEN"
+        f" FLOOR(({_CHI_STDRES}) * 1e9 + 0.5) / 1e9 END AS std_residual",
+        f"COALESCE(ABS(CASE WHEN {_CHI_STDRES_OK} THEN"
+        f" FLOOR(({_CHI_STDRES}) * 1e9 + 0.5) / 1e9 END) > 2.0, FALSE)"
+        " AS cell_flag",
+        "CAST(SUM(CAST(contrib_i9 AS DECIMAL(18,0)))"
+        " OVER (PARTITION BY 1) AS DOUBLE) / 1e9 AS chi2_total",
+        "CAST((nb - 1) * (ne - 1) AS BIGINT) AS df",
+    ).orderBy("bucket", "event_type")

@@ -1003,3 +1003,131 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# K8 — degree assortativity (Newman's r over the co-interaction graph)
+# ---------------------------------------------------------------------------
+
+
+def _assort_oracle() -> str:
+    return f"""
+WITH fwd AS (
+  SELECT DISTINCT user_id AS u, CAST(props->>'k' AS BIGINT) AS k
+  FROM events WHERE event_id % {_LPA_EDGE_MOD} = 0
+),
+kept AS (
+  SELECT k FROM fwd GROUP BY k
+  HAVING COUNT(*) <= {_TRI_MAX_ENT_USERS}
+),
+e AS (
+  SELECT DISTINCT a.u AS x, b.u AS y
+  FROM fwd a JOIN fwd b ON a.k = b.k AND a.u < b.u
+  JOIN kept ON kept.k = a.k
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT x AS node FROM e UNION ALL SELECT y FROM e
+  ) GROUP BY node
+),
+ed AS (
+  SELECT da.degree AS dj, db.degree AS dk
+  FROM e JOIN deg da ON da.node = e.x JOIN deg db ON db.node = e.y
+),
+mm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(COALESCE(SUM(dj + dk), 0) AS DECIMAL(38,0)) AS s1,
+         CAST(COALESCE(SUM(dj * dj + dk * dk), 0) AS DECIMAL(38,0)) AS s2,
+         CAST(COALESCE(SUM(dj * dk), 0) AS DECIMAL(38,0)) AS sp
+  FROM ed
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+x AS (
+  SELECT m, s1, s2, sp, n_nodes,
+         4 * CAST(m AS DECIMAL(38,0)) * sp - s1 * s1 AS num,
+         2 * CAST(m AS DECIMAL(38,0)) * s2 - s1 * s1 AS den
+  FROM mm CROSS JOIN nn
+)
+SELECT n_nodes, m AS m_edges,
+       CASE WHEN n_nodes > 0 THEN
+         FLOOR((CAST(2 * m AS DOUBLE) / CAST(n_nodes AS DOUBLE))
+               * 1e9 + 0.5) / 1e9 END AS mean_degree,
+       CASE WHEN den <> 0 THEN
+         FLOOR((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * 1e9 + 0.5)
+           / 1e9 END AS assortativity
+FROM x
+"""
+
+
+@query("graph-assortativity", oracle=_assort_oracle())
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8: degree assortativity — Newman's r (Newman 2002, "Assortative
+    mixing in networks"): the Pearson correlation of endpoint degrees
+    across edges, THE one-number mixing summary a graph pipeline
+    reports next to the degree distribution: r > 0 hubs link hubs
+    (social cores), r < 0 hubs link leaves (star/broadcast topology) —
+    and the property that decides whether K5's orientation trick or
+    K7's peeling converge fast on this graph.
+
+    Over the undirected co-interaction graph (the K5 edge contract:
+    hot-entity-guarded distinct pairs), with each undirected edge
+    counted once and both orientations folded symmetrically:
+    r = (4M·Σjk − S₁²) / (2M·Σ(j²+k²) − S₁²), S₁ = Σ(j+k) — the
+    standard undirected rearrangement of Pearson over the 2M directed
+    stubs. Degrees and M are exact BIGINTs, the three edge moments
+    collapse map-side, cross products are DECIMAL(38,0)-exact (the
+    E24 discipline), and r is ONE double division snapped via
+    floor(x·1e9+0.5)/1e9; regular graphs (zero degree variance,
+    den = 0) → NULL in both engines.
+
+    Shape at 100 TB: reuses the CACHED (edges, degrees) relations the
+    triangle/k-core/jaccard keys share (one localCheckpoint per
+    corpus fingerprint — edges are derived once, consumed by four
+    keys); the per-edge degree attach is two shuffle joins on node id
+    (deg is node-cardinality — never broadcast), then ONE one-row
+    aggregate. Nothing iterates; cost is one pass over the edge list.
+
+    Reference scope note: the reference engine (56-line Scala output
+    committer) has no graph surface; this is EXT, mandated by the
+    north-star pipeline (graph-shaped corpus QA)."""
+    eo, deg = _tri_relations(spark, sf_dir)
+    da = deg.select(F.col("node").alias("src"), F.col("degree").alias("dj"))
+    db = deg.select(F.col("node").alias("dst"), F.col("degree").alias("dk"))
+    ed = eo.join(da, "src").join(db, "dst").select("dj", "dk")
+    d38 = "decimal(38,0)"
+    mm = ed.agg(
+        F.count("*").cast("long").alias("m"),
+        F.coalesce(F.sum(F.col("dj") + F.col("dk")), F.lit(0))
+        .cast(d38)
+        .alias("s1"),
+        F.coalesce(
+            F.sum(F.col("dj") * F.col("dj") + F.col("dk") * F.col("dk")),
+            F.lit(0),
+        )
+        .cast(d38)
+        .alias("s2"),
+        F.coalesce(F.sum(F.col("dj") * F.col("dk")), F.lit(0))
+        .cast(d38)
+        .alias("sp"),
+    )
+    nn = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    x = mm.crossJoin(F.broadcast(nn)).withColumns(
+        {
+            "num": F.expr(
+                "4 * CAST(m AS DECIMAL(38,0)) * sp - s1 * s1"
+            ),
+            "den": F.expr(
+                "2 * CAST(m AS DECIMAL(38,0)) * s2 - s1 * s1"
+            ),
+        }
+    )
+    return x.selectExpr(
+        "n_nodes",
+        "m AS m_edges",
+        "CASE WHEN n_nodes > 0 THEN"
+        " FLOOR((CAST(2 * m AS DOUBLE) / CAST(n_nodes AS DOUBLE))"
+        " * 1e9 + 0.5) / 1e9 END AS mean_degree",
+        "CASE WHEN den <> 0 THEN"
+        " FLOOR((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * 1e9 + 0.5)"
+        " / 1e9 END AS assortativity",
+    )

@@ -1396,3 +1396,138 @@ def window_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("srev").cast("double").alias("revenue"),
         (F.floor(share * 1e9 + 0.5) / 1e9).alias("share"),
     ).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# F20 — CUSUM changepoint screen over daily metric series
+# ---------------------------------------------------------------------------
+
+# Excursion threshold on the normalized CUSUM |S_k / (n·T)|. S_k is the
+# cumulative sum of scaled deviations n·x_i − T, so S_k/(n·T) is the
+# running "fraction of total spend ahead of / behind schedule" — 0.02
+# flags a sustained ±2% drift, the conventional screening level.
+_CUSUM_THR = "0.02"
+
+_CUSUM_ORACLE = f"""
+WITH d AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
+              AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(x) OVER (PARTITION BY event_type) AS t
+  FROM d
+),
+s AS (
+  SELECT *,
+         SUM(CAST(n AS DECIMAL(38,0)) * x - t) OVER (
+             PARTITION BY event_type ORDER BY day_num
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cus,
+         CAST(n AS DECIMAL(38,0)) * t AS nt
+  FROM m
+),
+z AS (
+  SELECT *, MAX(ABS(cus)) OVER (PARTITION BY event_type) AS mx
+  FROM s
+),
+zz AS (
+  SELECT *, MIN(CASE WHEN ABS(cus) = mx THEN day_num END)
+             OVER (PARTITION BY event_type) AS cp_day
+  FROM z
+)
+SELECT event_type, day_num, x AS day_cents,
+       CAST(cus AS DOUBLE) AS cusum_scaled,
+       CASE WHEN t > 0 THEN
+         FLOOR((CAST(cus AS DOUBLE) / CAST(nt AS DOUBLE)) * 1e9 + 0.5)
+           / 1e9 END AS cusum_rel,
+       COALESCE(ABS(CASE WHEN t > 0 THEN
+         FLOOR((CAST(cus AS DOUBLE) / CAST(nt AS DOUBLE)) * 1e9 + 0.5)
+           / 1e9 END) > CAST({_CUSUM_THR} AS DOUBLE), FALSE) AS breach,
+       day_num = cp_day AS is_changepoint
+FROM zz
+ORDER BY event_type, day_num
+"""
+
+
+@query("window-cusum-changepoint", oracle=_CUSUM_ORACLE)
+def window_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20: CUSUM changepoint screen (Page 1954) per daily metric
+    series — the drift detector that catches what the pointwise
+    screens miss: a small SUSTAINED level shift never trips a z-score
+    (F14) or an EWMA band (F16), but its deviations accumulate
+    linearly in the CUSUM. Emits the running statistic, a normalized
+    excursion flag, and the classic changepoint estimate: the day of
+    maximum |CUSUM| is the maximum-likelihood split point for a
+    single mean shift (ties → earliest day, exact-integer argmax).
+
+    Exact-arithmetic formulation: with n days and total T cents,
+    deviation from the series mean is scaled by n — d_k = n·x_k − T —
+    so the cumulative S_k stays an exact DECIMAL(38,0) integer
+    (division-free; S_n telescopes to 0). The normalized statistic
+    S_k/(n·T) is "fraction of total volume ahead/behind schedule";
+    both it and the breach flag come from ONE double division over
+    exact operands, snapped (floor(x·1e9+0.5)/1e9), the flag
+    branching on the SNAPPED value. The argmax day needs NO floats:
+    |S_k| = max|S| is a DECIMAL comparison.
+
+    Shape at 100 TB: one hash aggregate collapses the corpus to
+    (series, day) rows; every window after that — totals, running
+    sum, max, argmax — rides ONE exchange on event_type and one sort
+    by day over the day-cardinality relation. Series whose day count
+    outgrows a partition shard by (series, year) with per-shard
+    offsets (the F12 escape hatch). Degenerate series (T = 0) yield
+    NULL normalized CUSUM and FALSE breach in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_num"),
+    ).agg(
+        F.coalesce((F.sum(dec("value")) * 100).cast("long"), F.lit(0))
+        .alias("x")
+    )
+    wp = W.partitionBy("event_type")
+    wrun = wp.orderBy("day_num").rowsBetween(W.unboundedPreceding, 0)
+    m = d.select(
+        "event_type",
+        "day_num",
+        "x",
+        F.count("*").over(wp).alias("n"),
+        F.sum("x").over(wp).alias("t"),
+    )
+    s = m.select(
+        "*",
+        F.sum(
+            F.expr("CAST(n AS DECIMAL(38,0)) * x - t")
+        )
+        .over(wrun)
+        .alias("cus"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * t").alias("nt"),
+    )
+    z = s.select("*", F.max(F.abs(F.col("cus"))).over(wp).alias("mx"))
+    zz = z.select(
+        "*",
+        F.min(
+            F.when(F.abs(F.col("cus")) == F.col("mx"), F.col("day_num"))
+        )
+        .over(wp)
+        .alias("cp_day"),
+    )
+    rel = (
+        f"CASE WHEN t > 0 THEN FLOOR((CAST(cus AS DOUBLE)"
+        f" / CAST(nt AS DOUBLE)) * 1e9 + 0.5) / 1e9 END"
+    )
+    return zz.selectExpr(
+        "event_type",
+        "day_num",
+        "x AS day_cents",
+        "CAST(cus AS DOUBLE) AS cusum_scaled",
+        f"{rel} AS cusum_rel",
+        f"COALESCE(ABS({rel}) > CAST({_CUSUM_THR} AS DOUBLE), FALSE)"
+        " AS breach",
+        "day_num = cp_day AS is_changepoint",
+    ).orderBy("event_type", "day_num")

@@ -1167,3 +1167,55 @@ def test_srm_map_side_distinct(spark, sf_dir):
     plan = _formatted_plan(spark, registry.QUERIES["agg-srm-check"](spark, sf_dir))
     rs = plan.split("ReadSchema")[1].splitlines()[0]
     assert "user_id" in rs and "props" not in rs and "value" not in rs
+
+
+def test_welch_one_row_aggregate(spark, sf_dir):
+    """E30: one per-user shuffle then a one-row conditional aggregate;
+    the scan reads only (user_id, value) — no ts, no props, no join."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["agg-welch-ttest"](spark, sf_dir)
+    )
+    assert "Join" not in plan
+    rs = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "user_id" in rs and "value" in rs
+    assert "props" not in rs and "ts" not in rs
+
+
+def test_chisq_broadcast_cell_completion(spark, sf_dir):
+    """E31: the zero-cell completion cross join runs over the bounded
+    DISTINCT relations via broadcast (never a shuffle of cells), and
+    raw rows collapse in the FIRST hash aggregate — every window runs
+    over the cell relation, above the aggregate in the tree."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["agg-chisq-independence"](spark, sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # formatted plans print root-first: the windows (margins) must sit
+    # ABOVE the first hash aggregate (cell collapse) in the tree, i.e.
+    # every window consumes the bounded cell relation, never raw rows
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_cusum_single_series_exchange(spark, sf_dir):
+    """F20: after the (series, day) aggregate, totals + running sum +
+    max + argmax all ride exchanges on event_type only — no join, no
+    extra wide shuffle of raw rows."""
+    import re
+
+    plan = _formatted_plan(
+        spark, registry.QUERIES["window-cusum-changepoint"](spark, sf_dir)
+    )
+    assert "Join" not in plan
+    hashparts = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert set(hashparts) <= {"event_type"}, hashparts
+
+
+def test_assortativity_no_broadcast_of_degrees(spark, sf_dir):
+    """K8: the per-edge degree attach keeps deg on the shuffle path
+    (node-cardinality relation, never broadcast); the only broadcast
+    is the one-row node-count scalar."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["graph-assortativity"](spark, sf_dir)
+    )
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

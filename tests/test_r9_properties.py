@@ -1225,3 +1225,62 @@ def test_srm_differential(rows, spark, tmp_path_factory):
     _write_events(d, rows)
     ok, msg = _run_both("agg-srm-check", spark, d, ["events"])
     assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW_P, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_welch_ttest_differential(rows, spark, tmp_path_factory):
+    """Random user/spend draws: single-variant corpora (all users hash
+    to one side -> NULL t), singleton cohorts (n=1 -> NULL), zero
+    pooled variance (every user identical spend), NULL-value users."""
+    d = tmp_path_factory.mktemp("welch")
+    _write_events(d, rows)
+    ok, msg = _run_both("agg-welch-ttest", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW_P, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_chisq_differential(rows, spark, tmp_path_factory):
+    """Sparse contingency tables exercise the zero-cell completion
+    (missing (bucket, type) pairs contribute expected-only cells),
+    single-row / single-column tables hit the residual guard, and
+    duplicate-heavy draws land contributions on 9-dp ties."""
+    d = tmp_path_factory.mktemp("chisq")
+    _write_events(d, rows)
+    ok, msg = _run_both("agg-chisq-independence", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW_P, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_cusum_differential(rows, spark, tmp_path_factory):
+    """Random daily series: single-day series (CUSUM telescopes to 0,
+    that day is the changepoint), tied |CUSUM| maxima (earliest-day
+    rule), zero-total series (NULL normalized statistic)."""
+    d = tmp_path_factory.mktemp("cusum")
+    _write_events(d, rows)
+    ok, msg = _run_both("window-cusum-changepoint", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # user
+            st.integers(min_value=0, max_value=4),  # entity k
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_assortativity_differential(rows, spark, tmp_path_factory):
+    """Random sparse graphs: empty edge sets (no co-interaction pair
+    -> zero-row moments, NULL r), regular graphs (zero degree
+    variance -> den=0 -> NULL), stars (strongly negative r)."""
+    d = tmp_path_factory.mktemp("assort")
+    padded = [rows[i % len(rows)] for i in range(20 * len(rows))]
+    _write_graph_events(d, padded)
+    ok, msg = _run_both("graph-assortativity", spark, d, ["events"])
+    assert ok, msg

@@ -129,6 +129,10 @@ NOTES = {
     "agg-auc-rank": "Exact ROC-AUC via rank-sum: type filter pushed to the scan (pinned), examples collapse map-side into per-SCORE (pos, neg) buckets BEFORE the single bounded window pass (pinned: HashAggregate below Window) - bounded by value cardinality, never row count; tied pairs get exact half-credit via the doubled-integer U2; one division, floor-snap (the OLS tie remedy).",
     "window-attribution": "Last-touch attribution on the D9 union-and-carry contract: touches + conversions in ONE stream, one user_id exchange (pinned: exactly one, no join - the correlated-subquery formulation is quadratic), last(ignorenulls) carries the latest touch, integer-us lookback predicate, channels-bounded rollup, floor-snapped share.",
     "agg-srm-check": "Sample-ratio-mismatch gate: map-side DISTINCT over (user, md5-prefix-60 variant) with the scan reading only user_id (pinned); 2-cell chi-square collapses algebraically to (n0-n1)^2/n - one exact-integer ratio, floor-snapped, flag branches on the SNAPPED statistic.",
+    "agg-welch-ttest": "Welch t-test: one corpus shuffle to per-user cents, ONE one-row conditional aggregate (n, sum, sum-sq per variant); centered sums DECIMAL(38,0)-exact, t/df as shared textual double fragments, floor-snapped; scan reads (user_id, value) only.",
+    "agg-chisq-independence": "Chi-square independence: integer 6h bucket fused into the scan, ONE hash agg to bounded cells, zero-cell completion via broadcast cross join of two DISTINCT relations, margins as windows over the CELL relation; contributions snapped to integer-valued doubles summed exactly in DECIMAL(18,0).",
+    "window-cusum-changepoint": "CUSUM: one hash agg to (series, day); totals, running sum, max, argmax all ride ONE event_type exchange + day sort; the running statistic and argmax stay DECIMAL-exact (division-free), one snapped division for the normalized readout.",
+    "graph-assortativity": "Assortativity: reuses the cached K5 (edges, degrees) localCheckpoints; two node-id shuffle joins attach endpoint degrees, then ONE one-row aggregate of three exact moments; DECIMAL(38,0) cross products, one snapped division.",
 }
 
 
