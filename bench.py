@@ -187,6 +187,9 @@ HEADLINE = [
     "agg-chisq-independence",
     "window-cusum-changepoint",
     "graph-assortativity",
+    "fn-useragent-parse",
+    "window-rolling-corr",
+    "agg-gini-coefficient",
 ]
 
 

@@ -35,9 +35,9 @@ SELECT c_custkey,
        lower(c_mktsegment) AS seg_lower,
        substr(c_name, 1, 8) AS name_prefix,
        length(c_name) AS name_len,
-       concat(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS seg_tag,
+       concat(c_mktsegment, '#', CAST(c_custkey AS STRING)) AS seg_tag,
        trim(concat('  ', c_name, '  ')) AS name_trimmed,
-       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+       lpad(CAST(c_custkey AS STRING), 10, '0') AS key_padded,
        regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
        regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
        levenshtein(c_mktsegment, 'BUILDING') AS seg_lev,
@@ -231,7 +231,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAPJSON_ORACLE = """
 SELECT event_id, event_type,
        CAST(json_extract(props, '$.k') AS INTEGER) AS k_value,
-       CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_string,
+       CAST(json_extract_string(props, '$.k') AS STRING) AS k_string,
        json_valid(props) AS is_valid_json,
        CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
        CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) >= 50
@@ -285,11 +285,11 @@ SELECT o_orderkey,
             WHEN o_totalprice > 10000 THEN 'medium'
             ELSE 'small' END AS size_band,
        CAST(TRUNC(o_totalprice) AS BIGINT) AS price_int,  -- Spark cast truncates, DuckDB rounds
-       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING) AS price_str,
        CAST(o_orderkey AS DOUBLE) AS key_dbl,
        strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS date_str,
        CAST(strptime('2024-06-15 12:30:00', '%Y-%m-%d %H:%M:%S')
-            AS VARCHAR) AS fixed_ts_str,
+            AS STRING) AS fixed_ts_str,
        COALESCE(NULLIF(o_orderstatus, 'P'), 'was_pending') AS status_coalesced
 FROM orders
 """
@@ -587,13 +587,13 @@ WITH synth AS (
   SELECT event_id,
          CAST(CASE event_id % 5
               WHEN 0 THEN 10 WHEN 1 THEN 172 WHEN 2 THEN 192
-              ELSE 1 + (event_id * 7) % 223 END AS VARCHAR)
+              ELSE 1 + (event_id * 7) % 223 END AS STRING)
          || '.' ||
          CAST(CASE event_id % 5
               WHEN 1 THEN 16 + event_id % 16 WHEN 2 THEN 168
-              ELSE (event_id * 11) % 256 END AS VARCHAR)
-         || '.' || CAST((event_id * 13) % 256 AS VARCHAR)
-         || '.' || CAST(1 + (event_id * 3) % 254 AS VARCHAR) AS ip
+              ELSE (event_id * 11) % 256 END AS STRING)
+         || '.' || CAST((event_id * 13) % 256 AS STRING)
+         || '.' || CAST(1 + (event_id * 3) % 254 AS STRING) AS ip
   FROM events WHERE event_id % 17 = 0
 ),
 parsed AS (
@@ -618,8 +618,8 @@ SELECT event_id, ip, ip_num,
            THEN 'private-192-168'
          ELSE 'public'
        END AS cidr_class,
-       CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
-         || CAST(o3 AS VARCHAR) || '.0/24' AS net24
+       CAST(o1 AS STRING) || '.' || CAST(o2 AS STRING) || '.'
+         || CAST(o3 AS STRING) || '.0/24' AS net24
 FROM num ORDER BY event_id
 """
 
@@ -700,4 +700,125 @@ def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o2").cast("string"),
             F.concat(F.col("o3").cast("string"), F.lit(".0/24")),
         ).alias("net24"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# G12 — user-agent parse + bot classification
+# ---------------------------------------------------------------------------
+
+# Synthesized UA population (6 shapes cycling on event_id, versions
+# varied by different moduli so no field aliases another): Chrome and
+# Firefox on desktop, Safari on macOS, Chrome-on-iOS (the CriOS
+# precedence trap — contains Safari AND Mobile), Googlebot, curl. The
+# synth is ONE shared SQL fragment evaluated verbatim by both engines
+# (the G11 synthesize-then-parse contract).
+_UA_SYNTH = """CASE event_id % 6
+  WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64)'
+    || ' AppleWebKit/537.36 (KHTML, like Gecko) Chrome/'
+    || CAST(100 + event_id % 30 AS STRING) || '.0.0.0 Safari/537.36'
+  WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7)'
+    || ' AppleWebKit/605.1.15 (KHTML, like Gecko) Version/'
+    || CAST(14 + event_id % 4 AS STRING) || '.0 Safari/605.1.15'
+  WHEN 2 THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:'
+    || CAST(90 + event_id % 20 AS STRING)
+    || '.0) Gecko/20100101 Firefox/'
+    || CAST(90 + event_id % 20 AS STRING) || '.0'
+  WHEN 3 THEN 'Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X)'
+    || ' AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/'
+    || CAST(100 + event_id % 30 AS STRING)
+    || '.0.0.0 Mobile/15E148 Safari/604.1'
+  WHEN 4 THEN
+    'Mozilla/5.0 (compatible; Googlebot/2.1;'
+    || ' +http://www.google.com/bot.html)'
+  ELSE 'curl/8.' || CAST(event_id % 10 AS STRING) || '.0'
+END"""
+
+# Family precedence is the classic UA-parse ordering (uap-core):
+# bots first (Googlebot claims Mozilla/5.0), then CLI tools, then
+# CriOS BEFORE Safari (Chrome-on-iOS carries the Safari token), then
+# Firefox/Chrome, then Version/+Safari = real Safari.
+_UA_FAMILY = """CASE
+  WHEN ua LIKE '%bot%' OR ua LIKE '%Bot%' THEN 'bot'
+  WHEN ua LIKE 'curl/%' THEN 'curl'
+  WHEN ua LIKE '%CriOS/%' THEN 'chrome'
+  WHEN ua LIKE '%Firefox/%' THEN 'firefox'
+  WHEN ua LIKE '%Chrome/%' THEN 'chrome'
+  WHEN ua LIKE '%Version/%' AND ua LIKE '%Safari/%' THEN 'safari'
+  ELSE 'other'
+END"""
+
+_UA_MAJOR = """CAST(NULLIF(CASE
+  WHEN ua LIKE '%bot%' OR ua LIKE '%Bot%'
+    THEN regexp_extract(ua, 'bot/([0-9]+)', 1)
+  WHEN ua LIKE 'curl/%' THEN regexp_extract(ua, 'curl/([0-9]+)', 1)
+  WHEN ua LIKE '%CriOS/%' THEN regexp_extract(ua, 'CriOS/([0-9]+)', 1)
+  WHEN ua LIKE '%Firefox/%'
+    THEN regexp_extract(ua, 'Firefox/([0-9]+)', 1)
+  WHEN ua LIKE '%Chrome/%' THEN regexp_extract(ua, 'Chrome/([0-9]+)', 1)
+  WHEN ua LIKE '%Version/%' AND ua LIKE '%Safari/%'
+    THEN regexp_extract(ua, 'Version/([0-9]+)', 1)
+  ELSE '' END, '') AS BIGINT)"""
+
+_UA_OS = """CASE
+  WHEN ua LIKE '%Windows NT%' THEN 'windows'
+  WHEN ua LIKE '%iPhone%' THEN 'ios'
+  WHEN ua LIKE '%Mac OS X%' THEN 'macos'
+  WHEN ua LIKE '%Linux%' THEN 'linux'
+  ELSE 'other'
+END"""
+
+_UA_IS_BOT = "ua LIKE '%bot%' OR ua LIKE '%Bot%' OR ua LIKE 'curl/%'"
+_UA_IS_MOBILE = "ua LIKE '%Mobile%' OR ua LIKE '%iPhone%'"
+
+_UA_ORACLE = f"""
+WITH synth AS (
+  SELECT event_id, {_UA_SYNTH} AS ua
+  FROM events WHERE event_id % 13 = 0
+)
+SELECT event_id, ua,
+       {_UA_FAMILY} AS family,
+       {_UA_MAJOR} AS major_version,
+       {_UA_OS} AS os,
+       {_UA_IS_BOT} AS is_bot,
+       {_UA_IS_MOBILE} AS is_mobile
+FROM synth ORDER BY event_id
+"""
+
+
+@query("fn-useragent-parse", oracle=_UA_ORACLE)
+def fn_useragent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12: user-agent parse + bot classification — the access-log
+    twin of G11 (IP/CIDR): family, major version, OS, mobile flag and
+    the is_bot gate every crawl-derived corpus filters on BEFORE
+    anything else (bot sessions poison dedup statistics, funnel
+    metrics and training data alike). Precedence is the uap-core
+    ordering: bots claim themselves first (Googlebot also says
+    Mozilla/5.0), CLI tools next, CriOS before Safari (Chrome-on-iOS
+    carries the Safari token — the classic misparse), Version/+Safari
+    last so bare 'Safari/' in Chrome UAs never wins.
+
+    The synthesize-then-parse contract (G9/G11/I52): six UA shapes are
+    derived from event_id by ONE shared SQL fragment both engines
+    evaluate verbatim; the parser re-derives every output from the
+    string alone via LIKE guards + one regexp_extract per family
+    (regexes in the Java-regex ∩ RE2 subset; non-matches extract as
+    '' in both engines, NULLIF-guarded before the integer cast).
+
+    Shape at 100 TB: map-only, fused into the scan, zero shuffles, no
+    UDF — LIKE, CASE and regexp_extract are whole-stage-codegen
+    expressions in Spark and vectorized in DuckDB. The modulus filter
+    only bounds the driver compare."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 13 == 0
+    )
+    synth = e.selectExpr("event_id", f"{_UA_SYNTH} AS ua")
+    return synth.selectExpr(
+        "event_id",
+        "ua",
+        f"{_UA_FAMILY} AS family",
+        f"{_UA_MAJOR} AS major_version",
+        f"{_UA_OS} AS os",
+        f"{_UA_IS_BOT} AS is_bot",
+        f"{_UA_IS_MOBILE} AS is_mobile",
     ).orderBy("event_id")

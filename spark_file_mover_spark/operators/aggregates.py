@@ -2827,3 +2827,130 @@ def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         " OVER (PARTITION BY 1) AS DOUBLE) / 1e9 AS chi2_total",
         "CAST((nb - 1) * (ne - 1) AS BIGINT) AS df",
     ).orderBy("bucket", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# E32 — Gini coefficient of per-user spend (+ top-decile share)
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
+              AS BIGINT) AS yc
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT yc,
+         ROW_NUMBER() OVER (ORDER BY yc, user_id) AS i,
+         ROW_NUMBER() OVER (ORDER BY yc DESC, user_id DESC) AS j,
+         COUNT(*) OVER () AS nn
+  FROM per_user
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(yc), 0) AS DECIMAL(38,0)) AS t,
+         CAST(COALESCE(SUM(CAST(i AS DECIMAL(38,0)) * yc), 0)
+              AS DECIMAL(38,0)) AS siy,
+         CAST(COALESCE(SUM(CASE WHEN j <= (nn + 9) // 10
+                                THEN yc END), 0) AS DECIMAL(38,0)) AS topd
+  FROM r
+)
+SELECT n AS n_users,
+       CAST(t AS BIGINT) AS total_cents,
+       CAST((n + 9) // 10 AS BIGINT) AS top_decile_users,
+       CASE WHEN t > 0 THEN
+         FLOOR((CAST(2 * siy - (CAST(n AS DECIMAL(38,0)) + 1) * t
+                     AS DOUBLE)
+                / CAST(CAST(n AS DECIMAL(38,0)) * t AS DOUBLE))
+               * 1e9 + 0.5) / 1e9 END AS gini,
+       CASE WHEN t > 0 THEN
+         FLOOR((CAST(topd AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9 + 0.5)
+           / 1e9 END AS top_decile_share
+FROM m
+"""
+
+
+@query("agg-gini-coefficient", oracle=_GINI_ORACLE)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E32: Gini coefficient of the per-user spend distribution plus
+    the top-decile revenue share — the concentration readout every
+    marketplace/ads/usage pipeline reports ("how whale-dominated is
+    revenue?") and, in corpus curation, the same query over per-domain
+    document counts answers "is the crawl one giant host?". Uses the
+    sorted-rank identity G = (2·Σi·y_(i) − (n+1)·T)/(n·T) — exact on
+    ties because equal values contribute the same regardless of their
+    order within a tie run (the rank tiebreak on user_id merely makes
+    each engine's row numbering deterministic).
+
+    Parity: per-user cents exact BIGINTs; rank products accumulate in
+    DECIMAL(38,0) (i·y ~ 1e11 already at bench scale, and the sum is
+    n× that); both output ratios are ONE double division over exact
+    operands, snapped floor(x·1e9+0.5)/1e9; an all-zero-spend
+    population (T = 0) → NULL ratios in both engines. The top decile
+    is the exact integer ceil(n/10) by descending rank.
+
+    Shape at 100 TB: one corpus shuffle to the per-user relation,
+    then one global sort of USER-cardinality rows serving both rank
+    directions (two windows, one ordering each), one final one-row
+    aggregate. The global sort is the honest cost of an exact Gini;
+    the documented scale path is per-segment partitioning (add the
+    segment to every PARTITION BY) or the binned approximation over
+    the E19 value-distribution relation when user cardinality
+    outgrows a sort."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.coalesce((F.sum(dec("value")) * 100).cast("long"), F.lit(0))
+        .alias("yc")
+    )
+    r = pu.select(
+        "yc",
+        F.row_number()
+        .over(W.orderBy("yc", "user_id"))
+        .alias("i"),
+        F.row_number()
+        .over(W.orderBy(F.col("yc").desc(), F.col("user_id").desc()))
+        .alias("j"),
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    d38 = "decimal(38,0)"
+    m = r.select(
+        "yc",
+        "i",
+        "j",
+        F.count("*").over(wall).alias("nn"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(F.sum("yc"), F.lit(0)).cast(d38).alias("t"),
+        F.coalesce(
+            F.sum(F.col("i").cast(d38) * F.col("yc")), F.lit(0)
+        )
+        .cast(d38)
+        .alias("siy"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("j") <= F.expr("(nn + 9) DIV 10"),
+                    F.col("yc"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast(d38)
+        .alias("topd"),
+    )
+    return m.selectExpr(
+        "n AS n_users",
+        "CAST(t AS BIGINT) AS total_cents",
+        "CAST((n + 9) DIV 10 AS BIGINT) AS top_decile_users",
+        "CASE WHEN t > 0 THEN"
+        " FLOOR((CAST(2 * siy - (CAST(n AS DECIMAL(38,0)) + 1) * t"
+        " AS DOUBLE)"
+        " / CAST(CAST(n AS DECIMAL(38,0)) * t AS DOUBLE))"
+        " * 1e9 + 0.5) / 1e9 END AS gini",
+        "CASE WHEN t > 0 THEN"
+        " FLOOR((CAST(topd AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9 + 0.5)"
+        " / 1e9 END AS top_decile_share",
+    )

@@ -1531,3 +1531,129 @@ def window_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS breach",
         "day_num = cp_day AS is_changepoint",
     ).orderBy("event_type", "day_num")
+
+
+# ---------------------------------------------------------------------------
+# F21 — rolling correlation between two daily series
+# ---------------------------------------------------------------------------
+
+_RCORR_DAYS = 13  # trailing window: current day + 13 preceding = 14 calendar days
+
+# Shared textual fragments: operands cn (window day count BIGINT) and
+# the centered DECIMAL(38,0) cross-products cxy/cxx/cyy. The window is
+# RANGE-based on the integer day number — 14 CALENDAR days, so gapped
+# series correlate over what actually happened, not the last 14 rows.
+_RCORR_R = (
+    "CAST(cxy AS DOUBLE)"
+    " / SQRT(CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE))"
+)
+_RCORR_OK = "cn >= 2 AND cxx > 0 AND cyy > 0"
+
+_RCORR_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT day_num, x, y,
+         COUNT(*) OVER win AS cn,
+         CAST(SUM(x) OVER win AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(y) OVER win AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(x * y) OVER win AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(x * x) OVER win AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(y * y) OVER win AS DECIMAL(38,0)) AS syy
+  FROM d
+  WINDOW win AS (ORDER BY day_num
+                 RANGE BETWEEN {_RCORR_DAYS} PRECEDING AND CURRENT ROW)
+),
+c AS (
+  SELECT day_num, x, y, cn,
+         CAST(cn AS DECIMAL(38,0)) * sxy - sx * sy AS cxy,
+         CAST(cn AS DECIMAL(38,0)) * sxx - sx * sx AS cxx,
+         CAST(cn AS DECIMAL(38,0)) * syy - sy * sy AS cyy
+  FROM w
+)
+SELECT day_num, x AS clicks, y AS purchases,
+       CAST(cn AS BIGINT) AS n_days,
+       CASE WHEN {_RCORR_OK} THEN
+         FLOOR(({_RCORR_R}) * 1e9 + 0.5) / 1e9 END AS rolling_corr
+FROM c ORDER BY day_num
+"""
+
+
+@query("window-rolling-corr", oracle=_RCORR_ORACLE)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21: rolling Pearson correlation between two daily series —
+    clicks vs purchases over a trailing 14-calendar-day window: the
+    co-movement monitor ("did conversions decouple from traffic this
+    week?") that completes the series toolkit — F14/F16/F20 watch ONE
+    series for anomaly/drift/shift, this watches the RELATIONSHIP
+    between two; a correlation collapse with stable volumes is the
+    classic symptom of broken tracking or bot inflation. The same
+    query correlates any metric pair by swapping the two conditional
+    sums.
+
+    The window is RANGE-based on the exact integer day number, not
+    ROWS — gapped series (days with no events) correlate over the 14
+    CALENDAR days that actually happened, and the day-count output
+    exposes how full each window was (callers gate on n_days).
+
+    Parity: daily counts are exact BIGINTs; the five window moments
+    are exact sums; centered cross-products n·Σxy − ΣxΣy are
+    DECIMAL(38,0) (the E24/E30 discipline); r is ONE double division
+    over a product-of-casts denominator, snapped floor(x·1e9+0.5)/1e9;
+    degenerate windows (single day, zero variance in either series)
+    → NULL in both engines.
+
+    Shape at 100 TB: one hash aggregate collapses the corpus to one
+    row per day; ALL six window moments ride a single global
+    day-ordered frame over that day-cardinality relation — for
+    per-key correlations add the key to the partition clause and the
+    exchange shuffles key-bounded rows, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_num")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    win = W.orderBy("day_num").rangeBetween(-_RCORR_DAYS, 0)
+    d38 = "decimal(38,0)"
+    w = d.select(
+        "day_num",
+        "x",
+        "y",
+        F.count("*").over(win).alias("cn"),
+        F.sum("x").over(win).cast(d38).alias("sx"),
+        F.sum("y").over(win).cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).cast(d38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).cast(d38).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).cast(d38).alias("syy"),
+    )
+    c = w.select(
+        "day_num",
+        "x",
+        "y",
+        "cn",
+        F.expr("CAST(cn AS DECIMAL(38,0)) * sxy - sx * sy").alias("cxy"),
+        F.expr("CAST(cn AS DECIMAL(38,0)) * sxx - sx * sx").alias("cxx"),
+        F.expr("CAST(cn AS DECIMAL(38,0)) * syy - sy * sy").alias("cyy"),
+    )
+    return c.selectExpr(
+        "day_num",
+        "x AS clicks",
+        "y AS purchases",
+        "CAST(cn AS BIGINT) AS n_days",
+        f"CASE WHEN {_RCORR_OK} THEN"
+        f" FLOOR(({_RCORR_R}) * 1e9 + 0.5) / 1e9 END AS rolling_corr",
+    ).orderBy("day_num")

@@ -86,6 +86,9 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # Rebuild this list each round from `python tools/stale_keys.py --list`
 # with any new keys at the HEAD; keep (new keys) ≤ (cut − a few slots).
 _PRIORITY_R9 = [
+    "fn-useragent-parse",
+    "window-rolling-corr",
+    "agg-gini-coefficient",
     "agg-welch-ttest",
     "agg-chisq-independence",
     "window-cusum-changepoint",

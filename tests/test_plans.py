@@ -1219,3 +1219,35 @@ def test_assortativity_no_broadcast_of_degrees(spark, sf_dir):
         spark, registry.QUERIES["graph-assortativity"](spark, sf_dir)
     )
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_useragent_map_only(spark, sf_dir):
+    """G12: synthesize-then-parse is map-only — no shuffle, no join,
+    no aggregate; the event_id modulus filter reaches the scan."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["fn-useragent-parse"](spark, sf_dir)
+    )
+    assert "Join" not in plan and "HashAggregate" not in plan
+    assert "PushedFilters" in plan
+
+
+def test_rolling_corr_single_day_frame(spark, sf_dir):
+    """F21: after the day aggregate, all six moments ride ONE window
+    over one day-ordered frame — exactly one Window node, no join."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["window-rolling-corr"](spark, sf_dir)
+    )
+    assert "Join" not in plan
+    assert plan.count(") Window") == 1
+
+
+def test_gini_one_sort_two_ranks(spark, sf_dir):
+    """E32: the per-user relation is sorted for the two rank windows
+    and collapsed by a final one-row aggregate — no join, and the
+    scan reads only (user_id, value)."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["agg-gini-coefficient"](spark, sf_dir)
+    )
+    assert "Join" not in plan
+    rs = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "user_id" in rs and "value" in rs and "props" not in rs

@@ -1284,3 +1284,40 @@ def test_assortativity_differential(rows, spark, tmp_path_factory):
     _write_graph_events(d, padded)
     ok, msg = _run_both("graph-assortativity", spark, d, ["events"])
     assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW_P, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_rolling_corr_differential(rows, spark, tmp_path_factory):
+    """Random daily series: windows with one day (NULL), constant
+    series (zero variance -> NULL), gapped days exercising the RANGE
+    frame (a 29-day offset span vs the 14-day window)."""
+    d = tmp_path_factory.mktemp("rcorr")
+    _write_events(d, rows)
+    ok, msg = _run_both("window-rolling-corr", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW_P, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_gini_differential(rows, spark, tmp_path_factory):
+    """Duplicate-heavy spends force tie runs through the rank
+    identity; singleton populations (gini=0), NULL-value users
+    (zero-cent contributors), decile boundaries at tiny n."""
+    d = tmp_path_factory.mktemp("gini")
+    _write_events(d, rows)
+    ok, msg = _run_both("agg-gini-coefficient", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_EVENT_ROW_P, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_useragent_differential(rows, spark, tmp_path_factory):
+    """The synth fragment is deterministic in event_id, so this pins
+    that both engines evaluate the shared synth+parse SQL identically
+    across arbitrary event_id populations (including none selected by
+    the modulus filter)."""
+    d = tmp_path_factory.mktemp("ua")
+    _write_events(d, rows)
+    ok, msg = _run_both("fn-useragent-parse", spark, d, ["events"])
+    assert ok, msg

@@ -133,6 +133,9 @@ NOTES = {
     "agg-chisq-independence": "Chi-square independence: integer 6h bucket fused into the scan, ONE hash agg to bounded cells, zero-cell completion via broadcast cross join of two DISTINCT relations, margins as windows over the CELL relation; contributions snapped to integer-valued doubles summed exactly in DECIMAL(18,0).",
     "window-cusum-changepoint": "CUSUM: one hash agg to (series, day); totals, running sum, max, argmax all ride ONE event_type exchange + day sort; the running statistic and argmax stay DECIMAL-exact (division-free), one snapped division for the normalized readout.",
     "graph-assortativity": "Assortativity: reuses the cached K5 (edges, degrees) localCheckpoints; two node-id shuffle joins attach endpoint degrees, then ONE one-row aggregate of three exact moments; DECIMAL(38,0) cross products, one snapped division.",
+    "fn-useragent-parse": "UA parse: synthesize-then-parse from one shared SQL fragment; LIKE guards + one regexp_extract per family, map-only, fused into the scan, zero shuffles.",
+    "window-rolling-corr": "Rolling correlation: one hash agg to day rows, six window moments on ONE RANGE day frame; DECIMAL(38,0) centered products, one snapped division.",
+    "agg-gini-coefficient": "Gini: per-user shuffle, one global user-cardinality sort serving both rank windows, one one-row aggregate; DECIMAL(38,0) rank products, two snapped divisions.",
 }
 
 
