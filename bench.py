@@ -190,6 +190,8 @@ HEADLINE = [
     "fn-useragent-parse",
     "window-rolling-corr",
     "agg-gini-coefficient",
+    "agg-hhi-concentration",
+    "window-interorder-gap",
 ]
 
 

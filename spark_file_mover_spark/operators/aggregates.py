@@ -2954,3 +2954,107 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         " FLOOR((CAST(topd AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9 + 0.5)"
         " / 1e9 END AS top_decile_share",
     )
+
+
+# ---------------------------------------------------------------------------
+# E33 — Herfindahl–Hirschman revenue concentration per market segment
+# ---------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS yc
+  FROM orders GROUP BY o_custkey
+),
+seg AS (
+  SELECT c_mktsegment AS segment, yc
+  FROM rev JOIN customer ON o_custkey = c_custkey
+),
+m AS (
+  SELECT segment,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(yc) AS DECIMAL(38,0)) AS t,
+         CAST(SUM(CAST(yc AS DECIMAL(38,0)) * yc) AS DECIMAL(38,0)) AS q,
+         CAST(MAX(yc) AS DECIMAL(38,0)) AS mx
+  FROM seg GROUP BY segment
+)
+SELECT segment, n_customers,
+       CAST(t AS BIGINT) AS total_cents,
+       CASE WHEN t > 0 THEN
+         FLOOR((CAST(q AS DOUBLE) / CAST(t * t AS DOUBLE)) * 1e9 + 0.5)
+           / 1e9 END AS hhi,
+       CASE WHEN q > 0 THEN
+         FLOOR((CAST(t * t AS DOUBLE) / CAST(q AS DOUBLE)) * 1e9 + 0.5)
+           / 1e9 END AS effective_n,
+       CASE WHEN t > 0 THEN
+         FLOOR((CAST(mx AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9 + 0.5)
+           / 1e9 END AS top_share
+FROM m ORDER BY segment
+"""
+
+
+@query("agg-hhi-concentration", oracle=_HHI_ORACLE)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E33: Herfindahl–Hirschman index of revenue concentration per
+    market segment — HHI = Σ shareᵢ², the antitrust-standard
+    concentration number, plus its reciprocal (the "effective number
+    of customers" — 20 equal customers reads 20, one whale reads ~1)
+    and the top-customer share. E32's Gini ranks the whole curve;
+    HHI is the sort-free moment version — the one you compute when
+    the population is too big to sort — and over per-source document
+    masses it is the curation "effective number of sources" check.
+
+    Sort-free exactness: HHI = Σy²/T² needs only the second moment,
+    so the whole statistic is two map-side-combinable sums per group:
+    y in exact cents (o_totalprice is the one full-precision-double
+    money column — rounded through DECIMAL(18,2) per the parity
+    contract), Σy·y accumulated in DECIMAL(38,0) (y² ~ 1e14 per
+    customer, summed ×|customers|), T² as an exact DECIMAL product;
+    each output ratio is ONE double division snapped via
+    floor(x·1e9+0.5)/1e9; empty/zero segments → NULL.
+
+    Shape at 100 TB: orders collapse to (custkey, cents) map-side
+    before ANY join; the segment attach is a key-shuffle join of two
+    already-aggregated relations (never raw orders against customer),
+    then a |segments|-bounded aggregate. No sort anywhere — compare
+    E32's docstring for when that matters."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("yc")
+    )
+    seg = rev.join(
+        c.select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.col("c_mktsegment").alias("segment"),
+        ),
+        "o_custkey",
+    )
+    d38 = "decimal(38,0)"
+    m = seg.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("yc").cast(d38).alias("t"),
+        F.sum(F.col("yc").cast(d38) * F.col("yc")).cast(d38).alias("q"),
+        F.max("yc").cast(d38).alias("mx"),
+    )
+    return m.selectExpr(
+        "segment",
+        "n_customers",
+        "CAST(t AS BIGINT) AS total_cents",
+        "CASE WHEN t > 0 THEN"
+        " FLOOR((CAST(q AS DOUBLE) / CAST(t * t AS DOUBLE)) * 1e9 + 0.5)"
+        " / 1e9 END AS hhi",
+        "CASE WHEN q > 0 THEN"
+        " FLOOR((CAST(t * t AS DOUBLE) / CAST(q AS DOUBLE)) * 1e9 + 0.5)"
+        " / 1e9 END AS effective_n",
+        "CASE WHEN t > 0 THEN"
+        " FLOOR((CAST(mx AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9 + 0.5)"
+        " / 1e9 END AS top_share",
+    ).orderBy("segment")

@@ -1657,3 +1657,108 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN {_RCORR_OK} THEN"
         f" FLOOR(({_RCORR_R}) * 1e9 + 0.5) / 1e9 END AS rolling_corr",
     ).orderBy("day_num")
+
+
+# ---------------------------------------------------------------------------
+# F22 — inter-order gap cadence per market segment
+# ---------------------------------------------------------------------------
+
+_IOG_ORACLE = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(o_orderdate AS DATE) AS d,
+         o_orderkey
+  FROM orders
+),
+g AS (
+  SELECT o_custkey,
+         CAST(d - LAG(d) OVER (PARTITION BY o_custkey
+                               ORDER BY d, o_orderkey) AS BIGINT)
+           AS gap_days
+  FROM o
+),
+seg AS (
+  SELECT c_mktsegment AS segment, gap_days
+  FROM g JOIN customer ON o_custkey = c_custkey
+  WHERE gap_days IS NOT NULL
+),
+m AS (
+  SELECT segment,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_days) AS DECIMAL(38,0)) AS s,
+         CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+         CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+         CAST(SUM(CASE WHEN gap_days <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_within_week
+  FROM seg GROUP BY segment
+)
+SELECT segment, n_gaps, min_gap_days, max_gap_days,
+       FLOOR((CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) * 1e9 + 0.5)
+         / 1e9 AS avg_gap_days,
+       FLOOR((CAST(n_within_week AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+             * 1e9 + 0.5) / 1e9 AS within_week_share
+FROM m ORDER BY segment
+"""
+
+
+@query("window-interorder-gap", oracle=_IOG_ORACLE)
+def window_interorder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F22: inter-order gap cadence — days between a customer's
+    consecutive orders, rolled up per market segment (count, min/max,
+    mean, share of re-orders within a week). The purchase-CADENCE
+    readout behind repeat-rate dashboards and churn features: E26's
+    conversion-lag measures event→purchase latency inside a session
+    window, this measures order→order rhythm across the lifetime —
+    different join graph (orders×customer), different carrier (LAG
+    over the order sequence).
+
+    Shape at 100 TB: one orders shuffle on custkey + a (date, key)
+    sort serves the LAG; gaps then collapse map-side BEFORE the
+    segment attach, so the join moves one row per ORDER, never
+    wide order payloads, and the final aggregate is
+    |segments|-bounded. The LAG tiebreak on o_orderkey makes each
+    engine's sequence deterministic under same-day orders.
+
+    Parity: gaps are exact integer day differences; sums accumulate
+    in DECIMAL(38,0); the two ratios are single double divisions over
+    exact operands, snapped floor(x·1e9+0.5)/1e9. First orders (no
+    predecessor) drop out identically in both engines via the
+    IS NOT NULL gate; customers with one order contribute nothing;
+    segments whose customers never re-order simply don't appear."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    )
+    w = W.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff(F.col("d"), F.lag("d").over(w))
+        .cast("long")
+        .alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    seg = g.join(c, "o_custkey")
+    d38 = "decimal(38,0)"
+    m = seg.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("gap_days").cast(d38).alias("s"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+        F.sum(F.when(F.col("gap_days") <= 7, 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_week"),
+    )
+    return m.selectExpr(
+        "segment",
+        "n_gaps",
+        "min_gap_days",
+        "max_gap_days",
+        "FLOOR((CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) * 1e9 + 0.5)"
+        " / 1e9 AS avg_gap_days",
+        "FLOOR((CAST(n_within_week AS DOUBLE) / CAST(n_gaps AS DOUBLE))"
+        " * 1e9 + 0.5) / 1e9 AS within_week_share",
+    ).orderBy("segment")

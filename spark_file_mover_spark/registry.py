@@ -86,6 +86,8 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # Rebuild this list each round from `python tools/stale_keys.py --list`
 # with any new keys at the HEAD; keep (new keys) ≤ (cut − a few slots).
 _PRIORITY_R9 = [
+    "agg-hhi-concentration",
+    "window-interorder-gap",
     "fn-useragent-parse",
     "window-rolling-corr",
     "agg-gini-coefficient",

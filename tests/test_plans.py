@@ -1251,3 +1251,35 @@ def test_gini_one_sort_two_ranks(spark, sf_dir):
     assert "Join" not in plan
     rs = plan.split("ReadSchema")[1].splitlines()[0]
     assert "user_id" in rs and "value" in rs and "props" not in rs
+
+
+def test_hhi_aggregates_before_join(spark, sf_dir):
+    """E33: orders collapse to (custkey, cents) BEFORE the segment
+    join — in the root-first formatted plan the join must appear
+    ABOVE (before) the orders-side partial aggregate, and the orders
+    scan reads only the two needed columns."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["agg-hhi-concentration"](spark, sf_dir)
+    )
+    import re
+
+    names = [n for _, n in re.findall(r"\((\d+)\) (\w+)", plan)]
+    joins = [i for i, n in enumerate(names) if "Join" in n]
+    aggs = [i for i, n in enumerate(names) if n == "HashAggregate"]
+    assert joins and aggs
+    assert any(a > joins[0] for a in aggs), names
+    assert "struct<o_orderkey" not in plan  # orderkey never read
+
+
+def test_interorder_gap_collapses_before_join(spark, sf_dir):
+    """F22: the LAG rides one custkey exchange; gaps aggregate after
+    the join but the join input is the gap projection (no wide order
+    payload: o_totalprice never read)."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["window-interorder-gap"](spark, sf_dir)
+    )
+    assert "o_totalprice" not in plan
+    import re
+
+    hashparts = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert "o_custkey" in hashparts

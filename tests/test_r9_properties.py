@@ -1321,3 +1321,37 @@ def test_useragent_differential(rows, spark, tmp_path_factory):
     _write_events(d, rows)
     ok, msg = _run_both("fn-useragent-parse", spark, d, ["events"])
     assert ok, msg
+
+
+@given(
+    orows=st.lists(_ORDER_ROW, min_size=1, max_size=25),
+    crows=st.lists(_CUST_ROW, min_size=1, max_size=10),
+)
+@settings(**_SETTINGS)
+def test_hhi_differential(orows, crows, spark, tmp_path_factory):
+    """Orphan orders (custkey beyond the customer table) drop out of
+    the join in both engines; single-customer segments read HHI=1."""
+    d = tmp_path_factory.mktemp("hhi")
+    _write_orders(d, orows)
+    _write_customer(d, crows)
+    ok, msg = _run_both(
+        "agg-hhi-concentration", spark, d, ["orders", "customer"]
+    )
+    assert ok, msg
+
+
+@given(
+    orows=st.lists(_ORDER_ROW, min_size=1, max_size=25),
+    crows=st.lists(_CUST_ROW, min_size=1, max_size=10),
+)
+@settings(**_SETTINGS)
+def test_interorder_gap_differential(orows, crows, spark, tmp_path_factory):
+    """Same-day duplicate orders exercise the orderkey tiebreak and
+    zero-day gaps; single-order customers contribute nothing."""
+    d = tmp_path_factory.mktemp("iog")
+    _write_orders(d, orows)
+    _write_customer(d, crows)
+    ok, msg = _run_both(
+        "window-interorder-gap", spark, d, ["orders", "customer"]
+    )
+    assert ok, msg

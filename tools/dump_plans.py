@@ -136,6 +136,8 @@ NOTES = {
     "fn-useragent-parse": "UA parse: synthesize-then-parse from one shared SQL fragment; LIKE guards + one regexp_extract per family, map-only, fused into the scan, zero shuffles.",
     "window-rolling-corr": "Rolling correlation: one hash agg to day rows, six window moments on ONE RANGE day frame; DECIMAL(38,0) centered products, one snapped division.",
     "agg-gini-coefficient": "Gini: per-user shuffle, one global user-cardinality sort serving both rank windows, one one-row aggregate; DECIMAL(38,0) rank products, two snapped divisions.",
+    "agg-hhi-concentration": "HHI: sort-free second-moment concentration; orders collapse map-side to (custkey, cents) before the segment join, segments-bounded final aggregate, snapped single divisions.",
+    "window-interorder-gap": "Inter-order cadence: one custkey exchange + (date, key) sort for the LAG, gaps collapse before the segment join, segments-bounded aggregate; exact day diffs, snapped ratios.",
 }
 
 
