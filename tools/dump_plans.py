@@ -368,6 +368,33 @@ hoist), kcore 0.90, dq-audit 0.55, ip-cidr 0.25, group-kfold 0.28.
 Driver sim 181/181 hash-pass, 124 s quiet (the reworks also cut the
 sim ~8 s); the 50-key priority head costs 45.5 s cumulative — inside
 the driver's scoring budget with margin.
+
+**r9 continuation-6 (post-restart session): 9 new keys (193 total) —
+the analytics/statistics close-out batch.** Four statistics keys close
+the experiment/association family (Welch t-test E30, chi-square
+independence with per-cell residuals E31, CUSUM changepoint F20,
+rolling correlation F21), three concentration/cadence keys read
+distribution shape (Gini E32, HHI E33, inter-order gap F22), plus the
+access-log pair (user-agent parse G12, degree assortativity K8 over
+the cached K5 edge relations). All nine: DuckDB oracle, plan pin,
+hypothesis differential test, warm sf0.1 < 1.5 s each (welch 0.5,
+chisq ~1.0, cusum ~0.8, assortativity 0.5 warm-cache, rolling-corr
+0.5, gini 0.7, ua-parse 0.7, hhi/interorder sub-second). Scale notes
+live in the SURVEY rows + docstrings: the only global sort added is
+Gini's (documented escape: per-segment PARTITION BY or the E19 binned
+approximation); HHI is its sort-free sibling by construction. The
+oracle VARCHAR->STRING spelling sweep in functions/scalar.py is
+semantics-free (STRING is a DuckDB alias) and lets the G12 synth
+fragment be ONE shared text. With 59 r9-born keys and a ~50-key
+scoring cut, the 9 earliest r9 keys (scd2-temporal ... ccnet-buckets
+block) fall below the cut this round -- sim-green, benched, flagged
+for the r10 priority head per the r7-verdict protocol. Close-out
+numbers, quiet machine: full driver sim 193/193 hash-pass at sf0.01
+(183 s) AND at sf0.1 (408 s) under TZ=America/New_York; pytest 541
+passed + 4 skipped (split in two runs -- the suite outgrew a single
+10-minute timeout, not a failure); BENCH_FULL 60.9 s over the 114-key
+pre-batch HEADLINE with over_budget [] and the agg-hash control at
+1.25 in its quiet band.
 """
 
 
