@@ -85,6 +85,13 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #
 # Rebuild this list each round from `python tools/stale_keys.py --list`
 # with any new keys at the HEAD; keep (new keys) ≤ (cut − a few slots).
+# r10 handoff: with 59 r9-born keys and a ~50-key scoring cut, the 9
+# keys at positions 50-58 of this list (join-scd2-temporal,
+# dedup-semdedup, join-asof-nearest, agg-ks-drift, agg-hist-logbucket,
+# window-session-batch, join-bloom-prefilter, sample-interleave-sources,
+# text-ccnet-buckets) will likely miss CORRECTNESS_r09 — sim-green at
+# both scales but no driver row. Build _PRIORITY_R10 with THOSE nine
+# first, then any r10-new keys, then stale_keys.py order.
 _PRIORITY_R9 = [
     "agg-hhi-concentration",
     "window-interorder-gap",
