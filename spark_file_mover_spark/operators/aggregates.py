@@ -2133,14 +2133,16 @@ WITH per_user AS (
   FROM events GROUP BY user_id
 ),
 v AS (
-  SELECT user_id % 2 AS variant,
+  SELECT {MD5_PREFIX60_SQL.format(x="CAST(user_id AS VARCHAR)")} % 2
+           AS variant,
          COUNT(*) AS n_users,
          SUM(xc) AS sxv,
          SUM(yc) AS syv,
          SUM(xc * yc) AS sxyv,
          SUM(xc * xc) AS sxxv,
          SUM(yc * yc) AS syyv
-  FROM per_user GROUP BY user_id % 2
+  FROM per_user
+  GROUP BY {MD5_PREFIX60_SQL.format(x="CAST(user_id AS VARCHAR)")} % 2
 ),
 g AS (
   SELECT variant, n_users,
@@ -2155,16 +2157,17 @@ g AS (
   FROM v
 )
 SELECT variant, n_users, sum_x_cents, sum_y_cents,
-       ROUND((CAST(sum_y_cents AS DOUBLE) / n_users) / 100, 9) AS mean_y,
-       ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 9)
-         AS theta,
-       ROUND(((CAST(sum_y_cents AS DOUBLE) / n_users)
+       FLOOR(((CAST(sum_y_cents AS DOUBLE) / n_users) / 100)
+             * 1e9 + 0.5) / 1e9 AS mean_y,
+       FLOOR(((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0))
+             * 1e9 + 0.5) / 1e9 AS theta,
+       FLOOR((((CAST(sum_y_cents AS DOUBLE) / n_users)
               - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0))
                 * ((CAST(sum_x_cents AS DOUBLE) / n_users) - (sx / n)))
-             / 100, 9) AS mean_y_cuped,
-       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-             / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0),
-             9) AS var_reduction
+             / 100) * 1e9 + 0.5) / 1e9 AS mean_y_cuped,
+       FLOOR((((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0))
+             * 1e9 + 0.5) / 1e9 AS var_reduction
 FROM g
 ORDER BY variant
 """
@@ -2227,7 +2230,14 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast(cents)
         .alias("yc"),
     )
-    v = per_user.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+    # variant = the shared md5-prefix-60 user hash mod 2 (the E29 SRM
+    # gate / E23 z-test split — a readout must run on the split its
+    # gate validated)
+    v = per_user.groupBy(
+        F.pmod(
+            md5_prefix60(F.col("user_id").cast("string")), F.lit(2)
+        ).alias("variant")
+    ).agg(
         F.count("*").alias("n_users"),
         F.sum("xc").alias("sxv"),
         F.sum("yc").alias("syv"),
@@ -2258,19 +2268,23 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     theta = num / F.nullif(den_x, F.lit(0.0))
     mean_y_d = F.col("sum_y_cents").cast("double") / F.col("n_users")
     mean_x_d = F.col("sum_x_cents").cast("double") / F.col("n_users")
+    # snap via floor(x*1e9 + 0.5)/1e9 — the OLS tie-regression remedy:
+    # library ROUNDs (Spark HALF_UP vs DuckDB multiply-based) disagree
+    # on tie-adjacent doubles; the floor sequence is the same IEEE ops
+    # in both engines
+    snap9 = lambda col: F.floor(col * 1e9 + 0.5) / 1e9  # noqa: E731
     return j.select(
         "variant",
         "n_users",
         "sum_x_cents",
         "sum_y_cents",
-        F.round(mean_y_d / 100, 9).alias("mean_y"),
-        F.round(theta, 9).alias("theta"),
-        F.round(
-            (mean_y_d - theta * (mean_x_d - F.col("sx") / F.col("n"))) / 100,
-            9,
+        snap9(mean_y_d / 100).alias("mean_y"),
+        snap9(theta).alias("theta"),
+        snap9(
+            (mean_y_d - theta * (mean_x_d - F.col("sx") / F.col("n"))) / 100
         ).alias("mean_y_cuped"),
-        F.round(
-            num * num / F.nullif(den_x * den_y, F.lit(0.0)), 9
+        snap9(
+            num * num / F.nullif(den_x * den_y, F.lit(0.0))
         ).alias("var_reduction"),
     ).orderBy("variant")
 
@@ -2284,6 +2298,7 @@ WITH ex AS (
   SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS score,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM events WHERE event_type IN ('purchase', 'click')
+    AND value IS NOT NULL
 ),
 b AS (
   SELECT score,
@@ -2350,7 +2365,15 @@ def agg_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = load_table(spark, sf_dir, "events")
-    ex = e.filter(F.col("event_type").isin("purchase", "click")).select(
+    # NULL scores must not form a bucket: Spark windows sort NULLs
+    # FIRST, DuckDB ORDER BY sorts them LAST, so a NULL score bucket
+    # would land at opposite ends of the two engines' cumulatives and
+    # diverge neg_below — a scoreless example carries no ranking
+    # information anyway (the Welch/Gini NULL-guard discipline).
+    ex = e.filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    ).select(
         (dec("value") * 100).cast("long").alias("score"),
         (F.col("event_type") == "purchase").cast("int").alias("y"),
     )
@@ -2499,7 +2522,8 @@ _WT_OK = "n0 >= 2 AND n1 >= 2 AND a0 + a1 > 0"
 
 _WELCH_ORACLE = f"""
 WITH per_user AS (
-  SELECT user_id % 2 AS v,
+  SELECT {MD5_PREFIX60_SQL.format(x="CAST(user_id AS VARCHAR)")} % 2
+           AS v,
          CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
               AS BIGINT) AS yc
   FROM events GROUP BY user_id
@@ -2579,10 +2603,19 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared critical literal (large-sample convention, documented
     at _WT_CRIT)."""
     ev = load_table(spark, sf_dir, "events")
+    # variant = the ONE shared md5-prefix-60 user hash mod 2 — the
+    # SAME split the SRM gate (E29) validates and the z-test (E23)
+    # reads; a readout on a different split than its gate is the bug
+    # class SRM exists to catch.
     pu = ev.groupBy("user_id").agg(
         F.coalesce((F.sum(dec("value")) * 100).cast("long"), F.lit(0))
         .alias("yc")
-    ).select((F.col("user_id") % 2).alias("v"), "yc")
+    ).select(
+        F.pmod(
+            md5_prefix60(F.col("user_id").cast("string")), F.lit(2)
+        ).alias("v"),
+        "yc",
+    )
     d38 = "decimal(38,0)"
     m = pu.agg(
         F.sum(F.when(F.col("v") == 0, 1).otherwise(0))

@@ -1120,7 +1120,7 @@ ri AS (
          CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
               AS DOUBLE) AS n_orphan
   FROM (SELECT DISTINCT l_orderkey FROM lineitem) lk
-  LEFT JOIN (SELECT o_orderkey FROM orders) o
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
          ON o.o_orderkey = lk.l_orderkey
 )
 SELECT check_name, table_name, ROUND(metric, 9) AS metric, passed FROM (
@@ -1236,10 +1236,15 @@ def etl_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CASE WHEN n_bad_qty = 0 THEN 1 ELSE 0 END AS BIGINT)
         ) AS (check_name, table_name, metric, passed)"""
     )
+    # BOTH key sides deduplicate: a duplicated o_orderkey (the exact
+    # defect the uniqueness check flags) would otherwise fan out the
+    # left join and inflate n_keys past the distinct-FK count — the
+    # metric stays "orphan share of DISTINCT FK keys" even on a table
+    # that fails its own PK check.
     ri_agg = (
         li.select(F.col("l_orderkey")).distinct()
         .join(
-            o.select(F.col("o_orderkey")),
+            o.select(F.col("o_orderkey")).distinct(),
             F.col("o_orderkey") == F.col("l_orderkey"),
             "left",
         )
