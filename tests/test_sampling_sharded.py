@@ -10,13 +10,13 @@ import pytest
 
 from spark_file_mover_spark.llm.sampling import (
     pack_offsets_sharded,
-    sample_pack_sequences,
+    pack_offsets_single,
 )
 
 
 @pytest.mark.parametrize("n_shards", [1, 3, 8, 32])
 def test_sharded_equals_single_window(spark, sf_dir, n_shards):
-    single = sample_pack_sequences(spark, sf_dir).collect()
+    single = pack_offsets_single(spark, sf_dir).collect()
     sharded = pack_offsets_sharded(spark, sf_dir, n_shards=n_shards).collect()
     assert sharded == single
 
