@@ -17,6 +17,7 @@ integer arithmetic the driver can hash-compare exactly — the
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -116,8 +117,8 @@ ORDER BY vec_id
 
 def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quantized relation (vec_id, qv array<bigint>) — built once
-    and localCheckpointed: three assignment scans and two update
-    aggregates consume it."""
+    and persisted (MEMORY_AND_DISK, replayable lineage): three
+    assignment scans and two update aggregates consume it."""
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
@@ -125,7 +126,7 @@ def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             lambda x: F.floor(x.cast("double") * _KM_QSCALE + F.lit(0.5)),
         ).alias("qv"),
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _long_lit(v) -> str:
@@ -651,7 +652,7 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf, cents = _km_model(spark, sf_dir)
     # The (cluster, PQ-code) relation IS the IVF-PQ index — the
     # artifact a deployment builds once at INGEST and every query
-    # reads. It materializes (localCheckpoint) and caches per
+    # reads. It persists (MEMORY_AND_DISK) and caches per
     # (SparkContext, sf_dir) exactly like the kmeans model it extends;
     # without this every query action re-ran the full corpus assign +
     # encode once per DAG reference (~11 s/invocation at sf0.1 vs
@@ -666,7 +667,9 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in [k for k in _IVFPQ_CACHE if k[:2] != (app_id, sf_dir)]:
             del _IVFPQ_CACHE[k]
         asg = _km_assign(qdf, cents).select("vec_id", "qv", "cluster")
-        cached = _ivfpq_codes(asg, cents).localCheckpoint(eager=True)
+        cached = _ivfpq_codes(asg, cents).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         _IVFPQ_CACHE[index_key] = cached
     codes = cached
 
@@ -919,7 +922,7 @@ def _sd_side(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
             lambda x: F.floor(x.cast("double") * _SD_QSCALE + F.lit(0.5)),
         ).alias("qs"),
     )
-    side = asg.join(qs, "vec_id").localCheckpoint(eager=True)
+    side = asg.join(qs, "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
     _SD_SIDE_CACHE[cache_key] = side
     return side
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import random
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -352,8 +353,6 @@ def _minhash_cluster_sparse(
     # here — the returned plan is LAZY, so release cannot happen at the
     # end of the call without forcing a blocking materialization on the
     # hot path (r02 bench leaked one relation per invocation before).
-    from pyspark import StorageLevel
-
     bands_key = artifact_cache_key(spark, sf_dir)
     if _last_bands is not None and _last_bands[0] == bands_key:
         return _minhash_neighbor_mins(_last_bands[1], exact_edges)
@@ -498,18 +497,16 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _last_nh_rel
     d = load_table(spark, sf_dir, "documents")
     # the (doc_id, nh) relation is a pure function of the input files —
-    # cache the checkpoint per artifact_cache_key like the bands it
-    # feeds (r8); evicted blocks release via the ContextCleaner.
-    # Truncated lineage means an executor lost between invocations
-    # fails later hits instead of recomputing — the documented
-    # serial-local trade (see llm/similarity.py's IVF cache note; on a
-    # cluster, materialize as a table at ingest instead)
+    # cached per artifact_cache_key like the bands it feeds (r8) with
+    # persist(MEMORY_AND_DISK): replayable lineage, so executor loss
+    # between invocations recomputes instead of failing later hits
+    # (see llm/similarity.py's IVF cache note)
     nh_key = artifact_cache_key(spark, sf_dir)
     if _last_nh_rel is not None and _last_nh_rel[0] == nh_key:
         nh_rel = _last_nh_rel[1]
     else:
-        nh_rel = d.select("doc_id", _norm_hash().alias("nh")).localCheckpoint(
-            eager=True
+        nh_rel = d.select("doc_id", _norm_hash().alias("nh")).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
         _last_nh_rel = (nh_key, nh_rel)
     sparse = _minhash_cluster_sparse(spark, d, nh_rel, sf_dir)
@@ -1094,8 +1091,6 @@ def _span_shared(spark: SparkSession, sf_dir: str):
             except Exception:
                 pass  # previous relations may belong to a stopped session
         _span_cache = None
-    from pyspark import StorageLevel
-
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", "text")
     par = spark.sparkContext.defaultParallelism
@@ -1486,7 +1481,6 @@ def dedup_cross_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             except Exception:
                 pass  # previous relation may belong to a stopped session
             _last_bloom = None
-        from pyspark import StorageLevel
 
         n_ref = ref.count()
         m_bits = min(
@@ -1713,12 +1707,11 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dfg") <= _CONT_MAXDF)
         .drop("dfg")
         # three consumers (both join sides + sizes) plus the cross-
-        # invocation cache; checkpointed blocks release via the
-        # ContextCleaner when the cached reference is dropped. Lineage
-        # is truncated: executor loss between invocations fails later
-        # hits instead of recomputing (documented serial-local trade —
-        # see llm/similarity.py's IVF cache note)
-        .localCheckpoint(eager=True)
+        # invocation cache; persist(MEMORY_AND_DISK) keeps replayable
+        # lineage so executor loss between invocations recomputes
+        # instead of failing later hits (see llm/similarity.py's IVF
+        # cache note); blocks release when the cache evicts
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _last_cont_er = (cache_key, er)
     return _containment_query(er)
@@ -1942,8 +1935,6 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bands relation; the hot-fingerprint guard sits INSIDE the cache
     # boundary (window form — its h40 exchange runs once, at populate).
     global _last_edfp
-    from pyspark import StorageLevel
-
     ed_key = artifact_cache_key(spark, sf_dir)
     if _last_edfp is not None and _last_edfp[0] == ed_key:
         fpc = _last_edfp[1]

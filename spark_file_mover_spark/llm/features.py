@@ -20,6 +20,7 @@ textbook document-frequency shuffle.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -161,8 +162,6 @@ def _tf_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass  # previous relation may belong to a stopped session
         _tf_cache = None
-    from pyspark import StorageLevel
-
     d = load_table(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(toks()).alias("tok"))
@@ -454,7 +453,7 @@ def _xent_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tok").cast("long").alias("n_tok"),
             xent.alias("xent"),
         )
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _xent_cache = (key, scored)
     return scored

@@ -11,6 +11,7 @@ algorithm shares with ``dedup-components`` (llm/dedup.py).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -153,7 +154,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(ent.alias("src"), F.col("user_id").alias("dst"))
             .distinct()
         )
-        e = fwd.unionAll(back).localCheckpoint(eager=True)
+        e = fwd.unionAll(back).persist(StorageLevel.MEMORY_AND_DISK)
         # one relation for (node, outdeg): NULL outdeg = dangling —
         # folding the degree into the node relation (and below, into
         # the rank relation) deletes the per-round deg join AND the
@@ -167,7 +168,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd = (
             nodes.join(deg, nodes.node == deg.src, "left")
             .select("node", "outdeg")
-            .localCheckpoint(eager=True)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         n_nodes = nd.count()  # one scalar — metadata-scale
         cached = {"e": e, "nd": nd, "n": n_nodes}
@@ -253,7 +254,7 @@ def _sparse_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(
                 fwd.select(F.col("b").alias("src"), F.col("a").alias("dst"))
             )
-            .localCheckpoint(eager=True)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         _LPA_CACHE[cache_key] = adj
         cached = adj
@@ -531,7 +532,7 @@ def _tri_relations(spark: SparkSession, sf_dir: str):
             )
             .groupBy("node")
             .agg(F.count("*").alias("degree"))
-            .localCheckpoint(eager=True)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         da = deg.select(F.col("node").alias("x"), F.col("degree").alias("dx"))
         db = deg.select(F.col("node").alias("y"), F.col("degree").alias("dy"))
@@ -551,7 +552,7 @@ def _tri_relations(spark: SparkSession, sf_dir: str):
                 .otherwise(F.col("x"))
                 .alias("dst"),
             )
-            .localCheckpoint(eager=True)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         cached = (eo, deg)
         _TRI_CACHE[cache_key] = cached
@@ -775,11 +776,11 @@ def _jn_relations(spark: SparkSession, sf_dir: str):
         kept = fwd.groupBy("k").agg(F.count("*").alias("nu")).filter(
             F.col("nu") <= _TRI_MAX_ENT_USERS
         )
-        fk = fwd.join(F.broadcast(kept.select("k")), "k").localCheckpoint(
-            eager=True
+        fk = fwd.join(F.broadcast(kept.select("k")), "k").persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        deg = fk.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint(
-            eager=True
+        deg = fk.groupBy("u").agg(F.count("*").alias("d")).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
         cached = (fk, deg)
         _JN_CACHE[cache_key] = cached
