@@ -234,3 +234,48 @@ def test_stream_join_multibatch_state_eviction(spark, sf_dir):
     )
     cols = ["event_id", "user_id", "ts", "vts"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_session_batch_rollup_matches_streaming_sessions(spark, sf_dir):
+    """F10 claims H3-twin semantics: the lag + running-sum batch
+    sessionization (window-session-batch) must produce the SAME
+    per-user session rollup as the engine's own session_window
+    merging run as a real stream — same 30-min gap, so session
+    boundaries, counts and durations must agree exactly."""
+    stream = as_stream(spark, sf_dir, watermark="1 hour")
+    sess = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    run_stream_to_memory(sess, "t_session_f10", mode="complete")
+    rollup = (
+        spark.table("t_session_f10")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("int"))
+            .cast("long")
+            .alias("n_singleton"),
+            F.max("n_events").cast("long").alias("max_events"),
+            F.max(
+                F.unix_micros("last_ts") - F.unix_micros("first_ts")
+            )
+            .cast("long")
+            .alias("max_duration_us"),
+        )
+    )
+    batch = registry.QUERIES["window-session-batch"](spark, sf_dir)
+    cols = [
+        "user_id",
+        "n_sessions",
+        "n_singleton",
+        "max_events",
+        "max_duration_us",
+    ]
+    assert _rows(rollup, cols) == _rows(batch, cols)
