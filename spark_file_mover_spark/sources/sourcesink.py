@@ -105,12 +105,25 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2: write nation as CSV, re-read with an explicit schema (never
     inferSchema in production — one extra full pass and type drift), and
     return the round-tripped rows. Int/string columns survive CSV exactly,
-    so the oracle is the original table."""
+    so the oracle is the original table.
+
+    Losslessness caveat the r10 differential caught: Spark CSV defaults
+    ignoreLeading/TrailingWhiteSpace to TRUE on BOTH write and read, so
+    a value with edge whitespace ('trail ') silently loses it in the
+    round trip. Both options pinned false on both sides — the identity
+    contract must hold for every string the source can contain, not
+    just trimmed ones."""
     out = tempfile.mkdtemp(prefix="sfm-b2-") + "/nation_csv"
     n = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    n.write.mode("overwrite").option("header", "true").csv(out)
+    ws_opts = {
+        "ignoreLeadingWhiteSpace": "false",
+        "ignoreTrailingWhiteSpace": "false",
+    }
+    n.write.mode("overwrite").option("header", "true").options(
+        **ws_opts
+    ).csv(out)
     schema = T.StructType(
         [
             T.StructField("n_nationkey", T.IntegerType()),
@@ -118,7 +131,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_regionkey", T.IntegerType()),
         ]
     )
-    return spark.read.csv(out, header=True, schema=schema)
+    return spark.read.options(**ws_opts).csv(out, header=True, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -446,7 +459,10 @@ _REPARTITION_ORACLE = """
 SELECT 'coalesce_1' AS layout, CAST(1 AS BIGINT) AS n_files,
        COUNT(*) AS n_rows FROM orders
 UNION ALL
-SELECT 'repartition_4', CAST(4 AS BIGINT), COUNT(*) FROM orders
+-- empty partitions write no files (the sink-compact note): fewer rows
+-- than target partitions -> one file per row
+SELECT 'repartition_4', LEAST(CAST(4 AS BIGINT), COUNT(*)), COUNT(*)
+FROM orders
 ORDER BY layout
 """
 
@@ -477,7 +493,11 @@ _COMPACT_ORACLE = """
 SELECT 'compacted' AS layout, CAST(1 AS BIGINT) AS n_files,
        COUNT(*) AS n_rows FROM orders
 UNION ALL
-SELECT 'fragmented', CAST(16 AS BIGINT), COUNT(*) FROM orders
+-- empty partitions write no files: repartition(16) round-robins rows
+-- into distinct partitions, so a table smaller than the shard count
+-- fragments into one file per row (n >= 16 always lands 16)
+SELECT 'fragmented', LEAST(CAST(16 AS BIGINT), COUNT(*)), COUNT(*)
+FROM orders
 ORDER BY layout
 """
 
@@ -1004,13 +1024,23 @@ def scan_csv_corrupt_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
     letter sink in production (a filter on ``_corrupt IS NOT NULL``)."""
     base = tempfile.mkdtemp(prefix="sfm-b16-")
     n = load_table(spark, sf_dir, "nation")
+    # CSV-quote the free-text name field (wrap + double internal
+    # quotes): ONLY the deliberate 1-in-5 corruption may be malformed —
+    # a legal name containing a comma must not corrupt its own row
+    # (the r10 differential caught the unquoted form doing exactly
+    # that)
+    quoted_name = F.concat(
+        F.lit('"'),
+        F.regexp_replace(F.col("n_name"), '"', '""'),
+        F.lit('"'),
+    )
     line = F.concat_ws(
         ",",
         F.col("n_nationkey").cast("string"),
-        F.col("n_name"),
+        quoted_name,
         F.when(
             F.col("n_nationkey") % _CORRUPT_MOD == _CORRUPT_HIT,
-            F.concat(F.lit("not_a_number_"), F.col("n_name")),
+            F.lit("not_a_number"),
         ).otherwise(F.col("n_regionkey").cast("string")),
     )
     csv_path = base + "/feed.csv"
