@@ -192,6 +192,14 @@ HEADLINE = [
     "agg-gini-coefficient",
     "agg-hhi-concentration",
     "window-interorder-gap",
+    # r10 additions (not in either frozen set)
+    "agg-new-vs-returning",
+    "agg-seasonality-dow",
+    "window-rfm-segment",
+    "window-concurrency-sweep",
+    "fn-geo-cell",
+    "text-readability",
+    "multimodal-bmp-meta",
 ]
 
 

@@ -822,3 +822,156 @@ def fn_useragent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_UA_IS_BOT} AS is_bot",
         f"{_UA_IS_MOBILE} AS is_mobile",
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# G13 — geo coordinate parse + grid-cell bucketing (exact integer space)
+# ---------------------------------------------------------------------------
+
+# fixed reference point (micro-degrees): 40.712800, -74.006000
+_GEO_LAT0, _GEO_LON0 = 40_712_800, -74_006_000
+_GEO_CELL_MICRO = 500_000  # 0.5-degree grid
+_GEO_BBOX_MICRO = 5_000_000  # +-5 degrees
+
+_GEO_ORACLE = f"""
+WITH synth AS (
+  SELECT c_custkey,
+         (c_custkey * 7919) % 120000000 - 60000000 AS latm,
+         (c_custkey * 104729) % 360000000 - 180000000 AS lonm
+  FROM customer
+),
+coords AS (
+  SELECT c_custkey,
+         (CASE WHEN latm < 0 THEN '-' ELSE '' END)
+         || CAST(ABS(latm) // 1000000 AS STRING) || '.'
+         || lpad(CAST(ABS(latm) % 1000000 AS STRING), 6, '0')
+         || ','
+         || (CASE WHEN lonm < 0 THEN '-' ELSE '' END)
+         || CAST(ABS(lonm) // 1000000 AS STRING) || '.'
+         || lpad(CAST(ABS(lonm) % 1000000 AS STRING), 6, '0') AS coord
+  FROM synth
+),
+parsed AS (
+  SELECT c_custkey, coord,
+         (CASE WHEN split_part(coord, ',', 1) LIKE '-%' THEN -1 ELSE 1 END)
+         * (CAST(split_part(replace(split_part(coord, ',', 1), '-', ''),
+                            '.', 1) AS BIGINT) * 1000000
+            + CAST(split_part(replace(split_part(coord, ',', 1), '-', ''),
+                              '.', 2) AS BIGINT)) AS lat_micro,
+         (CASE WHEN split_part(coord, ',', 2) LIKE '-%' THEN -1 ELSE 1 END)
+         * (CAST(split_part(replace(split_part(coord, ',', 2), '-', ''),
+                            '.', 1) AS BIGINT) * 1000000
+            + CAST(split_part(replace(split_part(coord, ',', 2), '-', ''),
+                              '.', 2) AS BIGINT)) AS lon_micro
+  FROM coords
+),
+cells AS (
+  SELECT c_custkey, coord, lat_micro, lon_micro,
+         (lat_micro + 60000000) // {_GEO_CELL_MICRO} AS cell_lat,
+         (lon_micro + 180000000) // {_GEO_CELL_MICRO} AS cell_lon
+  FROM parsed
+)
+SELECT c_custkey, coord,
+       CAST(lat_micro AS BIGINT) AS lat_micro,
+       CAST(lon_micro AS BIGINT) AS lon_micro,
+       CAST(cell_lat AS BIGINT) AS cell_lat,
+       CAST(cell_lon AS BIGINT) AS cell_lon,
+       CAST(cell_lat * 1024 + cell_lon AS BIGINT) AS cell_id,
+       CAST(ABS(lat_micro - {_GEO_LAT0})
+            + ABS(lon_micro - {_GEO_LON0}) AS BIGINT)
+         AS manhattan_micro,
+       ABS(lat_micro - {_GEO_LAT0}) <= {_GEO_BBOX_MICRO}
+         AND ABS(lon_micro - {_GEO_LON0}) <= {_GEO_BBOX_MICRO} AS in_bbox
+FROM cells ORDER BY c_custkey
+"""
+
+
+@query("fn-geo-cell", oracle=_GEO_ORACLE)
+def fn_geo_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13: geo coordinate parsing + grid-cell bucketing — the spatial
+    preprocessing every geo pipeline runs BEFORE any join: parse
+    'lat,lon' decimal strings into exact integer MICRO-degrees,
+    assign a 0.5-degree grid cell (the blocking key for spatial
+    joins / geofence lookups — candidate pairs come from equal or
+    adjacent cells, never a cross join), and compute the Manhattan
+    distance + bounding-box flag against a fixed reference point in
+    pure integer arithmetic.
+
+    Deliberately trig-free: haversine's sin/cos/asin differ in the
+    last ulp across math libraries (java.lang.Math vs libm), and at
+    ~1e7-meter magnitudes a 1-ulp input difference survives any
+    fixed-decimal snap — so the ENGINE-level contract stays in exact
+    integer micro-degree space (parse, cell, L1 distance, bbox), and
+    a deployment applies its own great-circle formula on the
+    map-side values downstream (same plan; only the last expression
+    changes).
+
+    The synthesize-then-parse contract (G9/G11/I52): coordinates are
+    synthesized from c_custkey with different prime moduli per axis
+    (no aliasing), formatted as signed 6-decimal strings with
+    zero-padded fractions; the PARSER re-derives the integers from
+    the string alone (sign split, degree/fraction split_part, one
+    multiply-add). Both engines run the identical integer sequence —
+    the only dialect split is Spark ``div`` vs DuckDB ``//``, both
+    applied to NON-NEGATIVE operands (shifted before division) where
+    truncation and floor coincide.
+
+    Shape at 100 TB: map-only, fused into the scan, zero shuffles,
+    no UDF — every expression is whole-stage-codegen."""
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    synth = c.select(
+        "c_custkey",
+        ((k * 7919) % 120000000 - 60000000).alias("latm"),
+        ((k * 104729) % 360000000 - 180000000).alias("lonm"),
+    )
+
+    def fmt(col: str) -> str:
+        return (
+            f"(CASE WHEN {col} < 0 THEN '-' ELSE '' END)"
+            f" || CAST(ABS({col}) div 1000000 AS STRING) || '.'"
+            f" || lpad(CAST(ABS({col}) % 1000000 AS STRING), 6, '0')"
+        )
+
+    coords = synth.selectExpr(
+        "c_custkey",
+        f"{fmt('latm')} || ',' || {fmt('lonm')} AS coord",
+    )
+
+    def parse(idx: int) -> str:
+        part = f"split_part(coord, ',', {idx})"
+        mag = f"replace({part}, '-', '')"
+        return (
+            f"(CASE WHEN {part} LIKE '-%' THEN -1 ELSE 1 END)"
+            f" * (CAST(split_part({mag}, '.', 1) AS BIGINT) * 1000000"
+            f"    + CAST(split_part({mag}, '.', 2) AS BIGINT))"
+        )
+
+    parsed = coords.selectExpr(
+        "c_custkey",
+        "coord",
+        f"{parse(1)} AS lat_micro",
+        f"{parse(2)} AS lon_micro",
+    )
+    cells = parsed.selectExpr(
+        "c_custkey",
+        "coord",
+        "lat_micro",
+        "lon_micro",
+        f"(lat_micro + 60000000) div {_GEO_CELL_MICRO} AS cell_lat",
+        f"(lon_micro + 180000000) div {_GEO_CELL_MICRO} AS cell_lon",
+    )
+    return cells.selectExpr(
+        "c_custkey",
+        "coord",
+        "CAST(lat_micro AS BIGINT) AS lat_micro",
+        "CAST(lon_micro AS BIGINT) AS lon_micro",
+        "CAST(cell_lat AS BIGINT) AS cell_lat",
+        "CAST(cell_lon AS BIGINT) AS cell_lon",
+        "CAST(cell_lat * 1024 + cell_lon AS BIGINT) AS cell_id",
+        f"CAST(ABS(lat_micro - {_GEO_LAT0})"
+        f" + ABS(lon_micro - {_GEO_LON0}) AS BIGINT) AS manhattan_micro",
+        f"ABS(lat_micro - {_GEO_LAT0}) <= {_GEO_BBOX_MICRO}"
+        f" AND ABS(lon_micro - {_GEO_LON0}) <= {_GEO_BBOX_MICRO}"
+        " AS in_bbox",
+    ).orderBy("c_custkey")

@@ -120,13 +120,15 @@ def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     and persisted (MEMORY_AND_DISK, replayable lineage): three
     assignment scans and two update aggregates consume it."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
+    q = emb.select(
         "vec_id",
         F.transform(
             "embedding",
             lambda x: F.floor(x.cast("double") * _KM_QSCALE + F.lit(0.5)),
         ).alias("qv"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    q.count()  # eager: 3 assignment scans + 2 update aggs consume it
+    return q
 
 
 def _long_lit(v) -> str:
@@ -670,6 +672,7 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = _ivfpq_codes(asg, cents).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        cached.count()  # eager populate (probe + ADC both read it)
         _IVFPQ_CACHE[index_key] = cached
     codes = cached
 
@@ -923,6 +926,7 @@ def _sd_side(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
         ).alias("qs"),
     )
     side = asg.join(qs, "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
+    side.count()  # eager populate (gemm stage reads it per cluster)
     _SD_SIDE_CACHE[cache_key] = side
     return side
 

@@ -508,6 +508,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         nh_rel = d.select("doc_id", _norm_hash().alias("nh")).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        nh_rel.count()  # eager: exact edges + signatures both read it
         _last_nh_rel = (nh_key, nh_rel)
     sparse = _minhash_cluster_sparse(spark, d, nh_rel, sf_dir)
     with_cl = nh_rel.join(sparse, "doc_id", "left").select(
@@ -1713,6 +1714,7 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cache note); blocks release when the cache evicts
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    er.count()  # eager: both join sides + sizes read er in one job
     _last_cont_er = (cache_key, er)
     return _containment_query(er)
 

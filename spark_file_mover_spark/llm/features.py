@@ -455,6 +455,7 @@ def _xent_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    scored.count()  # eager populate (perplexity + ccnet both read it)
     _xent_cache = (key, scored)
     return scored
 

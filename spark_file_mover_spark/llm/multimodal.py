@@ -1500,3 +1500,165 @@ def gif_meta_cols(c: F.Column) -> list:
         magic_ok.alias("magic_ok"),
         size_ok.alias("size_ok"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# multimodal-bmp-meta — BMP (BITMAPINFOHEADER) metadata, no decode
+# ---------------------------------------------------------------------------
+
+# The oracle predicts what the parse MUST return from the same doc_id
+# formulas the synthesizer uses (the gif-meta contract): Spark only
+# matches if the byte construction AND the header extraction agree
+# with the BMP spec independently. BMP is the fourth container family
+# (LE like WAV/GIF) and the only one here with a SIGNED dimension:
+# a negative height means top-down row order — the two's-complement
+# read the others never exercise.
+_BMP_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         1 + doc_id % 61 AS w,
+         1 + doc_id % 37 AS h,
+         doc_id % 3 = 0 AS td,
+         CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 4
+              WHEN 2 THEN 8 ELSE 24 END AS bpp
+  FROM documents
+)
+SELECT doc_id AS asset_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       td AS top_down,
+       CAST(bpp AS BIGINT) AS bits_per_pixel,
+       CAST(0 AS BIGINT) AS compression,
+       CAST(((bpp * w + 31) // 32) * 4 AS BIGINT) AS row_stride,
+       CAST(((bpp * w + 31) // 32) * 4 * h AS BIGINT) AS image_size,
+       TRUE AS magic_ok,
+       TRUE AS size_ok
+FROM f ORDER BY asset_id
+"""
+
+
+def _le32_hex(v) -> F.Column:
+    """Little-endian u32 as 8 hex chars (byte-swapped big-endian hex)."""
+    be = F.lpad(F.hex(v), 8, "0")
+    return F.concat(
+        be.substr(7, 2), be.substr(5, 2), be.substr(3, 2), be.substr(1, 2)
+    )
+
+
+def _le16_hex(v) -> F.Column:
+    be = F.lpad(F.hex(v), 4, "0")
+    return F.concat(be.substr(3, 2), be.substr(1, 2))
+
+
+def bmp_meta_cols(c: F.Column) -> list:
+    """The BMP file-header + BITMAPINFOHEADER parse as aliased Columns
+    — shared by the registered query (synthesized corpus) and the
+    genuine-file ground-truth test (a real struct-packed BMP)."""
+    magic_ok = F.hex(c.substr(F.lit(1), F.lit(2))) == "424D"
+    file_size = _le_uint(c, 3, 4)
+    px_off = _le_uint(c, 11, 4)
+    width = _le_uint(c, 19, 4)  # positive by contract (no top-down x)
+    h_raw = _le_uint(c, 23, 4)
+    # signed i32: raw >= 2^31 means a negative (top-down) height
+    h_signed = F.when(
+        h_raw >= 2147483648, h_raw - F.lit(4294967296)
+    ).otherwise(h_raw)
+    top_down = h_signed < 0
+    height = F.abs(h_signed)
+    bpp = _le_uint(c, 29, 2)
+    compression = _le_uint(c, 31, 4)
+    img_size_decl = _le_uint(c, 35, 4)
+    # 4-byte-aligned row stride from the PARSED fields — division by
+    # 32 (a power of two) is exact in double, cast truncates the
+    # non-negative quotient
+    stride = ((bpp * width + 31).cast("long") / 32).cast("long") * 4
+    size_ok = (
+        (F.length(c).cast("long") == file_size)
+        & (img_size_decl == stride * height)
+        & (px_off == 54)
+    )
+    return [
+        width.cast("long").alias("width"),
+        height.cast("long").alias("height"),
+        top_down.alias("top_down"),
+        bpp.cast("long").alias("bits_per_pixel"),
+        compression.cast("long").alias("compression"),
+        stride.cast("long").alias("row_stride"),
+        img_size_decl.cast("long").alias("image_size"),
+        magic_ok.alias("magic_ok"),
+        size_ok.alias("size_ok"),
+    ]
+
+
+@query("multimodal-bmp-meta", oracle=_BMP_ORACLE)
+def multimodal_bmp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP header metadata with pure byte expressions — the fourth
+    container family (little-endian, after WAV's RIFF chunks and the
+    GIF LSD; MP4 covers big-endian): dimensions, bit depth,
+    compression and the 4-byte-aligned row stride straight from the
+    54-byte BITMAPFILEHEADER + BITMAPINFOHEADER, plus structural
+    checks (magic, declared file size vs payload, declared image size
+    vs stride x height, pixel offset). The distinctive bit BMP adds:
+    height is SIGNED — a negative value declares top-down row order —
+    so this is the family's only two's-complement read, and the
+    stride rule (rows pad to 4-byte boundaries) is the arithmetic
+    every raw-pixel consumer must reproduce.
+
+    Synthesis (the image-dims/gif-meta contract): each doc_id builds
+    a spec-shaped BMP with DIFFERENT moduli per field (width % 61,
+    height % 37, top-down % 3, bpp from {1,4,8,24} by % 4 — no
+    aliasing), a correct LE header, and exactly stride x height
+    payload bytes; the parse re-derives everything from the BYTES
+    via :func:`_le_uint` reads and the two's-complement branch.
+    ``size_ok`` is TRUE by construction but only if both sides'
+    arithmetic agrees with the spec.
+
+    Shape at 100 TB: map-only byte expressions fused into the scan,
+    zero shuffles, zero Python — whole-stage codegen (the pinned
+    projection-layer architecture of the WAV/MP4 walks is not needed:
+    all offsets are FIXED, so the expression tree is naturally
+    linear)."""
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    w = 1 + doc % 61
+    h = 1 + doc % 37
+    td = doc % 3 == 0
+    bpp = (
+        F.when(doc % 4 == 0, 1)
+        .when(doc % 4 == 1, 4)
+        .when(doc % 4 == 2, 8)
+        .otherwise(24)
+    )
+    stride = ((bpp * w + 31).cast("long") / 32).cast("long") * 4
+    img_size = stride * h
+    file_size = img_size + 54
+    h_stored = F.when(td, F.lit(4294967296) - h).otherwise(h.cast("long"))
+    payload = F.unhex(
+        F.concat(
+            F.lit("424D"),  # "BM"
+            _le32_hex(file_size),
+            F.lit("00000000"),  # reserved
+            F.lit("36000000"),  # pixel offset = 54
+            F.lit("28000000"),  # info header size = 40
+            _le32_hex(w.cast("long")),
+            _le32_hex(h_stored),
+            F.lit("0100"),  # planes = 1
+            _le16_hex(bpp.cast("long")),
+            F.lit("00000000"),  # compression = BI_RGB
+            _le32_hex(img_size),
+            F.lit("130B0000"),  # 2835 ppm x
+            F.lit("130B0000"),  # 2835 ppm y
+            F.lit("00000000"),  # colors used
+            F.lit("00000000"),  # colors important
+            F.expr(
+                "repeat('AA', CAST(((CASE doc_id % 4 WHEN 0 THEN 1"
+                " WHEN 1 THEN 4 WHEN 2 THEN 8 ELSE 24 END"
+                " * (1 + doc_id % 61) + 31) DIV 32) * 4"
+                " * (1 + doc_id % 37) AS INT))"
+            ),
+        )
+    )
+    assets = d.select(doc.alias("asset_id"), payload.alias("content"))
+    return assets.select(
+        "asset_id", *bmp_meta_cols(F.col("content"))
+    ).orderBy("asset_id")

@@ -361,6 +361,8 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "en",
         assign_cell("embedding", "en").alias("cell"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    assigned.count()  # eager populate: the centroid aggregation and
+    # the candidate join both read the index in the first probe job
     _last_ivf_index = (cache_key, assigned)
     return _ivf_query(assigned)
 

@@ -734,3 +734,112 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("lang") == F.col("predicted_lang")).alias("is_correct"),
     ).orderBy("lang", "predicted_lang")
+
+
+# ---------------------------------------------------------------------------
+# I60 — readability scoring (Flesch reading ease / FK grade proxies)
+# ---------------------------------------------------------------------------
+
+# Flesch coefficients as shared 12-dp-safe literals (both engines read
+# the identical decimal text, so the doubles are bit-identical)
+_FLESCH_BASE = "206.835"
+_FLESCH_WPS = "1.015"
+_FLESCH_SPW = "84.6"
+_FK_WPS = "0.39"
+_FK_SPW = "11.8"
+_FK_BASE = "15.59"
+
+_READABILITY_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+              AS BIGINT) AS n_words,
+         CAST(1 + (length(text)
+              - length(replace(replace(replace(text, '.', ''),
+                                       '!', ''), '?', ''))) AS BIGINT)
+           AS n_sentences,
+         CAST(len(string_split_regex(lower(text), '[aeiou]+')) - 1
+              AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN
+         FLOOR(({_FLESCH_BASE}
+                - {_FLESCH_WPS} * (CAST(n_words AS DOUBLE)
+                                   / CAST(n_sentences AS DOUBLE))
+                - {_FLESCH_SPW} * (CAST(n_syllables AS DOUBLE)
+                                   / CAST(n_words AS DOUBLE)))
+               * 1e9 + 0.5) / 1e9 END AS flesch_ease,
+       CASE WHEN n_words > 0 THEN
+         FLOOR(({_FK_WPS} * (CAST(n_words AS DOUBLE)
+                             / CAST(n_sentences AS DOUBLE))
+                + {_FK_SPW} * (CAST(n_syllables AS DOUBLE)
+                               / CAST(n_words AS DOUBLE))
+                - {_FK_BASE})
+               * 1e9 + 0.5) / 1e9 END AS fk_grade
+FROM m ORDER BY doc_id
+"""
+
+
+@query("text-readability", oracle=_READABILITY_ORACLE)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I60: readability scoring — Flesch reading ease and the
+    Flesch-Kincaid grade level (Kincaid et al. 1975), the classic
+    document-complexity signals curation mixes use alongside quality
+    gates (a corpus skewed to either extreme reads as boilerplate or
+    noise; readability BANDS are a standard mixing dimension).
+
+    Structural proxies, both deterministic and engine-mirrorable:
+    sentences = 1 + count of sentence-final punctuation ('.', '!',
+    '?' — counted by length difference after literal replaces, no
+    regex subtleties); syllables = maximal VOWEL-RUN count (the
+    standard cheap syllable estimator: 'readable' -> e-a-e -> 3 runs),
+    counted as split-on-vowel-runs minus one — the same split
+    semantics both engines (the shared-tokenizer contract). On a
+    punctuation-free corpus the sentence count degenerates to 1 and
+    Flesch degrades to a words-per-doc + vowel-density signal —
+    monotone and still discriminative; with real prose the same plan
+    computes the textbook formula.
+
+    Parity: all three counts exact integers; each score is ONE
+    all-double expression over exact operands with shared literal
+    coefficients, snapped floor(x*1e9+0.5)/1e9; empty docs (0 words)
+    -> NULL scores both engines.
+
+    Shape at 100 TB: map-only, fused into the scan (only doc_id/text
+    read), zero shuffles, whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(toks()).cast("long")
+    stripped = F.regexp_replace(F.col("text"), r"[.!?]", "")
+    n_sent = (
+        1 + (F.length("text") - F.length(stripped))
+    ).cast("long")
+    n_syl = (
+        F.size(F.split(F.lower(F.col("text")), "[aeiou]+")) - 1
+    ).cast("long")
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    )
+    return m.selectExpr(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        f"CASE WHEN n_words > 0 THEN"
+        f" FLOOR(({_FLESCH_BASE}"
+        f" - {_FLESCH_WPS} * (CAST(n_words AS DOUBLE)"
+        f" / CAST(n_sentences AS DOUBLE))"
+        f" - {_FLESCH_SPW} * (CAST(n_syllables AS DOUBLE)"
+        f" / CAST(n_words AS DOUBLE)))"
+        f" * 1e9 + 0.5) / 1e9 END AS flesch_ease",
+        f"CASE WHEN n_words > 0 THEN"
+        f" FLOOR(({_FK_WPS} * (CAST(n_words AS DOUBLE)"
+        f" / CAST(n_sentences AS DOUBLE))"
+        f" + {_FK_SPW} * (CAST(n_syllables AS DOUBLE)"
+        f" / CAST(n_words AS DOUBLE))"
+        f" - {_FK_BASE})"
+        f" * 1e9 + 0.5) / 1e9 END AS fk_grade",
+    ).orderBy("doc_id")

@@ -3100,3 +3100,170 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         " FLOOR((CAST(mx AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9 + 0.5)"
         " / 1e9 END AS top_share",
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# E34 — daily new-vs-returning actives + cumulative distinct users
+# ---------------------------------------------------------------------------
+
+_NVR_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+fd AS (
+  SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id
+),
+daily AS (
+  SELECT ud.day,
+         CAST(COUNT(*) AS BIGINT) AS n_active,
+         CAST(SUM(CASE WHEN ud.day = fd.first_day THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new
+  FROM ud JOIN fd ON ud.user_id = fd.user_id
+  GROUP BY ud.day
+)
+SELECT day, n_active, n_new,
+       n_active - n_new AS n_returning,
+       CAST(SUM(n_new) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_users
+FROM daily ORDER BY day
+"""
+
+
+@query("agg-new-vs-returning", oracle=_NVR_ORACLE)
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E34: the growth-accounting daily split — per day, active users
+    partitioned into NEW (first-ever activity today) vs RETURNING,
+    plus the running cumulative distinct-user count. The cumulative
+    distinct is the trick: COUNT(DISTINCT) over an expanding window
+    re-scans history per day, but "distinct users through day d" IS
+    the running sum of daily new-user counts — each user counts
+    exactly once, on their first day.
+
+    Shape at 100 TB: events collapse map-side to DISTINCT (user, day)
+    — bounded by users x active-days, absorbing per-user event volume
+    before any exchange; first-day is one min-groupBy over that
+    relation (re-using its shuffle key); the day rollup is bounded by
+    the calendar, and the cumulative window runs over the DAY-bounded
+    relation (never user- or event-cardinality — the E19 discipline).
+    Exact integers end to end; day = epoch_us div 86400000000 (the
+    G10 integer-bucket contract, UTC-pinned)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).distinct()
+    fd = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = (
+        ud.join(fd, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_active"),
+            F.sum((F.col("day") == F.col("first_day")).cast("int"))
+            .cast("long")
+            .alias("n_new"),
+        )
+    )
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day",
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        F.sum("n_new").over(wcum).cast("long").alias("cum_users"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# E35 — day-of-week seasonality index per event type
+# ---------------------------------------------------------------------------
+
+_DOW_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         (CAST(epoch_us(ts) // 86400000000 AS BIGINT) + 4) % 7 AS dow,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+cell AS (
+  SELECT event_type, dow,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS DECIMAL(38,0)) AS s
+  FROM e GROUP BY event_type, dow
+),
+tot AS (
+  SELECT *,
+         CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS nt,
+         CAST(SUM(s) OVER (PARTITION BY event_type) AS DECIMAL(38,0))
+           AS st
+  FROM cell
+)
+SELECT event_type, dow, n, CAST(s AS BIGINT) AS sum_cents,
+       FLOOR((CAST(n AS DOUBLE) * 7.0 / CAST(nt AS DOUBLE))
+             * 1e9 + 0.5) / 1e9 AS volume_index,
+       CASE WHEN st > 0 THEN
+         FLOOR(((CAST(s AS DOUBLE) * CAST(nt AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(st AS DOUBLE)))
+               * 1e9 + 0.5) / 1e9 END AS value_index
+FROM tot ORDER BY event_type, dow
+"""
+
+
+@query("agg-seasonality-dow", oracle=_DOW_ORACLE)
+def agg_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E35: day-of-week seasonality profile per event type — the
+    volume index (share of events on this weekday x 7; 1.0 = flat) and
+    the value index (avg spend this weekday / overall avg; 1.0 = no
+    weekday effect) every ops/forecasting dashboard normalizes by
+    before comparing a Monday to a Saturday. dow = (epoch_day + 4) % 7
+    with 0 = Sunday — the G10 integer contract, shared verbatim.
+
+    Shape at 100 TB: one scan collapsing map-side into <= types x 7
+    cells (the agg-hash plan with a derived key); the normalizer
+    windows run over the aggregated cell relation (E21 discipline).
+    Counts and cent sums exact; each index is ONE all-double
+    expression over exact operands, snapped floor(x*1e9+0.5)/1e9; a
+    zero-spend type yields NULL value_index in both engines."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    cell = (
+        e.select(
+            "event_type",
+            ((F.expr("unix_micros(ts) div 86400000000") + 4) % 7).alias(
+                "dow"
+            ),
+            (dec("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast(d38).alias("s"),
+        )
+    )
+    wt = W.partitionBy("event_type")
+    tot = cell.select(
+        "event_type",
+        "dow",
+        "n",
+        "s",
+        F.sum("n").over(wt).cast("long").alias("nt"),
+        F.sum("s").over(wt).cast(d38).alias("st"),
+    )
+    return tot.selectExpr(
+        "event_type",
+        "dow",
+        "n",
+        "CAST(s AS BIGINT) AS sum_cents",
+        "FLOOR((CAST(n AS DOUBLE) * 7.0 / CAST(nt AS DOUBLE))"
+        " * 1e9 + 0.5) / 1e9 AS volume_index",
+        "CASE WHEN st > 0 THEN"
+        " FLOOR(((CAST(s AS DOUBLE) * CAST(nt AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(st AS DOUBLE)))"
+        " * 1e9 + 0.5) / 1e9 END AS value_index",
+    ).orderBy("event_type", "dow")

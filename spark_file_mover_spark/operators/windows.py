@@ -1767,3 +1767,272 @@ def window_interorder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FLOOR((CAST(n_within_week AS DOUBLE) / CAST(n_gaps AS DOUBLE))"
         " * 1e9 + 0.5) / 1e9 AS within_week_share",
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# F23 — RFM customer segmentation (quintile scores from exact boundaries)
+# ---------------------------------------------------------------------------
+
+# shared nearest-rank quintile machinery (the E19 identity): boundary
+# b_q = smallest metric value whose cumulative customer count reaches
+# ceil(q*n/100), scores = 1 + #(boundaries strictly below the value) —
+# tie runs share one score by construction (every engine agrees), and
+# the windows run over VALUE-distribution relations, never a global
+# customer sort (the Gini r10 lesson, applied from day one here).
+_RFM_QS = (20, 40, 60, 80)
+
+
+def _rfm_bounds_sql(metric: str, src: str) -> str:
+    """DuckDB CTE text: 4 quintile boundaries of ``metric`` over
+    per-customer relation ``src`` as a single row b1..b4."""
+    picks = ", ".join(
+        f"MIN(CASE WHEN cum >= (({q} * nn) + 99) // 100 THEN v END)"
+        f" AS b{i + 1}"
+        for i, q in enumerate(_RFM_QS)
+    )
+    return f"""(
+  SELECT {picks} FROM (
+    SELECT v, SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(c) OVER () AS nn
+    FROM (SELECT {metric} AS v, COUNT(*) AS c FROM {src} GROUP BY 1)
+  )
+)"""
+
+
+_RFM_ORACLE = f"""
+WITH pc AS (
+  SELECT o_custkey AS custkey,
+         CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+           AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS m_cents
+  FROM orders GROUP BY o_custkey
+),
+rb AS {_rfm_bounds_sql("last_day", "pc")},
+fb AS {_rfm_bounds_sql("n_orders", "pc")},
+mb AS {_rfm_bounds_sql("m_cents", "pc")}
+SELECT custkey, last_day, n_orders, m_cents,
+       1 + CAST(last_day > rb.b1 AS INT) + CAST(last_day > rb.b2 AS INT)
+         + CAST(last_day > rb.b3 AS INT) + CAST(last_day > rb.b4 AS INT)
+         AS r_score,
+       1 + CAST(n_orders > fb.b1 AS INT) + CAST(n_orders > fb.b2 AS INT)
+         + CAST(n_orders > fb.b3 AS INT) + CAST(n_orders > fb.b4 AS INT)
+         AS f_score,
+       1 + CAST(m_cents > mb.b1 AS INT) + CAST(m_cents > mb.b2 AS INT)
+         + CAST(m_cents > mb.b3 AS INT) + CAST(m_cents > mb.b4 AS INT)
+         AS m_score,
+       100 * (1 + CAST(last_day > rb.b1 AS INT)
+                + CAST(last_day > rb.b2 AS INT)
+                + CAST(last_day > rb.b3 AS INT)
+                + CAST(last_day > rb.b4 AS INT))
+       + 10 * (1 + CAST(n_orders > fb.b1 AS INT)
+                 + CAST(n_orders > fb.b2 AS INT)
+                 + CAST(n_orders > fb.b3 AS INT)
+                 + CAST(n_orders > fb.b4 AS INT))
+       + (1 + CAST(m_cents > mb.b1 AS INT) + CAST(m_cents > mb.b2 AS INT)
+            + CAST(m_cents > mb.b3 AS INT) + CAST(m_cents > mb.b4 AS INT))
+         AS rfm_code
+FROM pc, rb, fb, mb
+ORDER BY custkey
+"""
+
+
+def _rfm_bounds_df(pc, col: str):
+    """One-row DataFrame with the 4 exact quintile boundaries of
+    ``col`` over the per-customer relation — distribution-trick
+    windows (value-bounded), never a customer sort."""
+    from pyspark.sql import Window as W
+
+    dist = pc.groupBy(F.col(col).alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    d = dist.select(
+        "v",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("nn"),
+    )
+    return d.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr(f"(({q} * nn) + 99) DIV 100"),
+                    F.col("v"),
+                )
+            ).alias(f"{col}_b{i + 1}")
+            for i, q in enumerate(_RFM_QS)
+        ]
+    )
+
+
+@query("window-rfm-segment", oracle=_RFM_ORACLE)
+def window_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F23: RFM segmentation — the CRM/lifecycle-marketing staple:
+    every customer scored 1-5 on Recency (last order day), Frequency
+    (order count) and Monetary (lifetime spend), combined into the
+    three-digit RFM code ('555' = best) that campaign targeting and
+    churn models consume.
+
+    Scores come from EXACT nearest-rank quintile boundaries (the E19
+    identity) rather than a global ntile: the per-customer relation
+    collapses to three VALUE distributions (bounded by value
+    cardinality), one cumulative window each picks the four
+    boundaries, and each customer's scores are map-side comparisons
+    against the broadcast one-row boundary relation — no
+    customer-cardinality sort anywhere (the Gini scale lesson,
+    plan-pinned), and tie runs share a score deterministically (a
+    global ntile splits equal-value customers arbitrarily across
+    buckets, which is exactly what a reproducible segmentation must
+    not do).
+
+    Shape at 100 TB: one corpus shuffle to per-customer; the
+    boundary subtrees re-aggregate that relation map-side (three
+    value-bounded distributions); three one-row crossJoins broadcast
+    the boundaries back. Exact integers end to end (epoch-day, count,
+    DECIMAL-cents sum)."""
+    o = load_table(spark, sf_dir, "orders")
+    pc = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+            )
+        )
+        .cast("long")
+        .alias("last_day"),
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("m_cents"),
+    )
+    rb = _rfm_bounds_df(pc, "last_day")
+    fb = _rfm_bounds_df(pc, "n_orders")
+    mb = _rfm_bounds_df(pc, "m_cents")
+    j = (
+        pc.crossJoin(F.broadcast(rb))
+        .crossJoin(F.broadcast(fb))
+        .crossJoin(F.broadcast(mb))
+    )
+
+    def score(col: str) -> F.Column:
+        s = F.lit(1)
+        for i in range(4):
+            s = s + (F.col(col) > F.col(f"{col}_b{i + 1}")).cast("int")
+        return s
+
+    r_s, f_s, m_s = score("last_day"), score("n_orders"), score("m_cents")
+    return j.select(
+        "custkey",
+        "last_day",
+        "n_orders",
+        "m_cents",
+        r_s.cast("int").alias("r_score"),
+        f_s.cast("int").alias("f_score"),
+        m_s.cast("int").alias("m_score"),
+        (100 * r_s + 10 * f_s + m_s).cast("int").alias("rfm_code"),
+    ).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# F24 — interval concurrency via sweep-line (max concurrent open orders)
+# ---------------------------------------------------------------------------
+
+_SWEEP_ORACLE = """
+WITH iv AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS sd,
+         CAST(epoch_us(o_orderdate) // 86400000000
+              + (o_orderkey % 14) + 1 AS BIGINT) AS ed
+  FROM orders
+),
+delta AS (
+  SELECT day, SUM(d) AS net, SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END)
+           AS n_start,
+         SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS n_end
+  FROM (
+    SELECT sd AS day, 1 AS d FROM iv
+    UNION ALL
+    SELECT ed AS day, -1 AS d FROM iv
+  ) GROUP BY day
+),
+c AS (
+  SELECT day,
+         CAST(n_start AS BIGINT) AS n_start,
+         CAST(n_end AS BIGINT) AS n_end,
+         CAST(SUM(net) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS concurrency
+  FROM delta
+)
+SELECT day, n_start, n_end, concurrency,
+       CAST(MAX(concurrency) OVER () AS BIGINT) AS max_concurrency
+FROM c ORDER BY day
+"""
+
+
+@query("window-concurrency-sweep", oracle=_SWEEP_ORACLE)
+def window_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F24: interval-concurrency profile by SWEEP-LINE — how many
+    orders are simultaneously open on each change day, plus the global
+    peak: the capacity-planning / max-concurrent-sessions /
+    license-peak query. The naive form is a range self-join (every day
+    x every interval covering it — quadratic in busy windows); the
+    sweep line is the linear classic: each interval contributes
+    (+1 at start, -1 past end), deltas collapse to per-day nets, and
+    the running sum of nets IS the concurrency. Intervals are
+    synthesized from orders (start = order day, duration =
+    (o_orderkey % 14) + 1 days — the G9/G11 synthesize-then-parse
+    contract) so every concurrency level is oracle-predictable.
+
+    Shape at 100 TB: the +-1 delta stream collapses MAP-SIDE to one
+    row per distinct day (bounded by the calendar, not the order
+    count) before the only exchange; both the running sum and the
+    global max run over that day-bounded relation (E19 discipline —
+    the unpartitioned window sorts days, never orders). Exact
+    integers end to end; end day is exclusive (an interval ending
+    day d stops counting ON d)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+    ).cast("long")
+    iv = o.select(
+        day.alias("sd"),
+        (day + (F.col("o_orderkey") % 14) + 1).alias("ed"),
+    )
+    deltas = iv.select(F.col("sd").alias("day"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.col("ed").alias("day"), F.lit(-1).alias("d"))
+    )
+    per_day = deltas.groupBy("day").agg(
+        F.sum("d").alias("net"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_start"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_end"),
+    )
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    c = per_day.select(
+        "day",
+        "n_start",
+        "n_end",
+        F.sum("net").over(wcum).cast("long").alias("concurrency"),
+    )
+    return c.select(
+        "day",
+        "n_start",
+        "n_end",
+        "concurrency",
+        F.max("concurrency").over(wall).cast("long").alias(
+            "max_concurrency"
+        ),
+    ).orderBy("day")

@@ -62,54 +62,200 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
     return deco
 
 
-# Scoring priority for the current round (r9). The driver consumes
-# ``queries()`` in dict insertion order under a wall-clock budget
-# (~50 keys/round), so ``load_all`` rebuilds the registry dict in this
-# order after all modules import:
+# Scoring priority for round 10. The driver consumes ``queries()`` in
+# dict insertion order under a wall-clock budget (~50 keys/round), so
+# ``load_all`` rebuilds the registry dict in this order after all
+# modules import:
 #
-#   1. The 50 NEW r9 keys, newest batch first — the eval/attribution
-#      trio (agg-auc-rank, window-attribution, agg-srm-check), the
-#      continuation-4 batch (window-gap-fill, agg-cuped,
-#      embed-matryoshka, graph-kcore, etl-dq-audit, fn-ip-cidr,
-#      sample-group-kfold), then each earlier r9 batch in
-#      reverse-landing order down to the first r9 batch
-#      (... text-ccnet-buckets). New keys always go at the HEAD so
-#      they earn a driver row the round they land (the r7 lesson: 33
-#      tail-added keys sat unscored for a round). 50 new keys fill the
-#      ~50-key cut EXACTLY — additions froze there; every r9 key earns
-#      a driver row and zero slots remain for stale refresh this round.
-#   2. The tail (scored only if the driver goes deeper) in
-#      tools/stale_keys.py order as of r8 scoring: the r6-scored block
-#      first (etl-scd2, etl-cdc-apply, set-union-intersect-except,
-#      ...), then r7, then r8-fresh last.
+#   1. The 16 keys with NO driver row ever: the nine r9 keys added
+#      behind the r9 scoring cut (join-scd2-temporal ... 
+#      text-ccnet-buckets — the r9 verdict's single highest-leverage
+#      item) followed by the seven r10-new keys
+#      (agg-new-vs-returning, agg-seasonality-dow, window-rfm-segment,
+#      window-concurrency-sweep, text-readability, fn-geo-cell,
+#      multimodal-bmp-meta).
+#   2. The 10 keys whose IMPLEMENTATION changed in r10 and need a
+#      fresh driver row over the new code: the Gini distribution
+#      rewrite, the sharded pack-sequences dispatch, the four
+#      ADVICE-fix keys (cuped/welch/auc/dq-audit), and the four
+#      write-path keys the r10 differential changed
+#      (sink-compact, repartition-n, scan-csv-roundtrip,
+#      scan-csv-corrupt-recover).
+#   3. The tail in tools/stale_keys.py order (r6-scored block first,
+#      then r7, r8, r9) — with a ~50-key cut, positions 26-49 refresh
+#      24 of the 34 r6-stale keys; the rest sit exactly at the
+#      4-round staleness boundary for r11's head.
 #
 # Rebuild this list each round from `python tools/stale_keys.py --list`
-# with any new keys at the HEAD; keep (new keys) ≤ (cut − a few slots).
-# r10 handoff: with 59 r9-born keys and a ~50-key scoring cut, the 9
-# keys at positions 50-58 of this list (join-scd2-temporal,
-# dedup-semdedup, join-asof-nearest, agg-ks-drift, agg-hist-logbucket,
-# window-session-batch, join-bloom-prefilter, sample-interleave-sources,
-# text-ccnet-buckets) will likely miss CORRECTNESS_r09 — sim-green at
-# both scales but no driver row. Build _PRIORITY_R10 with THOSE nine
-# first, then any r10-new keys, then stale_keys.py order.
-_PRIORITY_R9 = [
+# with never-scored + changed keys at the HEAD.
+_PRIORITY_R10 = [
+    "join-scd2-temporal",
+    "dedup-semdedup",
+    "join-asof-nearest",
+    "agg-ks-drift",
+    "agg-hist-logbucket",
+    "window-session-batch",
+    "join-bloom-prefilter",
+    "sample-interleave-sources",
+    "text-ccnet-buckets",
+    "agg-new-vs-returning",
+    "agg-seasonality-dow",
+    "window-rfm-segment",
+    "window-concurrency-sweep",
+    "text-readability",
+    "fn-geo-cell",
+    "multimodal-bmp-meta",
+    "agg-gini-coefficient",
+    "sample-pack-sequences",
+    "agg-cuped",
+    "agg-welch-ttest",
+    "agg-auc-rank",
+    "etl-dq-audit",
+    "sink-compact",
+    "repartition-n",
+    "scan-csv-roundtrip",
+    "scan-csv-corrupt-recover",
+    "etl-scd2",
+    "etl-cdc-apply",
+    "set-union-intersect-except",
+    "stream-tumbling",
+    "stream-sliding",
+    "stream-session",
+    "stream-dedup-late",
+    "stream-stateful-agg",
+    "stream-join",
+    "events-funnel",
+    "rollup-hierarchical",
+    "join-inner-equi",
+    "join-left-right-full",
+    "join-multiway-star",
+    "join-skew-salted",
+    "join-range-binned",
+    "join-asof",
+    "join-lateral-topk",
+    "dedup-components",
+    "dedup-paragraph",
+    "text-dup-span",
+    "sim-search-ivf",
+    "text-decontaminate",
+    "text-repetition",
+    "filter-scalar-subquery",
+    "fn-bitwise",
+    "multimodal-image-dims",
+    "multimodal-audio-meta",
+    "move-list-files",
+    "move-rename",
+    "scan-jsonl-roundtrip",
+    "sink-bucketed",
+    "sink-merge-upsert",
+    "join-semi-anti",
+    "join-broadcast",
+    "join-range-theta",
+    "dedup-exact",
+    "dedup-near-minhash",
+    "dedup-simhash",
+    "dedup-ngram-jaccard",
+    "text-dup-cut",
+    "sim-search-topk",
+    "dedup-embedding-cosine",
+    "sim-search-lsh",
+    "sample-train-split",
+    "sample-hash-stratified",
+    "sample-temperature-weights",
+    "text-url-normalize",
+    "text-chunk-sliding",
+    "text-tfidf-topk",
+    "embed-quantize-int8",
+    "project-select",
+    "filter-pred",
+    "filter-like-regexp",
+    "fn-string",
+    "fn-date",
+    "fn-math",
+    "fn-array",
+    "fn-map-json",
+    "fn-case-when-cast",
+    "multimodal-binary",
+    "multimodal-frame-sample",
+    "multimodal-video-meta",
+    "text-analysis",
+    "text-token-count",
+    "text-langid",
+    "text-quality-score",
+    "text-fingerprint",
+    "text-pii-scrub",
+    "text-ngram-freq",
+    "move-partition-extract",
+    "move-template",
+    "move-collision-guard",
+    "write-single-file",
+    "scan-parquet",
+    "scan-table-manifest",
+    "scan-orc-roundtrip",
+    "sink-sorted-pruning",
+    "sink-partitioned",
+    "sink-overwrite",
+    "dedup-image-phash",
+    "dedup-cross-bloom",
+    "embed-kmeans-lloyd",
+    "embed-pq-encode",
+    "embed-ann-ivfpq",
+    "embed-random-projection",
+    "multimodal-image-exif",
+    "text-bpe-pairs",
+    "text-containment",
+    "text-gopher-rules",
+    "sample-reservoir-weighted",
+    "sample-balanced-downsample",
+    "graph-pagerank",
+    "graph-label-propagation",
+    "sink-zorder",
+    "sink-snapshot-read",
+    "scan-dpp-join",
+    "scan-schema-evolution",
+    "agg-retention-cohort",
+    "agg-sketch-hll-merge",
+    "agg-sketch-cms",
+    "agg-sketch-theta-setops",
+    "agg-outlier-mad",
+    "agg-mode-exact",
+    "join-interval-overlap",
+    "join-asof-tolerance",
+    "window-distribution",
+    "fn-variant-json",
+    "stream-disorder-metrics",
+    "stream-sink-exactly-once",
+    "udf-scalar-pandas",
+    "udaf-grouped-pandas",
+    "udtf-explode-like",
+    "text-perplexity-proxy",
+    "agg-hash",
+    "agg-distinct",
+    "agg-approx-distinct",
+    "agg-rollup-cube-gsets",
+    "agg-having",
+    "agg-approx-quantile",
+    "agg-pivot",
+    "agg-stats",
+    "agg-unpivot",
+    "agg-incremental-merge",
+    "window-ranking",
+    "window-analytic",
+    "window-frame-agg",
+    "topk-per-group",
+    "sort-limit",
     "agg-hhi-concentration",
     "window-interorder-gap",
     "fn-useragent-parse",
     "window-rolling-corr",
-    "agg-gini-coefficient",
-    "agg-welch-ttest",
     "agg-chisq-independence",
     "window-cusum-changepoint",
     "graph-assortativity",
-    "agg-auc-rank",
     "window-attribution",
     "agg-srm-check",
     "window-gap-fill",
-    "agg-cuped",
     "embed-matryoshka",
     "graph-kcore",
-    "etl-dq-audit",
     "fn-ip-cidr",
     "sample-group-kfold",
     "sink-overwrite-dynamic",
@@ -143,155 +289,12 @@ _PRIORITY_R9 = [
     "window-range-rolling",
     "graph-bfs-levels",
     "text-winnowing",
-    "join-scd2-temporal",
-    "dedup-semdedup",
-    "join-asof-nearest",
-    "agg-ks-drift",
-    "agg-hist-logbucket",
-    "window-session-batch",
-    "join-bloom-prefilter",
-    "sample-interleave-sources",
-    "text-ccnet-buckets",
-    "etl-scd2",
-    "etl-cdc-apply",
-    "set-union-intersect-except",
-    "stream-tumbling",
-    "stream-sliding",
-    "stream-session",
-    "stream-dedup-late",
-    "stream-stateful-agg",
-    "stream-join",
-    "events-funnel",
-    "rollup-hierarchical",
-    "join-inner-equi",
-    "join-left-right-full",
-    "join-multiway-star",
-    "join-skew-salted",
-    "join-range-binned",
-    "join-asof",
-    "join-lateral-topk",
-    "dedup-components",
-    "dedup-paragraph",
-    "text-dup-span",
-    "sim-search-ivf",
-    "text-decontaminate",
-    "text-repetition",
-    "filter-scalar-subquery",
-    "fn-bitwise",
-    "multimodal-image-dims",
-    "multimodal-audio-meta",
-    "move-list-files",
-    "move-rename",
-    "scan-jsonl-roundtrip",
-    "sink-bucketed",
-    "repartition-n",
-    "sink-merge-upsert",
-    "join-semi-anti",
-    "join-broadcast",
-    "join-range-theta",
-    "dedup-exact",
-    "dedup-near-minhash",
-    "dedup-simhash",
-    "dedup-ngram-jaccard",
-    "text-dup-cut",
-    "sim-search-topk",
-    "dedup-embedding-cosine",
-    "sim-search-lsh",
-    "sample-train-split",
-    "sample-hash-stratified",
-    "sample-pack-sequences",
-    "sample-temperature-weights",
-    "text-url-normalize",
-    "text-chunk-sliding",
-    "text-tfidf-topk",
-    "embed-quantize-int8",
-    "project-select",
-    "filter-pred",
-    "filter-like-regexp",
-    "fn-string",
-    "fn-date",
-    "fn-math",
-    "fn-array",
-    "fn-map-json",
-    "fn-case-when-cast",
-    "multimodal-binary",
-    "multimodal-frame-sample",
-    "multimodal-video-meta",
-    "text-analysis",
-    "text-token-count",
-    "text-langid",
-    "text-quality-score",
-    "text-fingerprint",
-    "text-pii-scrub",
-    "text-ngram-freq",
-    "move-partition-extract",
-    "move-template",
-    "move-collision-guard",
-    "write-single-file",
-    "scan-parquet",
-    "scan-table-manifest",
-    "scan-csv-roundtrip",
-    "scan-orc-roundtrip",
-    "sink-sorted-pruning",
-    "sink-partitioned",
-    "sink-overwrite",
-    "sink-compact",
-    "dedup-image-phash",
-    "dedup-cross-bloom",
-    "embed-kmeans-lloyd",
-    "embed-pq-encode",
-    "embed-ann-ivfpq",
-    "embed-random-projection",
-    "multimodal-image-exif",
-    "text-bpe-pairs",
-    "text-containment",
-    "text-gopher-rules",
-    "sample-reservoir-weighted",
-    "sample-balanced-downsample",
-    "graph-pagerank",
-    "graph-label-propagation",
-    "sink-zorder",
-    "sink-snapshot-read",
-    "scan-dpp-join",
-    "scan-schema-evolution",
-    "scan-csv-corrupt-recover",
-    "agg-retention-cohort",
-    "agg-sketch-hll-merge",
-    "agg-sketch-cms",
-    "agg-sketch-theta-setops",
-    "agg-outlier-mad",
-    "agg-mode-exact",
-    "join-interval-overlap",
-    "join-asof-tolerance",
-    "window-distribution",
-    "fn-variant-json",
-    "stream-disorder-metrics",
-    "stream-sink-exactly-once",
-    "udf-scalar-pandas",
-    "udaf-grouped-pandas",
-    "udtf-explode-like",
-    "text-perplexity-proxy",
-    "agg-hash",
-    "agg-distinct",
-    "agg-approx-distinct",
-    "agg-rollup-cube-gsets",
-    "agg-having",
-    "agg-approx-quantile",
-    "agg-pivot",
-    "agg-stats",
-    "agg-unpivot",
-    "agg-incremental-merge",
-    "window-ranking",
-    "window-analytic",
-    "window-frame-agg",
-    "topk-per-group",
-    "sort-limit",
 ]
 
 
 def load_all() -> None:
     """Import every operator module so registrations run, then rebuild
-    the registry dict in scoring-priority order (see ``_PRIORITY_R9``) —
+    the registry dict in scoring-priority order (see ``_PRIORITY_R10``) —
     dict insertion order IS the driver's scoring order."""
     # Imports are at call time so `import spark_file_mover_spark` stays cheap.
     from spark_file_mover_spark.operators import (  # noqa: F401
@@ -315,8 +318,8 @@ def load_all() -> None:
     from spark_file_mover_spark import filemover_queries, udfs  # noqa: F401
     from spark_file_mover_spark.sources import sourcesink  # noqa: F401
 
-    ordered = [k for k in _PRIORITY_R9 if k in QUERIES]
-    ordered += [k for k in QUERIES if k not in _PRIORITY_R9]
+    ordered = [k for k in _PRIORITY_R10 if k in QUERIES]
+    ordered += [k for k in QUERIES if k not in _PRIORITY_R10]
     for mapping in (QUERIES, ORACLES):
         snapshot = {k: mapping[k] for k in ordered if k in mapping}
         mapping.clear()

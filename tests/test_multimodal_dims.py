@@ -297,3 +297,69 @@ def test_gif_meta_on_genuine_file(spark):
         ),
     ).collect()
     assert not any(r.magic_ok for r in bad)
+
+
+def _real_bmp(w: int, h: int, top_down: bool = False) -> bytes:
+    """A genuine struct-packed 24-bit BMP (the bytes any image viewer
+    would accept)."""
+    import struct
+
+    stride = ((24 * w + 31) // 32) * 4
+    img_size = stride * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        w,
+        -h if top_down else h,
+        1,
+        24,
+        0,
+        img_size,
+        2835,
+        2835,
+        0,
+        0,
+    )
+    rows = b""
+    for _ in range(h):
+        rows += (b"\x00\x80\xff" * w)[: 3 * w].ljust(stride, b"\x00")
+    return header + rows
+
+
+def test_bmp_meta_on_genuine_files(spark):
+    from spark_file_mover_spark.llm.multimodal import bmp_meta_cols
+
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(_real_bmp(1, 1))),
+            (1, bytearray(_real_bmp(13, 7))),
+            (2, bytearray(_real_bmp(4, 3, top_down=True))),
+        ],
+        "id long, content binary",
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id", *bmp_meta_cols(F.col("content"))
+        ).collect()
+    }
+    for i, (w, h, td) in ((0, (1, 1, False)), (1, (13, 7, False)),
+                          (2, (4, 3, True))):
+        r = rows[i]
+        assert r.magic_ok and r.size_ok, r
+        assert (r.width, r.height, r.top_down) == (w, h, td), r
+        assert r.bits_per_pixel == 24 and r.compression == 0
+        assert r.row_stride == ((24 * w + 31) // 32) * 4
+        assert r.image_size == r.row_stride * h
+    # corrupted magic parses as not-a-bmp
+    bad = df.select(
+        "id",
+        *bmp_meta_cols(
+            F.concat(
+                F.lit(bytearray(b"XX")), F.col("content").substr(3, 100000)
+            )
+        ),
+    ).collect()
+    assert not any(r.magic_ok for r in bad)

@@ -1,0 +1,95 @@
+"""Randomized DIFFERENTIAL tests for the r10 operators (the r9 harness
+pattern): hypothesis-generated source tables through the registered
+query + oracle over the same parquet bytes. Universes force the edge
+cases each key's arithmetic must survive: singleton populations
+(quintile boundaries collapse), one-day corpora (cumulative windows of
+length 1), same-day interval stacks (sweep-line tie days), empty-ish
+docs (0-word readability), duplicate customers."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spark_file_mover_spark import registry
+from tests.test_r9_properties import (
+    _CUST_ROW,
+    _EVENT_ROW,
+    _ORDER_ROW,
+    _SETTINGS,
+    _run_both,
+    _write_customer,
+    _write_docs_tbl,
+    _write_events,
+    _write_orders,
+)
+
+registry.load_all()
+
+_R10_SETTINGS = dict(_SETTINGS, max_examples=5)
+
+_EVENTS_R10_KEYS = ["agg-new-vs-returning", "agg-seasonality-dow"]
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("key", _EVENTS_R10_KEYS)
+@given(rows=st.lists(_EVENT_ROW, min_size=1, max_size=25))
+@settings(**_R10_SETTINGS)
+def test_events_r10_differential(key, rows, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("er10")
+    _write_events(d, rows)
+    ok, msg = _run_both(key, spark, d, ["events"])
+    assert ok, f"{key}: {msg}"
+
+
+_ORDERS_R10_KEYS = ["window-rfm-segment", "window-concurrency-sweep"]
+
+
+@pytest.mark.parametrize("key", _ORDERS_R10_KEYS)
+@given(rows=st.lists(_ORDER_ROW, min_size=1, max_size=25))
+@settings(**_R10_SETTINGS)
+def test_orders_r10_differential(key, rows, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("or10")
+    _write_orders(d, rows)
+    ok, msg = _run_both(key, spark, d, ["orders"])
+    assert ok, f"{key}: {msg}"
+
+
+@given(rows=st.lists(_CUST_ROW, min_size=1, max_size=25))
+@settings(**_R10_SETTINGS)
+def test_geo_cell_differential(rows, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("geo")
+    _write_customer(d, rows)
+    ok, msg = _run_both("fn-geo-cell", spark, d, ["customer"])
+    assert ok, f"fn-geo-cell: {msg}"
+
+
+_READ_TEXT = st.sampled_from(
+    [
+        "the quick brown fox.",
+        "bcdfg hjklm",  # zero vowels -> 0 syllables
+        "aeiou aeiou",  # all-vowel tokens
+        "Mr. X went... home?! yes!",  # punctuation runs
+        "a",
+        "Ünïcode prose, with clauses.",
+    ]
+)
+_READ_ROW = st.tuples(
+    _READ_TEXT,
+    st.sampled_from(["en", "de"]),
+    st.sampled_from(["srcA", "srcB"]),
+)
+
+
+@pytest.mark.parametrize(
+    "key", ["text-readability", "multimodal-bmp-meta"]
+)
+@given(rows=st.lists(_READ_ROW, min_size=1, max_size=20))
+@settings(**_R10_SETTINGS)
+def test_docs_r10_differential(key, rows, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("dr10")
+    _write_docs_tbl(d, rows)
+    ok, msg = _run_both(key, spark, d, ["documents"])
+    assert ok, f"{key}: {msg}"

@@ -51,7 +51,7 @@ def test_every_registered_key_has_an_oracle():
 def test_priority_list_is_valid():
     """Every _PRIORITY_R* key must exist (a typo silently demotes the
     key to the unscored tail) and contain no duplicates."""
-    pri = registry._PRIORITY_R9
+    pri = registry._PRIORITY_R10
     assert len(pri) == len(set(pri)), "duplicate keys in priority list"
     unknown = [k for k in pri if k not in registry.QUERIES]
     assert not unknown, f"priority keys not registered: {unknown}"

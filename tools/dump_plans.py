@@ -135,9 +135,16 @@ NOTES = {
     "graph-assortativity": "Assortativity: reuses the cached K5 (edges, degrees) localCheckpoints; two node-id shuffle joins attach endpoint degrees, then ONE one-row aggregate of three exact moments; DECIMAL(38,0) cross products, one snapped division.",
     "fn-useragent-parse": "UA parse: synthesize-then-parse from one shared SQL fragment; LIKE guards + one regexp_extract per family, map-only, fused into the scan, zero shuffles.",
     "window-rolling-corr": "Rolling correlation: one hash agg to day rows, six window moments on ONE RANGE day frame; DECIMAL(38,0) centered products, one snapped division.",
-    "agg-gini-coefficient": "Gini: per-user shuffle, one global user-cardinality sort serving both rank windows, one one-row aggregate; DECIMAL(38,0) rank products, two snapped divisions.",
+    "agg-gini-coefficient": "Gini from the VALUE distribution (r10 rewrite): per-user shuffle, hash agg to (cents, count), ONE cumulative window over value-cardinality rows (no row_number, no user sort — pinned), closed-form tie-run rank sums in DECIMAL(38,0), one one-row aggregate, two snapped divisions.",
     "agg-hhi-concentration": "HHI: sort-free second-moment concentration; orders collapse map-side to (custkey, cents) before the segment join, segments-bounded final aggregate, snapped single divisions.",
     "window-interorder-gap": "Inter-order cadence: one custkey exchange + (date, key) sort for the LAG, gaps collapse before the segment join, segments-bounded aggregate; exact day diffs, snapped ratios.",
+    "agg-new-vs-returning": "Growth accounting: DISTINCT (user, day) map-side collapse, first-day min-groupBy on the same key, day rollup calendar-bounded, cumulative window over DAY rows only; cumulative distinct = running sum of new counts (no expanding re-scan).",
+    "agg-seasonality-dow": "DOW seasonality: one hash agg to types x 7 cells (derived integer dow key fused into the scan), normalizer windows over the cell relation, two snapped divisions per cell.",
+    "window-rfm-segment": "RFM: one per-customer shuffle; quintile boundaries via three VALUE-distribution cumulative windows (no customer ntile/sort); boundaries broadcast back as one-row crossJoins; scores map-side integer compares.",
+    "window-concurrency-sweep": "Sweep-line concurrency: +-1 delta stream collapses map-side to day-bounded rows before the only exchange; running sum + global max over the day relation; exact integers.",
+    "fn-geo-cell": "Geo cell: map-only synthesize-then-parse in exact integer micro-degrees; split_part + multiply-add parse, 0.5-degree cell by shifted non-negative div, L1 distance + bbox flags; zero shuffles, no UDF, trig-free by design.",
+    "text-readability": "Readability: map-only scan of (doc_id, text); three exact integer counts (tokens, sentence enders by replace-length, vowel runs by split), two snapped double formulas; zero shuffles.",
+    "multimodal-bmp-meta": "BMP header parse: fixed-offset LE byte reads incl. the two's-complement signed height; stride arithmetic from parsed fields; map-only, naturally linear expression tree, zero Python.",
 }
 
 
