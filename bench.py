@@ -200,6 +200,14 @@ HEADLINE = [
     "fn-geo-cell",
     "text-readability",
     "multimodal-bmp-meta",
+    "join-geo-cell-nearest",
+    "agg-spearman-corr",
+    "agg-power-mde",
+    "sample-quota-allocate",
+    "text-novelty-ratio",
+    "fn-phone-normalize",
+    "graph-reciprocity",
+    "graph-degree-histogram",
 ]
 
 

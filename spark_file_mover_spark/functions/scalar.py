@@ -975,3 +975,159 @@ def fn_geo_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" AND ABS(lon_micro - {_GEO_LON0}) <= {_GEO_BBOX_MICRO}"
         " AS in_bbox",
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# G14 — phone number normalization to E.164
+# ---------------------------------------------------------------------------
+
+_PHONE_ORACLE = """
+WITH synth AS (
+  SELECT event_id,
+         CASE event_id % 5
+           WHEN 0 THEN '+1 (' || CAST(200 + (event_id * 7) % 800 AS STRING)
+                || ') 555-' || lpad(CAST((event_id * 13) % 10000 AS STRING),
+                                    4, '0')
+           WHEN 1 THEN CAST(200 + (event_id * 7) % 800 AS STRING)
+                || '-555-' || lpad(CAST((event_id * 13) % 10000 AS STRING),
+                                   4, '0')
+           WHEN 2 THEN '+44 20 '
+                || lpad(CAST((event_id * 11) % 10000 AS STRING), 4, '0')
+                || ' ' || lpad(CAST((event_id * 3) % 10000 AS STRING),
+                               4, '0')
+           WHEN 3 THEN '0049 30 '
+                || lpad(CAST((event_id * 17) % 1000000 AS STRING), 6, '0')
+           ELSE '1-' || CAST(200 + (event_id * 7) % 800 AS STRING)
+                || '-555-' || lpad(CAST((event_id * 13) % 10000 AS STRING),
+                                   4, '0')
+         END AS raw
+  FROM events WHERE event_id % 13 = 0
+),
+d AS (
+  SELECT event_id, raw,
+         regexp_replace(raw, '[^0-9]', '', 'g') AS digits,
+         raw LIKE '+%' AS has_plus
+  FROM synth
+),
+i AS (
+  SELECT *,
+         CASE WHEN has_plus THEN digits
+              WHEN digits LIKE '00%' THEN substr(digits, 3)
+         END AS intl
+  FROM d
+),
+c AS (
+  SELECT event_id, raw, digits,
+         CASE
+           WHEN intl IS NOT NULL THEN
+             CASE WHEN intl LIKE '44%' THEN '44'
+                  WHEN intl LIKE '49%' THEN '49'
+                  WHEN intl LIKE '1%' THEN '1' END
+           WHEN length(digits) = 11 AND digits LIKE '1%' THEN '1'
+           ELSE '1'
+         END AS cc,
+         CASE
+           WHEN intl IS NOT NULL THEN
+             CASE WHEN intl LIKE '44%' THEN substr(intl, 3)
+                  WHEN intl LIKE '49%' THEN substr(intl, 3)
+                  WHEN intl LIKE '1%' THEN substr(intl, 2) END
+           WHEN length(digits) = 11 AND digits LIKE '1%'
+             THEN substr(digits, 2)
+           ELSE digits
+         END AS national
+  FROM i
+)
+SELECT event_id, raw, cc, national,
+       '+' || cc || national AS e164,
+       CAST(length(digits) AS BIGINT) AS n_digits,
+       length(national) BETWEEN 8 AND 10 AS valid
+FROM c ORDER BY event_id
+"""
+
+
+@query("fn-phone-normalize", oracle=_PHONE_ORACLE)
+def fn_phone_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G14: phone-number normalization to E.164 — the identity-
+    resolution / PII-handling staple: free-form numbers ('+1 (212)
+    555-0187', '0049 30 ...', bare 10-digit NANP) canonicalize to ONE
+    join/dedup key ('+1212...'), because string-equality on raw phone
+    fields is how the same user becomes three users. Grammar handled:
+    '+'-prefix international, '00'-prefix international, 11-digit
+    NANP with trunk '1', bare national (defaults to +1); country codes
+    matched longest-first from a fixed table ({{44, 49, 1}} here — a
+    deployment swaps in the full ITU table as a broadcast join or
+    generated CASE, same plan).
+
+    The synthesize-then-parse contract (G9/G11/G13): five formats from
+    event_id with different moduli per digit group; the parser
+    re-derives everything from the STRING alone (digit strip, prefix
+    classification, cc/national split). Map-only, zero shuffles, no
+    UDF; exact strings and integers end to end (the only dialect
+    split: DuckDB regexp_replace needs the 'g' flag for global
+    replace — Spark is global by default)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 13 == 0
+    )
+    synth = e.selectExpr(
+        "event_id",
+        """CASE event_id % 5
+           WHEN 0 THEN '+1 (' || CAST(200 + (event_id * 7) % 800 AS STRING)
+                || ') 555-' || lpad(CAST((event_id * 13) % 10000 AS STRING),
+                                    4, '0')
+           WHEN 1 THEN CAST(200 + (event_id * 7) % 800 AS STRING)
+                || '-555-' || lpad(CAST((event_id * 13) % 10000 AS STRING),
+                                   4, '0')
+           WHEN 2 THEN '+44 20 '
+                || lpad(CAST((event_id * 11) % 10000 AS STRING), 4, '0')
+                || ' ' || lpad(CAST((event_id * 3) % 10000 AS STRING),
+                               4, '0')
+           WHEN 3 THEN '0049 30 '
+                || lpad(CAST((event_id * 17) % 1000000 AS STRING), 6, '0')
+           ELSE '1-' || CAST(200 + (event_id * 7) % 800 AS STRING)
+                || '-555-' || lpad(CAST((event_id * 13) % 10000 AS STRING),
+                                   4, '0')
+         END AS raw""",
+    )
+    d = synth.selectExpr(
+        "event_id",
+        "raw",
+        "regexp_replace(raw, '[^0-9]', '') AS digits",
+        "raw LIKE '+%' AS has_plus",
+    )
+    i = d.selectExpr(
+        "*",
+        "CASE WHEN has_plus THEN digits"
+        " WHEN digits LIKE '00%' THEN substr(digits, 3)"
+        " END AS intl",
+    )
+    c = i.selectExpr(
+        "event_id",
+        "raw",
+        "digits",
+        """CASE
+           WHEN intl IS NOT NULL THEN
+             CASE WHEN intl LIKE '44%' THEN '44'
+                  WHEN intl LIKE '49%' THEN '49'
+                  WHEN intl LIKE '1%' THEN '1' END
+           WHEN length(digits) = 11 AND digits LIKE '1%' THEN '1'
+           ELSE '1'
+         END AS cc""",
+        """CASE
+           WHEN intl IS NOT NULL THEN
+             CASE WHEN intl LIKE '44%' THEN substr(intl, 3)
+                  WHEN intl LIKE '49%' THEN substr(intl, 3)
+                  WHEN intl LIKE '1%' THEN substr(intl, 2) END
+           WHEN length(digits) = 11 AND digits LIKE '1%'
+             THEN substr(digits, 2)
+           ELSE digits
+         END AS national""",
+    )
+    return c.selectExpr(
+        "event_id",
+        "raw",
+        "cc",
+        "national",
+        "'+' || cc || national AS e164",
+        "CAST(length(digits) AS BIGINT) AS n_digits",
+        "length(national) BETWEEN 8 AND 10 AS valid",
+    ).orderBy("event_id")

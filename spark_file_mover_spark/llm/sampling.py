@@ -687,3 +687,93 @@ def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# sample-quota-allocate — largest-remainder (Hamilton) budget apportionment
+# ---------------------------------------------------------------------------
+
+_QUOTA_BUDGET = 10_000
+
+_QUOTA_ORACLE = f"""
+WITH s AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY lang
+),
+t AS (
+  SELECT *, CAST(SUM(n_docs) OVER () AS BIGINT) AS total FROM s
+),
+b AS (
+  SELECT lang, n_docs, total,
+         CAST(({_QUOTA_BUDGET} * n_docs) // total AS BIGINT) AS base,
+         CAST(({_QUOTA_BUDGET} * n_docs) % total AS BIGINT) AS rem
+  FROM t
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rr,
+         CAST({_QUOTA_BUDGET} - SUM(base) OVER () AS BIGINT) AS leftover
+  FROM b
+)
+SELECT lang, n_docs,
+       CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM r ORDER BY lang
+"""
+
+
+@query("sample-quota-allocate", oracle=_QUOTA_ORACLE)
+def sample_quota_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed sampling
+    budget across languages, proportional to class mass — the exact
+    integer answer to "we can afford 10k docs; how many from each
+    language?" that naive rounding gets wrong (floors undershoot the
+    budget, per-class rounding overshoots it; Hamilton distributes the
+    leftover to the largest fractional remainders, so the quotas SUM
+    TO THE BUDGET exactly, by construction).
+
+    Everything stays in exact integer space: base = (B*n) div N,
+    remainder = (B*n) mod N (never a float share), leftover ranks over
+    the |langs|-bounded relation with a deterministic (remainder desc,
+    lang) order. Downstream, the per-class quota feeds the I45-style
+    deterministic hash pick.
+
+    Shape at 100 TB: one map-side-combined count per language; every
+    window runs over the |langs|-bounded relation. The corpus is
+    scanned once, for the counts."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    b = s.select(
+        "lang",
+        "n_docs",
+        F.sum("n_docs").over(wall).cast("long").alias("total"),
+    ).selectExpr(
+        "lang",
+        "n_docs",
+        "total",
+        f"CAST(({_QUOTA_BUDGET} * n_docs) DIV total AS BIGINT) AS base",
+        f"CAST(({_QUOTA_BUDGET} * n_docs) % total AS BIGINT) AS rem",
+    )
+    wr = W.orderBy(F.col("rem").desc(), "lang")
+    r = b.select(
+        "lang",
+        "n_docs",
+        "base",
+        F.row_number().over(wr).alias("rr"),
+        (F.lit(_QUOTA_BUDGET) - F.sum("base").over(wall))
+        .cast("long")
+        .alias("leftover"),
+    )
+    return r.select(
+        "lang",
+        "n_docs",
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    ).orderBy("lang")

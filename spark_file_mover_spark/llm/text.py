@@ -843,3 +843,118 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" - {_FK_BASE})"
         f" * 1e9 + 0.5) / 1e9 END AS fk_grade",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# I63 — per-document n-gram novelty ratio (corpus-order first-seen)
+# ---------------------------------------------------------------------------
+
+_NOV_N = 3  # trigram granularity
+
+_NOVELTY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+             range(1, greatest(len(tk)-{_NOV_N - 1}, 0)+1),
+             i -> array_to_string(tk[i:i+{_NOV_N - 1}], ' '))) AS g
+  FROM toks
+),
+firstseen AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+),
+per_doc AS (
+  SELECT grams.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN firstseen.first_doc = grams.doc_id
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM grams JOIN firstseen ON firstseen.g = grams.g
+  GROUP BY grams.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.n_novel, 0) AS n_novel,
+       CASE WHEN p.n_grams > 0 THEN
+         FLOOR((CAST(p.n_novel AS DOUBLE) / CAST(p.n_grams AS DOUBLE))
+               * 1e9 + 0.5) / 1e9 END AS novelty
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@query("text-novelty-ratio", oracle=_NOVELTY_ORACLE)
+def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I63: per-document n-gram NOVELTY in corpus order — the share of
+    a document's distinct trigrams never seen in any earlier document
+    (first-seen attribution by min doc_id). The curation readout
+    behind dedup-aware ordering and crawl-increment triage: a
+    late-crawl batch whose novelty collapses is re-crawl/boilerplate
+    mass (cut it), and the corpus-level novelty-vs-position curve is
+    the classic "how much new text does each additional shard buy"
+    diminishing-returns plot. Granular where dedup-exact (identity)
+    and text-dup-span (contiguous duplicated RUNS) are coarse: novelty
+    scores partial overlap without requiring contiguity.
+
+    Shape at 100 TB (the I20/I33 discipline): grams leave the scan as
+    8-byte xxhash64 keys — text never shuffles; first-seen is one
+    min-groupBy on the gram hash whose map-side combine absorbs the
+    explode fanout; the attribution join moves (hash, doc_id) pairs;
+    the per-doc rollup reuses the doc_id key. The oracle groups on the
+    STRING gram while Spark groups on its hash — the I20 argument:
+    string-equality grouping equals hash grouping up to 64-bit
+    collisions, so the match certifies the hash key.
+
+    Exact integers; novelty is one snapped division; gram-less docs
+    (< 3 tokens) surface with zero counts and NULL novelty."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", toks().alias("tk"))
+    grams = (
+        tk.select(
+            "doc_id",
+            F.explode(
+                # sequence(0, -1) would generate [0, -1] (Spark infers a
+                # negative step), so gram-less docs get an explicit
+                # empty array — explode drops them, the left join
+                # restores them with zero counts
+                F.when(
+                    F.size("tk") >= _NOV_N,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("tk") - _NOV_N),
+                        lambda i: F.xxhash64(
+                            F.concat_ws(
+                                " ", F.slice(F.col("tk"), i + 1, _NOV_N)
+                            )
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>"))
+            ).alias("gh"),
+        )
+        .distinct()
+    )
+    firstseen = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(firstseen, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "COALESCE(n_grams, 0) AS n_grams",
+            "COALESCE(n_novel, 0) AS n_novel",
+            "CASE WHEN n_grams > 0 THEN"
+            " FLOOR((CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE))"
+            " * 1e9 + 0.5) / 1e9 END AS novelty",
+        )
+        .orderBy("doc_id")
+    )

@@ -3267,3 +3267,258 @@ def agg_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (CAST(n AS DOUBLE) * CAST(st AS DOUBLE)))"
         " * 1e9 + 0.5) / 1e9 END AS value_index",
     ).orderBy("event_type", "dow")
+
+
+# ---------------------------------------------------------------------------
+# E36 — experiment power / minimum-detectable-effect calculator
+# ---------------------------------------------------------------------------
+
+# shared literals: two-sided alpha=.05 and 80%-power normal quantiles
+_PWR_ZA = "1.959963985"
+_PWR_ZB = "0.841621234"
+_PWR_TARGET_REL = "0.10"  # planning target: 10% relative lift
+
+_POWER_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         {MD5_PREFIX60_SQL.format(x="CAST(user_id AS VARCHAR)")} % 2
+           AS variant,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n0,
+         CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1,
+         CAST(COALESCE(SUM(CASE WHEN variant = 0 THEN conv END), 0)
+              AS BIGINT) AS x0,
+         CAST(COALESCE(SUM(CASE WHEN variant = 1 THEN conv END), 0)
+              AS BIGINT) AS x1
+  FROM u
+),
+p AS (
+  SELECT *,
+         CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS pbar,
+         (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) / 2.0 AS n_arm
+  FROM m WHERE n0 + n1 > 0
+)
+SELECT n0, n1, x0, x1,
+       FLOOR(pbar * 1e9 + 0.5) / 1e9 AS pooled_rate,
+       CASE WHEN pbar > 0 AND pbar < 1 AND n_arm > 0 THEN
+         FLOOR((({_PWR_ZA} + {_PWR_ZB})
+                * SQRT(2.0 * pbar * (1.0 - pbar) / n_arm))
+               * 1e9 + 0.5) / 1e9 END AS mde_abs,
+       CASE WHEN pbar > 0 AND pbar < 1 AND n_arm > 0 THEN
+         FLOOR(((({_PWR_ZA} + {_PWR_ZB})
+                 * SQRT(2.0 * pbar * (1.0 - pbar) / n_arm)) / pbar)
+               * 1e9 + 0.5) / 1e9 END AS mde_rel,
+       CASE WHEN pbar > 0 AND pbar < 1 THEN
+         CAST(CEIL(FLOOR((2.0 * pbar * (1.0 - pbar)
+                * ({_PWR_ZA} + {_PWR_ZB}) * ({_PWR_ZA} + {_PWR_ZB})
+                / (({_PWR_TARGET_REL} * pbar)
+                   * ({_PWR_TARGET_REL} * pbar)))
+               * 1e9 + 0.5) / 1e9) AS BIGINT) END AS n_per_arm_required
+FROM p
+"""
+
+
+@query("agg-power-mde", oracle=_POWER_ORACLE)
+def agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E36: experiment power planning AS A QUERY — the two numbers a
+    platform computes before (and while) running an A/B test: the
+    minimum detectable effect at the CURRENT sample size (absolute and
+    relative, two-sided alpha = 5%, power = 80%) and the per-arm sample
+    size REQUIRED to detect a 10% relative lift — the standard normal-
+    approximation formulas (n = 2*p(1-p)*(z_a+z_b)^2 / delta^2) over the
+    pooled conversion rate. Completes the experiment family: SRM (E29)
+    gates assignment, this sizes the test, z (E23) / Welch (E30) /
+    CUPED (E27) read it — all on the ONE shared md5-prefix-60 split.
+
+    Parity: counts exact integers off one per-user map-side collapse;
+    every double expression is shared verbatim (divisions cast, sqrt is
+    IEEE-correctly-rounded so cross-engine-exact, z quantiles shared
+    literals), snapped floor(x*1e9+0.5)/1e9; the required-n CEIL is
+    taken on the SNAPPED value so the integer boundary is engine-safe;
+    degenerate rates (0 or 1) -> NULLs both engines.
+
+    Shape at 100 TB: one corpus shuffle to the per-user relation, one
+    one-row conditional aggregate, driver-free arithmetic on that row."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    ).select(
+        F.pmod(
+            md5_prefix60(F.col("user_id").cast("string")), F.lit(2)
+        ).alias("variant"),
+        "conv",
+    )
+    m = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("variant") == 0, F.col("conv"))), F.lit(0))
+        .cast("long")
+        .alias("x0"),
+        F.coalesce(F.sum(F.when(F.col("variant") == 1, F.col("conv"))), F.lit(0))
+        .cast("long")
+        .alias("x1"),
+    )
+    p = m.filter(F.expr("n0 + n1 > 0")).withColumns(
+        {
+            "pbar": F.expr(
+                "CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)"
+            ),
+            "n_arm": F.expr(
+                "(CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) / 2.0"
+            ),
+        }
+    )
+    return p.selectExpr(
+        "n0",
+        "n1",
+        "x0",
+        "x1",
+        "FLOOR(pbar * 1e9 + 0.5) / 1e9 AS pooled_rate",
+        f"CASE WHEN pbar > 0 AND pbar < 1 AND n_arm > 0 THEN"
+        f" FLOOR((({_PWR_ZA} + {_PWR_ZB})"
+        f" * SQRT(2.0 * pbar * (1.0 - pbar) / n_arm))"
+        f" * 1e9 + 0.5) / 1e9 END AS mde_abs",
+        f"CASE WHEN pbar > 0 AND pbar < 1 AND n_arm > 0 THEN"
+        f" FLOOR(((({_PWR_ZA} + {_PWR_ZB})"
+        f" * SQRT(2.0 * pbar * (1.0 - pbar) / n_arm)) / pbar)"
+        f" * 1e9 + 0.5) / 1e9 END AS mde_rel",
+        f"CASE WHEN pbar > 0 AND pbar < 1 THEN"
+        f" CAST(CEIL(FLOOR((2.0 * pbar * (1.0 - pbar)"
+        f" * ({_PWR_ZA} + {_PWR_ZB}) * ({_PWR_ZA} + {_PWR_ZB})"
+        f" / (({_PWR_TARGET_REL} * pbar)"
+        f" * ({_PWR_TARGET_REL} * pbar)))"
+        f" * 1e9 + 0.5) / 1e9) AS BIGINT) END AS n_per_arm_required",
+    )
+
+
+# ---------------------------------------------------------------------------
+# E37 — Spearman rank correlation (tie-exact, from value distributions)
+# ---------------------------------------------------------------------------
+
+_SPEAR_ORACLE = """
+WITH rows_ AS (
+  SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS xv,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+           AS yv
+  FROM lineitem
+),
+dx AS (
+  SELECT xv, COUNT(*) AS c,
+         COALESCE(SUM(COUNT(*)) OVER (ORDER BY xv
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+  FROM rows_ GROUP BY xv
+),
+dy AS (
+  SELECT yv, COUNT(*) AS c,
+         COALESCE(SUM(COUNT(*)) OVER (ORDER BY yv
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+  FROM rows_ GROUP BY yv
+),
+rk AS (
+  SELECT CAST(2 * dx.b + dx.c + 1 AS DECIMAL(38,0)) AS rx,
+         CAST(2 * dy.b + dy.c + 1 AS DECIMAL(38,0)) AS ry
+  FROM rows_
+  JOIN dx ON dx.xv = rows_.xv
+  JOIN dy ON dy.yv = rows_.yv
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(rx) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(ry) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(rx * ry) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(rx * rx) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(ry * ry) AS DECIMAL(38,0)) AS syy
+  FROM rk
+)
+SELECT CAST(n AS BIGINT) AS n,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM dx) AS n_distinct_x,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM dy) AS n_distinct_y,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+                / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                       * CAST(n * syy - sy * sy AS DOUBLE)))
+               * 1e9 + 0.5) / 1e9 END AS spearman_rho
+FROM m
+"""
+
+
+@query("agg-spearman-corr", oracle=_SPEAR_ORACLE)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E37: Spearman rank correlation between quantity and extended
+    price — the robust monotone-association readout (Pearson on RANKS):
+    insensitive to outliers and nonlinearity, the statistic to reach
+    for when E8's corr() answers "linear?" but the question is
+    "monotone?". Tie handling is the textbook AVERAGE rank, computed
+    EXACTLY: a tie run of c values with B values below occupies ranks
+    B+1..B+c, so its average rank is B + (c+1)/2 — carried as the
+    INTEGER 2B + c + 1 (twice the rank), which cancels in the Pearson
+    ratio and keeps every moment in exact DECIMAL space.
+
+    Shape at 100 TB (the E19 discipline, extended to rank ATTACH):
+    each variable's rank relation comes from a cumulative window over
+    its VALUE distribution (bounded by value cardinality); ranks then
+    attach back by two value-keyed equi joins (16-byte rows), and ONE
+    one-row aggregate collapses everything to six exact DECIMAL(38,0)
+    moments — no global row sort, no row_number over raw rows. rho is
+    one all-double expression over exact operands (sqrt is correctly
+    rounded), snapped floor(x*1e9+0.5)/1e9; zero-variance sides → NULL
+    in both engines."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_ = li.select(
+        (dec("l_quantity") * 100).cast("long").alias("xv"),
+        (dec("l_extendedprice") * 100).cast("long").alias("yv"),
+    )
+    d38 = "decimal(38,0)"
+
+    def rank_rel(col: str):
+        wb = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+        return (
+            rows_.groupBy(col)
+            .agg(F.count("*").alias("c"))
+            .select(
+                col,
+                F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("b"),
+                "c",
+            )
+            .select(
+                col,
+                (2 * F.col("b") + F.col("c") + 1)
+                .cast(d38)
+                .alias(f"r_{col}"),
+            )
+        )
+
+    rk = rows_.join(rank_rel("xv"), "xv").join(rank_rel("yv"), "yv")
+    m = rk.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("r_xv").cast(d38).alias("sx"),
+        F.sum("r_yv").cast(d38).alias("sy"),
+        F.sum(F.col("r_xv") * F.col("r_yv")).cast(d38).alias("sxy"),
+        F.sum(F.col("r_xv") * F.col("r_xv")).cast(d38).alias("sxx"),
+        F.sum(F.col("r_yv") * F.col("r_yv")).cast(d38).alias("syy"),
+    )
+    ndx = rows_.agg(
+        F.countDistinct("xv").cast("long").alias("n_distinct_x"),
+        F.countDistinct("yv").cast("long").alias("n_distinct_y"),
+    )
+    return m.crossJoin(F.broadcast(ndx)).selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "n_distinct_x",
+        "n_distinct_y",
+        "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN"
+        " FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)"
+        " * CAST(n * syy - sy * sy AS DOUBLE)))"
+        " * 1e9 + 0.5) / 1e9 END AS spearman_rho",
+    )

@@ -1153,3 +1153,155 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         " FLOOR((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * 1e9 + 0.5)"
         " / 1e9 END AS assortativity",
     )
+
+
+# ---------------------------------------------------------------------------
+# K9 — edge reciprocity of the directed click graph
+# ---------------------------------------------------------------------------
+
+_RECIP_ORACLE = f"""
+WITH e AS (
+  SELECT DISTINCT user_id AS src,
+         {_PR_ENTITY_BASE} + CAST(props->>'k' AS BIGINT) AS dst
+  FROM events
+  UNION ALL
+  SELECT DISTINCT {_PR_ENTITY_BASE} + CAST(props->>'k' AS BIGINT) AS src,
+         user_id AS dst
+  FROM events
+  WHERE CAST(props->>'k' AS BIGINT) % 2 = 0
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(CASE WHEN EXISTS (
+                SELECT 1 FROM e r
+                WHERE r.src = e.dst AND r.dst = e.src)
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal
+  FROM e
+)
+SELECT n_edges, n_reciprocal,
+       CASE WHEN n_edges > 0 THEN
+         FLOOR((CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE))
+               * 1e9 + 0.5) / 1e9 END AS reciprocity
+FROM m
+"""
+
+
+@query("graph-reciprocity", oracle=_RECIP_ORACLE)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9: edge reciprocity r = |E ∩ Eᵀ| / |E| of the DIRECTED
+    user→entity click graph (the K1 pagerank edge relation: forward
+    edges for every interaction, back-edges only for even entities) —
+    Newman's one-number directionality summary: r ≈ 1 means mutual
+    relationships (follow-back networks), r ≈ 0 means broadcast
+    topology (consumption graphs). Read next to assortativity (K8):
+    together they fingerprint the interaction topology, and a sudden
+    reciprocity jump in a consumption graph is a bot-ring signal
+    (automated mutual-boosting).
+
+    Shape at 100 TB: the distinct edge relation shuffles as 16-byte
+    (src, dst) pairs; reciprocity is ONE left-semi self-join on the
+    reversed key (same hash exchange both sides, no fanout — semi
+    join emits each edge at most once) + a one-row aggregate. Exact
+    integers; the ratio is one snapped division."""
+    ev = load_table(spark, sf_dir, "events")
+    ent = F.lit(_PR_ENTITY_BASE) + F.get_json_object(
+        "props", "$.k"
+    ).cast("long")
+    fwd = ev.select(F.col("user_id").alias("src"), ent.alias("dst")).distinct()
+    back = (
+        ev.filter(F.get_json_object("props", "$.k").cast("long") % 2 == 0)
+        .select(ent.alias("src"), F.col("user_id").alias("dst"))
+        .distinct()
+    )
+    e = fwd.unionAll(back)
+    rev = e.select(F.col("dst").alias("r_src"), F.col("src").alias("r_dst"))
+    recip = e.join(
+        rev,
+        (F.col("src") == F.col("r_src")) & (F.col("dst") == F.col("r_dst")),
+        "left_semi",
+    )
+    m = e.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
+        recip.agg(F.count("*").cast("long").alias("n_reciprocal"))
+    )
+    return m.selectExpr(
+        "n_edges",
+        "n_reciprocal",
+        "CASE WHEN n_edges > 0 THEN"
+        " FLOOR((CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE))"
+        " * 1e9 + 0.5) / 1e9 END AS reciprocity",
+    )
+
+
+# ---------------------------------------------------------------------------
+# K10 — degree distribution of the sparse interaction graph
+# ---------------------------------------------------------------------------
+
+_DEGHIST_ORACLE = f"""
+WITH fwd AS (
+  SELECT DISTINCT user_id AS a,
+         {_LPA_ENTITY_BASE} + CAST(props->>'k' AS BIGINT) AS b
+  FROM events
+  WHERE event_id % {_LPA_EDGE_MOD} = 0
+),
+adj AS (SELECT a AS src, b AS dst FROM fwd
+        UNION ALL SELECT b, a FROM fwd),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM adj GROUP BY src),
+h AS (
+  SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM deg GROUP BY degree
+),
+t AS (
+  SELECT *,
+         CAST(SUM(n_nodes) OVER () AS BIGINT) AS total,
+         CAST(SUM(n_nodes) OVER (ORDER BY degree
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_nodes
+  FROM h
+)
+SELECT degree, n_nodes, cum_nodes,
+       FLOOR((CAST(n_nodes AS DOUBLE) / CAST(total AS DOUBLE))
+             * 1e9 + 0.5) / 1e9 AS share
+FROM t ORDER BY degree
+"""
+
+
+@query("graph-degree-histogram", oracle=_DEGHIST_ORACLE)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K10: degree distribution of the shared sparse undirected
+    user↔entity graph (the K3/K4 adjacency) — the first thing anyone
+    reads about a graph (hub heaviness, power-law tail, isolated-node
+    mass) and the sizing input for every guard in this family: the
+    triangle hot-entity cap, the jaccard fingerprint cap and the
+    k-core threshold are all chosen off this histogram.
+
+    Shape at 100 TB: degrees are one map-side-combined count over the
+    CACHED adjacency artifact (shared with K3/K4 — the populate cost
+    amortizes across the family); the histogram is a second hash agg
+    whose output is bounded by max-degree, so the share/cumulative
+    windows rank metadata. Exact integers; shares one snapped
+    division."""
+    from pyspark.sql import Window as W
+
+    adj = _sparse_adjacency(spark, sf_dir)
+    deg = adj.groupBy("src").agg(F.count("*").cast("long").alias("degree"))
+    h = deg.groupBy("degree").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    wcum = W.orderBy("degree").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    t = h.select(
+        "degree",
+        "n_nodes",
+        F.sum("n_nodes").over(wall).cast("long").alias("total"),
+        F.sum("n_nodes").over(wcum).cast("long").alias("cum_nodes"),
+    )
+    return t.selectExpr(
+        "degree",
+        "n_nodes",
+        "cum_nodes",
+        "FLOOR((CAST(n_nodes AS DOUBLE) / CAST(total AS DOUBLE))"
+        " * 1e9 + 0.5) / 1e9 AS share",
+    ).orderBy("degree")

@@ -1112,3 +1112,139 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_click").isNotNull() | F.col("n_view").isNotNull())
         ).alias("is_null_group"),
     ).orderBy("key_repr")
+
+
+# ---------------------------------------------------------------------------
+# D17 — cell-blocked nearest-neighbor spatial join
+# ---------------------------------------------------------------------------
+
+# micro-degree synthesis (the fn-geo-cell contract; different primes
+# per table so customer and supplier coordinates never alias)
+_GEO_CELL10 = 10_000_000  # 10-degree blocking cells
+
+_GEO_NEAREST_ORACLE = f"""
+WITH cust AS (
+  SELECT c_custkey,
+         (c_custkey * 7919) % 120000000 - 60000000 AS latm,
+         (c_custkey * 104729) % 360000000 - 180000000 AS lonm
+  FROM customer
+),
+supp AS (
+  SELECT s_suppkey,
+         (s_suppkey * 12347) % 120000000 - 60000000 AS latm,
+         (s_suppkey * 54323) % 360000000 - 180000000 AS lonm
+  FROM supplier
+),
+cc AS (
+  SELECT c_custkey, latm, lonm,
+         ((latm + 60000000) // {_GEO_CELL10}) * 36
+         + ((lonm + 180000000) // {_GEO_CELL10}) AS cell_id
+  FROM cust
+),
+sc AS (
+  SELECT s_suppkey, latm AS slat, lonm AS slon,
+         ((latm + 60000000) // {_GEO_CELL10}) * 36
+         + ((lonm + 180000000) // {_GEO_CELL10}) AS cell_id
+  FROM supp
+),
+pairs AS (
+  SELECT cc.c_custkey, cc.cell_id, sc.s_suppkey,
+         ABS(cc.latm - sc.slat) + ABS(cc.lonm - sc.slon) AS dist_micro,
+         COUNT(*) OVER (PARTITION BY cc.c_custkey) AS n_candidates,
+         ROW_NUMBER() OVER (PARTITION BY cc.c_custkey
+                            ORDER BY ABS(cc.latm - sc.slat)
+                                     + ABS(cc.lonm - sc.slon),
+                                     sc.s_suppkey) AS rn
+  FROM cc JOIN sc ON sc.cell_id = cc.cell_id
+)
+SELECT c_custkey, cell_id, s_suppkey,
+       CAST(dist_micro AS BIGINT) AS dist_micro,
+       CAST(n_candidates AS BIGINT) AS n_candidates
+FROM pairs WHERE rn = 1
+ORDER BY c_custkey
+"""
+
+
+@query("join-geo-cell-nearest", oracle=_GEO_NEAREST_ORACLE)
+def join_geo_cell_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D17: cell-blocked nearest-neighbor SPATIAL join — "nearest
+    supplier to each customer": the geo counterpart of the ANN keys,
+    and the join fn-geo-cell's blocking key exists for. The naive form
+    is the all-pairs cross join with a distance ORDER BY (quadratic);
+    the scalable form BLOCKS both sides into grid cells and ranks only
+    within-cell candidates — candidate volume is Σ|cell_c|·|cell_s|,
+    governed by the grid granularity, never |C|·|S|.
+
+    Granularity is the tuning knob made explicit: 10-degree cells here
+    (432 cells) so the fixture's supplier density gives most customers
+    a candidate; a production deployment sizes cells to density and
+    unions the 8 adjacent cells for boundary-exact results (same plan,
+    9 equi keys via explode of the neighbor offsets) — documented
+    rather than implemented so the declared query stays one equi join.
+    Customers in supplier-free cells are absent by design (the
+    left-anti complement is one more join on the same key).
+
+    Shape at 100 TB: both sides collapse map-side to (key, latm, lonm,
+    cell) rows; ONE hash-shuffle equi join on cell_id; per-customer
+    top-1 via WindowGroupLimit (running top-1 per task before the
+    window exchange). Exact integer micro-degrees and L1 distances
+    (the fn-geo-cell trig-free contract); ties break to the smaller
+    supplier key."""
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    ck = F.col("c_custkey")
+    sk = F.col("s_suppkey")
+    cc = c.select(
+        "c_custkey",
+        ((ck * 7919) % 120000000 - 60000000).alias("latm"),
+        ((ck * 104729) % 360000000 - 180000000).alias("lonm"),
+    ).selectExpr(
+        "c_custkey",
+        "latm",
+        "lonm",
+        f"((latm + 60000000) DIV {_GEO_CELL10}) * 36"
+        f" + ((lonm + 180000000) DIV {_GEO_CELL10}) AS cell_id",
+    )
+    sc = s.select(
+        "s_suppkey",
+        ((sk * 12347) % 120000000 - 60000000).alias("slat"),
+        ((sk * 54323) % 360000000 - 180000000).alias("slon"),
+    ).selectExpr(
+        "s_suppkey",
+        "slat",
+        "slon",
+        f"((slat + 60000000) DIV {_GEO_CELL10}) * 36"
+        f" + ((slon + 180000000) DIV {_GEO_CELL10}) AS cell_id",
+    )
+    pairs = cc.join(sc, "cell_id").select(
+        "c_custkey",
+        "cell_id",
+        "s_suppkey",
+        (
+            F.abs(F.col("latm") - F.col("slat"))
+            + F.abs(F.col("lonm") - F.col("slon"))
+        ).alias("dist_micro"),
+    )
+    wc = W.partitionBy("c_custkey")
+    wr = wc.orderBy("dist_micro", "s_suppkey")
+    return (
+        pairs.select(
+            "c_custkey",
+            "cell_id",
+            "s_suppkey",
+            "dist_micro",
+            F.count("*").over(wc).cast("long").alias("n_candidates"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            "cell_id",
+            "s_suppkey",
+            F.col("dist_micro").cast("long").alias("dist_micro"),
+            "n_candidates",
+        )
+        .orderBy("c_custkey")
+    )

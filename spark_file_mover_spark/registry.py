@@ -73,7 +73,11 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #      item) followed by the seven r10-new keys
 #      (agg-new-vs-returning, agg-seasonality-dow, window-rfm-segment,
 #      window-concurrency-sweep, text-readability, fn-geo-cell,
-#      multimodal-bmp-meta).
+#      multimodal-bmp-meta) and the eight r10 second-batch keys
+#      (join-geo-cell-nearest, agg-spearman-corr, agg-power-mde,
+#      sample-quota-allocate, text-novelty-ratio, fn-phone-normalize,
+#      graph-reciprocity, graph-degree-histogram) — 24 never-scored
+#      at the head, all inside the ~50 cut.
 #   2. The 10 keys whose IMPLEMENTATION changed in r10 and need a
 #      fresh driver row over the new code: the Gini distribution
 #      rewrite, the sharded pack-sequences dispatch, the four
@@ -105,6 +109,14 @@ _PRIORITY_R10 = [
     "text-readability",
     "fn-geo-cell",
     "multimodal-bmp-meta",
+    "join-geo-cell-nearest",
+    "agg-spearman-corr",
+    "agg-power-mde",
+    "sample-quota-allocate",
+    "text-novelty-ratio",
+    "fn-phone-normalize",
+    "graph-reciprocity",
+    "graph-degree-histogram",
     "agg-gini-coefficient",
     "sample-pack-sequences",
     "agg-cuped",

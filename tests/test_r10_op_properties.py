@@ -93,3 +93,82 @@ def test_docs_r10_differential(key, rows, spark, tmp_path_factory):
     _write_docs_tbl(d, rows)
     ok, msg = _run_both(key, spark, d, ["documents"])
     assert ok, f"{key}: {msg}"
+
+
+# --- r10 second batch -----------------------------------------------------
+
+from tests.test_r9_properties import (  # noqa: E402
+    _LI_ROW,
+    _write_graph_events,
+    _write_lineitem,
+)
+from tests.test_r10_sink_properties import _write_supplier, _SUPP_ROW  # noqa: E402
+
+_GRAPH_ROW = st.tuples(
+    st.integers(min_value=0, max_value=5),  # user_id
+    st.integers(min_value=0, max_value=4),  # entity k
+)
+
+
+@pytest.mark.parametrize(
+    "key", ["graph-reciprocity", "graph-degree-histogram"]
+)
+@given(rows=st.lists(_GRAPH_ROW, min_size=1, max_size=30))
+@settings(**_R10_SETTINGS)
+def test_graph_r10_differential(key, rows, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("gr10")
+    _write_graph_events(d, rows)
+    ok, msg = _run_both(key, spark, d, ["events"])
+    assert ok, f"{key}: {msg}"
+
+
+@pytest.mark.parametrize("key", ["agg-power-mde", "fn-phone-normalize"])
+@given(rows=st.lists(_EVENT_ROW, min_size=1, max_size=25))
+@settings(**_R10_SETTINGS)
+def test_events_r10b_differential(key, rows, spark, tmp_path_factory):
+    # degenerate universes on purpose: all-click corpora (conversion
+    # rate 0 -> NULL power numbers), tiny variants
+    d = tmp_path_factory.mktemp("er10b")
+    _write_events(d, rows)
+    ok, msg = _run_both(key, spark, d, ["events"])
+    assert ok, f"{key}: {msg}"
+
+
+@pytest.mark.parametrize(
+    "key", ["sample-quota-allocate", "text-novelty-ratio"]
+)
+@given(rows=st.lists(_READ_ROW, min_size=1, max_size=20))
+@settings(**_R10_SETTINGS)
+def test_docs_r10b_differential(key, rows, spark, tmp_path_factory):
+    # duplicate-heavy tiny corpora: quota remainder ties, novelty 0 on
+    # verbatim repeats, gram-less one-token docs
+    d = tmp_path_factory.mktemp("dr10b")
+    _write_docs_tbl(d, rows)
+    ok, msg = _run_both(key, spark, d, ["documents"])
+    assert ok, f"{key}: {msg}"
+
+
+@given(rows=st.lists(_LI_ROW, min_size=1, max_size=25))
+@settings(**_R10_SETTINGS)
+def test_spearman_differential(rows, spark, tmp_path_factory):
+    # duplicate-heavy values force tie runs through the average-rank
+    # arithmetic; single-row inputs hit the zero-variance NULL branch
+    d = tmp_path_factory.mktemp("spear")
+    _write_lineitem(d, rows)
+    ok, msg = _run_both("agg-spearman-corr", spark, d, ["lineitem"])
+    assert ok, f"agg-spearman-corr: {msg}"
+
+
+@given(
+    crows=st.lists(_CUST_ROW, min_size=1, max_size=20),
+    srows=st.lists(_SUPP_ROW, min_size=1, max_size=15),
+)
+@settings(**_R10_SETTINGS)
+def test_geo_nearest_differential(crows, srows, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("geoj")
+    _write_customer(d, crows)
+    _write_supplier(d, srows)
+    ok, msg = _run_both(
+        "join-geo-cell-nearest", spark, d, ["customer", "supplier"]
+    )
+    assert ok, f"join-geo-cell-nearest: {msg}"

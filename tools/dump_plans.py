@@ -145,6 +145,14 @@ NOTES = {
     "fn-geo-cell": "Geo cell: map-only synthesize-then-parse in exact integer micro-degrees; split_part + multiply-add parse, 0.5-degree cell by shifted non-negative div, L1 distance + bbox flags; zero shuffles, no UDF, trig-free by design.",
     "text-readability": "Readability: map-only scan of (doc_id, text); three exact integer counts (tokens, sentence enders by replace-length, vowel runs by split), two snapped double formulas; zero shuffles.",
     "multimodal-bmp-meta": "BMP header parse: fixed-offset LE byte reads incl. the two's-complement signed height; stride arithmetic from parsed fields; map-only, naturally linear expression tree, zero Python.",
+    "join-geo-cell-nearest": "Cell-blocked spatial nearest join: both sides collapse map-side to (key, coords, cell), ONE hash equi join on cell_id, per-customer top-1 via WindowGroupLimit; exact integer L1.",
+    "agg-spearman-corr": "Spearman: tie-exact 2B+c+1 integer ranks from value-distribution windows, two value-keyed attach joins, one one-row DECIMAL(38,0) moment aggregate; no row_number over raw rows.",
+    "agg-power-mde": "Power/MDE: one per-user map-side collapse, one one-row conditional aggregate, all-double shared formulas (sqrt correctly rounded), CEIL on the snapped value.",
+    "sample-quota-allocate": "Hamilton apportionment: one count per language, all-integer base/remainder arithmetic, windows over the langs-bounded relation; quotas sum to the budget by construction.",
+    "text-novelty-ratio": "Novelty: grams leave the scan as xxhash64 keys (text never shuffles), min-groupBy first-seen, (hash, doc_id) attribution join, per-doc rollup; snapped ratio.",
+    "fn-phone-normalize": "Phone E.164: map-only synthesize-then-parse; digit strip + prefix classification + longest-first cc match as generated CASE; zero shuffles, no UDF.",
+    "graph-reciprocity": "Reciprocity: distinct 16-byte edge relation, one left-semi self-join on the reversed key, one-row aggregate; exact integers, one snapped division.",
+    "graph-degree-histogram": "Degree histogram: one map-side count over the cached adjacency, second hash agg bounded by max degree, metadata-scale share/cumulative windows.",
 }
 
 
