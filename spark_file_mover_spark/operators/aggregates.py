@@ -3407,8 +3407,7 @@ def agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPEAR_ORACLE = """
 WITH rows_ AS (
   SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS xv,
-         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-           AS yv
+         CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS yv
   FROM lineitem
 ),
 dx AS (
@@ -3453,11 +3452,13 @@ FROM m
 
 @query("agg-spearman-corr", oracle=_SPEAR_ORACLE)
 def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E37: Spearman rank correlation between quantity and extended
-    price — the robust monotone-association readout (Pearson on RANKS):
+    """E37: Spearman rank correlation between quantity and discount
+    — the robust monotone-association readout (Pearson on RANKS):
     insensitive to outliers and nonlinearity, the statistic to reach
     for when E8's corr() answers "linear?" but the question is
-    "monotone?". Tie handling is the textbook AVERAGE rank, computed
+    "monotone?". Both columns are heavily TIED (50 and 11 distinct
+    values over any row count) — exactly the regime this formulation
+    exists for: tie handling is the textbook AVERAGE rank, computed
     EXACTLY: a tie run of c values with B values below occupies ranks
     B+1..B+c, so its average rank is B + (c+1)/2 — carried as the
     INTEGER 2B + c + 1 (twice the rank), which cancels in the Pearson
@@ -3465,9 +3466,12 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB (the E19 discipline, extended to rank ATTACH):
     each variable's rank relation comes from a cumulative window over
-    its VALUE distribution (bounded by value cardinality); ranks then
-    attach back by two value-keyed equi joins (16-byte rows), and ONE
-    one-row aggregate collapses everything to six exact DECIMAL(38,0)
+    its VALUE distribution — bounded by VALUE cardinality, never row
+    count — and ranks attach back by value-keyed equi joins of those
+    tiny relations (broadcast when the value space is bounded, as
+    here; SHUFFLE_HASH for wide value spaces — the ordered rank
+    relation never needs the SMJ's re-sort either way). ONE one-row
+    aggregate collapses everything to six exact DECIMAL(38,0)
     moments — no global row sort, no row_number over raw rows. rho is
     one all-double expression over exact operands (sqrt is correctly
     rounded), snapped floor(x*1e9+0.5)/1e9; zero-variance sides → NULL
@@ -3477,12 +3481,18 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rows_ = li.select(
         (dec("l_quantity") * 100).cast("long").alias("xv"),
-        (dec("l_extendedprice") * 100).cast("long").alias("yv"),
+        (dec("l_discount") * 100).cast("long").alias("yv"),
     )
     d38 = "decimal(38,0)"
 
     def rank_rel(col: str):
+        # the distinct-value diagnostic rides the SAME window exchange
+        # as the cumulative count (an unbounded frame over the dist
+        # relation), so it costs no extra pass — a separate
+        # countDistinct either re-scans the corpus or forces a 3x
+        # expand through the moment aggregate (both measured slower)
         wb = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+        wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
         return (
             rows_.groupBy(col)
             .agg(F.count("*").alias("c"))
@@ -3490,16 +3500,26 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 col,
                 F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("b"),
                 "c",
+                F.count("*").over(wall).alias(f"nd_{col}"),
             )
             .select(
                 col,
                 (2 * F.col("b") + F.col("c") + 1)
                 .cast(d38)
                 .alias(f"r_{col}"),
+                f"nd_{col}",
             )
         )
 
-    rk = rows_.join(rank_rel("xv"), "xv").join(rank_rel("yv"), "yv")
+    # BROADCAST the rank relations: they are VALUE-cardinality rows
+    # (50 and 11 here; bounded by the value space at any corpus size),
+    # but they sit behind window outputs so Spark cannot estimate
+    # that — unhinted it picks an SMJ that re-sorts the corpus on
+    # each attach key. For wide value spaces swap the hint to
+    # SHUFFLE_HASH (never plain SMJ: rank attach is pure equality).
+    rk = rows_.join(
+        F.broadcast(rank_rel("xv")), "xv"
+    ).join(F.broadcast(rank_rel("yv")), "yv")
     m = rk.agg(
         F.count("*").cast(d38).alias("n"),
         F.sum("r_xv").cast(d38).alias("sx"),
@@ -3507,12 +3527,10 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("r_xv") * F.col("r_yv")).cast(d38).alias("sxy"),
         F.sum(F.col("r_xv") * F.col("r_xv")).cast(d38).alias("sxx"),
         F.sum(F.col("r_yv") * F.col("r_yv")).cast(d38).alias("syy"),
+        F.max("nd_xv").cast("long").alias("n_distinct_x"),
+        F.max("nd_yv").cast("long").alias("n_distinct_y"),
     )
-    ndx = rows_.agg(
-        F.countDistinct("xv").cast("long").alias("n_distinct_x"),
-        F.countDistinct("yv").cast("long").alias("n_distinct_y"),
-    )
-    return m.crossJoin(F.broadcast(ndx)).selectExpr(
+    return m.selectExpr(
         "CAST(n AS BIGINT) AS n",
         "n_distinct_x",
         "n_distinct_y",
