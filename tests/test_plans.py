@@ -1305,3 +1305,67 @@ def test_interorder_gap_collapses_before_join(spark, sf_dir):
 
     hashparts = re.findall(r"hashpartitioning\((\w+)", plan)
     assert "o_custkey" in hashparts
+
+
+def test_spearman_broadcast_rank_attach(spark, sf_dir):
+    """E37: rank relations attach by BROADCAST join (value-bounded),
+    and no row_number/global row sort exists — the ranks come from
+    value-distribution windows, not a sort of the corpus."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["agg-spearman-corr"](spark, sf_dir)
+    )
+    import re
+
+    names = [n for n in re.findall(r"\(\d+\) (\w+)", plan)]
+    assert names.count("BroadcastHashJoin") == 2, names
+    assert "SortMergeJoin" not in plan
+    assert "row_number" not in plan.lower()
+
+
+def test_geo_nearest_single_equi_join(spark, sf_dir):
+    """D17: ONE equi join on the cell key — no cartesian/nested-loop
+    product anywhere, and the top-1 rank runs as WindowGroupLimit
+    (per-task running top-1 before the window exchange)."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["join-geo-cell-nearest"](spark, sf_dir)
+    )
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "WindowGroupLimit" in plan
+    import re
+
+    joins = [n for n in re.findall(r"\(\d+\) (\w+)", plan) if "Join" in n]
+    assert len(joins) == 1, joins
+
+
+def test_novelty_text_never_shuffles(spark, sf_dir):
+    """I63: every exchange carries only hashes/ids — the text column
+    must not appear in any Exchange's schema (grams leave the scan as
+    xxhash64 keys)."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["text-novelty-ratio"](spark, sf_dir)
+    )
+    for chunk in plan.split("Exchange")[1:]:
+        first = chunk.splitlines()[0]
+        assert "text" not in first, first
+
+
+def test_rfm_no_ntile_no_customer_sort(spark, sf_dir):
+    """F23: scores come from boundary compares, not a global ntile —
+    no ntile anywhere, and the only windows are over the value
+    distributions."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["window-rfm-segment"](spark, sf_dir)
+    )
+    assert "ntile" not in plan.lower()
+    assert "row_number" not in plan.lower()
+
+
+def test_concurrency_sweep_day_bounded_window(spark, sf_dir):
+    """F24: the delta stream collapses through a hash aggregate BEFORE
+    the running-sum window — the window input is the day relation."""
+    plan = _formatted_plan(
+        spark,
+        registry.QUERIES["window-concurrency-sweep"](spark, sf_dir),
+    )
+    assert "Window" in plan and "HashAggregate" in plan
+    assert "Join" not in plan

@@ -146,7 +146,7 @@ NOTES = {
     "text-readability": "Readability: map-only scan of (doc_id, text); three exact integer counts (tokens, sentence enders by replace-length, vowel runs by split), two snapped double formulas; zero shuffles.",
     "multimodal-bmp-meta": "BMP header parse: fixed-offset LE byte reads incl. the two's-complement signed height; stride arithmetic from parsed fields; map-only, naturally linear expression tree, zero Python.",
     "join-geo-cell-nearest": "Cell-blocked spatial nearest join: both sides collapse map-side to (key, coords, cell), ONE hash equi join on cell_id, per-customer top-1 via WindowGroupLimit; exact integer L1.",
-    "agg-spearman-corr": "Spearman: tie-exact 2B+c+1 integer ranks from value-distribution windows, two value-keyed attach joins, one one-row DECIMAL(38,0) moment aggregate; no row_number over raw rows.",
+    "agg-spearman-corr": "Spearman on tied columns: tie-exact 2B+c+1 integer ranks from value-distribution windows, value-bounded rank relations BROADCAST onto the corpus (no SMJ re-sort), one one-row DECIMAL(38,0) moment aggregate; no row_number over raw rows.",
     "agg-power-mde": "Power/MDE: one per-user map-side collapse, one one-row conditional aggregate, all-double shared formulas (sqrt correctly rounded), CEIL on the snapped value.",
     "sample-quota-allocate": "Hamilton apportionment: one count per language, all-integer base/remainder arithmetic, windows over the langs-bounded relation; quotas sum to the budget by construction.",
     "text-novelty-ratio": "Novelty: grams leave the scan as xxhash64 keys (text never shuffles), min-groupBy first-seen, (hash, doc_id) attribution join, per-doc rollup; snapped ratio.",
