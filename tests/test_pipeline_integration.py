@@ -107,3 +107,40 @@ def test_publish_gate_and_split_compose(spark, sf_dir):
     # ...and the cluster count equals the dedup survivor count: one
     # representative per cluster, i.e. the split is consistent with I1.
     assert sum(r["n_clusters"] for r in folds) == len(survivors)
+
+
+def test_growth_report_composes(spark, sf_dir):
+    """The r10 analytics keys compose into one consistent growth
+    report over the same corpus: cumulative users from the
+    new-vs-returning curve must END at the corpus' true distinct-user
+    count, every RFM customer must be an orders customer scored 1-5 on
+    all three axes, quota apportionment must hand back exactly its
+    budget, and the sweep-line's final concurrency must return to zero
+    (every opened interval closes)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    nvr = registry.QUERIES["agg-new-vs-returning"](spark, sf_dir).collect()
+    assert nvr[-1]["cum_users"] == ev.select("user_id").distinct().count()
+    assert all(
+        r["n_active"] == r["n_new"] + r["n_returning"] for r in nvr
+    )
+
+    rfm = registry.QUERIES["window-rfm-segment"](spark, sf_dir).collect()
+    n_cust = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert len(rfm) == n_cust
+    for r in rfm:
+        assert 1 <= r["r_score"] <= 5
+        assert 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5
+        assert r["rfm_code"] == 100 * r["r_score"] + 10 * r["f_score"] + r["m_score"]
+
+    quota = registry.QUERIES["sample-quota-allocate"](spark, sf_dir).collect()
+    assert sum(r["quota"] for r in quota) == 10_000
+
+    sweep = registry.QUERIES["window-concurrency-sweep"](spark, sf_dir).collect()
+    assert sweep[-1]["concurrency"] == 0  # all intervals close
+    assert max(r["concurrency"] for r in sweep) == sweep[0]["max_concurrency"]
