@@ -208,6 +208,9 @@ HEADLINE = [
     "fn-phone-normalize",
     "graph-reciprocity",
     "graph-degree-histogram",
+    "agg-cohort-ltv",
+    "events-funnel-windowed",
+    "sample-downsample-negatives",
 ]
 
 

@@ -777,3 +777,95 @@ def sample_quota_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("quota"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# I64 — class-imbalance negative downsampling with importance weights
+# ---------------------------------------------------------------------------
+
+_NEG_RATE_PCT = 10  # keep 10% of negatives, weight 10x
+
+_NEG_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_type,
+         event_type = 'purchase' AS is_pos,
+         {MD5_PREFIX60_SQL.format(x="CAST(event_id AS VARCHAR)")} % 100
+           < {_NEG_RATE_PCT} AS neg_picked
+  FROM events
+),
+k AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN is_pos OR neg_picked THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_kept,
+         CAST(SUM(CASE WHEN is_pos THEN 1
+                       WHEN neg_picked THEN {100 // _NEG_RATE_PCT}
+                       ELSE 0 END) AS BIGINT) AS weighted_kept
+  FROM e GROUP BY event_type
+)
+SELECT event_type, n_total, n_kept, weighted_kept,
+       FLOOR((CAST(n_kept AS DOUBLE) / CAST(n_total AS DOUBLE))
+             * 1e9 + 0.5) / 1e9 AS kept_frac
+FROM k ORDER BY event_type
+"""
+
+
+@query("sample-downsample-negatives", oracle=_NEG_ORACLE)
+def sample_downsample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I64: class-imbalance correction for CTR/conversion training
+    sets — keep EVERY positive (purchases) and a deterministic 10%
+    hash sample of negatives, each kept negative carrying importance
+    weight 10 so downstream counts/losses stay unbiased (the standard
+    negative-downsampling + inverse-propensity-weight recipe; at
+    real CTR ratios this cuts training volume ~10x at equal signal).
+    Selection is the shared md5-prefix-60 hash of event_id — stable
+    across partitioning, reruns and engines (the I18 contract), never
+    df.sample's partition-dependent RNG.
+
+    Output is the per-class audit: totals, kept counts, the exact
+    weighted-kept sum (each negative contributes its weight — the
+    unbiasedness bookkeeping a training job logs), and the kept
+    fraction. The training-set projection itself is the same
+    predicate applied as a filter (map-side, pushable).
+
+    Shape at 100 TB: one scan, map-side predicate + conditional sums,
+    output bounded by event types. Exact integers; one snapped
+    division."""
+    e = load_table(spark, sf_dir, "events")
+    is_pos = F.col("event_type") == "purchase"
+    neg_picked = (
+        F.pmod(md5_prefix60(F.col("event_id").cast("string")), F.lit(100))
+        < _NEG_RATE_PCT
+    )
+    w = 100 // _NEG_RATE_PCT
+    k = (
+        e.select(
+            "event_type",
+            is_pos.alias("is_pos"),
+            neg_picked.alias("neg_picked"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum(
+                F.when(F.col("is_pos") | F.col("neg_picked"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.col("is_pos"), 1)
+                .when(F.col("neg_picked"), w)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("weighted_kept"),
+        )
+    )
+    return k.selectExpr(
+        "event_type",
+        "n_total",
+        "n_kept",
+        "weighted_kept",
+        "FLOOR((CAST(n_kept AS DOUBLE) / CAST(n_total AS DOUBLE))"
+        " * 1e9 + 0.5) / 1e9 AS kept_frac",
+    ).orderBy("event_type")

@@ -3540,3 +3540,120 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * CAST(n * syy - sy * sy AS DOUBLE)))"
         " * 1e9 + 0.5) / 1e9 END AS spearman_rho",
     )
+
+
+# ---------------------------------------------------------------------------
+# E38 — cohort LTV curve (cumulative revenue per cohort-week offset)
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = f"""
+WITH act AS (
+  SELECT user_id,
+         CAST(datediff('day', DATE '{_COHORT_EPOCH}', CAST(ts AS DATE))
+              // 7 AS BIGINT) AS week,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+fw AS (
+  SELECT user_id,
+         CAST(MIN(datediff('day', DATE '{_COHORT_EPOCH}',
+                           CAST(ts AS DATE)) // 7) AS BIGINT)
+           AS cohort_week
+  FROM events GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM fw
+  GROUP BY cohort_week
+),
+cell AS (
+  SELECT fw.cohort_week,
+         act.week - fw.cohort_week AS week_offset,
+         CAST(SUM(act.cents) AS DECIMAL(38,0)) AS rev_cents
+  FROM act JOIN fw ON fw.user_id = act.user_id
+  GROUP BY fw.cohort_week, act.week - fw.cohort_week
+),
+cum AS (
+  SELECT cohort_week, week_offset,
+         CAST(rev_cents AS BIGINT) AS rev_cents,
+         CAST(SUM(rev_cents) OVER (PARTITION BY cohort_week
+                ORDER BY week_offset
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_rev_cents
+  FROM cell
+)
+SELECT cum.cohort_week AS cohort_week, cum.week_offset, cum.rev_cents,
+       cum.cum_rev_cents, sizes.cohort_size,
+       FLOOR((CAST(cum.cum_rev_cents AS DOUBLE)
+              / CAST(sizes.cohort_size AS DOUBLE) / 100.0)
+             * 1e9 + 0.5) / 1e9 AS ltv_per_user
+FROM cum JOIN sizes ON sizes.cohort_week = cum.cohort_week
+ORDER BY cum.cohort_week, week_offset
+"""
+
+
+@query("agg-cohort-ltv", oracle=_LTV_ORACLE)
+def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E38: cohort LTV curves — cumulative purchase revenue per
+    (first-activity-week cohort, week offset), per-user: the money
+    sibling of the E11 retention matrix and the payback-period readout
+    every acquisition team plots ("week-4 LTV of the January cohort").
+    Cohorting is by FIRST ACTIVITY of any type (the E11 contract), so
+    never-purchasing users correctly dilute per-user LTV.
+
+    Shape at 100 TB: purchase events collapse map-side into
+    (cohort, offset) cells — bounded by weeks², never event count —
+    after a user-keyed join against the first-week relation (itself a
+    min-groupBy over the per-user collapse, the E11 plan); the
+    cumulative-LTV window runs per cohort over OFFSET-bounded rows;
+    cohort sizes broadcast. Exact integer cents in DECIMAL(38,0); the
+    per-user division is one snapped double."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    week = F.expr(f"datediff(to_date(ts), DATE '{_COHORT_EPOCH}') div 7")
+    act = e.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        week.alias("week"),
+        (dec("value") * 100).cast("long").alias("cents"),
+    )
+    fw = e.select("user_id", week.alias("w")).groupBy("user_id").agg(
+        F.min("w").cast("long").alias("cohort_week")
+    )
+    sizes = fw.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    cell = (
+        act.join(fw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.sum("cents").cast("decimal(38,0)").alias("rev"))
+    )
+    wcum = (
+        W.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = cell.select(
+        "cohort_week",
+        "week_offset",
+        F.col("rev").cast("long").alias("rev_cents"),
+        F.sum("rev").over(wcum).cast("long").alias("cum_rev_cents"),
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cohort_week")
+        .selectExpr(
+            "cohort_week",
+            "week_offset",
+            "rev_cents",
+            "cum_rev_cents",
+            "cohort_size",
+            "FLOOR((CAST(cum_rev_cents AS DOUBLE)"
+            " / CAST(cohort_size AS DOUBLE) / 100.0)"
+            " * 1e9 + 0.5) / 1e9 AS ltv_per_user",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

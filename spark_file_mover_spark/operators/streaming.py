@@ -801,6 +801,115 @@ def _cleanup_eos_staging() -> None:
         _last_eos_src = None
 
 
+# ---------------------------------------------------------------------------
+# H11 — time-BOUNDED funnel (max step gaps, per-step conversion)
+# ---------------------------------------------------------------------------
+
+_FW_GAP1_US = 3600 * 1_000_000  # view -> click within 1 hour
+_FW_GAP2_US = 24 * 3600 * 1_000_000  # click -> purchase within 24 hours
+
+_FUNNEL_WINDOWED_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, v.t_view, MIN(epoch_us(e.ts)) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click'
+    AND epoch_us(e.ts) >= v.t_view
+    AND epoch_us(e.ts) <= v.t_view + {_FW_GAP1_US}
+  GROUP BY e.user_id, v.t_view
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) >= c.t_click
+    AND epoch_us(e.ts) <= c.t_click + {_FW_GAP2_US}
+  GROUP BY e.user_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewed,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_clicked_in_window,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchased_in_window,
+       CASE WHEN (SELECT COUNT(*) FROM v) > 0 THEN
+         FLOOR((CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                / CAST((SELECT COUNT(*) FROM v) AS DOUBLE))
+               * 1e9 + 0.5) / 1e9 END AS click_rate,
+       CASE WHEN (SELECT COUNT(*) FROM c) > 0 THEN
+         FLOOR((CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                / CAST((SELECT COUNT(*) FROM c) AS DOUBLE))
+               * 1e9 + 0.5) / 1e9 END AS purchase_rate
+"""
+
+
+@query("events-funnel-windowed", oracle=_FUNNEL_WINDOWED_ORACLE)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H11: the TIME-BOUNDED funnel — view -> click within 1 hour ->
+    purchase within 24 hours of that click. The unbounded funnel (H6)
+    credits a purchase a month after the view; real attribution
+    windows expire, and the bound is what makes the metric comparable
+    across periods. The step deadline depends on the PREVIOUS step's
+    achieved time (not the funnel start), which is why H6's single
+    conditional-MIN groupBy cannot express it.
+
+    Shape at 100 TB: each stage is a per-user conditional MIN over a
+    user-keyed equi join against the PREVIOUS stage's collapsed
+    relation (one row per surviving user — the join input shrinks
+    every stage, the time bound is a residual predicate on the equi
+    join, never an inequality join); three user-keyed shuffles total,
+    final counts are one-row aggregates. Exact integer microseconds;
+    the two rates are snapped divisions; empty stages -> NULL rates
+    in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (us >= F.col("t_view"))
+            & (us <= F.col("t_view") + _FW_GAP1_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (us >= F.col("t_click"))
+            & (us <= F.col("t_click") + _FW_GAP2_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t_purchase"))
+    )
+    nv = v.agg(F.count("*").cast("long").alias("n_viewed"))
+    nc = c.agg(F.count("*").cast("long").alias("n_clicked_in_window"))
+    np_ = p.agg(F.count("*").cast("long").alias("n_purchased_in_window"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .selectExpr(
+            "n_viewed",
+            "n_clicked_in_window",
+            "n_purchased_in_window",
+            "CASE WHEN n_viewed > 0 THEN"
+            " FLOOR((CAST(n_clicked_in_window AS DOUBLE)"
+            " / CAST(n_viewed AS DOUBLE)) * 1e9 + 0.5) / 1e9 END"
+            " AS click_rate",
+            "CASE WHEN n_clicked_in_window > 0 THEN"
+            " FLOOR((CAST(n_purchased_in_window AS DOUBLE)"
+            " / CAST(n_clicked_in_window AS DOUBLE)) * 1e9 + 0.5) / 1e9"
+            " END AS purchase_rate",
+        )
+    )
+
+
 import atexit  # noqa: E402  (module-scope registration, one per process)
 
 atexit.register(_cleanup_eos_staging)

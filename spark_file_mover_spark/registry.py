@@ -117,6 +117,9 @@ _PRIORITY_R10 = [
     "fn-phone-normalize",
     "graph-reciprocity",
     "graph-degree-histogram",
+    "agg-cohort-ltv",
+    "events-funnel-windowed",
+    "sample-downsample-negatives",
     "agg-gini-coefficient",
     "sample-pack-sequences",
     "agg-cuped",

@@ -172,3 +172,49 @@ def test_geo_nearest_differential(crows, srows, spark, tmp_path_factory):
         "join-geo-cell-nearest", spark, d, ["customer", "supplier"]
     )
     assert ok, f"join-geo-cell-nearest: {msg}"
+
+
+# --- r10 third batch --------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["agg-cohort-ltv", "events-funnel-windowed",
+     "sample-downsample-negatives"],
+)
+@given(rows=st.lists(_EVENT_ROW, min_size=1, max_size=25))
+@settings(**_R10_SETTINGS)
+def test_events_r10c_differential(key, rows, spark, tmp_path_factory):
+    # the event universe has no 'purchase' rows by default — funnel
+    # stages empty out (NULL rates), LTV cells vanish (cohorts with no
+    # purchases), negatives dominate the downsample — exactly the
+    # degenerate shapes these keys must not diverge on
+    d = tmp_path_factory.mktemp("er10c")
+    _write_events(d, rows)
+    ok, msg = _run_both(key, spark, d, ["events"])
+    assert ok, f"{key}: {msg}"
+
+
+_FUNNEL_ROW = st.tuples(
+    st.integers(min_value=0, max_value=3),  # user_id
+    st.integers(min_value=0, max_value=2),  # day offset
+    st.sampled_from([0, 1, 3599_999_999, 3600_000_001, 10**6]),  # sub µs
+    st.sampled_from(["view", "click", "purchase"]),  # incl. positives
+    st.integers(min_value=1, max_value=30000),
+)
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["agg-cohort-ltv", "events-funnel-windowed",
+     "sample-downsample-negatives"],
+)
+@given(rows=st.lists(_FUNNEL_ROW, min_size=1, max_size=25))
+@settings(**_R10_SETTINGS)
+def test_funnel_universe_differential(key, rows, spark, tmp_path_factory):
+    # purchase-bearing universe with sub-µs values straddling the
+    # 1-hour step boundary (3600_000_001 µs after a same-day view)
+    d = tmp_path_factory.mktemp("fr10c")
+    _write_events(d, rows)
+    ok, msg = _run_both(key, spark, d, ["events"])
+    assert ok, f"{key}: {msg}"

@@ -153,6 +153,9 @@ NOTES = {
     "fn-phone-normalize": "Phone E.164: map-only synthesize-then-parse; digit strip + prefix classification + longest-first cc match as generated CASE; zero shuffles, no UDF.",
     "graph-reciprocity": "Reciprocity: distinct 16-byte edge relation, one left-semi self-join on the reversed key, one-row aggregate; exact integers, one snapped division.",
     "graph-degree-histogram": "Degree histogram: one map-side count over the cached adjacency, second hash agg bounded by max degree, metadata-scale share/cumulative windows.",
+    "agg-cohort-ltv": "Cohort LTV: purchases collapse map-side into (cohort, offset) cells after a user-keyed join to the first-week relation; cumulative window per cohort over offset-bounded rows; sizes broadcast.",
+    "events-funnel-windowed": "Bounded funnel: per-stage conditional MIN over user-keyed equi joins against the previous stage's collapsed relation (shrinking inputs, residual time bounds, no inequality join).",
+    "sample-downsample-negatives": "Negative downsampling: one scan, map-side md5 pick + conditional sums, types-bounded output; exact weighted-kept audit.",
 }
 
 
