@@ -92,6 +92,14 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #
 # Rebuild this list each round from `python tools/stale_keys.py --list`
 # with never-scored + changed keys at the HEAD.
+#
+# r11 handoff: the r10 head is 27 never-scored + 10 changed = 37 keys;
+# a ~50-key cut then refreshes only the first ~13 of the 34 r6-stale
+# keys (etl-scd2 ... join-lateral-topk). The ~21 r6-stale keys after
+# the cut (dedup-components onward in this list) end r10 exactly 4
+# rounds stale — build _PRIORITY_R11 with THOSE first (after any
+# r11-new/changed keys), then the r7-stale block, from
+# `python tools/stale_keys.py --list`.
 _PRIORITY_R10 = [
     "join-scd2-temporal",
     "dedup-semdedup",
