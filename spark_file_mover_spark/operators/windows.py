@@ -1839,18 +1839,36 @@ ORDER BY custkey
 """
 
 
-def _rfm_bounds_df(pc, col: str):
-    """One-row DataFrame with the 4 exact quintile boundaries of
-    ``col`` over the per-customer relation — distribution-trick
-    windows (value-bounded), never a customer sort."""
+_RFM_METRICS = ("last_day", "n_orders", "m_cents")
+
+
+def _rfm_bounds_df(pc):
+    """ONE-row DataFrame with all 12 exact quintile boundaries
+    (4 per metric) from a SINGLE execution of the per-customer
+    relation: the three metrics MELT into (metric, v) rows via a
+    map-side stack, collapse into one (metric, v)-keyed distribution
+    (bounded by the union of the three value spaces), and one window
+    pair PARTITIONED BY metric computes every cumulative — so the
+    per-customer subtree runs once for all boundaries instead of once
+    per metric (Catalyst re-executes unmaterialized subtrees per
+    branch; the melted form shares the pass structurally)."""
     from pyspark.sql import Window as W
 
-    dist = pc.groupBy(F.col(col).alias("v")).agg(
-        F.count("*").alias("c")
+    melt = pc.selectExpr(
+        "stack(3, 0, last_day, 1, n_orders, 2, m_cents)"
+        " AS (metric, v)"
     )
-    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    dist = melt.groupBy("metric", "v").agg(F.count("*").alias("c"))
+    wcum = (
+        W.partitionBy("metric")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("metric").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
     d = dist.select(
+        "metric",
         "v",
         F.sum("c").over(wcum).alias("cum"),
         F.sum("c").over(wall).alias("nn"),
@@ -1859,11 +1877,15 @@ def _rfm_bounds_df(pc, col: str):
         *[
             F.min(
                 F.when(
-                    F.col("cum")
-                    >= F.expr(f"(({q} * nn) + 99) DIV 100"),
+                    (F.col("metric") == m)
+                    & (
+                        F.col("cum")
+                        >= F.expr(f"(({q} * nn) + 99) DIV 100")
+                    ),
                     F.col("v"),
                 )
             ).alias(f"{col}_b{i + 1}")
+            for m, col in enumerate(_RFM_METRICS)
             for i, q in enumerate(_RFM_QS)
         ]
     )
@@ -1889,11 +1911,12 @@ def window_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, which is exactly what a reproducible segmentation must
     not do).
 
-    Shape at 100 TB: one corpus shuffle to per-customer; the
-    boundary subtrees re-aggregate that relation map-side (three
-    value-bounded distributions); three one-row crossJoins broadcast
-    the boundaries back. Exact integers end to end (epoch-day, count,
-    DECIMAL-cents sum)."""
+    Shape at 100 TB: one corpus shuffle to per-customer; ALL
+    boundaries come from one additional pass over that relation (the
+    three metrics melt map-side into a single (metric, value)
+    distribution — see :func:`_rfm_bounds_df`), and one one-row
+    crossJoin broadcasts the 12 boundaries back. Exact integers end
+    to end (epoch-day, count, DECIMAL-cents sum)."""
     o = load_table(spark, sf_dir, "orders")
     pc = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max(
@@ -1912,14 +1935,7 @@ def window_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("m_cents"),
     )
-    rb = _rfm_bounds_df(pc, "last_day")
-    fb = _rfm_bounds_df(pc, "n_orders")
-    mb = _rfm_bounds_df(pc, "m_cents")
-    j = (
-        pc.crossJoin(F.broadcast(rb))
-        .crossJoin(F.broadcast(fb))
-        .crossJoin(F.broadcast(mb))
-    )
+    j = pc.crossJoin(F.broadcast(_rfm_bounds_df(pc)))
 
     def score(col: str) -> F.Column:
         s = F.lit(1)
