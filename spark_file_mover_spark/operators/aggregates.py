@@ -2798,8 +2798,15 @@ def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
         "event_type",
     )
-    obs = e.groupBy("bucket", "event_type").agg(
-        F.count("*").cast("long").alias("o")
+    # obs is |buckets|x|types|-bounded at ANY corpus size and is
+    # consumed FOUR ways below (bucket dim, type dim, the completion
+    # join, the df dims) — materialize it once so the corpus hash agg
+    # runs once, not once per consumer (the r11 scan-census catch:
+    # the lazy form re-executed the events scan 4x)
+    obs = (
+        e.groupBy("bucket", "event_type")
+        .agg(F.count("*").cast("long").alias("o"))
+        .localCheckpoint(eager=True)
     )
     b = obs.select("bucket").distinct()
     t = obs.select("event_type").distinct()

@@ -34,12 +34,34 @@ SELECT 'except' AS op, c_custkey FROM (
 @query("set-union-intersect-except", oracle=_SETOPS_ORACLE)
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6: UNION [ALL|DISTINCT], INTERSECT, EXCEPT over customer key sets,
-    tagged and concatenated into one result."""
+    tagged and concatenated into one result.
+
+    Shape at 100 TB: all three set ops come out of ONE presence-flag
+    aggregate — each input row carries (in_a, in_b) booleans, one
+    groupBy(key) bool-or collapses multiplicity, and every op is then
+    a filter over the collapsed relation expanded by a tiny
+    array+explode. One corpus scan and one exchange replace the naive
+    form's 6 scans and 3 exchanges (UNION DISTINCT's shuffle plus one
+    join each for INTERSECT/EXCEPT) — the r11 scan-census catch: the
+    three set ops each re-executed both filtered slices."""
     c = load_table(spark, sf_dir, "customer")
-    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
-    return (
-        building.union(rich).distinct().select(F.lit("union_distinct").alias("op"), "c_custkey")
-        .unionAll(building.intersect(rich).select(F.lit("intersect").alias("op"), "c_custkey"))
-        .unionAll(building.subtract(rich).select(F.lit("except").alias("op"), "c_custkey"))
+    in_a = F.col("c_mktsegment") == "BUILDING"
+    in_b = F.col("c_acctbal") > 5000
+    pres = (
+        c.select(
+            "c_custkey", in_a.alias("in_a"), in_b.alias("in_b")
+        )
+        .filter(F.col("in_a") | F.col("in_b"))
+        .groupBy("c_custkey")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    ops = F.array_compact(
+        F.array(
+            F.lit("union_distinct"),
+            F.when(F.col("in_a") & F.col("in_b"), F.lit("intersect")),
+            F.when(F.col("in_a") & ~F.col("in_b"), F.lit("except")),
+        )
+    )
+    return pres.select(
+        F.explode(ops).alias("op"), "c_custkey"
     )

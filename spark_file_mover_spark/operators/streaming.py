@@ -858,15 +858,21 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation (one row per surviving user — the join input shrinks
     every stage, the time bound is a residual predicate on the equi
     join, never an inequality join); three user-keyed shuffles total,
-    final counts are one-row aggregates. Exact integer microseconds;
-    the two rates are snapped divisions; empty stages -> NULL rates
-    in both engines."""
+    final counts are one-row aggregates. The view and click stage
+    relations are each consumed TWICE (next stage's join + the funnel
+    count), so they materialize via localCheckpoint — without it each
+    consumer re-executes every upstream corpus slice (the r11
+    scan-census catch: 6 events scans where the 3 disjoint
+    event-type slices suffice). Exact integer microseconds; the two
+    rates are snapped divisions; empty stages -> NULL rates in both
+    engines."""
     e = load_table(spark, sf_dir, "events")
     us = F.unix_micros("ts")
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min(us).alias("t_view"))
+        .localCheckpoint(eager=True)
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -877,6 +883,7 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min(us).alias("t_click"))
+        .localCheckpoint(eager=True)
     )
     p = (
         e.filter(F.col("event_type") == "purchase")

@@ -151,7 +151,7 @@ NOTES = {
     "sample-quota-allocate": "Hamilton apportionment: one count per language, all-integer base/remainder arithmetic, windows over the langs-bounded relation; quotas sum to the budget by construction.",
     "text-novelty-ratio": "Novelty: grams leave the scan as xxhash64 keys (text never shuffles), min-groupBy first-seen, (hash, doc_id) attribution join, per-doc rollup; snapped ratio.",
     "fn-phone-normalize": "Phone E.164: map-only synthesize-then-parse; digit strip + prefix classification + longest-first cc match as generated CASE; zero shuffles, no UDF.",
-    "graph-reciprocity": "Reciprocity: distinct 16-byte edge relation, one left-semi self-join on the reversed key, one-row aggregate; exact integers, one snapped division.",
+    "graph-reciprocity": "Reciprocity over the CACHED K1 edge checkpoint (r11: the r10 8-scan catch — zero parquet scans now, both join sides read the same checkpoint blocks): one left join of the 16-byte edges against their 1:1 reversal, edge count and match count fused into ONE one-row aggregate; exact integers, one snapped division.",
     "graph-degree-histogram": "Degree histogram: one map-side count over the cached adjacency, second hash agg bounded by max degree, metadata-scale share/cumulative windows.",
     "agg-cohort-ltv": "Cohort LTV: purchases collapse map-side into (cohort, offset) cells after a user-keyed join to the first-week relation; cumulative window per cohort over offset-bounded rows; sizes broadcast.",
     "events-funnel-windowed": "Bounded funnel: per-stage conditional MIN over user-keyed equi joins against the previous stage's collapsed relation (shrinking inputs, residual time bounds, no inequality join).",
@@ -416,7 +416,56 @@ pre-batch HEADLINE with over_budget [] and the agg-hash control at
 """
 
 
+from spark_file_mover_spark.planaudit import (  # noqa: E402
+    scan_census,
+    scan_signatures,
+)
+
+# Keys allowed >2 identical-signature scans of one table, each with the
+# reason the repeat is NOT a re-execution defect. Everything else is
+# gated at <=2 scans per signature by --audit and tests/test_plans.py.
+SCAN_BUDGET_EXEMPT: dict[str, str] = {}
+
+
+def audit(sf: str) -> int:
+    """--audit: build EVERY registered query's plan, census parquet
+    scan leaves per (table, filters, schema) signature, and fail if
+    any signature exceeds 2 scans without a SCAN_BUDGET_EXEMPT entry."""
+    registry.load_all()
+    spark = get_spark("scanaudit", cpus=8)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    bad = []
+    rows = []
+    for key, fn in registry.QUERIES.items():
+        try:
+            plan = fn(spark, sf)._jdf.queryExecution().explainString(mode)
+            census, sigs = scan_census(plan), scan_signatures(plan)
+        except Exception as exc:  # pragma: no cover - diagnostics only
+            print(f"{key:38s} ERROR {exc}")
+            bad.append(key)
+            continue
+        worst = max(sigs.values(), default=0)
+        rows.append((key, census, worst))
+        if worst > 2 and key not in SCAN_BUDGET_EXEMPT:
+            bad.append(key)
+    rows.sort(key=lambda r: (-r[2], -max(r[1].values(), default=0)))
+    for key, census, worst in rows[:30]:
+        print(f"{key:38s} max_sig={worst} {census}")
+    print(
+        f"\n{len(rows)} keys audited; {len(bad)} over the"
+        " 2-scans-per-signature gate"
+    )
+    if bad:
+        print("OVER BUDGET:", ", ".join(bad))
+    return 1 if bad else 0
+
+
 def main() -> None:
+    if "--audit" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--audit"]
+        sys.exit(audit(args[0] if args else "/root/testdata/sf0.01"))
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     registry.load_all()
     spark = get_spark("plandump", cpus=8)
@@ -449,7 +498,18 @@ def main() -> None:
                 line,
             )
         ]
-        out += [f"## {key}", "", note, "", "```", tree.strip()]
+        census = scan_census(plan)
+        n_scans = sum(census.values())
+        out += [
+            f"## {key}",
+            "",
+            f"`n_scans={n_scans}` {census if census else ''}".rstrip(),
+            "",
+            note,
+            "",
+            "```",
+            tree.strip(),
+        ]
         if details:
             out += ["", *(d.strip() for d in details[:8])]
         out += ["```", ""]
