@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 from spark_file_mover_spark.llm._textnorm import toks
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import load_table
+from spark_file_mover_spark.numerics import snap
 
 # ---------------------------------------------------------------------------
 # G1 — strings
@@ -129,14 +130,14 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MATH_ORACLE = """
 SELECT l_orderkey, l_linenumber, l_partkey,
-       ROUND(l_extendedprice, 1) AS price_r1,
+       FLOOR((l_extendedprice) * 1e1 + 0.5) / 1e1 AS price_r1,
        CAST(ABS(l_extendedprice - 1000) AS DOUBLE) AS abs_diff,
        CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
        CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
-       ROUND(POW(l_quantity, 2), 6) AS qty_sq,
-       ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
-       ROUND(LOG10(l_extendedprice + 1), 6) AS price_log10,
-       ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+       FLOOR((POW(l_quantity, 2)) * 1e6 + 0.5) / 1e6 AS qty_sq,
+       FLOOR((LN(l_extendedprice + 1)) * 1e6 + 0.5) / 1e6 AS price_ln,
+       FLOOR((LOG10(l_extendedprice + 1)) * 1e6 + 0.5) / 1e6 AS price_log10,
+       FLOOR((SQRT(l_quantity)) * 1e6 + 0.5) / 1e6 AS qty_sqrt,
        l_orderkey % 7 AS key_mod,
        CAST(SIGN(l_discount - 0.05) AS INTEGER) AS disc_sign,
        GREATEST(l_quantity, 25.0) AS qty_hi,
@@ -154,14 +155,14 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_partkey",
-        F.round("l_extendedprice", 1).alias("price_r1"),
+        snap("l_extendedprice", 1).alias("price_r1"),
         F.abs(F.col("l_extendedprice") - 1000).alias("abs_diff"),
         F.floor("l_quantity").alias("qty_floor"),
         F.ceil("l_quantity").alias("qty_ceil"),
-        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
-        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
-        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("price_log10"),
-        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        snap(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        snap(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        snap(F.log10(F.col("l_extendedprice") + 1), 6).alias("price_log10"),
+        snap(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
         F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
         F.greatest("l_quantity", F.lit(25.0)).alias("qty_hi"),

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import artifact_cache_key, load_table
+from spark_file_mover_spark.numerics import snap
 
 # ---------------------------------------------------------------------------
 # K2 — embed-kmeans-lloyd: fixed-iteration Lloyd k-means in exact
@@ -384,7 +385,7 @@ WITH q AS (
   FROM embeddings
 )
 SELECT vec_id, {codes},
-       ROUND({err}, 9) AS recon_err
+       FLOOR(({err}) * 1e9 + 0.5) / 1e9 AS recon_err
 FROM q ORDER BY vec_id
 """
 
@@ -467,7 +468,7 @@ def embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st1.select(
         "vec_id",
         *[F.col(f"bb.b{s}.c").alias(f"code{s}") for s in range(_PQ_SUB)],
-        F.round(err, 9).alias("recon_err"),
+        snap(err, 9).alias("recon_err"),
     ).orderBy("vec_id")
 
 
@@ -959,8 +960,8 @@ pairs AS (
 ),
 scored AS (
   SELECT p.va, p.vb,
-         ROUND(CAST(p.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
-               / sqrt(CAST(nb.n2 AS DOUBLE)), 9) AS cos_r
+         FLOOR((CAST(p.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+               / sqrt(CAST(nb.n2 AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS cos_r
   FROM pairs p
   JOIN n2 na ON na.vec_id = p.va AND na.n2 > 0
   JOIN n2 nb ON nb.vec_id = p.vb AND nb.n2 > 0
@@ -1038,12 +1039,9 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "va",
             "vb",
-            F.round(
-                F.col("dot").cast("double")
+            snap(F.col("dot").cast("double")
                 / F.sqrt(F.col("na2").cast("double"))
-                / F.sqrt(F.col("nb2").cast("double")),
-                9,
-            ).alias("cos_r"),
+                / F.sqrt(F.col("nb2").cast("double")), 9).alias("cos_r"),
         )
     )
     best = (

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from spark_file_mover_spark.llm._textnorm import toks
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import artifact_cache_key, load_table
+from spark_file_mover_spark.numerics import snap
 
 _GRAM_N = 5
 _EVAL_MOD = 10  # doc_id % 10 == 0 -> held-out eval slice (10%)
@@ -157,11 +158,11 @@ tokc AS (
 ),
 mx AS (SELECT doc_id, MAX(c) AS mc FROM tokc GROUP BY doc_id)
 SELECT b.doc_id,
-       ROUND(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
-                   / CAST(greatest(len(bigrams), 1) AS DOUBLE), 6)
+       FLOOR((1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                   / CAST(greatest(len(bigrams), 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6
          AS dup_bigram_frac,
-       ROUND(CAST(mx.mc AS DOUBLE)
-             / CAST(greatest(len(b.tk), 1) AS DOUBLE), 6)
+       FLOOR((CAST(mx.mc AS DOUBLE)
+             / CAST(greatest(len(b.tk), 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6
          AS top_token_frac
 FROM bg b JOIN mx ON mx.doc_id = b.doc_id
 ORDER BY b.doc_id
@@ -218,12 +219,9 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr.join(mx, "doc_id")
         .select(
             "doc_id",
-            F.round("dup_raw", 6).alias("dup_bigram_frac"),
-            F.round(
-                F.col("mc").cast("double")
-                / F.greatest("n_tok", F.lit(1)).cast("double"),
-                6,
-            ).alias("top_token_frac"),
+            snap("dup_raw", 6).alias("dup_bigram_frac"),
+            snap(F.col("mc").cast("double")
+                / F.greatest("n_tok", F.lit(1)).cast("double"), 6).alias("top_token_frac"),
         )
         .orderBy("doc_id")
     )

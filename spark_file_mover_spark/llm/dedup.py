@@ -41,6 +41,7 @@ from spark_file_mover_spark.llm.text import (
     _WIN_W,
 )
 from spark_file_mover_spark.registry import query
+from spark_file_mover_spark.numerics import snap
 from spark_file_mover_spark.sources.io import (
     artifact_cache_key,
     load_table,
@@ -840,8 +841,8 @@ inter AS (
 ),
 sizes AS (SELECT doc_id, len(grams) AS n FROM toks)
 SELECT i.a, i.b,
-       ROUND(CAST(i.n_inter AS DOUBLE)
-             / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+       FLOOR((CAST(i.n_inter AS DOUBLE)
+             / (sa.n + sb.n - i.n_inter)) * 1e6 + 0.5) / 1e6 AS jaccard
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.a
 JOIN sizes sb ON sb.doc_id = i.b
@@ -891,7 +892,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, "a")
         .join(sb, "b")
         .filter(jac >= 0.5)
-        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+        .select("a", "b", snap(jac, 6).alias("jaccard"))
     )
 
 
@@ -1022,9 +1023,7 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("n_para").cast("long").alias("n_para"),
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.round(
-                F.coalesce("n_kept", F.lit(0)) / F.col("n_para"), 9
-            ).alias("kept_frac"),
+            snap(F.coalesce("n_kept", F.lit(0)) / F.col("n_para"), 9).alias("kept_frac"),
             F.coalesce(
                 F.array_join(
                     F.transform(F.col("kept_idx"), para_of), " "
@@ -1246,7 +1245,7 @@ def text_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_dup_run"),
             F.when(
                 F.col("n_grams") > 0,
-                F.round(n_dup / F.col("n_grams"), 9),
+                snap(n_dup / F.col("n_grams"), 9),
             )
             .otherwise(F.lit(0.0))
             .alias("dup_frac"),
@@ -1376,7 +1375,7 @@ def text_dup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_tok").cast("long").alias("n_tok"),
         n_cut.alias("n_cut"),
-        F.round(n_cut / F.col("n_tok"), 9).alias("cut_frac"),
+        snap(n_cut / F.col("n_tok"), 9).alias("cut_frac"),
         F.array_join(
             F.transform(
                 kept_idx,
@@ -1594,7 +1593,7 @@ inter AS (
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM er GROUP BY doc_id),
 scored AS (
   SELECT i.a, i.b,
-         ROUND(CAST(i.n_inter AS DOUBLE) / sa.n, 6) AS containment
+         FLOOR((CAST(i.n_inter AS DOUBLE) / sa.n) * 1e6 + 0.5) / 1e6 AS containment
   FROM inter i JOIN sizes sa ON sa.doc_id = i.a
 ),
 best AS (
@@ -1746,7 +1745,7 @@ def _containment_query(er: DataFrame) -> DataFrame:
     scored = inter.join(sizes, inter.ia == sizes.doc_id).select(
         "ia",
         "ib",
-        F.round(F.col("n_inter").cast("double") / F.col("n"), 6).alias(
+        snap(F.col("n_inter").cast("double") / F.col("n"), 6).alias(
             "containment"
         ),
     )
@@ -1850,7 +1849,7 @@ r AS (
   SELECT a, b, n_shared_fp, la, lb, levenshtein(ta, tb) AS lev FROM v
 )
 SELECT a, b, n_shared_fp, CAST(lev AS BIGINT) AS lev,
-       ROUND(CAST(lev AS DOUBLE) / greatest(la, lb), 9) AS edit_ratio
+       FLOOR((CAST(lev AS DOUBLE) / greatest(la, lb)) * 1e9 + 0.5) / 1e9 AS edit_ratio
 FROM r WHERE lev * {_ED_RATIO_DEN} <= greatest(la, lb)
 ORDER BY a, b
 """
@@ -2002,9 +2001,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b",
             "n_shared_fp",
             "lev",
-            F.round(
-                F.col("lev").cast("double") / F.col("mx"), 9
-            ).alias("edit_ratio"),
+            snap(F.col("lev").cast("double") / F.col("mx"), 9).alias("edit_ratio"),
         )
         .orderBy("a", "b")
     )
@@ -2026,9 +2023,9 @@ h AS (
   FROM g GROUP BY sz
 )
 SELECT cluster_size, n_clusters, n_docs,
-       ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 9) AS doc_share,
-       ROUND(CAST(SUM(n_docs - n_clusters) OVER () AS DOUBLE)
-             / SUM(n_docs) OVER (), 9) AS corpus_dup_ratio
+       FLOOR((CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ()) * 1e9 + 0.5) / 1e9 AS doc_share,
+       FLOOR((CAST(SUM(n_docs - n_clusters) OVER () AS DOUBLE)
+             / SUM(n_docs) OVER ()) * 1e9 + 0.5) / 1e9 AS corpus_dup_ratio
 FROM h ORDER BY cluster_size
 """
 
@@ -2067,6 +2064,6 @@ def dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         "n_clusters",
         "n_docs",
-        F.round(F.col("n_docs").cast("double") / tot, 9).alias("doc_share"),
-        F.round(dups.cast("double") / tot, 9).alias("corpus_dup_ratio"),
+        snap(F.col("n_docs").cast("double") / tot, 9).alias("doc_share"),
+        snap(dups.cast("double") / tot, 9).alias("corpus_dup_ratio"),
     ).orderBy("cluster_size")

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from spark_file_mover_spark.llm._textnorm import toks
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import artifact_cache_key, load_table
+from spark_file_mover_spark.numerics import snap
 
 # ---------------------------------------------------------------------------
 # text-chunk-sliding — overlapping fixed-size windows over the token stream
@@ -125,7 +126,7 @@ df AS (
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 s AS (
   SELECT doc_id, tok, tf, df,
-         ROUND(tf * ln((n_docs + CAST(1 AS DOUBLE)) / (df + 1)), 9)
+         FLOOR((tf * ln((n_docs + CAST(1 AS DOUBLE)) / (df + 1))) * 1e9 + 0.5) / 1e9
            AS tfidf
   FROM tf JOIN df USING (tok) CROSS JOIN n
 ),
@@ -207,13 +208,10 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
-            F.round(
-                F.col("tf")
+            snap(F.col("tf")
                 * F.log(
                     (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + 1)
-                ),
-                9,
-            ),
+                ), 9),
         )
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
@@ -358,8 +356,8 @@ nt AS (
 )
 SELECT nt.doc_id,
        CAST(nt.n_tok AS BIGINT) AS n_tok,
-       ROUND(-COALESCE(csum, 0.0) / nt.n_tok, 9) AS xent,
-       ROUND(-COALESCE(csum, 0.0) / nt.n_tok, 9) <= {_XENT_QUALITY_MAX} AS quality_ok
+       FLOOR((-COALESCE(csum, 0.0) / nt.n_tok) * 1e9 + 0.5) / 1e9 AS xent,
+       FLOOR((-COALESCE(csum, 0.0) / nt.n_tok) * 1e9 + 0.5) / 1e9 <= {_XENT_QUALITY_MAX} AS quality_ok
 FROM nt LEFT JOIN s USING (doc_id)
 ORDER BY nt.doc_id
 """
@@ -445,7 +443,7 @@ def _xent_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenizer property that split(trim(x), '\s+') never yields an
     # empty array. Value-identical today (both engines agree no such doc
     # exists); robustness is structural, mirrored in the oracle.
-    xent = F.round(-F.coalesce("csum", F.lit(0.0)) / F.col("n_tok"), 9)
+    xent = snap(-F.coalesce("csum", F.lit(0.0)) / F.col("n_tok"), 9)
     scored = (
         nt.join(csum, "doc_id", "left")
         .select(
@@ -506,18 +504,18 @@ def _rp_oracle() -> str:
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)"
     )
     p_cols = ",\n         ".join(
-        f"ROUND({proj(j)}, 9) AS p{j}" for j in range(_RP_OUT)
+        f"FLOOR(({proj(j)}) * 1e9 + 0.5) / 1e9 AS p{j}" for j in range(_RP_OUT)
     )
     pp = " + ".join(f"p{j} * p{j}" for j in range(_RP_OUT))
     return f"""
 WITH q AS (
   SELECT vec_id,
          {p_cols},
-         ROUND({norm}, 9) AS nv
+         FLOOR(({norm}) * 1e9 + 0.5) / 1e9 AS nv
   FROM embeddings
 )
 SELECT vec_id, {', '.join(f'p{j}' for j in range(_RP_OUT))},
-       ROUND(CASE WHEN nv > 0 THEN ({pp}) / ({_RP_OUT} * nv) END, 9)
+       FLOOR((CASE WHEN nv > 0 THEN ({pp}) / ({_RP_OUT} * nv) END) * 1e9 + 0.5) / 1e9
          AS norm_ratio
 FROM q ORDER BY vec_id
 """
@@ -588,18 +586,16 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     bar = emb.select(
         "vec_id", F.expr(f"explode(array({_rp_struct_sql()}))").alias("s")
     )
-    p = [F.round(F.col(f"s.p{j}"), 9).alias(f"p{j}") for j in range(_RP_OUT)]
-    rp = [F.round(F.col(f"s.p{j}"), 9) for j in range(_RP_OUT)]
+    p = [snap(F.col(f"s.p{j}"), 9).alias(f"p{j}") for j in range(_RP_OUT)]
+    rp = [snap(F.col(f"s.p{j}"), 9) for j in range(_RP_OUT)]
     pp = rp[0] * rp[0]
     for j in range(1, _RP_OUT):
         pp = pp + rp[j] * rp[j]
-    nv = F.round(F.col("s.nv"), 9)
+    nv = snap(F.col("s.nv"), 9)
     return bar.select(
         "vec_id",
         *p,
-        F.round(
-            F.when(nv > 0, pp / (F.lit(float(_RP_OUT)) * nv)), 9
-        ).alias("norm_ratio"),
+        snap(F.when(nv > 0, pp / (F.lit(float(_RP_OUT)) * nv)), 9).alias("norm_ratio"),
     ).orderBy("vec_id")
 
 
@@ -781,8 +777,8 @@ tot AS (
 )
 SELECT cb.x, cb.y, CAST(cb.c_xy AS BIGINT) AS c_xy,
        CAST(ux.c AS BIGINT) AS c_x, CAST(uy.c AS BIGINT) AS c_y,
-       ROUND(LN((CAST(cb.c_xy AS DOUBLE) * n_uni * n_uni)
-                / (CAST(n_bi AS DOUBLE) * ux.c * uy.c)), 9) AS pmi
+       FLOOR((LN((CAST(cb.c_xy AS DOUBLE) * n_uni * n_uni)
+                / (CAST(n_bi AS DOUBLE) * ux.c * uy.c))) * 1e9 + 0.5) / 1e9 AS pmi
 FROM cb JOIN uni ux ON ux.tok = cb.x JOIN uni uy ON uy.tok = cb.y
 CROSS JOIN tot
 WHERE cb.c_xy >= {_PMI_MIN_COUNT}
@@ -858,13 +854,10 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ux, "x")
         .join(uy, "y")
     )
-    pmi = F.round(
-        F.log(
+    pmi = snap(F.log(
             (F.col("c_xy").cast("double") * F.col("n_uni") * F.col("n_uni"))
             / (F.col("n_bi").cast("double") * F.col("c_x") * F.col("c_y"))
-        ),
-        9,
-    )
+        ), 9)
     return s.select(
         "x",
         "y",
@@ -886,7 +879,7 @@ _NORM_SQL_I57 = (
 
 _NORMQA_ORACLE = f"""
 WITH v AS (
-  SELECT vec_id, label, ROUND({_NORM_SQL_I57}, 6) AS nrm6
+  SELECT vec_id, label, FLOOR(({_NORM_SQL_I57}) * 1e6 + 0.5) / 1e6 AS nrm6
   FROM embeddings
 ),
 m AS (
@@ -898,9 +891,9 @@ m AS (
 )
 SELECT label,
        COUNT(*) AS n_vecs,
-       ROUND(MAX(mean_nrm), 9) AS mean_norm,
-       ROUND(MIN(nrm6), 6) AS min_norm,
-       ROUND(MAX(nrm6), 6) AS max_norm,
+       FLOOR((MAX(mean_nrm)) * 1e9 + 0.5) / 1e9 AS mean_norm,
+       FLOOR((MIN(nrm6)) * 1e6 + 0.5) / 1e6 AS min_norm,
+       FLOOR((MAX(nrm6)) * 1e6 + 0.5) / 1e6 AS max_norm,
        CAST(SUM(CASE WHEN nrm6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
        CAST(SUM(CASE WHEN nrm6 * 2 > 3 * mean_nrm THEN 1 ELSE 0 END)
             AS BIGINT) AS n_outliers
@@ -935,7 +928,7 @@ def embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select(
-        "label", F.round(norm(F.col("embedding")), 6).alias("nrm6")
+        "label", snap(norm(F.col("embedding")), 6).alias("nrm6")
     )
     wl = W.partitionBy("label")
     m = v.select(
@@ -950,9 +943,9 @@ def embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(F.max("mean_nrm"), 9).alias("mean_norm"),
-            F.round(F.min("nrm6"), 6).alias("min_norm"),
-            F.round(F.max("nrm6"), 6).alias("max_norm"),
+            snap(F.max("mean_nrm"), 9).alias("mean_norm"),
+            snap(F.min("nrm6"), 6).alias("min_norm"),
+            snap(F.max("nrm6"), 6).alias("max_norm"),
             F.sum(F.when(F.col("nrm6") == 0, 1).otherwise(0))
             .cast("long")
             .alias("n_zero"),
@@ -1025,7 +1018,7 @@ sel AS (SELECT query_id, budget, neighbor_id, cos FROM top WHERE rnk = 1)
 SELECT query_id,
        CAST(budget AS BIGINT) AS budget,
        neighbor_id,
-       ROUND(cos, 6) AS cosine,
+       FLOOR((cos) * 1e6 + 0.5) / 1e6 AS cosine,
        CAST(neighbor_id = MAX(CASE WHEN budget = {_MRL_BUDGETS[-1]}
                               THEN neighbor_id END)
             OVER (PARTITION BY query_id) AS BIGINT) AS agree_full
@@ -1154,6 +1147,6 @@ def embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "budget",
         "neighbor_id",
-        F.round("cos", 6).alias("cosine"),
+        snap("cos", 6).alias("cosine"),
         (F.col("neighbor_id") == full_top).cast("long").alias("agree_full"),
     ).orderBy("query_id", "budget")

@@ -20,6 +20,7 @@ from spark_file_mover_spark.llm._textnorm import (
 )
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import load_table
+from spark_file_mover_spark.numerics import snap
 
 _SPLIT_ORACLE = """
 SELECT doc_id, lang,
@@ -279,9 +280,9 @@ t AS (
   FROM w
 )
 SELECT lang, n_docs, n_toks,
-       ROUND(pd / spd, 9) AS w_docs,
-       ROUND(pt / spt, 9) AS w_toks,
-       CAST(floor({_TEMP_BUDGET} * ROUND(pd / spd, 9) + 0.5) AS BIGINT)
+       FLOOR((pd / spd) * 1e9 + 0.5) / 1e9 AS w_docs,
+       FLOOR((pt / spt) * 1e9 + 0.5) / 1e9 AS w_toks,
+       CAST(floor({_TEMP_BUDGET} * FLOOR((pd / spd) * 1e9 + 0.5) / 1e9 + 0.5) AS BIGINT)
          AS expected_docs
 FROM w CROSS JOIN t ORDER BY lang
 """
@@ -330,8 +331,8 @@ def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = w.agg(
         _sorted_sum("pd").alias("spd"), _sorted_sum("pt").alias("spt")
     )
-    w_docs = F.round(F.col("pd") / F.col("spd"), 9)
-    w_toks = F.round(F.col("pt") / F.col("spt"), 9)
+    w_docs = snap(F.col("pd") / F.col("spd"), 9)
+    w_toks = snap(F.col("pt") / F.col("spt"), 9)
     return (
         w.crossJoin(F.broadcast(tot))
         .select(
@@ -550,7 +551,7 @@ v AS (
 t AS (SELECT * FROM v ORDER BY vt, source, doc_id LIMIT {_ILV_LIMIT})
 SELECT CAST(row_number() OVER (ORDER BY vt, source, doc_id) AS BIGINT)
          AS pos,
-       source, doc_id, ROUND(vt, 9) AS vt
+       source, doc_id, FLOOR((vt) * 1e9 + 0.5) / 1e9 AS vt
 FROM t ORDER BY pos
 """
 
@@ -601,7 +602,7 @@ def sample_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pos"),
         "source",
         "doc_id",
-        F.round("vt", 9).alias("vt"),
+        snap("vt", 9).alias("vt"),
     ).orderBy("pos")
 
 

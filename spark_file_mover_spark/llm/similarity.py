@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import artifact_cache_key, load_table
+from spark_file_mover_spark.numerics import snap
 
 N_QUERIES = 5
 TOP_K = 3
@@ -93,7 +94,7 @@ sims AS (
   WHERE q.query_id <> c.vec_id
 )
 SELECT query_id, neighbor_id, label, rnk,
-       ROUND(cos, 6) AS cosine
+       FLOOR((cos) * 1e6 + 0.5) / 1e6 AS cosine
 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS rnk
@@ -158,7 +159,7 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             "label",
             "rnk",
-            F.round("cos", 6).alias("cosine"),
+            snap("cos", 6).alias("cosine"),
         )
     )
 
@@ -179,8 +180,8 @@ assign AS (
     SELECT e.vec_id, e.label, e.embedding, e.en, s.sid,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY ROUND({_DOT.format(a='e.embedding', b='s.svec')}
-                      / (e.en * s.sn), 9) DESC, s.sid) AS rnk
+             ORDER BY FLOOR(({_DOT.format(a='e.embedding', b='s.svec')}
+                      / (e.en * s.sn)) * 1e9 + 0.5) / 1e9 DESC, s.sid) AS rnk
     FROM e CROSS JOIN seeds s
   ) WHERE rnk = 1
 ),
@@ -215,7 +216,7 @@ cand AS (
   JOIN assign a ON a.cell = p.cell
   WHERE a.vec_id <> q.query_id
 )
-SELECT query_id, neighbor_id, label, rnk, ROUND(cos, 6) AS cosine
+SELECT query_id, neighbor_id, label, rnk, FLOOR((cos) * 1e6 + 0.5) / 1e6 AS cosine
 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS rnk
@@ -334,7 +335,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scores = (m @ seed_mat.T) / (
             en.to_numpy()[:, None] * sn_arr[None, :]
         )
-        # snap to 9 dp before argmax (oracle mirrors with ROUND(...,9)):
+        # snap to 9 dp before argmax (oracle mirrors with FLOOR((...) * 1e9 + 0.5) / 1e9):
         # the matmul's BLAS summation order differs from the oracle's
         # sequential fold by ~1e-16 relative, so a near-tie between two
         # seeds must be decided by the shared tie-break rule (smallest
@@ -454,7 +455,7 @@ def _ivf_query(assigned: DataFrame) -> DataFrame:
             "neighbor_id",
             "label",
             "rnk",
-            F.round("cos", 6).alias("cosine"),
+            snap("cos", 6).alias("cosine"),
         )
     )
 
@@ -471,7 +472,7 @@ pairs AS (
   FROM e a JOIN e b
     ON a.label = b.label AND a.vec_id <> b.vec_id
 )
-SELECT vec_id, nn_id, label, ROUND(cos, 6) AS cosine,
+SELECT vec_id, nn_id, label, FLOOR((cos) * 1e6 + 0.5) / 1e6 AS cosine,
        cos >= {DEDUP_COS_THRESHOLD} AS is_near_dup
 FROM (
   SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -534,7 +535,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "nn_id",
             "label",
-            F.round("cos", 6).alias("cosine"),
+            snap("cos", 6).alias("cosine"),
             (F.col("cos") >= DEDUP_COS_THRESHOLD).alias("is_near_dup"),
         )
     )
@@ -609,7 +610,7 @@ sims AS (
   WHERE q.query_id <> s.vec_id
 )
 SELECT query_id, neighbor_id, CAST(bucket AS BIGINT) AS bucket, rnk,
-       ROUND(cos, 6) AS cosine
+       FLOOR((cos) * 1e6 + 0.5) / 1e6 AS cosine
 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS rnk
@@ -677,7 +678,7 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             F.col("bucket").cast("long").alias("bucket"),
             F.col("rnk").cast("long").alias("rnk"),
-            F.round("cos", 6).alias("cosine"),
+            snap("cos", 6).alias("cosine"),
         )
         .orderBy("query_id", "rnk")
     )
@@ -802,7 +803,7 @@ sims AS (
   WHERE c.label != q.query_label
 )
 SELECT query_id, query_label, neighbor_id, neighbor_label, rnk,
-       ROUND(cos, 6) AS cosine
+       FLOOR((cos) * 1e6 + 0.5) / 1e6 AS cosine
 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS rnk
@@ -877,7 +878,7 @@ def sim_search_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             "neighbor_label",
             "rnk",
-            F.round("cos", 6).alias("cosine"),
+            snap("cos", 6).alias("cosine"),
         )
         .orderBy("query_id", "rnk")
     )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from spark_file_mover_spark.llm._textnorm import toks
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import load_table
+from spark_file_mover_spark.numerics import snap
 
 _STOPWORDS = ("a", "the", "of", "to", "and")
 
@@ -39,8 +40,8 @@ SELECT lang,
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
-       ROUND(CAST(SUM(n_types) AS DOUBLE) / SUM(n_tokens), 6) AS type_token_ratio
+       FLOOR((CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS avg_tokens,
+       FLOOR((CAST(SUM(n_types) AS DOUBLE) / SUM(n_tokens)) * 1e6 + 0.5) / 1e6 AS type_token_ratio
 FROM t GROUP BY lang
 """
 
@@ -62,12 +63,8 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        F.round(
-            F.sum("n_tokens").cast("double") / F.count("*"), 6
-        ).alias("avg_tokens"),
-        F.round(
-            F.sum("n_types").cast("double") / F.sum("n_tokens"), 6
-        ).alias("type_token_ratio"),
+        snap(F.sum("n_tokens").cast("double") / F.count("*"), 6).alias("avg_tokens"),
+        snap(F.sum("n_types").cast("double") / F.sum("n_tokens"), 6).alias("type_token_ratio"),
     )
 
 
@@ -177,11 +174,11 @@ m AS (
   SELECT doc_id, lang, n_chars, len_raw,
          len(tk) AS n_tokens,
          len(list_filter(tk, x -> list_contains([{_SW}], x))) AS n_stop,
-         ROUND(CAST(len_raw AS DOUBLE) / len(tk), 6) AS avg_tok_len
+         FLOOR((CAST(len_raw AS DOUBLE) / len(tk)) * 1e6 + 0.5) / 1e6 AS avg_tok_len
   FROM t
 )
 SELECT doc_id, lang, n_tokens, avg_tok_len,
-       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       FLOOR((CAST(n_stop AS DOUBLE) / n_tokens) * 1e6 + 0.5) / 1e6 AS stopword_ratio,
        (n_tokens >= 20 AND n_tokens <= 1000
         AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.01) AS passes_filter
 FROM m
@@ -202,10 +199,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         n_tokens.alias("n_tokens"),
-        F.round(F.length("text").cast("double") / n_tokens, 6).alias(
+        snap(F.length("text").cast("double") / n_tokens, 6).alias(
             "avg_tok_len"
         ),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        snap(stop_ratio, 6).alias("stopword_ratio"),
         (
             (n_tokens >= 20) & (n_tokens <= 1000) & (stop_ratio >= 0.01)
         ).alias("passes_filter"),
@@ -428,25 +425,25 @@ m AS (
 )
 SELECT doc_id,
        CAST(n_words AS BIGINT) AS n_words,
-       ROUND(CAST(len_sum AS DOUBLE) / n_words, 6) AS mean_word_len,
-       ROUND(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_frac,
-       ROUND(CAST(n_symbols AS DOUBLE) / n_words, 6) AS symbol_ratio,
+       FLOOR((CAST(len_sum AS DOUBLE) / n_words) * 1e6 + 0.5) / 1e6 AS mean_word_len,
+       FLOOR((CAST(n_alpha AS DOUBLE) / n_words) * 1e6 + 0.5) / 1e6 AS alpha_frac,
+       FLOOR((CAST(n_symbols AS DOUBLE) / n_words) * 1e6 + 0.5) / 1e6 AS symbol_ratio,
        CAST(n_required AS BIGINT) AS n_required_stop,
        (n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS})
          AS ok_word_count,
-       (ROUND(CAST(len_sum AS DOUBLE) / n_words, 6) >= {_GOPHER_MIN_MEAN_LEN}
-        AND ROUND(CAST(len_sum AS DOUBLE) / n_words, 6) <= {_GOPHER_MAX_MEAN_LEN})
+       (FLOOR((CAST(len_sum AS DOUBLE) / n_words) * 1e6 + 0.5) / 1e6 >= {_GOPHER_MIN_MEAN_LEN}
+        AND FLOOR((CAST(len_sum AS DOUBLE) / n_words) * 1e6 + 0.5) / 1e6 <= {_GOPHER_MAX_MEAN_LEN})
          AS ok_mean_len,
-       ROUND(CAST(n_alpha AS DOUBLE) / n_words, 6) >= {_GOPHER_MIN_ALPHA_FRAC}
+       FLOOR((CAST(n_alpha AS DOUBLE) / n_words) * 1e6 + 0.5) / 1e6 >= {_GOPHER_MIN_ALPHA_FRAC}
          AS ok_alpha,
-       ROUND(CAST(n_symbols AS DOUBLE) / n_words, 6) <= {_GOPHER_MAX_SYMBOL_RATIO}
+       FLOOR((CAST(n_symbols AS DOUBLE) / n_words) * 1e6 + 0.5) / 1e6 <= {_GOPHER_MAX_SYMBOL_RATIO}
          AS ok_symbols,
        n_required >= {_GOPHER_MIN_REQUIRED} AS ok_required,
        ((n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS})
-        AND (ROUND(CAST(len_sum AS DOUBLE) / n_words, 6) >= {_GOPHER_MIN_MEAN_LEN}
-             AND ROUND(CAST(len_sum AS DOUBLE) / n_words, 6) <= {_GOPHER_MAX_MEAN_LEN})
-        AND ROUND(CAST(n_alpha AS DOUBLE) / n_words, 6) >= {_GOPHER_MIN_ALPHA_FRAC}
-        AND ROUND(CAST(n_symbols AS DOUBLE) / n_words, 6) <= {_GOPHER_MAX_SYMBOL_RATIO}
+        AND (FLOOR((CAST(len_sum AS DOUBLE) / n_words) * 1e6 + 0.5) / 1e6 >= {_GOPHER_MIN_MEAN_LEN}
+             AND FLOOR((CAST(len_sum AS DOUBLE) / n_words) * 1e6 + 0.5) / 1e6 <= {_GOPHER_MAX_MEAN_LEN})
+        AND FLOOR((CAST(n_alpha AS DOUBLE) / n_words) * 1e6 + 0.5) / 1e6 >= {_GOPHER_MIN_ALPHA_FRAC}
+        AND FLOOR((CAST(n_symbols AS DOUBLE) / n_words) * 1e6 + 0.5) / 1e6 <= {_GOPHER_MAX_SYMBOL_RATIO}
         AND n_required >= {_GOPHER_MIN_REQUIRED}) AS gopher_pass
 FROM m
 ORDER BY doc_id
@@ -496,9 +493,9 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_required = F.size(
         F.filter(req, lambda w: F.array_contains(F.col("tk"), w))
     )
-    mean_len = F.round(len_sum.cast("double") / n_words, 6)
-    alpha_frac = F.round(n_alpha.cast("double") / n_words, 6)
-    symbol_ratio = F.round(n_symbols.cast("double") / n_words, 6)
+    mean_len = snap(len_sum.cast("double") / n_words, 6)
+    alpha_frac = snap(n_alpha.cast("double") / n_words, 6)
+    symbol_ratio = snap(n_symbols.cast("double") / n_words, 6)
     ok_word_count = (n_words >= _GOPHER_MIN_WORDS) & (
         n_words <= _GOPHER_MAX_WORDS
     )
@@ -680,8 +677,8 @@ m AS (
   SELECT lang, predicted_lang, COUNT(*) AS n FROM p GROUP BY 1, 2
 )
 SELECT lang, predicted_lang, CAST(n AS BIGINT) AS n,
-       ROUND(CAST(n AS DOUBLE)
-             / SUM(n) OVER (PARTITION BY lang), 9) AS recall_share,
+       FLOOR((CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY lang)) * 1e9 + 0.5) / 1e9 AS recall_share,
        lang = predicted_lang AS is_correct
 FROM m ORDER BY lang, predicted_lang
 """
@@ -729,7 +726,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "predicted_lang",
         F.col("n").cast("long").alias("n"),
-        F.round(F.col("n").cast("double") / F.sum("n").over(wl), 9).alias(
+        snap(F.col("n").cast("double") / F.sum("n").over(wl), 9).alias(
             "recall_share"
         ),
         (F.col("lang") == F.col("predicted_lang")).alias("is_correct"),

@@ -14,6 +14,7 @@ from spark_file_mover_spark.llm._textnorm import MD5_PREFIX60_SQL, md5_prefix60
 from spark_file_mover_spark.operators._parity import davg, dec, dsum
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import load_table
+from spark_file_mover_spark.numerics import snap
 
 # E1 / flagship: TPC-H Q1 shape over lineitem. Scan→filter (pushed to
 # parquet)→hash agg; the classic partial-agg-friendly query.
@@ -273,11 +274,11 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATS_ORACLE = """
 SELECT l_returnflag,
        COUNT(*) AS n,
-       ROUND(AVG(l_quantity), 4) AS mean_qty,
-       ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
-       ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
-       ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-       ROUND(COVAR_SAMP(l_quantity, l_discount), 4) AS covar_qty_disc
+       FLOOR((AVG(l_quantity)) * 1e4 + 0.5) / 1e4 AS mean_qty,
+       FLOOR((STDDEV_SAMP(l_quantity)) * 1e4 + 0.5) / 1e4 AS sd_qty,
+       FLOOR((VAR_SAMP(l_quantity)) * 1e4 + 0.5) / 1e4 AS var_qty,
+       FLOOR((CORR(l_quantity, l_extendedprice)) * 1e4 + 0.5) / 1e4 AS corr_qty_price,
+       FLOOR((COVAR_SAMP(l_quantity, l_discount)) * 1e4 + 0.5) / 1e4 AS covar_qty_disc
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -295,13 +296,13 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+        snap(F.avg("l_quantity"), 4).alias("mean_qty"),
+        snap(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        snap(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        snap(F.corr("l_quantity", "l_extendedprice"), 4).alias(
             "corr_qty_price"
         ),
-        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias(
+        snap(F.covar_samp("l_quantity", "l_discount"), 4).alias(
             "covar_qty_disc"
         ),
     )
@@ -428,7 +429,7 @@ ret AS (
 )
 SELECT r.cohort_week, r.week_offset, r.n_active,
        s.cohort_size,
-       ROUND(CAST(r.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+       FLOOR((CAST(r.n_active AS DOUBLE) / s.cohort_size) * 1e6 + 0.5) / 1e6 AS retention
 FROM ret r JOIN sizes s USING (cohort_week)
 ORDER BY r.cohort_week, r.week_offset
 """
@@ -478,9 +479,7 @@ def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             "week_offset",
             "n_active",
             "cohort_size",
-            F.round(
-                F.col("n_active").cast("double") / F.col("cohort_size"), 6
-            ).alias("retention"),
+            snap(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias("retention"),
         )
     )
 
@@ -630,7 +629,7 @@ SELECT m.event_type, m.n_events,
        CAST(m.med2 AS DOUBLE) / 200 AS median_value,
        CAST(am.amed2 AS DOUBLE) / 400 AS mad_value,
        o.n_outliers,
-       ROUND(CAST(o.n_outliers AS DOUBLE) / m.n_events, 6) AS outlier_frac
+       FLOOR((CAST(o.n_outliers AS DOUBLE) / m.n_events) * 1e6 + 0.5) / 1e6 AS outlier_frac
 FROM med m
 JOIN amed am USING (event_type)
 JOIN outl o USING (event_type)
@@ -731,9 +730,7 @@ def agg_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("med2").cast("double") / 200).alias("median_value"),
         (F.col("amed2").cast("double") / 400).alias("mad_value"),
         "n_outliers",
-        F.round(
-            F.col("n_outliers").cast("double") / F.col("n_events"), 6
-        ).alias("outlier_frac"),
+        snap(F.col("n_outliers").cast("double") / F.col("n_events"), 6).alias("outlier_frac"),
     ).orderBy("event_type")
 
 
@@ -1078,21 +1075,21 @@ c AS (
 SELECT event_type,
        CAST(MAX(n_a) AS BIGINT) AS n_a,
        CAST(MAX(n_b) AS BIGINT) AS n_b,
-       ROUND(MAX(CASE WHEN n_a > 0 AND n_b > 0
+       FLOOR((MAX(CASE WHEN n_a > 0 AND n_b > 0
                       THEN ABS(CAST(cum_a AS DOUBLE) / n_a
-                             - CAST(cum_b AS DOUBLE) / n_b) END), 9)
+                             - CAST(cum_b AS DOUBLE) / n_b) END)) * 1e9 + 0.5) / 1e9
          AS ks_stat,
        CASE WHEN MAX(n_a) > 0 AND MAX(n_b) > 0
-            THEN ROUND({_KS_COEFF}
+            THEN FLOOR(({_KS_COEFF}
                        * sqrt(CAST(MAX(n_a) + MAX(n_b) AS DOUBLE)
-                              / (MAX(n_a) * MAX(n_b))), 9) END AS ks_crit,
+                              / (MAX(n_a) * MAX(n_b)))) * 1e9 + 0.5) / 1e9 END AS ks_crit,
        COALESCE(
-         ROUND(MAX(CASE WHEN n_a > 0 AND n_b > 0
+         FLOOR((MAX(CASE WHEN n_a > 0 AND n_b > 0
                         THEN ABS(CAST(cum_a AS DOUBLE) / n_a
-                               - CAST(cum_b AS DOUBLE) / n_b) END), 9)
-           > ROUND({_KS_COEFF}
+                               - CAST(cum_b AS DOUBLE) / n_b) END)) * 1e9 + 0.5) / 1e9
+           > FLOOR(({_KS_COEFF}
                    * sqrt(CAST(MAX(n_a) + MAX(n_b) AS DOUBLE)
-                          / (MAX(n_a) * MAX(n_b))), 9),
+                          / (MAX(n_a) * MAX(n_b)))) * 1e9 + 0.5) / 1e9,
          FALSE) AS drift
 FROM c GROUP BY event_type ORDER BY event_type
 """
@@ -1161,17 +1158,14 @@ def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("cum_b").cast("double") / F.col("n_b")
         ),
     )
-    ks = F.round(F.max(d_col), 9)
+    ks = snap(F.max(d_col), 9)
     crit = F.when(
         (F.max("n_a") > 0) & (F.max("n_b") > 0),
-        F.round(
-            _KS_COEFF
+        snap(_KS_COEFF
             * F.sqrt(
                 (F.max("n_a") + F.max("n_b")).cast("double")
                 / (F.max("n_a") * F.max("n_b"))
-            ),
-            9,
-        ),
+            ), 9),
     )
     return (
         c.groupBy("event_type")
@@ -1202,11 +1196,11 @@ h AS (
 )
 SELECT event_type,
        CAST(bucket AS BIGINT) AS bucket,
-       ROUND(POW(10.0, bucket - 1) / 100.0, 9) AS bucket_lo,
-       ROUND(POW(10.0, bucket) / 100.0, 9) AS bucket_hi,
+       FLOOR((POW(10.0, bucket - 1) / 100.0) * 1e9 + 0.5) / 1e9 AS bucket_lo,
+       FLOOR((POW(10.0, bucket) / 100.0) * 1e9 + 0.5) / 1e9 AS bucket_hi,
        n,
-       ROUND(CAST(n AS DOUBLE)
-             / SUM(n) OVER (PARTITION BY event_type), 9) AS share
+       FLOOR((CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY event_type)) * 1e9 + 0.5) / 1e9 AS share
 FROM h ORDER BY event_type, bucket
 """
 
@@ -1242,18 +1236,15 @@ def agg_hist_logbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count("*").alias("n"))
     )
-    share = F.round(
-        F.col("n").cast("double")
-        / F.sum("n").over(W.partitionBy("event_type")),
-        9,
-    )
+    share = snap(F.col("n").cast("double")
+        / F.sum("n").over(W.partitionBy("event_type")), 9)
     return h.select(
         "event_type",
         F.col("bucket").cast("long").alias("bucket"),
-        F.round(F.pow(F.lit(10.0), F.col("bucket") - 1) / 100.0, 9).alias(
+        snap(F.pow(F.lit(10.0), F.col("bucket") - 1) / 100.0, 9).alias(
             "bucket_lo"
         ),
-        F.round(F.pow(F.lit(10.0), F.col("bucket")) / 100.0, 9).alias(
+        snap(F.pow(F.lit(10.0), F.col("bucket")) / 100.0, 9).alias(
             "bucket_hi"
         ),
         "n",
@@ -1366,20 +1357,20 @@ t AS (
 SELECT source,
        CAST(MAX(n) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_langs,
-       CAST(-SUM(CAST(ROUND((CAST(c AS DOUBLE) / n)
-                            * ln(CAST(c AS DOUBLE) / n), 9)
+       CAST(-SUM(CAST(FLOOR(((CAST(c AS DOUBLE) / n)
+                            * ln(CAST(c AS DOUBLE) / n)) * 1e9 + 0.5) / 1e9
                       AS DECIMAL(18,9))) AS DOUBLE) AS entropy,
        CASE WHEN MAX(nch) > 0 THEN
          CAST(-SUM(CASE WHEN ch > 0 THEN
-                     CAST(ROUND((CAST(ch AS DOUBLE) / nch)
-                                * ln(CAST(ch AS DOUBLE) / nch), 9)
+                     CAST(FLOOR(((CAST(ch AS DOUBLE) / nch)
+                                * ln(CAST(ch AS DOUBLE) / nch)) * 1e9 + 0.5) / 1e9
                           AS DECIMAL(18,9))
                    ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE)
        END AS entropy_chars,
-       CAST(1 - SUM(CAST(ROUND((CAST(c AS DOUBLE) / n)
-                               * (CAST(c AS DOUBLE) / n), 9)
+       CAST(1 - SUM(CAST(FLOOR(((CAST(c AS DOUBLE) / n)
+                               * (CAST(c AS DOUBLE) / n)) * 1e9 + 0.5) / 1e9
                         AS DECIMAL(18,9))) AS DOUBLE) AS gini,
-       ROUND(CAST(MAX(c) AS DOUBLE) / MAX(n), 9) AS top_share
+       FLOOR((CAST(MAX(c) AS DOUBLE) / MAX(n)) * 1e9 + 0.5) / 1e9 AS top_share
 FROM t GROUP BY source ORDER BY source
 """
 
@@ -1422,15 +1413,17 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.col("c").cast("double") / F.col("n")
     pch = F.col("ch").cast("double") / F.col("nch")
 
-    def snap(col: F.Column) -> F.Column:
-        return F.round(col, 9).cast("decimal(18,9)")
+    def snap_dec(col: F.Column) -> F.Column:
+        # snap each term then sum as exact DECIMAL so the total is
+        # order-independent (the module-level snap, decimal-summed)
+        return snap(col, 9).cast("decimal(18,9)")
 
     return (
         t.groupBy("source")
         .agg(
             F.max("n").cast("long").alias("n_docs"),
             F.count("*").cast("long").alias("n_langs"),
-            (-F.sum(snap(p * F.log(p)))).cast("double").alias("entropy"),
+            (-F.sum(snap_dec(p * F.log(p)))).cast("double").alias("entropy"),
             # 0·ln 0 = 0 convention for zero-length-doc langs; a source
             # whose every doc is empty has no char distribution → NULL
             # (the differential harness caught both: ln(0) in DuckDB,
@@ -1441,13 +1434,13 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     -F.sum(
                         F.when(
                             (F.col("ch") > 0) & (F.col("nch") > 0),
-                            snap(pch * F.log(pch)),
+                            snap_dec(pch * F.log(pch)),
                         ).otherwise(F.lit(0).cast("decimal(18,9)"))
                     )
                 ).cast("double"),
             ).alias("entropy_chars"),
-            (1 - F.sum(snap(p * p))).cast("double").alias("gini"),
-            F.round(F.max("c").cast("double") / F.max("n"), 9).alias(
+            (1 - F.sum(snap_dec(p * p))).cast("double").alias("gini"),
+            snap(F.max("c").cast("double") / F.max("n"), 9).alias(
                 "top_share"
             ),
         )
@@ -1489,9 +1482,9 @@ t AS (
   FROM h
 )
 SELECT flag, digit, n_d,
-       ROUND(CAST(n_d AS DOUBLE) / n, 9) AS share,
+       FLOOR((CAST(n_d AS DOUBLE) / n) * 1e9 + 0.5) / 1e9 AS share,
        p AS benford_p,
-       CAST(SUM(CAST(ROUND(POW(n_d - n * p, 2) / (n * p), 9)
+       CAST(SUM(CAST(FLOOR((POW(n_d - n * p, 2) / (n * p)) * 1e9 + 0.5) / 1e9
                      AS DECIMAL(28,9)))
             OVER (PARTITION BY flag) AS DOUBLE) AS chi2
 FROM t ORDER BY flag, digit
@@ -1540,16 +1533,13 @@ def agg_benford_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_d").over(wf).alias("n"),
         p.alias("p"),
     )
-    term = F.round(
-        F.pow(F.col("n_d") - F.col("n") * F.col("p"), 2)
-        / (F.col("n") * F.col("p")),
-        9,
-    ).cast("decimal(28,9)")
+    term = snap(F.pow(F.col("n_d") - F.col("n") * F.col("p"), 2)
+        / (F.col("n") * F.col("p")), 9).cast("decimal(28,9)")
     return t.select(
         "flag",
         "digit",
         "n_d",
-        F.round(F.col("n_d").cast("double") / F.col("n"), 9).alias("share"),
+        snap(F.col("n_d").cast("double") / F.col("n"), 9).alias("share"),
         F.col("p").alias("benford_p"),
         F.sum(term).over(wf).cast("double").alias("chi2"),
     ).orderBy("flag", "digit")
@@ -1663,11 +1653,10 @@ _ZTEST_CRIT = "1.959963985"
 # compares the SNAPPED z so both engines branch on the same value.
 _ZTEST_Z = f"""CASE WHEN na > 0 AND nb > 0
      AND (xa + xb) > 0 AND (xa + xb) < (na + nb) THEN
-  ROUND(
-    (CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+  FLOOR(((CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
     / SQRT((CAST(xa + xb AS DOUBLE) / (na + nb))
            * (CAST(na + nb - xa - xb AS DOUBLE) / (na + nb))
-           * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)), 9)
+           * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))) * 1e9 + 0.5) / 1e9
   END"""
 
 _ZTEST_ORACLE = f"""
@@ -1692,8 +1681,8 @@ conv AS (
 ),
 t AS (SELECT metric, xa, na, xb, nb FROM conv CROSS JOIN pop)
 SELECT metric, xa, na, xb, nb,
-       CASE WHEN na > 0 THEN ROUND(CAST(xa AS DOUBLE) / na, 9) END AS p_a,
-       CASE WHEN nb > 0 THEN ROUND(CAST(xb AS DOUBLE) / nb, 9) END AS p_b,
+       CASE WHEN na > 0 THEN FLOOR((CAST(xa AS DOUBLE) / na) * 1e9 + 0.5) / 1e9 END AS p_a,
+       CASE WHEN nb > 0 THEN FLOOR((CAST(xb AS DOUBLE) / nb) * 1e9 + 0.5) / 1e9 END AS p_b,
        {_ZTEST_Z} AS z,
        COALESCE(abs({_ZTEST_Z}) > CAST({_ZTEST_CRIT} AS DOUBLE),
                 FALSE) AS significant
@@ -1767,11 +1756,11 @@ def agg_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nb",
         F.when(
             F.col("na") > 0,
-            F.round(F.col("xa").cast("double") / F.col("na"), 9),
+            snap(F.col("xa").cast("double") / F.col("na"), 9),
         ).alias("p_a"),
         F.when(
             F.col("nb") > 0,
-            F.round(F.col("xb").cast("double") / F.col("nb"), 9),
+            snap(F.col("xb").cast("double") / F.col("nb"), 9),
         ).alias("p_b"),
         F.expr(_ZTEST_Z).alias("z"),
         F.coalesce(
@@ -1949,8 +1938,8 @@ cdf AS (
 SELECT (SELECT COUNT(*) FROM s) AS n_signup,
        (SELECT COUNT(*) FROM c) AS n_converted,
        CASE WHEN (SELECT COUNT(*) FROM s) > 0 THEN
-         ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
-               / (SELECT COUNT(*) FROM s), 9) END AS conversion_rate,
+         FLOOR((CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+               / (SELECT COUNT(*) FROM s)) * 1e9 + 0.5) / 1e9 END AS conversion_rate,
        (SELECT MIN(lag_us) FROM cdf
         WHERE cum >= (50 * n + 99) // 100) AS p50_lag_us,
        (SELECT MIN(lag_us) FROM cdf
@@ -2036,9 +2025,7 @@ def agg_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_converted",
         F.when(
             F.col("n_signup") > 0,
-            F.round(
-                F.col("n_converted").cast("double") / F.col("n_signup"), 9
-            ),
+            snap(F.col("n_converted").cast("double") / F.col("n_signup"), 9),
         ).alias("conversion_rate"),
         "p50_lag_us",
         "p90_lag_us",
@@ -2064,8 +2051,8 @@ t AS (
   FROM o GROUP BY 1, 2
 )
 SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
-       ROUND(CAST(n AS DOUBLE)
-             / SUM(n) OVER (PARTITION BY prev_type), 9) AS p
+       FLOOR((CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY prev_type)) * 1e9 + 0.5) / 1e9 AS p
 FROM t ORDER BY prev_type, next_type
 """
 
@@ -2109,9 +2096,7 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "next_type",
         F.col("n").cast("long").alias("n"),
-        F.round(
-            F.col("n").cast("double") / F.sum("n").over(wp), 9
-        ).alias("p"),
+        snap(F.col("n").cast("double") / F.sum("n").over(wp), 9).alias("p"),
     ).orderBy("prev_type", "next_type")
 
 

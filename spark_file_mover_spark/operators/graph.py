@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import artifact_cache_key, load_table
+from spark_file_mover_spark.numerics import snap
 
 
 def _reliable_checkpoint(df: DataFrame) -> DataFrame:
@@ -640,8 +641,8 @@ SELECT deg.node AS node_id,
        deg.degree,
        CAST(COALESCE(pn.tri_count, 0) AS BIGINT) AS tri_count,
        CASE WHEN deg.degree >= 2 THEN
-         ROUND(CAST(2 * COALESCE(pn.tri_count, 0) AS DOUBLE)
-               / (CAST(deg.degree AS DOUBLE) * (deg.degree - 1)), 9)
+         FLOOR((CAST(2 * COALESCE(pn.tri_count, 0) AS DOUBLE)
+               / (CAST(deg.degree AS DOUBLE) * (deg.degree - 1))) * 1e9 + 0.5) / 1e9
        END AS clust_coeff
 FROM deg LEFT JOIN pn ON pn.node = deg.node
 ORDER BY node_id
@@ -736,14 +737,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tri_count"),
             F.when(
                 F.col("degree") >= 2,
-                F.round(
-                    two_tri.cast("double")
+                snap(two_tri.cast("double")
                     / (
                         F.col("degree").cast("double")
                         * (F.col("degree") - 1)
-                    ),
-                    9,
-                ),
+                    ), 9),
             ).alias("clust_coeff"),
         )
         .orderBy("node_id")
@@ -776,7 +774,7 @@ pairs AS (
 ),
 scored AS (
   SELECT p.u, p.v, p.shared,
-         ROUND(CAST(p.shared AS DOUBLE) / (da.d + db.d - p.shared), 9)
+         FLOOR((CAST(p.shared AS DOUBLE) / (da.d + db.d - p.shared)) * 1e9 + 0.5) / 1e9
            AS jaccard
   FROM pairs p JOIN deg da ON da.u = p.u JOIN deg db ON db.u = p.v
 )
@@ -869,11 +867,8 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u",
             "v",
             "shared",
-            F.round(
-                F.col("shared").cast("double")
-                / (F.col("da") + F.col("db") - F.col("shared")),
-                9,
-            ).alias("jaccard"),
+            snap(F.col("shared").cast("double")
+                / (F.col("da") + F.col("db") - F.col("shared")), 9).alias("jaccard"),
         )
     )
     from pyspark.sql import Window as W

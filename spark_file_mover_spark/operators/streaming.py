@@ -24,6 +24,7 @@ from spark_file_mover_spark.llm._textnorm import MD5_PREFIX60_SQL
 from spark_file_mover_spark.operators._parity import dec
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import artifact_cache_key, load_table
+from spark_file_mover_spark.numerics import snap
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -581,7 +582,7 @@ SELECT user_id,
        CAST(COALESCE(MAX(CASE WHEN ts < wm
                               THEN date_diff('second', ts, wm) END), 0)
             AS BIGINT) AS max_late_s,
-       ROUND(CAST(COUNT(*) FILTER (WHERE ts < wm) AS DOUBLE) / COUNT(*), 6)
+       FLOOR((CAST(COUNT(*) FILTER (WHERE ts < wm) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6
          AS late_frac
 FROM w GROUP BY user_id ORDER BY user_id
 """.format(
@@ -647,9 +648,7 @@ def stream_disorder_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.count("late_s").alias("n_late"),
             F.coalesce(F.max("late_s"), F.lit(0)).alias("max_late_s"),
-            F.round(
-                F.count("late_s").cast("double") / F.count("*"), 6
-            ).alias("late_frac"),
+            snap(F.count("late_s").cast("double") / F.count("*"), 6).alias("late_frac"),
         )
         .orderBy("user_id")
     )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from spark_file_mover_spark.operators._parity import dec
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import load_table
+from spark_file_mover_spark.numerics import snap
 
 _RANKING_ORACLE = """
 SELECT
@@ -312,8 +313,8 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DISTRIBUTION_ORACLE = """
 SELECT c_custkey, c_mktsegment,
-       ROUND(percent_rank() OVER w, 9) AS pr,
-       ROUND(cume_dist() OVER w, 9) AS cd,
+       FLOOR((percent_rank() OVER w) * 1e9 + 0.5) / 1e9 AS pr,
+       FLOOR((cume_dist() OVER w) * 1e9 + 0.5) / 1e9 AS cd,
        nth_value(c_custkey, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
                                      AND CURRENT ROW) AS third_key
 FROM customer
@@ -348,8 +349,8 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_mktsegment",
-        F.round(F.percent_rank().over(w), 9).alias("pr"),
-        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        snap(F.percent_rank().over(w), 9).alias("pr"),
+        snap(F.cume_dist().over(w), 9).alias("cd"),
         F.nth_value("c_custkey", 3).over(wf).alias("third_key"),
     )
 
@@ -553,7 +554,7 @@ WITH e AS (
   FROM events WHERE value IS NOT NULL
 )
 SELECT event_id, user_id, ts_us,
-       ROUND(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE), 9) AS ewma,
+       FLOOR((CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS ewma,
        CAST({n_hist} AS BIGINT) AS n_hist
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
@@ -615,7 +616,7 @@ def window_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts_us",
-        F.round(num.cast("double") / den.cast("double"), 9).alias("ewma"),
+        snap(num.cast("double") / den.cast("double"), 9).alias("ewma"),
         n_hist.cast("long").alias("n_hist"),
     )
 
@@ -741,12 +742,12 @@ m AS (
 SELECT event_id, user_id, ts_us, c AS cents,
        CAST(n AS BIGINT) AS n_hist,
        CASE WHEN n >= {_ZS_MIN_HIST} AND n * s2 - s1 * s1 > 0 THEN
-         ROUND((CAST(c * n - s1 AS DOUBLE) / n)
-               / SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1))), 9)
+         FLOOR(((CAST(c * n - s1 AS DOUBLE) / n)
+               / SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1)))) * 1e9 + 0.5) / 1e9
        END AS z,
        COALESCE(abs(CASE WHEN n >= {_ZS_MIN_HIST} AND n * s2 - s1 * s1 > 0 THEN
-         ROUND((CAST(c * n - s1 AS DOUBLE) / n)
-               / SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1))), 9)
+         FLOOR(((CAST(c * n - s1 AS DOUBLE) / n)
+               / SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1)))) * 1e9 + 0.5) / 1e9
        END) > {_ZS_CRIT}, FALSE) AS is_anomaly
 FROM m ORDER BY user_id, ts_us, event_id
 """
@@ -798,16 +799,13 @@ def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
     z = F.when(
         (F.col("n") >= _ZS_MIN_HIST) & (var_num > 0),
-        F.round(
-            (
+        snap((
                 (F.col("c") * F.col("n") - F.col("s1")).cast("double")
                 / F.col("n")
             )
             / F.sqrt(
                 var_num.cast("double") / (F.col("n") * (F.col("n") - 1))
-            ),
-            9,
-        ),
+            ), 9),
     )
     return m.select(
         "event_id",
@@ -937,8 +935,8 @@ SELECT event_type, day_num, cents,
        lag(day_num) OVER w AS prev_day,
        lag(cents) OVER w AS prev_cents,
        CASE WHEN lag(cents) OVER w > 0 THEN
-         ROUND(CAST(cents - lag(cents) OVER w AS DOUBLE)
-               / lag(cents) OVER w, 9) END AS pct_change,
+         FLOOR((CAST(cents - lag(cents) OVER w AS DOUBLE)
+               / lag(cents) OVER w) * 1e9 + 0.5) / 1e9 END AS pct_change,
        COALESCE(day_num - lag(day_num) OVER w = 1, FALSE) AS is_consecutive
 FROM d
 WINDOW w AS (PARTITION BY event_type ORDER BY day_num)
@@ -988,7 +986,7 @@ def window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_c.alias("prev_cents"),
         F.when(
             prev_c > 0,
-            F.round((F.col("cents") - prev_c).cast("double") / prev_c, 9),
+            snap((F.col("cents") - prev_c).cast("double") / prev_c, 9),
         ).alias("pct_change"),
         F.coalesce(F.col("day_num") - prev_d == 1, F.lit(False)).alias(
             "is_consecutive"
@@ -1123,7 +1121,7 @@ ri AS (
   LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
          ON o.o_orderkey = lk.l_orderkey
 )
-SELECT check_name, table_name, ROUND(metric, 9) AS metric, passed FROM (
+SELECT check_name, table_name, FLOOR((metric) * 1e9 + 0.5) / 1e9 AS metric, passed FROM (
   SELECT 'completeness_custkey' AS check_name, 'orders' AS table_name,
          n_null_cust / NULLIF(n, 0) AS metric,
          CAST(CASE WHEN n_null_cust = 0 THEN 1 ELSE 0 END AS BIGINT)
@@ -1267,7 +1265,7 @@ def etl_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "check_name",
             "table_name",
-            F.round("metric", 9).alias("metric"),
+            snap("metric", 9).alias("metric"),
             "passed",
         )
         .orderBy("check_name")

@@ -62,95 +62,42 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
     return deco
 
 
-# Scoring priority for round 10. The driver consumes ``queries()`` in
+# Scoring priority for round 11. The driver consumes ``queries()`` in
 # dict insertion order under a wall-clock budget (~50 keys/round), so
 # ``load_all`` rebuilds the registry dict in this order after all
 # modules import:
 #
-#   1. The 16 keys with NO driver row ever: the nine r9 keys added
-#      behind the r9 scoring cut (join-scd2-temporal ... 
-#      text-ccnet-buckets — the r9 verdict's single highest-leverage
-#      item) followed by the seven r10-new keys
-#      (agg-new-vs-returning, agg-seasonality-dow, window-rfm-segment,
-#      window-concurrency-sweep, text-readability, fn-geo-cell,
-#      multimodal-bmp-meta) and the eight r10 second-batch keys
-#      (join-geo-cell-nearest, agg-spearman-corr, agg-power-mde,
-#      sample-quota-allocate, text-novelty-ratio, fn-phone-normalize,
-#      graph-reciprocity, graph-degree-histogram) — 24 never-scored
-#      at the head, all inside the ~50 cut.
-#   2. The 10 keys whose IMPLEMENTATION changed in r10 and need a
-#      fresh driver row over the new code: the Gini distribution
-#      rewrite, the sharded pack-sequences dispatch, the four
-#      ADVICE-fix keys (cuped/welch/auc/dq-audit), and the four
-#      write-path keys the r10 differential changed
-#      (sink-compact, repartition-n, scan-csv-roundtrip,
-#      scan-csv-corrupt-recover).
-#   3. The tail in tools/stale_keys.py order (r6-scored block first,
-#      then r7, r8, r9) — with a ~50-key cut, positions 26-49 refresh
-#      24 of the 34 r6-stale keys; the rest sit exactly at the
-#      4-round staleness boundary for r11's head.
+#   1. The 4 keys whose STRUCTURE changed in r11 and need a fresh
+#      driver row over the new code: graph-reciprocity (cached-edge
+#      one-aggregate rewrite of the r10 8-scan plan),
+#      events-funnel-windowed (checkpointed stage relations),
+#      agg-chisq-independence (materialized contingency relation),
+#      set-union-intersect-except (single presence-flag aggregate).
+#   2. The tail in tools/stale_keys.py order: the 20 r6-stale keys
+#      (4 rounds stale at r10 close — the r10 handoff's exact order),
+#      then the r7 block, r8, r9, r10. With a ~50-key cut the whole
+#      r6 block and most of the r7 block land inside the cut, leaving
+#      no key >4 rounds stale after r11.
+#
+# The r11 F.round -> numerics.snap migration textually touched ~45
+# registered keys but is value-identical off rounding ties; all 211
+# keys were re-verified by a full driver sim after the migration, so
+# snap-only keys rank by staleness, not as "changed".
 #
 # Rebuild this list each round from `python tools/stale_keys.py --list`
-# with never-scored + changed keys at the HEAD.
+# with never-scored + structurally-changed keys at the HEAD.
 #
-# r11 handoff: the r10 head is 27 never-scored + 10 changed = 37 keys;
-# a ~50-key cut then refreshes only the first ~13 of the 34 r6-stale
-# keys (etl-scd2 ... join-lateral-topk). The ~21 r6-stale keys after
-# the cut (dedup-components onward in this list) end r10 exactly 4
-# rounds stale — build _PRIORITY_R11 with THOSE first (after any
-# r11-new/changed keys), then the r7-stale block, from
+# r12 handoff: after r11's ~50-key cut (4 changed + 20 r6 + ~26 r7,
+# cut lands near fn-map-json at position 50), the remaining ~16
+# r7-stale keys (fn-case-when-cast / multimodal-binary onward in this
+# list) end r11 four rounds stale — build _PRIORITY_R12 with THOSE
+# first (after any r12-new/changed keys), then the r8 block, from
 # `python tools/stale_keys.py --list`.
-_PRIORITY_R10 = [
-    "join-scd2-temporal",
-    "dedup-semdedup",
-    "join-asof-nearest",
-    "agg-ks-drift",
-    "agg-hist-logbucket",
-    "window-session-batch",
-    "join-bloom-prefilter",
-    "sample-interleave-sources",
-    "text-ccnet-buckets",
-    "agg-new-vs-returning",
-    "agg-seasonality-dow",
-    "window-rfm-segment",
-    "window-concurrency-sweep",
-    "text-readability",
-    "fn-geo-cell",
-    "multimodal-bmp-meta",
-    "join-geo-cell-nearest",
-    "agg-spearman-corr",
-    "agg-power-mde",
-    "sample-quota-allocate",
-    "text-novelty-ratio",
-    "fn-phone-normalize",
+_PRIORITY_R11 = [
     "graph-reciprocity",
-    "graph-degree-histogram",
-    "agg-cohort-ltv",
     "events-funnel-windowed",
-    "sample-downsample-negatives",
-    "agg-gini-coefficient",
-    "sample-pack-sequences",
-    "agg-cuped",
-    "agg-welch-ttest",
-    "agg-auc-rank",
-    "etl-dq-audit",
-    "sink-compact",
-    "repartition-n",
-    "scan-csv-roundtrip",
-    "scan-csv-corrupt-recover",
-    "etl-scd2",
-    "etl-cdc-apply",
+    "agg-chisq-independence",
     "set-union-intersect-except",
-    "stream-tumbling",
-    "stream-sliding",
-    "stream-session",
-    "stream-dedup-late",
-    "stream-stateful-agg",
-    "stream-join",
-    "events-funnel",
-    "rollup-hierarchical",
-    "join-inner-equi",
-    "join-left-right-full",
     "join-multiway-star",
     "join-skew-salted",
     "join-range-binned",
@@ -271,7 +218,6 @@ _PRIORITY_R10 = [
     "window-interorder-gap",
     "fn-useragent-parse",
     "window-rolling-corr",
-    "agg-chisq-independence",
     "window-cusum-changepoint",
     "graph-assortativity",
     "window-attribution",
@@ -312,12 +258,59 @@ _PRIORITY_R10 = [
     "window-range-rolling",
     "graph-bfs-levels",
     "text-winnowing",
+    "join-scd2-temporal",
+    "dedup-semdedup",
+    "join-asof-nearest",
+    "agg-ks-drift",
+    "agg-hist-logbucket",
+    "window-session-batch",
+    "join-bloom-prefilter",
+    "sample-interleave-sources",
+    "text-ccnet-buckets",
+    "agg-new-vs-returning",
+    "agg-seasonality-dow",
+    "window-rfm-segment",
+    "window-concurrency-sweep",
+    "text-readability",
+    "fn-geo-cell",
+    "multimodal-bmp-meta",
+    "join-geo-cell-nearest",
+    "agg-spearman-corr",
+    "agg-power-mde",
+    "sample-quota-allocate",
+    "text-novelty-ratio",
+    "fn-phone-normalize",
+    "graph-degree-histogram",
+    "agg-cohort-ltv",
+    "sample-downsample-negatives",
+    "agg-gini-coefficient",
+    "sample-pack-sequences",
+    "agg-cuped",
+    "agg-welch-ttest",
+    "agg-auc-rank",
+    "etl-dq-audit",
+    "sink-compact",
+    "repartition-n",
+    "scan-csv-roundtrip",
+    "scan-csv-corrupt-recover",
+    "etl-scd2",
+    "etl-cdc-apply",
+    "stream-tumbling",
+    "stream-sliding",
+    "stream-session",
+    "stream-dedup-late",
+    "stream-stateful-agg",
+    "stream-join",
+    "events-funnel",
+    "rollup-hierarchical",
+    "join-inner-equi",
+    "join-left-right-full",
 ]
 
 
 def load_all() -> None:
     """Import every operator module so registrations run, then rebuild
-    the registry dict in scoring-priority order (see ``_PRIORITY_R10``) —
+    the registry dict in scoring-priority order (see ``_PRIORITY_R11``) —
     dict insertion order IS the driver's scoring order."""
     # Imports are at call time so `import spark_file_mover_spark` stays cheap.
     from spark_file_mover_spark.operators import (  # noqa: F401
@@ -341,8 +334,8 @@ def load_all() -> None:
     from spark_file_mover_spark import filemover_queries, udfs  # noqa: F401
     from spark_file_mover_spark.sources import sourcesink  # noqa: F401
 
-    ordered = [k for k in _PRIORITY_R10 if k in QUERIES]
-    ordered += [k for k in QUERIES if k not in _PRIORITY_R10]
+    ordered = [k for k in _PRIORITY_R11 if k in QUERIES]
+    ordered += [k for k in QUERIES if k not in _PRIORITY_R11]
     for mapping in (QUERIES, ORACLES):
         snapshot = {k: mapping[k] for k in ordered if k in mapping}
         mapping.clear()

@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import TABLES, load_table
+from spark_file_mover_spark.numerics import snap
 
 # ---------------------------------------------------------------------------
 # B1 — parquet scan, declared
@@ -547,7 +548,7 @@ WITH target AS (
 source AS (
   SELECT o_orderkey,
          'U' AS o_orderstatus,
-         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)), 2)
+         CAST(FLOOR((CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))) * 1e2 + 0.5) / 1e2
               AS DOUBLE) AS o_totalprice
   FROM orders WHERE o_orderkey % 2 = 0
 )
@@ -583,11 +584,8 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("U").alias("o_orderstatus"),
         # price bump in exact decimal: double*1.1 then round diverges by
         # one ulp-cent between engines; decimal arithmetic is identical
-        F.round(
-            F.col("o_totalprice").cast("decimal(18,2)")
-            * F.lit("1.1").cast("decimal(2,1)"),
-            2,
-        )
+        snap(F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(2,1)"), 2)
         .cast("double")
         .alias("o_totalprice"),
     )

@@ -116,8 +116,8 @@ def _lang_stats(pdf: pd.DataFrame) -> pd.DataFrame:
 _GROUPED_ORACLE = """
 SELECT lang,
        COUNT(*) AS n_docs,
-       ROUND(quantile_cont(n_chars, 0.5), 4) AS median_chars,
-       ROUND(quantile_cont(n_chars, 0.75) - quantile_cont(n_chars, 0.25), 4)
+       FLOOR((quantile_cont(n_chars, 0.5)) * 1e4 + 0.5) / 1e4 AS median_chars,
+       FLOOR((quantile_cont(n_chars, 0.75) - quantile_cont(n_chars, 0.25)) * 1e4 + 0.5) / 1e4
          AS iqr_chars,
        MIN(doc_id) AS min_doc_id
 FROM documents
