@@ -211,6 +211,12 @@ HEADLINE = [
     "agg-cohort-ltv",
     "events-funnel-windowed",
     "sample-downsample-negatives",
+    "agg-theil-index",
+    "agg-lorenz-deciles",
+    "agg-winsorized-stats",
+    "graph-global-clustering",
+    "text-zipf-fit",
+    "stream-topk-windowed",
 ]
 
 

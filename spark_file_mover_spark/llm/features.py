@@ -1150,3 +1150,143 @@ def embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap("cos", 6).alias("cosine"),
         (F.col("neighbor_id") == full_top).cast("long").alias("agree_full"),
     ).orderBy("query_id", "budget")
+
+
+# ---------------------------------------------------------------------------
+# I65 — Zipf law fit over the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+_ZIPF_K = 50
+
+# integer-valued 1e9-scaled log coordinates (the E20/E24 mechanism):
+# the 1e9 factors cancel in the slope ratio, so the moments stay exact
+# DECIMAL(38,0) and the fit is order-independent
+_ZIPF_XI = "FLOOR(LN(CAST(rank AS DOUBLE)) * 1e9 + 0.5)"
+_ZIPF_YI = "FLOOR(LN(CAST(freq AS DOUBLE)) * 1e9 + 0.5)"
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY tok
+),
+top AS (
+  SELECT tok, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+  FROM vocab
+  ORDER BY freq DESC, tok LIMIT {_ZIPF_K}
+),
+xy AS (
+  SELECT CAST({_ZIPF_XI} AS DECIMAL(38,0)) AS xi,
+         CAST({_ZIPF_YI} AS DECIMAL(38,0)) AS yi
+  FROM top
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS kk,
+         CAST(COALESCE(SUM(xi), 0) AS DECIMAL(38,0)) AS sx,
+         CAST(COALESCE(SUM(yi), 0) AS DECIMAL(38,0)) AS sy,
+         CAST(COALESCE(SUM(xi * xi), 0) AS DECIMAL(38,0)) AS sxx,
+         CAST(COALESCE(SUM(xi * yi), 0) AS DECIMAL(38,0)) AS sxy,
+         CAST(COALESCE(SUM(yi * yi), 0) AS DECIMAL(38,0)) AS syy
+  FROM xy
+)
+SELECT kk AS k_fit,
+       CASE WHEN kk >= 2 AND kk * sxx - sx * sx > 0 THEN
+         FLOOR((CAST(kk * sxy - sx * sy AS DOUBLE)
+                / CAST(kk * sxx - sx * sx AS DOUBLE)) * 1e9 + 0.5) / 1e9
+       END AS zipf_slope,
+       CASE WHEN kk >= 2 AND kk * sxx - sx * sx > 0 THEN
+         FLOOR((((CAST(sy AS DOUBLE) / kk) / 1e9)
+                - (CAST(kk * sxy - sx * sy AS DOUBLE)
+                   / CAST(kk * sxx - sx * sx AS DOUBLE))
+                  * ((CAST(sx AS DOUBLE) / kk) / 1e9))
+               * 1e9 + 0.5) / 1e9
+       END AS intercept,
+       CASE WHEN kk >= 2 AND kk * sxx - sx * sx > 0
+                 AND kk * syy - sy * sy > 0 THEN
+         FLOOR(((CAST(kk * sxy - sx * sy AS DOUBLE)
+                 * CAST(kk * sxy - sx * sy AS DOUBLE))
+                / (CAST(kk * sxx - sx * sx AS DOUBLE)
+                   * CAST(kk * syy - sy * sy AS DOUBLE)))
+               * 1e9 + 0.5) / 1e9
+       END AS r2
+FROM m
+"""
+
+
+@query("text-zipf-fit", oracle=_ZIPF_ORACLE)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I65: Zipf-law fit over the corpus vocabulary — OLS of ln(freq)
+    on ln(rank) over the top-{K} tokens: natural text follows
+    freq ∝ rank^s with s ≈ −1, and the fitted slope/r² pair is a
+    corpus-health check curation pipelines run per source/shard
+    (template spam and boilerplate flatten the head, s → 0; OCR noise
+    and deduplication artifacts steepen it) — the distributional
+    sibling of the per-doc Gopher rules (I37). Rank ties broken by
+    token string so both engines number identically.
+
+    Parity: the log coordinates are INTEGER-VALUED 1e9-scaled
+    BIGINT-ish doubles (shared textual fragments) whose DECIMAL(38,0)
+    moments are exact and order-independent; the 1e9 factors cancel
+    in the slope ratio; slope/intercept/r² are snapped all-double
+    expressions over the exact moments; degenerate fits (vocabulary
+    < 2, zero variance) → NULL in both engines.
+
+    Shape at 100 TB: vocabulary frequencies are ONE map-side-combined
+    hash agg over the CACHED tf relation (``_tf_relation`` — one
+    token explode per corpus, shared with tfidf/PMI/perplexity); the
+    top-{K} cut is TakeOrderedAndProject (per-task top-K merged on
+    the driver, no global sort); everything after ranks {K} rows.
+    Cites text-tfidf-topk (features.py) for the tf artifact
+    contract."""
+    from pyspark.sql import Window as W
+
+    tf = _tf_relation(spark, sf_dir)
+    vocab = tf.groupBy("tok").agg(F.sum("tf").cast("long").alias("freq"))
+    top = vocab.orderBy(F.desc("freq"), F.asc("tok")).limit(_ZIPF_K)
+    w = W.orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = top.select(
+        "tok", "freq", F.row_number().over(w).cast("long").alias("rank")
+    )
+    m = ranked.selectExpr(
+        f"CAST({_ZIPF_XI} AS DECIMAL(38,0)) AS xi",
+        f"CAST({_ZIPF_YI} AS DECIMAL(38,0)) AS yi",
+    ).agg(
+        F.count("*").cast("long").alias("kk"),
+        F.coalesce(F.sum("xi"), F.lit(0)).cast("decimal(38,0)").alias("sx"),
+        F.coalesce(F.sum("yi"), F.lit(0)).cast("decimal(38,0)").alias("sy"),
+        F.coalesce(F.sum(F.expr("xi * xi")), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.coalesce(F.sum(F.expr("xi * yi")), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.coalesce(F.sum(F.expr("yi * yi")), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    return m.selectExpr(
+        "kk AS k_fit",
+        "CASE WHEN kk >= 2 AND kk * sxx - sx * sx > 0 THEN"
+        " FLOOR((CAST(kk * sxy - sx * sy AS DOUBLE)"
+        " / CAST(kk * sxx - sx * sx AS DOUBLE)) * 1e9 + 0.5) / 1e9"
+        " END AS zipf_slope",
+        "CASE WHEN kk >= 2 AND kk * sxx - sx * sx > 0 THEN"
+        " FLOOR((((CAST(sy AS DOUBLE) / kk) / 1e9)"
+        " - (CAST(kk * sxy - sx * sy AS DOUBLE)"
+        " / CAST(kk * sxx - sx * sx AS DOUBLE))"
+        " * ((CAST(sx AS DOUBLE) / kk) / 1e9))"
+        " * 1e9 + 0.5) / 1e9"
+        " END AS intercept",
+        "CASE WHEN kk >= 2 AND kk * sxx - sx * sx > 0"
+        " AND kk * syy - sy * sy > 0 THEN"
+        " FLOOR(((CAST(kk * sxy - sx * sy AS DOUBLE)"
+        " * CAST(kk * sxy - sx * sy AS DOUBLE))"
+        " / (CAST(kk * sxx - sx * sx AS DOUBLE)"
+        " * CAST(kk * syy - sy * sy AS DOUBLE)))"
+        " * 1e9 + 0.5) / 1e9"
+        " END AS r2",
+    )

@@ -3649,3 +3649,399 @@ def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# E39 — Theil inequality indices of per-user spend (sort-free)
+# ---------------------------------------------------------------------------
+
+# shared textual fragments (verbatim in BOTH engines): the share ratio
+# r = y·n/T and the two per-user log terms, snapped BEFORE the
+# c-weighted decimal sum so the totals are order-independent
+_THEIL_R = "(CAST(yc AS DOUBLE) * n) / CAST(t AS DOUBLE)"
+_THEIL_TERM_T = (
+    f"CAST(FLOOR(({_THEIL_R} * LN({_THEIL_R})) * 1e9 + 0.5) / 1e9"
+    " AS DECIMAL(20,9))"
+)
+_THEIL_TERM_L = (
+    f"CAST(FLOOR((LN(CAST(t AS DOUBLE) / (CAST(yc AS DOUBLE) * n)))"
+    " * 1e9 + 0.5) / 1e9 AS DECIMAL(20,9))"
+)
+
+_THEIL_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
+              AS BIGINT) AS yc
+  FROM events GROUP BY user_id
+),
+dist AS (
+  SELECT yc, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pu WHERE yc > 0 GROUP BY yc
+),
+m AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CAST(yc AS DECIMAL(38,0)) * c), 0)
+              AS DECIMAL(38,0)) AS t
+  FROM dist
+),
+terms AS (
+  SELECT SUM({_THEIL_TERM_T} * CAST(c AS DECIMAL(10,0))) AS sum_t,
+         SUM({_THEIL_TERM_L} * CAST(c AS DECIMAL(10,0))) AS sum_l
+  FROM dist, m
+)
+SELECT n AS n_users, CAST(t AS BIGINT) AS total_cents,
+       CASE WHEN n > 0 AND t > 0 THEN
+         FLOOR((CAST(sum_t AS DOUBLE) / n) * 1e9 + 0.5) / 1e9
+       END AS theil_t,
+       CASE WHEN n > 0 AND t > 0 THEN
+         FLOOR((CAST(sum_l AS DOUBLE) / n) * 1e9 + 0.5) / 1e9
+       END AS theil_l
+FROM m, terms
+"""
+
+
+@query("agg-theil-index", oracle=_THEIL_ORACLE)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E39: Theil T and Theil L (mean log deviation) of the per-user
+    spend distribution — the DECOMPOSABLE inequality indices (total
+    Theil = within-group + between-group exactly, which Gini E32 does
+    not satisfy), the readout to reach for when the question is "how
+    much of the inequality is BETWEEN segments vs within them?".
+    T = (1/n)·Σ r·ln r and L = (1/n)·Σ ln(1/r) with r = y·n/T, over
+    the positive-spend population (log terms are undefined at zero —
+    the textbook convention, documented; n/total count that
+    population only).
+
+    Parity: per-user cents exact BIGINTs; r and each log term are
+    shared textual double fragments evaluated identically by both
+    engines, snapped floor(x·1e9+0.5)/1e9 per USER-CLASS and summed
+    c-weighted in exact DECIMAL — the E20 entropy mechanism — so the
+    totals are order-independent; each index is one more snapped
+    division; an empty/zero population → NULL indices in both.
+
+    Shape at 100 TB — the E32 distribution trick, one corpus pass and
+    NO sort anywhere: per-user collapses map-side, then to the
+    DISTINCT (cents, count) relation (bounded by value cardinality,
+    never user count), which localCheckpoints (metadata-scale) so its
+    two consumers (the one-row n/T aggregate and the term sum) never
+    re-run the corpus aggs; n/T broadcast back via one-row crossJoin.
+    Per-segment decomposition adds the segment to both groupBys; same
+    shape. DECIMAL(20,9) term headroom: |r·ln r| ≤ n·ln n ~ 2e10 at
+    10⁹ users, 11 integer digits."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.coalesce((F.sum(dec("value")) * 100).cast("long"), F.lit(0))
+        .alias("yc")
+    )
+    dist = (
+        pu.filter(F.col("yc") > 0)
+        .groupBy("yc")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    m = dist.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.expr("CAST(yc AS DECIMAL(38,0)) * c")), F.lit(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("t"),
+    )
+    terms = (
+        dist.crossJoin(F.broadcast(m))
+        .selectExpr(
+            f"{_THEIL_TERM_T} * CAST(c AS DECIMAL(10,0)) AS term_t",
+            f"{_THEIL_TERM_L} * CAST(c AS DECIMAL(10,0)) AS term_l",
+        )
+        .agg(
+            F.sum("term_t").alias("sum_t"),
+            F.sum("term_l").alias("sum_l"),
+        )
+    )
+    return (
+        F.broadcast(m)
+        .crossJoin(terms)
+        .selectExpr(
+            "n AS n_users",
+            "CAST(t AS BIGINT) AS total_cents",
+            "CASE WHEN n > 0 AND t > 0 THEN"
+            " FLOOR((CAST(sum_t AS DOUBLE) / n) * 1e9 + 0.5) / 1e9"
+            " END AS theil_t",
+            "CASE WHEN n > 0 AND t > 0 THEN"
+            " FLOOR((CAST(sum_l AS DOUBLE) / n) * 1e9 + 0.5) / 1e9"
+            " END AS theil_l",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E40 — Lorenz decile curve of per-user spend (sort-free)
+# ---------------------------------------------------------------------------
+
+_LORENZ_ORACLE = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
+              AS BIGINT) AS yc
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT yc,
+         ROW_NUMBER() OVER (ORDER BY yc, user_id) AS i,
+         COUNT(*) OVER () AS nn
+  FROM pu
+),
+d AS (
+  SELECT CAST((10 * i + nn - 1) // nn AS BIGINT) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(COALESCE(SUM(CAST(yc AS DECIMAL(38,0))), 0)
+              AS DECIMAL(38,0)) AS cents
+  FROM r GROUP BY 1
+),
+t AS (
+  SELECT *,
+         CAST(SUM(cents) OVER () AS DECIMAL(38,0)) AS total,
+         CAST(SUM(cents) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DECIMAL(38,0)) AS cum
+  FROM d
+)
+SELECT decile, n_users,
+       CAST(cents AS BIGINT) AS cents,
+       CAST(cum AS BIGINT) AS cum_cents,
+       CASE WHEN total > 0 THEN
+         FLOOR((CAST(cents AS DOUBLE) / CAST(total AS DOUBLE))
+               * 1e9 + 0.5) / 1e9 END AS share,
+       CASE WHEN total > 0 THEN
+         FLOOR((CAST(cum AS DOUBLE) / CAST(total AS DOUBLE))
+               * 1e9 + 0.5) / 1e9 END AS cum_share
+FROM t ORDER BY decile
+"""
+
+
+@query("agg-lorenz-deciles", oracle=_LORENZ_ORACLE)
+def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E40: the Lorenz curve at decile resolution — per spend decile
+    (users ranked ascending), user count, cents, cumulative cents and
+    (cumulative) revenue share: the curve BEHIND the E32 Gini number,
+    what an analyst actually plots ("the bottom 50% of users carry 9%
+    of revenue"), and over per-domain doc masses the corpus-balance
+    curve curation reports want. Decile boundaries are the exact
+    integer cuts k_d = d·n div 10 (rank i belongs to decile
+    ceil(10·i/n)); ties don't matter because users sharing a value are
+    interchangeable — a tie run split across deciles contributes by
+    COUNT only, which is the closed form below.
+
+    Parity: exact integer cents everywhere; DECIMAL(38,0) sums; the
+    two shares are snapped divisions; an all-zero population keeps
+    exact zeros (deciles of zeros are zeros) and total=0 → NULL
+    shares. The oracle derives deciles independently via the textbook
+    ROW_NUMBER form; equality on ties holds by construction.
+
+    Shape at 100 TB — the E32 distribution trick with a bounded
+    10-way expansion instead of a user sort: per-user collapses
+    map-side, then to the DISTINCT (cents, count) relation; one
+    cumulative-count window over that metadata-scale relation gives
+    each value run its rank interval [b+1, b+c], and each decile's
+    overlap with the run is GREATEST(0, LEAST(b+c, k_d) −
+    GREATEST(b, k_{d-1})) users — an explode(sequence(1,10)) 10×
+    fanout of a value-bounded relation, then a ≤10-row hash agg. No
+    row_number over users anywhere (plan-pinned)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.coalesce((F.sum(dec("value")) * 100).cast("long"), F.lit(0))
+        .alias("yc")
+    )
+    dist = pu.groupBy("yc").agg(F.count("*").cast("long").alias("c"))
+    wbelow = W.orderBy("yc").rowsBetween(W.unboundedPreceding, -1)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    runs = dist.select(
+        "yc",
+        "c",
+        F.coalesce(F.sum("c").over(wbelow), F.lit(0)).alias("b"),
+        F.sum("c").over(wall).alias("nn"),
+    )
+    # decile d covers ranks (d-1)*nn div 10 + 1 .. d*nn div 10; the
+    # run covers b+1 .. b+c; users in the overlap all carry value yc
+    cells = runs.select(
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"),
+        "yc",
+        "c",
+        "b",
+        "nn",
+    ).selectExpr(
+        "decile",
+        "yc",
+        "GREATEST(CAST(0 AS BIGINT),"
+        " LEAST(b + c, (decile * nn) DIV 10)"
+        " - GREATEST(b, ((decile - 1) * nn) DIV 10)) AS k",
+    )
+    d = cells.groupBy("decile").agg(
+        F.sum("k").cast("long").alias("n_users"),
+        F.coalesce(
+            F.sum(F.expr("CAST(yc AS DECIMAL(38,0)) * k")), F.lit(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("cents"),
+    ).filter(F.col("n_users") > 0)
+    wcum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    t = d.select(
+        "decile",
+        "n_users",
+        "cents",
+        F.sum("cents").over(wall).cast("decimal(38,0)").alias("total"),
+        F.sum("cents").over(wcum).cast("decimal(38,0)").alias("cum"),
+    )
+    return t.selectExpr(
+        "decile",
+        "n_users",
+        "CAST(cents AS BIGINT) AS cents",
+        "CAST(cum AS BIGINT) AS cum_cents",
+        "CASE WHEN total > 0 THEN"
+        " FLOOR((CAST(cents AS DOUBLE) / CAST(total AS DOUBLE))"
+        " * 1e9 + 0.5) / 1e9 END AS share",
+        "CASE WHEN total > 0 THEN"
+        " FLOOR((CAST(cum AS DOUBLE) / CAST(total AS DOUBLE))"
+        " * 1e9 + 0.5) / 1e9 END AS cum_share",
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# E41 — winsorized / trimmed spend statistics (sort-free)
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
+              AS BIGINT) AS yc
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT yc,
+         ROW_NUMBER() OVER (ORDER BY yc, user_id) AS i,
+         COUNT(*) OVER () AS nn
+  FROM pu
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CAST(yc AS DECIMAL(38,0))), 0)
+              AS DECIMAL(38,0)) AS t,
+         CAST(MAX(nn) // 20 AS BIGINT) AS k,
+         CAST(COALESCE(SUM(CASE WHEN i > nn // 20
+                                 AND i <= nn - nn // 20
+                                THEN CAST(yc AS DECIMAL(38,0)) END), 0)
+              AS DECIMAL(38,0)) AS trim_sum,
+         CAST(MIN(CASE WHEN i >= nn // 20 + 1 THEN yc END)
+              AS BIGINT) AS lo,
+         CAST(MAX(CASE WHEN i <= nn - nn // 20 THEN yc END)
+              AS BIGINT) AS hi
+  FROM r
+)
+SELECT n AS n_users, k AS k_trim, lo AS lo_cents, hi AS hi_cents,
+       CASE WHEN n > 0 THEN
+         FLOOR((CAST(t AS DOUBLE) / n) * 1e9 + 0.5) / 1e9
+       END AS mean_cents,
+       CASE WHEN n > 0 THEN
+         FLOOR((CAST(trim_sum AS DOUBLE) / (n - 2 * k)) * 1e9 + 0.5)
+           / 1e9
+       END AS trimmed_mean_cents,
+       CASE WHEN n > 0 THEN
+         FLOOR((CAST(trim_sum + CAST(k AS DECIMAL(38,0)) * (lo + hi)
+                     AS DOUBLE) / n) * 1e9 + 0.5) / 1e9
+       END AS winsorized_mean_cents
+FROM m
+"""
+
+
+@query("agg-winsorized-stats", oracle=_WINSOR_ORACLE)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E41: 5%-winsorized and 5%-trimmed means of per-user spend next
+    to the raw mean — the robust-location staple for long-tailed
+    revenue metrics (one whale moves the raw mean; the experimentation
+    literature winsorizes before every t-test for exactly that
+    reason). k = n div 20 users clipped/trimmed at each end; the
+    winsorized mean replaces the bottom/top k values with the
+    (k+1)-th / (n−k)-th order statistics (lo/hi, emitted).
+
+    Parity: exact integer cents; order statistics and all three sums
+    derive from exact integer/DECIMAL(38,0) arithmetic; each mean is
+    ONE snapped division; n=0 → NULL row in both engines (and n−2k ≥
+    0.9n > 0 whenever n > 0, so the trimmed denominator never
+    degenerates). The oracle re-derives ranks via the textbook
+    ROW_NUMBER form; tie runs contribute by count only, so equality
+    holds by construction.
+
+    Shape at 100 TB — the E32/E40 distribution trick, one corpus pass
+    and no user sort: per-user collapses map-side, then to the
+    DISTINCT (cents, count) relation; ONE cumulative-count window
+    over that metadata-scale relation assigns each value run its rank
+    interval [b+1, b+c]; the trimmed sum is the run∩[k+1, n−k]
+    overlap closed form, and lo/hi are conditional MINs over runs
+    (the smallest value whose run reaches rank k+1 / n−k). One
+    ≤|distinct-cents|-row window + ONE one-row aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.coalesce((F.sum(dec("value")) * 100).cast("long"), F.lit(0))
+        .alias("yc")
+    )
+    dist = pu.groupBy("yc").agg(F.count("*").cast("long").alias("c"))
+    wbelow = W.orderBy("yc").rowsBetween(W.unboundedPreceding, -1)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    runs = dist.select(
+        "yc",
+        "c",
+        F.coalesce(F.sum("c").over(wbelow), F.lit(0)).alias("b"),
+        F.sum("c").over(wall).alias("nn"),
+    )
+    m = runs.selectExpr(
+        "yc",
+        "c",
+        "b",
+        "nn",
+        # run∩[k+1, n−k] with k = nn div 20: users in this value run
+        # surviving the trim
+        "GREATEST(CAST(0 AS BIGINT),"
+        " LEAST(b + c, nn - nn DIV 20)"
+        " - GREATEST(b, nn DIV 20)) AS kept",
+    ).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.expr("CAST(yc AS DECIMAL(38,0)) * c")), F.lit(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("t"),
+        F.max(F.expr("nn DIV 20")).cast("long").alias("k"),
+        F.coalesce(
+            F.sum(F.expr("CAST(yc AS DECIMAL(38,0)) * kept")), F.lit(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("trim_sum"),
+        F.min(F.expr("CASE WHEN b + c >= nn DIV 20 + 1 THEN yc END"))
+        .cast("long")
+        .alias("lo"),
+        F.min(F.expr("CASE WHEN b + c >= nn - nn DIV 20 THEN yc END"))
+        .cast("long")
+        .alias("hi"),
+    )
+    return m.selectExpr(
+        "n AS n_users",
+        "k AS k_trim",
+        "lo AS lo_cents",
+        "hi AS hi_cents",
+        "CASE WHEN n > 0 THEN"
+        " FLOOR((CAST(t AS DOUBLE) / n) * 1e9 + 0.5) / 1e9"
+        " END AS mean_cents",
+        "CASE WHEN n > 0 THEN"
+        " FLOOR((CAST(trim_sum AS DOUBLE) / (n - 2 * k)) * 1e9 + 0.5)"
+        " / 1e9 END AS trimmed_mean_cents",
+        "CASE WHEN n > 0 THEN"
+        " FLOOR((CAST(trim_sum + CAST(k AS DECIMAL(38,0)) * (lo + hi)"
+        " AS DOUBLE) / n) * 1e9 + 0.5) / 1e9"
+        " END AS winsorized_mean_cents",
+    )

@@ -1320,3 +1320,188 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FLOOR((CAST(n_nodes AS DOUBLE) / CAST(total AS DOUBLE))"
         " * 1e9 + 0.5) / 1e9 AS share",
     ).orderBy("degree")
+
+
+# ---------------------------------------------------------------------------
+# K11 — global clustering coefficient (transitivity) + average local
+# ---------------------------------------------------------------------------
+
+# per-node local coefficient, the K5 fragment verbatim in both engines
+_GC_LOCAL = (
+    "FLOOR((CAST(2 * tri_count AS DOUBLE)"
+    " / (CAST(degree AS DOUBLE) * (degree - 1))) * 1e9 + 0.5) / 1e9"
+)
+
+
+def _gc_oracle() -> str:
+    return f"""
+WITH fwd AS (
+  SELECT DISTINCT user_id AS u, CAST(props->>'k' AS BIGINT) AS k
+  FROM events WHERE event_id % {_LPA_EDGE_MOD} = 0
+),
+kept AS (
+  SELECT k FROM fwd GROUP BY k
+  HAVING COUNT(*) <= {_TRI_MAX_ENT_USERS}
+),
+e AS (
+  SELECT DISTINCT a.u AS x, b.u AS y
+  FROM fwd a JOIN fwd b ON a.k = b.k AND a.u < b.u
+  JOIN kept ON kept.k = a.k
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT x AS node FROM e UNION ALL SELECT y FROM e
+  ) GROUP BY node
+),
+eo AS (
+  SELECT CASE WHEN (da.degree, e.x) < (db.degree, e.y)
+              THEN e.x ELSE e.y END AS src,
+         CASE WHEN (da.degree, e.x) < (db.degree, e.y)
+              THEN e.y ELSE e.x END AS dst
+  FROM e JOIN deg da ON da.node = e.x JOIN deg db ON db.node = e.y
+),
+tri AS (
+  SELECT a.src AS n1, a.dst AS n2, b.dst AS n3
+  FROM eo a
+  JOIN eo b ON b.src = a.dst
+  JOIN eo c ON c.src = a.src AND c.dst = b.dst
+),
+pn AS (
+  SELECT node, COUNT(*) AS tri_count FROM (
+    SELECT n1 AS node FROM tri
+    UNION ALL SELECT n2 FROM tri
+    UNION ALL SELECT n3 FROM tri
+  ) GROUP BY node
+),
+per_node AS (
+  SELECT deg.degree,
+         CAST(COALESCE(pn.tri_count, 0) AS BIGINT) AS tri_count
+  FROM deg LEFT JOIN pn ON pn.node = deg.node
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(COALESCE(SUM(degree), 0) AS BIGINT) // 2 AS n_edges,
+         CAST(COALESCE(SUM(tri_count), 0) AS BIGINT) // 3
+           AS n_triangles,
+         CAST(COALESCE(SUM(CAST(degree AS DECIMAL(38,0))
+                           * (degree - 1) / 2), 0)
+              AS DECIMAL(38,0)) AS n_wedges,
+         CAST(COUNT(*) FILTER (WHERE degree >= 2) AS BIGINT)
+           AS n_eligible,
+         SUM(CASE WHEN degree >= 2 THEN
+               CAST({_GC_LOCAL} AS DECIMAL(12,9)) END) AS local_sum
+  FROM per_node
+)
+SELECT n_nodes, n_edges, n_triangles,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       CASE WHEN n_wedges > 0 THEN
+         FLOOR((CAST(3 * n_triangles AS DOUBLE)
+                / CAST(n_wedges AS DOUBLE)) * 1e9 + 0.5) / 1e9
+       END AS global_clustering,
+       CASE WHEN n_eligible > 0 THEN
+         FLOOR((CAST(local_sum AS DOUBLE) / n_eligible) * 1e9 + 0.5)
+           / 1e9
+       END AS avg_local_clustering
+FROM m
+"""
+
+
+@query("graph-global-clustering", oracle=_gc_oracle())
+def graph_global_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K11: graph transitivity C = 3·triangles / wedges plus the
+    Watts–Strogatz average local clustering coefficient — the
+    one-number cohesion summaries read NEXT TO the per-node K5 view:
+    transitivity weighs hubs (wedge-heavy nodes dominate), the average
+    local coefficient weighs nodes equally, and the GAP between them
+    is itself the signal (C̄ ≫ C means cohesion lives in the
+    low-degree periphery — small-world structure; C ≫ C̄ flags a
+    clique core). Same capped co-interaction projection as K5.
+
+    Parity: triangles/degrees/wedges are exact integers (Σdeg(deg−1)/2
+    in DECIMAL(38,0) — Σdeg² at 10⁹ nodes overflows BIGINT);
+    Σ per-node tri_count = 3T and Σdeg = 2|E| exactly, so the integer
+    DIV normalizations are exact in both engines; per-node local
+    coefficients snap through the K5 fragment then sum in
+    DECIMAL(12,9) (|c| ≤ 1 — the E20 mechanism); the two global
+    ratios are snapped divisions; wedge-free / eligible-free graphs →
+    NULL in both engines.
+
+    Shape at 100 TB: the enumeration inputs are the CACHED K5
+    relations (``_tri_relations`` — oriented edges + degrees,
+    checkpointed once per corpus), so this key adds ZERO corpus
+    passes; the triangle 3-join is the Latapy-oriented wedge join K5
+    documents (Σ outdeg² bounded), corners explode map-side, and
+    everything after the per-node hash agg is node-bounded then
+    one-row. Cites K5 (graph.py) for the three enumeration guards."""
+    eo, deg = _tri_relations(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    ea = eo.repartition(par, "dst").alias("ea")
+    eb = eo.repartition(par, "src").alias("eb")
+    ec = eo.alias("ec")
+    tri = (
+        ea.join(eb, F.col("eb.src") == F.col("ea.dst"))
+        .join(
+            ec,
+            (F.col("ec.src") == F.col("ea.src"))
+            & (F.col("ec.dst") == F.col("eb.dst")),
+        )
+        .select(
+            F.col("ea.src").alias("n1"),
+            F.col("ea.dst").alias("n2"),
+            F.col("eb.dst").alias("n3"),
+        )
+    )
+    pn = (
+        tri.select(
+            F.explode(
+                F.array(F.col("n1"), F.col("n2"), F.col("n3"))
+            ).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_count"))
+    )
+    per_node = deg.join(pn, "node", "left").select(
+        "degree",
+        F.coalesce(F.col("tri_count"), F.lit(0))
+        .cast("long")
+        .alias("tri_count"),
+    )
+    m = per_node.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.expr(
+            "CAST(COALESCE(SUM(degree), 0) AS BIGINT) DIV 2"
+        ).alias("n_edges"),
+        F.expr(
+            "CAST(COALESCE(SUM(tri_count), 0) AS BIGINT) DIV 3"
+        ).alias("n_triangles"),
+        F.coalesce(
+            F.sum(
+                F.expr("CAST(degree AS DECIMAL(38,0)) * (degree - 1) / 2")
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("n_wedges"),
+        F.sum(F.expr("CASE WHEN degree >= 2 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_eligible"),
+        F.sum(
+            F.expr(
+                "CASE WHEN degree >= 2 THEN"
+                f" CAST({_GC_LOCAL} AS DECIMAL(12,9)) END"
+            )
+        ).alias("local_sum"),
+    )
+    return m.selectExpr(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "CAST(n_wedges AS BIGINT) AS n_wedges",
+        "CASE WHEN n_wedges > 0 THEN"
+        " FLOOR((CAST(3 * n_triangles AS DOUBLE)"
+        " / CAST(n_wedges AS DOUBLE)) * 1e9 + 0.5) / 1e9"
+        " END AS global_clustering",
+        "CASE WHEN n_eligible > 0 THEN"
+        " FLOOR((CAST(local_sum AS DOUBLE) / n_eligible) * 1e9 + 0.5)"
+        " / 1e9 END AS avg_local_clustering",
+    )

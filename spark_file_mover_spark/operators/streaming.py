@@ -916,6 +916,71 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# H12 — top-k event types per tumbling window
+# ---------------------------------------------------------------------------
+
+_TOPKW_K = 3
+
+_TOPKW_ORACLE = f"""
+WITH cell AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY w
+                               ORDER BY n_events DESC, event_type) AS rnk
+  FROM cell
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(rnk AS INTEGER) AS rnk, event_type, n_events
+FROM r WHERE rnk <= {_TOPKW_K}
+ORDER BY window_start, rnk
+"""
+
+
+@query("stream-topk-windowed", oracle=_TOPKW_ORACLE)
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H12: the top-k event types per 1-hour tumbling window — the
+    trending-now / leaderboard query every event platform serves
+    (top pages per window, top errors per window, top products per
+    window). Declared batch-first per the H-family contract; in
+    streaming the windowed count IS the streaming aggregate (H1's
+    state contract) and the bounded rank applies per closed window
+    (foreachBatch or the downstream reader), since ranking functions
+    don't stream incrementally. Ties broken by event_type so both
+    engines rank identically.
+
+    Shape at 100 TB: ONE shuffle to (window, type) cells with
+    map-side partial aggregation absorbing event volume; the ranking
+    window partitions by window over a TYPES-bounded relation (the
+    rank input is |windows|x|types| cells, never events), and Spark
+    plans it as WindowGroupLimit so each task keeps only k rows per
+    window before the rank shuffle. Exact integers throughout."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    cell = e.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    wr = W.partitionBy("w").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        cell.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _TOPKW_K)
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            F.col("rnk").cast("int").alias("rnk"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start", "rnk")
+    )
+
+
 import atexit  # noqa: E402  (module-scope registration, one per process)
 
 atexit.register(_cleanup_eos_staging)

@@ -1437,3 +1437,42 @@ def test_setops_single_scan_single_exchange(spark, sf_dir):
 
     assert scan_census(plan) == {"customer.parquet": 1}, scan_census(plan)
     assert "Join" not in plan
+
+
+def test_lorenz_winsorized_theil_no_user_sort(spark, sf_dir):
+    """E39/E40/E41: the distribution trick — no row_number/ntile over
+    raw users anywhere in these plans (the windows rank the
+    value-bounded distribution relation only)."""
+    for key in ("agg-theil-index", "agg-lorenz-deciles",
+                "agg-winsorized-stats"):
+        plan = _formatted_plan(spark, registry.QUERIES[key](spark, sf_dir))
+        assert "row_number" not in plan.lower(), key
+        assert "ntile" not in plan.lower(), key
+
+
+def test_zipf_uses_take_ordered_prefix(spark, sf_dir):
+    """I65: the top-50 vocabulary cut is TakeOrderedAndProject — no
+    global sort of the vocabulary."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["text-zipf-fit"](spark, sf_dir)
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_windowed_uses_window_group_limit(spark, sf_dir):
+    """H12: the per-window rank plans as WindowGroupLimit over the
+    aggregated cell relation."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["stream-topk-windowed"](spark, sf_dir)
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_global_clustering_zero_corpus_scans(spark, sf_dir):
+    """K11 consumes the cached K5 checkpoints: zero parquet scans."""
+    from spark_file_mover_spark.planaudit import scan_census
+
+    plan = _formatted_plan(
+        spark, registry.QUERIES["graph-global-clustering"](spark, sf_dir)
+    )
+    assert scan_census(plan) == {}, scan_census(plan)

@@ -253,3 +253,61 @@ def test_setops_rewrite_differential(rows, spark, tmp_path_factory):
         "set-union-intersect-except", spark, d, ["customer"]
     )
     assert ok, msg
+
+
+# ---------------------------------------------------------------------------
+# r11-NEW keys — distribution-trick statistics, zipf, windowed top-k,
+# global clustering
+# ---------------------------------------------------------------------------
+
+_R11_EVENTS_KEYS = [
+    "agg-theil-index",
+    "agg-lorenz-deciles",
+    "agg-winsorized-stats",
+    "stream-topk-windowed",
+]
+
+
+@pytest.mark.parametrize("key", _R11_EVENTS_KEYS)
+@given(rows=st.lists(_FUNNEL_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_r11_events_keys_differential(key, rows, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("r11new")
+    _write_events(d, rows)
+    ok, msg = _run_both(key, spark, d, ["events"])
+    assert ok, f"{key}: {msg}"
+
+
+@given(rows=_doc_rows())
+@settings(**_SETTINGS)
+def test_zipf_fit_differential(rows, spark, tmp_path_factory):
+    """Random corpora with duplicate-heavy suffixes: frequency ties in
+    the top-50 (the tok tiebreak), vocabularies smaller than the fit
+    window (k_fit < 50), single-token corpora (zero x-variance ->
+    NULL fit)."""
+    d = tmp_path_factory.mktemp("r11zipf")
+    _write_docs_tbl(d, rows)
+    ok, msg = _run_both("text-zipf-fit", spark, d, ["documents"])
+    assert ok, msg
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_global_clustering_differential(rows, spark, tmp_path_factory):
+    """Random co-interaction graphs through the K5-cached projection:
+    triangle-free graphs (C = 0), no deg>=2 nodes (NULL averages),
+    dense cliques (C = 1)."""
+    d = tmp_path_factory.mktemp("r11gc")
+    padded = [rows[i % len(rows)] for i in range(20 * len(rows))]
+    _write_graph_events(d, padded)
+    ok, msg = _run_both("graph-global-clustering", spark, d, ["events"])
+    assert ok, msg

@@ -151,6 +151,12 @@ NOTES = {
     "sample-quota-allocate": "Hamilton apportionment: one count per language, all-integer base/remainder arithmetic, windows over the langs-bounded relation; quotas sum to the budget by construction.",
     "text-novelty-ratio": "Novelty: grams leave the scan as xxhash64 keys (text never shuffles), min-groupBy first-seen, (hash, doc_id) attribution join, per-doc rollup; snapped ratio.",
     "fn-phone-normalize": "Phone E.164: map-only synthesize-then-parse; digit strip + prefix classification + longest-first cc match as generated CASE; zero shuffles, no UDF.",
+    "agg-theil-index": "Distribution trick, no sort: per-user collapse -> DISTINCT (cents,count) relation localCheckpointed (value-bounded) so its two consumers (n/T one-row agg, c-weighted term sum) never re-run the corpus aggs; log terms shared textual fragments snapped then decimal-summed (E20).",
+    "agg-lorenz-deciles": "Decile curve without a user sort: cumulative-count window over the value distribution assigns rank intervals; per-decile overlap is a GREATEST/LEAST closed form over an explode(sequence(1,10)) fanout of a metadata-scale relation; no row_number over users (pinned).",
+    "agg-winsorized-stats": "One corpus pass: trim sum = run-overlap closed form over the cumulative-count window; lo/hi clip boundaries are conditional MINs over runs; ONE one-row aggregate; exact DECIMAL(38,0) + three snapped divisions.",
+    "text-zipf-fit": "Vocabulary from the CACHED tf artifact (one explode per corpus, shared with tfidf/PMI); top-50 via TakeOrderedAndProject (no global sort); integer-valued 1e9-scaled log moments in DECIMAL(38,0) (the scale cancels in the slope ratio); snapped fit outputs.",
+    "stream-topk-windowed": "One shuffle to (window,type) cells with map-side partial agg; rank window partitions over the CELL relation (never events) and plans as WindowGroupLimit; exact integers.",
+    "graph-global-clustering": "Transitivity + avg local coefficient over the CACHED K5 oriented-edge/degree checkpoints (zero parquet scans, pinned); Latapy-oriented wedge join, corners explode map-side, node-bounded agg then one-row; wedge sum in DECIMAL(38,0).",
     "graph-reciprocity": "Reciprocity over the CACHED K1 edge checkpoint (r11: the r10 8-scan catch — zero parquet scans now, both join sides read the same checkpoint blocks): one left join of the 16-byte edges against their 1:1 reversal, edge count and match count fused into ONE one-row aggregate; exact integers, one snapped division.",
     "graph-degree-histogram": "Degree histogram: one map-side count over the cached adjacency, second hash agg bounded by max degree, metadata-scale share/cumulative windows.",
     "agg-cohort-ltv": "Cohort LTV: purchases collapse map-side into (cohort, offset) cells after a user-keyed join to the first-week relation; cumulative window per cohort over offset-bounded rows; sizes broadcast.",
