@@ -217,6 +217,9 @@ HEADLINE = [
     "graph-global-clustering",
     "text-zipf-fit",
     "stream-topk-windowed",
+    "agg-bootstrap-ci",
+    "graph-hits",
+    "multimodal-webp-meta",
 ]
 
 

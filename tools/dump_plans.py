@@ -151,6 +151,9 @@ NOTES = {
     "sample-quota-allocate": "Hamilton apportionment: one count per language, all-integer base/remainder arithmetic, windows over the langs-bounded relation; quotas sum to the budget by construction.",
     "text-novelty-ratio": "Novelty: grams leave the scan as xxhash64 keys (text never shuffles), min-groupBy first-seen, (hash, doc_id) attribution join, per-doc rollup; snapped ratio.",
     "fn-phone-normalize": "Phone E.164: map-only synthesize-then-parse; digit strip + prefix classification + longest-first cc match as generated CASE; zero shuffles, no UDF.",
+    "agg-bootstrap-ci": "Poisson bootstrap in one pass: per-user checkpoint -> B-way explode whose groupBy(b) partial agg collapses to B rows per task before the only exchange; weights from the md5-prefix-60 hash vs exact floor(CDF*2^60) BIGINT literals; CI ranks the B-row relation.",
+    "graph-hits": "Exact-integer HITS over the CACHED K1 edge checkpoint (zero parquet scans, pinned): two unnormalized mutual-reinforcement rounds, each half-round one 16-byte equi join + map-side-combined hash agg; a2 localCheckpoints (two consumers).",
+    "multimodal-webp-meta": "Synthesize-then-parse WebP across all three bitstreams (VP8X LE24 canvas, VP8 masked LE16 behind the start code, VP8L packed LE u32): map-only byte expressions fused into the scan, zero shuffle, zero Python.",
     "agg-theil-index": "Distribution trick, no sort: per-user collapse -> DISTINCT (cents,count) relation localCheckpointed (value-bounded) so its two consumers (n/T one-row agg, c-weighted term sum) never re-run the corpus aggs; log terms shared textual fragments snapped then decimal-summed (E20).",
     "agg-lorenz-deciles": "Decile curve without a user sort: cumulative-count window over the value distribution assigns rank intervals; per-decile overlap is a GREATEST/LEAST closed form over an explode(sequence(1,10)) fanout of a metadata-scale relation; no row_number over users (pinned).",
     "agg-winsorized-stats": "One corpus pass: trim sum = run-overlap closed form over the cumulative-count window; lo/hi clip boundaries are conditional MINs over runs; ONE one-row aggregate; exact DECIMAL(38,0) + three snapped divisions.",
