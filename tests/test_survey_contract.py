@@ -51,7 +51,11 @@ def test_every_registered_key_has_an_oracle():
 def test_priority_list_is_valid():
     """Every _PRIORITY_R* key must exist (a typo silently demotes the
     key to the unscored tail) and contain no duplicates."""
-    pri = registry._PRIORITY_R10
+    pri = next(
+        getattr(registry, n)
+        for n in sorted(dir(registry), reverse=True)
+        if n.startswith("_PRIORITY_R")
+    )
     assert len(pri) == len(set(pri)), "duplicate keys in priority list"
     unknown = [k for k in pri if k not in registry.QUERIES]
     assert not unknown, f"priority keys not registered: {unknown}"
