@@ -220,6 +220,9 @@ HEADLINE = [
     "agg-bootstrap-ci",
     "graph-hits",
     "multimodal-webp-meta",
+    "window-ohlc-bars",
+    "sample-temporal-split",
+    "multimodal-flac-meta",
 ]
 
 

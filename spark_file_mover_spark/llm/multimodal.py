@@ -1815,3 +1815,136 @@ def multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         file_size.alias("file_size"),
         (file_size == F.length(c)).alias("size_ok"),
     ).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# I68 — FLAC STREAMINFO metadata (big-endian bit packing)
+# ---------------------------------------------------------------------------
+
+_FLAC_RATES = [8000, 16000, 22050, 24000, 44100, 48000, 96000]
+
+_FLAC_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         CASE doc_id % 7 {' '.join(
+             f'WHEN {i} THEN {r}' for i, r in enumerate(_FLAC_RATES[:-1])
+         )} ELSE {_FLAC_RATES[-1]} END AS rate,
+         1 + doc_id % 8 AS ch,
+         8 + doc_id % 25 AS bps,
+         (doc_id * 4801 + 7) % 68719476736 AS total,
+         576 + doc_id % 100 AS min_bs
+  FROM documents
+)
+SELECT doc_id AS asset_id,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(ch AS BIGINT) AS channels,
+       CAST(bps AS BIGINT) AS bits_per_sample,
+       CAST(total AS BIGINT) AS total_samples,
+       CAST((total * 1000) // rate AS BIGINT) AS duration_ms,
+       CAST(min_bs AS BIGINT) AS min_blocksize,
+       CAST(min_bs + doc_id % 50 AS BIGINT) AS max_blocksize,
+       TRUE AS magic_ok,
+       TRUE AS streaminfo_ok
+FROM f ORDER BY asset_id
+"""
+
+
+@query("multimodal-flac-meta", oracle=_FLAC_ORACLE)
+def multimodal_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I68: FLAC STREAMINFO metadata — the sixth container family and
+    the family's deepest BIG-endian bit-slicing exercise: sample rate
+    (20 bits), channels−1 (3 bits), bits-per-sample−1 (5 bits) and a
+    36-bit total-sample count packed into 8 bytes at non-byte
+    boundaries, so the parse reads two BE u32s and splits them with
+    pure div/mod arithmetic (the WAV walk reads LE words; MP4 reads
+    BE words; only FLAC requires sub-word splits in both directions
+    of a 64-bit field).
+
+    Synthesis (the BMP/GIF/WebP contract): each doc_id builds the
+    42-byte header — fLaC magic, a last-block STREAMINFO header
+    (0x80, length 34), blocksize/framesize words, the packed 8 bytes,
+    and a zero MD5 — from spec formulas with different moduli per
+    field (rate from a 7-entry table by %7, channels %8, bps %25,
+    total samples a %2³⁶ affine sequence); the parse re-derives every
+    value from the BYTES, and the oracle computes the expected values
+    from the same spec formulas, so any packing/splitting bug
+    diverges. duration_ms = total·1000 div rate is the derived field
+    real consumers want.
+
+    Shape at 100 TB: map-only byte expressions fused into the scan,
+    zero shuffles, zero Python (the container-family posture)."""
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    expr_rate = "CASE doc_id % 7 " + " ".join(
+        f"WHEN {i} THEN {r}" for i, r in enumerate(_FLAC_RATES[:-1])
+    ) + f" ELSE {_FLAC_RATES[-1]} END"
+    rate = F.expr(expr_rate).cast("long")
+    ch = (1 + doc % 8).cast("long")
+    bps = (8 + doc % 25).cast("long")
+    total = ((doc * 4801 + 7) % F.lit(2**36).cast("long")).cast("long")
+    min_bs = (576 + doc % 100).cast("long")
+    max_bs = (min_bs + doc % 50).cast("long")
+    # packed 64-bit field as two BE u32s:
+    #   A = rate<<12 | (ch-1)<<9 | (bps-1)<<4 | total>>32
+    #   B = total & 0xFFFFFFFF
+    a32 = (
+        rate * 4096
+        + (ch - 1) * 512
+        + (bps - 1) * 16
+        + (total / F.lit(2**32).cast("long")).cast("long")
+    )
+    b32 = total % F.lit(2**32).cast("long")
+    content = F.unhex(
+        F.concat(
+            F.lit("664C6143"),  # fLaC
+            F.lit("80"),  # last-block flag + type 0 (STREAMINFO)
+            F.lit("000022"),  # length 34
+            F.lpad(F.hex(min_bs), 4, "0"),
+            F.lpad(F.hex(max_bs), 4, "0"),
+            F.lpad(F.hex((1024 + doc % 512).cast("long")), 6, "0"),
+            F.lpad(F.hex((4096 + doc % 1024).cast("long")), 6, "0"),
+            F.lpad(F.hex(a32), 8, "0"),
+            F.lpad(F.hex(b32), 8, "0"),
+            F.repeat(F.lit("00"), 16),  # zero MD5
+        )
+    )
+    assets = d.select(doc.alias("asset_id"), content.alias("content"))
+    # --- parse (bytes only) -----------------------------------------
+    c = F.col("content")
+    pa32 = _be_uint(c, 19, 4)
+    pb32 = _be_uint(c, 23, 4)
+    prate = (pa32 / 4096).cast("long")
+    pch = ((pa32 / 512).cast("long") % 8 + 1).cast("long")
+    pbps = ((pa32 / 16).cast("long") % 32 + 1).cast("long")
+    ptotal = (pa32 % 16) * F.lit(2**32).cast("long") + pb32
+    return assets.select(
+        "asset_id",
+        prate.alias("sample_rate"),
+        pch.alias("channels"),
+        pbps.alias("bits_per_sample"),
+        ptotal.cast("long").alias("total_samples"),
+        _be_uint(c, 9, 2).alias("min_blocksize"),
+        _be_uint(c, 11, 2).alias("max_blocksize"),
+        (c.substr(1, 4).cast("string") == "fLaC").alias("magic_ok"),
+        (
+            (_be_uint(c, 5, 1) == 0x80)
+            & (_be_uint(c, 6, 3) == 34)
+            & (F.length(c) == 42)
+        ).alias("streaminfo_ok"),
+    ).withColumn(
+        "duration_ms",
+        F.expr(
+            "CAST((total_samples * 1000) DIV sample_rate AS BIGINT)"
+        ),
+    ).select(
+        "asset_id",
+        "sample_rate",
+        "channels",
+        "bits_per_sample",
+        "total_samples",
+        "duration_ms",
+        "min_blocksize",
+        "max_blocksize",
+        "magic_ok",
+        "streaminfo_ok",
+    ).orderBy("asset_id")

@@ -870,3 +870,165 @@ def sample_downsample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FLOOR((CAST(n_kept AS DOUBLE) / CAST(n_total AS DOUBLE))"
         " * 1e9 + 0.5) / 1e9 AS kept_frac",
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# I67 — leakage-audited temporal train/test split
+# ---------------------------------------------------------------------------
+
+_TSPLIT_ORACLE = """
+WITH e AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+dist AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY day
+),
+runs AS (
+  SELECT day, c,
+         CAST(SUM(c) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM dist
+),
+cut AS (
+  SELECT CAST(MIN(CASE WHEN cum >= (8 * n + 9) // 10 THEN day END)
+              AS BIGINT) AS cutoff_day
+  FROM runs
+),
+pu AS (
+  SELECT user_id, MIN(day) AS dmin, MAX(day) AS dmax FROM e GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN dmin <= c.cutoff_day THEN 1 END), 0)
+              AS BIGINT) AS n_users_train,
+         CAST(COALESCE(SUM(CASE WHEN dmax > c.cutoff_day THEN 1 END), 0)
+              AS BIGINT) AS n_users_test,
+         CAST(COALESCE(SUM(CASE WHEN dmin <= c.cutoff_day
+                                 AND dmax > c.cutoff_day THEN 1 END), 0)
+              AS BIGINT) AS n_users_overlap
+  FROM pu, cut c
+),
+ev AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN day <= c.cutoff_day THEN cnt.c END),
+                       0) AS BIGINT) AS n_train,
+         CAST(COALESCE(SUM(CASE WHEN day > c.cutoff_day THEN cnt.c END),
+                       0) AS BIGINT) AS n_test
+  FROM dist cnt, cut c
+)
+SELECT cut.cutoff_day, ev.n_train, ev.n_test,
+       m.n_users_train, m.n_users_test, m.n_users_overlap
+FROM cut, ev, m
+"""
+
+
+@query("sample-temporal-split", oracle=_TSPLIT_ORACLE)
+def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I67: the TEMPORAL train/test split with its leakage audit — the
+    other standard split next to the random-hash one (I17): models
+    evaluated on the future, trained on the past. The cutoff day is
+    the exact 80%-of-events nearest-rank day (train = day <= cutoff),
+    and the payload is the split report every such pipeline logs:
+    event counts per side and the USER OVERLAP count — users active
+    on both sides of the cut, the population whose test behavior a
+    memorizing model can cheat on (the number a leakage review asks
+    for first; the random split's analogue is group-kfold's
+    cluster-straddle audit, I59).
+
+    Parity: days are exact integers (epoch_us div 86400000000 — the
+    G10 contract); the cutoff is a nearest-rank order statistic over
+    the day distribution; all six outputs exact BIGINTs. Empty corpus
+    → NULL cutoff and zero counts in both engines.
+
+    Shape at 100 TB: the cutoff comes from the DAY distribution
+    (calendar-bounded — the E19 discipline), never a sort of events;
+    the per-side event counts reuse the SAME day relation; user-level
+    numbers are one per-user (min_day, max_day) collapse with
+    map-side combine + ONE one-row conditional aggregate with the
+    cutoff broadcast via one-row crossJoin. Two pushed-filter-free
+    passes over events (day distribution + per-user bounds), both
+    collapsing map-side."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias(
+            "day"
+        ),
+    )
+    dist = e.groupBy("day").agg(F.count("*").cast("long").alias("c"))
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    runs = dist.select(
+        "day",
+        "c",
+        F.sum("c").over(wcum).cast("long").alias("cum"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    ).localCheckpoint(eager=True)
+    cut = runs.agg(
+        F.min(
+            F.expr("CASE WHEN cum >= (8 * n + 9) DIV 10 THEN day END")
+        )
+        .cast("long")
+        .alias("cutoff_day")
+    )
+    ev = (
+        runs.crossJoin(F.broadcast(cut))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CASE WHEN day <= cutoff_day THEN c END")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_train"),
+            F.coalesce(
+                F.sum(F.expr("CASE WHEN day > cutoff_day THEN c END")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_test"),
+        )
+    )
+    pu = e.groupBy("user_id").agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    m = pu.crossJoin(F.broadcast(cut)).agg(
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN dmin <= cutoff_day THEN 1 END")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_users_train"),
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN dmax > cutoff_day THEN 1 END")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_users_test"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "CASE WHEN dmin <= cutoff_day"
+                    " AND dmax > cutoff_day THEN 1 END"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_users_overlap"),
+    )
+    return (
+        F.broadcast(cut)
+        .crossJoin(ev)
+        .crossJoin(m)
+        .select(
+            "cutoff_day",
+            "n_train",
+            "n_test",
+            "n_users_train",
+            "n_users_test",
+            "n_users_overlap",
+        )
+    )

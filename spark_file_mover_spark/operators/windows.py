@@ -2050,3 +2050,86 @@ def window_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_concurrency"
         ),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# F25 — OHLC bars per hour per event type
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+WITH x AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS w, event_type,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '1 hour', ts),
+                            event_type ORDER BY ts, event_id) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '1 hour', ts),
+                            event_type ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events WHERE value IS NOT NULL
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(MAX(CASE WHEN ra = 1 THEN cents END) AS BIGINT) AS open_cents,
+       CAST(MAX(cents) AS BIGINT) AS high_cents,
+       CAST(MIN(cents) AS BIGINT) AS low_cents,
+       CAST(MAX(CASE WHEN rd = 1 THEN cents END) AS BIGINT) AS close_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM x GROUP BY w, event_type
+ORDER BY window_start, event_type
+"""
+
+
+@query("window-ohlc-bars", oracle=_OHLC_ORACLE)
+def window_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F25: OHLC candle bars — open/high/low/close of the value stream
+    per (hour, event_type), plus count and exact total: the
+    downsampling every finance/telemetry dashboard applies before
+    plotting a high-frequency series, and the standard feature
+    extraction for time-series models (a bar is the canonical lossy
+    summary that preserves range + endpoints). Open/close are
+    defined at the (ts, event_id) order — the tiebreak makes both
+    engines pick the same row among same-timestamp observations.
+
+    Parity: exact integer cents; open/close come from arg-min/arg-max
+    aggregates keyed on the (ts, event_id) struct, the oracle
+    re-derives them via the textbook double-ROW_NUMBER form; NULL
+    values excluded in both engines (a bar summarizes observations,
+    not their absence).
+
+    Shape at 100 TB: ONE aggregate — min_by/max_by carry the
+    (ts, event_id, cents) struct through map-side partial
+    aggregation (sort-based, since struct-keyed argmin buffers are
+    not hash-aggregatable — the per-task sort is on the group key,
+    paid once, and partial combine still collapses event volume
+    before the exchange), so the shuffle moves |windows|×|types|
+    partials and the plan has NO window sort at all (the oracle's
+    double row_number is the formulation this one structurally
+    avoids: a per-(window,type) rank pays a second exchange + sort
+    per direction)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    cents = (dec("value") * 100).cast("long")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    bars = e.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.min_by(cents, key).alias("open_cents"),
+        F.max(cents).alias("high_cents"),
+        F.min(cents).alias("low_cents"),
+        F.max_by(cents, key).alias("close_cents"),
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum(cents).cast("long").alias("total_cents"),
+    )
+    return bars.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "open_cents",
+        "high_cents",
+        "low_cents",
+        "close_cents",
+        "n_obs",
+        "total_cents",
+    ).orderBy("window_start", "event_type")

@@ -1512,3 +1512,32 @@ def test_bootstrap_single_corpus_scan(spark, sf_dir):
         spark, registry.QUERIES["agg-bootstrap-ci"](spark, sf_dir)
     )
     assert scan_census(plan) == {}, scan_census(plan)
+
+
+def test_ohlc_bars_no_window_sort(spark, sf_dir):
+    """F25: open/close come from argmin/argmax aggregates — NO Window
+    node anywhere (the double-row_number formulation this avoids);
+    the aggregate is sort-based (struct-keyed argmin buffers aren't
+    hash-aggregatable) but runs partial+final, so map-side combine
+    still collapses event volume before the exchange."""
+    plan = _formatted_plan(
+        spark, registry.QUERIES["window-ohlc-bars"](spark, sf_dir)
+    )
+    import re as _re
+
+    assert not _re.search(r"\(\d+\) Window\b", plan), "window sort crept in"
+    tree = plan.split("\n\n")[0]
+    aggs = _re.findall(r"(?:Sort|Hash|ObjectHash)Aggregate \(\d+\)", tree)
+    assert len(aggs) >= 2, aggs  # partial + final
+
+
+def test_flac_meta_is_map_only(spark, sf_dir):
+    plan = _formatted_plan(
+        spark, registry.QUERIES["multimodal-flac-meta"](spark, sf_dir)
+    )
+    body = plan.split("== Physical Plan ==")[1]
+    assert "ArrowEvalPython" not in body and "BatchEvalPython" not in body
+    import re as _re
+
+    exchanges = set(_re.findall(r"\(\d+\) Exchange", body))
+    assert len(exchanges) <= 1, exchanges  # presentation sort only

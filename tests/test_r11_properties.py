@@ -355,3 +355,36 @@ def test_webp_meta_differential(rows, spark, tmp_path_factory):
     _write_docs_tbl(d, rows)
     ok, msg = _run_both("multimodal-webp-meta", spark, d, ["documents"])
     assert ok, msg
+
+
+@given(rows=st.lists(_FUNNEL_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_ohlc_bars_differential(rows, spark, tmp_path_factory):
+    """Random event tables through the argmin-aggregate candles:
+    same-timestamp ties (the event_id tiebreak), single-observation
+    bars (open = close = high = low)."""
+    d = tmp_path_factory.mktemp("r11ohlc")
+    _write_events(d, rows)
+    ok, msg = _run_both("window-ohlc-bars", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_FUNNEL_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_temporal_split_differential(rows, spark, tmp_path_factory):
+    """Random event tables through the temporal split: single-day
+    corpora (everything lands on/before the cutoff), sparse users on
+    one side only (overlap audit)."""
+    d = tmp_path_factory.mktemp("r11tsplit")
+    _write_events(d, rows)
+    ok, msg = _run_both("sample-temporal-split", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(rows=_doc_rows())
+@settings(**_SETTINGS)
+def test_flac_meta_differential(rows, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("r11flac")
+    _write_docs_tbl(d, rows)
+    ok, msg = _run_both("multimodal-flac-meta", spark, d, ["documents"])
+    assert ok, msg

@@ -281,3 +281,75 @@ def test_webp_meta_matches_spec_formulas(spark, sf_dir):
         assert r["has_alpha"] == (doc % 2 == 0 and v != 1)
         assert r["magic_ok"] and r["size_ok"]
         assert r["file_size"] == (26 if v == 2 else 30)
+
+
+def test_ohlc_matches_pure_python(spark, sf_dir):
+    t = pq.read_table(f"{sf_dir}/events.parquet").to_pydict()
+    bars = {}
+    for eid, ts, et, v in zip(
+        t["event_id"], t["ts"], t["event_type"], t["value"]
+    ):
+        if v is None:
+            continue
+        w = ts.replace(minute=0, second=0, microsecond=0)
+        c = _cents(v)
+        b = bars.setdefault((w, et), [])
+        b.append((ts, eid, c))
+    rows = registry.QUERIES["window-ohlc-bars"](spark, sf_dir).collect()
+    assert len(rows) == len(bars)
+    for r in rows:
+        import datetime
+
+        w = datetime.datetime.strptime(
+            r["window_start"], "%Y-%m-%d %H:%M:%S"
+        )
+        obs = sorted(bars[(w, r["event_type"])])
+        cs = [c for _, _, c in obs]
+        assert r["open_cents"] == obs[0][2]
+        assert r["close_cents"] == obs[-1][2]
+        assert r["high_cents"] == max(cs)
+        assert r["low_cents"] == min(cs)
+        assert r["n_obs"] == len(cs)
+        assert r["total_cents"] == sum(cs)
+
+
+def test_temporal_split_matches_pure_python(spark, sf_dir):
+    t = pq.read_table(f"{sf_dir}/events.parquet").to_pydict()
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+    days = [(ts - epoch).days for ts in t["ts"]]
+    n = len(days)
+    sd = sorted(days)
+    cutoff = sd[-(-8 * n // 10) - 1]  # nearest-rank ceil(0.8n)
+    ut, ue = set(), set()
+    for u, d in zip(t["user_id"], days):
+        (ut if d <= cutoff else ue).add(u)
+    row = registry.QUERIES["sample-temporal-split"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row["cutoff_day"] == cutoff
+    assert row["n_train"] == sum(d <= cutoff for d in days)
+    assert row["n_test"] == sum(d > cutoff for d in days)
+    assert row["n_users_train"] == len(ut)
+    assert row["n_users_test"] == len(ue)
+    assert row["n_users_overlap"] == len(ut & ue)
+
+
+def test_flac_meta_matches_spec_formulas(spark, sf_dir):
+    rates = [8000, 16000, 22050, 24000, 44100, 48000, 96000]
+    rows = registry.QUERIES["multimodal-flac-meta"](
+        spark, sf_dir
+    ).collect()
+    for r in rows:
+        doc = r["asset_id"]
+        total = (doc * 4801 + 7) % 2**36
+        rate = rates[doc % 7]
+        assert r["sample_rate"] == rate
+        assert r["channels"] == 1 + doc % 8
+        assert r["bits_per_sample"] == 8 + doc % 25
+        assert r["total_samples"] == total
+        assert r["duration_ms"] == total * 1000 // rate
+        assert r["min_blocksize"] == 576 + doc % 100
+        assert r["max_blocksize"] == 576 + doc % 100 + doc % 50
+        assert r["magic_ok"] and r["streaminfo_ok"]

@@ -151,6 +151,9 @@ NOTES = {
     "sample-quota-allocate": "Hamilton apportionment: one count per language, all-integer base/remainder arithmetic, windows over the langs-bounded relation; quotas sum to the budget by construction.",
     "text-novelty-ratio": "Novelty: grams leave the scan as xxhash64 keys (text never shuffles), min-groupBy first-seen, (hash, doc_id) attribution join, per-doc rollup; snapped ratio.",
     "fn-phone-normalize": "Phone E.164: map-only synthesize-then-parse; digit strip + prefix classification + longest-first cc match as generated CASE; zero shuffles, no UDF.",
+    "window-ohlc-bars": "OHLC candles as ONE argmin/argmax aggregate: min_by/max_by carry the (ts,event_id) struct through map-side partial combine (sort-based agg - struct buffers aren't hash-aggregatable; partial+final pinned); no Window node anywhere (the double-row_number form avoided).",
+    "sample-temporal-split": "Cutoff from the calendar-bounded day distribution (localCheckpointed for its two consumers); per-user (min,max) collapse + one one-row conditional agg with the cutoff broadcast; exact integers.",
+    "multimodal-flac-meta": "Synthesize-then-parse FLAC STREAMINFO: two BE u32 reads + div/mod splits of the 20/3/5/36-bit packed field; map-only, zero shuffle, zero Python.",
     "agg-bootstrap-ci": "Poisson bootstrap in one pass: per-user checkpoint -> B-way explode whose groupBy(b) partial agg collapses to B rows per task before the only exchange; weights from the md5-prefix-60 hash vs exact floor(CDF*2^60) BIGINT literals; CI ranks the B-row relation.",
     "graph-hits": "Exact-integer HITS over the CACHED K1 edge checkpoint (zero parquet scans, pinned): two unnormalized mutual-reinforcement rounds, each half-round one 16-byte equi join + map-side-combined hash agg; a2 localCheckpoints (two consumers).",
     "multimodal-webp-meta": "Synthesize-then-parse WebP across all three bitstreams (VP8X LE24 canvas, VP8 masked LE16 behind the start code, VP8L packed LE u32): map-only byte expressions fused into the scan, zero shuffle, zero Python.",
