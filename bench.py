@@ -223,6 +223,9 @@ HEADLINE = [
     "window-ohlc-bars",
     "sample-temporal-split",
     "multimodal-flac-meta",
+    "window-calendar-mtd-ytd",
+    "agg-stickiness-dau-mau",
+    "etl-table-checksum",
 ]
 
 

@@ -4223,3 +4223,97 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_lo",
         "ci_hi",
     )
+
+
+# ---------------------------------------------------------------------------
+# E43 — DAU/MAU stickiness per month
+# ---------------------------------------------------------------------------
+
+_STICKY_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+k AS (
+  SELECT user_id, day,
+         strftime(make_timestamp(day * 86400000000), '%Y-%m') AS ym
+  FROM ud
+),
+dau AS (
+  SELECT ym, day, CAST(COUNT(*) AS BIGINT) AS dau
+  FROM k GROUP BY ym, day
+),
+mau AS (
+  SELECT ym, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM k GROUP BY ym
+),
+agg AS (
+  SELECT ym, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(dau) AS BIGINT) AS sum_dau
+  FROM dau GROUP BY ym
+)
+SELECT agg.ym AS month, n_days, sum_dau, mau,
+       FLOOR(((CAST(sum_dau AS DOUBLE) / n_days)
+              / CAST(mau AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS stickiness
+FROM agg JOIN mau ON mau.ym = agg.ym
+ORDER BY month
+"""
+
+
+@query("agg-stickiness-dau-mau", oracle=_STICKY_ORACLE)
+def agg_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E43: DAU/MAU stickiness per month — mean daily active users
+    over monthly active users, THE product-engagement ratio every
+    growth report leads with (stickiness 0.5 = the average user shows
+    up every other day); completes the growth family next to
+    new-vs-returning (E34) and retention (E11), which count
+    composition and comebacks but not frequency.
+
+    Parity: exact integers until the single snapped division;
+    mau > 0 whenever the month exists (every distinct (user, day) row
+    implies its user is monthly-active), so no NULL guard is needed
+    in either engine — documented rather than guarded.
+
+    Shape at 100 TB: events collapse map-side to DISTINCT (user, day)
+    BEFORE any exchange (the E34 plan — per-user event volume never
+    shuffles); DAU is a calendar-bounded count over that relation,
+    MAU one distinct-count per month over the same relation, the join
+    is month-keyed over ≤12-rows-per-year relations. The
+    distinct-user collapse is the only corpus-sized exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias(
+            "day"
+        ),
+    ).distinct()
+    k = ud.select(
+        "user_id",
+        "day",
+        F.date_format(
+            F.timestamp_micros(F.col("day") * 86400000000), "yyyy-MM"
+        ).alias("ym"),
+    )
+    dau = k.groupBy("ym", "day").agg(
+        F.count("*").cast("long").alias("dau")
+    )
+    mau = k.groupBy("ym").agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    agg = dau.groupBy("ym").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("dau").cast("long").alias("sum_dau"),
+    )
+    return (
+        agg.join(mau, "ym")
+        .selectExpr(
+            "ym AS month",
+            "n_days",
+            "sum_dau",
+            "mau",
+            "FLOOR(((CAST(sum_dau AS DOUBLE) / n_days)"
+            " / CAST(mau AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS stickiness",
+        )
+        .orderBy("month")
+    )

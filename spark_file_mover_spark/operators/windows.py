@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from spark_file_mover_spark.llm._textnorm import MD5_PREFIX60_SQL
 from spark_file_mover_spark.operators._parity import dec
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import load_table
@@ -2133,3 +2134,179 @@ def window_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_obs",
         "total_cents",
     ).orderBy("window_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# F26 — month-to-date / year-to-date running revenue per day
+# ---------------------------------------------------------------------------
+
+_MTD_ORACLE = """
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2)) * 100), 0)
+              AS DECIMAL(38,0)) AS cents
+  FROM events GROUP BY 1
+),
+k AS (
+  SELECT *,
+         CAST(strftime(make_timestamp(day * 86400000000),
+                       '%Y-%m') AS VARCHAR) AS ym,
+         CAST(strftime(make_timestamp(day * 86400000000),
+                       '%Y') AS VARCHAR) AS y
+  FROM d
+)
+SELECT strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS day_str,
+       n_events,
+       CAST(cents AS BIGINT) AS cents,
+       CAST(SUM(cents) OVER (PARTITION BY ym ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS mtd_cents,
+       CAST(SUM(cents) OVER (PARTITION BY y ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS ytd_cents
+FROM k ORDER BY day
+"""
+
+
+@query("window-calendar-mtd-ytd", oracle=_MTD_ORACLE)
+def window_calendar_mtd_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F26: per-day revenue with month-to-date and year-to-date
+    running totals — the reporting-calendar query behind every
+    finance/ops dashboard ("where are we against the month?"), and
+    the period-reset flavor of running aggregation that
+    window-period-over-period (F16) and gap-fill (F17) don't cover:
+    the cumulative window RESETS at each calendar boundary, which is
+    just PARTITION BY the calendar key.
+
+    Parity: days are exact integers (G10 contract), cents sums exact
+    DECIMAL(38,0) cast to BIGINT; the day string is formatted
+    identically in both engines; no doubles anywhere.
+
+    Shape at 100 TB: events collapse map-side to the calendar-bounded
+    DAY relation (the E19 discipline) before ANY window; the two
+    cumulative windows partition that ~365-rows-per-year relation by
+    month/year keys — window state is bounded by days-per-period, and
+    the single exchange carries day cells, never events."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias(
+            "day"
+        )
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.coalesce(F.sum(dec("value") * 100), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("cents"),
+    )
+    day_ts = F.timestamp_micros(F.col("day") * 86400000000)
+    k = d.select(
+        "day",
+        "n_events",
+        "cents",
+        F.date_format(day_ts, "yyyy-MM").alias("ym"),
+        F.date_format(day_ts, "yyyy").alias("y"),
+    )
+    wm = (
+        W.partitionBy("ym")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wy = (
+        W.partitionBy("y")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return k.select(
+        F.date_format(day_ts, "yyyy-MM-dd").alias("day_str"),
+        "n_events",
+        F.col("cents").cast("long").alias("cents"),
+        F.sum("cents").over(wm).cast("long").alias("mtd_cents"),
+        F.sum("cents").over(wy).cast("long").alias("ytd_cents"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# F27 — order-independent table checksum (migration validation)
+# ---------------------------------------------------------------------------
+
+# the canonical row string: every column rendered by an explicit
+# engine-portable rule — ints/strings raw, timestamps as epoch micros,
+# money through the DECIMAL(18,2)-cents contract, NULLs as a sentinel
+# that cannot collide with data ('\x01') — identical text in both
+# engines, field-separated so adjacent columns cannot smear
+_CKSUM_CANON = (
+    "CAST(o_orderkey AS {s}) || '|' ||"
+    " COALESCE(CAST(o_custkey AS {s}), chr(1)) || '|' ||"
+    " COALESCE(o_orderstatus, chr(1)) || '|' ||"
+    " COALESCE(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+    "                   AS BIGINT) AS {s}), chr(1)) || '|' ||"
+    " COALESCE(CAST({epoch} AS {s}), chr(1)) || '|' ||"
+    " COALESCE(o_orderpriority, chr(1))"
+)
+
+_CKSUM_ORACLE = f"""
+WITH h AS (
+  SELECT {MD5_PREFIX60_SQL.format(
+      x=_CKSUM_CANON.format(epoch="epoch_us(o_orderdate)", s="VARCHAR")
+  )} AS rh
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(COALESCE(SUM(rh), 0) AS DECIMAL(38,0)) AS VARCHAR)
+         AS checksum_sum,
+       CAST(COALESCE(BIT_XOR(rh), 0) AS BIGINT) AS checksum_xor,
+       CAST(MIN(rh) AS BIGINT) AS min_row_hash,
+       CAST(MAX(rh) AS BIGINT) AS max_row_hash
+FROM h
+"""
+
+
+@query("etl-table-checksum", oracle=_CKSUM_ORACLE)
+def etl_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F27: order-independent table checksum — THE migration/copy
+    validation for the reference's own audience (a file-mover's user
+    asks exactly this after every move: "are the bytes I moved the
+    rows I had?"): every row renders through an explicit canonical
+    rule (ints/strings raw, timestamps as epoch micros, money through
+    the DECIMAL cents contract, NULLs as an unambiguous sentinel,
+    '|' field separation) into the shared md5-prefix-60 hash, and the
+    table digests to commutative aggregates — SUM (exact DECIMAL) and
+    BIT_XOR — that any two engines/copies can compare without sorting
+    a row. min/max row hashes localize a mismatch fast (binary-search
+    by hash range).
+
+    Parity: the canonical string is ONE shared textual fragment (the
+    md5-prefix-60 contract); SUM carries ~2⁶⁰·n so it leaves BIGINT
+    at ~10 rows — DECIMAL(38,0) exact, emitted as a string (the
+    driver compares strings; DECIMAL(38,0) is not BIGINT-safe);
+    BIT_XOR/min/max exact BIGINTs. Empty table → zero digests.
+
+    Shape at 100 TB: map-only hash + ONE one-row commutative
+    aggregate with full map-side combine — no shuffle of anything but
+    per-task partials, no sort, which is the entire point: a
+    sort-based table diff moves the table, a commutative digest moves
+    64 bytes per task."""
+    o = load_table(spark, sf_dir, "orders")
+    canon = _CKSUM_CANON.format(
+        epoch="unix_micros(CAST(o_orderdate AS TIMESTAMP))", s="STRING"
+    )
+    h = o.select(
+        F.conv(F.substring(F.md5(F.expr(canon)), 1, 15), 16, 10)
+        .cast("long")
+        .alias("rh")
+    )
+    return h.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.coalesce(F.sum(F.expr("CAST(rh AS DECIMAL(38,0))")), F.lit(0))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("checksum_sum"),
+        F.coalesce(F.expr("BIT_XOR(rh)"), F.lit(0))
+        .cast("long")
+        .alias("checksum_xor"),
+        F.min("rh").cast("long").alias("min_row_hash"),
+        F.max("rh").cast("long").alias("max_row_hash"),
+    )

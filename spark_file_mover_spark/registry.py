@@ -67,7 +67,7 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # ``load_all`` rebuilds the registry dict in this order after all
 # modules import:
 #
-#   0. The 12 r11-NEW keys (no driver row ever): agg-theil-index,
+#   0. The 15 r11-NEW keys (no driver row ever): agg-theil-index,
 #      agg-lorenz-deciles, agg-winsorized-stats (the sort-free
 #      distribution-trick statistics family), graph-global-clustering
 #      (over the cached K5 relations), text-zipf-fit (over the cached
@@ -75,7 +75,9 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #      bootstrap), graph-hits (exact-integer HITS), and
 #      multimodal-webp-meta / multimodal-flac-meta (synthesize-then-
 #      parse WebP + FLAC), window-ohlc-bars (argmin-aggregate
-#      candles), sample-temporal-split (leakage-audited).
+#      candles), sample-temporal-split (leakage-audited),
+#      window-calendar-mtd-ytd, agg-stickiness-dau-mau, and
+#      etl-table-checksum (commutative migration digests).
 #   1. The 4 keys whose STRUCTURE changed in r11 and need a fresh
 #      driver row over the new code: graph-reciprocity (cached-edge
 #      one-aggregate rewrite of the r10 8-scan plan),
@@ -96,9 +98,9 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # Rebuild this list each round from `python tools/stale_keys.py --list`
 # with never-scored + structurally-changed keys at the HEAD.
 #
-# r12 handoff: after r11's ~50-key cut (12 new + 4 changed + 20 r6 +
-# ~14 r7, cut lands near text-url-normalize at position 50), the
-# remaining ~28 r7-stale keys (text-chunk-sliding onward in this
+# r12 handoff: after r11's ~50-key cut (15 new + 4 changed + 20 r6 +
+# ~11 r7, cut lands near sample-train-split at position 50), the
+# remaining ~31 r7-stale keys (sample-hash-stratified onward in this
 # list) end r11 four rounds stale — build _PRIORITY_R12 with THOSE
 # first (after any r12-new/changed keys), then the r8 block, from
 # `python tools/stale_keys.py --list`.
@@ -110,6 +112,9 @@ _PRIORITY_R11 = [
     "window-ohlc-bars",
     "sample-temporal-split",
     "multimodal-flac-meta",
+    "window-calendar-mtd-ytd",
+    "agg-stickiness-dau-mau",
+    "etl-table-checksum",
     "agg-lorenz-deciles",
     "agg-winsorized-stats",
     "graph-global-clustering",

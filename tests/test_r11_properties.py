@@ -388,3 +388,31 @@ def test_flac_meta_differential(rows, spark, tmp_path_factory):
     _write_docs_tbl(d, rows)
     ok, msg = _run_both("multimodal-flac-meta", spark, d, ["documents"])
     assert ok, msg
+
+
+_R11_BATCH6_EVENT_KEYS = [
+    "window-calendar-mtd-ytd",
+    "agg-stickiness-dau-mau",
+]
+
+
+@pytest.mark.parametrize("key", _R11_BATCH6_EVENT_KEYS)
+@given(rows=st.lists(_FUNNEL_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_r11_batch6_events_differential(key, rows, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("r11b6")
+    _write_events(d, rows)
+    ok, msg = _run_both(key, spark, d, ["events"])
+    assert ok, f"{key}: {msg}"
+
+
+@given(rows=st.lists(_ORDER_ROW, min_size=0, max_size=25))
+@settings(**_SETTINGS)
+def test_table_checksum_differential(rows, spark, tmp_path_factory):
+    """Random order tables through the canonical-row digest: empty
+    tables (zero digests), duplicate rows (SUM catches what XOR
+    cancels), money tie cents."""
+    d = tmp_path_factory.mktemp("r11ck")
+    _write_orders(d, rows)
+    ok, msg = _run_both("etl-table-checksum", spark, d, ["orders"])
+    assert ok, msg

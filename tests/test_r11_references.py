@@ -353,3 +353,81 @@ def test_flac_meta_matches_spec_formulas(spark, sf_dir):
         assert r["min_blocksize"] == 576 + doc % 100
         assert r["max_blocksize"] == 576 + doc % 100 + doc % 50
         assert r["magic_ok"] and r["streaminfo_ok"]
+
+
+def test_stickiness_matches_pure_python(spark, sf_dir):
+    import datetime
+
+    t = pq.read_table(f"{sf_dir}/events.parquet").to_pydict()
+    epoch = datetime.datetime(1970, 1, 1)
+    ud = {(u, (ts - epoch).days) for u, ts in zip(t["user_id"], t["ts"])}
+    by_m = defaultdict(lambda: [set(), defaultdict(set)])
+    for u, d in ud:
+        ym = (epoch + datetime.timedelta(days=d)).strftime("%Y-%m")
+        by_m[ym][0].add(u)
+        by_m[ym][1][d].add(u)
+    rows = registry.QUERIES["agg-stickiness-dau-mau"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == len(by_m)
+    for r in rows:
+        users, days = by_m[r["month"]]
+        assert r["mau"] == len(users)
+        assert r["n_days"] == len(days)
+        sum_dau = sum(len(v) for v in days.values())
+        assert r["sum_dau"] == sum_dau
+        assert r["stickiness"] == _snap9(
+            (float(sum_dau) / len(days)) / float(len(users))
+        )
+
+
+def test_mtd_ytd_matches_pure_python(spark, sf_dir):
+    import datetime
+
+    t = pq.read_table(f"{sf_dir}/events.parquet").to_pydict()
+    epoch = datetime.datetime(1970, 1, 1)
+    per_day = defaultdict(lambda: [0, 0])
+    for ts, v in zip(t["ts"], t["value"]):
+        d = (ts - epoch).days
+        per_day[d][0] += 1
+        per_day[d][1] += _cents(v) if v is not None else 0
+    rows = registry.QUERIES["window-calendar-mtd-ytd"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == len(per_day)
+    mtd, ytd = defaultdict(int), defaultdict(int)
+    for r, d in zip(rows, sorted(per_day)):
+        dt = epoch + datetime.timedelta(days=d)
+        assert r["day_str"] == dt.strftime("%Y-%m-%d")
+        n, cents = per_day[d]
+        mtd[dt.strftime("%Y-%m")] += cents
+        ytd[dt.strftime("%Y")] += cents
+        assert (r["n_events"], r["cents"]) == (n, cents)
+        assert r["mtd_cents"] == mtd[dt.strftime("%Y-%m")]
+        assert r["ytd_cents"] == ytd[dt.strftime("%Y")]
+
+
+def test_table_checksum_matches_pure_python(spark, sf_dir):
+    import datetime
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet").to_pydict()
+    epoch = datetime.datetime(1970, 1, 1)
+    hs = []
+    for i in range(len(t["o_orderkey"])):
+        cents = round(t["o_totalprice"][i] * 100)
+        us = int((t["o_orderdate"][i] - epoch).total_seconds() * 1e6)
+        canon = (
+            f"{t['o_orderkey'][i]}|{t['o_custkey'][i]}|"
+            f"{t['o_orderstatus'][i]}|{cents}|{us}|"
+            f"{t['o_orderpriority'][i]}"
+        )
+        hs.append(_md5_60(canon))
+    x = 0
+    for h in hs:
+        x ^= h
+    row = registry.QUERIES["etl-table-checksum"](spark, sf_dir).collect()[0]
+    assert row["n_rows"] == len(hs)
+    assert row["checksum_sum"] == str(sum(hs))
+    assert row["checksum_xor"] == x
+    assert row["min_row_hash"] == min(hs)
+    assert row["max_row_hash"] == max(hs)

@@ -151,6 +151,9 @@ NOTES = {
     "sample-quota-allocate": "Hamilton apportionment: one count per language, all-integer base/remainder arithmetic, windows over the langs-bounded relation; quotas sum to the budget by construction.",
     "text-novelty-ratio": "Novelty: grams leave the scan as xxhash64 keys (text never shuffles), min-groupBy first-seen, (hash, doc_id) attribution join, per-doc rollup; snapped ratio.",
     "fn-phone-normalize": "Phone E.164: map-only synthesize-then-parse; digit strip + prefix classification + longest-first cc match as generated CASE; zero shuffles, no UDF.",
+    "window-calendar-mtd-ytd": "Events collapse map-side to the calendar-bounded day relation before ANY window; the MTD/YTD cumulative windows partition ~365-rows-per-year cells by month/year keys; exact DECIMAL cents.",
+    "agg-stickiness-dau-mau": "DISTINCT (user,day) collapse is the only corpus-sized exchange (the E34 plan); DAU/MAU/join all over calendar-bounded relations; one snapped division.",
+    "etl-table-checksum": "Map-only canonical-row md5-prefix-60 hash + ONE one-row commutative aggregate (exact-DECIMAL SUM + BIT_XOR + min/max) with full map-side combine; no sort, no shuffle beyond per-task partials.",
     "window-ohlc-bars": "OHLC candles as ONE argmin/argmax aggregate: min_by/max_by carry the (ts,event_id) struct through map-side partial combine (sort-based agg - struct buffers aren't hash-aggregatable; partial+final pinned); no Window node anywhere (the double-row_number form avoided).",
     "sample-temporal-split": "Cutoff from the calendar-bounded day distribution (localCheckpointed for its two consumers); per-user (min,max) collapse + one one-row conditional agg with the cutoff broadcast; exact integers.",
     "multimodal-flac-meta": "Synthesize-then-parse FLAC STREAMINFO: two BE u32 reads + div/mod splits of the 20/3/5/36-bit packed field; map-only, zero shuffle, zero Python.",
