@@ -226,6 +226,8 @@ HEADLINE = [
     "window-calendar-mtd-ytd",
     "agg-stickiness-dau-mau",
     "etl-table-checksum",
+    "window-pareto-frontier",
+    "agg-survival-km",
 ]
 
 

@@ -4317,3 +4317,167 @@ def agg_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# E44 — Kaplan-Meier conversion-survival curve
+# ---------------------------------------------------------------------------
+
+# per-event-time log term, integer-valued 1e9-scaled (shared textual;
+# only defined when d < n — d = n is the curve-hits-zero case, flagged)
+_KM_TERM = (
+    "FLOOR(LN(1.0 - CAST(n_conv AS DOUBLE) / CAST(n_risk AS DOUBLE))"
+    " * 1e9 + 0.5)"
+)
+
+_KM_ORACLE = f"""
+WITH e AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         event_type
+  FROM events
+),
+pu AS (
+  SELECT user_id,
+         MIN(day) AS first_day,
+         MIN(CASE WHEN event_type = 'purchase' THEN day END) AS conv_day
+  FROM e GROUP BY user_id
+),
+l AS (SELECT MAX(day) AS last_day FROM e),
+dur AS (
+  SELECT CASE WHEN conv_day IS NOT NULL THEN conv_day - first_day
+              ELSE l.last_day - first_day END AS t,
+         (conv_day IS NOT NULL) AS is_event
+  FROM pu, l
+),
+dist AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(COALESCE(SUM(CASE WHEN is_event THEN 1 END), 0) AS BIGINT)
+           AS n_conv
+  FROM dur GROUP BY t
+),
+risk AS (
+  SELECT t, n_conv,
+         CAST(SUM(n_total) OVER () -
+              COALESCE(SUM(n_total) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM dist
+),
+ev AS (
+  SELECT t, n_conv, n_risk,
+         SUM(CASE WHEN n_conv < n_risk THEN
+               CAST({_KM_TERM} AS DECIMAL(28,0)) ELSE 0 END)
+           OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_i9,
+         MAX(CASE WHEN n_conv = n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS hit_zero
+  FROM risk WHERE n_conv > 0
+)
+SELECT t AS t_days, n_risk, n_conv,
+       CASE WHEN hit_zero = 1 THEN CAST(0.0 AS DOUBLE)
+            ELSE FLOOR(EXP(CAST(cum_i9 AS DOUBLE) / 1e9) * 1e9 + 0.5)
+                   / 1e9 END AS survival
+FROM ev ORDER BY t_days
+"""
+
+
+@query("agg-survival-km", oracle=_KM_ORACLE)
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E44: the Kaplan–Meier survival curve for time-to-first-purchase
+    (days from a user's first activity), right-censored at the corpus
+    horizon — THE time-to-event estimator (Kaplan & Meier 1958) for
+    conversion/churn questions where naive conversion rates are
+    biased by users who simply haven't had time yet: censoring keeps
+    late joiners in the at-risk denominator exactly as long as they
+    were observable. Emits each event time with its at-risk count,
+    conversions, and S(t) = Π(1 − dᵢ/nᵢ).
+
+    Parity: durations/at-risk/conversion counts are exact integers
+    from the duration DISTRIBUTION; the product is computed in log
+    space with INTEGER-VALUED 1e9-scaled per-time terms (shared
+    textual fragment) summed exactly in DECIMAL — so the cumulative
+    product is order-independent — and one shared EXP + snap per row;
+    the d = n boundary (everyone at risk converts — LN(0)) is flagged
+    and forces survival 0 rather than feeding −inf into arithmetic,
+    in both engines.
+
+    Shape at 100 TB: one per-user collapse (first day + first
+    purchase day in a single conditional-MIN groupBy — the H6 funnel
+    plan), the corpus horizon one one-row aggregate broadcast back;
+    everything after lives on the DURATION distribution (bounded by
+    the observation window in days — the E19 discipline): at-risk
+    counts, log terms, the cumulative windows all rank
+    calendar-bounded rows, never users."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias(
+            "day"
+        ),
+        "event_type",
+    )
+    pu = e.groupBy("user_id").agg(
+        F.min("day").alias("first_day"),
+        F.min(
+            F.expr("CASE WHEN event_type = 'purchase' THEN day END")
+        ).alias("conv_day"),
+    )
+    horizon = e.agg(F.max("day").alias("last_day"))
+    dur = pu.crossJoin(F.broadcast(horizon)).selectExpr(
+        "CASE WHEN conv_day IS NOT NULL THEN conv_day - first_day"
+        " ELSE last_day - first_day END AS t",
+        "(conv_day IS NOT NULL) AS is_event",
+    )
+    dist = dur.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN is_event THEN 1 END")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_conv"),
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    wbefore = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    risk = dist.select(
+        "t",
+        "n_conv",
+        (
+            F.sum("n_total").over(wall)
+            - F.coalesce(F.sum("n_total").over(wbefore), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    ).filter(F.col("n_conv") > 0)
+    wcum = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    evr = risk.select(
+        "t",
+        "n_conv",
+        "n_risk",
+        F.sum(
+            F.expr(
+                f"CASE WHEN n_conv < n_risk THEN"
+                f" CAST({_KM_TERM} AS DECIMAL(28,0)) ELSE 0 END"
+            )
+        )
+        .over(wcum)
+        .alias("cum_i9"),
+        F.max(
+            F.expr("CASE WHEN n_conv = n_risk THEN 1 ELSE 0 END")
+        )
+        .over(wcum)
+        .alias("hit_zero"),
+    )
+    return evr.selectExpr(
+        "t AS t_days",
+        "n_risk",
+        "n_conv",
+        "CASE WHEN hit_zero = 1 THEN CAST(0.0 AS DOUBLE)"
+        " ELSE FLOOR(EXP(CAST(cum_i9 AS DOUBLE) / 1e9) * 1e9 + 0.5)"
+        " / 1e9 END AS survival",
+    ).orderBy("t_days")

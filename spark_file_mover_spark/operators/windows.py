@@ -2310,3 +2310,93 @@ def etl_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rh").cast("long").alias("min_row_hash"),
         F.max("rh").cast("long").alias("max_row_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F28 — Pareto frontier (skyline) of customers in (spend, recency)
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS spend_cents,
+         CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+           AS last_day
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.custkey, c.spend_cents, c.last_day
+FROM cust c
+WHERE NOT EXISTS (
+  SELECT 1 FROM cust o
+  WHERE o.spend_cents >= c.spend_cents AND o.last_day >= c.last_day
+    AND (o.spend_cents > c.spend_cents OR o.last_day > c.last_day)
+)
+ORDER BY c.spend_cents, c.custkey
+"""
+
+
+@query("window-pareto-frontier", oracle=_PARETO_ORACLE)
+def window_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F28: the Pareto frontier (skyline) of customers in
+    (total spend, recency) space — customers no other customer beats
+    on BOTH axes: the multi-objective shortlist query (best
+    price/quality offers, strongest spend/recency accounts, fastest/
+    cheapest routes) that single-key top-k (F4/F5) cannot express.
+    Dominance is the textbook rule: o dominates c iff o ≥ c on both
+    axes and > on at least one; equal-on-both points are mutually
+    non-dominating and all kept.
+
+    Parity: exact integer cents and epoch days end to end — dominance
+    is a pure integer decision, no floats anywhere. The oracle is the
+    quadratic NOT EXISTS dominance subquery, a genuinely independent
+    derivation of the same set.
+
+    Shape at 100 TB — the skyline WITHOUT the quadratic self-join or
+    a customer sort: collapse to the spend VALUE distribution
+    (meq(v) = best recency at spend v, bounded by value cardinality),
+    one descending cumulative-max window gives mstrict(v) = best
+    recency among STRICTLY higher spends, and the frontier condition
+    is closed-form — a point is on the skyline iff its recency equals
+    meq(v) (best at its spend level) and strictly beats mstrict(v).
+    Frontier values then pull their customers back via one 16-byte
+    (spend, day) equi join. One corpus shuffle to per-customer, one
+    value-bounded window, one join — the oracle's O(n²) NOT EXISTS
+    never materializes."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum((dec("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("spend_cents"),
+        F.max(
+            F.expr(
+                "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                " DIV 86400000000 AS BIGINT)"
+            )
+        ).alias("last_day"),
+    )
+    sv = cust.groupBy("spend_cents").agg(F.max("last_day").alias("meq"))
+    wdesc = W.orderBy(F.desc("spend_cents")).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    frontier_vals = sv.select(
+        "spend_cents",
+        "meq",
+        F.max("meq").over(wdesc).alias("mstrict"),
+    ).filter(
+        F.col("meq") > F.coalesce(F.col("mstrict"), F.lit(-(2**62)))
+    )
+    fv = frontier_vals.select(
+        F.col("spend_cents").alias("f_spend"), F.col("meq").alias("f_day")
+    )
+    return (
+        cust.join(
+            fv,
+            (cust.spend_cents == fv.f_spend)
+            & (cust.last_day == fv.f_day),
+        )
+        .select("custkey", "spend_cents", "last_day")
+        .orderBy("spend_cents", "custkey")
+    )

@@ -67,7 +67,7 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # ``load_all`` rebuilds the registry dict in this order after all
 # modules import:
 #
-#   0. The 15 r11-NEW keys (no driver row ever): agg-theil-index,
+#   0. The 17 r11-NEW keys (no driver row ever): agg-theil-index,
 #      agg-lorenz-deciles, agg-winsorized-stats (the sort-free
 #      distribution-trick statistics family), graph-global-clustering
 #      (over the cached K5 relations), text-zipf-fit (over the cached
@@ -77,7 +77,9 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #      parse WebP + FLAC), window-ohlc-bars (argmin-aggregate
 #      candles), sample-temporal-split (leakage-audited),
 #      window-calendar-mtd-ytd, agg-stickiness-dau-mau, and
-#      etl-table-checksum (commutative migration digests).
+#      etl-table-checksum (commutative migration digests),
+#      window-pareto-frontier (distribution-trick skyline), and
+#      agg-survival-km (Kaplan-Meier in exact log-space).
 #   1. The 4 keys whose STRUCTURE changed in r11 and need a fresh
 #      driver row over the new code: graph-reciprocity (cached-edge
 #      one-aggregate rewrite of the r10 8-scan plan),
@@ -98,10 +100,10 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # Rebuild this list each round from `python tools/stale_keys.py --list`
 # with never-scored + structurally-changed keys at the HEAD.
 #
-# r12 handoff: after r11's ~50-key cut (15 new + 4 changed + 20 r6 +
-# ~11 r7, cut lands near sample-train-split at position 50), the
-# remaining ~31 r7-stale keys (sample-hash-stratified onward in this
-# list) end r11 four rounds stale — build _PRIORITY_R12 with THOSE
+# r12 handoff: after r11's ~50-key cut (17 new + 4 changed + 20 r6 +
+# ~9 r7, cut lands near dedup-embedding-cosine at position 50), the
+# remaining ~33 r7-stale keys (sim-search-lsh onward in this list)
+# end r11 four rounds stale — build _PRIORITY_R12 with THOSE
 # first (after any r12-new/changed keys), then the r8 block, from
 # `python tools/stale_keys.py --list`.
 _PRIORITY_R11 = [
@@ -115,6 +117,8 @@ _PRIORITY_R11 = [
     "window-calendar-mtd-ytd",
     "agg-stickiness-dau-mau",
     "etl-table-checksum",
+    "window-pareto-frontier",
+    "agg-survival-km",
     "agg-lorenz-deciles",
     "agg-winsorized-stats",
     "graph-global-clustering",

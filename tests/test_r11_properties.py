@@ -416,3 +416,27 @@ def test_table_checksum_differential(rows, spark, tmp_path_factory):
     _write_orders(d, rows)
     ok, msg = _run_both("etl-table-checksum", spark, d, ["orders"])
     assert ok, msg
+
+
+@given(rows=st.lists(_ORDER_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_pareto_frontier_differential(rows, spark, tmp_path_factory):
+    """Random order tables through the distribution-trick skyline vs
+    the oracle's quadratic NOT EXISTS: duplicate (spend, day) points
+    (all kept), single-customer tables, dominance chains."""
+    d = tmp_path_factory.mktemp("r11sky")
+    _write_orders(d, rows)
+    ok, msg = _run_both("window-pareto-frontier", spark, d, ["orders"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_FUNNEL_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_survival_km_differential(rows, spark, tmp_path_factory):
+    """Random event tables through Kaplan-Meier: no purchases at all
+    (empty curve), everyone converts on day 0 (d=n -> survival 0),
+    heavy censoring."""
+    d = tmp_path_factory.mktemp("r11km")
+    _write_events(d, rows)
+    ok, msg = _run_both("agg-survival-km", spark, d, ["events"])
+    assert ok, msg

@@ -431,3 +431,73 @@ def test_table_checksum_matches_pure_python(spark, sf_dir):
     assert row["checksum_xor"] == x
     assert row["min_row_hash"] == min(hs)
     assert row["max_row_hash"] == max(hs)
+
+
+def test_pareto_frontier_matches_pure_python(spark, sf_dir):
+    import datetime
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet").to_pydict()
+    epoch = datetime.datetime(1970, 1, 1)
+    spend, last = defaultdict(int), defaultdict(int)
+    for ck, tp, od in zip(
+        t["o_custkey"], t["o_totalprice"], t["o_orderdate"]
+    ):
+        spend[ck] += _cents(tp)
+        last[ck] = max(last[ck], (od - epoch).days)
+    pts = {c: (spend[c], last[c]) for c in spend}
+    frontier = []
+    for c, (s, d) in pts.items():
+        dominated = any(
+            (s2 >= s and d2 >= d and (s2 > s or d2 > d))
+            for c2, (s2, d2) in pts.items()
+            if c2 != c
+        )
+        if not dominated:
+            frontier.append((s, c, d))
+    frontier.sort()
+    rows = registry.QUERIES["window-pareto-frontier"](
+        spark, sf_dir
+    ).collect()
+    got = [(r["spend_cents"], r["custkey"], r["last_day"]) for r in rows]
+    assert got == frontier
+
+
+def test_survival_km_matches_pure_python(spark, sf_dir):
+    import datetime
+
+    t = pq.read_table(f"{sf_dir}/events.parquet").to_pydict()
+    epoch = datetime.datetime(1970, 1, 1)
+    first, conv, horizon = {}, {}, 0
+    for u, ts, et in zip(t["user_id"], t["ts"], t["event_type"]):
+        d = (ts - epoch).days
+        horizon = max(horizon, d)
+        first[u] = min(first.get(u, d), d)
+        if et == "purchase":
+            conv[u] = min(conv.get(u, d), d)
+    durs = []
+    for u, f in first.items():
+        if u in conv:
+            durs.append((conv[u] - f, True))
+        else:
+            durs.append((horizon - f, False))
+    times = sorted({t_ for t_, ev in durs if ev})
+    surv, out = 1.0, []
+    hit_zero = False
+    cum_i9 = 0
+    for t_ in times:
+        n_risk = sum(1 for d, _ in durs if d >= t_)
+        d_ = sum(1 for d, ev in durs if d == t_ and ev)
+        if d_ == n_risk:
+            hit_zero = True
+        else:
+            cum_i9 += math.floor(
+                math.log(1.0 - float(d_) / float(n_risk)) * 1e9 + 0.5
+            )
+        s = 0.0 if hit_zero else _snap9(math.exp(cum_i9 / 1e9))
+        out.append((t_, n_risk, d_, s))
+    rows = registry.QUERIES["agg-survival-km"](spark, sf_dir).collect()
+    got = [
+        (r["t_days"], r["n_risk"], r["n_conv"], r["survival"])
+        for r in rows
+    ]
+    assert got == out

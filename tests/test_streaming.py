@@ -279,3 +279,34 @@ def test_session_batch_rollup_matches_streaming_sessions(spark, sf_dir):
         "max_duration_us",
     ]
     assert _rows(rollup, cols) == _rows(batch, cols)
+
+
+def test_stream_topk_windowed_matches_batch(spark, sf_dir):
+    """H12's streaming half: the windowed per-type counts ARE the
+    streaming aggregate (complete mode); the bounded top-k rank
+    applies to the closed result exactly as a foreachBatch consumer
+    would, and must reproduce the declared batch query."""
+    from pyspark.sql import Window as W
+
+    stream = as_stream(spark, sf_dir)
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    run_stream_to_memory(agg, "t_topkw", mode="complete")
+    wr = W.partitionBy("w").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    streamed = (
+        spark.table("t_topkw")
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            F.col("rnk").cast("int").alias("rnk"),
+            "event_type",
+            "n_events",
+        )
+    )
+    batch = registry.QUERIES["stream-topk-windowed"](spark, sf_dir)
+    cols = ["window_start", "rnk", "event_type", "n_events"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
