@@ -101,9 +101,9 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # with never-scored + structurally-changed keys at the HEAD.
 #
 # r12 handoff: after r11's ~50-key cut (17 new + 4 changed + 20 r6 +
-# ~9 r7, cut lands near dedup-embedding-cosine at position 50), the
-# remaining ~33 r7-stale keys (sim-search-lsh onward in this list)
-# end r11 four rounds stale — build _PRIORITY_R12 with THOSE
+# ~9 r7, cut lands near sim-search-topk/dedup-embedding-cosine at
+# position 50), the remaining ~33 r7-stale keys (sim-search-lsh
+# onward in this list) end r11 four rounds stale — build _PRIORITY_R12 with THOSE
 # first (after any r12-new/changed keys), then the r8 block, from
 # `python tools/stale_keys.py --list`.
 _PRIORITY_R11 = [
