@@ -228,6 +228,8 @@ HEADLINE = [
     "etl-table-checksum",
     "window-pareto-frontier",
     "agg-survival-km",
+    "window-percentile-bands",
+    "agg-assoc-lift",
 ]
 
 

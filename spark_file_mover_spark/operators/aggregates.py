@@ -4481,3 +4481,114 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE FLOOR(EXP(CAST(cum_i9 AS DOUBLE) / 1e9) * 1e9 + 0.5)"
         " / 1e9 END AS survival",
     ).orderBy("t_days")
+
+
+# ---------------------------------------------------------------------------
+# E45 — event-type association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_LIFT_ORACLE = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+tc AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+  FROM ut GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS ante, b.event_type AS cons,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ante, cons, n_ab,
+       ta.n_t AS n_ante, tb.n_t AS n_cons,
+       FLOOR((CAST(n_ab AS DOUBLE) / CAST(n.n_users AS DOUBLE))
+             * 1e9 + 0.5) / 1e9 AS support,
+       FLOOR((CAST(n_ab AS DOUBLE) / CAST(ta.n_t AS DOUBLE))
+             * 1e9 + 0.5) / 1e9 AS confidence,
+       FLOOR(((CAST(n_ab AS DOUBLE) * CAST(n.n_users AS DOUBLE))
+              / (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE)))
+             * 1e9 + 0.5) / 1e9 AS lift
+FROM pairs
+JOIN tc ta ON ta.event_type = ante
+JOIN tc tb ON tb.event_type = cons
+CROSS JOIN n
+ORDER BY ante, cons
+"""
+
+
+@query("agg-assoc-lift", oracle=_LIFT_ORACLE)
+def agg_assoc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E45: pairwise association rules over per-user event-type
+    baskets — support, confidence and lift for every unordered type
+    pair: the market-basket readout ("users who view also purchase —
+    is that co-occurrence above chance?") behind cross-sell and
+    recommendation baselines; lift = P(A∧B)/(P(A)·P(B)) > 1 flags
+    above-independence co-occurrence, and the Markov transition matrix
+    (E26) is the ORDERED sibling (sequence vs co-occurrence).
+
+    Parity: all counts exact integers over the DISTINCT (user, type)
+    relation; the three ratios are snapped all-double expressions;
+    pair symmetry fixed by the ante < cons canonical order so both
+    engines emit identical row sets.
+
+    Shape at 100 TB: events collapse map-side to DISTINCT
+    (user, type) — per-user event volume never shuffles (the E34/E43
+    plan); the pair enumeration is a user-keyed self-join whose
+    fanout is bounded by |types|² per user (types is a small
+    vocabulary — this is the basket model, not a general pair join);
+    margins and the user count aggregate the SAME collapsed relation
+    and broadcast onto the types²-bounded pair relation."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct().localCheckpoint(
+        eager=True
+    )
+    n = ut.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    tc = ut.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_t")
+    )
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ante"),
+            F.col("b.event_type").alias("cons"),
+        )
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    ta = tc.select(
+        F.col("event_type").alias("ante"), F.col("n_t").alias("n_ante")
+    )
+    tb = tc.select(
+        F.col("event_type").alias("cons"), F.col("n_t").alias("n_cons")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "ante")
+        .join(F.broadcast(tb), "cons")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "ante",
+            "cons",
+            "n_ab",
+            "n_ante",
+            "n_cons",
+            "FLOOR((CAST(n_ab AS DOUBLE) / CAST(n_users AS DOUBLE))"
+            " * 1e9 + 0.5) / 1e9 AS support",
+            "FLOOR((CAST(n_ab AS DOUBLE) / CAST(n_ante AS DOUBLE))"
+            " * 1e9 + 0.5) / 1e9 AS confidence",
+            "FLOOR(((CAST(n_ab AS DOUBLE) * CAST(n_users AS DOUBLE))"
+            " / (CAST(n_ante AS DOUBLE) * CAST(n_cons AS DOUBLE)))"
+            " * 1e9 + 0.5) / 1e9 AS lift",
+        )
+        .orderBy("ante", "cons")
+    )

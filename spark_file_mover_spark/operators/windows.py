@@ -2400,3 +2400,120 @@ def window_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("custkey", "spend_cents", "last_day")
         .orderBy("spend_cents", "custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# F29 — exact per-hour percentile bands (the latency-panel query)
+# ---------------------------------------------------------------------------
+
+_PCTBANDS_ORACLE = """
+WITH x AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+dist AS (
+  SELECT w, cents, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY w, cents
+),
+runs AS (
+  SELECT w, cents, c,
+         CAST(SUM(c) OVER (PARTITION BY w ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY w) AS BIGINT) AS n
+  FROM dist
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(MAX(n) AS BIGINT) AS n_obs,
+       CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN cents END)
+            AS BIGINT) AS p50_cents,
+       CAST(MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN cents END)
+            AS BIGINT) AS p95_cents,
+       CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN cents END)
+            AS BIGINT) AS p99_cents
+FROM runs GROUP BY w
+ORDER BY window_start
+"""
+
+
+@query("window-percentile-bands", oracle=_PCTBANDS_ORACLE)
+def window_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F29: exact nearest-rank p50/p95/p99 of the value stream per
+    hour — THE observability panel (latency/size/cost percentile
+    bands over time), the grouped-by-time flavor of the global exact
+    quantile (E19): a per-bucket percentile is what alerting
+    thresholds and SLO burn-rates are defined on, and approx_percentile
+    (E6) trades exactly the tail precision (p99) the panel exists for.
+
+    Parity: exact integer cents; the nearest-rank boundary is the
+    smallest value whose within-bucket cumulative count reaches
+    ceil(p·n) — a conditional MIN per bucket, exact in both engines;
+    NULL values excluded in both.
+
+    Shape at 100 TB — the E19 discipline PER GROUP: events collapse
+    map-side to the (hour, cents, count) distribution (bounded by
+    buckets × value cardinality, never event count); ONE cumulative
+    window partitioned by hour over that relation; all three
+    percentiles come out of ONE conditional-MIN hash aggregate per
+    bucket. No sort of raw events, no per-event window."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    dist = e.groupBy(
+        F.window("ts", "1 hour").alias("w"),
+        (dec("value") * 100).cast("long").alias("cents"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    wcum = (
+        W.partitionBy("w")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("w")
+    runs = dist.select(
+        "w",
+        "cents",
+        F.sum("c").over(wcum).cast("long").alias("cum"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    return (
+        runs.groupBy("w")
+        .agg(
+            F.max("n").cast("long").alias("n_obs"),
+            F.min(
+                F.expr(
+                    "CASE WHEN cum >= (50 * n + 99) DIV 100"
+                    " THEN cents END"
+                )
+            )
+            .cast("long")
+            .alias("p50_cents"),
+            F.min(
+                F.expr(
+                    "CASE WHEN cum >= (95 * n + 99) DIV 100"
+                    " THEN cents END"
+                )
+            )
+            .cast("long")
+            .alias("p95_cents"),
+            F.min(
+                F.expr(
+                    "CASE WHEN cum >= (99 * n + 99) DIV 100"
+                    " THEN cents END"
+                )
+            )
+            .cast("long")
+            .alias("p99_cents"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_obs",
+            "p50_cents",
+            "p95_cents",
+            "p99_cents",
+        )
+        .orderBy("window_start")
+    )

@@ -440,3 +440,27 @@ def test_survival_km_differential(rows, spark, tmp_path_factory):
     _write_events(d, rows)
     ok, msg = _run_both("agg-survival-km", spark, d, ["events"])
     assert ok, msg
+
+
+@given(rows=st.lists(_FUNNEL_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_percentile_bands_differential(rows, spark, tmp_path_factory):
+    """Random event tables through the per-hour exact percentile
+    panel: single-observation buckets (p50=p95=p99), dense cent ties
+    (the nearest-rank boundary inside a tie run)."""
+    d = tmp_path_factory.mktemp("r11pct")
+    _write_events(d, rows)
+    ok, msg = _run_both("window-percentile-bands", spark, d, ["events"])
+    assert ok, msg
+
+
+@given(rows=st.lists(_FUNNEL_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_assoc_lift_differential(rows, spark, tmp_path_factory):
+    """Random baskets through support/confidence/lift: single-type
+    users (no pairs), disjoint type populations (lift < 1), full
+    co-occurrence (lift = 1/support)."""
+    d = tmp_path_factory.mktemp("r11lift")
+    _write_events(d, rows)
+    ok, msg = _run_both("agg-assoc-lift", spark, d, ["events"])
+    assert ok, msg

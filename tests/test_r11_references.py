@@ -501,3 +501,59 @@ def test_survival_km_matches_pure_python(spark, sf_dir):
         for r in rows
     ]
     assert got == out
+
+
+def test_percentile_bands_matches_pure_python(spark, sf_dir):
+    t = pq.read_table(f"{sf_dir}/events.parquet").to_pydict()
+    by_w = defaultdict(list)
+    for ts, v in zip(t["ts"], t["value"]):
+        if v is None:
+            continue
+        w = ts.replace(minute=0, second=0, microsecond=0)
+        by_w[w].append(_cents(v))
+    rows = registry.QUERIES["window-percentile-bands"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == len(by_w)
+    for r, w in zip(rows, sorted(by_w)):
+        cs = sorted(by_w[w])
+        n = len(cs)
+        assert r["window_start"] == w.strftime("%Y-%m-%d %H:%M:%S")
+        assert r["n_obs"] == n
+        for p, col in ((50, "p50_cents"), (95, "p95_cents"),
+                       (99, "p99_cents")):
+            rank = -(-p * n // 100)  # ceil(p*n/100)
+            assert r[col] == cs[rank - 1], (w, p)
+
+
+def test_assoc_lift_matches_pure_python(spark, sf_dir):
+    t = pq.read_table(f"{sf_dir}/events.parquet").to_pydict()
+    ut = {(u, et) for u, et in zip(t["user_id"], t["event_type"])}
+    users = {u for u, _ in ut}
+    n = len(users)
+    tc = Counter(et for _, et in ut)
+    by_user = defaultdict(set)
+    for u, et in ut:
+        by_user[u].add(et)
+    pairs = Counter()
+    for ets in by_user.values():
+        s = sorted(ets)
+        for i, a in enumerate(s):
+            for b in s[i + 1 :]:
+                pairs[(a, b)] += 1
+    rows = registry.QUERIES["agg-assoc-lift"](spark, sf_dir).collect()
+    assert len(rows) == len(pairs)
+    for r in rows:
+        k = (r["ante"], r["cons"])
+        n_ab = pairs[k]
+        assert r["n_ab"] == n_ab
+        assert r["n_ante"] == tc[r["ante"]]
+        assert r["n_cons"] == tc[r["cons"]]
+        assert r["support"] == _snap9(float(n_ab) / float(n))
+        assert r["confidence"] == _snap9(
+            float(n_ab) / float(tc[r["ante"]])
+        )
+        assert r["lift"] == _snap9(
+            (float(n_ab) * float(n))
+            / (float(tc[r["ante"]]) * float(tc[r["cons"]]))
+        )
