@@ -230,6 +230,7 @@ HEADLINE = [
     "agg-survival-km",
     "window-percentile-bands",
     "agg-assoc-lift",
+    "window-drawdown",
 ]
 
 

@@ -2517,3 +2517,87 @@ def window_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# F30 — running-peak drawdown of the daily revenue series
+# ---------------------------------------------------------------------------
+
+_DRAWDOWN_ORACLE = """
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2)) * 100), 0)
+              AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT day, cents,
+         CAST(MAX(cents) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS peak_cents
+  FROM d
+)
+SELECT strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS day_str,
+       cents, peak_cents,
+       CAST(peak_cents - cents AS BIGINT) AS drawdown_cents,
+       CASE WHEN peak_cents > 0 THEN
+         FLOOR((CAST(peak_cents - cents AS DOUBLE)
+                / CAST(peak_cents AS DOUBLE)) * 1e9 + 0.5) / 1e9
+       END AS drawdown_frac,
+       CAST(MAX(peak_cents - cents) OVER () AS BIGINT)
+         AS max_drawdown_cents
+FROM r ORDER BY day
+"""
+
+
+@query("window-drawdown", oracle=_DRAWDOWN_ORACLE)
+def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F30: running-peak drawdown of the daily revenue series — per
+    day, the gap to the best day seen SO FAR (absolute, fractional,
+    and the global maximum drawdown): the slump-detection readout
+    finance calls max drawdown and ops dashboards call
+    days-below-peak; the running-max complement of the cumulative
+    windows (F26) and the threshold-free cousin of the CUSUM
+    changepoint screen (F20).
+
+    Parity: exact integer cents; the running peak and drawdowns are
+    integer decisions; the fraction is one snapped division (NULL
+    when the running peak is 0 — an all-zero prefix).
+
+    Shape at 100 TB: events collapse map-side to the calendar-bounded
+    DAY relation before any window (the E19/F26 discipline); the
+    running-max and global-max windows rank ~365 rows per year,
+    never events."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias(
+            "day"
+        )
+    ).agg(
+        F.coalesce(F.sum(dec("value") * 100), F.lit(0))
+        .cast("long")
+        .alias("cents")
+    )
+    wpeak = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    r = d.select(
+        "day",
+        "cents",
+        F.max("cents").over(wpeak).cast("long").alias("peak_cents"),
+    )
+    return r.selectExpr(
+        "date_format(timestamp_micros(day * 86400000000), 'yyyy-MM-dd')"
+        " AS day_str",
+        "cents",
+        "peak_cents",
+        "CAST(peak_cents - cents AS BIGINT) AS drawdown_cents",
+        "CASE WHEN peak_cents > 0 THEN"
+        " FLOOR((CAST(peak_cents - cents AS DOUBLE)"
+        " / CAST(peak_cents AS DOUBLE)) * 1e9 + 0.5) / 1e9"
+        " END AS drawdown_frac",
+    ).withColumn(
+        "max_drawdown_cents",
+        F.max("drawdown_cents").over(wall).cast("long"),
+    ).orderBy("day_str")

@@ -67,7 +67,7 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # ``load_all`` rebuilds the registry dict in this order after all
 # modules import:
 #
-#   0. The 19 r11-NEW keys (no driver row ever): agg-theil-index,
+#   0. The 20 r11-NEW keys (no driver row ever): agg-theil-index,
 #      agg-lorenz-deciles, agg-winsorized-stats (the sort-free
 #      distribution-trick statistics family), graph-global-clustering
 #      (over the cached K5 relations), text-zipf-fit (over the cached
@@ -81,7 +81,8 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #      window-pareto-frontier (distribution-trick skyline), and
 #      agg-survival-km (Kaplan-Meier in exact log-space),
 #      window-percentile-bands (per-hour exact p50/p95/p99), and
-#      agg-assoc-lift (basket support/confidence/lift).
+#      agg-assoc-lift (basket support/confidence/lift), and
+#      window-drawdown (running-peak slump detection).
 #   1. The 4 keys whose STRUCTURE changed in r11 and need a fresh
 #      driver row over the new code: graph-reciprocity (cached-edge
 #      one-aggregate rewrite of the r10 8-scan plan),
@@ -102,10 +103,10 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # Rebuild this list each round from `python tools/stale_keys.py --list`
 # with never-scored + structurally-changed keys at the HEAD.
 #
-# r12 handoff: after r11's ~50-key cut (19 new + 4 changed + 20 r6 +
-# ~7 r7, cut lands near dedup-ngram-jaccard/text-dup-cut at position
-# 50), the remaining ~35 r7-stale keys (sim-search-topk onward in
-# this list) end r11 four rounds stale — build _PRIORITY_R12 with THOSE
+# r12 handoff: after r11's ~50-key cut (20 new + 4 changed + 20 r6 +
+# ~6 r7, cut lands near dedup-simhash/dedup-ngram-jaccard at position
+# 50), the remaining ~36 r7-stale keys (text-dup-cut onward in this
+# list) end r11 four rounds stale — build _PRIORITY_R12 with THOSE
 # first (after any r12-new/changed keys), then the r8 block, from
 # `python tools/stale_keys.py --list`.
 _PRIORITY_R11 = [
@@ -123,6 +124,7 @@ _PRIORITY_R11 = [
     "agg-survival-km",
     "window-percentile-bands",
     "agg-assoc-lift",
+    "window-drawdown",
     "agg-lorenz-deciles",
     "agg-winsorized-stats",
     "graph-global-clustering",

@@ -464,3 +464,12 @@ def test_assoc_lift_differential(rows, spark, tmp_path_factory):
     _write_events(d, rows)
     ok, msg = _run_both("agg-assoc-lift", spark, d, ["events"])
     assert ok, msg
+
+
+@given(rows=st.lists(_FUNNEL_ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_drawdown_differential(rows, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("r11dd")
+    _write_events(d, rows)
+    ok, msg = _run_both("window-drawdown", spark, d, ["events"])
+    assert ok, msg

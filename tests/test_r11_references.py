@@ -557,3 +557,32 @@ def test_assoc_lift_matches_pure_python(spark, sf_dir):
             (float(n_ab) * float(n))
             / (float(tc[r["ante"]]) * float(tc[r["cons"]]))
         )
+
+
+def test_drawdown_matches_pure_python(spark, sf_dir):
+    import datetime
+
+    t = pq.read_table(f"{sf_dir}/events.parquet").to_pydict()
+    epoch = datetime.datetime(1970, 1, 1)
+    per_day = defaultdict(int)
+    for ts, v in zip(t["ts"], t["value"]):
+        per_day[(ts - epoch).days] += _cents(v) if v is not None else 0
+    rows = registry.QUERIES["window-drawdown"](spark, sf_dir).collect()
+    assert len(rows) == len(per_day)
+    peak, maxdd = 0, 0
+    exp = []
+    for d in sorted(per_day):
+        c = per_day[d]
+        peak = max(peak, c)
+        maxdd = max(maxdd, peak - c)
+        exp.append((d, c, peak, peak - c))
+    for r, (d, c, peak_, dd) in zip(rows, exp):
+        dt = epoch + datetime.timedelta(days=d)
+        assert r["day_str"] == dt.strftime("%Y-%m-%d")
+        assert (r["cents"], r["peak_cents"], r["drawdown_cents"]) == (
+            c, peak_, dd,
+        )
+        assert r["drawdown_frac"] == (
+            _snap9(float(dd) / float(peak_)) if peak_ > 0 else None
+        )
+        assert r["max_drawdown_cents"] == maxdd

@@ -151,6 +151,7 @@ NOTES = {
     "sample-quota-allocate": "Hamilton apportionment: one count per language, all-integer base/remainder arithmetic, windows over the langs-bounded relation; quotas sum to the budget by construction.",
     "text-novelty-ratio": "Novelty: grams leave the scan as xxhash64 keys (text never shuffles), min-groupBy first-seen, (hash, doc_id) attribution join, per-doc rollup; snapped ratio.",
     "fn-phone-normalize": "Phone E.164: map-only synthesize-then-parse; digit strip + prefix classification + longest-first cc match as generated CASE; zero shuffles, no UDF.",
+    "window-drawdown": "Day relation collapses map-side; running-max + global-max windows rank ~365 rows/year; exact integers, one snapped division.",
     "window-percentile-bands": "E19 per group: (hour, cents, count) distribution collapses map-side; one hour-partitioned cumulative window; all three percentiles from ONE conditional-MIN hash agg per bucket.",
     "agg-assoc-lift": "DISTINCT (user,type) collapse localCheckpointed (three consumers); pair self-join fanout bounded by types^2 per user; margins broadcast onto the types^2-bounded pair relation.",
     "window-pareto-frontier": "Skyline via the value distribution: best-recency-per-spend-level relation + one descending cumulative-max window (best recency among strictly higher spends) + closed-form frontier filter + one 16-byte pull-back join; the oracle's O(n^2) NOT EXISTS never materializes.",
