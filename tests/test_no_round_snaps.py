@@ -82,6 +82,57 @@ def test_snap_bitwise_identical_spark_duckdb(spark, x):
     assert got_spark == got_duck, (x, got_spark, got_duck)
 
 
+# --- magnitude-hazard pins (r12, ADVICE item) -----------------------------
+#
+# Spark's floor(double) -> BIGINT saturates at Long.MaxValue when
+# |x*10^d| >= 2^63; DuckDB's FLOOR stays double. snap() is therefore
+# only engine-portable inside |x| < 2^63/10^d. These two tests pin BOTH
+# sides of that boundary: agreement just inside it, and the KNOWN
+# saturation divergence outside it (if Spark's semantics ever change —
+# e.g. ANSI starts raising — the second test trips loudly instead of a
+# driver hash silently mismatching).
+
+_SATURATED = 9223372036.854776  # Long.MaxValue / 1e9
+
+
+# (Values here must parse identically as literals in both engines —
+# DuckDB types long decimal literals as DECIMAL before casting, which
+# perturbs the 17th significant digit; registered queries never ship
+# doubles through literals, so exponent-form values pin the column
+# path faithfully.)
+@pytest.mark.parametrize("x", [1.8e9, -1.8e9, 9.2e9, 1234567.890625])
+def test_snap_agrees_inside_2pow63_envelope(spark, x):
+    from spark_file_mover_spark.numerics import snap
+
+    import pyspark.sql.functions as F
+
+    got_spark = (
+        spark.range(1).select(snap(F.lit(x), 9).alias("v")).collect()[0]["v"]
+    )
+    got_duck = duckdb.sql(
+        f"SELECT FLOOR(({x!r}) * 1e9 + 0.5) / 1e9 AS v"
+    ).fetchone()[0]
+    assert got_spark == got_duck, (x, got_spark, got_duck)
+
+
+@pytest.mark.parametrize("x", [9.3e9, 1.0e12, 9007199254740.0])
+def test_snap_saturates_beyond_2pow63_documented_divergence(spark, x):
+    from spark_file_mover_spark.numerics import snap
+
+    import pyspark.sql.functions as F
+
+    got_spark = (
+        spark.range(1).select(snap(F.lit(x), 9).alias("v")).collect()[0]["v"]
+    )
+    got_duck = duckdb.sql(
+        f"SELECT FLOOR(({x!r}) * 1e9 + 0.5) / 1e9 AS v"
+    ).fetchone()[0]
+    # Spark saturates; DuckDB does not. This is the DOCUMENTED hazard —
+    # registered metrics must stay inside the envelope (numerics.py).
+    assert got_spark == _SATURATED, (x, got_spark)
+    assert got_duck != _SATURATED, (x, got_duck)
+
+
 def test_snap_accepts_string_column(spark):
     from spark_file_mover_spark.numerics import snap
 

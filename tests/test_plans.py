@@ -1494,7 +1494,9 @@ def test_webp_meta_is_map_only(spark, sf_dir):
     plan = _formatted_plan(
         spark, registry.QUERIES["multimodal-webp-meta"](spark, sf_dir)
     )
-    assert "Exchange" not in plan.split("Sort")[0] or True
+    # Nothing above the presentation Sort may shuffle (the tree prints
+    # parent-first, so the prefix before the first Sort is the root spine).
+    assert "Exchange" not in plan.split("Sort")[0]
     body = plan.split("== Physical Plan ==")[1]
     assert "ArrowEvalPython" not in body and "BatchEvalPython" not in body
     import re as _re

@@ -2,6 +2,17 @@
 with scale annotations. Run from the repo root:
 
     python tools/dump_plans.py [sf_dir]
+
+NOT side-effect-free (r12, ADVICE note): several query builders
+materialize derived relations with ``localCheckpoint(eager=True)``
+(the Pregel/graph family, events-funnel-windowed, agg-chisq/theil/
+bootstrap/assoc-lift, the per-(app, sf_dir) cached ingest artifacts),
+so merely CONSTRUCTING those DataFrames runs real Spark jobs over the
+corpus — both plain runs and ``--audit`` therefore execute work per
+key, and a misconfigured session fails at build time rather than
+collect time. This is deliberate: the checkpoint IS the plan shape
+being audited (the leaves of the dumped plan are the cached
+relations), and the bench contract times the same builders.
 """
 
 from __future__ import annotations
