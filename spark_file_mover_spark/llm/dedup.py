@@ -244,6 +244,32 @@ def _norm_hash() -> F.Column:
     return F.xxhash64(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
 
 
+def _nh_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared ``(doc_id, nh)`` normalized-hash relation, persisted
+    per (appId, sf_dir) under the r8 materialized-view contract — a
+    pure function of the input files, so the corpus pass that builds it
+    is paid ONCE and every consumer (the minhash exact-edge union, the
+    signature audit, cross-corpus bloom's reference/probe split) rides
+    the cache. persist(MEMORY_AND_DISK) keeps replayable lineage:
+    executor loss between invocations recomputes instead of failing
+    later hits (see llm/similarity.py's IVF cache note). r12: extracted
+    from the minhash builder so dedup-cross-bloom shares it — its cold
+    plan previously paid FOUR same-signature documents scans (bloom
+    build, probe, verify reference, and the un-persisted candidate
+    relation consumed twice), caught by the registry-wide scan gate."""
+    global _last_nh_rel
+    nh_key = artifact_cache_key(spark, sf_dir)
+    if _last_nh_rel is not None and _last_nh_rel[0] == nh_key:
+        return _last_nh_rel[1]
+    d = load_table(spark, sf_dir, "documents")
+    nh_rel = d.select("doc_id", _norm_hash().alias("nh")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    nh_rel.count()  # eager: exact edges + signatures both read it
+    _last_nh_rel = (nh_key, nh_rel)
+    return nh_rel
+
+
 def minhash_clusters(
     spark: SparkSession, sf_dir: str, nh_rel: DataFrame | None = None
 ) -> DataFrame:
@@ -495,22 +521,8 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream), which pays back the barrier."""
     from pyspark.sql import Window as W
 
-    global _last_nh_rel
     d = load_table(spark, sf_dir, "documents")
-    # the (doc_id, nh) relation is a pure function of the input files —
-    # cached per artifact_cache_key like the bands it feeds (r8) with
-    # persist(MEMORY_AND_DISK): replayable lineage, so executor loss
-    # between invocations recomputes instead of failing later hits
-    # (see llm/similarity.py's IVF cache note)
-    nh_key = artifact_cache_key(spark, sf_dir)
-    if _last_nh_rel is not None and _last_nh_rel[0] == nh_key:
-        nh_rel = _last_nh_rel[1]
-    else:
-        nh_rel = d.select("doc_id", _norm_hash().alias("nh")).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        nh_rel.count()  # eager: exact edges + signatures both read it
-        _last_nh_rel = (nh_key, nh_rel)
+    nh_rel = _nh_relation(spark, sf_dir)
     sparse = _minhash_cluster_sparse(spark, d, nh_rel, sf_dir)
     with_cl = nh_rel.join(sparse, "doc_id", "left").select(
         "doc_id",
@@ -1458,8 +1470,11 @@ def dedup_cross_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate run once per corpus, and repeat invocations pay only the
     probe + verify joins."""
     global _last_bloom
-    d = load_table(spark, sf_dir, "documents")
-    nh_all = d.select("doc_id", _norm_hash().alias("nh"))
+    # r12: ride the shared persisted (doc_id, nh) relation — the cold
+    # plan previously re-scanned documents four times (registry-wide
+    # scan-gate catch); now the corpus pass is the one _nh_relation
+    # builds and reference/probe are in-memory slices of it.
+    nh_all = _nh_relation(spark, sf_dir)
     ref = nh_all.filter(F.col("doc_id") % 3 == 0)
     probe = nh_all.filter(F.col("doc_id") % 3 != 0)
 
@@ -1529,6 +1544,9 @@ def dedup_cross_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("hit").alias("all_hit"))
         .withColumn("bloom_candidate", F.col("all_hit") == 1)
         .drop("all_hit")
+        # consumed twice (verify filter + final join): checkpoint so
+        # the probe explode/groupBy runs once, not per consumer (r12)
+        .localCheckpoint()
     )
     exact = (
         cand.filter("bloom_candidate")

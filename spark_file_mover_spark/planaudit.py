@@ -88,3 +88,13 @@ def scan_signatures(plan: str) -> dict[tuple[str, str, str], int]:
 def max_signature_count(plan: str) -> int:
     """The gated quantity: the largest identical-signature scan count."""
     return max(scan_signatures(plan).values(), default=0)
+
+
+# Keys allowed >2 identical-signature scans of one table, each with the
+# reason the repeat is NOT a re-execution defect. Everything else is
+# gated at <=2 scans per signature by tools/dump_plans.py --audit AND
+# the registry-wide parametrized test (tests/test_plans.py, r12 — the
+# verdict order that made the r10 graph-reciprocity catch mechanical
+# for every key). Lives here, not in tools/, so the package owns its
+# own scale contract.
+SCAN_BUDGET_EXEMPT: dict[str, str] = {}

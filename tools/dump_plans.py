@@ -448,14 +448,10 @@ pre-batch HEADLINE with over_budget [] and the agg-hash control at
 
 
 from spark_file_mover_spark.planaudit import (  # noqa: E402
+    SCAN_BUDGET_EXEMPT,
     scan_census,
     scan_signatures,
 )
-
-# Keys allowed >2 identical-signature scans of one table, each with the
-# reason the repeat is NOT a re-execution defect. Everything else is
-# gated at <=2 scans per signature by --audit and tests/test_plans.py.
-SCAN_BUDGET_EXEMPT: dict[str, str] = {}
 
 
 def audit(sf: str) -> int:
