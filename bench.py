@@ -231,6 +231,78 @@ HEADLINE = [
     "window-percentile-bands",
     "agg-assoc-lift",
     "window-drawdown",
+    # r12 additions — the ~70 keys that had never carried a recorded
+    # wall-time (verdict order 5: BENCH_FULL must cover every key)
+    "set-union-intersect-except",
+    "join-skew-salted",
+    "join-range-binned",
+    "join-asof",
+    "join-lateral-topk",
+    "dedup-components",
+    "text-repetition",
+    "filter-scalar-subquery",
+    "fn-bitwise",
+    "move-list-files",
+    "move-rename",
+    "scan-jsonl-roundtrip",
+    "sink-bucketed",
+    "join-semi-anti",
+    "join-broadcast",
+    "join-range-theta",
+    "dedup-simhash",
+    "dedup-ngram-jaccard",
+    "dedup-embedding-cosine",
+    "sample-train-split",
+    "sample-hash-stratified",
+    "sample-temperature-weights",
+    "text-url-normalize",
+    "project-select",
+    "filter-pred",
+    "filter-like-regexp",
+    "fn-date",
+    "fn-math",
+    "fn-array",
+    "fn-case-when-cast",
+    "multimodal-binary",
+    "multimodal-frame-sample",
+    "text-token-count",
+    "text-langid",
+    "text-quality-score",
+    "text-pii-scrub",
+    "text-ngram-freq",
+    "move-partition-extract",
+    "move-collision-guard",
+    "scan-parquet",
+    "scan-table-manifest",
+    "scan-orc-roundtrip",
+    "sink-sorted-pruning",
+    "sink-overwrite",
+    "udf-scalar-pandas",
+    "udaf-grouped-pandas",
+    "udtf-explode-like",
+    "agg-distinct",
+    "agg-approx-distinct",
+    "agg-rollup-cube-gsets",
+    "agg-having",
+    "agg-approx-quantile",
+    "agg-pivot",
+    "agg-stats",
+    "agg-unpivot",
+    "agg-incremental-merge",
+    "window-analytic",
+    "window-frame-agg",
+    "sample-pack-sequences",
+    "repartition-n",
+    "scan-csv-roundtrip",
+    "etl-scd2",
+    "etl-cdc-apply",
+    "stream-sliding",
+    "stream-dedup-late",
+    "stream-stateful-agg",
+    "stream-join",
+    "events-funnel",
+    "rollup-hierarchical",
+    "join-left-right-full",
 ]
 
 

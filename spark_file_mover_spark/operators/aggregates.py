@@ -4592,3 +4592,478 @@ def agg_assoc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ante", "cons")
     )
+
+
+# ---------------------------------------------------------------------------
+# E46 — Mann-Whitney U / Wilcoxon rank-sum test (tie-corrected)
+# ---------------------------------------------------------------------------
+
+# Shared textual fragments, interpolated VERBATIM into both engines'
+# SQL (the Welch/CUPED discipline). Operands: n0/n1 BIGINT group
+# sizes, dd = 2·U1 − n0·n1 and tt = Σ(t³−t) both DECIMAL(38,0)-exact.
+_MW_VAR = (
+    "(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0)"
+    " * ((CAST(n0 + n1 AS DOUBLE) + 1.0)"
+    "    - CAST(tt AS DOUBLE)"
+    "      / (CAST(n0 + n1 AS DOUBLE) * (CAST(n0 + n1 AS DOUBLE) - 1.0)))"
+)
+_MW_Z = f"(CAST(dd AS DOUBLE) / 2.0) / SQRT({_MW_VAR})"
+_MW_OK = f"n0 >= 1 AND n1 >= 1 AND n0 + n1 >= 2 AND ({_MW_VAR}) > 0.0"
+
+_MANNWHITNEY_ORACLE = f"""
+WITH per_user AS (
+  SELECT {MD5_PREFIX60_SQL.format(x="CAST(user_id AS VARCHAR)")} % 2 AS v,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
+              AS BIGINT) AS yc
+  FROM events GROUP BY user_id
+),
+dist AS (
+  SELECT yc,
+         CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM per_user GROUP BY yc
+),
+r AS (
+  SELECT yc, c0, c1, c0 + c1 AS t,
+         COALESCE(CAST(SUM(c0 + c1) OVER (ORDER BY yc
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS b
+  FROM dist
+),
+m AS (
+  SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+         CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(COALESCE(SUM(CAST(c1 AS DECIMAL(38,0)) * (2*b + t + 1)), 0)
+              AS DECIMAL(38,0)) AS r2,
+         CAST(COALESCE(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t), 0)
+              AS DECIMAL(38,0)) AS tt
+  FROM r
+),
+c AS (
+  SELECT *,
+         r2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS u2,
+         r2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)
+            - CAST(n0 AS DECIMAL(38,0)) * n1 AS dd
+  FROM m
+)
+SELECT n0, n1,
+  CASE WHEN n0 >= 1 AND n1 >= 1 THEN CAST(u2 AS DOUBLE) / 2.0 END AS u_stat,
+  CASE WHEN {_MW_OK} THEN FLOOR(({_MW_Z}) * 1e9 + 0.5) / 1e9 END AS z_value,
+  COALESCE(ABS(CASE WHEN {_MW_OK} THEN
+    FLOOR(({_MW_Z}) * 1e9 + 0.5) / 1e9 END)
+    > CAST({_WT_CRIT} AS DOUBLE), FALSE) AS significant
+FROM c
+"""
+
+
+@query("agg-mann-whitney", oracle=_MANNWHITNEY_ORACLE)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E46: Mann-Whitney U (Wilcoxon rank-sum) test on per-user total
+    spend between the two hash variants — the NONPARAMETRIC sibling
+    that completes the experiment readout family: Welch (E30) tests
+    means but is rattled by the heavy-tailed spend distributions
+    Hill (E48) measures; the rank-sum test asks the robust question
+    "does one variant's spend distribution stochastically dominate?"
+    and is the standard fallback every experimentation platform
+    offers for skewed metrics. Tie-corrected normal approximation
+    (Mann & Whitney 1947; large-sample z convention shared with E30's
+    _WT_CRIT documentation).
+
+    Shape at 100 TB — the E13/E19 DISTRIBUTION trick, rank-sum
+    flavored: per-user cents collapse to DISTINCT (cents, c0, c1)
+    rows bounded by VALUE cardinality; a tie run of combined size t
+    starting after B smaller observations occupies ranks B+1..B+t
+    with shared midrank B+(t+1)/2, so the variant-1 rank sum is the
+    closed form Σ c1·(2B+t+1)/2 — one cumulative-count window over
+    the bounded distribution relation, one one-row aggregate, and NO
+    sort of users anywhere (the Gini r10 lesson).
+
+    Parity: doubled rank sums 2·R1 = Σ c1·(2B+t+1) and the tie term
+    Σ(t³−t) are DECIMAL(38,0)-exact integers; U is emitted as the
+    exact half 2U/2 (IEEE-exact); z's variance and ratio are shared
+    textual fragments over exact operands, snapped at 9 dp; the flag
+    compares the SNAPPED z against the shared critical literal.
+    Degenerate inputs (a one-variant population, all values tied →
+    zero variance) → NULL u/z and FALSE in both engines."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce((F.sum(dec("value")) * 100).cast("long"), F.lit(0))
+            .alias("yc")
+        )
+        .select(
+            F.pmod(
+                md5_prefix60(F.col("user_id").cast("string")), F.lit(2)
+            ).alias("v"),
+            "yc",
+        )
+    )
+    dist = pu.groupBy("yc").agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    wb = W.orderBy("yc").rowsBetween(W.unboundedPreceding, -1)
+    r = dist.select(
+        "yc",
+        "c0",
+        "c1",
+        (F.col("c0") + F.col("c1")).alias("t"),
+        F.coalesce(
+            F.sum(F.col("c0") + F.col("c1")).over(wb), F.lit(0)
+        ).alias("b"),
+    )
+    d38 = "decimal(38,0)"
+    m = r.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.coalesce(
+            F.sum(F.expr("CAST(c1 AS DECIMAL(38,0)) * (2*b + t + 1)")),
+            F.lit(0),
+        )
+        .cast(d38)
+        .alias("r2"),
+        F.coalesce(
+            F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * t * t - t")), F.lit(0)
+        )
+        .cast(d38)
+        .alias("tt"),
+    )
+    c = m.withColumns(
+        {
+            "u2": F.expr("r2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)"),
+            "dd": F.expr(
+                "r2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)"
+                " - CAST(n0 AS DECIMAL(38,0)) * n1"
+            ),
+        }
+    )
+    return c.selectExpr(
+        "n0",
+        "n1",
+        "CASE WHEN n0 >= 1 AND n1 >= 1 THEN"
+        " CAST(u2 AS DOUBLE) / 2.0 END AS u_stat",
+        f"CASE WHEN {_MW_OK} THEN"
+        f" FLOOR(({_MW_Z}) * 1e9 + 0.5) / 1e9 END AS z_value",
+        f"COALESCE(ABS(CASE WHEN {_MW_OK} THEN"
+        f" FLOOR(({_MW_Z}) * 1e9 + 0.5) / 1e9 END)"
+        f" > CAST({_WT_CRIT} AS DOUBLE), FALSE) AS significant",
+    )
+
+
+# ---------------------------------------------------------------------------
+# E47 — Population Stability Index per event type (two time windows)
+# ---------------------------------------------------------------------------
+
+# Industry-standard PSI bands (Siddiqi, credit-scorecard convention):
+# < 0.10 stable, 0.10-0.25 moderate shift, >= 0.25 major shift. The
+# compares run on the exact-decimal-derived psi, so the banding is
+# boundary-deterministic cross-engine.
+_PSI_MODERATE = "0.1"
+_PSI_MAJOR = "0.25"
+
+_PSI_ORACLE = f"""
+WITH b AS (
+  SELECT event_type,
+         LENGTH(CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                     AS VARCHAR)) AS bucket,
+         CASE WHEN ts < TIMESTAMP '{_KS_SPLIT}' THEN 1 ELSE 0 END AS in_a
+  FROM events WHERE value IS NOT NULL
+),
+h AS (
+  SELECT event_type, bucket,
+         CAST(SUM(in_a) AS BIGINT) AS a_cnt,
+         CAST(SUM(1 - in_a) AS BIGINT) AS b_cnt
+  FROM b GROUP BY 1, 2
+),
+t AS (
+  SELECT *,
+         CAST(SUM(a_cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_a,
+         CAST(SUM(b_cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_b
+  FROM h
+),
+terms AS (
+  SELECT event_type, n_a, n_b,
+         CASE WHEN a_cnt > 0 AND b_cnt > 0 THEN
+           CAST(FLOOR(((CAST(a_cnt AS DOUBLE) / n_a
+                        - CAST(b_cnt AS DOUBLE) / n_b)
+                       * LN((CAST(a_cnt AS DOUBLE) / n_a)
+                            / (CAST(b_cnt AS DOUBLE) / n_b)))
+                      * 1e9 + 0.5) / 1e9 AS DECIMAL(18,9))
+         END AS term,
+         CASE WHEN a_cnt = 0 OR b_cnt = 0 THEN 1 ELSE 0 END AS onesided
+  FROM t
+),
+p AS (
+  SELECT event_type,
+         MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(onesided) AS BIGINT) AS n_onesided,
+         CASE WHEN MAX(n_a) > 0 AND MAX(n_b) > 0 THEN
+           CAST(COALESCE(SUM(term), 0) AS DOUBLE) END AS psi
+  FROM terms GROUP BY event_type
+)
+SELECT event_type, n_a, n_b, n_buckets, n_onesided, psi,
+       CASE WHEN psi IS NULL THEN 'undefined'
+            WHEN psi < {_PSI_MODERATE} THEN 'stable'
+            WHEN psi < {_PSI_MAJOR} THEN 'moderate'
+            ELSE 'major' END AS drift_level
+FROM p ORDER BY event_type
+"""
+
+
+@query("agg-psi-drift", oracle=_PSI_ORACLE)
+def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E47: Population Stability Index per event type between the two
+    time windows — THE industry drift gate for deployed-model inputs
+    (credit scorecards onward): PSI = Σ (pᵃ−pᵇ)·ln(pᵃ/pᵇ) over value
+    buckets, read beside KS (E17): KS is the sup-norm test with a
+    significance line, PSI is the banded magnitude score ops teams
+    alert on (<0.10 stable / <0.25 moderate / else major — Siddiqi
+    convention, pinned at _PSI_MODERATE/_PSI_MAJOR). Buckets are the
+    E18 power-of-ten digit-count of exact integer cents — integer
+    bucketing cannot edge-misassign, and the bucket count is fixed
+    (~digits of the value range) at ANY data size.
+
+    One-sided buckets (mass in only one window) make the ln term
+    undefined; the standard ε fudge trades that for an arbitrary
+    constant, so instead they are EXCLUDED from the sum and COUNTED
+    in `n_onesided` — the reader sees exactly how much mass the score
+    ignores instead of a silently ε-inflated number.
+
+    Shape at 100 TB: the agg-ks-drift plan with a coarser axis — one
+    scan collapses map-side to (type, bucket) counts (bounded by
+    |types|×|digits|), the per-type normalizer windows over the
+    AGGREGATED relation reusing its exchange, final bounded agg.
+
+    Parity: counts exact BIGINTs; each PSI term is an IEEE-identical
+    double expression snapped to 9 dp and summed as DECIMAL(18,9)
+    (order-independent — the entropy/tfidf ln precedent); the banding
+    compares the exact-decimal-derived psi against shared literals;
+    a type living entirely in one window → NULL psi, 'undefined'."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    in_a = (F.col("ts") < _KS_SPLIT).cast("long")
+    h = (
+        e.select(
+            "event_type",
+            F.length(cents.cast("string")).alias("bucket"),
+            in_a.alias("in_a"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("in_a").cast("long").alias("a_cnt"),
+            F.sum(1 - F.col("in_a")).cast("long").alias("b_cnt"),
+        )
+    )
+    tot = W.partitionBy("event_type")
+    t = h.select(
+        "event_type",
+        "a_cnt",
+        "b_cnt",
+        F.sum("a_cnt").over(tot).cast("long").alias("n_a"),
+        F.sum("b_cnt").over(tot).cast("long").alias("n_b"),
+    )
+    terms = t.selectExpr(
+        "event_type",
+        "n_a",
+        "n_b",
+        "CASE WHEN a_cnt > 0 AND b_cnt > 0 THEN"
+        " CAST(FLOOR(((CAST(a_cnt AS DOUBLE) / n_a"
+        "              - CAST(b_cnt AS DOUBLE) / n_b)"
+        "             * LN((CAST(a_cnt AS DOUBLE) / n_a)"
+        "                  / (CAST(b_cnt AS DOUBLE) / n_b)))"
+        "            * 1e9 + 0.5) / 1e9 AS DECIMAL(18,9)) END AS term",
+        "CASE WHEN a_cnt = 0 OR b_cnt = 0 THEN 1 ELSE 0 END AS onesided",
+    )
+    p = terms.groupBy("event_type").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("onesided").cast("long").alias("n_onesided"),
+        F.expr(
+            "CASE WHEN MAX(n_a) > 0 AND MAX(n_b) > 0 THEN"
+            " CAST(COALESCE(SUM(term), 0) AS DOUBLE) END"
+        ).alias("psi"),
+    )
+    return p.selectExpr(
+        "event_type",
+        "n_a",
+        "n_b",
+        "n_buckets",
+        "n_onesided",
+        "psi",
+        f"CASE WHEN psi IS NULL THEN 'undefined'"
+        f" WHEN psi < {_PSI_MODERATE} THEN 'stable'"
+        f" WHEN psi < {_PSI_MAJOR} THEN 'moderate'"
+        f" ELSE 'major' END AS drift_level",
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# E48 — Hill tail-index estimator on per-user spend (heavy-tail gate)
+# ---------------------------------------------------------------------------
+
+# Top-k fraction (5%) and the heavy-tail alpha threshold. alpha <= 2
+# means infinite variance in the Pareto sense — the regime where mean
+# readouts (Welch E30) are unstable and rank tests (E46) are the
+# defensible readout; this key is the gate that tells you which.
+_HILL_TOPFRAC_DIV = 20  # k = ceil(n_pos / 20)
+_HILL_ALPHA_HEAVY = "2.0"
+
+# H in exact nano-units until the two final divisions: num_nano =
+# Σ c_eff·floor_nano(ln yc) − k·floor_nano(ln xk), a DECIMAL(38,0)
+# integer on both engines; H = num_nano / 1e9 / k.
+_HILL_H = "CAST(num_nano AS DOUBLE) / 1e9 / CAST(k AS DOUBLE)"
+_HILL_OK = f"n_pos >= 1 AND xk IS NOT NULL AND ({_HILL_H}) > 0.0"
+
+_HILL_ORACLE = f"""
+WITH per_user AS (
+  SELECT CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
+              AS BIGINT) AS yc
+  FROM events GROUP BY user_id
+),
+dist AS (
+  SELECT yc, CAST(COUNT(*) AS BIGINT) AS c
+  FROM per_user WHERE yc > 0 GROUP BY yc
+),
+r AS (
+  SELECT yc, c,
+         COALESCE(CAST(SUM(c) OVER (ORDER BY yc DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS a,
+         CAST(SUM(c) OVER () AS BIGINT) AS nn
+  FROM dist
+),
+kk AS (
+  SELECT *, GREATEST(1, (nn + {_HILL_TOPFRAC_DIV - 1})
+                        // {_HILL_TOPFRAC_DIV}) AS k
+  FROM r
+),
+m AS (
+  SELECT MAX(nn) AS n_pos, MAX(k) AS k,
+         MAX(CASE WHEN a < k AND a + c >= k THEN yc END) AS xk,
+         CAST(COALESCE(SUM(CASE WHEN a < k THEN
+           CAST(LEAST(c, k - a) AS DECIMAL(38,0))
+           * CAST(FLOOR(LN(CAST(yc AS DOUBLE)) * 1e9 + 0.5)
+                  AS DECIMAL(38,0)) END), 0) AS DECIMAL(38,0)) AS s_nano
+  FROM kk
+),
+c AS (
+  SELECT *,
+         s_nano - CAST(k AS DECIMAL(38,0))
+                  * CAST(FLOOR(LN(CAST(xk AS DOUBLE)) * 1e9 + 0.5)
+                         AS DECIMAL(38,0)) AS num_nano
+  FROM m WHERE xk IS NOT NULL
+)
+SELECT n_pos, k,
+  CAST(xk AS DOUBLE) / 100.0 AS xk_dollars,
+  CASE WHEN {_HILL_OK} THEN
+    FLOOR(({_HILL_H}) * 1e9 + 0.5) / 1e9 END AS hill_h,
+  CASE WHEN {_HILL_OK} THEN
+    FLOOR((1.0 / ({_HILL_H})) * 1e9 + 0.5) / 1e9 END AS tail_alpha,
+  COALESCE(CASE WHEN {_HILL_OK} THEN
+    FLOOR((1.0 / ({_HILL_H})) * 1e9 + 0.5) / 1e9 END
+    <= CAST({_HILL_ALPHA_HEAVY} AS DOUBLE), FALSE) AS heavy_tail
+FROM c
+"""
+
+
+@query("agg-hill-tail", oracle=_HILL_ORACLE)
+def agg_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E48: Hill estimator of the Pareto tail index over per-user
+    total spend — the heavy-tail gate for revenue metrics: H =
+    (1/k)·Σ_top-k ln(xᵢ/x₍ₖ₎) with x₍ₖ₎ the k-th largest observation
+    (k = top 5%, rank-k term contributing 0 — convention documented
+    here), α = 1/H (Hill 1975). α ≤ 2 flags the infinite-variance
+    regime where mean-based experiment readouts (E30) are unstable
+    and the rank-sum test (E46) is the defensible alternative; read
+    beside Gini/Theil (E32/E39), which summarize concentration but
+    not tail law.
+
+    Shape at 100 TB — the Gini top-decile arithmetic on the E13/E19
+    distribution relation: per-user cents collapse to DISTINCT
+    (cents, count) rows (value-bounded); one DESC cumulative-count
+    window gives each value run its count-above a; the top-k cut
+    takes min(c, k−a) users from the run straddling rank k, and x₍ₖ₎
+    is the single run with a < k ≤ a+c — one window over the bounded
+    relation, one one-row aggregate, no sort of users anywhere.
+
+    Parity: the log sum stays an EXACT INTEGER to the end — each
+    ln(cents) is snapped to nano-units as floor(ln·1e9+0.5) (a <2^53
+    integer both engines CAST identically), multiplied by the integer
+    user count and summed in DECIMAL(38,0); the numerator subtracts
+    k·floor_nano(ln x₍ₖ₎) still in DECIMAL; H is then two IEEE
+    divisions over exact operands, α one more, both snapped. Working
+    in cents is safe because Hill is scale-invariant (the ln(100)
+    offsets cancel in the ratio). Degenerate inputs — no positive
+    spenders, or the whole top-k tied at x₍ₖ₎ (H=0) — yield NULL
+    hill_h/tail_alpha and FALSE heavy_tail in both engines; an
+    all-nonpositive population emits zero rows (both engines filter
+    the empty distribution)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.coalesce((F.sum(dec("value")) * 100).cast("long"), F.lit(0))
+        .alias("yc")
+    )
+    dist = (
+        pu.filter(F.col("yc") > 0)
+        .groupBy("yc")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wa = W.orderBy(F.col("yc").desc()).rowsBetween(W.unboundedPreceding, -1)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    r = dist.select(
+        "yc",
+        "c",
+        F.coalesce(F.sum("c").over(wa), F.lit(0)).cast("long").alias("a"),
+        F.sum("c").over(wall).cast("long").alias("nn"),
+    )
+    kk = r.withColumn(
+        "k",
+        F.expr(
+            f"GREATEST(1, (nn + {_HILL_TOPFRAC_DIV - 1})"
+            f" DIV {_HILL_TOPFRAC_DIV})"
+        ),
+    )
+    m = kk.agg(
+        F.max("nn").alias("n_pos"),
+        F.max("k").alias("k"),
+        F.expr("MAX(CASE WHEN a < k AND a + c >= k THEN yc END)").alias("xk"),
+        F.expr(
+            "CAST(COALESCE(SUM(CASE WHEN a < k THEN"
+            " CAST(LEAST(c, k - a) AS DECIMAL(38,0))"
+            " * CAST(FLOOR(LN(CAST(yc AS DOUBLE)) * 1e9 + 0.5)"
+            "        AS DECIMAL(38,0)) END), 0) AS DECIMAL(38,0))"
+        ).alias("s_nano"),
+    )
+    c = m.filter(F.col("xk").isNotNull()).withColumn(
+        "num_nano",
+        F.expr(
+            "s_nano - CAST(k AS DECIMAL(38,0))"
+            " * CAST(FLOOR(LN(CAST(xk AS DOUBLE)) * 1e9 + 0.5)"
+            "        AS DECIMAL(38,0))"
+        ),
+    )
+    return c.selectExpr(
+        "n_pos",
+        "k",
+        "CAST(xk AS DOUBLE) / 100.0 AS xk_dollars",
+        f"CASE WHEN {_HILL_OK} THEN"
+        f" FLOOR(({_HILL_H}) * 1e9 + 0.5) / 1e9 END AS hill_h",
+        f"CASE WHEN {_HILL_OK} THEN"
+        f" FLOOR((1.0 / ({_HILL_H})) * 1e9 + 0.5) / 1e9 END AS tail_alpha",
+        f"COALESCE(CASE WHEN {_HILL_OK} THEN"
+        f" FLOOR((1.0 / ({_HILL_H})) * 1e9 + 0.5) / 1e9 END"
+        f" <= CAST({_HILL_ALPHA_HEAVY} AS DOUBLE), FALSE) AS heavy_tail",
+    )

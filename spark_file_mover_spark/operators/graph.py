@@ -1608,3 +1608,107 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# K13 — Adamic-Adar link prediction over the bipartite adjacency
+# ---------------------------------------------------------------------------
+
+_AA_TOPK = _JN_TOPK  # same per-user candidate budget as K6
+
+
+def _aa_oracle() -> str:
+    return f"""
+WITH fwd AS (
+  SELECT DISTINCT user_id AS u, CAST(props->>'k' AS BIGINT) AS k
+  FROM events WHERE event_id % {_LPA_EDGE_MOD} = 0
+),
+kept AS (
+  SELECT k FROM fwd GROUP BY k
+  HAVING COUNT(*) <= {_TRI_MAX_ENT_USERS}
+),
+fk AS (SELECT fwd.u, fwd.k FROM fwd JOIN kept ON kept.k = fwd.k),
+ed AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS de FROM fk GROUP BY k),
+pairs AS (
+  SELECT a.u AS u, b.u AS v,
+         CAST(COUNT(*) AS BIGINT) AS shared,
+         CAST(SUM(CAST(FLOOR((1.0 / LN(CAST(ed.de AS DOUBLE)))
+                             * 1e9 + 0.5) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS score_nano
+  FROM fk a JOIN fk b ON a.k = b.k AND a.u != b.u
+  JOIN ed ON ed.k = a.k
+  GROUP BY 1, 2
+)
+SELECT u AS user_id, v AS neighbor_id, shared,
+       CAST(score_nano AS DOUBLE) / 1e9 AS aa_score, rnk
+FROM (
+  SELECT u, v, shared, score_nano,
+         ROW_NUMBER() OVER (PARTITION BY u
+                            ORDER BY score_nano DESC, shared DESC, v) AS rnk
+  FROM pairs
+) WHERE rnk <= {_AA_TOPK}
+ORDER BY user_id, rnk
+"""
+
+
+@query("graph-adamic-adar", oracle=_aa_oracle())
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K13: Adamic-Adar link prediction over the K3/K6 bipartite
+    user↔entity adjacency — the classic "will these two users
+    connect?" score (Adamic & Adar 2003): common neighbors weighted
+    by 1/ln(degree), so a shared NICHE entity (few users) says far
+    more than a shared hub. Read beside K6: Jaccard normalizes by set
+    size (similarity), Adamic-Adar weights by neighbor rarity (link
+    likelihood) — recommender candidate generation uses both.
+
+    Shape at 100 TB: rides the SAME cached (fk, deg) checkpoints as
+    K6 (_JN_CACHE — zero corpus passes here), with the hot-entity cap
+    applied BEFORE the wedge join (C(u,2) blowup bound); the entity-
+    degree relation derives from the cached fk and joins on the wedge
+    key k, so it shares the pair join's exchange; WindowGroupLimit
+    keeps k rows per user out of the final sort.
+
+    Parity: each 1/ln(dₑ) weight is snapped to integer nano-units as
+    floor(·1e9+0.5) — a <2^53 integer both engines CAST identically —
+    and summed in DECIMAL(38,0), so scores are EXACT integers until
+    the final /1e9 emission and the rank orders by the exact
+    (score_nano, shared, v) triple — no double ever decides a rank.
+    dₑ ≥ 2 for every joined wedge (a shared entity has ≥ 2 users), so
+    ln(dₑ) ≥ ln 2 > 0 — no zero guard needed in either engine."""
+    from pyspark.sql import Window as W
+
+    fk, _deg = _jn_relations(spark, sf_dir)
+    ed = fk.groupBy("k").agg(F.count("*").cast("long").alias("de")).alias(
+        "ed"
+    )
+    pairs = (
+        fk.alias("a")
+        .join(
+            fk.alias("b"),
+            (F.col("a.k") == F.col("b.k")) & (F.col("a.u") != F.col("b.u")),
+        )
+        .join(ed, F.col("a.k") == F.col("ed.k"))
+        .groupBy(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
+        .agg(
+            F.count("*").cast("long").alias("shared"),
+            F.expr(
+                "CAST(SUM(CAST(FLOOR((1.0 / LN(CAST(de AS DOUBLE)))"
+                " * 1e9 + 0.5) AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+            ).alias("score_nano"),
+        )
+    )
+    wu = W.partitionBy("u").orderBy(
+        F.col("score_nano").desc(), F.col("shared").desc(), F.col("v")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(wu))
+        .filter(F.col("rnk") <= _AA_TOPK)
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("v").alias("neighbor_id"),
+            "shared",
+            (F.col("score_nano").cast("double") / 1e9).alias("aa_score"),
+            "rnk",
+        )
+        .orderBy("user_id", "rnk")
+    )

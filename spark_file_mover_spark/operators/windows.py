@@ -2601,3 +2601,138 @@ def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_drawdown_cents",
         F.max("drawdown_cents").over(wall).cast("long"),
     ).orderBy("day_str")
+
+
+# ---------------------------------------------------------------------------
+# F31 — anchored VWAP with execution-quality readout per ship day
+# ---------------------------------------------------------------------------
+
+_VWAP_ORACLE = """
+WITH fills AS (
+  SELECT STRFTIME(l_shipdate, '%Y-%m-%d') AS ship_day,
+         l_orderkey, l_linenumber,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+runs AS (
+  SELECT ship_day, pc, qty,
+         CAST(SUM(pc) OVER (PARTITION BY ship_day
+              ORDER BY l_orderkey, l_linenumber
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DECIMAL(38,0)) AS cum_cents,
+         CAST(SUM(qty) OVER (PARTITION BY ship_day
+              ORDER BY l_orderkey, l_linenumber
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_qty,
+         CAST(SUM(pc) OVER (PARTITION BY ship_day)
+              AS DECIMAL(38,0)) AS day_cents,
+         CAST(SUM(qty) OVER (PARTITION BY ship_day)
+              AS BIGINT) AS day_qty
+  FROM fills
+),
+scored AS (
+  SELECT ship_day, day_cents, day_qty,
+         FLOOR((CAST(cum_cents AS DOUBLE) / CAST(cum_qty AS DOUBLE)
+                / 100.0) * 1e9 + 0.5) / 1e9 AS run_vwap,
+         CASE WHEN CAST(pc AS DECIMAL(38,0)) * day_qty
+                   > day_cents * CAST(qty AS DECIMAL(38,0))
+              THEN 1 ELSE 0 END AS above_final
+  FROM runs
+)
+SELECT ship_day,
+       CAST(COUNT(*) AS BIGINT) AS n_fills,
+       MAX(day_qty) AS day_qty,
+       FLOOR((CAST(MAX(day_cents) AS DOUBLE) / CAST(MAX(day_qty) AS DOUBLE)
+              / 100.0) * 1e9 + 0.5) / 1e9 AS day_vwap,
+       MAX(run_vwap) AS vwap_high,
+       MIN(run_vwap) AS vwap_low,
+       CAST(SUM(above_final) AS BIGINT) AS n_above_vwap,
+       FLOOR((CAST(SUM(above_final) AS DOUBLE) / COUNT(*))
+             * 1e9 + 0.5) / 1e9 AS frac_above_vwap
+FROM scored GROUP BY ship_day ORDER BY ship_day
+"""
+
+
+@query("window-vwap-anchored", oracle=_VWAP_ORACLE)
+def window_vwap_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F31: anchored VWAP — the volume-weighted average unit price
+    cumulated from each ship day's first fill, the execution-quality
+    benchmark every trading/procurement desk reads ("did we fill
+    above or below the day's volume-weighted price?"): per day, the
+    running VWAP's high/low excursion plus how many fills executed
+    above the day's FINAL VWAP. Fills are lineitem rows (notional =
+    extendedprice, volume = quantity) in the deterministic execution
+    sequence (l_orderkey, l_linenumber) — ship dates carry day
+    granularity, so the sequence key IS the total order (the F1
+    tie-breaker discipline).
+
+    Shape at 100 TB: the F10 shared-exchange discipline — the
+    cumulative spec and the full-frame day totals ride ONE hash
+    exchange on ship_day + one in-partition sort, and the final
+    per-day aggregate groups on the SAME key so it reuses that
+    exchange too (one shuffle total); per-day partitions are bounded
+    by day volume, never corpus size.
+
+    Parity: notional accumulates as DECIMAL(38,0) exact cents and
+    volume as BIGINT (quantities are integral by construction — the
+    double→BIGINT cast is exact); each running VWAP is ONE double
+    division chain over exact operands, snapped, so MAX/MIN over the
+    snapped values are deterministic; above-final is the cross-
+    multiplied DECIMAL compare pc·ΣQ > ΣPC·q — boundary-EXACT, no
+    doubles at the decision (the E13 integer-compare discipline).
+    cum_qty ≥ 1 for every row (TPC-H quantity ≥ 1), so the division
+    needs no zero guard in either engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fills = li.select(
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+        "l_orderkey",
+        "l_linenumber",
+        (dec("l_extendedprice") * 100).cast("long").alias("pc"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    wseq = (
+        W.partitionBy("ship_day")
+        .orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("ship_day")
+    runs = fills.select(
+        "ship_day",
+        "pc",
+        "qty",
+        F.sum("pc").over(wseq).cast("decimal(38,0)").alias("cum_cents"),
+        F.sum("qty").over(wseq).cast("long").alias("cum_qty"),
+        F.sum("pc").over(wtot).cast("decimal(38,0)").alias("day_cents"),
+        F.sum("qty").over(wtot).cast("long").alias("day_qty"),
+    )
+    scored = runs.selectExpr(
+        "ship_day",
+        "day_cents",
+        "day_qty",
+        "FLOOR((CAST(cum_cents AS DOUBLE) / CAST(cum_qty AS DOUBLE)"
+        " / 100.0) * 1e9 + 0.5) / 1e9 AS run_vwap",
+        "CASE WHEN CAST(pc AS DECIMAL(38,0)) * day_qty"
+        " > day_cents * CAST(qty AS DECIMAL(38,0))"
+        " THEN 1 ELSE 0 END AS above_final",
+    )
+    return (
+        scored.groupBy("ship_day")
+        .agg(
+            F.count("*").cast("long").alias("n_fills"),
+            F.max("day_qty").alias("day_qty"),
+            F.expr(
+                "FLOOR((CAST(MAX(day_cents) AS DOUBLE)"
+                " / CAST(MAX(day_qty) AS DOUBLE) / 100.0)"
+                " * 1e9 + 0.5) / 1e9"
+            ).alias("day_vwap"),
+            F.max("run_vwap").alias("vwap_high"),
+            F.min("run_vwap").alias("vwap_low"),
+            F.sum("above_final").cast("long").alias("n_above_vwap"),
+            F.expr(
+                "FLOOR((CAST(SUM(above_final) AS DOUBLE) / COUNT(*))"
+                " * 1e9 + 0.5) / 1e9"
+            ).alias("frac_above_vwap"),
+        )
+        .orderBy("ship_day")
+    )
