@@ -303,6 +303,15 @@ HEADLINE = [
     "events-funnel",
     "rollup-hierarchical",
     "join-left-right-full",
+    # r12-new keys
+    "agg-mann-whitney",
+    "agg-psi-drift",
+    "agg-hill-tail",
+    "window-vwap-anchored",
+    "multimodal-png-meta",
+    "graph-adamic-adar",
+    "sink-partition-stats",
+    "udf-map-in-pandas",
 ]
 
 

@@ -1948,3 +1948,169 @@ def multimodal_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "magic_ok",
         "streaminfo_ok",
     ).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# I69 — full PNG metadata with CRC32 verification (ninth container family)
+# ---------------------------------------------------------------------------
+
+# Legal (bit depth, color type) pairs per the PNG spec's combination
+# table — cycled by doc_id % 6 so every class appears and no modulus
+# aliases the dimension formulas (w % 59, h % 43, interlace % 2,
+# IDAT length % 17).
+_PNG_DEPTH_COLOR = [(8, 0), (16, 0), (8, 2), (8, 3), (4, 3), (8, 6)]
+# color type -> sample channels (greyscale, rgb, palette, grey+alpha, rgba)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+_PNG_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         1 + doc_id % 59 AS w,
+         1 + doc_id % 43 AS h,
+         doc_id % 6 AS dc,
+         doc_id % 2 = 1 AS il,
+         1 + doc_id % 17 AS dlen
+  FROM documents
+),
+g AS (
+  SELECT doc_id, w, h, il, dlen,
+         CASE dc {' '.join(f"WHEN {i} THEN {d}" for i, (d, _c) in enumerate(_PNG_DEPTH_COLOR))} END AS depth,
+         CASE dc {' '.join(f"WHEN {i} THEN {c}" for i, (_d, c) in enumerate(_PNG_DEPTH_COLOR))} END AS color
+  FROM f
+)
+SELECT doc_id AS asset_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(depth AS BIGINT) AS bit_depth,
+       CAST(color AS BIGINT) AS color_type,
+       CAST(CASE color {' '.join(f"WHEN {k} THEN {v}" for k, v in _PNG_CHANNELS.items())} END AS BIGINT) AS channels,
+       CAST(depth * CASE color {' '.join(f"WHEN {k} THEN {v}" for k, v in _PNG_CHANNELS.items())} END AS BIGINT) AS bits_per_pixel,
+       il AS interlaced,
+       CAST(dlen AS BIGINT) AS idat_len,
+       TRUE AS magic_ok,
+       TRUE AS ihdr_crc_ok,
+       TRUE AS size_ok
+FROM g ORDER BY asset_id
+"""
+
+
+def _be32_hex(v) -> F.Column:
+    """Big-endian u32 as 8 hex chars."""
+    return F.lpad(F.hex(v), 8, "0")
+
+
+def png_meta_cols(c: F.Column) -> list:
+    """The full IHDR + first-IDAT parse as aliased Columns, including
+    a REAL CRC32 verification of the IHDR chunk (crc32 over chunk
+    type + data, per spec) — machinery no other container family
+    exercises: a single mis-sliced byte anywhere in the 17-byte span
+    flips the checksum, so ``ihdr_crc_ok`` certifies the exact chunk
+    boundaries, not just individual field reads."""
+    magic_ok = F.hex(c.substr(F.lit(1), F.lit(8))) == _PNG_SIG_HEX
+    ihdr_ok = F.hex(c.substr(F.lit(13), F.lit(4))) == "49484452"  # IHDR
+    width = _be_uint(c, 17, 4)
+    height = _be_uint(c, 21, 4)
+    depth = _be_uint(c, 25, 1)
+    color = _be_uint(c, 26, 1)
+    interlace = _be_uint(c, 29, 1)
+    channels = F.when(color == 0, 1).when(color == 2, 3).when(
+        color == 3, 1
+    ).when(color == 4, 2).when(color == 6, 4)
+    stored_crc = _be_uint(c, 30, 4)
+    crc_ok = F.crc32(c.substr(F.lit(13), F.lit(17))) == stored_crc
+    idat_ok = F.hex(c.substr(F.lit(38), F.lit(4))) == "49444154"  # IDAT
+    idat_len = _be_uint(c, 34, 4)
+    # sig(8) + IHDR(25) + IDAT(12 + dlen) + IEND(12)
+    size_ok = (
+        (F.length(c).cast("long") == idat_len + 57)
+        & ihdr_ok
+        & idat_ok
+        & (_be_uint(c, 9, 4) == 13)  # declared IHDR data length
+    )
+    return [
+        width.cast("long").alias("width"),
+        height.cast("long").alias("height"),
+        depth.cast("long").alias("bit_depth"),
+        color.cast("long").alias("color_type"),
+        channels.cast("long").alias("channels"),
+        (depth * channels).cast("long").alias("bits_per_pixel"),
+        (interlace == 1).alias("interlaced"),
+        idat_len.cast("long").alias("idat_len"),
+        magic_ok.alias("magic_ok"),
+        (crc_ok & ihdr_ok).alias("ihdr_crc_ok"),
+        size_ok.alias("size_ok"),
+    ]
+
+
+@query("multimodal-png-meta", oracle=_PNG_ORACLE)
+def multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I69: full PNG metadata — the ninth container family and the
+    only CHECKSUMMED one: beyond I30's (is_png, width, height) probe,
+    this parses the complete IHDR (bit depth, color type → channels →
+    bits per pixel, interlace method), the first IDAT chunk's length,
+    and VERIFIES the IHDR CRC32 (crc32 over chunk type + data, PNG
+    spec §5.3) against the stored checksum — the integrity check a
+    real ingest pipeline runs before paying for a decode, and a
+    structural proof of chunk-boundary arithmetic that no individual
+    field read can fake.
+
+    Synthesis (the gif/bmp/webp contract): each doc_id builds a
+    spec-shaped PNG — signature, IHDR with a LEGAL (depth, color)
+    pair from the spec's combination table (doc_id % 6), Adam7 flag
+    (% 2), a %17-sized IDAT, IEND with its fixed CRC — and the IHDR
+    CRC is computed by the SAME F.crc32 the parse re-derives, over
+    the constructed bytes; the oracle predicts every field from the
+    doc_id formulas alone, so Spark only matches if construction AND
+    extraction independently agree with the spec.
+
+    Shape at 100 TB: map-only byte expressions fused into the scan —
+    zero shuffle, zero Python; CRC32 is a JVM intrinsic per row, not
+    a codec. The decode boundary stays multimodal.py's documented
+    stub; this key is the metadata/integrity plane."""
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    w = (1 + doc % 59).cast("long")
+    h = (1 + doc % 43).cast("long")
+    dc = doc % 6
+    depth = F.coalesce(
+        *[
+            F.when(dc == i, F.lit(dd))
+            for i, (dd, _cc) in enumerate(_PNG_DEPTH_COLOR)
+        ]
+    ).cast("long")
+    color = F.coalesce(
+        *[
+            F.when(dc == i, F.lit(cc))
+            for i, (_dd, cc) in enumerate(_PNG_DEPTH_COLOR)
+        ]
+    ).cast("long")
+    interlace = (doc % 2).cast("long")
+    dlen = (1 + doc % 17).cast("long")
+    ihdr_body = F.concat(  # type + 13 data bytes (hex)
+        F.lit("49484452"),
+        _be32_hex(w),
+        _be32_hex(h),
+        F.lpad(F.hex(depth), 2, "0"),
+        F.lpad(F.hex(color), 2, "0"),
+        F.lit("0000"),  # compression 0, filter 0
+        F.lpad(F.hex(interlace), 2, "0"),
+    )
+    idat_body = F.concat(F.lit("49444154"), F.expr(
+        "repeat('AB', CAST(1 + doc_id % 17 AS INT))"
+    ))
+    payload = F.unhex(
+        F.concat(
+            F.lit(_PNG_SIG_HEX),
+            F.lit("0000000D"),
+            ihdr_body,
+            _be32_hex(F.crc32(F.unhex(ihdr_body))),
+            _be32_hex(dlen),
+            idat_body,
+            _be32_hex(F.crc32(F.unhex(idat_body))),
+            F.lit("0000000049454E44AE426082"),  # IEND + fixed CRC
+        )
+    )
+    assets = d.select(doc.alias("asset_id"), payload.alias("content"))
+    return assets.select(
+        "asset_id", *png_meta_cols(F.col("content"))
+    ).orderBy("asset_id")

@@ -2618,11 +2618,11 @@ WITH fills AS (
 runs AS (
   SELECT ship_day, pc, qty,
          CAST(SUM(pc) OVER (PARTITION BY ship_day
-              ORDER BY l_orderkey, l_linenumber
+              ORDER BY l_orderkey, l_linenumber, pc, qty
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS DECIMAL(38,0)) AS cum_cents,
          CAST(SUM(qty) OVER (PARTITION BY ship_day
-              ORDER BY l_orderkey, l_linenumber
+              ORDER BY l_orderkey, l_linenumber, pc, qty
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS BIGINT) AS cum_qty,
          CAST(SUM(pc) OVER (PARTITION BY ship_day)
@@ -2693,7 +2693,10 @@ def window_vwap_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wseq = (
         W.partitionBy("ship_day")
-        .orderBy("l_orderkey", "l_linenumber")
+        # (okey, linenumber) is unique in real data; pc/qty extend the
+        # key so on ANY corpus remaining ties are fully identical rows,
+        # whose permutation cannot change a cumulative sum
+        .orderBy("l_orderkey", "l_linenumber", "pc", "qty")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     wtot = W.partitionBy("ship_day")

@@ -62,104 +62,46 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
     return deco
 
 
-# Scoring priority for round 11. The driver consumes ``queries()`` in
-# dict insertion order under a wall-clock budget (~50 keys/round), so
-# ``load_all`` rebuilds the registry dict in this order after all
-# modules import:
+# Scoring priority for round 12. The driver consumes ``queries()`` in
+# dict insertion order under a wall-clock budget (~50 keys/round; the
+# r9-r11 cuts were exactly 50), so ``load_all`` rebuilds the registry
+# dict in this order after all modules import:
 #
-#   0. The 20 r11-NEW keys (no driver row ever): agg-theil-index,
-#      agg-lorenz-deciles, agg-winsorized-stats (the sort-free
-#      distribution-trick statistics family), graph-global-clustering
-#      (over the cached K5 relations), text-zipf-fit (over the cached
-#      tf artifact), stream-topk-windowed, agg-bootstrap-ci (Poisson
-#      bootstrap), graph-hits (exact-integer HITS), and
-#      multimodal-webp-meta / multimodal-flac-meta (synthesize-then-
-#      parse WebP + FLAC), window-ohlc-bars (argmin-aggregate
-#      candles), sample-temporal-split (leakage-audited),
-#      window-calendar-mtd-ytd, agg-stickiness-dau-mau, and
-#      etl-table-checksum (commutative migration digests),
-#      window-pareto-frontier (distribution-trick skyline), and
-#      agg-survival-km (Kaplan-Meier in exact log-space),
-#      window-percentile-bands (per-hour exact p50/p95/p99), and
-#      agg-assoc-lift (basket support/confidence/lift), and
-#      window-drawdown (running-peak slump detection).
-#   1. The 4 keys whose STRUCTURE changed in r11 and need a fresh
-#      driver row over the new code: graph-reciprocity (cached-edge
-#      one-aggregate rewrite of the r10 8-scan plan),
-#      events-funnel-windowed (checkpointed stage relations),
-#      agg-chisq-independence (materialized contingency relation),
-#      set-union-intersect-except (single presence-flag aggregate).
-#   2. The tail in tools/stale_keys.py order: the 20 r6-stale keys
-#      (4 rounds stale at r10 close — the r10 handoff's exact order),
-#      then the r7 block, r8, r9, r10. With a ~50-key cut the whole
-#      r6 block and most of the r7 block land inside the cut, leaving
-#      no key >4 rounds stale after r11.
-#
-# The r11 F.round -> numerics.snap migration textually touched ~45
-# registered keys but is value-identical off rounding ties; all 211
-# keys were re-verified by a full driver sim after the migration, so
-# snap-only keys rank by staleness, not as "changed".
+#   0. The 8 r12-NEW keys (no driver row ever): agg-mann-whitney
+#      (tie-corrected rank-sum via the distribution trick),
+#      agg-psi-drift (banded PSI beside the KS test), agg-hill-tail
+#      (integer-nano Hill estimator), window-vwap-anchored
+#      (one-exchange anchored VWAP), graph-adamic-adar (over the
+#      cached K6 relations), multimodal-png-meta (CRC32-verified
+#      ninth container family), udf-map-in-pandas (Arrow batch
+#      iterator), sink-partition-stats (post-write health audit).
+#   1. The 1 key whose STRUCTURE changed in r12: dedup-cross-bloom
+#      (cold plan rode the shared _nh_relation cache instead of four
+#      same-signature documents scans; candidates checkpointed —
+#      the registry-wide scan-gate catch).
+#   2. The 41 r7-stale keys in tools/stale_keys.py order (4 rounds
+#      stale at r11 close — the r11 handoff's exact block, from
+#      dedup-ngram-jaccard through sink-overwrite). Head = 8 + 1 +
+#      41 = exactly the 50-key cut: every r7-stale key lands inside.
+#   3. The tail in staleness order: the r8 block, then r9, r10, r11.
 #
 # Rebuild this list each round from `python tools/stale_keys.py --list`
 # with never-scored + structurally-changed keys at the HEAD.
 #
-# r12 handoff: after r11's ~50-key cut (20 new + 4 changed + 20 r6 +
-# ~6 r7, cut lands near dedup-simhash/dedup-ngram-jaccard at position
-# 50), the remaining ~36 r7-stale keys (text-dup-cut onward in this
-# list) end r11 four rounds stale — build _PRIORITY_R12 with THOSE
-# first (after any r12-new/changed keys), then the r8 block, from
-# `python tools/stale_keys.py --list`.
-_PRIORITY_R11 = [
-    "agg-theil-index",
-    "agg-bootstrap-ci",
-    "graph-hits",
-    "multimodal-webp-meta",
-    "window-ohlc-bars",
-    "sample-temporal-split",
-    "multimodal-flac-meta",
-    "window-calendar-mtd-ytd",
-    "agg-stickiness-dau-mau",
-    "etl-table-checksum",
-    "window-pareto-frontier",
-    "agg-survival-km",
-    "window-percentile-bands",
-    "agg-assoc-lift",
-    "window-drawdown",
-    "agg-lorenz-deciles",
-    "agg-winsorized-stats",
-    "graph-global-clustering",
-    "text-zipf-fit",
-    "stream-topk-windowed",
-    "graph-reciprocity",
-    "events-funnel-windowed",
-    "agg-chisq-independence",
-    "set-union-intersect-except",
-    "join-multiway-star",
-    "join-skew-salted",
-    "join-range-binned",
-    "join-asof",
-    "join-lateral-topk",
-    "dedup-components",
-    "dedup-paragraph",
-    "text-dup-span",
-    "sim-search-ivf",
-    "text-decontaminate",
-    "text-repetition",
-    "filter-scalar-subquery",
-    "fn-bitwise",
-    "multimodal-image-dims",
-    "multimodal-audio-meta",
-    "move-list-files",
-    "move-rename",
-    "scan-jsonl-roundtrip",
-    "sink-bucketed",
-    "sink-merge-upsert",
-    "join-semi-anti",
-    "join-broadcast",
-    "join-range-theta",
-    "dedup-exact",
-    "dedup-near-minhash",
-    "dedup-simhash",
+# r13 handoff: after r12's 50-key cut, the oldest remaining evidence
+# is the r8 block (dedup-image-phash onward in this list, 3 rounds
+# stale at r12 close) — build _PRIORITY_R13 with any r13-new/changed
+# keys first, then THAT block, from `python tools/stale_keys.py --list`.
+_PRIORITY_R12 = [
+    "agg-mann-whitney",
+    "agg-psi-drift",
+    "agg-hill-tail",
+    "window-vwap-anchored",
+    "graph-adamic-adar",
+    "multimodal-png-meta",
+    "udf-map-in-pandas",
+    "sink-partition-stats",
+    "dedup-cross-bloom",
     "dedup-ngram-jaccard",
     "text-dup-cut",
     "sim-search-topk",
@@ -202,7 +144,6 @@ _PRIORITY_R11 = [
     "sink-partitioned",
     "sink-overwrite",
     "dedup-image-phash",
-    "dedup-cross-bloom",
     "embed-kmeans-lloyd",
     "embed-pq-encode",
     "embed-ann-ivfpq",
@@ -341,12 +282,62 @@ _PRIORITY_R11 = [
     "rollup-hierarchical",
     "join-inner-equi",
     "join-left-right-full",
+    "agg-theil-index",
+    "agg-bootstrap-ci",
+    "graph-hits",
+    "multimodal-webp-meta",
+    "window-ohlc-bars",
+    "sample-temporal-split",
+    "multimodal-flac-meta",
+    "window-calendar-mtd-ytd",
+    "agg-stickiness-dau-mau",
+    "etl-table-checksum",
+    "window-pareto-frontier",
+    "agg-survival-km",
+    "window-percentile-bands",
+    "agg-assoc-lift",
+    "window-drawdown",
+    "agg-lorenz-deciles",
+    "agg-winsorized-stats",
+    "graph-global-clustering",
+    "text-zipf-fit",
+    "stream-topk-windowed",
+    "graph-reciprocity",
+    "events-funnel-windowed",
+    "agg-chisq-independence",
+    "set-union-intersect-except",
+    "join-multiway-star",
+    "join-skew-salted",
+    "join-range-binned",
+    "join-asof",
+    "join-lateral-topk",
+    "dedup-components",
+    "dedup-paragraph",
+    "text-dup-span",
+    "sim-search-ivf",
+    "text-decontaminate",
+    "text-repetition",
+    "filter-scalar-subquery",
+    "fn-bitwise",
+    "multimodal-image-dims",
+    "multimodal-audio-meta",
+    "move-list-files",
+    "move-rename",
+    "scan-jsonl-roundtrip",
+    "sink-bucketed",
+    "sink-merge-upsert",
+    "join-semi-anti",
+    "join-broadcast",
+    "join-range-theta",
+    "dedup-exact",
+    "dedup-near-minhash",
+    "dedup-simhash",
 ]
 
 
 def load_all() -> None:
     """Import every operator module so registrations run, then rebuild
-    the registry dict in scoring-priority order (see ``_PRIORITY_R11``) —
+    the registry dict in scoring-priority order (see ``_PRIORITY_R12``) —
     dict insertion order IS the driver's scoring order."""
     # Imports are at call time so `import spark_file_mover_spark` stays cheap.
     from spark_file_mover_spark.operators import (  # noqa: F401
@@ -370,8 +361,8 @@ def load_all() -> None:
     from spark_file_mover_spark import filemover_queries, udfs  # noqa: F401
     from spark_file_mover_spark.sources import sourcesink  # noqa: F401
 
-    ordered = [k for k in _PRIORITY_R11 if k in QUERIES]
-    ordered += [k for k in QUERIES if k not in _PRIORITY_R11]
+    ordered = [k for k in _PRIORITY_R12 if k in QUERIES]
+    ordered += [k for k in QUERIES if k not in _PRIORITY_R12]
     for mapping in (QUERIES, ORACLES):
         snapshot = {k: mapping[k] for k in ordered if k in mapping}
         mapping.clear()

@@ -1256,3 +1256,103 @@ def scan_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# B20 — partition-health report over a just-written partitioned sink
+# ---------------------------------------------------------------------------
+
+_PSTATS_ORACLE = """
+WITH p AS (
+  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custkeys
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT *,
+         CAST(SUM(n_rows) OVER () AS BIGINT) AS total,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_parts,
+         ROW_NUMBER() OVER (ORDER BY n_rows, order_year) AS rn
+  FROM p
+),
+m AS (
+  SELECT MAX(CASE WHEN rn = (n_parts + 1) // 2 THEN n_rows END) AS med
+  FROM r
+)
+SELECT order_year, n_rows, n_custkeys,
+       FLOOR((CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE))
+             * 1e9 + 0.5) / 1e9 AS row_share,
+       FLOOR((CAST(n_rows AS DOUBLE) / CAST(med AS DOUBLE))
+             * 1e9 + 0.5) / 1e9 AS skew_vs_median,
+       n_rows * 10 > med * 15 AS is_skewed
+FROM r, m ORDER BY order_year
+"""
+
+
+@query("sink-partition-stats", oracle=_PSTATS_ORACLE)
+def sink_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20: partition-health report straight off a just-written
+    Hive-partitioned sink — the post-write audit a 100 TB pipeline
+    runs before publishing a table: per-partition row count, key
+    cardinality, share of total, and skew vs the MEDIAN partition
+    (the number that predicts whether the next consumer's tasks are
+    balanced). Orders are written partitioned by order year, read
+    BACK from the partitioned layout (partition discovery supplies
+    order_year from directory names — the B3 proof), and the stats
+    are computed over the re-read, so a writer that drops or
+    misroutes rows shows up as a stats mismatch against the oracle's
+    direct computation from the source table.
+
+    Skew banding: the median is the LOWER median by (n_rows, year)
+    rank — an exact integer pick, no interpolation to drift — and
+    ``is_skewed`` is the boundary-exact integer compare
+    n_rows·10 > med·15 (ratio > 1.5), never a double at the
+    decision. The per-partition relation is |years|-sized at any
+    data scale, so the window-median over it is metadata work.
+
+    Shape at 100 TB: one write shuffle (partitionBy), one re-read
+    aggregate whose map-side combine collapses each partition to a
+    single row before the tiny stats window."""
+    out = tempfile.mkdtemp(prefix="sfm-b20-") + "/orders_by_year"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.year("o_orderdate").alias("order_year"),
+    )
+    o.write.mode("overwrite").partitionBy("order_year").parquet(out)
+    back = spark.read.parquet(out)
+    from pyspark.sql import Window as W
+
+    p = back.groupBy(F.col("order_year").cast("long").alias("order_year")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("long").alias("n_custkeys"),
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    r = p.select(
+        "*",
+        F.sum("n_rows").over(wall).cast("long").alias("total"),
+        F.count("*").over(wall).cast("long").alias("n_parts"),
+        F.row_number()
+        .over(W.orderBy("n_rows", "order_year"))
+        .alias("rn"),
+    )
+    m = r.agg(
+        F.expr(
+            "MAX(CASE WHEN rn = (n_parts + 1) DIV 2 THEN n_rows END)"
+        ).alias("med")
+    )
+    return (
+        r.crossJoin(F.broadcast(m))
+        .selectExpr(
+            "order_year",
+            "n_rows",
+            "n_custkeys",
+            "FLOOR((CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE))"
+            " * 1e9 + 0.5) / 1e9 AS row_share",
+            "FLOOR((CAST(n_rows AS DOUBLE) / CAST(med AS DOUBLE))"
+            " * 1e9 + 0.5) / 1e9 AS skew_vs_median",
+            "n_rows * 10 > med * 15 AS is_skewed",
+        )
+        .orderBy("order_year")
+    )

@@ -196,3 +196,104 @@ def token_explode_udtf():
                 yield doc_id, pos, tok, len(tok)
 
     return TokenExplode
+
+
+# ---------------------------------------------------------------------------
+# J4 — mapInPandas: Arrow batch-iterator transform with schema change
+# ---------------------------------------------------------------------------
+
+_MAPINPANDAS_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                     x -> x != '') AS tk
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(tk)) AS BIGINT) AS n_types,
+         CAST(COALESCE(list_sum(list_transform(tk, x -> LENGTH(x))), 0)
+              AS BIGINT) AS chars_in_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, n_types, chars_in_tokens,
+  CASE WHEN n_tokens > 0 THEN
+    FLOOR((CAST(n_types AS DOUBLE) / n_tokens) * 1e6 + 0.5) / 1e6
+  END AS ttr,
+  CASE WHEN n_tokens > 0 THEN
+    FLOOR((CAST(chars_in_tokens AS DOUBLE) / n_tokens) * 1e6 + 0.5) / 1e6
+  END AS avg_token_len
+FROM s ORDER BY doc_id
+"""
+
+
+def _token_stats_batches(batches):
+    """Batch-iterator body for J4: per-document token statistics
+    computed in Python over Arrow batches. Tokenization is the RE2
+    whitespace class [\\t\\n\\f\\r ] so the oracle's string_split_regex
+    '\\s+' (RE2) sees the identical split; the function returns EXACT
+    INTEGERS only — every double ratio is derived JVM-side after the
+    UDF so no Python float arithmetic ever reaches the output."""
+    import re
+
+    ws = re.compile(r"[\t\n\f\r ]+")
+    for pdf in batches:
+        tok_lists = pdf["text"].map(
+            lambda s: [t for t in ws.split(s or "") if t]
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_tokens": tok_lists.map(len).astype("int64"),
+                "n_types": tok_lists.map(lambda t: len(set(t))).astype(
+                    "int64"
+                ),
+                "chars_in_tokens": tok_lists.map(
+                    lambda t: sum(len(x) for x in t)
+                ).astype("int64"),
+            }
+        )
+
+
+@query("udf-map-in-pandas", oracle=_MAPINPANDAS_ORACLE)
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: ``mapInPandas`` — the Arrow batch-ITERATOR plane that
+    completes the declared Python-boundary family (J1 scalar
+    pandas_udf, J2 grouped applyInPandas, J3 UDTF): the transform
+    sees whole record batches, may change the schema (text is
+    dropped, three stat columns appear), and streams batch-by-batch
+    with constant memory — the signature under which a real decode /
+    feature-extract / tokenize stage runs when the logic genuinely
+    needs a Python library (cf. multimodal.py's documented decode
+    boundary; this key proves the plumbing with a deterministic,
+    oracle-checkable computation).
+
+    Parity discipline: Python emits EXACT INTEGERS only (token,
+    type, char counts — the RE2-identical whitespace split documented
+    on the batch fn); the type-token ratio and mean token length are
+    snapped JVM-side divisions over those integers, so no Python
+    float ever reaches the compared output.
+
+    Shape at 100 TB: map-only — one Arrow pass per batch, zero
+    shuffle before the presentation sort; the batch iterator holds
+    one batch at a time regardless of partition size."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stats = d.mapInPandas(
+        _token_stats_batches,
+        schema=(
+            "doc_id long, n_tokens long, n_types long, chars_in_tokens long"
+        ),
+    )
+    return stats.selectExpr(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "chars_in_tokens",
+        "CASE WHEN n_tokens > 0 THEN"
+        " FLOOR((CAST(n_types AS DOUBLE) / n_tokens) * 1e6 + 0.5) / 1e6"
+        " END AS ttr",
+        "CASE WHEN n_tokens > 0 THEN"
+        " FLOOR((CAST(chars_in_tokens AS DOUBLE) / n_tokens)"
+        " * 1e6 + 0.5) / 1e6 END AS avg_token_len",
+    ).orderBy("doc_id")
