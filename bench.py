@@ -312,6 +312,15 @@ HEADLINE = [
     "graph-adamic-adar",
     "sink-partition-stats",
     "udf-map-in-pandas",
+    # r12 second-wave additions
+    "agg-cramers-v",
+    "agg-jsd-drift",
+    "window-bollinger",
+    "window-rsi",
+    "etl-fk-audit",
+    "fn-luhn-checksum",
+    "text-logodds-monroe",
+    "sample-length-buckets",
 ]
 
 

@@ -1132,3 +1132,124 @@ def fn_phone_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(length(digits) AS BIGINT) AS n_digits",
         "length(national) BETWEEN 8 AND 10 AS valid",
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# G15 — Luhn mod-10 checksum: compute, validate, corrupt-detect
+# ---------------------------------------------------------------------------
+
+_LUHN_LEN = 15  # payload digits; the check digit makes 16
+
+
+def _luhn_digit(i: int) -> str:
+    """Luhn contribution of payload position i (1-based, left to
+    right, length 15): the rightmost payload digit (i=15) sits next
+    to the appended check digit, so positions with ODD i double
+    (2d, minus 9 above 9)."""
+    d = f"CAST(substr(s, {i}, 1) AS INT)"
+    if i % 2 == 1:
+        return (
+            f"(CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 ELSE 2 * {d} END)"
+        )
+    return d
+
+
+#: Σ Luhn contributions over the 15 payload positions — one generated
+#: textual fragment shared verbatim by the Spark builder and the
+#: oracle (the PNG generated-CASE-chain precedent).
+_LUHN_SUM = " + ".join(_luhn_digit(i) for i in range(1, _LUHN_LEN + 1))
+
+# Corruption probe: bump the digit at pos = 1 + c_custkey % 15 by one
+# (mod 10) and re-validate. Luhn detects EVERY single-digit change,
+# so corrupt_valid must be FALSE on every row — emitted as data so
+# the driver hashes the property cross-engine instead of trusting a
+# test. delta recomputes only the touched position's contribution.
+_LUHN_OLD = "CAST(substr(s, pos, 1) AS INT)"
+_LUHN_NEW = f"(({_LUHN_OLD} + 1) % 10)"
+_LUHN_F = (
+    "(CASE WHEN pos % 2 = 1 THEN"
+    " CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 ELSE 2 * {d} END"
+    " ELSE {d} END)"
+)
+_LUHN_DELTA = (
+    _LUHN_F.format(d=_LUHN_NEW) + " - " + _LUHN_F.format(d=_LUHN_OLD)
+)
+
+_LUHN_ORACLE = f"""
+WITH synth AS (
+  SELECT c_custkey,
+         lpad(CAST((c_custkey * 48271) % 1000000000000000 AS STRING),
+              {_LUHN_LEN}, '0') AS s
+  FROM customer
+),
+l AS (
+  SELECT c_custkey, s,
+         CAST({_LUHN_SUM} AS BIGINT) AS luhn_sum,
+         CAST(1 + c_custkey % {_LUHN_LEN} AS INT) AS pos
+  FROM synth
+),
+k AS (
+  SELECT *,
+         CAST((10 - luhn_sum % 10) % 10 AS BIGINT) AS check_digit
+  FROM l
+)
+SELECT c_custkey AS acct_id,
+       s || CAST(check_digit AS STRING) AS card_number,
+       check_digit,
+       luhn_sum,
+       (luhn_sum + check_digit) % 10 = 0 AS valid,
+       CAST(pos AS BIGINT) AS corrupt_pos,
+       (luhn_sum + ({_LUHN_DELTA}) + check_digit) % 10 = 0
+         AS corrupt_valid
+FROM k ORDER BY acct_id
+"""
+
+
+@query("fn-luhn-checksum", oracle=_LUHN_ORACLE)
+def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G15: Luhn mod-10 checksum (ISO/IEC 7812) — compute the check
+    digit for a 15-digit payload, emit the full 16-digit account
+    number, validate it, and re-validate after a single-digit
+    corruption probe: the checksum grammar behind card/IMEI/account
+    identifiers, and the validation predicate a PII scrubber (I15) or
+    DQ audit (F18) wants as a plain column expression. The doubling
+    table, the check-digit closed form (10 − S mod 10) mod 10 and
+    the detect-every-single-digit-error property are all emitted AS
+    DATA (corrupt_valid must be FALSE on every row), so the driver
+    hash certifies the arithmetic cross-engine rather than a test
+    asserting it once.
+
+    The synthesize-then-parse contract (G9/G11/G13/G14): payloads
+    derive from c_custkey via an affine map, zero-padded to 15; the
+    checksum re-derives everything from the STRING alone via a
+    GENERATED 15-term sum (the PNG CASE-chain precedent — module
+    constant _LUHN_SUM is shared verbatim by builder and oracle).
+
+    Shape at 100 TB: map-only integer/string expressions fused into
+    the scan; zero shuffles (the presentation sort is the only
+    exchange); exact integers end to end — no doubles anywhere."""
+    cu = load_table(spark, sf_dir, "customer")
+    synth = cu.selectExpr(
+        "c_custkey",
+        f"lpad(CAST((c_custkey * 48271) % 1000000000000000 AS STRING),"
+        f" {_LUHN_LEN}, '0') AS s",
+    )
+    l = synth.selectExpr(
+        "c_custkey",
+        "s",
+        f"CAST({_LUHN_SUM} AS BIGINT) AS luhn_sum",
+        f"CAST(1 + c_custkey % {_LUHN_LEN} AS INT) AS pos",
+    )
+    k = l.selectExpr(
+        "*", "CAST((10 - luhn_sum % 10) % 10 AS BIGINT) AS check_digit"
+    )
+    return k.selectExpr(
+        "c_custkey AS acct_id",
+        "s || CAST(check_digit AS STRING) AS card_number",
+        "check_digit",
+        "luhn_sum",
+        "(luhn_sum + check_digit) % 10 = 0 AS valid",
+        "CAST(pos AS BIGINT) AS corrupt_pos",
+        f"(luhn_sum + ({_LUHN_DELTA}) + check_digit) % 10 = 0"
+        " AS corrupt_valid",
+    ).orderBy("acct_id")

@@ -1290,3 +1290,164 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * 1e9 + 0.5) / 1e9"
         " END AS r2",
     )
+
+
+# ---------------------------------------------------------------------------
+# I70 — Monroe log-odds-ratio with informative Dirichlet prior (en vs rest)
+# ---------------------------------------------------------------------------
+
+# Prior strength a0 (total pseudo-counts, split across the vocabulary
+# proportionally to corpus frequency — Monroe, Colaresi & Quinn 2008,
+# "Fightin' Words" §3.5.2). Shared literal so both engines smooth
+# identically.
+_LO_A0 = "1000.0"
+_LO_TOPK = 20
+
+# Shared textual fragments over the aggregated (tok, y_en, y_rest,
+# n_en, n_rest) relation. Every operand is an exact BIGINT cast to
+# double in the SAME order, so the chains are IEEE-identical.
+_LO_AI = (
+    f"({_LO_A0} * (CAST(y_en + y_rest AS DOUBLE)"
+    " / CAST(n_en + n_rest AS DOUBLE)))"
+)
+_LO_DEN_A = (
+    f"(CAST(n_en AS DOUBLE) + {_LO_A0}"
+    f" - CAST(y_en AS DOUBLE) - {_LO_AI})"
+)
+_LO_DEN_B = (
+    f"(CAST(n_rest AS DOUBLE) + {_LO_A0}"
+    f" - CAST(y_rest AS DOUBLE) - {_LO_AI})"
+)
+_LO_DELTA = (
+    f"(LN((CAST(y_en AS DOUBLE) + {_LO_AI}) / {_LO_DEN_A})"
+    f" - LN((CAST(y_rest AS DOUBLE) + {_LO_AI}) / {_LO_DEN_B}))"
+)
+_LO_VAR = (
+    f"(1.0 / (CAST(y_en AS DOUBLE) + {_LO_AI})"
+    f" + 1.0 / (CAST(y_rest AS DOUBLE) + {_LO_AI}))"
+)
+_LO_Z = f"({_LO_DELTA} / SQRT({_LO_VAR}))"
+_LO_OK = f"{_LO_DEN_A} > 0 AND {_LO_DEN_B} > 0"
+
+_LOGODDS_ORACLE = rf"""
+WITH tk AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+         UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+v AS (
+  SELECT tok,
+         CAST(SUM(is_en) AS BIGINT) AS y_en,
+         CAST(SUM(1 - is_en) AS BIGINT) AS y_rest
+  FROM tk GROUP BY tok
+),
+t AS (
+  SELECT tok, y_en, y_rest,
+         CAST(SUM(y_en) OVER () AS BIGINT) AS n_en,
+         CAST(SUM(y_rest) OVER () AS BIGINT) AS n_rest
+  FROM v
+),
+z AS (
+  SELECT tok, y_en, y_rest,
+         FLOOR(({_LO_DELTA}) * 1e9 + 0.5) / 1e9 AS delta,
+         FLOOR(({_LO_Z}) * 1e9 + 0.5) / 1e9 AS z
+  FROM t WHERE {_LO_OK}
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY z DESC, tok) AS rn_en,
+         ROW_NUMBER() OVER (ORDER BY z ASC, tok) AS rn_rest
+  FROM z
+)
+SELECT CASE WHEN rn_en <= {_LO_TOPK} THEN 'en-heavy'
+            ELSE 'rest-heavy' END AS direction,
+       CAST(CASE WHEN rn_en <= {_LO_TOPK} THEN rn_en
+                 ELSE rn_rest END AS BIGINT) AS rank,
+       tok, y_en, y_rest, delta, z
+FROM r
+WHERE rn_en <= {_LO_TOPK} OR rn_rest <= {_LO_TOPK}
+ORDER BY direction, rank
+"""
+
+
+@query("text-logodds-monroe", oracle=_LOGODDS_ORACLE)
+def text_logodds_monroe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I70: Monroe-Colaresi-Quinn log-odds ratio with an informative
+    Dirichlet prior ("Fightin' Words", 2008) between the English and
+    non-English document groups — THE principled what-distinguishes-
+    corpus-A-from-B readout for training-data curation: raw frequency
+    ratios explode on rare tokens and tf-idf (I25) has no uncertainty
+    model, while the Dirichlet-smoothed z-scored log-odds shrinks
+    rare-token noise (prior a_i = a0·f_i, a0 = 1000 pseudo-counts
+    spread by corpus frequency) and normalizes by the variance
+    1/(y_A+a_i) + 1/(y_B+a_i), so the top-|z| tokens are defensible
+    markers — the query a data team runs before deciding whether a
+    source's distinctive vocabulary is signal or contamination.
+
+    Shape at 100 TB: one scan explodes through the shared tokenizer
+    into a map-side-collapsing hash agg onto the (tok, y_en, y_rest)
+    VOCABULARY relation (text never shuffles — only tokens);
+    corpus totals are windows over that relation; the two top-k
+    rankings are WindowGroupLimit-bounded row_numbers over it.
+
+    Parity: counts exact BIGINTs; a_i, both denominators, delta and z
+    are shared textual fragments (module constants) snapped at 9 dp;
+    ranking orders by the SNAPPED z with the token as tie-breaker, so
+    selection is boundary-deterministic; z·1e9 stays inside 2^53 up
+    to |z| ~ 9e6 (a corpus-scale bound documented beside the snap
+    hazard); degenerate denominators are filtered by the shared guard
+    before ranking in both engines."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+        F.explode(toks()).alias("tok"),
+    )
+    v = tk.groupBy("tok").agg(
+        F.sum("is_en").cast("long").alias("y_en"),
+        F.sum(1 - F.col("is_en")).cast("long").alias("y_rest"),
+    )
+    wall = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    t = v.select(
+        "tok",
+        "y_en",
+        "y_rest",
+        F.sum("y_en").over(wall).cast("long").alias("n_en"),
+        F.sum("y_rest").over(wall).cast("long").alias("n_rest"),
+    )
+    z = t.filter(F.expr(_LO_OK)).selectExpr(
+        "tok",
+        "y_en",
+        "y_rest",
+        f"FLOOR(({_LO_DELTA}) * 1e9 + 0.5) / 1e9 AS delta",
+        f"FLOOR(({_LO_Z}) * 1e9 + 0.5) / 1e9 AS z",
+    )
+    r = z.select(
+        "*",
+        F.row_number()
+        .over(W.orderBy(F.col("z").desc(), "tok"))
+        .alias("rn_en"),
+        F.row_number()
+        .over(W.orderBy(F.col("z").asc(), "tok"))
+        .alias("rn_rest"),
+    )
+    return (
+        r.filter(
+            (F.col("rn_en") <= _LO_TOPK) | (F.col("rn_rest") <= _LO_TOPK)
+        )
+        .selectExpr(
+            f"CASE WHEN rn_en <= {_LO_TOPK} THEN 'en-heavy'"
+            " ELSE 'rest-heavy' END AS direction",
+            f"CAST(CASE WHEN rn_en <= {_LO_TOPK} THEN rn_en"
+            " ELSE rn_rest END AS BIGINT) AS rank",
+            "tok",
+            "y_en",
+            "y_rest",
+            "delta",
+            "z",
+        )
+        .orderBy("direction", "rank")
+    )

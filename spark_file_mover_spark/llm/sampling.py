@@ -1032,3 +1032,110 @@ def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users_overlap",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# I71 — length-bucketed batching audit (power-of-2 buckets, padding waste)
+# ---------------------------------------------------------------------------
+
+_LENBUCKET_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+              AS BIGINT) AS n_tok
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN n_tok <= 1 THEN CAST(1 AS BIGINT)
+              ELSE CAST(1 AS BIGINT) << LENGTH(bin(n_tok - 1))
+         END AS bucket_ceil
+  FROM d
+),
+g AS (
+  SELECT bucket_ceil,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         CAST(SUM(bucket_ceil - n_tok) AS BIGINT) AS padding_tokens
+  FROM b GROUP BY 1
+),
+t AS (
+  SELECT *, CAST(SUM(n_docs) OVER () AS BIGINT) AS n_total FROM g
+)
+SELECT bucket_ceil, n_docs, total_tokens, padding_tokens,
+       FLOOR((CAST(padding_tokens AS DOUBLE)
+              / CAST(n_docs * bucket_ceil AS DOUBLE)) * 1e9 + 0.5) / 1e9
+         AS waste_frac,
+       FLOOR((CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE))
+             * 1e9 + 0.5) / 1e9 AS doc_share
+FROM t ORDER BY bucket_ceil
+"""
+
+
+@query("sample-length-buckets", oracle=_LENBUCKET_ORACLE)
+def sample_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I71: length-bucketed batching audit — assign every document to
+    the power-of-2 token-length bucket trainers pad to (the dynamic-
+    batching scheme every LLM data loader uses to keep GPU batches
+    rectangular), and report per bucket the padding waste that choice
+    buys: Σ(ceil − len) tokens burned vs the bucket ceiling, the
+    fraction of the padded batch that is padding, and each bucket's
+    share of the corpus. The complement of I23 (pack-sequences packs
+    documents INTO a fixed context; this audits the pad-to-bucket
+    alternative) — reading waste_frac across buckets is how you pick
+    between the two strategies.
+
+    Bucket assignment is EXACT INTEGER arithmetic, not log2 doubles:
+    ceil(log2(n)) = LENGTH(bin(n−1)) for n ≥ 2 (both engines ship the
+    same binary-string builtin), then 1 << e — a double log2 at an
+    exact power of 2 is precision-roulette at the bucket boundary;
+    the bit-length form cannot misassign.
+
+    Shape at 100 TB: one scan, token counts computed map-side from
+    the shared tokenizer (never materializing token arrays past the
+    count), hash agg onto the ~⌈log2(max_len)⌉-row bucket relation,
+    one window over that bounded relation for shares. Text never
+    shuffles.
+
+    Parity: counts/paddings exact BIGINTs; the two fractions are
+    single textual division chains over exact operands, snapped."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(toks()).cast("long").alias("n_tok")
+    )
+    b = d.selectExpr(
+        "doc_id",
+        "n_tok",
+        "CASE WHEN n_tok <= 1 THEN CAST(1 AS BIGINT)"
+        " ELSE shiftleft(CAST(1 AS BIGINT), LENGTH(bin(n_tok - 1)))"
+        " END AS bucket_ceil",
+    )
+    g = b.groupBy("bucket_ceil").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum(F.col("bucket_ceil") - F.col("n_tok"))
+        .cast("long")
+        .alias("padding_tokens"),
+    )
+    from pyspark.sql import Window as W
+
+    t = g.withColumn(
+        "n_total",
+        F.sum("n_docs")
+        .over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .cast("long"),
+    )
+    return t.selectExpr(
+        "bucket_ceil",
+        "n_docs",
+        "total_tokens",
+        "padding_tokens",
+        "FLOOR((CAST(padding_tokens AS DOUBLE)"
+        " / CAST(n_docs * bucket_ceil AS DOUBLE)) * 1e9 + 0.5) / 1e9"
+        " AS waste_frac",
+        "FLOOR((CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE))"
+        " * 1e9 + 0.5) / 1e9 AS doc_share",
+    ).orderBy("bucket_ceil")

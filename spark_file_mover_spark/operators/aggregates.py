@@ -5067,3 +5067,320 @@ def agg_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" FLOOR((1.0 / ({_HILL_H})) * 1e9 + 0.5) / 1e9 END"
         f" <= CAST({_HILL_ALPHA_HEAVY} AS DOUBLE), FALSE) AS heavy_tail",
     )
+
+
+# ---------------------------------------------------------------------------
+# E49 — Cramér's V effect size over the segment × nation contingency
+# ---------------------------------------------------------------------------
+
+# Cohen (1988) effect-size bands for w = sqrt(chi2/n): small 0.1,
+# medium 0.3, large 0.5. Banding compares the SNAPPED w against these
+# shared literals, so the label is boundary-deterministic cross-engine.
+_CV_SMALL = "0.1"
+_CV_MEDIUM = "0.3"
+_CV_LARGE = "0.5"
+
+# chi2/n via the O²/E identity: chi2 = Σ(O−E)²/E = Σ O²/E − n (zero
+# cells contribute 0 to Σ O²/E), so chi2/n = Σ o²/(r·c) − 1 — NO
+# zero-cell completion join, unlike E31's analyst view. Each present
+# cell's o²/(r·c) is in (0, 1] (o ≤ min(r, c) ⇒ o² ≤ r·c), so the
+# 1e15-snap stays far inside 2^53 and the DECIMAL(20,15) sum is exact.
+_CV_TERM = (
+    "CAST(o AS DOUBLE) * CAST(o AS DOUBLE)"
+    " / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))"
+)
+_CV_PHI2 = "CAST(GREATEST(s - 1, 0) AS DOUBLE)"
+_CV_W = f"SQRT({_CV_PHI2})"
+_CV_V = f"SQRT(({_CV_PHI2}) / CAST(mindim - 1 AS DOUBLE))"
+
+_CRAMERSV_ORACLE = f"""
+WITH obs AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM customer GROUP BY 1, 2
+),
+tot AS (
+  SELECT seg, nat, o,
+         CAST(SUM(o) OVER (PARTITION BY seg) AS BIGINT) AS r,
+         CAST(SUM(o) OVER (PARTITION BY nat) AS BIGINT) AS c,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM obs
+),
+terms AS (
+  SELECT n, r, c,
+         CAST(FLOOR(({_CV_TERM}) * 1e15 + 0.5) / 1e15 AS DECIMAL(20,15))
+           AS term
+  FROM tot
+),
+m AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(term) AS DECIMAL(38,15)) AS s
+  FROM terms
+),
+dims AS (
+  SELECT CAST(COUNT(DISTINCT seg) AS BIGINT) AS nr,
+         CAST(COUNT(DISTINCT nat) AS BIGINT) AS nc
+  FROM obs
+),
+f AS (
+  SELECT n, nr, nc, s,
+         CASE WHEN nr < nc THEN nr ELSE nc END AS mindim
+  FROM m CROSS JOIN dims
+)
+SELECT n, nr AS n_segments, nc AS n_nations,
+  FLOOR((CAST(n AS DOUBLE) * ({_CV_PHI2})) * 1e6 + 0.5) / 1e6 AS chi2,
+  FLOOR(({_CV_W}) * 1e9 + 0.5) / 1e9 AS cohen_w,
+  CASE WHEN mindim > 1 THEN
+    FLOOR(({_CV_V}) * 1e9 + 0.5) / 1e9 END AS cramers_v,
+  CASE WHEN FLOOR(({_CV_W}) * 1e9 + 0.5) / 1e9 < {_CV_SMALL}
+         THEN 'negligible'
+       WHEN FLOOR(({_CV_W}) * 1e9 + 0.5) / 1e9 < {_CV_MEDIUM}
+         THEN 'small'
+       WHEN FLOOR(({_CV_W}) * 1e9 + 0.5) / 1e9 < {_CV_LARGE}
+         THEN 'medium'
+       ELSE 'large' END AS effect_band
+FROM f
+"""
+
+
+@query("agg-cramers-v", oracle=_CRAMERSV_ORACLE)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E49: Cramér's V + Cohen's w over the market-segment × nation
+    contingency — the EFFECT-SIZE readout that belongs beside the E31
+    significance test: at 100 TB *everything* is significant (n in
+    the billions drives any χ² past any critical value), so the
+    decision-grade number is the scale-free association strength
+    V = sqrt(χ²/(n·(min(r,c)−1))) with Cohen's banding on
+    w = sqrt(χ²/n) (0.1 / 0.3 / 0.5 — _CV_SMALL/_CV_MEDIUM/_CV_LARGE).
+
+    Shape at 100 TB: ONE hash aggregate collapses the corpus to the
+    |segments|×|nations| cell relation; margins are windows over that
+    bounded relation; and the χ² identity Σ(O−E)²/E = Σ O²/E − n
+    makes zero cells contribute NOTHING — no E31-style completion
+    cross-join, no per-cell expected counts. χ²/n = Σ o²/(rc) − 1
+    never multiplies by n until the display column, so the statistic
+    the banding reads is precision-stable at ANY corpus size.
+
+    Parity: counts/margins exact BIGINTs; each cell's o²/(rc) ∈ (0,1]
+    is an IEEE-identical double snapped at 1e15 (inside 2^53) and
+    summed as DECIMAL(20,15) — order-independent; GREATEST(s−1, 0)
+    clamps the snap-jitter of an exactly-independent table; single-
+    row/column tables → NULL cramers_v (w still 0-defined) in both
+    engines; the band compares the SNAPPED w against shared literals."""
+    from pyspark.sql import Window as W
+
+    cu = load_table(spark, sf_dir, "customer")
+    obs = cu.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    # the cell relation is |segments|×|nations|-bounded at ANY corpus
+    # size and feeds both the margin windows and the dims aggregate —
+    # checkpoint-free reuse is fine: the scan-census gate sees one
+    # corpus scan per consumer of a ~125-row aggregate, which the
+    # planner collapses via exchange reuse on the grouping key.
+    tot = obs.select(
+        "seg",
+        "nat",
+        "o",
+        F.sum("o").over(W.partitionBy("seg")).cast("long").alias("r"),
+        F.sum("o").over(W.partitionBy("nat")).cast("long").alias("c"),
+        F.sum("o").over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("n"),
+    )
+    terms = tot.selectExpr(
+        "n",
+        f"CAST(FLOOR(({_CV_TERM}) * 1e15 + 0.5) / 1e15"
+        " AS DECIMAL(20,15)) AS term",
+    )
+    m = terms.agg(
+        F.max("n").alias("n"),
+        F.sum("term").cast("decimal(38,15)").alias("s"),
+    )
+    dims = obs.agg(
+        F.countDistinct("seg").cast("long").alias("nr"),
+        F.countDistinct("nat").cast("long").alias("nc"),
+    )
+    f = m.crossJoin(dims).selectExpr(
+        "n",
+        "nr",
+        "nc",
+        "s",
+        "CASE WHEN nr < nc THEN nr ELSE nc END AS mindim",
+    )
+    return f.selectExpr(
+        "n",
+        "nr AS n_segments",
+        "nc AS n_nations",
+        f"FLOOR((CAST(n AS DOUBLE) * ({_CV_PHI2})) * 1e6 + 0.5) / 1e6"
+        " AS chi2",
+        f"FLOOR(({_CV_W}) * 1e9 + 0.5) / 1e9 AS cohen_w",
+        f"CASE WHEN mindim > 1 THEN"
+        f" FLOOR(({_CV_V}) * 1e9 + 0.5) / 1e9 END AS cramers_v",
+        f"CASE WHEN FLOOR(({_CV_W}) * 1e9 + 0.5) / 1e9 < {_CV_SMALL}"
+        f" THEN 'negligible'"
+        f" WHEN FLOOR(({_CV_W}) * 1e9 + 0.5) / 1e9 < {_CV_MEDIUM}"
+        f" THEN 'small'"
+        f" WHEN FLOOR(({_CV_W}) * 1e9 + 0.5) / 1e9 < {_CV_LARGE}"
+        f" THEN 'medium'"
+        f" ELSE 'large' END AS effect_band",
+    )
+
+
+# ---------------------------------------------------------------------------
+# E50 — Jensen-Shannon drift per event type (two time windows)
+# ---------------------------------------------------------------------------
+
+# ln(2) as a shared literal (not LN(2.0)) so both engines band and
+# normalize against the identical IEEE constant.
+_JSD_LN2 = "0.6931471805599453"
+
+# Each half-term p·ln(2p/(p+q)) is an IEEE-identical textual fragment
+# over the window proportions; a=0 (resp. b=0) contributes exactly 0
+# by the p·ln p limit, handled by the CASE guard, so one-sided buckets
+# are INCLUDED (each contributes p·ln2) — the structural advantage
+# over PSI (E47), which must exclude them.
+_JSD_PA = "(CAST(a_cnt AS DOUBLE) / n_a)"
+_JSD_PB = "(CAST(b_cnt AS DOUBLE) / n_b)"
+_JSD_TERM_A = f"{_JSD_PA} * LN(2.0 * {_JSD_PA} / ({_JSD_PA} + {_JSD_PB}))"
+_JSD_TERM_B = f"{_JSD_PB} * LN(2.0 * {_JSD_PB} / ({_JSD_PA} + {_JSD_PB}))"
+
+_JSD_ORACLE = f"""
+WITH b AS (
+  SELECT event_type,
+         LENGTH(CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                     AS VARCHAR)) AS bucket,
+         CASE WHEN ts < TIMESTAMP '{_KS_SPLIT}' THEN 1 ELSE 0 END AS in_a
+  FROM events WHERE value IS NOT NULL
+),
+h AS (
+  SELECT event_type, bucket,
+         CAST(SUM(in_a) AS BIGINT) AS a_cnt,
+         CAST(SUM(1 - in_a) AS BIGINT) AS b_cnt
+  FROM b GROUP BY 1, 2
+),
+t AS (
+  SELECT *,
+         CAST(SUM(a_cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_a,
+         CAST(SUM(b_cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_b
+  FROM h
+),
+terms AS (
+  SELECT event_type, n_a, n_b,
+         CASE WHEN a_cnt > 0 THEN
+           CAST(FLOOR(({_JSD_TERM_A}) * 1e9 + 0.5) / 1e9
+                AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9))
+         END AS term_a,
+         CASE WHEN b_cnt > 0 THEN
+           CAST(FLOOR(({_JSD_TERM_B}) * 1e9 + 0.5) / 1e9
+                AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9))
+         END AS term_b
+  FROM t
+),
+p AS (
+  SELECT event_type,
+         MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CASE WHEN MAX(n_a) > 0 AND MAX(n_b) > 0 THEN
+           CAST(SUM(term_a) + SUM(term_b) AS DOUBLE) / 2.0
+         END AS jsd
+  FROM terms GROUP BY event_type
+)
+SELECT event_type, n_a, n_b, n_buckets,
+       FLOOR(jsd * 1e9 + 0.5) / 1e9 AS jsd_nats,
+       FLOOR((jsd / {_JSD_LN2}) * 1e9 + 0.5) / 1e9 AS jsd_norm,
+       CASE WHEN jsd IS NOT NULL THEN
+         FLOOR(SQRT(GREATEST(jsd / {_JSD_LN2}, 0.0)) * 1e9 + 0.5) / 1e9
+       END AS js_distance
+FROM p ORDER BY event_type
+"""
+
+
+@query("agg-jsd-drift", oracle=_JSD_ORACLE)
+def agg_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E50: Jensen-Shannon divergence per event type between the two
+    KS time windows (Lin 1991) — the SYMMETRIC, BOUNDED member of the
+    drift family: KS (E17) gives a significance verdict, PSI (E47)
+    gives the banded magnitude ops teams alert on but must THROW AWAY
+    one-sided buckets (its ln blows up), JSD is finite for any pair
+    of distributions — a bucket seen in only one window contributes
+    exactly p·ln2 — and lives in [0, ln 2], so 'jsd_norm' ∈ [0, 1] is
+    comparable across types and its square root is a proper metric
+    (Endres & Schindelin 2003), the right distance for downstream
+    thresholding/clustering of drifted segments.
+
+    Shape at 100 TB: identical to E47 — one scan collapses map-side
+    to (type, digit-bucket) counts bounded by |types|×|digits|;
+    per-type normalizers are windows over that AGGREGATED relation
+    reusing its exchange; final bounded agg. Nothing downstream of
+    the first aggregate touches raw rows.
+
+    Parity: counts exact BIGINTs; each half-term p·ln(2p/(p+q)) is an
+    IEEE-identical textual fragment snapped to 9 dp and summed as
+    DECIMAL(18,9) (order-independent — the E20/E47 ln precedent);
+    normalization divides by the shared _JSD_LN2 literal, never
+    LN(2.0); GREATEST(·, 0) clamps snap-jitter before the sqrt; a
+    type living entirely in one window → NULL in both engines."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    in_a = (F.col("ts") < _KS_SPLIT).cast("long")
+    h = (
+        e.select(
+            "event_type",
+            F.length(cents.cast("string")).alias("bucket"),
+            in_a.alias("in_a"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("in_a").cast("long").alias("a_cnt"),
+            F.sum(1 - F.col("in_a")).cast("long").alias("b_cnt"),
+        )
+    )
+    tot = W.partitionBy("event_type")
+    t = h.select(
+        "event_type",
+        "a_cnt",
+        "b_cnt",
+        F.sum("a_cnt").over(tot).cast("long").alias("n_a"),
+        F.sum("b_cnt").over(tot).cast("long").alias("n_b"),
+    )
+    terms = t.selectExpr(
+        "event_type",
+        "n_a",
+        "n_b",
+        f"CASE WHEN a_cnt > 0 THEN"
+        f" CAST(FLOOR(({_JSD_TERM_A}) * 1e9 + 0.5) / 1e9"
+        f" AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9))"
+        f" END AS term_a",
+        f"CASE WHEN b_cnt > 0 THEN"
+        f" CAST(FLOOR(({_JSD_TERM_B}) * 1e9 + 0.5) / 1e9"
+        f" AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9))"
+        f" END AS term_b",
+    )
+    p = terms.groupBy("event_type").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.count("*").cast("long").alias("n_buckets"),
+        F.expr(
+            "CASE WHEN MAX(n_a) > 0 AND MAX(n_b) > 0 THEN"
+            " CAST(SUM(term_a) + SUM(term_b) AS DOUBLE) / 2.0 END"
+        ).alias("jsd"),
+    )
+    return p.selectExpr(
+        "event_type",
+        "n_a",
+        "n_b",
+        "n_buckets",
+        "FLOOR(jsd * 1e9 + 0.5) / 1e9 AS jsd_nats",
+        f"FLOOR((jsd / {_JSD_LN2}) * 1e9 + 0.5) / 1e9 AS jsd_norm",
+        f"CASE WHEN jsd IS NOT NULL THEN"
+        f" FLOOR(SQRT(GREATEST(jsd / {_JSD_LN2}, 0.0)) * 1e9 + 0.5) / 1e9"
+        " END AS js_distance",
+    ).orderBy("event_type")

@@ -2739,3 +2739,396 @@ def window_vwap_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# F32 — Bollinger bands over the daily revenue series (exact breaches)
+# ---------------------------------------------------------------------------
+
+# 20-day window, k = 2 sigma (the Bollinger defaults). The breach
+# decision is the EXACT integer cross-multiply: with d = n·x − Σx and
+# vn = n·Σx² − (Σx)² (both DECIMAL(38,0) over exact cents),
+#   x > mean + 2·sd  ⟺  d > 0 AND d² > 4·vn      (k² = 4)
+# so the flag never touches a double. z = d/√vn is bounded by √n ≤ √20
+# (a window member is at most √n sigmas out), safely inside the snap
+# envelope at ANY corpus size.
+_BOLL_N = 20
+_BOLL_K2 = 4  # k², for the squared compare
+
+_BOLL_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
+              AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT day, cents,
+         CAST(COUNT(*) OVER f AS BIGINT) AS n,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0))) OVER f
+              AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) OVER f
+              AS DECIMAL(38,0)) AS sq
+  FROM d
+  WINDOW f AS (ORDER BY day
+               ROWS BETWEEN {_BOLL_N - 1} PRECEDING AND CURRENT ROW)
+),
+x AS (
+  SELECT day, cents, n,
+         CAST(n AS DECIMAL(38,0)) * cents - s AS dd,
+         CAST(n AS DECIMAL(38,0)) * sq - s * s AS vn
+  FROM w
+)
+SELECT STRFTIME(TIMESTAMP '1970-01-01' + INTERVAL (day) DAY, '%Y-%m-%d')
+         AS day_str,
+       cents, n AS n_window,
+       CAST(dd AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS dev_dollars,
+       CASE WHEN vn > 0 THEN
+         FLOOR((CAST(dd AS DOUBLE) / SQRT(CAST(vn AS DOUBLE)))
+               * 1e9 + 0.5) / 1e9 END AS z_score,
+       CASE WHEN dd > 0 AND dd * dd > {_BOLL_K2} * vn THEN 'above'
+            WHEN dd < 0 AND dd * dd > {_BOLL_K2} * vn THEN 'below'
+            ELSE 'inside' END AS band_state
+FROM x ORDER BY day
+"""
+
+
+@query("window-bollinger", oracle=_BOLL_ORACLE)
+def window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F32: Bollinger bands (Bollinger 1983: 20-day mean ± 2σ) over
+    the daily revenue series — the volatility-scaled envelope that
+    complements the running-peak drawdown (F30) and the fixed-window
+    z-score anomaly screen (F14): F14 asks "is today odd vs a global
+    reference?", this asks "is today outside its OWN recent
+    volatility regime?" — the adaptive alert line dashboards want
+    when variance itself drifts seasonally.
+
+    Shape at 100 TB: events collapse map-side to the calendar-bounded
+    DAY relation before any window (the F26/F30 discipline); the
+    single rolling frame computes count/Σx/Σx² in one pass over ~365
+    rows per year, never events.
+
+    Parity: cents exact BIGINTs; d = n·x − Σx and vn = n·Σx² − (Σx)²
+    are DECIMAL(38,0)-exact, so the band breach is an INTEGER
+    decision (d² > k²·vn) — no double ever gates the label; the
+    z-score d/√vn is bounded by √n ≤ √20, one IEEE division over
+    exact-integer-derived doubles, snapped; dev_dollars is a pure
+    division chain (davg precedent). Zero-variance windows (n = 1 or
+    all-equal) → NULL z, 'inside' in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias(
+            "day"
+        )
+    ).agg(
+        F.coalesce(F.sum(dec("value") * 100), F.lit(0))
+        .cast("long")
+        .alias("cents")
+    )
+    f = W.orderBy("day").rowsBetween(-(_BOLL_N - 1), W.currentRow)
+    w = d.select(
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(f).cast("long").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)"))
+        .over(f)
+        .cast("decimal(38,0)")
+        .alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .over(f)
+        .cast("decimal(38,0)")
+        .alias("sq"),
+    )
+    x = w.selectExpr(
+        "day",
+        "cents",
+        "n",
+        "CAST(n AS DECIMAL(38,0)) * cents - s AS dd",
+        "CAST(n AS DECIMAL(38,0)) * sq - s * s AS vn",
+    )
+    return x.selectExpr(
+        "date_format(timestamp_micros(day * 86400000000), 'yyyy-MM-dd')"
+        " AS day_str",
+        "cents",
+        "n AS n_window",
+        "CAST(dd AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS dev_dollars",
+        "CASE WHEN vn > 0 THEN"
+        " FLOOR((CAST(dd AS DOUBLE) / SQRT(CAST(vn AS DOUBLE)))"
+        " * 1e9 + 0.5) / 1e9 END AS z_score",
+        f"CASE WHEN dd > 0 AND dd * dd > {_BOLL_K2} * vn THEN 'above'"
+        f" WHEN dd < 0 AND dd * dd > {_BOLL_K2} * vn THEN 'below'"
+        f" ELSE 'inside' END AS band_state",
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# F33 — RSI (relative strength index) over the daily revenue series
+# ---------------------------------------------------------------------------
+
+# Cutler's RSI (the simple-moving-average variant — Wilder's EWMA form
+# is recursive and partition-order-dependent; the SMA form is the
+# standard window-function formulation): RSI = 100·ΣG/(ΣG+ΣL) over the
+# last 14 day-over-day deltas. Zone thresholds are the classic 70/30,
+# compared against the SNAPPED rsi so the label is deterministic.
+_RSI_N = 14
+_RSI_OVERBOUGHT = "70.0"
+_RSI_OVERSOLD = "30.0"
+
+_RSI_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
+              AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+dl AS (
+  SELECT day, cents,
+         cents - LAG(cents) OVER (ORDER BY day) AS delta
+  FROM d
+),
+g AS (
+  SELECT day, cents,
+         CAST(SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END) OVER f
+              AS BIGINT) AS sum_gain,
+         CAST(SUM(CASE WHEN delta < 0 THEN -delta ELSE 0 END) OVER f
+              AS BIGINT) AS sum_loss,
+         CAST(COUNT(delta) OVER f AS BIGINT) AS n_deltas
+  FROM dl
+  WINDOW f AS (ORDER BY day
+               ROWS BETWEEN {_RSI_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT STRFTIME(TIMESTAMP '1970-01-01' + INTERVAL (day) DAY, '%Y-%m-%d')
+         AS day_str,
+       cents, n_deltas, sum_gain, sum_loss,
+       CASE WHEN sum_gain + sum_loss > 0 THEN
+         FLOOR((100.0 * CAST(sum_gain AS DOUBLE)
+                / CAST(sum_gain + sum_loss AS DOUBLE)) * 1e9 + 0.5) / 1e9
+       END AS rsi,
+       CASE WHEN sum_gain + sum_loss IS NULL
+              OR sum_gain + sum_loss = 0 THEN 'undefined'
+            WHEN FLOOR((100.0 * CAST(sum_gain AS DOUBLE)
+                 / CAST(sum_gain + sum_loss AS DOUBLE)) * 1e9 + 0.5) / 1e9
+                 >= {_RSI_OVERBOUGHT} THEN 'overbought'
+            WHEN FLOOR((100.0 * CAST(sum_gain AS DOUBLE)
+                 / CAST(sum_gain + sum_loss AS DOUBLE)) * 1e9 + 0.5) / 1e9
+                 <= {_RSI_OVERSOLD} THEN 'oversold'
+            ELSE 'neutral' END AS zone
+FROM g ORDER BY day
+"""
+
+
+@query("window-rsi", oracle=_RSI_ORACLE)
+def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F33: relative strength index (Cutler's SMA variant of Wilder
+    1978) over the daily revenue series — the momentum readout that
+    completes the finance-window family: OHLC (F25) summarizes the
+    level, Bollinger (F32) the volatility envelope, RSI the gain/loss
+    BALANCE of the last 14 deltas — "is the recent run-up exhausted?"
+    (≥70 overbought / ≤30 oversold, the classic zones). The SMA form
+    is deliberate: Wilder's EWMA smoothing is an order-dependent
+    recursion (the F12 caveat), while the SMA form is a pure window
+    frame — deterministic, restart-free, and identical cross-engine.
+
+    Shape at 100 TB: the F30/F32 discipline — one map-side collapse
+    to the calendar-bounded day relation, then LAG + one rolling
+    frame over ~365 rows/year. One exchange, windows never see events.
+
+    Parity: deltas/gains/losses exact BIGINTs (CASE on exact cents —
+    GREATEST is avoided because engines disagree on NULL handling); RSI ∈ [0,100] is one textual division chain over exact
+    operands, snapped (·1e9 ≤ 1e11, deep inside the envelope); zones
+    compare the SNAPPED rsi against shared literals; a frame with no
+    deltas (first day) or all-zero deltas → NULL rsi, 'undefined' in
+    both engines."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias(
+            "day"
+        )
+    ).agg(
+        F.coalesce(F.sum(dec("value") * 100), F.lit(0))
+        .cast("long")
+        .alias("cents")
+    )
+    dl = d.select(
+        "day",
+        "cents",
+        (F.col("cents") - F.lag("cents").over(W.orderBy("day"))).alias(
+            "delta"
+        ),
+    )
+    f = W.orderBy("day").rowsBetween(-(_RSI_N - 1), W.currentRow)
+    g = dl.select(
+        "day",
+        "cents",
+        F.sum(F.expr("CASE WHEN delta > 0 THEN delta ELSE 0 END"))
+        .over(f)
+        .cast("long")
+        .alias("sum_gain"),
+        F.sum(F.expr("CASE WHEN delta < 0 THEN -delta ELSE 0 END"))
+        .over(f)
+        .cast("long")
+        .alias("sum_loss"),
+        F.count("delta").over(f).cast("long").alias("n_deltas"),
+    )
+    rsi_expr = (
+        "FLOOR((100.0 * CAST(sum_gain AS DOUBLE)"
+        " / CAST(sum_gain + sum_loss AS DOUBLE)) * 1e9 + 0.5) / 1e9"
+    )
+    return g.selectExpr(
+        "date_format(timestamp_micros(day * 86400000000), 'yyyy-MM-dd')"
+        " AS day_str",
+        "cents",
+        "n_deltas",
+        "sum_gain",
+        "sum_loss",
+        f"CASE WHEN sum_gain + sum_loss > 0 THEN {rsi_expr} END AS rsi",
+        f"CASE WHEN sum_gain + sum_loss IS NULL"
+        f" OR sum_gain + sum_loss = 0 THEN 'undefined'"
+        f" WHEN {rsi_expr} >= {_RSI_OVERBOUGHT} THEN 'overbought'"
+        f" WHEN {rsi_expr} <= {_RSI_OVERSOLD} THEN 'oversold'"
+        f" ELSE 'neutral' END AS zone",
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# F34 — referential-integrity (foreign-key) audit across the star schema
+# ---------------------------------------------------------------------------
+
+# The seven FK edges of the schema, audited in one pass each:
+# (relationship label, child table, child key col, parent table,
+# parent key col). NULL child keys are counted separately — a NULL is
+# a missing reference, not an orphan.
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+]
+
+
+def _fk_audit_sql_one(
+    rel: str, child: str, ckey: str, parent: str, pkey: str
+) -> str:
+    return f"""
+SELECT '{rel}' AS relationship, child_rows, null_rows, distinct_keys,
+       orphan_keys, orphan_rows,
+       FLOOR((CAST(orphan_rows AS DOUBLE) / CAST(child_rows AS DOUBLE))
+             * 1e9 + 0.5) / 1e9 AS orphan_frac
+FROM (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS child_rows,
+         CAST(COALESCE(SUM(CASE WHEN k IS NULL THEN cnt END), 0)
+              AS BIGINT) AS null_rows,
+         CAST(COUNT(k) AS BIGINT) AS distinct_keys,
+         CAST(COALESCE(SUM(CASE WHEN k IS NOT NULL AND pk IS NULL
+                                THEN 1 END), 0) AS BIGINT) AS orphan_keys,
+         CAST(COALESCE(SUM(CASE WHEN k IS NOT NULL AND pk IS NULL
+                                THEN cnt END), 0) AS BIGINT) AS orphan_rows
+  FROM (SELECT {ckey} AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM {child} GROUP BY 1) c
+  LEFT JOIN (SELECT DISTINCT {pkey} AS pk FROM {parent}) p ON c.k = p.pk
+) a
+"""
+
+
+_FK_AUDIT_ORACLE = "\nUNION ALL\n".join(
+    _fk_audit_sql_one(*e) for e in _FK_EDGES
+) + "\nORDER BY relationship"
+
+
+@query("etl-fk-audit", oracle=_FK_AUDIT_ORACLE)
+def etl_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F34: referential-integrity audit over every FK edge of the
+    star schema — per relationship, total child rows, NULL
+    references, distinct child keys, orphan KEYS (child keys with no
+    parent) and orphan ROWS, plus the orphan fraction: the first
+    query a data-platform team runs after any backfill/CDC load, and
+    the structured complement of the column-level DQ audit (F18),
+    which checks values in isolation while this checks the edges
+    BETWEEN tables. One summary row per relationship.
+
+    Shape at 100 TB: each edge collapses the child map-side to its
+    DISTINCT-key relation (bounded by key cardinality, never row
+    count) before any join; the parent side joins as a key-only
+    projection — broadcastable for the dimension edges (nation,
+    region, supplier) and an id-only shuffle for the fact edges;
+    the NULL-reference group rides the SAME hash aggregate as the
+    real keys, so row totals, NULL counts and orphan rows all derive
+    from the bounded key relation — ONE scan per edge, no second
+    pass over any child table.
+
+    Parity: all counts exact BIGINTs; the fraction is one textual
+    division over exact operands, snapped; a child table with all
+    keys NULL degenerates to zero distinct keys and 0.0 fractions in
+    both engines."""
+    outs = []
+    for rel, child, ckey, parent, pkey in _FK_EDGES:
+        ch = load_table(spark, sf_dir, child)
+        pa = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("pk"))
+            .distinct()
+        )
+        # ONE child scan per edge: the NULL group rides the same
+        # hash agg as the real keys, so totals/null counts/orphans
+        # all derive from the bounded (key, cnt) relation.
+        keys = ch.groupBy(F.col(ckey).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        joined = keys.join(pa, keys["k"] == pa["pk"], "left")
+        agg = joined.agg(
+            F.sum("cnt").cast("long").alias("child_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("k").isNull(), F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("null_rows"),
+            F.count("k").cast("long").alias("distinct_keys"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("k").isNotNull() & F.col("pk").isNull(), 1
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("orphan_keys"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("k").isNotNull() & F.col("pk").isNull(),
+                        F.col("cnt"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("orphan_rows"),
+        )
+        outs.append(
+            agg.selectExpr(
+                f"'{rel}' AS relationship",
+                "child_rows",
+                "null_rows",
+                "distinct_keys",
+                "orphan_keys",
+                "orphan_rows",
+                "FLOOR((CAST(orphan_rows AS DOUBLE)"
+                " / CAST(child_rows AS DOUBLE)) * 1e9 + 0.5) / 1e9"
+                " AS orphan_frac",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("relationship")

@@ -1,0 +1,305 @@
+"""Independent pure-Python references for the r12 second-wave
+operators — the THIRD formulation next to the Spark plan and the
+DuckDB oracle (the r8/r10/r11 pattern): stdlib + pyarrow only,
+recomputing each statistic from the raw parquet bytes with naive
+textbook algorithms. A bug shared by both SQL derivations fails
+here."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+
+from spark_file_mover_spark import registry
+
+registry.load_all()
+
+
+def _snap9(x: float) -> float:
+    return math.floor(x * 1e9 + 0.5) / 1e9
+
+
+def _cents(v: float) -> int:
+    return round(v * 100)
+
+
+def _day_cents(sf_dir):
+    """events collapsed to the (day, cents) series, day-ordered."""
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    ).to_pydict()
+    days = defaultdict(int)
+    for ts, v in zip(t["ts"], t["value"]):
+        us = ts.timestamp() * 1e6
+        day = int(round(us)) // 86_400_000_000
+        days[day] += _cents(v) if v is not None else 0
+    return sorted(days.items())
+
+
+def test_cramers_v_matches_pure_python(spark, sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_mktsegment", "c_nationkey"]
+    ).to_pydict()
+    cells = Counter(zip(t["c_mktsegment"], t["c_nationkey"]))
+    n = sum(cells.values())
+    rm = defaultdict(int)
+    cm = defaultdict(int)
+    for (seg, nat), o in cells.items():
+        rm[seg] += o
+        cm[nat] += o
+    # naive textbook chi2 over the COMPLETE table incl. zero cells
+    chi2 = 0.0
+    for seg in rm:
+        for nat in cm:
+            e = rm[seg] * cm[nat] / n
+            o = cells.get((seg, nat), 0)
+            chi2 += (o - e) ** 2 / e
+    mindim = min(len(rm), len(cm))
+    row = registry.QUERIES["agg-cramers-v"](spark, sf_dir).collect()[0]
+    assert row["n"] == n
+    assert row["n_segments"] == len(rm)
+    assert row["n_nations"] == len(cm)
+    # the engines sum 1e15-snapped o²/(rc) terms; allow that snap's dust
+    assert abs(row["chi2"] - chi2) < 1e-4 * max(chi2, 1.0)
+    assert abs(row["cohen_w"] - math.sqrt(chi2 / n)) < 1e-8
+    assert (
+        abs(row["cramers_v"] - math.sqrt(chi2 / n / (mindim - 1))) < 1e-8
+    )
+    w = math.sqrt(chi2 / n)
+    band = (
+        "negligible" if w < 0.1 else
+        "small" if w < 0.3 else "medium" if w < 0.5 else "large"
+    )
+    assert row["effect_band"] == band
+
+
+def test_jsd_matches_pure_python(spark, sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    ).to_pydict()
+    import datetime
+
+    split = datetime.datetime(2024, 1, 16)  # _KS_SPLIT
+    hist = defaultdict(lambda: [0, 0])  # (type, bucket) -> [a, b]
+    for ts, ty, v in zip(t["ts"], t["event_type"], t["value"]):
+        if v is None:
+            continue
+        b = len(str(_cents(v)))
+        hist[(ty, b)][0 if ts < split else 1] += 1
+    types = sorted({k[0] for k in hist})
+    rows = {
+        r["event_type"]: r
+        for r in registry.QUERIES["agg-jsd-drift"](spark, sf_dir).collect()
+    }
+    for ty in types:
+        buckets = {b: c for (t2, b), c in hist.items() if t2 == ty}
+        na = sum(c[0] for c in buckets.values())
+        nb = sum(c[1] for c in buckets.values())
+        row = rows[ty]
+        assert row["n_a"] == na and row["n_b"] == nb
+        assert row["n_buckets"] == len(buckets)
+        if na == 0 or nb == 0:
+            assert row["jsd_nats"] is None
+            continue
+        sa = sb = 0.0
+        for a, b in buckets.values():
+            pa, pb = a / na, b / nb
+            if a > 0:
+                sa += _snap9(pa * math.log(2 * pa / (pa + pb)))
+            if b > 0:
+                sb += _snap9(pb * math.log(2 * pb / (pa + pb)))
+        jsd = (sa + sb) / 2
+        assert abs(row["jsd_nats"] - jsd) < 1e-8
+        assert abs(row["jsd_norm"] - jsd / math.log(2)) < 1e-8
+        assert (
+            abs(row["js_distance"] - math.sqrt(jsd / math.log(2))) < 1e-8
+        )
+
+
+def test_bollinger_matches_pure_python(spark, sf_dir):
+    series = _day_cents(sf_dir)
+    rows = registry.QUERIES["window-bollinger"](spark, sf_dir).collect()
+    assert len(rows) == len(series)
+    for i, (row, (_day, x)) in enumerate(zip(rows, series)):
+        win = [c for _, c in series[max(0, i - 19) : i + 1]]
+        n = len(win)
+        mean = sum(win) / n
+        var = sum((c - mean) ** 2 for c in win) / n
+        sd = math.sqrt(var)
+        assert row["cents"] == x
+        assert row["n_window"] == n
+        state = (
+            "above" if x > mean + 2 * sd
+            else "below" if x < mean - 2 * sd else "inside"
+        )
+        assert row["band_state"] == state, (i, x, mean, sd)
+        if var > 0:
+            assert abs(row["z_score"] - (x - mean) / sd) < 1e-6
+
+
+def test_rsi_matches_pure_python(spark, sf_dir):
+    series = [c for _, c in _day_cents(sf_dir)]
+    deltas = [None] + [
+        series[i] - series[i - 1] for i in range(1, len(series))
+    ]
+    rows = registry.QUERIES["window-rsi"](spark, sf_dir).collect()
+    for i, row in enumerate(rows):
+        win = [d for d in deltas[max(0, i - 13) : i + 1] if d is not None]
+        g = sum(d for d in win if d > 0)
+        lo = sum(-d for d in win if d < 0)
+        assert row["sum_gain"] == g and row["sum_loss"] == lo
+        assert row["n_deltas"] == len(win)
+        if g + lo > 0:
+            rsi = _snap9(100.0 * g / (g + lo))
+            assert row["rsi"] == rsi
+            zone = (
+                "overbought" if rsi >= 70 else
+                "oversold" if rsi <= 30 else "neutral"
+            )
+            assert row["zone"] == zone
+        else:
+            assert row["rsi"] is None and row["zone"] == "undefined"
+
+
+def test_fk_audit_matches_pure_python(spark, sf_dir):
+    rows = {
+        r["relationship"]: r
+        for r in registry.QUERIES["etl-fk-audit"](spark, sf_dir).collect()
+    }
+    from spark_file_mover_spark.operators.windows import _FK_EDGES
+
+    for rel, child, ckey, parent, pkey in _FK_EDGES:
+        ck = pq.read_table(f"{sf_dir}/{child}.parquet", columns=[ckey])[
+            ckey
+        ].to_pylist()
+        pk = set(
+            pq.read_table(f"{sf_dir}/{parent}.parquet", columns=[pkey])[
+                pkey
+            ].to_pylist()
+        )
+        row = rows[rel]
+        nonnull = [k for k in ck if k is not None]
+        orphan_rows = sum(1 for k in nonnull if k not in pk)
+        orphan_keys = len({k for k in nonnull if k not in pk})
+        assert row["child_rows"] == len(ck)
+        assert row["null_rows"] == len(ck) - len(nonnull)
+        assert row["distinct_keys"] == len(set(nonnull))
+        assert row["orphan_keys"] == orphan_keys
+        assert row["orphan_rows"] == orphan_rows
+        assert row["orphan_frac"] == _snap9(orphan_rows / len(ck))
+
+
+def _luhn_check_digit(payload: str) -> int:
+    s = 0
+    for i, ch in enumerate(reversed(payload)):  # i=0 is rightmost
+        d = int(ch)
+        if i % 2 == 0:  # rightmost payload digit doubles
+            d *= 2
+            if d > 9:
+                d -= 9
+        s += d
+    return (10 - s % 10) % 10
+
+
+def _luhn_valid(num: str) -> bool:
+    s = 0
+    for i, ch in enumerate(reversed(num)):
+        d = int(ch)
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        s += d
+    return s % 10 == 0
+
+
+def test_luhn_matches_pure_python(spark, sf_dir):
+    rows = registry.QUERIES["fn-luhn-checksum"](spark, sf_dir).collect()
+    ck = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])[
+        "c_custkey"
+    ].to_pylist()
+    assert len(rows) == len(ck)
+    for row in rows[:200]:
+        payload = str(row["acct_id"] * 48271 % 10**15).zfill(15)
+        cd = _luhn_check_digit(payload)
+        assert row["card_number"] == payload + str(cd)
+        assert row["check_digit"] == cd
+        assert row["valid"] is True
+        assert _luhn_valid(row["card_number"])
+        # Luhn detects every single-digit error
+        pos = row["corrupt_pos"]
+        d = int(payload[pos - 1])
+        corrupted = (
+            payload[: pos - 1] + str((d + 1) % 10) + payload[pos:]
+        )
+        assert row["corrupt_valid"] is False
+        assert not _luhn_valid(corrupted + str(cd))
+
+
+def test_logodds_matches_pure_python(spark, sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+    ).to_pydict()
+    y = defaultdict(lambda: [0, 0])
+    for text, lang in zip(t["text"], t["lang"]):
+        for tok in re.split(r"\s+", text.strip().lower()):
+            y[tok][0 if lang == "en" else 1] += 1
+    n_en = sum(v[0] for v in y.values())
+    n_rest = sum(v[1] for v in y.values())
+    a0 = 1000.0
+    scored = {}
+    for tok, (ye, yr) in y.items():
+        ai = a0 * (ye + yr) / (n_en + n_rest)
+        den_a = n_en + a0 - ye - ai
+        den_b = n_rest + a0 - yr - ai
+        if den_a <= 0 or den_b <= 0:
+            continue
+        delta = math.log((ye + ai) / den_a) - math.log((yr + ai) / den_b)
+        var = 1.0 / (ye + ai) + 1.0 / (yr + ai)
+        scored[tok] = (_snap9(delta), _snap9(delta / math.sqrt(var)))
+    top_en = sorted(scored.items(), key=lambda kv: (-kv[1][1], kv[0]))[:20]
+    claimed = {t0 for t0, _ in top_en}
+    # the query labels a token en-heavy when it makes BOTH top lists
+    # (possible only on a tiny vocabulary like the synthetic corpus's
+    # ~31 tokens), so the rest-heavy list excludes en-heavy claims
+    top_rest = [
+        kv
+        for kv in sorted(scored.items(), key=lambda kv: (kv[1][1], kv[0]))[
+            :20
+        ]
+        if kv[0] not in claimed
+    ]
+    rows = registry.QUERIES["text-logodds-monroe"](spark, sf_dir).collect()
+    got_en = [r for r in rows if r["direction"] == "en-heavy"]
+    got_rest = [r for r in rows if r["direction"] == "rest-heavy"]
+    assert [r["tok"] for r in got_en] == [t0 for t0, _ in top_en]
+    assert [r["tok"] for r in got_rest] == [t0 for t0, _ in top_rest]
+    for r, (tok, (delta, z)) in zip(got_en, top_en):
+        assert r["z"] == z and r["delta"] == delta
+        assert (r["y_en"], r["y_rest"]) == tuple(y[tok])
+
+
+def test_length_buckets_matches_pure_python(spark, sf_dir):
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    buckets = defaultdict(lambda: [0, 0, 0])  # ceil -> [docs, toks, pad]
+    n_total = 0
+    for text in t["text"].to_pylist():
+        n = len(re.split(r"\s+", text.strip().lower()))
+        ceil = 1 if n <= 1 else 1 << (n - 1).bit_length()
+        b = buckets[ceil]
+        b[0] += 1
+        b[1] += n
+        b[2] += ceil - n
+        n_total += 1
+    rows = registry.QUERIES["sample-length-buckets"](spark, sf_dir).collect()
+    assert [r["bucket_ceil"] for r in rows] == sorted(buckets)
+    for r in rows:
+        docs, toks, pad = buckets[r["bucket_ceil"]]
+        assert r["n_docs"] == docs
+        assert r["total_tokens"] == toks
+        assert r["padding_tokens"] == pad
+        assert r["waste_frac"] == _snap9(pad / (docs * r["bucket_ceil"]))
+        assert r["doc_share"] == _snap9(docs / n_total)
