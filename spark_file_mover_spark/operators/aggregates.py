@@ -109,15 +109,35 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability and deterministically for a fixed input/seed. A broken
     sketch merge or rsd regression flips a boolean and fails the hash
     gate; the exact distinct the audit needs is test-scale scaffolding,
-    not part of the production plan."""
+    not part of the production plan.
+
+    Plan shape (r12 rewrite — the original mixed two countDistincts
+    and two HLLs in ONE agg, which Expands lineitem 3× and feeds the
+    sketches every RAW row; 5.8 s → 1.6 s at sf0.1): one branch per
+    key column, each pruning the scan to 2 columns and collapsing to
+    the DISTINCT (flag, key) relation first — map-side combine does
+    the heavy lifting on the raw rows — then the exact count is a
+    plain COUNT(*) and the HLL updates once per DISTINCT key (the
+    estimate targets the same set); the two 3-row branch results
+    broadcast-join on the flag."""
     li = load_table(spark, sf_dir, "lineitem")
     band = 3 * 0.02
-    out = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("n_orders_exact"),
-        F.countDistinct("l_partkey").alias("n_parts_exact"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("ao"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
+
+    def branch(key: str, exact_name: str, approx_name: str) -> DataFrame:
+        d = (
+            li.select("l_returnflag", key)
+            .groupBy("l_returnflag", key)
+            .agg(F.lit(1))
+        )
+        return d.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias(exact_name),
+            F.approx_count_distinct(key, 0.02).alias(approx_name),
+        )
+
+    out = branch("l_orderkey", "n_orders_exact", "ao").join(
+        branch("l_partkey", "n_parts_exact", "ap"), "l_returnflag"
     )
+
     def in_band(approx, exact):
         return (
             F.abs(F.col(approx).cast("double") / F.col(exact) - 1.0) <= band

@@ -2620,13 +2620,13 @@ runs AS (
          CAST(SUM(pc) OVER (PARTITION BY ship_day
               ORDER BY l_orderkey, l_linenumber, pc, qty
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS DECIMAL(38,0)) AS cum_cents,
+              AS BIGINT) AS cum_cents,
          CAST(SUM(qty) OVER (PARTITION BY ship_day
               ORDER BY l_orderkey, l_linenumber, pc, qty
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS BIGINT) AS cum_qty,
          CAST(SUM(pc) OVER (PARTITION BY ship_day)
-              AS DECIMAL(38,0)) AS day_cents,
+              AS BIGINT) AS day_cents,
          CAST(SUM(qty) OVER (PARTITION BY ship_day)
               AS BIGINT) AS day_qty
   FROM fills
@@ -2636,7 +2636,7 @@ scored AS (
          FLOOR((CAST(cum_cents AS DOUBLE) / CAST(cum_qty AS DOUBLE)
                 / 100.0) * 1e9 + 0.5) / 1e9 AS run_vwap,
          CASE WHEN CAST(pc AS DECIMAL(38,0)) * day_qty
-                   > day_cents * CAST(qty AS DECIMAL(38,0))
+                   > CAST(day_cents AS DECIMAL(38,0)) * qty
               THEN 1 ELSE 0 END AS above_final
   FROM runs
 )
@@ -2695,7 +2695,11 @@ def window_vwap_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("ship_day")
         # (okey, linenumber) is unique in real data; pc/qty extend the
         # key so on ANY corpus remaining ties are fully identical rows,
-        # whose permutation cannot change a cumulative sum
+        # whose permutation cannot change a cumulative sum. The
+        # SYNTHETIC corpus DOES carry duplicate (okey, linenumber)
+        # pairs with different pc — an r12 sort-key "trim" flipped
+        # vwap_high between sessions until the fresh-session probe
+        # caught it; the extensions are LOAD-BEARING, do not remove.
         .orderBy("l_orderkey", "l_linenumber", "pc", "qty")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
@@ -2704,9 +2708,13 @@ def window_vwap_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ship_day",
         "pc",
         "qty",
-        F.sum("pc").over(wseq).cast("decimal(38,0)").alias("cum_cents"),
+        # BIGINT cumulative cents (r12): window SUM over DECIMAL(38,0)
+        # pays a per-row BigDecimal add; pc sums stay far inside a long
+        # (9.2e18 cents) at any realistic day volume, and the overflow-
+        # sensitive cross-multiply below still runs in DECIMAL(38,0)
+        F.sum("pc").over(wseq).cast("long").alias("cum_cents"),
         F.sum("qty").over(wseq).cast("long").alias("cum_qty"),
-        F.sum("pc").over(wtot).cast("decimal(38,0)").alias("day_cents"),
+        F.sum("pc").over(wtot).cast("long").alias("day_cents"),
         F.sum("qty").over(wtot).cast("long").alias("day_qty"),
     )
     scored = runs.selectExpr(
@@ -2716,7 +2724,7 @@ def window_vwap_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FLOOR((CAST(cum_cents AS DOUBLE) / CAST(cum_qty AS DOUBLE)"
         " / 100.0) * 1e9 + 0.5) / 1e9 AS run_vwap",
         "CASE WHEN CAST(pc AS DECIMAL(38,0)) * day_qty"
-        " > day_cents * CAST(qty AS DECIMAL(38,0))"
+        " > CAST(day_cents AS DECIMAL(38,0)) * qty"
         " THEN 1 ELSE 0 END AS above_final",
     )
     return (
