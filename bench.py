@@ -321,6 +321,9 @@ HEADLINE = [
     "fn-luhn-checksum",
     "text-logodds-monroe",
     "sample-length-buckets",
+    "agg-kendall-tau",
+    "graph-modularity",
+    "multimodal-mp3-meta",
 ]
 
 

@@ -2114,3 +2114,131 @@ def multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.select(
         "asset_id", *png_meta_cols(F.col("content"))
     ).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# I72 — MP3 frame-header metadata (tenth container family)
+# ---------------------------------------------------------------------------
+
+# MPEG-1 Layer III lookup tables (ISO/IEC 11172-3): bitrate kbps by
+# 4-bit index 1..14 (0 = free, 15 = bad — not synthesized) and sample
+# rate by 2-bit index 0..2 (3 = reserved). The FRAME LENGTH closed
+# form 144·bitrate/samplerate + padding is the field every streaming
+# indexer derives — it is how you hop frame to frame without decoding.
+_MP3_BITRATES = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+_MP3_MODES = ["stereo", "joint_stereo", "dual_channel", "mono"]
+
+_MP3_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         1 + doc_id % 14 AS bi,
+         doc_id % 3 AS si,
+         doc_id % 2 AS pad,
+         doc_id % 4 AS mode
+  FROM documents
+),
+g AS (
+  SELECT doc_id, bi, si, pad, mode,
+         CASE bi {' '.join(f"WHEN {i + 1} THEN {b}" for i, b in enumerate(_MP3_BITRATES))} END AS kbps,
+         CASE si {' '.join(f"WHEN {i} THEN {r}" for i, r in enumerate(_MP3_RATES))} END AS rate
+  FROM f
+)
+SELECT doc_id AS asset_id,
+       CAST(1 AS BIGINT) AS mpeg_version,
+       CAST(3 AS BIGINT) AS layer,
+       CAST(kbps AS BIGINT) AS bitrate_kbps,
+       CAST(rate AS BIGINT) AS sample_rate,
+       pad = 1 AS padded,
+       CASE mode {' '.join(f"WHEN {i} THEN '{m}'" for i, m in enumerate(_MP3_MODES))} END AS channel_mode,
+       CAST((144000 * kbps) // rate + pad AS BIGINT) AS frame_bytes,
+       TRUE AS sync_ok
+FROM g ORDER BY asset_id
+"""
+
+
+@query("multimodal-mp3-meta", oracle=_MP3_ORACLE)
+def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I72: MP3 (MPEG-1 Layer III) frame-header metadata — the tenth
+    container family and the only TABLE-DRIVEN one: bitrate and sample
+    rate are not stored values but 4-/2-bit INDEXES into spec lookup
+    tables (ISO/IEC 11172-3), and the derived frame length
+    144·bitrate/samplerate + padding is the hop distance a streaming
+    indexer needs to walk frames without a codec — machinery no other
+    family exercises (FLAC splits bits, PNG checksums, RIFF hops
+    chunks; MP3 looks up tables and closes a formula).
+
+    Synthesis (the BMP/GIF/WebP/FLAC contract): each doc_id builds a
+    4-byte header — 11-bit sync + version/layer bits (0xFFFB), then
+    bitrate index (1..14), rate index (0..2), padding and channel
+    mode from distinct moduli — plus 4 payload bytes; the parse
+    re-derives every field from the BYTES via div/mod bit-slicing and
+    the generated CASE-chain tables; the oracle recomputes the
+    expected values from the same spec formulas, so a mis-sliced bit
+    or off-by-one table index diverges.
+
+    Shape at 100 TB: map-only byte expressions fused into the scan,
+    zero shuffles, zero Python (the container-family posture)."""
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    bi = (1 + doc % 14).cast("long")
+    si = (doc % 3).cast("long")
+    pad = (doc % 2).cast("long")
+    mode = (doc % 4).cast("long")
+    # byte 3 = bi<<4 | si<<2 | pad<<1 | 0; byte 4 = mode<<6 | 0
+    b3 = bi * 16 + si * 4 + pad * 2
+    b4 = mode * 64
+    content = F.unhex(
+        F.concat(
+            F.lit("FFFB"),  # sync 11111111111, MPEG-1, Layer III, no CRC
+            F.lpad(F.hex(b3), 2, "0"),
+            F.lpad(F.hex(b4), 2, "0"),
+            F.repeat(F.lit("00"), 4),
+        )
+    )
+    assets = d.select(doc.alias("asset_id"), content.alias("content"))
+    c = F.col("content")
+    h1 = _be_uint(c, 1, 1)
+    h2 = _be_uint(c, 2, 1)
+    h3 = _be_uint(c, 3, 1)
+    h4 = _be_uint(c, 4, 1)
+    pbi = (h3 / 16).cast("long")
+    psi = ((h3 / 4).cast("long") % 4).cast("long")
+    ppad = ((h3 / 2).cast("long") % 2).cast("long")
+    pmode = (h4 / 64).cast("long")
+    kbps_expr = "CASE pbi " + " ".join(
+        f"WHEN {i + 1} THEN {b}" for i, b in enumerate(_MP3_BITRATES)
+    ) + " END"
+    rate_expr = "CASE psi " + " ".join(
+        f"WHEN {i} THEN {r}" for i, r in enumerate(_MP3_RATES)
+    ) + " END"
+    mode_expr = "CASE pmode " + " ".join(
+        f"WHEN {i} THEN '{m}'" for i, m in enumerate(_MP3_MODES)
+    ) + " END"
+    parsed = assets.select(
+        "asset_id",
+        pbi.alias("pbi"),
+        psi.alias("psi"),
+        ppad.alias("ppad"),
+        pmode.alias("pmode"),
+        # sync = 11 set bits, version bits 11 (MPEG-1), layer 01 (III)
+        (
+            (h1 == 0xFF)
+            & ((h2 / 32).cast("long") == 0b111)
+            & (((h2 / 8).cast("long") % 4) == 0b11)
+            & (((h2 / 2).cast("long") % 4) == 0b01)
+        ).alias("sync_ok"),
+    )
+    return parsed.selectExpr(
+        "asset_id",
+        "CAST(1 AS BIGINT) AS mpeg_version",
+        "CAST(3 AS BIGINT) AS layer",
+        f"CAST({kbps_expr} AS BIGINT) AS bitrate_kbps",
+        f"CAST({rate_expr} AS BIGINT) AS sample_rate",
+        "ppad = 1 AS padded",
+        f"{mode_expr} AS channel_mode",
+        f"CAST((144000 * ({kbps_expr})) DIV ({rate_expr}) + ppad"
+        " AS BIGINT) AS frame_bytes",
+        "sync_ok",
+    ).orderBy("asset_id")

@@ -5404,3 +5404,189 @@ def agg_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" FLOOR(SQRT(GREATEST(jsd / {_JSD_LN2}, 0.0)) * 1e9 + 0.5) / 1e9"
         " END AS js_distance",
     ).orderBy("event_type")
+
+
+
+
+# ---------------------------------------------------------------------------
+# E51 — Kendall tau-b over the quantity × discount contingency
+# ---------------------------------------------------------------------------
+
+# tau-b with DOUBLED pair counts: n0' = n(n−1), n1' = Σ tx(tx−1),
+# n2' = Σ ty(ty−1) stay exact DECIMAL(38,0) integers (t(t−1)/2 in
+# DECIMAL would force a scale-changing division mid-pipeline); the ½
+# factors out into the one final double fragment:
+#   tau_b = (C − D) / (½·√((n0'−n1')·(n0'−n2')))
+_KT_OK = "n0p - n1p > 0 AND n0p - n2p > 0"
+_KT_TAU = (
+    "CAST(conc - disc AS DOUBLE)"
+    " / (0.5 * SQRT(CAST(n0p - n1p AS DOUBLE)"
+    " * CAST(n0p - n2p AS DOUBLE)))"
+)
+
+_KENDALL_ORACLE = f"""
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+pairs AS (
+  SELECT
+    CAST(COALESCE(SUM(CASE WHEN b.y < a.y
+                           THEN CAST(a.c AS DECIMAL(38,0)) * b.c END), 0)
+         AS DECIMAL(38,0)) AS conc,
+    CAST(COALESCE(SUM(CASE WHEN b.y > a.y
+                           THEN CAST(a.c AS DECIMAL(38,0)) * b.c END), 0)
+         AS DECIMAL(38,0)) AS disc
+  FROM cells a JOIN cells b ON b.x < a.x
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM cells
+),
+margx AS (
+  SELECT CAST(SUM(CAST(tx AS DECIMAL(38,0)) * (tx - 1))
+              AS DECIMAL(38,0)) AS n1p
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS tx FROM cells GROUP BY x) q
+),
+margy AS (
+  SELECT CAST(SUM(CAST(ty AS DECIMAL(38,0)) * (ty - 1))
+              AS DECIMAL(38,0)) AS n2p
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS ty FROM cells GROUP BY y) q
+),
+f AS (
+  SELECT n, n_cells, conc, disc, n1p, n2p,
+         CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DECIMAL(38,0)) AS n0p
+  FROM pairs CROSS JOIN tot CROSS JOIN margx CROSS JOIN margy
+)
+SELECT n, n_cells,
+       CAST(conc AS DOUBLE) AS concordant,
+       CAST(disc AS DOUBLE) AS discordant,
+       CAST(n1p AS DOUBLE) / 2.0 AS tied_x_pairs,
+       CAST(n2p AS DOUBLE) / 2.0 AS tied_y_pairs,
+       CASE WHEN {_KT_OK} THEN
+         FLOOR(({_KT_TAU}) * 1e9 + 0.5) / 1e9 END AS tau_b
+FROM f
+"""
+
+
+@query("agg-kendall-tau", oracle=_KENDALL_ORACLE)
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E51: Kendall's tau-b between order quantity and discount — the
+    RANK-correlation sibling that completes the association family:
+    OLS (E24) assumes linearity, Spearman (E37) ranks continuous-ish
+    values, tau-b is the concordant-vs-discordant pair probability
+    with EXACT tie correction (Kendall 1945) — the robust "do bigger
+    orders get bigger discounts?" readout for heavily-tied integer /
+    step-valued columns exactly like these two.
+
+    Shape at 100 TB — the contingency trick, pair-counting flavored:
+    ONE hash aggregate collapses the corpus to the |quantities| ×
+    |discount steps| CELL relation (~550 cells, a CONSTANT at any
+    corpus size); concordant/discordant counts come from a cell×cell
+    self-join over that bounded relation (b.x < a.x with a CASE on
+    y — ~300k cell pairs, data-size-independent, broadcastable); tie
+    terms are two margin aggs over the same relation. NO row-level
+    pair pass exists at any scale (the textbook O(n²) form).
+
+    Parity: every pair count is a DECIMAL(38,0)-exact integer — the
+    DOUBLED forms n0' = n(n−1), n1' = Σt(t−1) avoid any mid-pipeline
+    DECIMAL division (the ½ factors into the final fragment);
+    concordant/discordant/tie outputs are exact-integer-valued
+    DOUBLEs (inside 2^53 at bench scale; at 1e12 rows emit the
+    DECIMAL directly instead); tau_b is ONE shared textual fragment
+    over exact operands, snapped at 9 dp; an all-tied column →
+    NULL tau_b in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.col("l_quantity").cast("long").alias("x"),
+            (dec("l_discount") * 100).cast("long").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # ~550 bounded rows consumed FIVE ways (both self-join sides,
+        # totals, two margin aggs) — materialize once so the corpus
+        # hash agg runs once, not once per consumer (the E45/r11
+        # scan-census discipline)
+        .localCheckpoint(eager=True)
+    )
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("c").alias("ac")
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("c").alias("bc")
+    )
+    pairs = a.join(b, F.col("bx") < F.col("ax")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("by") < F.col("ay"),
+                    F.col("ac").cast("decimal(38,0)") * F.col("bc"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("conc"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("by") > F.col("ay"),
+                    F.col("ac").cast("decimal(38,0)") * F.col("bc"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("disc"),
+    )
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    margx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").cast("long").alias("tx"))
+        .agg(
+            F.sum(F.expr("CAST(tx AS DECIMAL(38,0)) * (tx - 1)"))
+            .cast("decimal(38,0)")
+            .alias("n1p")
+        )
+    )
+    margy = (
+        cells.groupBy("y")
+        .agg(F.sum("c").cast("long").alias("ty"))
+        .agg(
+            F.sum(F.expr("CAST(ty AS DECIMAL(38,0)) * (ty - 1)"))
+            .cast("decimal(38,0)")
+            .alias("n2p")
+        )
+    )
+    f = (
+        pairs.crossJoin(tot)
+        .crossJoin(margx)
+        .crossJoin(margy)
+        .selectExpr(
+            "n",
+            "n_cells",
+            "conc",
+            "disc",
+            "n1p",
+            "n2p",
+            "CAST(CAST(n AS DECIMAL(38,0)) * (n - 1)"
+            " AS DECIMAL(38,0)) AS n0p",
+        )
+    )
+    return f.selectExpr(
+        "n",
+        "n_cells",
+        "CAST(conc AS DOUBLE) AS concordant",
+        "CAST(disc AS DOUBLE) AS discordant",
+        "CAST(n1p AS DOUBLE) / 2.0 AS tied_x_pairs",
+        "CAST(n2p AS DOUBLE) / 2.0 AS tied_y_pairs",
+        f"CASE WHEN {_KT_OK} THEN"
+        f" FLOOR(({_KT_TAU}) * 1e9 + 0.5) / 1e9 END AS tau_b",
+    )

@@ -301,11 +301,10 @@ def _sparse_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
-def _lpa_oracle() -> str:
-    """Synchronous label propagation compile-time-unrolled into chained
-    CTEs: per round every node adopts the most frequent neighbor label,
-    ties to the SMALLEST label — pure integer counting, so DuckDB
-    re-derives the exact labels the Spark loop computes."""
+def _lpa_cte_prefix() -> str:
+    """The shared unrolled-LPA CTE chain (adjacency + rounds l1..lN) —
+    the K3 oracle's body, reused verbatim by the K14 modularity oracle
+    so both engines score the IDENTICAL partition."""
     head = f"""
 WITH fwd AS (
   SELECT DISTINCT user_id AS a,
@@ -331,6 +330,14 @@ l{i} AS (
            ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
     FROM n{i}) WHERE rn = 1
 )""")
+    return head + "".join(blocks)
+
+
+def _lpa_oracle() -> str:
+    """Synchronous label propagation compile-time-unrolled into chained
+    CTEs: per round every node adopts the most frequent neighbor label,
+    ties to the SMALLEST label — pure integer counting, so DuckDB
+    re-derives the exact labels the Spark loop computes."""
     tail = f"""
 SELECT node AS node_id, lbl AS label,
        COUNT(*) OVER (PARTITION BY lbl) AS n_members,
@@ -338,7 +345,7 @@ SELECT node AS node_id, lbl AS label,
 FROM l{_LPA_ROUNDS}
 ORDER BY node_id
 """
-    return head + "".join(blocks) + tail
+    return _lpa_cte_prefix() + tail
 
 
 @query("graph-label-propagation", oracle=_lpa_oracle())
@@ -1711,4 +1718,143 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
         .orderBy("user_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K14 — graph-modularity: Newman modularity Q of the K3 LPA partition
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    """Modularity of the EXACT partition the unrolled-LPA CTE chain
+    derives (the K3 oracle's prefix, reused verbatim): per community,
+    within-edges e_c and total degree d_c; Q = Σ(4·m·e_c − d_c²)/(4m²)
+    with an exact DECIMAL numerator and ONE final division."""
+    return _lpa_cte_prefix() + f"""
+, lab AS (SELECT node, lbl FROM l{_LPA_ROUNDS}),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM adj GROUP BY 1),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM fwd),
+ein AS (
+  SELECT la.lbl AS label, CAST(COUNT(*) AS BIGINT) AS e_in
+  FROM fwd
+  JOIN lab la ON la.node = fwd.a
+  JOIN lab lb ON lb.node = fwd.b AND lb.lbl = la.lbl
+  GROUP BY 1
+),
+dc AS (
+  SELECT l.lbl AS label,
+         CAST(SUM(d) AS BIGINT) AS d_c,
+         CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM lab l JOIN deg ON deg.node = l.node GROUP BY 1
+),
+com AS (
+  SELECT dc.label, dc.n_members, COALESCE(ein.e_in, 0) AS e_in, dc.d_c,
+         CAST(4 AS DECIMAL(38,0)) * m * COALESCE(ein.e_in, 0)
+           - CAST(dc.d_c AS DECIMAL(38,0)) * dc.d_c AS num,
+         m
+  FROM dc CROSS JOIN mm LEFT JOIN ein ON ein.label = dc.label
+)
+SELECT label, n_members, e_in, d_c,
+       FLOOR((CAST(num AS DOUBLE)
+              / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))
+             * 1e9 + 0.5) / 1e9 AS q_contrib,
+       FLOOR((CAST(CAST(SUM(num) OVER () AS DECIMAL(38,0)) AS DOUBLE)
+              / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))
+             * 1e9 + 0.5) / 1e9 AS modularity
+FROM com ORDER BY label
+"""
+
+
+@query("graph-modularity", oracle=_modularity_oracle())
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K14: Newman-Girvan modularity Q of the K3 label-propagation
+    partition over the sparse user↔entity graph — the quality score
+    that tells you whether the communities LPA found are REAL
+    (Q ≈ 0: no better than random given the degree sequence; Q ≳ 0.3:
+    strong structure — Newman 2004). K3 emits the partition, this key
+    scores it; together they are the detect-then-validate pair every
+    community pipeline runs, per community (q_contrib localizes which
+    communities carry the structure) plus the global Q on every row.
+
+    Shape at 100 TB: rides the SAME cached checkpointed adjacency as
+    K3/K4 (zero corpus passes beyond the shared ingest artifact);
+    degrees are one agg over the adjacency; within-community edges
+    are the edge relation joined to the label relation on BOTH
+    endpoints (id-only shuffles); the final math lives on the
+    |communities|-bounded relation.
+
+    Parity: the oracle re-derives the IDENTICAL partition via the K3
+    unrolled-LPA CTE prefix (shared code, zero drift) and scores it
+    with the same exact arithmetic: e_c, d_c exact BIGINTs; the
+    numerator 4·m·e_c − d_c² DECIMAL(38,0)-exact; global Q sums the
+    exact numerators BEFORE its single snapped division (order-
+    independent), q_contrib is the same division per community."""
+    from pyspark.sql import Window as W
+
+    adj = _sparse_adjacency(spark, sf_dir)
+    # the forward (undirected) edge list is the first half of adj by
+    # construction (src < _LPA_ENTITY_BASE <= dst for user->entity)
+    fwd = adj.filter(F.col("src") < _LPA_ENTITY_BASE).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    lab = graph_label_propagation(spark, sf_dir).select(
+        F.col("node_id").alias("node"), F.col("label").alias("lbl")
+    )
+    deg = adj.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    mm = fwd.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    la = lab.select(F.col("node").alias("a"), F.col("lbl").alias("la"))
+    lb = lab.select(F.col("node").alias("b"), F.col("lbl").alias("lb"))
+    ein = (
+        fwd.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    dc = (
+        lab.join(deg, "node")
+        .groupBy(F.col("lbl").alias("label"))
+        .agg(
+            F.sum("d").cast("long").alias("d_c"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+    )
+    com = (
+        dc.crossJoin(mm)
+        .join(ein, "label", "left")
+        .selectExpr(
+            "label",
+            "n_members",
+            "COALESCE(e_in, 0) AS e_in",
+            "d_c",
+            "CAST(4 AS DECIMAL(38,0)) * m * COALESCE(e_in, 0)"
+            " - CAST(d_c AS DECIMAL(38,0)) * d_c AS num",
+            "m",
+        )
+    )
+    wall = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return (
+        com.withColumn(
+            "num_all",
+            F.sum("num").over(wall).cast("decimal(38,0)"),
+        )
+        .selectExpr(
+            "label",
+            "n_members",
+            "e_in",
+            "d_c",
+            "FLOOR((CAST(num AS DOUBLE)"
+            " / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))"
+            " * 1e9 + 0.5) / 1e9 AS q_contrib",
+            "FLOOR((CAST(num_all AS DOUBLE)"
+            " / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))"
+            " * 1e9 + 0.5) / 1e9 AS modularity",
+        )
+        .orderBy("label")
     )

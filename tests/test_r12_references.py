@@ -326,3 +326,107 @@ def test_dot_unrolled_bit_identical_to_fold(spark, sf_dir):
         != dot_unrolled(F.col("ea"), F.col("eb"))
     ).count()
     assert mism == 0
+
+
+def test_kendall_matches_pure_python(spark, sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_discount"]
+    ).to_pydict()
+    xs = [int(q) for q in t["l_quantity"]]
+    ys = [round(d * 100) for d in t["l_discount"]]
+    cells = Counter(zip(xs, ys))
+    conc = disc = 0
+    items = list(cells.items())
+    for (ax, ay), ac in items:
+        for (bx, by), bc in items:
+            if bx < ax:
+                if by < ay:
+                    conc += ac * bc
+                elif by > ay:
+                    disc += ac * bc
+    n = len(xs)
+    tx = Counter(xs)
+    ty = Counter(ys)
+    n0p = n * (n - 1)
+    n1p = sum(t0 * (t0 - 1) for t0 in tx.values())
+    n2p = sum(t0 * (t0 - 1) for t0 in ty.values())
+    row = registry.QUERIES["agg-kendall-tau"](spark, sf_dir).collect()[0]
+    assert row["n"] == n
+    assert row["n_cells"] == len(cells)
+    assert row["concordant"] == conc
+    assert row["discordant"] == disc
+    assert row["tied_x_pairs"] == n1p / 2
+    assert row["tied_y_pairs"] == n2p / 2
+    tau = (conc - disc) / (0.5 * math.sqrt((n0p - n1p) * (n0p - n2p)))
+    assert abs(row["tau_b"] - tau) < 1e-8
+    # textbook scipy-free sanity: tau-b lies in [-1, 1]
+    assert -1.0 <= row["tau_b"] <= 1.0
+
+
+def test_modularity_matches_pure_python(spark, sf_dir):
+    """Re-derive Q from the partition the ENGINE emits (the partition
+    itself is cross-checked by the K3 oracle); the reference here is
+    the textbook Q formula over the raw edge list."""
+    lab = {
+        r["node_id"]: r["label"]
+        for r in registry.QUERIES["graph-label-propagation"](
+            spark, sf_dir
+        ).collect()
+    }
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "props"]
+    ).to_pydict()
+    import json as _json
+
+    edges = set()
+    for eid, uid, props in zip(t["event_id"], t["user_id"], t["props"]):
+        if eid % 20 == 0:  # _LPA_EDGE_MOD
+            ent = 10**6 + int(_json.loads(props)["k"])  # _LPA_ENTITY_BASE
+            edges.add((uid, ent))
+    m = len(edges)
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    e_in = defaultdict(int)
+    d_c = defaultdict(int)
+    for a, b in edges:
+        if lab[a] == lab[b]:
+            e_in[lab[a]] += 1
+    for v, d in deg.items():
+        d_c[lab[v]] += d
+    q_ref = sum(
+        e_in[c] / m - (d_c[c] / (2 * m)) ** 2 for c in d_c
+    )
+    rows = registry.QUERIES["graph-modularity"](spark, sf_dir).collect()
+    assert abs(rows[0]["modularity"] - q_ref) < 1e-8
+    for r in rows:
+        assert r["e_in"] == e_in.get(r["label"], 0)
+        assert r["d_c"] == d_c[r["label"]]
+
+
+def test_mp3_meta_matches_pure_python(spark, sf_dir):
+    """Third formulation: parse the SYNTHESIZED bytes with a naive
+    pure-Python MP3 header reader (tables from ISO 11172-3)."""
+    BITRATES = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                256, 320]
+    RATES = [44100, 48000, 32000]
+    MODES = ["stereo", "joint_stereo", "dual_channel", "mono"]
+    rows = registry.QUERIES["multimodal-mp3-meta"](spark, sf_dir).collect()
+    for r in rows[:200]:
+        doc = r["asset_id"]
+        # rebuild the synthesized header independently
+        bi, si, pad, mode = 1 + doc % 14, doc % 3, doc % 2, doc % 4
+        hdr = bytes([0xFF, 0xFB, (bi << 4) | (si << 2) | (pad << 1),
+                     mode << 6])
+        # naive parse of those bytes
+        assert hdr[0] == 0xFF and (hdr[1] >> 5) == 0b111
+        p_bi, p_si = hdr[2] >> 4, (hdr[2] >> 2) & 3
+        p_pad, p_mode = (hdr[2] >> 1) & 1, hdr[3] >> 6
+        kbps, rate = BITRATES[p_bi - 1], RATES[p_si]
+        assert r["bitrate_kbps"] == kbps
+        assert r["sample_rate"] == rate
+        assert r["padded"] == (p_pad == 1)
+        assert r["channel_mode"] == MODES[p_mode]
+        assert r["frame_bytes"] == (144000 * kbps) // rate + p_pad
+        assert r["sync_ok"] is True
