@@ -324,6 +324,10 @@ HEADLINE = [
     "agg-kendall-tau",
     "graph-modularity",
     "multimodal-mp3-meta",
+    "agg-tukey-fences",
+    "window-local-extrema",
+    "fn-codec-roundtrip",
+    "embed-standardize",
 ]
 
 

@@ -1258,3 +1258,58 @@ def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(luhn_sum + ({_LUHN_DELTA}) + check_digit) % 10 = 0"
         " AS corrupt_valid",
     ).orderBy("acct_id")
+
+
+# ---------------------------------------------------------------------------
+# G16 — binary codec roundtrips: base64 / hex / md5 digest
+# ---------------------------------------------------------------------------
+
+_CODEC_ORACLE = """
+WITH s AS (
+  SELECT doc_id, substr(text, 1, 24) AS src FROM documents
+)
+SELECT doc_id, src,
+       to_base64(encode(src)) AS b64,
+       hex(src) AS hex_str,
+       substr(md5(src), 1, 8) AS md5_8,
+       decode(from_base64(to_base64(encode(src)))) = src AS roundtrip_b64,
+       decode(unhex(hex(src))) = src AS roundtrip_hex,
+       CAST(length(to_base64(encode(src))) AS BIGINT) AS b64_len,
+       CAST(4 * ((length(src) + 2) // 3) AS BIGINT) AS b64_len_expected
+FROM s ORDER BY doc_id
+"""
+
+
+@query("fn-codec-roundtrip", oracle=_CODEC_ORACLE)
+def fn_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G16: binary↔text codec surface — base64 and hex encodings of a
+    UTF-8 payload, their decode roundtrips asserted AS DATA, an md5
+    digest prefix, and the RFC 4648 length identity
+    len(b64) = 4·⌈len/3⌉ checked per row: the transport-encoding
+    toolkit every ingestion pipeline needs at the boundary where
+    binary payloads ride JSON/CSV (I5's opaque-binary contract meets
+    G1's string surface). Emitting the encoded STRINGS (not just the
+    booleans) makes the driver hash certify the exact alphabet and
+    padding bytes cross-engine — a codec that decodes its own output
+    but pads differently would still fail.
+
+    Shape at 100 TB: map-only string/binary expressions fused into
+    the scan, zero shuffles (presentation sort only); the only
+    dialect split is function NAMES (Spark base64/unbase64 vs DuckDB
+    to_base64/from_base64 — semantics RFC-identical, which is what
+    the hashed strings prove)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.selectExpr("doc_id", "substr(text, 1, 24) AS src")
+    return s.selectExpr(
+        "doc_id",
+        "src",
+        "base64(encode(src, 'UTF-8')) AS b64",
+        "hex(src) AS hex_str",
+        "substr(md5(src), 1, 8) AS md5_8",
+        "decode(unbase64(base64(encode(src, 'UTF-8'))), 'UTF-8') = src"
+        " AS roundtrip_b64",
+        "decode(unhex(hex(src)), 'UTF-8') = src AS roundtrip_hex",
+        "CAST(length(base64(encode(src, 'UTF-8'))) AS BIGINT) AS b64_len",
+        "CAST(4 * ((length(src) + 2) div 3) AS BIGINT)"
+        " AS b64_len_expected",
+    ).orderBy("doc_id")

@@ -1451,3 +1451,111 @@ def text_logodds_monroe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("direction", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# I73 — per-dimension embedding standardization (diagonal whitening)
+# ---------------------------------------------------------------------------
+
+_STD_ORACLE = """
+WITH lf AS (
+  SELECT e.vec_id, r.range AS dim,
+         CAST(FLOOR(CAST(e.embedding[r.range] AS DOUBLE) * 1e9 + 0.5)
+              AS BIGINT) AS vn
+  FROM embeddings e CROSS JOIN range(1, 65) r
+),
+st AS (
+  SELECT vec_id, dim, vn,
+         CAST(COUNT(*) OVER d AS BIGINT) AS n,
+         CAST(SUM(CAST(vn AS DECIMAL(38,0))) OVER d
+              AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(vn AS DECIMAL(38,0)) * vn) OVER d
+              AS DECIMAL(38,0)) AS sq
+  FROM lf
+  WINDOW d AS (PARTITION BY dim)
+),
+x AS (
+  SELECT vec_id, dim, vn, n,
+         CAST(n AS DECIMAL(38,0)) * vn - s AS dd,
+         CAST(n AS DECIMAL(38,0)) * sq - s * s AS vr
+  FROM st
+)
+SELECT vec_id, dim,
+       CAST(vn AS DOUBLE) / 1e9 AS value,
+       CASE WHEN vr > 0 THEN
+         FLOOR((CAST(dd AS DOUBLE) / SQRT(CAST(vr AS DOUBLE)))
+               * 1e9 + 0.5) / 1e9 END AS z
+FROM x ORDER BY vec_id, dim
+"""
+
+
+@query("embed-standardize", oracle=_STD_ORACLE)
+def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I73: per-dimension embedding standardization — z-score each
+    coordinate against ITS dimension's corpus mean/std (diagonal
+    whitening, the cheap first stage of the full-covariance whitening
+    retrieval stacks apply before PQ/IVF): a dimension with 10× the
+    variance of its siblings dominates every L2/cosine, and this is
+    the query that both detects that (read |z| ranges per dim) and
+    fixes it (train on z instead of value). Long form (vec_id, dim,
+    value, z) — the shape downstream re-assembly or per-dim
+    histogramming actually consumes.
+
+    Parity discipline for CROSS-ROW float aggregation (the hard part
+    — float sums are order-dependent): every coordinate snaps to an
+    exact integer nano-unit FIRST, so Σv and Σv² are DECIMAL(38,0)
+    integers (order-independent in both engines), and z is the F32
+    Bollinger identity: with d = n·v−Σv and vr = n·Σv²−(Σv)²,
+    z = (v−μ)/σ = d/√vr exactly (σ = √vr/n cancels the 1/n in d/n) —
+    one IEEE chain over exact-integer-derived doubles, snapped;
+    zero-variance dims → NULL z in both engines.
+
+    Shape at 100 TB: posexplode to the (vec, dim) long form collapses
+    INTO a 64-partition window (dim count is fixed) — at real scale
+    the per-dim moments become ONE map-side-combined 64-row aggregate
+    broadcast back onto the vectors; the window form here plans the
+    same exchange count at test scale (one shuffle on dim)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    lf = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.expr(
+            "CAST(FLOOR(CAST(v AS DOUBLE) * 1e9 + 0.5) AS BIGINT)"
+        ).alias("vn"),
+    )
+    d = W.partitionBy("dim")
+    st = lf.select(
+        "vec_id",
+        "dim",
+        "vn",
+        F.count(F.lit(1)).over(d).cast("long").alias("n"),
+        F.sum(F.col("vn").cast("decimal(38,0)"))
+        .over(d)
+        .cast("decimal(38,0)")
+        .alias("s"),
+        F.sum(F.col("vn").cast("decimal(38,0)") * F.col("vn"))
+        .over(d)
+        .cast("decimal(38,0)")
+        .alias("sq"),
+    )
+    x = st.selectExpr(
+        "vec_id",
+        "dim",
+        "vn",
+        "n",
+        "CAST(n AS DECIMAL(38,0)) * vn - s AS dd",
+        "CAST(n AS DECIMAL(38,0)) * sq - s * s AS vr",
+    )
+    return x.selectExpr(
+        "vec_id",
+        "dim",
+        "CAST(vn AS DOUBLE) / 1e9 AS value",
+        "CASE WHEN vr > 0 THEN"
+        " FLOOR((CAST(dd AS DOUBLE) / SQRT(CAST(vr AS DOUBLE)))"
+        " * 1e9 + 0.5) / 1e9 END AS z",
+    ).orderBy("vec_id", "dim")

@@ -5590,3 +5590,136 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN {_KT_OK} THEN"
         f" FLOOR(({_KT_TAU}) * 1e9 + 0.5) / 1e9 END AS tau_b",
     )
+
+
+# ---------------------------------------------------------------------------
+# E52 — Tukey fences (1.5·IQR outliers) on per-user spend
+# ---------------------------------------------------------------------------
+
+# Boundary-exact fences: 1.5·IQR is half-integral in cents, so both
+# comparisons run DOUBLED — outlier_low ⟺ 2x < 2·Q1 − 3·IQR — and no
+# double ever gates a count (the F32 cross-multiply discipline).
+_TUKEY_ORACLE = """
+WITH pu AS (
+  SELECT CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
+              AS BIGINT) AS yc
+  FROM events GROUP BY user_id
+),
+dist AS (
+  SELECT yc, CAST(COUNT(*) AS BIGINT) AS c FROM pu GROUP BY yc
+),
+cum AS (
+  SELECT yc, c,
+         CAST(SUM(c) OVER (ORDER BY yc ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cm,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM dist
+),
+q AS (
+  SELECT MAX(n) AS n,
+         MIN(CASE WHEN cm >= (25 * n + 99) // 100 THEN yc END) AS q1,
+         MIN(CASE WHEN cm >= (75 * n + 99) // 100 THEN yc END) AS q3
+  FROM cum
+),
+f AS (
+  SELECT d.yc, d.c, q.n, q.q1, q.q3, q.q3 - q.q1 AS iqr
+  FROM dist d CROSS JOIN q
+)
+SELECT MAX(n) AS n_users,
+       MAX(q1) AS q1_cents,
+       MAX(q3) AS q3_cents,
+       MAX(iqr) AS iqr_cents,
+       CAST(COALESCE(SUM(CASE WHEN 2 * yc < 2 * q1 - 3 * iqr
+                              THEN c END), 0) AS BIGINT) AS n_low,
+       CAST(COALESCE(SUM(CASE WHEN 2 * yc > 2 * q3 + 3 * iqr
+                              THEN c END), 0) AS BIGINT) AS n_high,
+       FLOOR((CAST(COALESCE(SUM(CASE WHEN 2 * yc < 2 * q1 - 3 * iqr
+                                      OR 2 * yc > 2 * q3 + 3 * iqr
+                                     THEN c END), 0) AS DOUBLE)
+              / CAST(MAX(n) AS DOUBLE)) * 1e9 + 0.5) / 1e9
+         AS outlier_frac
+FROM f
+"""
+
+
+@query("agg-tukey-fences", oracle=_TUKEY_ORACLE)
+def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E52: Tukey's 1.5·IQR fences on per-user total spend (Tukey
+    1977, the boxplot rule) — the quartile-based member completing
+    the outlier-screen family: MAD (E13) is the median-centered
+    robust z, Tukey is the distribution-free box rule every BI tool
+    draws and every DQ pipeline implements first; the two disagree
+    exactly on skewed spend tails, which is why platforms ship both.
+
+    Shape at 100 TB: per-user collapse, then the E19 distribution
+    trick — quartiles come from ONE cumulative window over the
+    value-bounded (cents, count) relation, and the outlier counts
+    from the SAME relation cross-joined with the one-row quartile
+    relation; no raw-row sort, no second corpus pass.
+
+    Parity: cents/quartiles/counts exact integers; 1.5·IQR is
+    half-integral so the fence comparisons run DOUBLED (2x vs
+    2·Q1 − 3·IQR) — boundary-EXACT, no double gates a count; the
+    single fraction is one snapped division."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.coalesce((F.sum(dec("value")) * 100), F.lit(0))
+        .cast("long")
+        .alias("yc")
+    )
+    # bounded (cents, count) relation consumed twice (quartile window
+    # + fence counts) — materialize once (the E45/E51 discipline)
+    dist = (
+        pu.groupBy("yc")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    cum = dist.select(
+        "yc",
+        "c",
+        F.sum("c")
+        .over(W.orderBy("yc").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cm"),
+        F.sum("c")
+        .over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("n"),
+    )
+    q = cum.agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(
+                F.col("cm") >= F.expr("(25 * n + 99) div 100"), F.col("yc")
+            )
+        ).alias("q1"),
+        F.min(
+            F.when(
+                F.col("cm") >= F.expr("(75 * n + 99) div 100"), F.col("yc")
+            )
+        ).alias("q3"),
+    )
+    f = dist.crossJoin(q).withColumn(
+        "iqr", F.col("q3") - F.col("q1")
+    )
+    return f.selectExpr(
+        "MAX(n) AS n_users",
+        "MAX(q1) AS q1_cents",
+        "MAX(q3) AS q3_cents",
+        "MAX(iqr) AS iqr_cents",
+        "CAST(COALESCE(SUM(CASE WHEN 2 * yc < 2 * q1 - 3 * iqr"
+        " THEN c END), 0) AS BIGINT) AS n_low",
+        "CAST(COALESCE(SUM(CASE WHEN 2 * yc > 2 * q3 + 3 * iqr"
+        " THEN c END), 0) AS BIGINT) AS n_high",
+        "FLOOR((CAST(COALESCE(SUM(CASE WHEN 2 * yc < 2 * q1 - 3 * iqr"
+        " OR 2 * yc > 2 * q3 + 3 * iqr"
+        " THEN c END), 0) AS DOUBLE)"
+        " / CAST(MAX(n) AS DOUBLE)) * 1e9 + 0.5) / 1e9"
+        " AS outlier_frac",
+    )

@@ -3140,3 +3140,102 @@ def etl_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.orderBy("relationship")
+
+
+# ---------------------------------------------------------------------------
+# F35 — local extrema (peaks/troughs) of the daily revenue series
+# ---------------------------------------------------------------------------
+
+_EXTREMA_K = 3  # neighborhood radius in days (rows of the day series)
+
+_EXTREMA_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
+              AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT day, cents,
+         MAX(cents) OVER bk AS mx_b, MIN(cents) OVER bk AS mn_b,
+         MAX(cents) OVER fw AS mx_f, MIN(cents) OVER fw AS mn_f,
+         COUNT(*) OVER bk AS n_b, COUNT(*) OVER fw AS n_f
+  FROM d
+  WINDOW bk AS (ORDER BY day
+                ROWS BETWEEN {_EXTREMA_K} PRECEDING AND 1 PRECEDING),
+         fw AS (ORDER BY day
+                ROWS BETWEEN 1 FOLLOWING AND {_EXTREMA_K} FOLLOWING)
+)
+SELECT STRFTIME(TIMESTAMP '1970-01-01' + INTERVAL (day) DAY, '%Y-%m-%d')
+         AS day_str,
+       cents,
+       CASE WHEN n_b = 0 OR n_f = 0 THEN 'edge'
+            WHEN cents > mx_b AND cents > mx_f THEN 'peak'
+            WHEN cents < mn_b AND cents < mn_f THEN 'trough'
+            ELSE 'none' END AS kind,
+       CASE WHEN n_b > 0 AND n_f > 0 AND cents > mx_b AND cents > mx_f
+              THEN cents - CASE WHEN mx_b > mx_f THEN mx_b ELSE mx_f END
+            WHEN n_b > 0 AND n_f > 0 AND cents < mn_b AND cents < mn_f
+              THEN CASE WHEN mn_b < mn_f THEN mn_b ELSE mn_f END - cents
+       END AS prominence_cents
+FROM w ORDER BY day
+"""
+
+
+@query("window-local-extrema", oracle=_EXTREMA_ORACLE)
+def window_local_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F35: local extrema of the daily revenue series — a day is a
+    PEAK when it strictly exceeds every day in its ±3-day
+    neighborhood, a TROUGH when strictly below (the scipy
+    find_peaks/argrelextrema semantics, window-function-shaped), with
+    a prominence readout (gap to the nearest rival in the
+    neighborhood): the event-detection primitive behind "flag the
+    spike days" dashboards that CUSUM (F20, cumulative shift) and
+    Bollinger (F32, volatility bands) do not answer — those detect
+    REGIME changes, this finds POINT events. Edge days (incomplete
+    neighborhood) are labeled 'edge', never silently classified.
+
+    Shape at 100 TB: the F26/F30/F32 day-relation discipline — one
+    map-side collapse to calendar-bounded days, then two small frames
+    (3 preceding / 3 following) over ~365 rows per year. One
+    exchange; windows never see events.
+
+    Parity: exact integer cents; every classification is a strict
+    integer comparison and prominence is integer subtraction — no
+    doubles anywhere in the key."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias(
+            "day"
+        )
+    ).agg(
+        F.coalesce(F.sum(dec("value") * 100), F.lit(0))
+        .cast("long")
+        .alias("cents")
+    )
+    bk = W.orderBy("day").rowsBetween(-_EXTREMA_K, -1)
+    fw = W.orderBy("day").rowsBetween(1, _EXTREMA_K)
+    w = d.select(
+        "day",
+        "cents",
+        F.max("cents").over(bk).alias("mx_b"),
+        F.min("cents").over(bk).alias("mn_b"),
+        F.max("cents").over(fw).alias("mx_f"),
+        F.min("cents").over(fw).alias("mn_f"),
+        F.count(F.lit(1)).over(bk).alias("n_b"),
+        F.count(F.lit(1)).over(fw).alias("n_f"),
+    )
+    return w.selectExpr(
+        "date_format(timestamp_micros(day * 86400000000), 'yyyy-MM-dd')"
+        " AS day_str",
+        "cents",
+        "CASE WHEN n_b = 0 OR n_f = 0 THEN 'edge'"
+        " WHEN cents > mx_b AND cents > mx_f THEN 'peak'"
+        " WHEN cents < mn_b AND cents < mn_f THEN 'trough'"
+        " ELSE 'none' END AS kind",
+        "CASE WHEN n_b > 0 AND n_f > 0 AND cents > mx_b AND cents > mx_f"
+        " THEN cents - CASE WHEN mx_b > mx_f THEN mx_b ELSE mx_f END"
+        " WHEN n_b > 0 AND n_f > 0 AND cents < mn_b AND cents < mn_f"
+        " THEN CASE WHEN mn_b < mn_f THEN mn_b ELSE mn_f END - cents"
+        " END AS prominence_cents",
+    ).orderBy("day")

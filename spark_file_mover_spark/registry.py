@@ -93,6 +93,10 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # stale at r12 close) — build _PRIORITY_R13 with any r13-new/changed
 # keys first, then THAT block, from `python tools/stale_keys.py --list`.
 _PRIORITY_R12 = [
+    "agg-tukey-fences",
+    "window-local-extrema",
+    "fn-codec-roundtrip",
+    "embed-standardize",
     "agg-kendall-tau",
     "graph-modularity",
     "multimodal-mp3-meta",

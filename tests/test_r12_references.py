@@ -430,3 +430,100 @@ def test_mp3_meta_matches_pure_python(spark, sf_dir):
         assert r["channel_mode"] == MODES[p_mode]
         assert r["frame_bytes"] == (144000 * kbps) // rate + p_pad
         assert r["sync_ok"] is True
+
+
+def test_tukey_matches_pure_python(spark, sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    ).to_pydict()
+    pu = defaultdict(int)
+    for u, v in zip(t["user_id"], t["value"]):
+        pu[u] += _cents(v) if v is not None else 0
+    ys = sorted(pu.values())
+    n = len(ys)
+    q1 = ys[-(-25 * n // 100) - 1]  # nearest-rank ceil(25n/100)
+    q3 = ys[-(-75 * n // 100) - 1]
+    iqr = q3 - q1
+    lo = sum(1 for y in ys if 2 * y < 2 * q1 - 3 * iqr)
+    hi = sum(1 for y in ys if 2 * y > 2 * q3 + 3 * iqr)
+    row = registry.QUERIES["agg-tukey-fences"](spark, sf_dir).collect()[0]
+    assert row["n_users"] == n
+    assert row["q1_cents"] == q1 and row["q3_cents"] == q3
+    assert row["iqr_cents"] == iqr
+    assert row["n_low"] == lo and row["n_high"] == hi
+    assert row["outlier_frac"] == _snap9((lo + hi) / n)
+
+
+def test_local_extrema_matches_pure_python(spark, sf_dir):
+    series = _day_cents(sf_dir)
+    vals = [c for _, c in series]
+    rows = registry.QUERIES["window-local-extrema"](spark, sf_dir).collect()
+    assert len(rows) == len(vals)
+    n_peak = n_trough = 0
+    for i, (row, x) in enumerate(zip(rows, vals)):
+        before = vals[max(0, i - 3) : i]
+        after = vals[i + 1 : i + 4]
+        if not before or not after:
+            kind, prom = "edge", None
+        elif x > max(before) and x > max(after):
+            kind, prom = "peak", x - max(max(before), max(after))
+        elif x < min(before) and x < min(after):
+            kind, prom = "trough", min(min(before), min(after)) - x
+        else:
+            kind, prom = "none", None
+        assert row["kind"] == kind, (i, x)
+        assert row["prominence_cents"] == prom
+        n_peak += kind == "peak"
+        n_trough += kind == "trough"
+    assert n_peak > 0 and n_trough > 0  # non-vacuous on this corpus
+
+
+def test_codec_matches_pure_python(spark, sf_dir):
+    import base64 as b64mod
+    import hashlib
+
+    rows = registry.QUERIES["fn-codec-roundtrip"](spark, sf_dir).collect()
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    assert len(rows) == len(texts)
+    for r in rows[:200]:
+        src = texts[r["doc_id"]][:24]
+        assert r["src"] == src
+        assert r["b64"] == b64mod.b64encode(src.encode()).decode()
+        assert r["hex_str"] == src.encode().hex().upper()
+        assert r["md5_8"] == hashlib.md5(src.encode()).hexdigest()[:8]
+        assert r["roundtrip_b64"] is True and r["roundtrip_hex"] is True
+        assert r["b64_len"] == r["b64_len_expected"] == 4 * -(-len(src) // 3)
+
+
+def test_standardize_matches_pure_python(spark, sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pydict()
+    nano = {
+        vid: [math.floor(float(x) * 1e9 + 0.5) for x in emb]
+        for vid, emb in zip(t["vec_id"], t["embedding"])
+    }
+    n = len(nano)
+    dims = len(next(iter(nano.values())))
+    rows = registry.QUERIES["embed-standardize"](spark, sf_dir).collect()
+    assert len(rows) == n * dims
+    by_dim = defaultdict(list)
+    for v in nano.values():
+        for d0, x in enumerate(v):
+            by_dim[d0 + 1].append(x)
+    # spot-check every dim for the first few vectors
+    got = {(r["vec_id"], r["dim"]): r for r in rows}
+    for vid in list(nano)[:10]:
+        for d0, x in enumerate(nano[vid]):
+            dim = d0 + 1
+            xs = by_dim[dim]
+            s, sq = sum(xs), sum(v * v for v in xs)
+            dd = n * x - s
+            vr = n * sq - s * s
+            r = got[(vid, dim)]
+            assert r["value"] == x / 1e9
+            if vr > 0:
+                assert r["z"] == _snap9(dd / math.sqrt(vr))
+            else:
+                assert r["z"] is None
