@@ -328,6 +328,8 @@ HEADLINE = [
     "window-local-extrema",
     "fn-codec-roundtrip",
     "embed-standardize",
+    "agg-overdispersion",
+    "sample-epoch-shuffle",
 ]
 
 

@@ -1139,3 +1139,108 @@ def sample_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FLOOR((CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE))"
         " * 1e9 + 0.5) / 1e9 AS doc_share",
     ).orderBy("bucket_ceil")
+
+
+# ---------------------------------------------------------------------------
+# I74 — deterministic per-epoch shuffle order (reproducible data order)
+# ---------------------------------------------------------------------------
+
+_EPOCHS = 3
+_SHUF_TOPK = 10
+
+_EPOCH_SHUFFLE_ORACLE = f"""
+WITH ep AS (SELECT unnest(range(0, {_EPOCHS})) AS epoch),
+keyed AS (
+  SELECT ep.epoch, d.doc_id,
+         {MD5_PREFIX60_SQL.format(
+             x="CAST(ep.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)"
+         )} AS shuffle_key
+  FROM documents d CROSS JOIN ep
+),
+r AS (
+  SELECT epoch, doc_id, shuffle_key,
+         CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                                 ORDER BY shuffle_key, doc_id)
+              AS BIGINT) AS rank
+  FROM keyed
+),
+topk AS (SELECT * FROM r WHERE rank <= {_SHUF_TOPK}),
+ov AS (
+  SELECT a.epoch,
+         CAST(COUNT(b.doc_id) AS BIGINT) AS overlap_with_prev
+  FROM topk a LEFT JOIN topk b
+    ON b.epoch = a.epoch - 1 AND b.doc_id = a.doc_id
+  GROUP BY a.epoch
+)
+SELECT t.epoch, t.rank, t.doc_id, t.shuffle_key, ov.overlap_with_prev
+FROM topk t JOIN ov ON ov.epoch = t.epoch
+ORDER BY t.epoch, t.rank
+"""
+
+
+@query("sample-epoch-shuffle", oracle=_EPOCH_SHUFFLE_ORACLE)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I74: deterministic per-epoch shuffle order — rank every
+    document by md5(epoch ':' doc_id) per training epoch: the
+    reproducible data-ordering contract multi-epoch training needs
+    (restart epoch 2 on any cluster, get the SAME order — no
+    partition-dependent RNG, the I17/I18 hash-determinism doctrine
+    applied to ORDER instead of membership), emitting each epoch's
+    k-prefix plus its overlap with the previous epoch's prefix — the
+    sanity readout that the per-epoch orders are actually decorrelated
+    (expected overlap k²/N ≈ 0) rather than one epoch's order reused.
+
+    Shape at 100 TB: a shuffle at scale is realized as a SORT by the
+    hash key (or bucket-write by key prefix) — here the k-prefix per
+    epoch is TakeOrderedAndProject-shaped per epoch partition
+    (row_number + rank filter = WindowGroupLimit, no full sort
+    materialization); the epoch dimension is a 3-row broadcast
+    cross-join, and the overlap join runs on the k·epochs-bounded
+    prefix relation.
+
+    Parity: the shared md5-prefix-60 hash (the I18 contract) keyed on
+    epoch ':' doc_id; ranks from the (key, doc_id) total order; all
+    exact integers."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    ep = spark.range(_EPOCHS).select(F.col("id").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(ep)).select(
+        "epoch",
+        "doc_id",
+        md5_prefix60(
+            F.concat_ws(
+                ":",
+                F.col("epoch").cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("shuffle_key"),
+    )
+    r = keyed.select(
+        "*",
+        F.row_number()
+        .over(W.partitionBy("epoch").orderBy("shuffle_key", "doc_id"))
+        .cast("long")
+        .alias("rank"),
+    )
+    topk = r.filter(F.col("rank") <= _SHUF_TOPK).localCheckpoint(
+        eager=True
+    )  # k·epochs rows, consumed by both sides of the overlap join
+    b = topk.select(
+        (F.col("epoch") + 1).alias("epoch"), F.col("doc_id").alias("bdoc")
+    )
+    ov = (
+        topk.join(
+            b,
+            (topk["epoch"] == b["epoch"]) & (topk["doc_id"] == b["bdoc"]),
+            "left",
+        )
+        .groupBy(topk["epoch"])
+        .agg(F.count("bdoc").cast("long").alias("overlap_with_prev"))
+    )
+    return (
+        topk.join(ov, "epoch")
+        .select("epoch", "rank", "doc_id", "shuffle_key",
+                "overlap_with_prev")
+        .orderBy("epoch", "rank")
+    )

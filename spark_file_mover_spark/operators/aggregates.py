@@ -5723,3 +5723,112 @@ def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / CAST(MAX(n) AS DOUBLE)) * 1e9 + 0.5) / 1e9"
         " AS outlier_frac",
     )
+
+
+# ---------------------------------------------------------------------------
+# E53 — overdispersion (variance-to-mean ratio) of per-user event counts
+# ---------------------------------------------------------------------------
+
+# Poisson baseline: VMR = 1. The flag compares the SNAPPED vmr against
+# the shared literal, so the banding is boundary-deterministic.
+_VMR_OVER = "1.5"
+_VMR_UNDER = "0.75"
+
+_OVERDISP_ORACLE = f"""
+WITH pc AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS k
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(k) AS BIGINT) AS s,
+         CAST(SUM(CAST(k AS DECIMAL(38,0)) * k) AS DECIMAL(38,0)) AS sq
+  FROM pc GROUP BY event_type
+),
+x AS (
+  SELECT event_type, n_users, s,
+         CAST(n_users AS DECIMAL(38,0)) * sq - CAST(s AS DECIMAL(38,0)) * s
+           AS vn
+  FROM m
+)
+SELECT event_type, n_users, s AS n_events,
+       CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_k,
+       FLOOR((CAST(vn AS DOUBLE)
+              / (CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE)))
+             * 1e9 + 0.5) / 1e9 AS var_k,
+       CASE WHEN s > 0 THEN
+         FLOOR((CAST(vn AS DOUBLE)
+                / (CAST(n_users AS DOUBLE) * CAST(s AS DOUBLE)))
+               * 1e9 + 0.5) / 1e9 END AS vmr,
+       CASE WHEN s = 0 THEN 'undefined'
+            WHEN FLOOR((CAST(vn AS DOUBLE)
+                 / (CAST(n_users AS DOUBLE) * CAST(s AS DOUBLE)))
+                 * 1e9 + 0.5) / 1e9 > {_VMR_OVER} THEN 'overdispersed'
+            WHEN FLOOR((CAST(vn AS DOUBLE)
+                 / (CAST(n_users AS DOUBLE) * CAST(s AS DOUBLE)))
+                 * 1e9 + 0.5) / 1e9 < {_VMR_UNDER} THEN 'underdispersed'
+            ELSE 'poisson-like' END AS regime
+FROM x ORDER BY event_type
+"""
+
+
+@query("agg-overdispersion", oracle=_OVERDISP_ORACLE)
+def agg_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E53: overdispersion screen — the variance-to-mean ratio (Fano
+    factor) of per-user event counts per type, against the Poisson
+    baseline VMR = 1: the model-selection gate for count data (VMR ≫ 1
+    → negative-binomial land, where Poisson rate tests and CIs are
+    anticonservative), the count-distribution sibling of the heavy-
+    tail gate (E48 decides mean-vs-rank for VALUES, this decides
+    Poisson-vs-NB for COUNTS). Banded on shared literals (1.5 / 0.75)
+    over the SNAPPED vmr.
+
+    Shape at 100 TB: two stacked map-side-combining hash aggregates —
+    events → (type, user, k) → per-type moments (n, Σk, Σk²); nothing
+    after the first aggregate touches raw rows, and the second is
+    |types|-bounded.
+
+    Parity: counts exact BIGINTs; the population-variance numerator
+    vn = n·Σk² − (Σk)² is DECIMAL(38,0)-exact (the F32/I73 identity);
+    mean is one division (davg precedent), var and vmr are single
+    snapped chains — vmr = vn/(n·Σk) since vn/n² over Σk/n cancels
+    one n; a type with zero events cannot exist by construction, the
+    s = 0 guard still mirrors cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    pc = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    m = pc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("k").cast("long").alias("s"),
+        F.sum(F.expr("CAST(k AS DECIMAL(38,0)) * k"))
+        .cast("decimal(38,0)")
+        .alias("sq"),
+    )
+    x = m.selectExpr(
+        "event_type",
+        "n_users",
+        "s",
+        "CAST(n_users AS DECIMAL(38,0)) * sq"
+        " - CAST(s AS DECIMAL(38,0)) * s AS vn",
+    )
+    vmr = (
+        "FLOOR((CAST(vn AS DOUBLE)"
+        " / (CAST(n_users AS DOUBLE) * CAST(s AS DOUBLE)))"
+        " * 1e9 + 0.5) / 1e9"
+    )
+    return x.selectExpr(
+        "event_type",
+        "n_users",
+        "s AS n_events",
+        "CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_k",
+        "FLOOR((CAST(vn AS DOUBLE)"
+        " / (CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE)))"
+        " * 1e9 + 0.5) / 1e9 AS var_k",
+        f"CASE WHEN s > 0 THEN {vmr} END AS vmr",
+        f"CASE WHEN s = 0 THEN 'undefined'"
+        f" WHEN {vmr} > {_VMR_OVER} THEN 'overdispersed'"
+        f" WHEN {vmr} < {_VMR_UNDER} THEN 'underdispersed'"
+        f" ELSE 'poisson-like' END AS regime",
+    ).orderBy("event_type")

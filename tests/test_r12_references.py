@@ -527,3 +527,58 @@ def test_standardize_matches_pure_python(spark, sf_dir):
                 assert r["z"] == _snap9(dd / math.sqrt(vr))
             else:
                 assert r["z"] is None
+
+
+def test_overdispersion_matches_pure_python(spark, sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    ).to_pydict()
+    pc = Counter(zip(t["event_type"], t["user_id"]))
+    rows = {
+        r["event_type"]: r
+        for r in registry.QUERIES["agg-overdispersion"](
+            spark, sf_dir
+        ).collect()
+    }
+    types = {ty for ty, _ in pc}
+    assert set(rows) == types
+    for ty in types:
+        ks = [k for (t2, _), k in pc.items() if t2 == ty]
+        n, s = len(ks), sum(ks)
+        sq = sum(k * k for k in ks)
+        vn = n * sq - s * s
+        row = rows[ty]
+        assert row["n_users"] == n and row["n_events"] == s
+        assert row["mean_k"] == s / n
+        assert row["var_k"] == _snap9(vn / (n * n))
+        vmr = _snap9(vn / (n * s))
+        assert row["vmr"] == vmr
+        regime = (
+            "overdispersed" if vmr > 1.5
+            else "underdispersed" if vmr < 0.75 else "poisson-like"
+        )
+        assert row["regime"] == regime
+
+
+def test_epoch_shuffle_matches_pure_python(spark, sf_dir):
+    import hashlib
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_pylist()
+    prefixes = {}
+    for ep in range(3):
+        ranked = sorted(ids, key=lambda d: (h(f"{ep}:{d}"), d))[:10]
+        prefixes[ep] = ranked
+    rows = registry.QUERIES["sample-epoch-shuffle"](spark, sf_dir).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert prefixes[r["epoch"]][r["rank"] - 1] == r["doc_id"]
+        assert r["shuffle_key"] == h(f"{r['epoch']}:{r['doc_id']}")
+        prev = set(prefixes.get(r["epoch"] - 1, []))
+        assert r["overlap_with_prev"] == len(
+            prev & set(prefixes[r["epoch"]])
+        )
