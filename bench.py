@@ -330,6 +330,9 @@ HEADLINE = [
     "embed-standardize",
     "agg-overdispersion",
     "sample-epoch-shuffle",
+    "agg-capture-recapture",
+    "window-autocorr",
+    "text-hapax-ratio",
 ]
 
 

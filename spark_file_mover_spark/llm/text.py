@@ -955,3 +955,85 @@ def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# I75 — hapax legomena ratio per source (vocabulary-health screen)
+# ---------------------------------------------------------------------------
+
+_HAPAX_ORACLE = r"""
+WITH tk AS (
+  SELECT source,
+         UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tk GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT)
+         AS hapax,
+       CAST(COALESCE(SUM(CASE WHEN c = 2 THEN 1 END), 0) AS BIGINT)
+         AS dis_legomena,
+       FLOOR((CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 END), 0) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE)) * 1e9 + 0.5) / 1e9
+         AS hapax_ratio,
+       FLOOR((CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE))
+             * 1e9 + 0.5) / 1e9 AS type_token_ratio
+FROM tf GROUP BY source ORDER BY source
+"""
+
+
+@query("text-hapax-ratio", oracle=_HAPAX_ORACLE)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I75: hapax legomena ratio per source — the share of each
+    source's vocabulary seen exactly once (plus dis legomena and the
+    type-token ratio): the vocabulary-HEALTH screen that complements
+    the Zipf fit (I65 checks the rank-frequency LAW over the head,
+    this checks the TAIL mass): natural text runs ~40-60% hapax
+    (Baayen's LNRE regime); template/boilerplate spam collapses the
+    ratio toward 0, OCR noise and encoding damage inflate it toward
+    1 — both are the exact corpora a curation pass must catch before
+    training.
+
+    Shape at 100 TB: one scan explodes through the shared tokenizer
+    into a map-side-collapsing (source, tok) hash agg (text never
+    shuffles — only tokens), then a |sources|-bounded second agg over
+    the per-source term-frequency relation. The same two-level plan
+    as every vocabulary key.
+
+    Parity: counts exact BIGINTs; two snapped divisions."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(toks()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.coalesce(F.sum(F.when(F.col("c") == 1, 1)), F.lit(0))
+            .cast("long")
+            .alias("hapax"),
+            F.coalesce(F.sum(F.when(F.col("c") == 2, 1)), F.lit(0))
+            .cast("long")
+            .alias("dis_legomena"),
+        )
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "vocab",
+            "hapax",
+            "dis_legomena",
+            "FLOOR((CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE))"
+            " * 1e9 + 0.5) / 1e9 AS hapax_ratio",
+            "FLOOR((CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE))"
+            " * 1e9 + 0.5) / 1e9 AS type_token_ratio",
+        )
+        .orderBy("source")
+    )

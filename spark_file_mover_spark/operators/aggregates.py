@@ -5832,3 +5832,84 @@ def agg_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" WHEN {vmr} < {_VMR_UNDER} THEN 'underdispersed'"
         f" ELSE 'poisson-like' END AS regime",
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# E54 — capture-recapture (Lincoln-Petersen) population estimate
+# ---------------------------------------------------------------------------
+
+# Chapman's bias-corrected estimator (Chapman 1951):
+#   N̂ = (n1+1)(n2+1)/(m+1) − 1
+# — defined even at m = 0 (unlike raw Lincoln-Petersen n1·n2/m), which
+# is why production coverage estimators use it.
+_CRC_NHAT = (
+    "(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)"
+    " / CAST(m + 1 AS DOUBLE)) - 1.0"
+)
+
+_CAPTURE_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN ts <  TIMESTAMP '{_KS_SPLIT}' THEN 1 ELSE 0 END)
+           AS in_a,
+         MAX(CASE WHEN ts >= TIMESTAMP '{_KS_SPLIT}' THEN 1 ELSE 0 END)
+           AS in_b
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(SUM(in_a) AS BIGINT) AS n1,
+         CAST(SUM(in_b) AS BIGINT) AS n2,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n_observed
+  FROM pu
+)
+SELECT n1, n2, m, n_observed,
+       FLOOR(({_CRC_NHAT}) * 1e9 + 0.5) / 1e9 AS n_hat,
+       FLOOR((({_CRC_NHAT}) - n_observed) * 1e9 + 0.5) / 1e9
+         AS est_unseen
+FROM m
+"""
+
+
+@query("agg-capture-recapture", oracle=_CAPTURE_ORACLE)
+def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E54: capture-recapture population estimate — treat the two KS
+    time windows as two independent "captures" of the user
+    population and estimate the TRUE population incl. never-observed
+    users from the overlap (Chapman's bias-corrected Lincoln-Petersen,
+    the mark-recapture standard): the "how many users/dups/entities
+    exist that we have not seen?" readout — the same estimator data
+    teams run on two dedup passes or two crawls to size the unseen
+    remainder, which no distinct-count (E2/E3) can answer.
+
+    Shape at 100 TB: one per-user conditional-flag collapse (map-side
+    combining MAX of 0/1 flags), then a ONE-ROW aggregate. Nothing
+    touches raw rows after the first agg.
+
+    Parity: capture counts and overlap exact BIGINTs; Chapman's
+    estimator is one shared textual fragment over exact operands,
+    snapped; m = 0 stays defined (the +1s), matching both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("ts") < _KS_SPLIT, 1).otherwise(0)).alias(
+            "in_a"
+        ),
+        F.max(F.when(F.col("ts") >= _KS_SPLIT, 1).otherwise(0)).alias(
+            "in_b"
+        ),
+    )
+    m = pu.agg(
+        F.sum("in_a").cast("long").alias("n1"),
+        F.sum("in_b").cast("long").alias("n2"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_observed"),
+    )
+    return m.selectExpr(
+        "n1",
+        "n2",
+        "m",
+        "n_observed",
+        f"FLOOR(({_CRC_NHAT}) * 1e9 + 0.5) / 1e9 AS n_hat",
+        f"FLOOR((({_CRC_NHAT}) - n_observed) * 1e9 + 0.5) / 1e9"
+        " AS est_unseen",
+    )

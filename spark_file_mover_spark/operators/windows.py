@@ -3239,3 +3239,129 @@ def window_local_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
         " THEN CASE WHEN mn_b < mn_f THEN mn_b ELSE mn_f END - cents"
         " END AS prominence_cents",
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# F36 — autocorrelation function (lags 1..7) of the daily revenue series
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+_ACF_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
+              AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT day, cents,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(SUM(cents) OVER () AS BIGINT) AS tot
+  FROM d
+),
+dd AS (
+  SELECT day,
+         CAST(n AS DECIMAL(38,0)) * cents - tot AS dv,
+         n
+  FROM s
+),
+lagged AS (
+  SELECT dv, n,
+         {', '.join(f'LAG(dv, {L}) OVER (ORDER BY day) AS dv{L}'
+                    for L in range(1, _ACF_MAX_LAG + 1))}
+  FROM dd
+),
+agg AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(dv * dv) AS DECIMAL(38,0)) AS den,
+         {', '.join(
+             f'CAST(COALESCE(SUM(dv * dv{L}), 0) AS DECIMAL(38,0)) AS num{L},'
+             f' CAST(COUNT(dv{L}) AS BIGINT) AS np{L}'
+             for L in range(1, _ACF_MAX_LAG + 1))}
+  FROM lagged
+)
+{' UNION ALL '.join(
+    f"SELECT CAST({L} AS BIGINT) AS lag, np{L} AS n_pairs,"
+    f" CASE WHEN den > 0 THEN"
+    f" FLOOR((CAST(num{L} AS DOUBLE) / CAST(den AS DOUBLE))"
+    f" * 1e9 + 0.5) / 1e9 END AS acf FROM agg"
+    for L in range(1, _ACF_MAX_LAG + 1))}
+ORDER BY lag
+"""
+
+
+@query("window-autocorr", oracle=_ACF_ORACLE)
+def window_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F36: the autocorrelation function of the daily revenue series
+    at lags 1..7 — THE time-series diagnostic read before any
+    forecasting/anomaly model is chosen (a spike at lag 7 = weekly
+    seasonality, confirming E35's day-of-week readout from the
+    correlation side; slow decay = trend, CUSUM/F20 territory; ~0
+    everywhere = white noise, so alerting on level is defensible).
+    Standard ACF convention: every lag normalizes by the SERIES
+    variance (denominator Σ(x−x̄)² over all days).
+
+    Shape at 100 TB: the day-relation discipline — map-side collapse
+    to calendar-bounded days, n/Σx via one full-frame window, LAG
+    columns for the 7 shifts, ONE one-row aggregate, and a 7-row
+    constant unpivot. Windows never see events.
+
+    Parity: the mean never materializes — deviations are the n-scaled
+    exact integers dv = n·x − Σx (the F32/I73 identity applied to
+    covariance), so every numerator Σ dv_t·dv_{t−L} and the
+    denominator Σ dv² are DECIMAL(38,0)-exact; each acf value is ONE
+    snapped division; a zero-variance series → NULL acf at every lag
+    in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias(
+            "day"
+        )
+    ).agg(
+        F.coalesce(F.sum(dec("value") * 100), F.lit(0))
+        .cast("long")
+        .alias("cents")
+    )
+    wall = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    s = d.select(
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        F.sum("cents").over(wall).cast("long").alias("tot"),
+    )
+    dd = s.selectExpr(
+        "day", "CAST(n AS DECIMAL(38,0)) * cents - tot AS dv", "n"
+    )
+    worder = W.orderBy("day")
+    lag_cols = [
+        F.lag("dv", L).over(worder).alias(f"dv{L}")
+        for L in range(1, _ACF_MAX_LAG + 1)
+    ]
+    lagged = dd.select("dv", "n", *lag_cols)
+    aggs = [
+        F.max("n").alias("n"),
+        F.sum(F.expr("dv * dv")).cast("decimal(38,0)").alias("den"),
+    ]
+    for L in range(1, _ACF_MAX_LAG + 1):
+        aggs.append(
+            F.coalesce(F.sum(F.expr(f"dv * dv{L}")), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias(f"num{L}")
+        )
+        aggs.append(F.count(f"dv{L}").cast("long").alias(f"np{L}"))
+    agg = lagged.agg(*aggs)
+    # one stack() unpivot = ONE consumer of the one-row agg (a 7-way
+    # UNION of selects would re-execute the whole day pipeline per lag)
+    stack_args = ", ".join(
+        f"CAST({L} AS BIGINT), np{L},"
+        f" CASE WHEN den > 0 THEN"
+        f" FLOOR((CAST(num{L} AS DOUBLE) / CAST(den AS DOUBLE))"
+        f" * 1e9 + 0.5) / 1e9 END"
+        for L in range(1, _ACF_MAX_LAG + 1)
+    )
+    return agg.selectExpr(
+        f"stack({_ACF_MAX_LAG}, {stack_args}) AS (lag, n_pairs, acf)"
+    ).orderBy("lag")

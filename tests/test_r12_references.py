@@ -582,3 +582,60 @@ def test_epoch_shuffle_matches_pure_python(spark, sf_dir):
         assert r["overlap_with_prev"] == len(
             prev & set(prefixes[r["epoch"]])
         )
+
+
+def test_capture_recapture_matches_pure_python(spark, sf_dir):
+    import datetime
+
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).to_pydict()
+    split = datetime.datetime(2024, 1, 16)
+    a, b = set(), set()
+    for u, ts in zip(t["user_id"], t["ts"]):
+        (a if ts < split else b).add(u)
+    n1, n2, m = len(a), len(b), len(a & b)
+    nhat = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    row = registry.QUERIES["agg-capture-recapture"](spark, sf_dir).collect()[0]
+    assert (row["n1"], row["n2"], row["m"]) == (n1, n2, m)
+    assert row["n_observed"] == len(a | b)
+    assert row["n_hat"] == _snap9(nhat)
+    assert row["est_unseen"] == _snap9(nhat - len(a | b))
+
+
+def test_autocorr_matches_pure_python(spark, sf_dir):
+    vals = [c for _, c in _day_cents(sf_dir)]
+    n, tot = len(vals), sum(vals)
+    dv = [n * x - tot for x in vals]
+    den = sum(d * d for d in dv)
+    rows = registry.QUERIES["window-autocorr"](spark, sf_dir).collect()
+    assert [r["lag"] for r in rows] == list(range(1, 8))
+    for r in rows:
+        L = r["lag"]
+        num = sum(dv[i] * dv[i - L] for i in range(L, n))
+        assert r["n_pairs"] == n - L
+        assert r["acf"] == _snap9(num / den)
+        assert -1.05 <= r["acf"] <= 1.05
+
+
+def test_hapax_matches_pure_python(spark, sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).to_pydict()
+    tf = defaultdict(Counter)
+    for src, text in zip(t["source"], t["text"]):
+        tf[src].update(re.split(r"\s+", text.strip().lower()))
+    rows = {
+        r["source"]: r
+        for r in registry.QUERIES["text-hapax-ratio"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(tf)
+    for src, c in tf.items():
+        row = rows[src]
+        hapax = sum(1 for v in c.values() if v == 1)
+        assert row["n_tokens"] == sum(c.values())
+        assert row["vocab"] == len(c)
+        assert row["hapax"] == hapax
+        assert row["dis_legomena"] == sum(1 for v in c.values() if v == 2)
+        assert row["hapax_ratio"] == _snap9(hapax / len(c))
+        assert row["type_token_ratio"] == _snap9(len(c) / sum(c.values()))
