@@ -333,6 +333,8 @@ HEADLINE = [
     "agg-capture-recapture",
     "window-autocorr",
     "text-hapax-ratio",
+    "scan-csv-quoted-multiline",
+    "agg-confusion-mcc",
 ]
 
 

@@ -5913,3 +5913,194 @@ def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"FLOOR((({_CRC_NHAT}) - n_observed) * 1e9 + 0.5) / 1e9"
         " AS est_unseen",
     )
+
+
+# ---------------------------------------------------------------------------
+# E55 — confusion panel + MCC: does early spend rank predict late rank?
+# ---------------------------------------------------------------------------
+
+# MCC numerator/denominator over exact BIGINT confusion counts; the
+# four margin factors each ≤ n, product ≤ n⁴ — DECIMAL(38,0)-exact to
+# n ~ 3e9 users (document the DECIMAL ceiling, not a silent overflow).
+_MCC_DEN_OK = "(tp+fp) > 0 AND (tp+fn) > 0 AND (tn+fp) > 0 AND (tn+fn) > 0"
+_MCC = (
+    "CAST(CAST(tp AS DECIMAL(38,0)) * tn"
+    " - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE)"
+    " / SQRT(CAST(CAST(tp+fp AS DECIMAL(38,0)) * (tp+fn)"
+    " * (tn+fp) * (tn+fn) AS DOUBLE))"
+)
+
+_CONFUSION_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{_KS_SPLIT}'
+                       THEN CAST(value AS DECIMAL(12,2)) END), 0) * 100
+              AS BIGINT) AS sa,
+         CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_KS_SPLIT}'
+                       THEN CAST(value AS DECIMAL(12,2)) END), 0) * 100
+              AS BIGINT) AS sb
+  FROM events GROUP BY user_id
+),
+qa AS (
+  SELECT MIN(CASE WHEN cm >= (90 * n + 99) // 100 THEN sa END) AS ta
+  FROM (SELECT sa, CAST(SUM(c) OVER (ORDER BY sa ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cm, CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM (SELECT sa, CAST(COUNT(*) AS BIGINT) AS c
+              FROM pu GROUP BY sa) d) x
+),
+qb AS (
+  SELECT MIN(CASE WHEN cm >= (90 * n + 99) // 100 THEN sb END) AS tb
+  FROM (SELECT sb, CAST(SUM(c) OVER (ORDER BY sb ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cm, CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM (SELECT sb, CAST(COUNT(*) AS BIGINT) AS c
+              FROM pu GROUP BY sb) d) x
+),
+cf AS (
+  SELECT
+    CAST(SUM(CASE WHEN sa >= ta AND sb >= tb THEN 1 ELSE 0 END)
+         AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN sa >= ta AND sb <  tb THEN 1 ELSE 0 END)
+         AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN sa <  ta AND sb >= tb THEN 1 ELSE 0 END)
+         AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN sa <  ta AND sb <  tb THEN 1 ELSE 0 END)
+         AS BIGINT) AS tn,
+    MAX(ta) AS threshold_a, MAX(tb) AS threshold_b
+  FROM pu CROSS JOIN qa CROSS JOIN qb
+)
+SELECT tp, fp, fn, tn, threshold_a, threshold_b,
+  CASE WHEN tp + fp > 0 THEN
+    FLOOR((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+          * 1e9 + 0.5) / 1e9 END AS precision_,
+  CASE WHEN tp + fn > 0 THEN
+    FLOOR((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+          * 1e9 + 0.5) / 1e9 END AS recall_,
+  CASE WHEN 2 * tp + fp + fn > 0 THEN
+    FLOOR((CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE))
+          * 1e9 + 0.5) / 1e9 END AS f1,
+  FLOOR((CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE))
+        * 1e9 + 0.5) / 1e9 AS accuracy,
+  CASE WHEN {_MCC_DEN_OK} THEN
+    FLOOR(({_MCC}) * 1e9 + 0.5) / 1e9 END AS mcc
+FROM cf
+"""
+
+
+@query("agg-confusion-mcc", oracle=_CONFUSION_ORACLE)
+def agg_confusion_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E55: the classifier-evaluation panel AS A QUERY — confusion
+    matrix, precision/recall/F1/accuracy and Matthews correlation —
+    applied to a real product question: does a user's FIRST-period
+    top-decile spend rank predict their SECOND-period rank? ("early
+    signal predictiveness", the evaluation behind every early-whale /
+    churn-risk heuristic.) MCC is the headline number because with a
+    ~10% positive class, accuracy is a 90%-by-doing-nothing metric
+    and F1 ignores TN — MCC is the one confusion summary robust to
+    imbalance (Chicco & Jurman 2020); AUC (E28) scores a CONTINUOUS
+    scorer, this panel scores a deployed THRESHOLD.
+
+    Shape at 100 TB: one per-user two-flag collapse (map-side
+    conditional sums), the E19 distribution trick PER HALF for the
+    two p90 thresholds (value-bounded relations, localCheckpointed
+    source reused three ways), both one-row thresholds cross-joined
+    back, ONE conditional one-row aggregate. No row-level sorts.
+
+    Parity: cents/thresholds/counts exact BIGINTs; nearest-rank via
+    the integer ceil identity; MCC's numerator tp·tn − fp·fn and the
+    four margin factors are DECIMAL(38,0)-exact (ceiling n ~ 3e9
+    users documented at _MCC); every ratio one snapped chain with
+    zero-margin guards NULLing identically in both engines."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < _KS_SPLIT, dec("value"))) * 100,
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("sa"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= _KS_SPLIT, dec("value"))) * 100,
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("sb"),
+        )
+        # consumed three ways (two threshold derivations + the final
+        # confusion agg) — the E45/E51/E52 materialize-once discipline
+        .localCheckpoint(eager=True)
+    )
+
+    def p90(col: str, alias: str):
+        dist = pu.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        cum = dist.select(
+            col,
+            F.sum("c")
+            .over(
+                W.orderBy(col).rowsBetween(W.unboundedPreceding, 0)
+            )
+            .cast("long")
+            .alias("cm"),
+            F.sum("c")
+            .over(
+                W.partitionBy().rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            )
+            .cast("long")
+            .alias("n"),
+        )
+        return cum.agg(
+            F.min(
+                F.when(
+                    F.col("cm") >= F.expr("(90 * n + 99) div 100"),
+                    F.col(col),
+                )
+            ).alias(alias)
+        )
+
+    cf = (
+        pu.crossJoin(p90("sa", "ta"))
+        .crossJoin(p90("sb", "tb"))
+        .agg(
+            F.sum(
+                F.when((F.col("sa") >= F.col("ta"))
+                       & (F.col("sb") >= F.col("tb")), 1).otherwise(0)
+            ).cast("long").alias("tp"),
+            F.sum(
+                F.when((F.col("sa") >= F.col("ta"))
+                       & (F.col("sb") < F.col("tb")), 1).otherwise(0)
+            ).cast("long").alias("fp"),
+            F.sum(
+                F.when((F.col("sa") < F.col("ta"))
+                       & (F.col("sb") >= F.col("tb")), 1).otherwise(0)
+            ).cast("long").alias("fn"),
+            F.sum(
+                F.when((F.col("sa") < F.col("ta"))
+                       & (F.col("sb") < F.col("tb")), 1).otherwise(0)
+            ).cast("long").alias("tn"),
+            F.max("ta").alias("threshold_a"),
+            F.max("tb").alias("threshold_b"),
+        )
+    )
+    return cf.selectExpr(
+        "tp", "fp", "fn", "tn", "threshold_a", "threshold_b",
+        "CASE WHEN tp + fp > 0 THEN"
+        " FLOOR((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))"
+        " * 1e9 + 0.5) / 1e9 END AS precision_",
+        "CASE WHEN tp + fn > 0 THEN"
+        " FLOOR((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))"
+        " * 1e9 + 0.5) / 1e9 END AS recall_",
+        "CASE WHEN 2 * tp + fp + fn > 0 THEN"
+        " FLOOR((CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE))"
+        " * 1e9 + 0.5) / 1e9 END AS f1",
+        "FLOOR((CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE))"
+        " * 1e9 + 0.5) / 1e9 AS accuracy",
+        f"CASE WHEN {_MCC_DEN_OK} THEN"
+        f" FLOOR(({_MCC}) * 1e9 + 0.5) / 1e9 END AS mcc",
+    )

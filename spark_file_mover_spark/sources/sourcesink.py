@@ -1372,3 +1372,63 @@ def sink_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# B21 — CSV with quoted multiline / embedded-separator fields
+# ---------------------------------------------------------------------------
+
+_CSV_HARD_ORACLE = """
+SELECT doc_id,
+       'x,' || chr(10) || replace(substr(text, 1, 20), ' ', ',')
+         || chr(10) || '"q"' || chr(13) || 'z' AS hard,
+       lang
+FROM documents ORDER BY doc_id
+"""
+
+
+@query("scan-csv-quoted-multiline", oracle=_CSV_HARD_ORACLE)
+def scan_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21: the CSV grammar's hard quadrant — fields containing the
+    SEPARATOR, LF and CR newlines, and embedded double quotes — round-
+    tripped through a real write+read: the case that silently corrupts
+    naive line-split readers (every row here would shear into 3+
+    records) and the reason production CSV ingestion must run with
+    multiLine=true + proper RFC 4180 quote-doubling. The adversarial
+    payload is CONSTRUCTED (comma-injected text prefix + LF + a quoted
+    token + CR), so every row exercises every escape path; the oracle
+    recomputes the payload from the source table and the driver hash
+    proves the round trip returned it byte-identical.
+
+    Costs stated: multiLine=true makes CSV files NON-SPLITTABLE (a
+    quoted newline means record boundaries are unknowable mid-file) —
+    per-file parallelism only, which is exactly why B9's JSONL is the
+    corpus lingua franca and this path is for sources you don't
+    control. Whitespace options pinned per the B2 lesson."""
+    out = tempfile.mkdtemp(prefix="sfm-b21-") + "/hard_csv"
+    d = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "'x,' || chr(10) || replace(substr(text, 1, 20), ' ', ',')"
+        " || chr(10) || '\"q\"' || chr(13) || 'z' AS hard",
+        "lang",
+    )
+    ws_opts = {
+        "ignoreLeadingWhiteSpace": "false",
+        "ignoreTrailingWhiteSpace": "false",
+    }
+    d.write.mode("overwrite").option("header", "true").options(
+        **ws_opts
+    ).csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("hard", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.options(**ws_opts)
+        .option("multiLine", "true")
+        .csv(out, header=True, schema=schema)
+        .orderBy("doc_id")
+    )

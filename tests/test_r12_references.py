@@ -639,3 +639,58 @@ def test_hapax_matches_pure_python(spark, sf_dir):
         assert row["dis_legomena"] == sum(1 for v in c.values() if v == 2)
         assert row["hapax_ratio"] == _snap9(hapax / len(c))
         assert row["type_token_ratio"] == _snap9(len(c) / sum(c.values()))
+
+
+def test_csv_multiline_matches_pure_python(spark, sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pydict()
+    rows = registry.QUERIES["scan-csv-quoted-multiline"](
+        spark, sf_dir
+    ).collect()
+    expect = {
+        d: ("x,\n" + text[:20].replace(" ", ",") + '\n"q"\rz', lang)
+        for d, text, lang in zip(t["doc_id"], t["text"], t["lang"])
+    }
+    assert len(rows) == len(expect)
+    for r in rows:
+        hard, lang = expect[r["doc_id"]]
+        assert r["hard"] == hard, r["doc_id"]
+        assert r["lang"] == lang
+
+
+def test_confusion_mcc_matches_pure_python(spark, sf_dir):
+    import datetime
+
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    ).to_pydict()
+    split = datetime.datetime(2024, 1, 16)
+    sa = defaultdict(int)
+    sb = defaultdict(int)
+    users = set()
+    for u, ts, v in zip(t["user_id"], t["ts"], t["value"]):
+        users.add(u)
+        if v is None:
+            continue
+        (sa if ts < split else sb)[u] += _cents(v)
+    ga = sorted(sa.get(u, 0) for u in users)
+    gb = sorted(sb.get(u, 0) for u in users)
+    n = len(users)
+    ta = ga[-(-90 * n // 100) - 1]
+    tb = gb[-(-90 * n // 100) - 1]
+    tp = sum(1 for u in users if sa.get(u, 0) >= ta and sb.get(u, 0) >= tb)
+    fp = sum(1 for u in users if sa.get(u, 0) >= ta and sb.get(u, 0) < tb)
+    fn = sum(1 for u in users if sa.get(u, 0) < ta and sb.get(u, 0) >= tb)
+    tn = n - tp - fp - fn
+    row = registry.QUERIES["agg-confusion-mcc"](spark, sf_dir).collect()[0]
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (tp, fp, fn, tn)
+    assert (row["threshold_a"], row["threshold_b"]) == (ta, tb)
+    assert row["precision_"] == _snap9(tp / (tp + fp))
+    assert row["recall_"] == _snap9(tp / (tp + fn))
+    assert row["f1"] == _snap9(2 * tp / (2 * tp + fp + fn))
+    assert row["accuracy"] == _snap9((tp + tn) / n)
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert abs(row["mcc"] - mcc) < 1e-8
