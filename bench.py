@@ -335,6 +335,7 @@ HEADLINE = [
     "text-hapax-ratio",
     "scan-csv-quoted-multiline",
     "agg-confusion-mcc",
+    "etl-interval-islands",
 ]
 
 

@@ -3365,3 +3365,134 @@ def window_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(
         f"stack({_ACF_MAX_LAG}, {stack_args}) AS (lag, n_pairs, acf)"
     ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# F37 — gaps-and-islands: merge overlapping per-customer activity intervals
+# ---------------------------------------------------------------------------
+
+_ISLAND_DAYS = 30  # each order opens a [orderdate, orderdate+30d) interval
+
+_ISLANDS_ORACLE = f"""
+WITH iv AS (
+  SELECT o_custkey AS cust,
+         CAST(datediff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS s,
+         CAST(datediff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT)
+           + {_ISLAND_DAYS} AS e
+  FROM orders
+),
+m AS (
+  SELECT cust, s, e,
+         MAX(e) OVER (PARTITION BY cust ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_e
+  FROM iv
+),
+fl AS (
+  SELECT cust, s, e,
+         CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+              THEN 1 ELSE 0 END AS new_island
+  FROM m
+),
+isl AS (
+  SELECT cust, s, e,
+         CAST(SUM(new_island) OVER (PARTITION BY cust ORDER BY s, e
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id
+  FROM fl
+)
+SELECT cust AS c_custkey, island_id,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       STRFTIME(DATE '1970-01-01' + INTERVAL (MIN(s)) DAY, '%Y-%m-%d')
+         AS island_start,
+       STRFTIME(DATE '1970-01-01' + INTERVAL (MAX(e)) DAY, '%Y-%m-%d')
+         AS island_end,
+       CAST(MAX(e) - MIN(s) AS BIGINT) AS span_days
+FROM isl GROUP BY cust, island_id
+ORDER BY c_custkey, island_id
+"""
+
+
+@query("etl-interval-islands", oracle=_ISLANDS_ORACLE)
+def etl_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F37: gaps-and-islands interval coalescing — each order opens a
+    30-day activity interval per customer; overlapping/touching
+    intervals merge into ISLANDS (continuous-engagement spans with
+    order counts and span length): the canonical SQL interval-merge
+    pattern behind subscription-coverage, incident-window and
+    machine-uptime queries, and the missing sibling of the family —
+    F10 sessionizes POINT events by gap, D11 JOINS two interval sets,
+    this COALESCES one set into its connected components. Pure
+    windows: the island boundary is "start > running max of all
+    previous ends" (not lag(e) — an interval can be swallowed by an
+    earlier longer one, the classic wrong-answer shortcut), island id
+    is the running sum of boundary flags.
+
+    Shape at 100 TB: ONE hash exchange on customer + one in-partition
+    sort carries both windows and the final group-by (the F10/F31
+    shared-exchange discipline); per-customer partitions are bounded
+    by order history, never corpus size.
+
+    Parity: day indexes exact integers (epoch-µs div), flags/ids/
+    spans exact integer arithmetic end to end — no doubles anywhere;
+    the (s, e) sort key is total per customer because equal-s rows
+    share e by construction."""
+    o = load_table(spark, sf_dir, "orders")
+    # datediff on the DATE part: o_orderdate is TIMESTAMP_NTZ, and an
+    # NTZ->TIMESTAMP cast would shift by the SESSION time zone — the
+    # date-part day index is time-zone-free in both engines
+    iv = o.select(
+        F.col("o_custkey").alias("cust"),
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE),"
+            " DATE '1970-01-01') AS BIGINT)"
+        ).alias("s"),
+    ).withColumn("e", F.col("s") + _ISLAND_DAYS)
+    wprev = (
+        W.partitionBy("cust")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    fl = iv.select(
+        "cust",
+        "s",
+        "e",
+        F.when(
+            F.max("e").over(wprev).isNull()
+            | (F.col("s") > F.max("e").over(wprev)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    wcum = (
+        W.partitionBy("cust")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    isl = fl.select(
+        "cust",
+        "s",
+        "e",
+        F.sum("new_island").over(wcum).cast("long").alias("island_id"),
+    )
+    return (
+        isl.groupBy("cust", "island_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("s").alias("mins"),
+            F.max("e").alias("maxe"),
+        )
+        .selectExpr(
+            "cust AS c_custkey",
+            "island_id",
+            "n_orders",
+            "CAST(date_add(DATE '1970-01-01', CAST(mins AS INT))"
+            " AS STRING) AS island_start",
+            "CAST(date_add(DATE '1970-01-01', CAST(maxe AS INT))"
+            " AS STRING) AS island_end",
+            "CAST(maxe - mins AS BIGINT) AS span_days",
+        )
+        .orderBy("c_custkey", "island_id")
+    )

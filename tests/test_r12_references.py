@@ -694,3 +694,39 @@ def test_confusion_mcc_matches_pure_python(spark, sf_dir):
         (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
     )
     assert abs(row["mcc"] - mcc) < 1e-8
+
+
+def test_interval_islands_matches_pure_python(spark, sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).to_pydict()
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    by_cust = defaultdict(list)
+    for c, d in zip(t["o_custkey"], t["o_orderdate"]):
+        s = (d.date() - epoch).days
+        by_cust[c].append((s, s + 30))
+    expect = []
+    for c in sorted(by_cust):
+        iv = sorted(by_cust[c])
+        islands = []
+        for s, e in iv:
+            if islands and s <= islands[-1][1]:
+                isl = islands[-1]
+                isl[1] = max(isl[1], e)
+                isl[2] += 1
+            else:
+                islands.append([s, e, 1])
+        for i, (s, e, n) in enumerate(islands, 1):
+            expect.append((c, i, n,
+                           str(epoch + datetime.timedelta(days=s)),
+                           str(epoch + datetime.timedelta(days=e)),
+                           e - s))
+    rows = registry.QUERIES["etl-interval-islands"](spark, sf_dir).collect()
+    got = [
+        (r["c_custkey"], r["island_id"], r["n_orders"],
+         r["island_start"], r["island_end"], r["span_days"])
+        for r in rows
+    ]
+    assert got == expect
