@@ -336,6 +336,9 @@ HEADLINE = [
     "scan-csv-quoted-multiline",
     "agg-confusion-mcc",
     "etl-interval-islands",
+    "agg-mann-kendall",
+    "sample-rolling-origin",
+    "text-burstiness",
 ]
 
 

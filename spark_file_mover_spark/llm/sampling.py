@@ -1244,3 +1244,193 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "overlap_with_prev")
         .orderBy("epoch", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# I76 — rolling-origin (walk-forward) evaluation folds
+# ---------------------------------------------------------------------------
+
+_RO_FOLDS = [(1, 50), (2, 65), (3, 80)]  # (fold id, train % of events)
+
+_ROLLING_ORIGIN_ORACLE = f"""
+WITH dd AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT day, c,
+         CAST(SUM(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cm,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM dd
+),
+cuts AS (
+  SELECT
+    {', '.join(f"MIN(CASE WHEN cm >= ({p} * n + 99) // 100 THEN day END)"
+               f" AS cut{k}" for k, p in _RO_FOLDS)}
+  FROM cum
+),
+pu AS (
+  SELECT user_id,
+         CAST(MIN(epoch_us(ts) // 86400000000) AS BIGINT) AS mind,
+         CAST(MAX(epoch_us(ts) // 86400000000) AS BIGINT) AS maxd
+  FROM events GROUP BY user_id
+),
+ev AS (
+  SELECT
+    {', '.join(
+        f"CAST(SUM(CASE WHEN day <= cut{k} THEN c ELSE 0 END) AS BIGINT)"
+        f" AS tr{k}, CAST(SUM(CASE WHEN day > cut{k} THEN c ELSE 0 END)"
+        f" AS BIGINT) AS te{k}" for k, p in _RO_FOLDS)}
+  FROM dd CROSS JOIN cuts
+),
+us AS (
+  SELECT
+    {', '.join(
+        f"CAST(SUM(CASE WHEN mind <= cut{k} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS utr{k},"
+        f" CAST(SUM(CASE WHEN maxd > cut{k} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS ute{k},"
+        f" CAST(SUM(CASE WHEN mind <= cut{k} AND maxd > cut{k}"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS ulk{k}"
+        for k, p in _RO_FOLDS)}
+  FROM pu CROSS JOIN cuts
+)
+{' UNION ALL '.join(
+    f"SELECT CAST({k} AS BIGINT) AS fold, CAST({p} AS BIGINT) AS train_pct,"
+    f" STRFTIME(DATE '1970-01-01' + INTERVAL (cut{k}) DAY, '%Y-%m-%d')"
+    f" AS cutoff_day, tr{k} AS n_train_events, te{k} AS n_test_events,"
+    f" utr{k} AS n_train_users, ute{k} AS n_test_users,"
+    f" ulk{k} AS n_straddle_users"
+    f" FROM cuts CROSS JOIN ev CROSS JOIN us" for k, p in _RO_FOLDS)}
+ORDER BY fold
+"""
+
+
+@query("sample-rolling-origin", oracle=_ROLLING_ORIGIN_ORACLE)
+def sample_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I76: rolling-origin (walk-forward) evaluation folds — three
+    nested temporal cutoffs at 50/65/80% of events, each with train/
+    test event counts and the user-overlap (straddle) count: the
+    time-series cross-validation protocol (Tashman 2000) that
+    replaces k-fold when order matters — I67 audits ONE split, this
+    builds the nested fold LADDER a forecasting/churn evaluation
+    actually trains on, and the per-fold straddle count is the
+    leakage budget a memorizing model exploits at each origin.
+
+    Shape at 100 TB: the cutoffs come from one cumulative window over
+    the calendar-bounded day relation (E19 discipline); users from
+    ONE per-user (min_day, max_day) collapse; each aggregate
+    cross-joins the one-row cutoff relation and answers ALL folds in
+    single conditional passes; the fold rows are a stack() unpivot —
+    no per-fold corpus passes, at any fold count.
+
+    Parity: day indexes, cutoffs and counts exact integers
+    (nearest-rank via the integer ceil identity); train = day ≤ cut,
+    test = day > cut, both engines textually aligned."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    dayx = F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)")
+    dd = (
+        ev.groupBy(dayx.alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # consumed twice (cutoff window + per-fold event counts)
+        .localCheckpoint(eager=True)
+    )
+    cum = dd.select(
+        "day",
+        "c",
+        F.sum("c")
+        .over(W.orderBy("day").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cm"),
+        F.sum("c")
+        .over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("n"),
+    )
+    cuts = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cm") >= F.expr(f"({p} * n + 99) div 100"),
+                    F.col("day"),
+                )
+            ).alias(f"cut{k}")
+            for k, p in _RO_FOLDS
+        ]
+    )
+    pu = ev.groupBy("user_id").agg(
+        F.min(dayx).cast("long").alias("mind"),
+        F.max(dayx).cast("long").alias("maxd"),
+    )
+    ev_agg = dd.crossJoin(cuts).agg(
+        *[
+            agg
+            for k, p in _RO_FOLDS
+            for agg in (
+                F.sum(
+                    F.when(F.col("day") <= F.col(f"cut{k}"), F.col("c"))
+                    .otherwise(0)
+                )
+                .cast("long")
+                .alias(f"tr{k}"),
+                F.sum(
+                    F.when(F.col("day") > F.col(f"cut{k}"), F.col("c"))
+                    .otherwise(0)
+                )
+                .cast("long")
+                .alias(f"te{k}"),
+            )
+        ]
+    )
+    us = pu.crossJoin(cuts).agg(
+        *[
+            agg
+            for k, p in _RO_FOLDS
+            for agg in (
+                F.sum(
+                    F.when(F.col("mind") <= F.col(f"cut{k}"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"utr{k}"),
+                F.sum(
+                    F.when(F.col("maxd") > F.col(f"cut{k}"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"ute{k}"),
+                F.sum(
+                    F.when(
+                        (F.col("mind") <= F.col(f"cut{k}"))
+                        & (F.col("maxd") > F.col(f"cut{k}")),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"ulk{k}"),
+            )
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({k} AS BIGINT), CAST({p} AS BIGINT),"
+        f" date_format(date_add(DATE '1970-01-01', CAST(cut{k} AS INT)),"
+        f" 'yyyy-MM-dd'), tr{k}, te{k}, utr{k}, ute{k}, ulk{k}"
+        for k, p in _RO_FOLDS
+    )
+    return (
+        cuts.crossJoin(ev_agg)
+        .crossJoin(us)
+        .selectExpr(
+            f"stack({len(_RO_FOLDS)}, {stack_args})"
+            " AS (fold, train_pct, cutoff_day, n_train_events,"
+            " n_test_events, n_train_users, n_test_users,"
+            " n_straddle_users)"
+        )
+        .orderBy("fold")
+    )

@@ -1037,3 +1037,110 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# I77 — token burstiness (Church-Gale) top-k
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_DF = 5
+_BURST_TOPK = 20
+
+# burstiness = total occurrences / document frequency (mean count in
+# the docs that contain the token — Church & Gale 1995); Fano is the
+# E53 identity over the per-containing-doc counts.
+_BURST_B = "CAST(n_occ AS DOUBLE) / CAST(df AS DOUBLE)"
+_BURST_FANO = (
+    "CAST(CAST(df AS DECIMAL(38,0)) * sq"
+    " - CAST(n_occ AS DECIMAL(38,0)) * n_occ AS DOUBLE)"
+    " / (CAST(df AS DOUBLE) * CAST(n_occ AS DOUBLE))"
+)
+
+_BURSTINESS_ORACLE = rf"""
+WITH tk AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tk GROUP BY 1, 2
+),
+m AS (
+  SELECT tok,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(c) AS BIGINT) AS n_occ,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS sq
+  FROM tf GROUP BY tok
+),
+sc AS (
+  SELECT tok, df, n_occ,
+         FLOOR(({_BURST_B}) * 1e9 + 0.5) / 1e9 AS burstiness,
+         FLOOR(({_BURST_FANO}) * 1e9 + 0.5) / 1e9 AS fano
+  FROM m WHERE df >= {_BURST_MIN_DF}
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY burstiness DESC, tok)
+                 AS BIGINT) AS rank
+  FROM sc
+)
+SELECT rank, tok, df, n_occ, burstiness, fano
+FROM r WHERE rank <= {_BURST_TOPK} ORDER BY rank
+"""
+
+
+@query("text-burstiness", oracle=_BURSTINESS_ORACLE)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I77: token burstiness top-k (Church & Gale 1995) — a token's
+    mean count WITHIN the documents that contain it (plus the Fano
+    factor of those counts): topical content words are bursty (absent
+    from most docs, repeated when present), function words are
+    uniform — the distributional signal behind stopword induction,
+    keyword extraction priors, and boilerplate detection that raw
+    frequency (I16), tf-idf (I25) and hapax mass (I75) each miss
+    (tf-idf scores a token IN a doc; burstiness profiles the token's
+    corpus-wide dispersion law). min-df 5 floors the
+    estimator; ranking on the SNAPPED score with token tie-break.
+
+    Shape at 100 TB: the vocabulary two-level plan — explode through
+    the shared tokenizer into a map-side-collapsing (tok, doc) agg,
+    then a vocab-bounded per-token moment agg; top-k is one
+    WindowGroupLimit over the bounded score relation.
+
+    Parity: df/n_occ/Σc² exact integers; burstiness one snapped
+    division; Fano the E53 DECIMAL(38,0) identity vn/(df·n), snapped;
+    selection is boundary-deterministic on the snapped score."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(toks()).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    m = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("n_occ"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c"))
+        .cast("decimal(38,0)")
+        .alias("sq"),
+    )
+    sc = m.filter(F.col("df") >= _BURST_MIN_DF).selectExpr(
+        "tok",
+        "df",
+        "n_occ",
+        f"FLOOR(({_BURST_B}) * 1e9 + 0.5) / 1e9 AS burstiness",
+        f"FLOOR(({_BURST_FANO}) * 1e9 + 0.5) / 1e9 AS fano",
+    )
+    r = sc.select(
+        "*",
+        F.row_number()
+        .over(W.orderBy(F.col("burstiness").desc(), "tok"))
+        .cast("long")
+        .alias("rank"),
+    )
+    return (
+        r.filter(F.col("rank") <= _BURST_TOPK)
+        .select("rank", "tok", "df", "n_occ", "burstiness", "fano")
+        .orderBy("rank")
+    )

@@ -6104,3 +6104,144 @@ def agg_confusion_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN {_MCC_DEN_OK} THEN"
         f" FLOOR(({_MCC}) * 1e9 + 0.5) / 1e9 END AS mcc",
     )
+
+
+# ---------------------------------------------------------------------------
+# E56 — Mann-Kendall trend test over the daily revenue series
+# ---------------------------------------------------------------------------
+
+# Kendall's S over time: S = Σ_{i<j} sgn(x_j − x_i). The variance is
+# the tie-corrected 18·Var(S) = n(n−1)(2n+5) − Σt(t−1)(2t+5), kept as
+# an exact integer; z applies the standard continuity correction
+# (S−1 for S>0, S+1 for S<0; Mann 1945 / Kendall 1975).
+_MK_Z = (
+    "(CAST(s_stat AS DOUBLE)"
+    " - CAST(SIGN(CAST(s_stat AS DOUBLE)) AS DOUBLE))"
+    " / SQRT(CAST(v18 AS DOUBLE) / 18.0)"
+)
+_MK_OK = "v18 > 0 AND s_stat <> 0"
+_MK_CRIT = "1.959963985"  # two-sided 5% normal critical value
+
+_MANNKENDALL_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
+              AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN b.cents > a.cents THEN 1
+                                WHEN b.cents < a.cents THEN -1
+                                ELSE 0 END), 0) AS BIGINT) AS s_stat
+  FROM d a JOIN d b ON b.day > a.day
+),
+ties AS (
+  SELECT CAST(COALESCE(SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)
+                           * (2 * t + 5)), 0) AS DECIMAL(38,0)) AS tt
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM d GROUP BY cents) q
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+f AS (
+  SELECT s_stat, n,
+         CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5) - tt
+              AS DECIMAL(38,0)) AS v18
+  FROM pairs CROSS JOIN ties CROSS JOIN nn
+)
+SELECT n AS n_days, s_stat,
+       CASE WHEN {_MK_OK} THEN
+         FLOOR(({_MK_Z}) * 1e9 + 0.5) / 1e9 END AS z_value,
+       CASE WHEN NOT ({_MK_OK}) THEN 'none'
+            WHEN ABS(FLOOR(({_MK_Z}) * 1e9 + 0.5) / 1e9)
+                 <= {_MK_CRIT} THEN 'none'
+            WHEN s_stat > 0 THEN 'increasing'
+            ELSE 'decreasing' END AS trend
+FROM f
+"""
+
+
+@query("agg-mann-kendall", oracle=_MANNKENDALL_ORACLE)
+def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E56: the Mann-Kendall trend test on daily revenue — the
+    NONPARAMETRIC "is this series monotonically trending?" verdict
+    (Mann 1945, Kendall 1975; the standard in hydrology/ops
+    monitoring): S counts concordant-minus-discordant DAY PAIRS, so
+    it is immune to the spend distribution's shape and to any
+    monotone transform — the trend sibling of E46's rank-sum
+    (location) and E51's tau (association), closing the
+    nonparametric-readout family; OLS trend (E24) fits a SLOPE,
+    this tests DIRECTION with tie-corrected significance.
+
+    Shape at 100 TB: events collapse map-side to the CALENDAR-bounded
+    day relation, and the O(n²) pair pass runs over DAYS (n ~ 365/yr
+    — a constant in corpus size, ~3M pairs per decade), never rows;
+    the tie term and n come from aggs over the same bounded relation.
+
+    Parity: S and the tie-corrected 18·Var(S) are exact integers
+    (DECIMAL(38,0) for the cubic terms); z is one shared textual
+    fragment with the standard continuity correction, snapped; the
+    verdict compares the SNAPPED |z| against the shared critical
+    literal; a constant series (v18 = 0) → NULL z, 'none'."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            F.expr(
+                "CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)"
+            ).alias("day")
+        )
+        .agg(
+            F.coalesce(F.sum(dec("value") * 100), F.lit(0))
+            .cast("long")
+            .alias("cents")
+        )
+        # calendar-bounded relation consumed three ways (both pair
+        # sides + ties/n) — materialize once (the E51/E52 discipline)
+        .localCheckpoint(eager=True)
+    )
+    a = d.select(F.col("day").alias("aday"), F.col("cents").alias("ac"))
+    b = d.select(F.col("day").alias("bday"), F.col("cents").alias("bc"))
+    pairs = a.join(b, F.col("bday") > F.col("aday")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("bc") > F.col("ac"), 1)
+                .when(F.col("bc") < F.col("ac"), -1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("s_stat")
+    )
+    ties = (
+        d.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("tt")
+        )
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    f = pairs.crossJoin(ties).crossJoin(nn).selectExpr(
+        "s_stat",
+        "n",
+        "CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5) - tt"
+        " AS DECIMAL(38,0)) AS v18",
+    )
+    return f.selectExpr(
+        "n AS n_days",
+        "s_stat",
+        f"CASE WHEN {_MK_OK} THEN"
+        f" FLOOR(({_MK_Z}) * 1e9 + 0.5) / 1e9 END AS z_value",
+        f"CASE WHEN NOT ({_MK_OK}) THEN 'none'"
+        f" WHEN ABS(FLOOR(({_MK_Z}) * 1e9 + 0.5) / 1e9)"
+        f" <= {_MK_CRIT} THEN 'none'"
+        f" WHEN s_stat > 0 THEN 'increasing'"
+        f" ELSE 'decreasing' END AS trend",
+    )

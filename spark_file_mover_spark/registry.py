@@ -93,6 +93,9 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # stale at r12 close) — build _PRIORITY_R13 with any r13-new/changed
 # keys first, then THAT block, from `python tools/stale_keys.py --list`.
 _PRIORITY_R12 = [
+    "agg-mann-kendall",
+    "sample-rolling-origin",
+    "text-burstiness",
     "etl-interval-islands",
     "scan-csv-quoted-multiline",
     "agg-confusion-mcc",

@@ -730,3 +730,87 @@ def test_interval_islands_matches_pure_python(spark, sf_dir):
         for r in rows
     ]
     assert got == expect
+
+
+def test_mann_kendall_matches_pure_python(spark, sf_dir):
+    vals = [c for _, c in _day_cents(sf_dir)]
+    n = len(vals)
+    s_stat = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s_stat += (vals[j] > vals[i]) - (vals[j] < vals[i])
+    ties = Counter(vals)
+    tt = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    v18 = n * (n - 1) * (2 * n + 5) - tt
+    row = registry.QUERIES["agg-mann-kendall"](spark, sf_dir).collect()[0]
+    assert row["n_days"] == n
+    assert row["s_stat"] == s_stat
+    if v18 > 0 and s_stat != 0:
+        z = (s_stat - (1 if s_stat > 0 else -1)) / math.sqrt(v18 / 18.0)
+        assert row["z_value"] == _snap9(z)
+        zs = _snap9(z)
+        trend = (
+            "none" if abs(zs) <= 1.959963985
+            else "increasing" if s_stat > 0 else "decreasing"
+        )
+        assert row["trend"] == trend
+
+
+def test_rolling_origin_matches_pure_python(spark, sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).to_pydict()
+    days = [
+        int(round(ts.timestamp() * 1e6)) // 86_400_000_000
+        for ts in t["ts"]
+    ]
+    users = t["user_id"]
+    n = len(days)
+    sdays = sorted(days)
+    rows = registry.QUERIES["sample-rolling-origin"](spark, sf_dir).collect()
+    assert [r["fold"] for r in rows] == [1, 2, 3]
+    for r, pct in zip(rows, (50, 65, 80)):
+        rank = -(-pct * n // 100)
+        # nearest-rank cutoff DAY: smallest day with cum events >= rank
+        cut = sdays[rank - 1]
+        assert r["train_pct"] == pct
+        import datetime
+
+        assert r["cutoff_day"] == str(
+            datetime.date(1970, 1, 1) + datetime.timedelta(days=cut)
+        )
+        ntr = sum(1 for d in days if d <= cut)
+        assert r["n_train_events"] == ntr
+        assert r["n_test_events"] == n - ntr
+        tr_users = {u for u, d in zip(users, days) if d <= cut}
+        te_users = {u for u, d in zip(users, days) if d > cut}
+        assert r["n_train_users"] == len(tr_users)
+        assert r["n_test_users"] == len(te_users)
+        assert r["n_straddle_users"] == len(tr_users & te_users)
+
+
+def test_burstiness_matches_pure_python(spark, sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    tf = defaultdict(Counter)  # tok -> doc -> count
+    for d, text in zip(t["doc_id"], t["text"]):
+        for tok in re.split(r"\s+", text.strip().lower()):
+            tf[tok][d] += 1
+    scored = {}
+    for tok, docs in tf.items():
+        df = len(docs)
+        if df < 5:
+            continue
+        n = sum(docs.values())
+        sq = sum(c * c for c in docs.values())
+        b = _snap9(n / df)
+        fano = _snap9((df * sq - n * n) / (df * n))
+        scored[tok] = (df, n, b, fano)
+    top = sorted(scored.items(), key=lambda kv: (-kv[1][2], kv[0]))[:20]
+    rows = registry.QUERIES["text-burstiness"](spark, sf_dir).collect()
+    assert [(r["tok"],) for r in rows] == [(k,) for k, _ in top]
+    for r, (tok, (df, n, b, fano)) in zip(rows, top):
+        assert (r["df"], r["n_occ"]) == (df, n)
+        assert r["burstiness"] == b
+        assert r["fano"] == fano
