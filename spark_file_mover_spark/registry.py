@@ -67,31 +67,40 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # r9-r11 cuts were exactly 50), so ``load_all`` rebuilds the registry
 # dict in this order after all modules import:
 #
-#   0. The 8 r12-NEW keys (no driver row ever): agg-mann-whitney
-#      (tie-corrected rank-sum via the distribution trick),
-#      agg-psi-drift (banded PSI beside the KS test), agg-hill-tail
-#      (integer-nano Hill estimator), window-vwap-anchored
-#      (one-exchange anchored VWAP), graph-adamic-adar (over the
-#      cached K6 relations), multimodal-png-meta (CRC32-verified
-#      ninth container family), udf-map-in-pandas (Arrow batch
-#      iterator), sink-partition-stats (post-write health audit).
-#   1. The 1 key whose STRUCTURE changed in r12: dedup-cross-bloom
-#      (cold plan rode the shared _nh_relation cache instead of four
-#      same-signature documents scans; candidates checkpointed —
-#      the registry-wide scan-gate catch).
-#   2. The 41 r7-stale keys in tools/stale_keys.py order (4 rounds
-#      stale at r11 close — the r11 handoff's exact block, from
-#      dedup-ngram-jaccard through sink-overwrite). Head = 8 + 1 +
-#      41 = exactly the 50-key cut: every r7-stale key lands inside.
+#   0. The 26 r12-NEW keys (no driver row ever), newest wave first:
+#      the 17 second-wave additions (agg-cramers-v/-jsd-drift/
+#      -kendall-tau/-tukey-fences/-overdispersion/-capture-recapture/
+#      -confusion-mcc/-mann-kendall, window-bollinger/-rsi/
+#      -local-extrema/-autocorr, etl-fk-audit/-interval-islands,
+#      fn-luhn-checksum/-codec-roundtrip, graph-modularity,
+#      multimodal-mp3-meta, embed-standardize, text-logodds-monroe/
+#      -hapax-ratio/-burstiness, sample-length-buckets/-epoch-shuffle/
+#      -rolling-origin, scan-csv-quoted-multiline), then the 8
+#      first-wave keys (agg-mann-whitney, agg-psi-drift,
+#      agg-hill-tail, window-vwap-anchored, graph-adamic-adar,
+#      multimodal-png-meta, udf-map-in-pandas, sink-partition-stats).
+#   1. The 1 key whose STRUCTURE changed early in r12:
+#      dedup-cross-bloom (scan-gate catch). Six more keys were
+#      perf-rewritten late in r12 (agg-approx-distinct,
+#      dedup-components, dedup-embedding-cosine, sink-bucketed,
+#      window-vwap-anchored, fn-math) — vwap is already in the head;
+#      the rest keep their stale-rotation slots since their OUTPUT
+#      contract is unchanged and each was fresh-session re-verified.
+#   2. The r7-stale keys in tools/stale_keys.py order (the r11
+#      handoff's block) — with 26+ new keys ahead of them the 50-key
+#      cut now reaches only the first ~24 of these.
 #   3. The tail in staleness order: the r8 block, then r9, r10, r11.
 #
 # Rebuild this list each round from `python tools/stale_keys.py --list`
 # with never-scored + structurally-changed keys at the HEAD.
 #
-# r13 handoff: after r12's 50-key cut, the oldest remaining evidence
-# is the r8 block (dedup-image-phash onward in this list, 3 rounds
-# stale at r12 close) — build _PRIORITY_R13 with any r13-new/changed
-# keys first, then THAT block, from `python tools/stale_keys.py --list`.
+# r13 handoff: r12 added 26 keys at the head, so the r12 cut scores
+# those plus ~24 r7-stale keys — the REMAINING r7-stale block (from
+# wherever the 50-key cut lands, roughly fn-case-when-cast onward)
+# plus the r8 block is now the oldest driver evidence. Build
+# _PRIORITY_R13 with any r13-new/changed keys first, then the
+# remaining r7 block, then r8, from `python tools/stale_keys.py
+# --list` (which reads CORRECTNESS_r*.json and knows the real cut).
 _PRIORITY_R12 = [
     "agg-mann-kendall",
     "sample-rolling-origin",
