@@ -339,6 +339,8 @@ HEADLINE = [
     "agg-mann-kendall",
     "sample-rolling-origin",
     "text-burstiness",
+    "window-seasonal-decompose",
+    "multimodal-ico-meta",
 ]
 
 

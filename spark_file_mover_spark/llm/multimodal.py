@@ -2242,3 +2242,120 @@ def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS BIGINT) AS frame_bytes",
         "sync_ok",
     ).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# I78 — ICO directory metadata (eleventh container family)
+# ---------------------------------------------------------------------------
+
+_ICO_BPPS = [1, 4, 8, 24, 32]
+
+_ICO_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         doc_id % 256 AS wraw,
+         (doc_id * 3) % 256 AS hraw,
+         CASE WHEN doc_id % 5 = 0 THEN 16 ELSE 0 END AS colors,
+         CASE doc_id % 5 {' '.join(f"WHEN {i} THEN {b}" for i, b in enumerate(_ICO_BPPS))} END AS bpp,
+         40 + doc_id % 1000 AS sz
+  FROM documents
+)
+SELECT doc_id AS asset_id,
+       CAST(1 AS BIGINT) AS n_images,
+       CAST(CASE WHEN wraw = 0 THEN 256 ELSE wraw END AS BIGINT) AS width,
+       CAST(CASE WHEN hraw = 0 THEN 256 ELSE hraw END AS BIGINT) AS height,
+       CAST(colors AS BIGINT) AS color_count,
+       CAST(1 AS BIGINT) AS planes,
+       CAST(bpp AS BIGINT) AS bits_per_pixel,
+       CAST(sz AS BIGINT) AS bytes_in_res,
+       CAST(22 AS BIGINT) AS image_offset,
+       TRUE AS magic_ok
+FROM f ORDER BY asset_id
+"""
+
+
+@query("multimodal-ico-meta", oracle=_ICO_ORACLE)
+def multimodal_ico_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I78: ICO icon-directory metadata — the eleventh container
+    family and the only SENTINEL-ENCODED one: ICONDIRENTRY stores
+    width/height as single bytes where 0 MEANS 256 (the format
+    predates >255px icons), so a parse that forgets the sentinel
+    reads the most common modern icon size as zero — machinery no
+    other family exercises (BMP has two's-complement heights, FLAC
+    sub-byte splits, MP3 lookup tables; ICO has the 0→256 rebind).
+    Everything else is little-endian: u16 count/planes/bpp, u32
+    resource size and offset.
+
+    Synthesis (the family contract): one directory entry per doc_id
+    with width ≡ doc % 256 (so ~1/256 of the corpus EXERCISES the
+    sentinel), bpp from the legal table by %5, offset fixed at
+    6 + 16 = 22; the parse re-derives every field from the BYTES and
+    the oracle recomputes from the formulas.
+
+    Shape at 100 TB: map-only byte expressions fused into the scan,
+    zero shuffles, zero Python (the container-family posture)."""
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    wraw = (doc % 256).cast("long")
+    hraw = ((doc * 3) % 256).cast("long")
+    colors = F.when(doc % 5 == 0, F.lit(16)).otherwise(F.lit(0)).cast("long")
+    bpp = F.expr(
+        "CASE doc_id % 5 "
+        + " ".join(f"WHEN {i} THEN {b}" for i, b in enumerate(_ICO_BPPS))
+        + " END"
+    ).cast("long")
+    sz = (40 + doc % 1000).cast("long")
+
+    def le16(v):
+        return F.concat(
+            F.lpad(F.hex(v % 256), 2, "0"),
+            F.lpad(F.hex((v / 256).cast("long")), 2, "0"),
+        )
+
+    def le32(v):
+        return F.concat(
+            F.lpad(F.hex(v % 256), 2, "0"),
+            F.lpad(F.hex((v / 256).cast("long") % 256), 2, "0"),
+            F.lpad(F.hex((v / 65536).cast("long") % 256), 2, "0"),
+            F.lpad(F.hex((v / 16777216).cast("long") % 256), 2, "0"),
+        )
+
+    content = F.unhex(
+        F.concat(
+            F.lit("0000"),  # reserved = 0
+            F.lit("0100"),  # type = 1 (icon), LE
+            F.lit("0100"),  # count = 1, LE
+            F.lpad(F.hex(wraw), 2, "0"),
+            F.lpad(F.hex(hraw), 2, "0"),
+            F.lpad(F.hex(colors), 2, "0"),
+            F.lit("00"),  # reserved
+            F.lit("0100"),  # planes = 1, LE
+            le16(bpp),
+            le32(sz),
+            le32(F.lit(22).cast("long")),
+        )
+    )
+    assets = d.select(doc.alias("asset_id"), content.alias("content"))
+    c = F.col("content")
+    pw = _be_uint(c, 7, 1)
+    ph = _be_uint(c, 8, 1)
+    return assets.select(
+        "asset_id",
+        _le_uint(c, 5, 2).cast("long").alias("n_images"),
+        F.when(pw == 0, F.lit(256)).otherwise(pw).cast("long").alias(
+            "width"
+        ),
+        F.when(ph == 0, F.lit(256)).otherwise(ph).cast("long").alias(
+            "height"
+        ),
+        _be_uint(c, 9, 1).cast("long").alias("color_count"),
+        _le_uint(c, 11, 2).cast("long").alias("planes"),
+        _le_uint(c, 13, 2).cast("long").alias("bits_per_pixel"),
+        _le_uint(c, 15, 4).cast("long").alias("bytes_in_res"),
+        _le_uint(c, 19, 4).cast("long").alias("image_offset"),
+        (
+            (_le_uint(c, 1, 2) == 0)
+            & (_le_uint(c, 3, 2) == 1)
+            & (F.length(c) == 22)
+        ).alias("magic_ok"),
+    ).orderBy("asset_id")

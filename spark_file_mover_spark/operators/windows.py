@@ -3496,3 +3496,136 @@ def etl_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey", "island_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# F38 — additive seasonal decomposition (trend / day-of-week / residual)
+# ---------------------------------------------------------------------------
+
+# Classical additive decomposition with a centered 7-day trend window
+# (3 preceding + current + 3 following). Every emitted double is a
+# SHARED TEXTUAL CHAIN over exact integers — never snapped, because
+# trend/seasonal/residual are revenue-SCALED (unbounded) quantities
+# that would breach the floor-snap envelope at large corpora (the
+# numerics.py magnitude hazard); identical chains hash identically.
+_SD_TREND = "CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE) / 100.0"
+# detrended (dollars): x − trend = (n7·x − s7)/(n7·100)
+_SD_DET = "CAST(d7 AS DOUBLE) / CAST(n7 AS DOUBLE) / 100.0"
+# seasonal (dollars): mean over the dow group of (d7/n7), kept exact
+# as Σ(d7·nlcm/n7) — n7 ∈ {4..7}, lcm 420 — so the group sum is an
+# exact integer and seasonal = that / (420·cnt·100)
+_SD_LCM = 420
+_SD_SEAS = (
+    f"CAST(sdow AS DOUBLE) / CAST(cdow AS DOUBLE) / {_SD_LCM}.0 / 100.0"
+)
+_SD_RESID = f"({_SD_DET}) - ({_SD_SEAS})"
+
+_SEASDECOMP_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
+              AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT day, cents,
+         CAST(SUM(cents) OVER w AS BIGINT) AS s7,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n7,
+         CAST((day + 4) % 7 AS BIGINT) AS dow
+  FROM d
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT day, cents, s7, n7, dow,
+         CAST(n7 AS DECIMAL(38,0)) * cents - s7 AS d7n,
+         CAST(({_SD_LCM} // n7) AS DECIMAL(38,0))
+           * (CAST(n7 AS DECIMAL(38,0)) * cents - s7) AS dscaled
+  FROM t
+),
+se AS (
+  SELECT *,
+         CAST(SUM(dscaled) OVER (PARTITION BY dow) AS DECIMAL(38,0))
+           AS sdow,
+         CAST(COUNT(*) OVER (PARTITION BY dow) AS BIGINT) AS cdow
+  FROM det
+)
+SELECT STRFTIME(TIMESTAMP '1970-01-01' + INTERVAL (day) DAY, '%Y-%m-%d')
+         AS day_str,
+       dow, cents,
+       {_SD_TREND} AS trend,
+       CAST(d7n AS DOUBLE) / CAST(n7 AS DOUBLE) / 100.0 AS detrended,
+       {_SD_SEAS} AS seasonal,
+       (CAST(d7n AS DOUBLE) / CAST(n7 AS DOUBLE) / 100.0)
+         - ({_SD_SEAS}) AS residual
+FROM se ORDER BY day
+"""
+
+
+@query("window-seasonal-decompose", oracle=_SEASDECOMP_ORACLE)
+def window_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F38: classical additive seasonal decomposition of the daily
+    revenue series — centered 7-day trend, day-of-week seasonal
+    index, residual (the decompose() every time-series workflow runs
+    before modeling): E35 reports dow INDICES, this returns the full
+    per-day trend/seasonal/residual panels an anomaly screen runs on
+    (alert on RESIDUAL, not raw level — F14's z-score on residuals
+    is the textbook upgrade).
+
+    Parity without snapping: trend/seasonal/residual are revenue-
+    scaled (UNBOUNDED) quantities, so the floor-snap envelope does
+    not apply (the numerics.py magnitude hazard) — instead every
+    emitted double is a SHARED TEXTUAL CHAIN over exact integers:
+    detrended keeps n7·x − Σ7 exact; the dow group mean stays exact
+    by scaling each term by lcm(4..7)/n7 = 420/n7 (an integer — edge
+    windows have n7 ∈ {{4..7}}) before the group sum, leaving ONE
+    division chain per output. dow = (day+4) % 7 is pure integer
+    arithmetic on the epoch day (1970-01-01 was a Thursday).
+
+    Shape at 100 TB: the day-relation discipline — one map-side
+    collapse, one 7-row centered frame, one dow-partitioned window
+    (7 partitions), all over calendar-bounded rows."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias(
+            "day"
+        )
+    ).agg(
+        F.coalesce(F.sum(dec("value") * 100), F.lit(0))
+        .cast("long")
+        .alias("cents")
+    )
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    t = d.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w7).cast("long").alias("s7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("n7"),
+        F.expr("CAST((day + 4) % 7 AS BIGINT)").alias("dow"),
+    )
+    det = t.selectExpr(
+        "day",
+        "cents",
+        "s7",
+        "n7",
+        "dow",
+        "CAST(n7 AS DECIMAL(38,0)) * cents - s7 AS d7n",
+        f"CAST(({_SD_LCM} div n7) AS DECIMAL(38,0))"
+        " * (CAST(n7 AS DECIMAL(38,0)) * cents - s7) AS dscaled",
+    )
+    wd = W.partitionBy("dow")
+    se = det.select(
+        "*",
+        F.sum("dscaled").over(wd).cast("decimal(38,0)").alias("sdow"),
+        F.count(F.lit(1)).over(wd).cast("long").alias("cdow"),
+    )
+    return se.selectExpr(
+        "date_format(timestamp_micros(day * 86400000000), 'yyyy-MM-dd')"
+        " AS day_str",
+        "dow",
+        "cents",
+        f"{_SD_TREND} AS trend",
+        "CAST(d7n AS DOUBLE) / CAST(n7 AS DOUBLE) / 100.0 AS detrended",
+        f"{_SD_SEAS} AS seasonal",
+        f"(CAST(d7n AS DOUBLE) / CAST(n7 AS DOUBLE) / 100.0)"
+        f" - ({_SD_SEAS}) AS residual",
+    ).orderBy("day")

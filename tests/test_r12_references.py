@@ -814,3 +814,67 @@ def test_burstiness_matches_pure_python(spark, sf_dir):
         assert (r["df"], r["n_occ"]) == (df, n)
         assert r["burstiness"] == b
         assert r["fano"] == fano
+
+
+def test_seasonal_decompose_matches_pure_python(spark, sf_dir):
+    series = _day_cents(sf_dir)
+    vals = [c for _, c in series]
+    days = [d for d, _ in series]
+    n = len(vals)
+    rows = registry.QUERIES["window-seasonal-decompose"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == n
+    # dow group means of 420-scaled exact detrended
+    dscaled = defaultdict(int)
+    cnt = defaultdict(int)
+    per_day = []
+    for i, (day, x) in enumerate(series):
+        win = vals[max(0, i - 3) : i + 4]
+        n7, s7 = len(win), sum(win)
+        d7n = n7 * x - s7
+        dow = (day + 4) % 7
+        dscaled[dow] += (420 // n7) * d7n
+        cnt[dow] += 1
+        per_day.append((day, x, s7, n7, d7n, dow))
+    for r, (day, x, s7, n7, d7n, dow) in zip(rows, per_day):
+        assert r["dow"] == dow and r["cents"] == x
+        assert r["trend"] == s7 / n7 / 100.0
+        assert r["detrended"] == d7n / n7 / 100.0
+        seas = dscaled[dow] / cnt[dow] / 420.0 / 100.0
+        assert r["seasonal"] == seas
+        assert r["residual"] == (d7n / n7 / 100.0) - seas
+
+
+def test_ico_meta_matches_pure_python(spark, sf_dir):
+    rows = registry.QUERIES["multimodal-ico-meta"](spark, sf_dir).collect()
+    import struct
+
+    sentinel_seen = False
+    for r in rows[:300]:
+        doc = r["asset_id"]
+        wraw, hraw = doc % 256, (doc * 3) % 256
+        # rebuild the 22-byte directory and parse with struct (LE)
+        entry = struct.pack(
+            "<HHH BBBB HH II".replace(" ", ""),
+            0, 1, 1,
+            wraw, hraw, 16 if doc % 5 == 0 else 0, 0,
+            1, [1, 4, 8, 24, 32][doc % 5],
+            40 + doc % 1000, 22,
+        )
+        rsvd, typ, cnt2 = struct.unpack_from("<HHH", entry, 0)
+        w8, h8, cc, _rsv = struct.unpack_from("<BBBB", entry, 6)
+        planes, bpp = struct.unpack_from("<HH", entry, 10)
+        sz, off = struct.unpack_from("<II", entry, 14)
+        assert (rsvd, typ, cnt2) == (0, 1, 1)
+        assert r["n_images"] == 1
+        assert r["width"] == (256 if w8 == 0 else w8)
+        assert r["height"] == (256 if h8 == 0 else h8)
+        sentinel_seen = sentinel_seen or w8 == 0 or h8 == 0
+        assert r["color_count"] == cc
+        assert r["planes"] == planes
+        assert r["bits_per_pixel"] == bpp
+        assert r["bytes_in_res"] == sz
+        assert r["image_offset"] == off
+        assert r["magic_ok"] is True
+    assert sentinel_seen  # the 0->256 path must be exercised

@@ -187,6 +187,45 @@ NOTES = {
     "agg-cohort-ltv": "Cohort LTV: purchases collapse map-side into (cohort, offset) cells after a user-keyed join to the first-week relation; cumulative window per cohort over offset-bounded rows; sizes broadcast.",
     "events-funnel-windowed": "Bounded funnel: per-stage conditional MIN over user-keyed equi joins against the previous stage's collapsed relation (shrinking inputs, residual time bounds, no inequality join).",
     "sample-downsample-negatives": "Negative downsampling: one scan, map-side md5 pick + conditional sums, types-bounded output; exact weighted-kept audit.",
+    # --- r12 additions ---
+    "agg-mann-whitney": "Rank-sum via the distribution trick: per-user cents collapse to the value-bounded (cents,c0,c1) relation; ONE cumulative window + one one-row agg; 2R1 and tie terms DECIMAL(38,0)-exact; no sort of users.",
+    "agg-psi-drift": "One scan collapses map-side to (type, digit-bucket) counts; normalizer windows ride the AGGREGATED relation's exchange; snapped terms DECIMAL(18,9)-summed; one-sided buckets excluded and counted.",
+    "agg-hill-tail": "Top-5% tail over the DESC cumulative window of the value distribution; log sums exact integer nano-units; two final divisions.",
+    "window-vwap-anchored": "Cumulative + full-frame windows + the day aggregate ride ONE ship_day exchange; BIGINT cumulative cents (r12: window SUM over DECIMAL paid a per-row BigDecimal add), DECIMAL(38,0) only in the boundary cross-multiply.",
+    "graph-adamic-adar": "Rides the cached K6 (fk,deg) checkpoints — zero corpus passes; hot-entity cap before the pair join; integer nano-unit weights, WindowGroupLimit rank.",
+    "multimodal-png-meta": "Map-only byte expressions incl. a REAL CRC32 of the IHDR chunk (JVM intrinsic); zero Python, zero data shuffle.",
+    "udf-map-in-pandas": "Arrow batch iterator boundary — the declared Python lane; one pass, no shuffle.",
+    "sink-partition-stats": "Post-write audit over input_file_name() of the re-read: per-partition file/row/byte stats in one agg.",
+    "agg-cramers-v": "One hash agg to the segment×nation cell relation; chi2 via the O²/E identity (zero cells contribute nothing — no completion join); 1e15-snapped terms summed in DECIMAL(20,15); banded on snapped w.",
+    "agg-jsd-drift": "The PSI plan with symmetric bounded terms: one-sided buckets contribute p·ln2 instead of being dropped; halves snapped + DECIMAL-summed; shared ln2 literal.",
+    "agg-kendall-tau": "Cells localCheckpointed (~550 rows, five consumers); concordant/discordant from a bounded cell×cell theta join — never a row-level pair pass; doubled tie terms keep everything DECIMAL-exact.",
+    "agg-tukey-fences": "Distribution localCheckpointed (two consumers); quartiles from one cumulative window; fences compared DOUBLED (2x vs 2Q1−3IQR) — integer decisions.",
+    "agg-overdispersion": "Two stacked map-side hash aggs (events → per-user counts → per-type moments); vn = n·Σk²−(Σk)² DECIMAL-exact; banded on snapped VMR.",
+    "agg-capture-recapture": "Per-user conditional-flag collapse (map-side MAX) + ONE one-row agg; Chapman estimator one snapped fragment.",
+    "agg-confusion-mcc": "Per-user two-flag collapse localCheckpointed (three consumers); two p90 thresholds via the distribution trick; one conditional one-row agg; MCC DECIMAL-exact.",
+    "agg-mann-kendall": "Day relation localCheckpointed (three consumers); S from a day-pair theta join bounded by CALENDAR (not corpus); cubic tie terms DECIMAL-exact; continuity-corrected z.",
+    "window-bollinger": "One rolling frame computes count/Σx/Σx² over the calendar-bounded day relation; breach is the integer cross-multiply d² > 4·vn — no double gates the label.",
+    "window-rsi": "Day collapse → LAG + one 14-delta frame; CASE-split gains/losses exact BIGINTs; zones compare the SNAPPED rsi.",
+    "window-local-extrema": "Two small frames (±3 days) over the day relation; strict integer comparisons only, prominence integer subtraction.",
+    "window-autocorr": "Deviations are n-scaled exact integers (mean never materializes); 7 LAG columns → ONE one-row agg → stack() unpivot (a UNION would re-execute the pipeline per lag).",
+    "etl-fk-audit": "Seven edges, ONE child scan each (the NULL group rides the same hash agg); parent joins as key-only projections; worst scan signature = nation's parent key at exactly the 2-budget.",
+    "etl-interval-islands": "Running-max island boundary + running-sum ids + final group-by all on ONE customer exchange; TZ-free date-part day indexes.",
+    "fn-luhn-checksum": "Generated 15-term mod-10 sum fused into the scan; map-only, exact integers; corruption delta recomputes one position.",
+    "fn-codec-roundtrip": "Map-only base64/hex/md5 expressions; the hashed STRINGS certify alphabet+padding cross-engine.",
+    "graph-modularity": "Rides the cached K3 adjacency + LPA labels (zero corpus passes); within-edges = edge relation joined to labels on both endpoints; exact DECIMAL numerators summed before the single snapped division.",
+    "multimodal-mp3-meta": "Map-only byte expressions + generated CASE-chain lookup tables (ISO 11172-3); zero Python, zero shuffle.",
+    "embed-standardize": "posexplode → one 64-partition dim window; coordinates snapped to nano-ints FIRST so cross-row sums are order-independent DECIMAL; z = d/√vr.",
+    "text-logodds-monroe": "Explode through the shared tokenizer → vocab-bounded (tok,y_en,y_rest) agg; totals as windows over it; two WindowGroupLimit rankings on the SNAPPED z.",
+    "text-hapax-ratio": "Two-level vocabulary plan: (source,tok) map-side agg then |sources|-bounded agg; text never shuffles.",
+    "text-burstiness": "(tok,doc) map-side agg → vocab-bounded moments; Fano via the E53 DECIMAL identity; top-k WindowGroupLimit on the snapped score.",
+    "sample-length-buckets": "Token counts map-side from the shared tokenizer (no array materialization past the count); EXACT bit-length bucket ceilings (1 << LENGTH(bin(n-1))), ~log2(max_len)-row output.",
+    "sample-epoch-shuffle": "3-row epoch dim broadcast-cross-joined; per-epoch k-prefix as WindowGroupLimit; overlap join on the localCheckpointed k·epochs prefix relation.",
+    "sample-rolling-origin": "Cutoffs from one cumulative window over the localCheckpointed day relation; per-user (min,max) collapse; every agg answers ALL folds in one conditional pass; stack() unpivot.",
+    "sample-temporal-split": "Cutoff from the day distribution (localCheckpointed, two consumers); per-user (min,max) collapse + one conditional agg.",
+    "scan-csv-quoted-multiline": "Write+read with multiLine=true: quoted newlines make the file NON-SPLITTABLE (stated cost) — one task per file on read; the payload construction and parse are map-only.",
+    "agg-approx-distinct": "r12 rewrite: two single-key branches collapse to DISTINCT (flag,key) first (no 3x Expand), HLL updates once per distinct key, 3-row results broadcast-join.",
+    "dedup-embedding-cosine": "Per-pair dot is dot_unrolled (higher-order folds are NOT codegen'd — the interpreted lambda multiplied by the block fan-out); norms projected once per row before the join.",
+    "sink-bucketed": "Writes one id-range ingest batch bucketed both sides; the cost is per-saveAsTable fixed overhead (measured volume-independent); the read-back join is exchange-free (pinned).",
 }
 
 
