@@ -341,6 +341,8 @@ HEADLINE = [
     "text-burstiness",
     "window-seasonal-decompose",
     "multimodal-ico-meta",
+    "dedup-keep-best",
+    "window-parkinson-vol",
 ]
 
 

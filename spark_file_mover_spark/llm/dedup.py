@@ -2104,3 +2104,84 @@ def dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap(F.col("n_docs").cast("double") / tot, 9).alias("doc_share"),
         snap(dups.cast("double") / tot, 9).alias("corpus_dup_ratio"),
     ).orderBy("cluster_size")
+
+
+# ---------------------------------------------------------------------------
+# I79 — canonical-document election (keep-BEST duplicate, not keep-first)
+# ---------------------------------------------------------------------------
+
+_KEEPBEST_ORACLE = r"""
+WITH n AS (
+  SELECT doc_id, lang, source, n_chars,
+         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text
+  FROM documents
+),
+g AS (
+  SELECT norm_text,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         MIN(doc_id) AS first_id
+  FROM n GROUP BY norm_text
+),
+best AS (
+  SELECT norm_text, doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY norm_text
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM n
+)
+SELECT b.doc_id, b.lang, b.source, b.n_chars,
+       g.n_members, g.n_members - 1 AS n_dropped,
+       g.total_chars - b.n_chars AS chars_dropped,
+       b.doc_id <> g.first_id AS beat_keep_first
+FROM best b JOIN g USING (norm_text)
+WHERE b.rn = 1
+ORDER BY b.doc_id
+"""
+
+
+@query("dedup-keep-best", oracle=_KEEPBEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I79: canonical-document ELECTION — per exact-duplicate cluster
+    keep the BEST member (longest n_chars, doc_id tie-break) instead
+    of I1's deterministic-but-arbitrary lowest-id survivor: real
+    corpora carry truncated/mangled variants of the same normalized
+    text, and electing the richest copy is the curation policy
+    production dedup actually ships (trafilatura-style "keep the
+    longest extraction"). Emits the election audit per cluster —
+    members dropped, characters dropped, and whether the winner
+    DIFFERS from keep-first (the rows where the policy choice
+    matters, hash-certified cross-engine).
+
+    Shape at 100 TB: the I1 contract — group on the shared 8-byte
+    xxhash64(norm_text) key and carry ONE small struct per doc
+    through a single max_by aggregate (ordering struct =
+    (n_chars, −doc_id), so lexicographic max = longest-then-lowest-
+    id); the shuffle moves hashes + metadata, never text, and there
+    is no per-cluster window/sort anywhere (the oracle's row_number
+    formulation is exactly what this avoids at scale).
+
+    Parity: the oracle groups on norm_text itself (DuckDB lacks
+    xxhash64) — same clusters under the I1 collision caveat; all
+    counts exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    key = _norm_hash()
+    best = F.max_by(
+        F.struct("doc_id", "lang", "source", "n_chars"),
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg")),
+    )
+    g = d.groupBy(key.alias("h")).agg(
+        best.alias("b"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("first_id"),
+    )
+    return g.selectExpr(
+        "b.doc_id AS doc_id",
+        "b.lang AS lang",
+        "b.source AS source",
+        "b.n_chars AS n_chars",
+        "n_members",
+        "n_members - 1 AS n_dropped",
+        "total_chars - b.n_chars AS chars_dropped",
+        "b.doc_id <> first_id AS beat_keep_first",
+    ).orderBy("doc_id")

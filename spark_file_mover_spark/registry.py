@@ -102,6 +102,8 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # remaining r7 block, then r8, from `python tools/stale_keys.py
 # --list` (which reads CORRECTNESS_r*.json and knows the real cut).
 _PRIORITY_R12 = [
+    "dedup-keep-best",
+    "window-parkinson-vol",
     "window-seasonal-decompose",
     "multimodal-ico-meta",
     "agg-mann-kendall",

@@ -878,3 +878,67 @@ def test_ico_meta_matches_pure_python(spark, sf_dir):
         assert r["image_offset"] == off
         assert r["magic_ok"] is True
     assert sentinel_seen  # the 0->256 path must be exercised
+
+
+def test_keep_best_matches_pure_python(spark, sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_pydict()
+    clusters = defaultdict(list)
+    for i in range(len(t["doc_id"])):
+        norm = re.sub(r"\s+", " ", t["text"][i]).strip().lower()
+        clusters[norm].append(
+            (t["doc_id"][i], t["lang"][i], t["source"][i], t["n_chars"][i])
+        )
+    expect = {}
+    for members in clusters.values():
+        best = max(members, key=lambda m: (m[3], -m[0]))
+        first = min(m[0] for m in members)
+        total = sum(m[3] for m in members)
+        expect[best[0]] = (
+            best[1], best[2], best[3], len(members),
+            len(members) - 1, total - best[3], best[0] != first,
+        )
+    rows = registry.QUERIES["dedup-keep-best"](spark, sf_dir).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        lang, src, nch, nm, nd, cd, beat = expect[r["doc_id"]]
+        assert (r["lang"], r["source"], r["n_chars"]) == (lang, src, nch)
+        assert (r["n_members"], r["n_dropped"]) == (nm, nd)
+        assert r["chars_dropped"] == cd
+        assert r["beat_keep_first"] == beat
+
+
+def test_parkinson_matches_pure_python(spark, sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    ).to_pydict()
+    bars = {}
+    for ts, v in zip(t["ts"], t["value"]):
+        if v is None:
+            continue
+        day = int(round(ts.timestamp() * 1e6)) // 86_400_000_000
+        c = _cents(v)
+        h, lo = bars.get(day, (c, c))
+        bars[day] = (max(h, c), min(lo, c))
+    days = sorted(bars)
+    lrs = []
+    for d in days:
+        h, lo = bars[d]
+        lrs.append(
+            math.floor(math.log(h / lo) * 1e9 + 0.5) if lo > 0 else None
+        )
+    rows = registry.QUERIES["window-parkinson-vol"](spark, sf_dir).collect()
+    assert len(rows) == len(days)
+    for i, (r, d) in enumerate(zip(rows, days)):
+        h, lo = bars[d]
+        assert (r["high_cents"], r["low_cents"]) == (h, lo)
+        win = [x for x in lrs[max(0, i - 19) : i + 1] if x is not None]
+        assert r["n_bars"] == len(win)
+        if win:
+            sq = sum(x * x for x in win)
+            sig = math.sqrt(
+                sq / 1e18 / len(win) / 2.772588722239781
+            )
+            assert r["parkinson_sigma"] == _snap9(sig)

@@ -226,6 +226,10 @@ NOTES = {
     "agg-approx-distinct": "r12 rewrite: two single-key branches collapse to DISTINCT (flag,key) first (no 3x Expand), HLL updates once per distinct key, 3-row results broadcast-join.",
     "dedup-embedding-cosine": "Per-pair dot is dot_unrolled (higher-order folds are NOT codegen'd — the interpreted lambda multiplied by the block fan-out); norms projected once per row before the join.",
     "sink-bucketed": "Writes one id-range ingest batch bucketed both sides; the cost is per-saveAsTable fixed overhead (measured volume-independent); the read-back join is exchange-free (pinned).",
+    "window-seasonal-decompose": "Day collapse -> one 7-row centered frame + one 7-partition dow window; UNSNAPPED shared textual chains (revenue-scaled outputs are outside the floor-snap envelope); dow means exact via lcm(4..7) scaling.",
+    "multimodal-ico-meta": "Map-only byte expressions; the 0-means-256 sentinel rebind; LE u16/u32 reads; zero Python, zero shuffle.",
+    "dedup-keep-best": "Group on the shared xxhash64(norm_text); ONE max_by with ordering struct (n_chars, -doc_id) — no per-cluster window/sort; shuffle moves hashes + metadata, never text.",
+    "window-parkinson-vol": "Day collapse to (H,L) bars; ln(H/L) snapped to nano-ints so the rolling sum of squares is DECIMAL-exact; one rolling frame over calendar-bounded rows.",
 }
 
 
