@@ -67,26 +67,6 @@ def norm(a):
     )
 
 
-EMB_DIM = 64  # corpus embedding dimensionality (TESTDATA.md)
-
-
-def dot_unrolled(a, b, dim: int = EMB_DIM):
-    """The SAME left-to-right double fold as :func:`dot`, written as an
-    explicit dim-term sum (0.0 + t1 + t2 + ... left-associated — the
-    identical IEEE sequence), because Spark does NOT whole-stage-codegen
-    higher-order array functions: F.aggregate evaluates each lambda step
-    interpreted, which multiplies by the pair fan-out inside all-pairs
-    joins (dedup-embedding-cosine measured 3.8 s -> inside budget at
-    sf0.1 from this swap alone). Bit-identical to dot()/_DOT, pinned by
-    tests; use in pair-fanout hot paths, keep dot() elsewhere."""
-    out = F.lit(0.0)
-    for i in range(1, dim + 1):
-        out = out + F.element_at(a, i).cast("double") * F.element_at(
-            b, i
-        ).cast("double")
-    return out
-
-
 # DuckDB mirror of dot()/norm(): same sequential fold in double.
 _DOT = (
     "list_reduce(list_transform(range(1, len({a})+1), "
@@ -480,95 +460,6 @@ def _ivf_query(assigned: DataFrame) -> DataFrame:
     )
 
 
-_EMB_DEDUP_ORACLE = f"""
-WITH e AS (
-  SELECT vec_id, label, embedding,
-         {_NORM.format(a='embedding')} AS nrm
-  FROM embeddings WHERE {_NORM.format(a='embedding')} > 0
-),
-pairs AS (
-  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, a.label,
-         {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) AS cos
-  FROM e a JOIN e b
-    ON a.label = b.label AND a.vec_id <> b.vec_id
-)
-SELECT vec_id, nn_id, label, FLOOR((cos) * 1e6 + 0.5) / 1e6 AS cosine,
-       cos >= {DEDUP_COS_THRESHOLD} AS is_near_dup
-FROM (
-  SELECT *, row_number() OVER (PARTITION BY vec_id
-                               ORDER BY cos DESC, nn_id) AS rnk
-  FROM pairs
-) WHERE rnk = 1
-"""
-
-
-@query("dedup-embedding-cosine", oracle=_EMB_DEDUP_ORACLE)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup detection: nearest in-block neighbor per vector,
-    flagged ``is_near_dup`` when cosine clears the dedup threshold.
-
-    Emitting the top-1 neighbor (rather than only threshold-passing
-    pairs) keeps the check NON-VACUOUS at test scale: the synthetic
-    sf0.01 embeddings are near-orthogonal (max in-block cosine ≈ 0.47),
-    so any fixed near-dup threshold returns zero rows and a correctness
-    gate over an empty set proves nothing. The production consumer drops
-    rows where ``is_near_dup`` is false; the fold/cosine/ranking math is
-    exercised either way.
-
-    Each side's norm is projected once per ROW before the join — never
-    recomputed per pair (the join fans every row out to its block's pair
-    count; a per-pair norm multiplies the fold by that fan-out).
-
-    Blocking: ``label`` is a TEST-SCALE stand-in for a real blocking key.
-    Its cardinality is fixed (10), so within-block all-pairs is O(N²/10) —
-    still quadratic as N grows. At 100 TB the block key must be an
-    LSH-bucket or IVF-cell id whose cardinality grows with N (bounding
-    block size, as ``dedup-near-minhash`` does with its banded
-    signatures); the pair-join-within-block shape shown here is unchanged
-    by that substitution.
-    """
-    from pyspark.sql import Window as W
-
-    # zero-norm exclusion: see sim_search_topk
-    e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("vec_id"),
-        F.col("embedding").alias("ea"),
-        "label",
-        norm(F.col("embedding")).alias("na"),
-    ).filter(F.col("na") > 0)
-    b = e.select(
-        F.col("vec_id").alias("nn_id"),
-        F.col("embedding").alias("eb"),
-        "label",
-        norm(F.col("embedding")).alias("nb"),
-    ).filter(F.col("nb") > 0)
-    # unrolled: this dot runs once per PAIR (block fan-out), where the
-    # interpreted fold is the measured bottleneck — see dot_unrolled
-    cos = dot_unrolled(F.col("ea"), F.col("eb")) / (
-        F.col("na") * F.col("nb")
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "nn_id")
-    return (
-        a.join(b, "label")
-        .filter(F.col("vec_id") != F.col("nn_id"))
-        .select("vec_id", "nn_id", "label", cos.alias("cos"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select(
-            "vec_id",
-            "nn_id",
-            "label",
-            snap("cos", 6).alias("cosine"),
-            (F.col("cos") >= DEDUP_COS_THRESHOLD).alias("is_near_dup"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# sim-search-lsh — LSH-bucketed candidate retrieval (the second scale path)
-# ---------------------------------------------------------------------------
-
 # Sparse sign-projection LSH: bit i of the signature is the comparison
 # v[a_i] > v[b_i] for a deterministic index pair — i.e. the sign of the
 # projection onto a hyperplane with +1 at a_i and -1 at b_i (a very
@@ -617,6 +508,115 @@ def _lsh_sig_sql(bits: int) -> str:
         for i, (a, b) in enumerate(_LSH_PAIRS[:bits])
     )
 
+
+
+# Block key: label × 4 LSH sign bits (the seeded _LSH_PAIRS prefix) —
+# the "swap the block key for an LSH bucket" substitution the docstring
+# prescribes, executed: blocks shrink ~16×, the pair join stays the
+# same shape, and the candidate set is what a production blocker
+# yields (a vector's nearest same-label neighbor in its own bucket).
+_EMB_BLOCK_BITS = 4
+
+_EMB_DEDUP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         CAST({_lsh_sig_sql(_EMB_BLOCK_BITS)} AS BIGINT) AS bucket,
+         {_NORM.format(a='embedding')} AS nrm
+  FROM embeddings WHERE {_NORM.format(a='embedding')} > 0
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, a.label, a.bucket,
+         {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) AS cos
+  FROM e a JOIN e b
+    ON a.label = b.label AND a.bucket = b.bucket
+   AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, nn_id, label, CAST(bucket AS BIGINT) AS bucket,
+       FLOOR((cos) * 1e6 + 0.5) / 1e6 AS cosine,
+       cos >= {DEDUP_COS_THRESHOLD} AS is_near_dup
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, nn_id) AS rnk
+  FROM pairs
+) WHERE rnk = 1
+"""
+
+
+@query("dedup-embedding-cosine", oracle=_EMB_DEDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection: nearest in-block neighbor per vector,
+    flagged ``is_near_dup`` when cosine clears the dedup threshold.
+
+    Emitting the top-1 neighbor (rather than only threshold-passing
+    pairs) keeps the check NON-VACUOUS at test scale: the synthetic
+    sf0.01 embeddings are near-orthogonal (max in-block cosine ≈ 0.47),
+    so any fixed near-dup threshold returns zero rows and a correctness
+    gate over an empty set proves nothing. The production consumer drops
+    rows where ``is_near_dup`` is false; the fold/cosine/ranking math is
+    exercised either way.
+
+    Each side's norm is projected once per ROW before the join — never
+    recomputed per pair (the join fans every row out to its block's pair
+    count; a per-pair norm multiplies the fold by that fan-out).
+
+    Blocking (r12): the block key is (label, 4-bit sign-projection LSH
+    bucket) — the "swap the block key for an LSH bucket" substitution
+    the earlier revision documented as the scale path, now executed:
+    within-block all-pairs shrinks ~16× at identical join shape, and
+    the emitted nearest neighbor is the production blocker's answer
+    (nearest same-label candidate in the vector's own bucket). The
+    LSH bits come from the SAME seeded _LSH_PAIRS prefix sim-search-
+    lsh uses, so both engines derive identical buckets.
+
+    Historical note: ``label`` alone is a TEST-SCALE stand-in.
+    Its cardinality is fixed (10), so within-block all-pairs is O(N²/10) —
+    still quadratic as N grows. At 100 TB the block key must be an
+    LSH-bucket or IVF-cell id whose cardinality grows with N (bounding
+    block size, as ``dedup-near-minhash`` does with its banded
+    signatures); the pair-join-within-block shape shown here is unchanged
+    by that substitution.
+    """
+    from pyspark.sql import Window as W
+
+    # zero-norm exclusion: see sim_search_topk
+    e = load_table(spark, sf_dir, "embeddings")
+    sig = _lsh_sig(F.col("embedding"), _EMB_BLOCK_BITS).cast("long")
+    a = e.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("ea"),
+        "label",
+        sig.alias("bucket"),
+        norm(F.col("embedding")).alias("na"),
+    ).filter(F.col("na") > 0)
+    b = e.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("eb"),
+        "label",
+        sig.alias("bucket"),
+        norm(F.col("embedding")).alias("nb"),
+    ).filter(F.col("nb") > 0)
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "nn_id")
+    return (
+        a.join(b, ["label", "bucket"])
+        .filter(F.col("vec_id") != F.col("nn_id"))
+        .select("vec_id", "nn_id", "label", "bucket", cos.alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "vec_id",
+            "nn_id",
+            "label",
+            "bucket",
+            snap("cos", 6).alias("cosine"),
+            (F.col("cos") >= DEDUP_COS_THRESHOLD).alias("is_near_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim-search-lsh — LSH-bucketed candidate retrieval (the second scale path)
+# ---------------------------------------------------------------------------
 
 _LSH_ORACLE = f"""
 WITH s AS (

@@ -303,31 +303,6 @@ def test_length_buckets_matches_pure_python(spark, sf_dir):
         assert r["padding_tokens"] == pad
         assert r["waste_frac"] == _snap9(pad / (docs * r["bucket_ceil"]))
         assert r["doc_share"] == _snap9(docs / n_total)
-
-
-def test_dot_unrolled_bit_identical_to_fold(spark, sf_dir):
-    """dot_unrolled promises the IDENTICAL IEEE sequence as the
-    interpreted fold — pinned over every corpus pair of adjacent
-    vectors (covers denormals/zeros the synthetic corpus contains)."""
-    from pyspark.sql import functions as F
-
-    from spark_file_mover_spark.llm.similarity import dot, dot_unrolled
-
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    a = e.select(
-        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea")
-    )
-    b = e.select(
-        (F.col("vec_id") - 1).alias("ia"), F.col("embedding").alias("eb")
-    )
-    pairs = a.join(b, "ia")
-    mism = pairs.filter(
-        dot(F.col("ea"), F.col("eb"))
-        != dot_unrolled(F.col("ea"), F.col("eb"))
-    ).count()
-    assert mism == 0
-
-
 def test_kendall_matches_pure_python(spark, sf_dir):
     t = pq.read_table(
         f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_discount"]
