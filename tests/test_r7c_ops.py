@@ -719,3 +719,20 @@ def test_kmeans_every_cluster_nonempty_and_keys_complete(spark):
     # should retain at least its seed-adjacent mass
     assert {r["cluster"] for r in rows} == set(range(8))
     assert all(r["dist"] >= 0 for r in rows)
+
+
+def test_tiff_walk_stays_in_codegen(spark):
+    """The r12 verdict caught the single-stage IFD walk compiling past
+    janino's 64 KB method limit and silently running interpreted. The
+    layered per-entry hop form must compile: run the full key with the
+    whole-stage fallback DISABLED so any compile failure is fatal
+    instead of silently degrading."""
+    from spark_file_mover_spark.llm.multimodal import multimodal_image_exif
+
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        rows = multimodal_image_exif(spark, "/root/testdata/sf0.001").collect()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
+    assert len(rows) > 0 and all(r["magic_ok"] for r in rows)
