@@ -62,103 +62,38 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
     return deco
 
 
-# Scoring priority for round 12. The driver consumes ``queries()`` in
+# Scoring priority for round 13. The driver consumes ``queries()`` in
 # dict insertion order under a wall-clock budget (~50 keys/round; the
-# r9-r11 cuts were exactly 50), so ``load_all`` rebuilds the registry
+# r9-r12 cuts were exactly 50), so ``load_all`` rebuilds the registry
 # dict in this order after all modules import:
 #
-#   0. The 26 r12-NEW keys (no driver row ever), newest wave first:
-#      the 17 second-wave additions (agg-cramers-v/-jsd-drift/
-#      -kendall-tau/-tukey-fences/-overdispersion/-capture-recapture/
-#      -confusion-mcc/-mann-kendall, window-bollinger/-rsi/
-#      -local-extrema/-autocorr, etl-fk-audit/-interval-islands,
-#      fn-luhn-checksum/-codec-roundtrip, graph-modularity,
-#      multimodal-mp3-meta, embed-standardize, text-logodds-monroe/
-#      -hapax-ratio/-burstiness, sample-length-buckets/-epoch-shuffle/
-#      -rolling-origin, scan-csv-quoted-multiline), then the 8
-#      first-wave keys (agg-mann-whitney, agg-psi-drift,
-#      agg-hill-tail, window-vwap-anchored, graph-adamic-adar,
-#      multimodal-png-meta, udf-map-in-pandas, sink-partition-stats).
-#   1. The 1 key whose STRUCTURE changed early in r12:
-#      dedup-cross-bloom (scan-gate catch). Six more keys were
-#      perf-rewritten late in r12 (agg-approx-distinct,
-#      dedup-components, dedup-embedding-cosine, sink-bucketed,
-#      window-vwap-anchored, fn-math) — vwap is already in the head;
-#      the rest keep their stale-rotation slots since their OUTPUT
-#      contract is unchanged and each was fresh-session re-verified.
-#   2. The r7-stale keys in tools/stale_keys.py order (the r11
-#      handoff's block) — with 26+ new keys ahead of them the 50-key
-#      cut now reaches only the first ~24 of these.
-#   3. The tail in staleness order: the r8 block, then r9, r10, r11.
+#   0. Keys whose CODE or OUTPUT changed and that the driver has not
+#      re-scored since: multimodal-image-exif (r13 layered-hop
+#      rewrite of the IFD walk — output unchanged but the plan is
+#      new), then fn-math and sink-bucketed (r12 perf rewrites that
+#      materially changed their OUTPUT — fn-math now emits only the
+#      l_partkey%7==0 slice, sink-bucketed only the o_orderkey<40000
+#      batch — and neither landed in the recorded r12 50-key cut;
+#      ADVICE r12 item 1).
+#   1. The full registry in driver-ledger staleness order from
+#      `python tools/stale_keys.py --list`: the ~30 r7-green keys
+#      first, then the r8 block (48), r9, r10, r11, r12 — so the
+#      r13 cut clears ALL remaining r7 evidence plus the oldest r8
+#      keys, executing the r12 verdict's rotation order.
 #
-# Rebuild this list each round from `python tools/stale_keys.py --list`
-# with never-scored + structurally-changed keys at the HEAD.
-#
-# r13 handoff: r12 added 26 keys at the head, so the r12 cut scores
-# those plus ~24 r7-stale keys — the REMAINING r7-stale block (from
-# wherever the 50-key cut lands, roughly fn-case-when-cast onward)
-# plus the r8 block is now the oldest driver evidence. Build
-# _PRIORITY_R13 with any r13-new/changed keys first, then the
-# remaining r7 block, then r8, from `python tools/stale_keys.py
-# --list` (which reads CORRECTNESS_r*.json and knows the real cut).
-_PRIORITY_R12 = [
-    "dedup-keep-best",
-    "window-parkinson-vol",
-    "window-seasonal-decompose",
-    "multimodal-ico-meta",
-    "agg-mann-kendall",
-    "sample-rolling-origin",
-    "text-burstiness",
-    "etl-interval-islands",
-    "scan-csv-quoted-multiline",
-    "agg-confusion-mcc",
-    "agg-capture-recapture",
-    "window-autocorr",
-    "text-hapax-ratio",
-    "agg-overdispersion",
-    "sample-epoch-shuffle",
-    "agg-tukey-fences",
-    "window-local-extrema",
-    "fn-codec-roundtrip",
-    "embed-standardize",
-    "agg-kendall-tau",
-    "graph-modularity",
-    "multimodal-mp3-meta",
-    "agg-cramers-v",
-    "agg-jsd-drift",
-    "window-bollinger",
-    "window-rsi",
-    "etl-fk-audit",
-    "fn-luhn-checksum",
-    "text-logodds-monroe",
-    "sample-length-buckets",
-    "agg-mann-whitney",
-    "agg-psi-drift",
-    "agg-hill-tail",
-    "window-vwap-anchored",
-    "graph-adamic-adar",
-    "multimodal-png-meta",
-    "udf-map-in-pandas",
-    "sink-partition-stats",
-    "dedup-cross-bloom",
-    "dedup-ngram-jaccard",
-    "text-dup-cut",
-    "sim-search-topk",
-    "dedup-embedding-cosine",
-    "sim-search-lsh",
-    "sample-train-split",
-    "sample-hash-stratified",
-    "sample-temperature-weights",
-    "text-url-normalize",
-    "text-chunk-sliding",
-    "text-tfidf-topk",
+# Rebuild this list each round from `python tools/stale_keys.py
+# --list` with never-scored + structurally-changed keys at the HEAD;
+# new r13 operators must be PREPENDED here as they land.
+_PRIORITY_R13 = [
+    "multimodal-image-exif",
+    "fn-math",
+    "sink-bucketed",
     "embed-quantize-int8",
     "project-select",
     "filter-pred",
     "filter-like-regexp",
     "fn-string",
     "fn-date",
-    "fn-math",
     "fn-array",
     "fn-map-json",
     "fn-case-when-cast",
@@ -187,7 +122,6 @@ _PRIORITY_R12 = [
     "embed-pq-encode",
     "embed-ann-ivfpq",
     "embed-random-projection",
-    "multimodal-image-exif",
     "text-bpe-pairs",
     "text-containment",
     "text-gopher-rules",
@@ -363,7 +297,6 @@ _PRIORITY_R12 = [
     "move-list-files",
     "move-rename",
     "scan-jsonl-roundtrip",
-    "sink-bucketed",
     "sink-merge-upsert",
     "join-semi-anti",
     "join-broadcast",
@@ -371,12 +304,62 @@ _PRIORITY_R12 = [
     "dedup-exact",
     "dedup-near-minhash",
     "dedup-simhash",
+    "dedup-keep-best",
+    "window-parkinson-vol",
+    "window-seasonal-decompose",
+    "multimodal-ico-meta",
+    "agg-mann-kendall",
+    "sample-rolling-origin",
+    "text-burstiness",
+    "etl-interval-islands",
+    "scan-csv-quoted-multiline",
+    "agg-confusion-mcc",
+    "agg-capture-recapture",
+    "window-autocorr",
+    "text-hapax-ratio",
+    "agg-overdispersion",
+    "sample-epoch-shuffle",
+    "agg-tukey-fences",
+    "window-local-extrema",
+    "fn-codec-roundtrip",
+    "embed-standardize",
+    "agg-kendall-tau",
+    "graph-modularity",
+    "multimodal-mp3-meta",
+    "agg-cramers-v",
+    "agg-jsd-drift",
+    "window-bollinger",
+    "window-rsi",
+    "etl-fk-audit",
+    "fn-luhn-checksum",
+    "text-logodds-monroe",
+    "sample-length-buckets",
+    "agg-mann-whitney",
+    "agg-psi-drift",
+    "agg-hill-tail",
+    "window-vwap-anchored",
+    "graph-adamic-adar",
+    "multimodal-png-meta",
+    "udf-map-in-pandas",
+    "sink-partition-stats",
+    "dedup-cross-bloom",
+    "dedup-ngram-jaccard",
+    "text-dup-cut",
+    "sim-search-topk",
+    "dedup-embedding-cosine",
+    "sim-search-lsh",
+    "sample-train-split",
+    "sample-hash-stratified",
+    "sample-temperature-weights",
+    "text-url-normalize",
+    "text-chunk-sliding",
+    "text-tfidf-topk",
 ]
 
 
 def load_all() -> None:
     """Import every operator module so registrations run, then rebuild
-    the registry dict in scoring-priority order (see ``_PRIORITY_R12``) —
+    the registry dict in scoring-priority order (see ``_PRIORITY_R13``) —
     dict insertion order IS the driver's scoring order."""
     # Imports are at call time so `import spark_file_mover_spark` stays cheap.
     from spark_file_mover_spark.operators import (  # noqa: F401
@@ -400,8 +383,8 @@ def load_all() -> None:
     from spark_file_mover_spark import filemover_queries, udfs  # noqa: F401
     from spark_file_mover_spark.sources import sourcesink  # noqa: F401
 
-    ordered = [k for k in _PRIORITY_R12 if k in QUERIES]
-    ordered += [k for k in QUERIES if k not in _PRIORITY_R12]
+    ordered = [k for k in _PRIORITY_R13 if k in QUERIES]
+    ordered += [k for k in QUERIES if k not in _PRIORITY_R13]
     for mapping in (QUERIES, ORACLES):
         snapshot = {k: mapping[k] for k in ordered if k in mapping}
         mapping.clear()
