@@ -15,6 +15,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -59,6 +60,20 @@ COMMON20 = COMMON16 + [
     "text-tfidf-topk",
     "sim-search-lsh",
 ]
+
+# Per-key scoring budget (driver guidance: <2 s/key at sf0.1). Defined
+# ONCE and used by BOTH the noise-burst retry filter and the
+# over_budget guard so the two cannot silently diverge (ADVICE r12).
+BUDGET_SEC = 2.0
+
+# Keys whose benched WORKLOAD changed in a noted round: their per-key
+# timings are NOT comparable across that boundary, and the payload
+# carries the marker so cross-round diffs don't silently mix volumes
+# (ADVICE r12 — previously only SCALE.md prose recorded this).
+WORKLOAD_CHANGED = {
+    "fn-math": "r12: output narrowed to the l_partkey%7==0 slice",
+    "sink-bucketed": "r12: write batch narrowed to o_orderkey<40000",
+}
 
 # Headline set: one representative per SURVEY.md §2 category, including
 # the write-path plane (A/B keys) so write regressions surface per-round.
@@ -410,7 +425,7 @@ def main() -> None:
         # burst has moved on) and keep the min across both readings —
         # still a true observed min, just sampled at two well-separated
         # times.
-        retry = sorted(k for k, v in timings.items() if v > 2.0)
+        retry = sorted(k for k, v in timings.items() if v > BUDGET_SEC)
         for key in retry:
             second = round(time_key(key), 4)
             if second < timings[key]:
@@ -421,12 +436,33 @@ def main() -> None:
                 )
                 timings[key] = second
 
+        # Structural noise defense (r13, verdict item 3): the min-of-N
+        # totals stay the headline, but round-over-round adjudication
+        # kept needing SCALE.md prose to explain contention swings.
+        # Take N extra samples per frozen-16 key as INTERLEAVED PASSES
+        # over the whole set, so one key's samples are separated by a
+        # full sweep (~10 s) instead of back-to-back — a median of
+        # well-separated samples rides out multi-minute host bursts
+        # that swallow min-of-3 adjacent reps whole.
+        median_passes = int(
+            os.environ.get("SPARK_GRAFT_BENCH_MEDIAN_PASSES", "5")
+        )
+        c16 = [k for k in COMMON16 if k in registry.QUERIES]
+        samples: dict[str, list[float]] = {k: [] for k in c16}
+        for _ in range(median_passes):
+            for key in c16:
+                t0 = time.perf_counter()
+                materialize(registry.QUERIES[key](spark, sf_dir))
+                samples[key].append(time.perf_counter() - t0)
+        common16_median = round(
+            sum(statistics.median(v) for v in samples.values()), 4
+        )
+
     total = round(sum(timings.values()), 4)
     # Per-key scoring-budget guard: the driver's guidance is <2 s per
     # key; anything over burns wall-clock the round's scoring rotation
     # needs. Surface offenders loudly in-round instead of waiting for
     # the judge's bench diff (r4: dedup-near-minhash crept to 3.1 s).
-    BUDGET_SEC = 2.0
     over_budget = {k: v for k, v in timings.items() if v > BUDGET_SEC}
     if over_budget:
         print(
@@ -456,6 +492,14 @@ def main() -> None:
         "unit": "sec",
         "common16_total": common16_total,
         "common20_total": common20_total,
+        # Median of `median_passes` interleaved (well-separated) samples
+        # per frozen-16 key — the burst-resistant statistic to
+        # adjudicate round-over-round drift from the JSON alone.
+        "common16_median": common16_median,
+        "common16_median_passes": median_passes,
+        # Keys whose benched workload changed in a noted round; their
+        # per-key history is not volume-comparable across that boundary.
+        "workload_changed": WORKLOAD_CHANGED,
         # methodology marker: r5+ runs warm every key once before
         # its timed reps (steady-state numbers); r2-r4 recorded
         # cold-start min-of-N — compare across that boundary with
