@@ -1565,7 +1565,7 @@ def dedup_cross_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("all_hit")
         # consumed twice (verify filter + final join): checkpoint so
         # the probe explode/groupBy runs once, not per consumer (r12)
-        .localCheckpoint()
+        .localCheckpoint(eager=True)
     )
     exact = (
         cand.filter("bloom_candidate")

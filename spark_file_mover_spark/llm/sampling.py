@@ -230,8 +230,15 @@ def pack_offsets_sharded(
     for shard in sorted(totals):
         bases[shard] = acc
         acc += totals[shard]
-    base_map = F.create_map(
-        *[F.lit(x) for kv in sorted(bases.items()) for x in kv]
+    base_map = (
+        F.create_map(
+            *[F.lit(x) for kv in sorted(bases.items()) for x in kv]
+        )
+        if bases
+        # empty corpus (or a plan-only build over the substitute
+        # barrier): an argless map() is untyped VOID→VOID and fails
+        # analysis at map[shard] — give the empty literal the real type
+        else F.expr("CAST(map() AS MAP<INT, BIGINT>)")
     )
     lw = W.partitionBy("shard").orderBy("doc_id").rowsBetween(
         W.unboundedPreceding, W.currentRow

@@ -3,16 +3,17 @@ with scale annotations. Run from the repo root:
 
     python tools/dump_plans.py [sf_dir]
 
-NOT side-effect-free (r12, ADVICE note): several query builders
-materialize derived relations with ``localCheckpoint(eager=True)``
-(the Pregel/graph family, events-funnel-windowed, agg-chisq/theil/
-bootstrap/assoc-lift, the per-(app, sf_dir) cached ingest artifacts),
-so merely CONSTRUCTING those DataFrames runs real Spark jobs over the
-corpus — both plain runs and ``--audit`` therefore execute work per
-key, and a misconfigured session fails at build time rather than
-collect time. This is deliberate: the checkpoint IS the plan shape
-being audited (the leaves of the dumped plan are the cached
-relations), and the bench contract times the same builders.
+Plan-only since r13 (ADVICE r11 item 3 / r12 verdict item 4): the
+whole walk runs under ``checkpoints.lazy_checkpoints()``, so the
+``localCheckpoint(eager=True)`` barriers in the Pregel/graph family,
+events-funnel-windowed and the stats relations no longer execute jobs
+at DataFrame-build time — the barrier stays in the dumped plan, its
+materialization moves to first action (which tooling never takes).
+Remaining build-time work is only the documented bounded-metadata
+collects (k-means centroid rounds, IVF seeds, bloom lanes) and the
+sink-* keys' writes, which genuinely cannot produce a plan without
+their artifacts; tests/test_plans.py pins zero jobs for the
+previously-eager builders.
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 from spark_file_mover_spark import registry  # noqa: E402
+from spark_file_mover_spark.checkpoints import lazy_checkpoints  # noqa: E402
 from spark_file_mover_spark.session import get_spark  # noqa: E402
 
 NOTES = {
@@ -510,7 +512,12 @@ def audit(sf: str) -> int:
     rows = []
     for key, fn in registry.QUERIES.items():
         try:
-            plan = fn(spark, sf)._jdf.queryExecution().explainString(mode)
+            # build under lazy barriers (zero checkpoint jobs), but
+            # explain OUTSIDE so the audited plan keeps its production
+            # AQE shape above the barrier leaves
+            with lazy_checkpoints():
+                df = fn(spark, sf)
+            plan = df._jdf.queryExecution().explainString(mode)
             census, sigs = scan_census(plan), scan_signatures(plan)
         except Exception as exc:  # pragma: no cover - diagnostics only
             print(f"{key:38s} ERROR {exc}")
@@ -555,7 +562,8 @@ def main() -> None:
     for key, note in NOTES.items():
         if key == "sink-bucketed":
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        df = registry.QUERIES[key](spark, sf)
+        with lazy_checkpoints():
+            df = registry.QUERIES[key](spark, sf)
         plan = df._jdf.queryExecution().explainString(mode)
         if key == "sink-bucketed":
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bt)
