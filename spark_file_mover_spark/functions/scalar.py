@@ -1275,7 +1275,8 @@ SELECT doc_id, src,
        decode(from_base64(to_base64(encode(src)))) = src AS roundtrip_b64,
        decode(unhex(hex(src))) = src AS roundtrip_hex,
        CAST(length(to_base64(encode(src))) AS BIGINT) AS b64_len,
-       CAST(4 * ((length(src) + 2) // 3) AS BIGINT) AS b64_len_expected
+       CAST(4 * ((octet_length(encode(src)) + 2) // 3) AS BIGINT)
+         AS b64_len_expected
 FROM s ORDER BY doc_id
 """
 
@@ -1310,6 +1311,9 @@ def fn_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS roundtrip_b64",
         "decode(unhex(hex(src)), 'UTF-8') = src AS roundtrip_hex",
         "CAST(length(base64(encode(src, 'UTF-8'))) AS BIGINT) AS b64_len",
-        "CAST(4 * ((length(src) + 2) div 3) AS BIGINT)"
+        # RFC 4648: the length identity is over UTF-8 BYTES, not
+        # characters — octet_length, or the emitted identity would read
+        # false for any non-ASCII src prefix (ADVICE r12 item 4)
+        "CAST(4 * ((octet_length(src) + 2) div 3) AS BIGINT)"
         " AS b64_len_expected",
     ).orderBy("doc_id")
