@@ -358,6 +358,17 @@ HEADLINE = [
     "multimodal-ico-meta",
     "dedup-keep-best",
     "window-parkinson-vol",
+    # r13 additions (not in either frozen set)
+    "window-macd",
+    "window-stochastic-osc",
+    "window-ulcer-index",
+    "agg-ratio-delta-ci",
+    "fn-uuid3",
+    "sample-ess-weights",
+    "embed-centroid-drift",
+    "multimodal-avi-meta",
+    "multimodal-tar-meta",
+    "multimodal-zip-meta",
 ]
 
 

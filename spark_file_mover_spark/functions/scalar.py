@@ -1317,3 +1317,98 @@ def fn_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(4 * ((octet_length(src) + 2) div 3) AS BIGINT)"
         " AS b64_len_expected",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# G17 — fn-uuid3: RFC 4122 name-based (version 3, MD5) UUID minting
+# ---------------------------------------------------------------------------
+
+# The namespace UUID, chosen so its 16 RAW bytes are the ASCII string
+# "sfm-spark-ns0001" (73666d2d-7370-6172-6b2d-6e7330303031): RFC 4122
+# allows any namespace UUID, and an ASCII-byte one keeps the digest
+# input expressible as VARCHAR in BOTH engines (DuckDB's md5 only
+# accepts VARCHAR; arbitrary namespace bytes would need md5(BLOB)).
+# The construction stays RFC-exact — Python's uuid.uuid3 with this
+# namespace reproduces every output (pinned in tests).
+_UUID3_NS_ASCII = "sfm-spark-ns0001"
+
+# hex-nibble value lookup shared logic (engines differ only in the
+# position function NAME: Spark instr / DuckDB strpos)
+_UUID3_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id,
+         source || ':' || CAST(doc_id AS VARCHAR) || ':'
+           || substr(text, 1, 16) AS name
+  FROM documents
+),
+h AS (
+  SELECT doc_id, name, md5('{_UUID3_NS_ASCII}' || name) AS md5_hex
+  FROM n
+)
+SELECT doc_id, name, md5_hex,
+       substr(md5_hex, 1, 8) || '-' || substr(md5_hex, 9, 4)
+         || '-3' || substr(md5_hex, 14, 3) || '-'
+         || substr('89ab',
+                   ((strpos('0123456789abcdef', substr(md5_hex, 17, 1))
+                     - 1) % 4) + 1, 1)
+         || substr(md5_hex, 18, 3) || '-' || substr(md5_hex, 21, 12)
+         AS uuid3,
+       CAST(((strpos('0123456789abcdef', substr(md5_hex, 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(md5_hex, 2, 1)) - 1) % 32
+            AS BIGINT) AS shard32
+FROM h ORDER BY doc_id
+"""
+
+
+@query("fn-uuid3", oracle=_UUID3_ORACLE)
+def fn_uuid3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G17: RFC 4122 §4.3 name-based UUID minting (version 3, MD5) —
+    the deterministic-ID primitive ingestion pipelines use to assign
+    stable, collision-resistant identifiers to records BEFORE any
+    join or dedup pass: same (namespace, name) → same UUID on every
+    run, every engine, every partition layout (contrast uuid()/
+    monotonically_increasing_id(), which are run- and
+    partition-dependent and can never be oracle-checked). Emits the
+    raw digest, the canonical 8-4-4-4-12 UUID with the version/variant
+    bit surgery (version nibble forced to 3; variant nibble to
+    10xx ⇒ one of 8/9/a/b), and the mod-32 shard a router would derive
+    from the top byte.
+
+    The namespace UUID's 16 raw bytes are the ASCII literal
+    "sfm-spark-ns0001" — RFC-legal (any namespace UUID is) and the
+    reason the digest input stays VARCHAR-expressible in both engines
+    (DuckDB has no md5(BLOB)). Python's uuid.uuid3 with this namespace
+    reproduces every row bit-for-bit (genuine RFC vectors pinned in
+    tests/test_r13_ops.py).
+
+    Shape at 100 TB: map-only — one md5 plus string slicing fused into
+    the scan, zero shuffles (presentation sort only), trivially
+    parallel at any scale. The variant nibble arithmetic is a shared
+    textual lookup; engines differ only in the position function's
+    NAME (instr vs strpos)."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.selectExpr(
+        "doc_id",
+        "source || ':' || CAST(doc_id AS STRING) || ':'"
+        " || substr(text, 1, 16) AS name",
+    )
+    h = n.selectExpr(
+        "doc_id",
+        "name",
+        f"md5('{_UUID3_NS_ASCII}' || name) AS md5_hex",
+    )
+    return h.selectExpr(
+        "doc_id",
+        "name",
+        "md5_hex",
+        "substr(md5_hex, 1, 8) || '-' || substr(md5_hex, 9, 4)"
+        " || '-3' || substr(md5_hex, 14, 3) || '-'"
+        " || substr('89ab',"
+        " ((instr('0123456789abcdef', substr(md5_hex, 17, 1))"
+        " - 1) % 4) + 1, 1)"
+        " || substr(md5_hex, 18, 3) || '-' || substr(md5_hex, 21, 12)"
+        " AS uuid3",
+        "CAST(((instr('0123456789abcdef', substr(md5_hex, 1, 1)) - 1) * 16"
+        " + instr('0123456789abcdef', substr(md5_hex, 2, 1)) - 1) % 32"
+        " AS BIGINT) AS shard32",
+    ).orderBy("doc_id")

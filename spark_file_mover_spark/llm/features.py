@@ -1559,3 +1559,150 @@ def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         " FLOOR((CAST(dd AS DOUBLE) / SQRT(CAST(vr AS DOUBLE)))"
         " * 1e9 + 0.5) / 1e9 END AS z",
     ).orderBy("vec_id", "dim")
+
+
+# ---------------------------------------------------------------------------
+# I81 — embed-centroid-drift: per-label centroid shift between two halves
+# ---------------------------------------------------------------------------
+
+_CDRIFT_Q = 10**6  # fixed-point quantization scale (the K2 technique)
+
+_CDRIFT_ORACLE = f"""
+WITH q AS (
+  SELECT label,
+         CAST(vec_id % 2 AS INT) AS period,
+         r.range AS d,
+         CAST(FLOOR(CAST(embedding[r.range] AS DOUBLE) * {_CDRIFT_Q}
+                    + 0.5) AS BIGINT) AS qv
+  FROM embeddings, range(1, 65) r
+),
+s AS (
+  SELECT label, period, d,
+         CAST(SUM(qv) AS BIGINT) AS sv,
+         COUNT(DISTINCT CASE WHEN d = 1 THEN NULL END) AS _dummy
+  FROM q GROUP BY label, period, d
+),
+n AS (
+  SELECT label, CAST(vec_id % 2 AS INT) AS period,
+         COUNT(*) AS n_vecs
+  FROM embeddings GROUP BY 1, 2
+),
+j AS (
+  SELECT a.label,
+         CAST(SUM(CAST(a.sv AS DECIMAL(38,0)) * b.sv) AS DECIMAL(38,0))
+           AS dot,
+         CAST(SUM(CAST(a.sv AS DECIMAL(38,0)) * a.sv) AS DECIMAL(38,0))
+           AS n2a,
+         CAST(SUM(CAST(b.sv AS DECIMAL(38,0)) * b.sv) AS DECIMAL(38,0))
+           AS n2b
+  FROM s a JOIN s b ON a.label = b.label AND a.d = b.d
+  WHERE a.period = 0 AND b.period = 1
+  GROUP BY a.label
+)
+SELECT j.label,
+       CAST(na.n_vecs AS BIGINT) AS n_a,
+       CAST(nb.n_vecs AS BIGINT) AS n_b,
+       CASE WHEN n2a > 0 AND n2b > 0 THEN
+         FLOOR(CAST(dot AS DOUBLE)
+               / (SQRT(CAST(n2a AS DOUBLE)) * SQRT(CAST(n2b AS DOUBLE)))
+               * 1e9 + 0.5) / 1e9 END AS centroid_cosine,
+       CASE WHEN n2a > 0 AND n2b > 0 THEN
+         FLOOR((SQRT(CAST(n2b AS DOUBLE)) / CAST(nb.n_vecs AS DOUBLE))
+               / (SQRT(CAST(n2a AS DOUBLE)) / CAST(na.n_vecs AS DOUBLE))
+               * 1e9 + 0.5) / 1e9 END AS norm_ratio
+FROM j
+JOIN n na ON na.label = j.label AND na.period = 0
+JOIN n nb ON nb.label = j.label AND nb.period = 1
+ORDER BY j.label
+"""
+
+
+@query("embed-centroid-drift", oracle=_CDRIFT_ORACLE)
+def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I81: per-label centroid drift between two corpus halves — the
+    embedding-space twin of the scalar drift panel (PSI E47 / JSD E50 /
+    KS E17): split each label's vectors into two cohorts (vec_id
+    parity standing in for ingest batches), compare the cohort MEAN
+    vectors by cosine (direction shift — 1.0 = stable) and mean-norm
+    ratio (magnitude shift — 1.0 = stable). The readout a pipeline
+    checks before trusting an ANN index or classifier built on last
+    batch's geometry; per-label, so one drifting class can't hide in
+    the global average.
+
+    Parity: the K2 fixed-point discipline — coordinates quantize to
+    BIGINT at 10⁶ before ANY sum, per-(label, period, dim) sums are
+    exact integers, dot/norm products accumulate as DECIMAL(38,0)
+    (order-free), and cosine/norm-ratio are single snapped double
+    expressions over exact operands. Cosine of SUMS equals cosine of
+    MEANS (scale invariance), so no rational mean is ever
+    materialized.
+
+    Shape at 100 TB: posexplode fans each vector to 64 (label, period,
+    dim, q) rows map-side; ONE groupBy collapses corpus volume to the
+    labels×2×64 sums relation (map-side combine absorbs the fanout);
+    everything after — the period self-join on (label, dim), the
+    per-label fold, the count join — is metadata-scale. Nothing
+    vector-sized crosses a second exchange."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("period"),
+        F.posexplode("embedding").alias("p", "x"),
+    ).selectExpr(
+        "label",
+        "period",
+        "p + 1 AS d",
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * {_CDRIFT_Q} + 0.5) AS BIGINT)"
+        " AS qv",
+    )
+    s = q.groupBy("label", "period", "d").agg(
+        F.sum("qv").cast("long").alias("sv")
+    )
+    n = e.groupBy(
+        "label", (F.col("vec_id") % 2).cast("int").alias("period")
+    ).agg(F.count("*").cast("long").alias("n_vecs"))
+    a = s.filter(F.col("period") == 0).select(
+        "label", "d", F.col("sv").alias("sa")
+    )
+    b = s.filter(F.col("period") == 1).select(
+        "label", "d", F.col("sv").alias("sb")
+    )
+    j = (
+        a.join(b, ["label", "d"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.expr("CAST(sa AS DECIMAL(38,0)) * sb"))
+            .cast("decimal(38,0)")
+            .alias("dot"),
+            F.sum(F.expr("CAST(sa AS DECIMAL(38,0)) * sa"))
+            .cast("decimal(38,0)")
+            .alias("n2a"),
+            F.sum(F.expr("CAST(sb AS DECIMAL(38,0)) * sb"))
+            .cast("decimal(38,0)")
+            .alias("n2b"),
+        )
+    )
+    na = n.filter(F.col("period") == 0).select(
+        "label", F.col("n_vecs").alias("n_a")
+    )
+    nb = n.filter(F.col("period") == 1).select(
+        "label", F.col("n_vecs").alias("n_b")
+    )
+    return (
+        j.join(na, "label")
+        .join(nb, "label")
+        .selectExpr(
+            "label",
+            "n_a",
+            "n_b",
+            "CASE WHEN n2a > 0 AND n2b > 0 THEN"
+            " FLOOR(CAST(dot AS DOUBLE)"
+            " / (SQRT(CAST(n2a AS DOUBLE)) * SQRT(CAST(n2b AS DOUBLE)))"
+            " * 1e9 + 0.5) / 1e9 END AS centroid_cosine",
+            "CASE WHEN n2a > 0 AND n2b > 0 THEN"
+            " FLOOR((SQRT(CAST(n2b AS DOUBLE)) / CAST(n_b AS DOUBLE))"
+            " / (SQRT(CAST(n2a AS DOUBLE)) / CAST(n_a AS DOUBLE))"
+            " * 1e9 + 0.5) / 1e9 END AS norm_ratio",
+        )
+        .orderBy("label")
+    )

@@ -2384,3 +2384,486 @@ def multimodal_ico_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.length(c) == 22)
         ).alias("magic_ok"),
     ).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# multimodal-avi-meta — RIFF/AVI main-header metadata, no decode
+# ---------------------------------------------------------------------------
+
+_AVI_MAX_HOPS = 3  # bounded top-level chunk walk (JUNK/LIST precede hdrl)
+
+# Unresolved-fragment cache, the _WAV_EXPR_CACHE contract.
+_AVI_EXPR_CACHE: dict[tuple, dict] = {}
+
+
+def _avi_fragments(spark: SparkSession, content: str) -> dict:
+    key = (spark.sparkContext.applicationId, content)
+    frags = _AVI_EXPR_CACHE.get(key)
+    if frags is not None:
+        return frags
+    for k in [k for k in _AVI_EXPR_CACHE if k[0] != key[0]]:
+        del _AVI_EXPR_CACHE[k]
+    c = F.col(content)
+    is_avi = (F.hex(c.substr(F.lit(1), F.lit(4))) == "52494646") & (
+        F.hex(c.substr(F.lit(9), F.lit(4))) == "41564920"  # "AVI "
+    )
+    nul = F.lit(None).cast("long")
+    init = F.explode(
+        F.array(
+            F.struct(
+                F.lit(13).cast("long").alias("off"),
+                is_avi.alias("is_avi"),
+                nul.alias("usec"),
+                nul.alias("frames"),
+                nul.alias("streams"),
+                nul.alias("width"),
+                nul.alias("height"),
+            )
+        )
+    )
+    st = F.col("_a")
+    off = st.off
+    cid = F.hex(c.substr(off, F.lit(4)))
+    size = _le_uint(c, off + 4, 4)
+    # LIST whose form is "hdrl" and whose first child is "avih":
+    # the avih payload then starts 20 bytes past the LIST id
+    hit = (
+        (cid == "4C495354")  # "LIST"
+        & (F.hex(c.substr(off + 8, F.lit(4))) == "6864726C")  # "hdrl"
+        & (F.hex(c.substr(off + 12, F.lit(4))) == "61766968")  # "avih"
+    )
+    base = off + 20  # past LIST(4) size(4) hdrl(4) avih(4) avih-size(4)
+
+    def fld(byte_off: int):
+        return F.when(hit, _le_uint(c, base + byte_off, 4))
+
+    hop = F.explode(
+        F.array(
+            F.struct(
+                (off + 8 + size).alias("off"),
+                st.is_avi.alias("is_avi"),
+                F.coalesce(st.usec, fld(0)).alias("usec"),
+                F.coalesce(st.frames, fld(16)).alias("frames"),
+                F.coalesce(st.streams, fld(24)).alias("streams"),
+                F.coalesce(st.width, fld(32)).alias("width"),
+                F.coalesce(st.height, fld(36)).alias("height"),
+            )
+        )
+    )
+    frags = {"init": init, "hop": hop}
+    _AVI_EXPR_CACHE[key] = frags
+    return frags
+
+
+def with_avi_meta(df: DataFrame, content: str = "content") -> DataFrame:
+    """Append (is_avi, usec_per_frame, total_frames, streams, width,
+    height) parsed from a RIFF/AVI payload's avih main header.
+
+    Layout (AVI 1.0 / OpenDML): "RIFF" + size + "AVI ", then top-level
+    chunks; the mandatory first LIST has form "hdrl" whose first child
+    is the 56-byte "avih" main header — dwMicroSecPerFrame at +0,
+    dwTotalFrames +16, dwStreams +24, dwWidth +32, dwHeight +36, all
+    little-endian. JUNK/other chunks may precede the LIST, so this is
+    the WAV bounded chunk walk (one explode(array(struct)) Generate
+    barrier per hop, expression growth linear, codegen-safe), not a
+    fixed-offset read. Non-AVI or out-of-bound payloads parse as
+    NULLs, never wrong values."""
+    frags = _avi_fragments(df.sparkSession, content)
+    passthrough = [col for col in df.columns]
+    cur = df.select("*", frags["init"].alias("_a"))
+    for _ in range(_AVI_MAX_HOPS):
+        cur = cur.select(*passthrough, frags["hop"].alias("_a"))
+    st = F.col("_a")
+    return cur.select(
+        *passthrough,
+        st.is_avi.alias("is_avi"),
+        st.usec.alias("usec_per_frame"),
+        st.frames.alias("total_frames"),
+        st.streams.alias("streams"),
+        st.width.alias("width"),
+        st.height.alias("height"),
+    )
+
+
+# Oracle predicts the parse from the same doc_id formulas the
+# synthesizer uses (the _EXIF_ORACLE anti-cancellation setup); a
+# genuine python-packed AVI header is pinned in tests/test_r13_ops.py.
+_AVI_ORACLE = """
+SELECT doc_id AS asset_id,
+       TRUE AS magic_ok,
+       CAST(10000 + (doc_id % 500) * 100 AS BIGINT) AS usec_per_frame,
+       CAST(1 + doc_id % 5000 AS BIGINT) AS total_frames,
+       CAST(1 + doc_id % 3 AS BIGINT) AS streams,
+       CAST(16 * (1 + doc_id % 120) AS BIGINT) AS width,
+       CAST(16 * (1 + doc_id % 68) AS BIGINT) AS height,
+       CAST((2000000000 + (10000 + (doc_id % 500) * 100))
+            // (2 * (10000 + (doc_id % 500) * 100)) AS BIGINT)
+         AS fps_milli
+FROM documents ORDER BY asset_id
+"""
+
+
+@query("multimodal-avi-meta", oracle=_AVI_ORACLE)
+def multimodal_avi_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI container metadata with pure byte expressions — the VIDEO
+    member of the RIFF family (WAV's chunk grammar, different form and
+    header): frame period, frame count, stream count and dimensions
+    from the avih main header, plus the derived milli-fps — the
+    triage pass a video curation pipeline runs per asset (duration /
+    resolution / fps routing) before any codec touches bytes.
+
+    Synthesis mirrors audio-meta: every field derives from doc_id, a
+    doc-varying JUNK chunk precedes the hdrl LIST for odd doc_ids so
+    the walk must hop a different distance per row, and fps_milli is
+    computed FROM THE PARSED period (integer round of 1e9/usec), so a
+    synthesis bug cannot cancel a parsing bug. A genuine Python-packed
+    AVI header is pinned in tests/test_r13_ops.py.
+
+    Scale: map-only, zero shuffle, zero Python — fused into the scan;
+    synthesis + walk Columns cached per SparkContext (the WAV cache
+    contract)."""
+    d = load_table(spark, sf_dir, "documents")
+    synth_key = (spark.sparkContext.applicationId, "__avi_synth__")
+    cached = _AVI_EXPR_CACHE.get(synth_key)
+    if cached is None:
+        doc = F.col("doc_id")
+        usec = 10000 + (doc % 500) * 100
+        frames = 1 + doc % 5000
+        streams = 1 + doc % 3
+        width = 16 * (1 + doc % 120)
+        height = 16 * (1 + doc % 68)
+        hexle2 = lambda c: F.concat(  # noqa: E731
+            F.lpad(F.hex(c % 256), 2, "0"),
+            F.lpad(F.hex((c / 256).cast("long") % 256), 2, "0"),
+        )
+        hexle4 = lambda c: F.concat(  # noqa: E731
+            hexle2(c % 65536), hexle2((c / 65536).cast("long"))
+        )
+        z4 = hexle4(F.lit(0))
+        avih_payload = F.concat(
+            hexle4(usec),  # dwMicroSecPerFrame
+            hexle4(usec * 2),  # dwMaxBytesPerSec (carried, unread)
+            z4,  # dwPaddingGranularity
+            z4,  # dwFlags
+            hexle4(frames),  # dwTotalFrames
+            z4,  # dwInitialFrames
+            hexle4(streams),  # dwStreams
+            z4,  # dwSuggestedBufferSize
+            hexle4(width),  # dwWidth
+            hexle4(height),  # dwHeight
+            z4, z4, z4, z4,  # dwReserved[4]
+        )
+        # LIST size = 4 (form) + 8 (avih hdr) + 56 (payload)
+        hdrl = F.concat(
+            F.lit("4C495354"),  # "LIST"
+            hexle4(F.lit(68)),
+            F.lit("6864726C"),  # "hdrl"
+            F.lit("61766968"),  # "avih"
+            hexle4(F.lit(56)),
+            avih_payload,
+        )
+        junk_len = 4 + (doc % 6) * 2  # even, keeps RIFF alignment
+        junk = F.when(
+            doc % 2 == 1,
+            F.concat(
+                F.lit("4A554E4B"),  # "JUNK"
+                hexle4(junk_len),
+                F.lit("00" * 16).substr(F.lit(1), junk_len * 2),
+            ),
+        ).otherwise(F.lit(""))
+        body = F.concat(junk, hdrl)
+        payload_hex = F.concat(
+            F.lit("52494646"),  # "RIFF"
+            hexle4(F.length(body) / 2 + 4),
+            F.lit("41564920"),  # "AVI "
+            body,
+        )
+        cached = {"payload_hex": payload_hex}
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.unhex(cached["payload_hex"]).alias("content"),
+    )
+    parsed = with_avi_meta(assets)
+    _AVI_EXPR_CACHE[
+        (spark.sparkContext.applicationId, "__avi_synth__")
+    ] = cached
+    return parsed.select(
+        F.col("asset_id"),
+        F.col("is_avi").alias("magic_ok"),
+        "usec_per_frame",
+        "total_frames",
+        "streams",
+        "width",
+        "height",
+        F.expr(
+            "CAST((2000000000 + usec_per_frame)"
+            " DIV (2 * usec_per_frame) AS BIGINT) AS fps_milli"
+        ),
+    ).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# multimodal-tar-meta — ustar member headers (the WebDataset container)
+# ---------------------------------------------------------------------------
+
+_TAR_EXPR_CACHE: dict[tuple, dict] = {}
+
+
+def _tar_member(c, hdr_off):
+    """(name, size, typeflag, magic_ok) of the ustar member whose
+    512-byte header starts at 1-based offset ``hdr_off``. Pure byte
+    expressions: the name is NUL-terminated ASCII (cut at the first
+    NUL), the size is 11 ASCII OCTAL digits (conv base 8 → 10) — the
+    format's famous quirk, and exactly what a byte-level parser must
+    get right; the checksum field is carried, not verified (this is a
+    triage pass, not an integrity pass)."""
+    if not isinstance(hdr_off, F.Column):
+        hdr_off = F.lit(hdr_off)
+    name_raw = F.decode(c.substr(hdr_off, F.lit(100)), "UTF-8")
+    name = F.substring_index(name_raw, "\x00", 1)
+    oct_raw = F.decode(c.substr(hdr_off + 124, F.lit(12)), "UTF-8")
+    oct_digits = F.regexp_extract(oct_raw, "^([0-7]+)", 1)
+    size = F.when(
+        oct_digits != "", F.conv(oct_digits, 8, 10).cast("long")
+    )
+    typeflag = F.decode(c.substr(hdr_off + 156, F.lit(1)), "UTF-8")
+    magic_ok = F.hex(c.substr(hdr_off + 257, F.lit(5))) == "7573746172"
+    return name, size, typeflag, magic_ok
+
+
+def with_tar_two_members(
+    df: DataFrame, content: str = "content"
+) -> DataFrame:
+    """Append (magic_ok, name_1, size_1, type_1, name_2, size_2,
+    member2_offset) parsed from a ustar payload's first two members —
+    member 2's header located by the 512-block rounding of member 1's
+    PARSED octal size."""
+    c = F.col(content)
+    n1, sz1, t1, ok = _tar_member(c, 1)
+    m1 = df.select(
+        "*",
+        ok.alias("magic_ok"),
+        n1.alias("name_1"),
+        sz1.alias("size_1"),
+        t1.alias("type_1"),
+        (513 + 512 * ((sz1 + 511) / 512).cast("long")).alias("_m2_off"),
+    )
+    n2, sz2, _t2, _ok2 = _tar_member(c, F.col("_m2_off"))
+    return m1.select(
+        *[col for col in df.columns],
+        "magic_ok",
+        "name_1",
+        "size_1",
+        "type_1",
+        n2.alias("name_2"),
+        sz2.alias("size_2"),
+        (F.col("_m2_off") - 1).alias("member2_offset"),
+    )
+
+
+_TAR_ORACLE = """
+SELECT doc_id AS asset_id,
+       TRUE AS magic_ok,
+       'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS name_1,
+       CAST(1 + doc_id % 1400 AS BIGINT) AS size_1,
+       '0' AS type_1,
+       'meta' || CAST(doc_id AS VARCHAR) || '.json' AS name_2,
+       CAST(10 + doc_id % 200 AS BIGINT) AS size_2,
+       CAST(512 + 512 * (((1 + doc_id % 1400) + 511) // 512)
+            AS BIGINT) AS member2_offset
+FROM documents ORDER BY asset_id
+"""
+
+
+@query("multimodal-tar-meta", oracle=_TAR_ORACLE)
+def multimodal_tar_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ustar/tar member metadata with pure byte expressions — the
+    container LLM training data actually ships in (WebDataset shards
+    ARE tar files of sample members): first two members' names, sizes
+    and type flags plus the block arithmetic that locates member 2 at
+    512·⌈size₁/512⌉ past member 1's data — the shard-manifest pass a
+    data loader runs to index samples without unpacking anything.
+
+    The parse exercises tar's defining quirks: sizes are ASCII OCTAL
+    (conv base 8, cut at the first non-octal byte), names are
+    NUL-terminated fixed fields, the "ustar" magic sits at byte 257,
+    and every header/data unit is 512-aligned — the SECOND member's
+    fields can only be right if the octal parse AND the block rounding
+    of the first were (anti-cancellation by construction: member2_
+    offset in the output is derived from the PARSED size_1). Genuine
+    tarfile-built archives pinned in tests/test_r13_ops.py.
+
+    Scale: map-only, zero shuffle, zero Python — fused into the scan;
+    synthesis + parse Columns cached per SparkContext."""
+    d = load_table(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, "__tar_synth__")
+    cached = _TAR_EXPR_CACHE.get(key)
+    if cached is None:
+        for k in [k for k in _TAR_EXPR_CACHE if k[0] != key[0]]:
+            del _TAR_EXPR_CACHE[k]
+        doc = F.col("doc_id")
+        s1 = 1 + doc % 1400
+        s2 = 10 + doc % 200
+        name1 = F.concat(F.lit("doc"), doc.cast("string"), F.lit(".txt"))
+        name2 = F.concat(F.lit("meta"), doc.cast("string"), F.lit(".json"))
+
+        def field_hex(col_str, nbytes: int):
+            # ASCII field, NUL-padded to width
+            return F.rpad(F.hex(F.encode(col_str, "UTF-8")), nbytes * 2, "0")
+
+        def octal_hex(num, nbytes: int):
+            # 11 octal digits + NUL (the ustar numeric convention)
+            o = F.lpad(F.conv(num.cast("string"), 10, 8), nbytes - 1, "0")
+            return F.concat(F.hex(F.encode(o, "UTF-8")), F.lit("00"))
+
+        def header_hex(name, size):
+            return F.concat(
+                field_hex(name, 100),  # name
+                field_hex(F.lit("0000644"), 8),  # mode
+                field_hex(F.lit("0000000"), 8),  # uid
+                field_hex(F.lit("0000000"), 8),  # gid
+                octal_hex(size, 12),  # size (OCTAL)
+                octal_hex(F.lit(0), 12),  # mtime
+                F.lit("20" * 8),  # chksum: spaces (unverified)
+                F.hex(F.encode(F.lit("0"), "UTF-8")),  # typeflag '0'
+                F.lit("00" * 100),  # linkname
+                F.hex(F.encode(F.lit("ustar"), "UTF-8")),  # magic
+                F.lit("00"),  # magic NUL
+                F.hex(F.encode(F.lit("00"), "UTF-8")),  # version
+                F.lit("00" * (32 + 32 + 8 + 8 + 155 + 12)),  # rest
+            )
+
+        pad1_bytes = 512 * ((s1 + 511) / 512).cast("long")
+        zeros = F.lit("00" * 2048)  # 2048 B covers ceil(1400/512)*512
+        payload_hex = F.concat(
+            header_hex(name1, s1),
+            zeros.substr(F.lit(1), pad1_bytes * 2),
+            header_hex(name2, s2),
+        )
+        cached = {"payload_hex": payload_hex}
+        _TAR_EXPR_CACHE[key] = cached
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.unhex(cached["payload_hex"]).alias("content"),
+    )
+    return (
+        with_tar_two_members(assets)
+        .drop("content")
+        .orderBy("asset_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal-zip-meta — ZIP local-file-header metadata, no inflate
+# ---------------------------------------------------------------------------
+
+_ZIP_EXPR_CACHE: dict[tuple, dict] = {}
+
+
+def with_zip_meta(df: DataFrame, content: str = "content") -> DataFrame:
+    """Append (magic_ok, method, method_name, uncomp_size, comp_size,
+    fname, data_offset) parsed from a ZIP payload's FIRST local file
+    header (APPNOTE 4.3.7 offsets, all little-endian)."""
+    c = F.col(content)
+    magic_ok = F.hex(c.substr(F.lit(1), F.lit(4))) == "504B0304"
+    method = _le_uint(c, F.lit(9), 2)
+    csize = _le_uint(c, F.lit(19), 4)
+    usize = _le_uint(c, F.lit(23), 4)
+    name_len = _le_uint(c, F.lit(27), 2)
+    extra_len = _le_uint(c, F.lit(29), 2)
+    fname = F.decode(c.substr(F.lit(31), name_len.cast("int")), "UTF-8")
+    return df.select(
+        "*",
+        magic_ok.alias("magic_ok"),
+        method.alias("method"),
+        F.when(method == 0, "stored")
+        .when(method == 8, "deflated")
+        .otherwise("other")
+        .alias("method_name"),
+        usize.alias("uncomp_size"),
+        csize.alias("comp_size"),
+        fname.alias("fname"),
+        (30 + name_len + extra_len).alias("data_offset"),
+    )
+
+_ZIP_ORACLE = """
+SELECT doc_id AS asset_id,
+       TRUE AS magic_ok,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 8 END AS BIGINT)
+         AS method,
+       CASE WHEN doc_id % 3 = 0 THEN 'stored' ELSE 'deflated' END
+         AS method_name,
+       CAST(100 + doc_id % 9000 AS BIGINT) AS uncomp_size,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 100 + doc_id % 9000
+                 ELSE (100 + doc_id % 9000) * 2 // 5 END AS BIGINT)
+         AS comp_size,
+       'f' || CAST(doc_id AS VARCHAR) || '.bin' AS fname,
+       CAST(30 + length('f' || CAST(doc_id AS VARCHAR) || '.bin')
+            AS BIGINT) AS data_offset
+FROM documents ORDER BY asset_id
+"""
+
+
+@query("multimodal-zip-meta", oracle=_ZIP_ORACLE)
+def multimodal_zip_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP local-file-header metadata with pure byte expressions — the
+    archive triage pass completing the container family (RIFF × 2,
+    ISO-BMFF, TIFF, tar, GIF/BMP/WEBP/PNG/ICO, FLAC/MP3, now ZIP):
+    compression method, compressed/uncompressed sizes, member name and
+    the computed data offset from the first local header — what an
+    ingestion pipeline reads to route stored-vs-deflated members and
+    to slice a member's bytes without inflating anything.
+
+    Layout (APPNOTE 4.3.7): signature PK\\x03\\x04 (little-endian
+    0x04034b50), method at +8 (2 B LE; 0 = stored, 8 = deflated),
+    sizes at +18/+22 (4 B LE), name length at +26 (2 B LE), name at
+    +30; member data starts at 30 + name_len + extra_len. The emitted
+    data_offset derives from the PARSED name length, and method_name
+    from the PARSED method, so a synthesis bug cannot cancel a parse
+    bug; stored members must satisfy comp = uncomp (mixed 1:2 with
+    deflated ones whose comp is strictly smaller). A genuine
+    zipfile-built archive is pinned in tests/test_r13_ops.py.
+
+    Scale: map-only, zero shuffle, zero Python — fused into the scan;
+    synthesis + parse Columns cached per SparkContext."""
+    d = load_table(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, "__zip_synth__")
+    cached = _ZIP_EXPR_CACHE.get(key)
+    if cached is None:
+        for k in [k for k in _ZIP_EXPR_CACHE if k[0] != key[0]]:
+            del _ZIP_EXPR_CACHE[k]
+        doc = F.col("doc_id")
+        method = F.when(doc % 3 == 0, 0).otherwise(8)
+        usize = 100 + doc % 9000
+        csize = F.when(doc % 3 == 0, usize).otherwise(
+            (usize * 2 / 5).cast("long")
+        )
+        fname = F.concat(F.lit("f"), doc.cast("string"), F.lit(".bin"))
+        hexle2 = lambda c: F.concat(  # noqa: E731
+            F.lpad(F.hex(c % 256), 2, "0"),
+            F.lpad(F.hex((c / 256).cast("long") % 256), 2, "0"),
+        )
+        hexle4 = lambda c: F.concat(  # noqa: E731
+            hexle2(c % 65536), hexle2((c / 65536).cast("long"))
+        )
+        payload_hex = F.concat(
+            F.lit("504B0304"),  # PK\x03\x04
+            hexle2(F.lit(20)),  # version needed
+            hexle2(F.lit(0)),  # flags
+            hexle2(method),
+            hexle2(F.lit(0)),  # mod time
+            hexle2(F.lit(0)),  # mod date
+            hexle4(doc % 4294967296),  # crc32 (carried, unverified)
+            hexle4(csize),
+            hexle4(usize),
+            hexle2(F.length(fname)),
+            hexle2(F.lit(0)),  # extra length
+            F.hex(F.encode(fname, "UTF-8")),
+        )
+        cached = {"payload_hex": payload_hex}
+        _ZIP_EXPR_CACHE[key] = cached
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.unhex(cached["payload_hex"]).alias("content"),
+    )
+    return with_zip_meta(assets).drop("content").orderBy("asset_id")

@@ -1441,3 +1441,144 @@ def sample_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# I80 — sample-ess-weights: importance-weight diagnostics per source
+# ---------------------------------------------------------------------------
+
+_ESS_SCALE = 10**12  # integer weight scale: w = SCALE div n_chars
+_ESS_CLIP_K = 3  # clip screen at K x mean weight
+
+_ESS_ORACLE = f"""
+WITH w AS (
+  SELECT source, doc_id,
+         CAST({_ESS_SCALE} AS BIGINT) // n_chars AS w_int
+  FROM documents WHERE n_chars > 0
+),
+t AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(w_int) AS sum_w,
+         SUM(CAST(w_int AS DECIMAL(38,0)) * w_int) AS sum_w2,
+         MAX(w_int) AS max_w
+  FROM w GROUP BY source
+),
+c AS (
+  SELECT w.source,
+         COUNT(CASE WHEN w.w_int * t.n_docs
+                         > {_ESS_CLIP_K} * t.sum_w THEN 1 END)
+           AS n_clipped,
+         CAST(COALESCE(SUM(CASE WHEN w.w_int * t.n_docs
+                                     > {_ESS_CLIP_K} * t.sum_w
+                                THEN w.w_int END), 0) AS BIGINT)
+           AS clipped_mass
+  FROM w JOIN t ON w.source = t.source
+  GROUP BY w.source
+)
+SELECT t.source,
+       CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(t.sum_w AS BIGINT) AS sum_w,
+       t.max_w,
+       FLOOR(CAST(CAST(t.sum_w AS DECIMAL(38,0)) * t.sum_w AS DOUBLE)
+             / CAST(t.sum_w2 AS DOUBLE) * 1e9 + 0.5) / 1e9 AS ess,
+       FLOOR(CAST(CAST(t.sum_w AS DECIMAL(38,0)) * t.sum_w AS DOUBLE)
+             / CAST(t.sum_w2 AS DOUBLE) / CAST(t.n_docs AS DOUBLE)
+             * 1e9 + 0.5) / 1e9 AS ess_ratio,
+       FLOOR(CAST(t.max_w AS DOUBLE) / CAST(t.sum_w AS DOUBLE)
+             * 1e9 + 0.5) / 1e9 AS max_share,
+       CAST(c.n_clipped AS BIGINT) AS n_clipped,
+       FLOOR(CAST(c.clipped_mass AS DOUBLE) / CAST(t.sum_w AS DOUBLE)
+             * 1e9 + 0.5) / 1e9 AS clipped_mass_share
+FROM t JOIN c ON t.source = c.source
+ORDER BY t.source
+"""
+
+
+@query("sample-ess-weights", oracle=_ESS_ORACLE)
+def sample_ess_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I80: importance-weight diagnostics — effective sample size and
+    clipping screen per source. When a corpus sampled length-biased
+    (proposal ∝ n_chars) must stand in for a uniform target, each doc
+    carries importance weight w ∝ 1/n_chars; before TRUSTING a
+    weighted estimate, a pipeline checks Kish's effective sample size
+    ESS = (Σw)²/Σw², its ratio to n (1 = uniform, →1/n = one doc
+    dominates), the max single-doc weight share, and how many weights
+    a K×mean clip would touch and what weight mass they hold — the
+    standard variance-control readout (PPI/IPW diagnostics) that
+    decides between reweighting and resampling.
+
+    Parity: weights are exact integer quotients (SCALE div n_chars);
+    Σw is BIGINT, Σw² a DECIMAL(38,0) product-sum (the F39 technique —
+    order-free exact arithmetic, no float accumulation anywhere); the
+    clip screen w·n > K·Σw is an exact BIGINT cross-multiply (no
+    rational mean materialized); ESS/ratios are single snapped
+    divisions of exact operands.
+
+    Shape at 100 TB: one groupBy(source) absorbs corpus volume
+    map-side into a sources-bounded totals relation; the clip pass
+    re-joins totals as a BROADCAST (a handful of rows) onto the same
+    map-side weight expression, and its groupBy reuses the source
+    key — two scans of the weight projection, totals never leave
+    metadata scale."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .selectExpr(
+            "source",
+            f"CAST({_ESS_SCALE} AS BIGINT) DIV n_chars AS w_int",
+        )
+    )
+    t = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w_int").cast("long").alias("sum_w"),
+        F.sum(F.expr("CAST(w_int AS DECIMAL(38,0)) * w_int"))
+        .cast("decimal(38,0)")
+        .alias("sum_w2"),
+        F.max("w_int").alias("max_w"),
+    )
+    c = (
+        d.join(F.broadcast(t.select("source", "n_docs", "sum_w")), "source")
+        .groupBy("source")
+        .agg(
+            F.count(
+                F.expr(
+                    f"CASE WHEN w_int * n_docs > {_ESS_CLIP_K} * sum_w"
+                    " THEN 1 END"
+                )
+            )
+            .cast("long")
+            .alias("n_clipped"),
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        f"CASE WHEN w_int * n_docs > {_ESS_CLIP_K} * sum_w"
+                        " THEN w_int END"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("clipped_mass"),
+        )
+    )
+    return (
+        t.join(c, "source")
+        .selectExpr(
+            "source",
+            "n_docs",
+            "sum_w",
+            "max_w",
+            "FLOOR(CAST(CAST(sum_w AS DECIMAL(38,0)) * sum_w AS DOUBLE)"
+            " / CAST(sum_w2 AS DOUBLE) * 1e9 + 0.5) / 1e9 AS ess",
+            "FLOOR(CAST(CAST(sum_w AS DECIMAL(38,0)) * sum_w AS DOUBLE)"
+            " / CAST(sum_w2 AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+            " * 1e9 + 0.5) / 1e9 AS ess_ratio",
+            "FLOOR(CAST(max_w AS DOUBLE) / CAST(sum_w AS DOUBLE)"
+            " * 1e9 + 0.5) / 1e9 AS max_share",
+            "n_clipped",
+            "FLOOR(CAST(clipped_mass AS DOUBLE) / CAST(sum_w AS DOUBLE)"
+            " * 1e9 + 0.5) / 1e9 AS clipped_mass_share",
+        )
+        .orderBy("source")
+    )

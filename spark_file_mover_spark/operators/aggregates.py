@@ -6245,3 +6245,180 @@ def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" WHEN s_stat > 0 THEN 'increasing'"
         f" ELSE 'decreasing' END AS trend",
     )
+
+
+# ---------------------------------------------------------------------------
+# E57 — agg-ratio-delta-ci: delta-method inference for a ratio metric
+# ---------------------------------------------------------------------------
+
+# Shared textual fragments (identical in both engines) over the exact
+# conditional sums: R = Sx/Sy, and the delta-method variance of the
+# ratio-of-sums estimator,
+#   var(R̂) = (Sxx − 2R·Sxy + R²·Syy − n·mv²·(…)) …
+# computed in its numerically direct form
+#   var(R̂) ≈ (vxx − 2R·vxy + R²·vyy) / (n · ȳ²)
+# with vxx = Sxx/n − x̄², vxy = Sxy/n − x̄ȳ, vyy = Syy/n − ȳ².
+def _ratio_frags(a: str) -> dict[str, str]:
+    n = f"CAST(n{a} AS DOUBLE)"
+    sx = f"CAST(sx{a} AS DOUBLE)"
+    sy = f"CAST(sy{a} AS DOUBLE)"
+    sxx = f"CAST(qx{a} AS DOUBLE)"
+    syy = f"CAST(qy{a} AS DOUBLE)"
+    sxy = f"CAST(qxy{a} AS DOUBLE)"
+    r = f"({sx} / {sy})"
+    mx, my = f"({sx} / {n})", f"({sy} / {n})"
+    vxx = f"({sxx} / {n} - {mx} * {mx})"
+    vyy = f"({syy} / {n} - {my} * {my})"
+    vxy = f"({sxy} / {n} - {mx} * {my})"
+    var = (
+        f"(({vxx} - 2.0 * {r} * {vxy} + {r} * {r} * {vyy})"
+        f" / ({n} * {my} * {my}))"
+    )
+    return {"r": r, "var": var}
+
+
+_RD_F0 = _ratio_frags("0")
+_RD_F1 = _ratio_frags("1")
+_RD_GUARD = "n0 >= 2 AND n1 >= 2 AND sy0 > 0 AND sy1 > 0"
+
+_RATIO_DELTA_ORACLE = f"""
+WITH per_user AS (
+  SELECT {MD5_PREFIX60_SQL.format(x="CAST(user_id AS VARCHAR)")} % 2
+           AS v,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
+              AS BIGINT) AS xc,
+         CAST(COUNT(*) AS BIGINT) AS yc
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT
+    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(COALESCE(SUM(CASE WHEN v = 0 THEN xc END), 0)
+         AS DECIMAL(38,0)) AS sx0,
+    CAST(COALESCE(SUM(CASE WHEN v = 1 THEN xc END), 0)
+         AS DECIMAL(38,0)) AS sx1,
+    CAST(COALESCE(SUM(CASE WHEN v = 0 THEN yc END), 0)
+         AS DECIMAL(38,0)) AS sy0,
+    CAST(COALESCE(SUM(CASE WHEN v = 1 THEN yc END), 0)
+         AS DECIMAL(38,0)) AS sy1,
+    CAST(COALESCE(SUM(CASE WHEN v = 0 THEN CAST(xc AS DECIMAL(38,0))
+                           * xc END), 0) AS DECIMAL(38,0)) AS qx0,
+    CAST(COALESCE(SUM(CASE WHEN v = 1 THEN CAST(xc AS DECIMAL(38,0))
+                           * xc END), 0) AS DECIMAL(38,0)) AS qx1,
+    CAST(COALESCE(SUM(CASE WHEN v = 0 THEN CAST(yc AS DECIMAL(38,0))
+                           * yc END), 0) AS DECIMAL(38,0)) AS qy0,
+    CAST(COALESCE(SUM(CASE WHEN v = 1 THEN CAST(yc AS DECIMAL(38,0))
+                           * yc END), 0) AS DECIMAL(38,0)) AS qy1,
+    CAST(COALESCE(SUM(CASE WHEN v = 0 THEN CAST(xc AS DECIMAL(38,0))
+                           * yc END), 0) AS DECIMAL(38,0)) AS qxy0,
+    CAST(COALESCE(SUM(CASE WHEN v = 1 THEN CAST(xc AS DECIMAL(38,0))
+                           * yc END), 0) AS DECIMAL(38,0)) AS qxy1
+  FROM per_user
+)
+SELECT n0, n1,
+       CAST(sx0 AS BIGINT) AS sum_num_0,
+       CAST(sx1 AS BIGINT) AS sum_num_1,
+       CAST(sy0 AS BIGINT) AS sum_den_0,
+       CAST(sy1 AS BIGINT) AS sum_den_1,
+       CASE WHEN sy0 > 0 THEN
+         FLOOR({_RD_F0["r"]} * 1e9 + 0.5) / 1e9 END AS ratio_0,
+       CASE WHEN sy1 > 0 THEN
+         FLOOR({_RD_F1["r"]} * 1e9 + 0.5) / 1e9 END AS ratio_1,
+       CASE WHEN {_RD_GUARD} THEN
+         FLOOR(SQRT({_RD_F0["var"]}) * 1e9 + 0.5) / 1e9 END AS se_0,
+       CASE WHEN {_RD_GUARD} THEN
+         FLOOR(SQRT({_RD_F1["var"]}) * 1e9 + 0.5) / 1e9 END AS se_1,
+       CASE WHEN {_RD_GUARD}
+                 AND {_RD_F0["var"]} + {_RD_F1["var"]} > 0 THEN
+         FLOOR(({_RD_F1["r"]} - {_RD_F0["r"]})
+               / SQRT({_RD_F0["var"]} + {_RD_F1["var"]})
+               * 1e9 + 0.5) / 1e9 END AS z
+FROM m
+"""
+
+
+@query("agg-ratio-delta-ci", oracle=_RATIO_DELTA_ORACLE)
+def agg_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E57: delta-method inference for a RATIO metric (revenue per
+    event) between two hash-split arms — the experimentation family's
+    missing member: E30's Welch test covers per-user MEANS, but most
+    product metrics are ratios of sums (revenue/session, CTR,
+    items/order) whose denominator is itself random, so the naive
+    per-user t-test is wrong and the standard correction (Deng et al.
+    2013, the delta method) expands var(Σx/Σy) around the means:
+    var(R̂) ≈ (var x − 2R·cov(x,y) + R²·var y) / (n·ȳ²). Emits both
+    arms' ratio, delta-method SE, and the two-sample z for the ratio
+    difference.
+
+    Parity: per-user numerators are exact cents (the E30 DECIMAL
+    discipline), denominators exact counts; all five sufficient
+    statistics per arm (Σx, Σy, Σx², Σy², Σxy) are DECIMAL(38,0)
+    conditional sums — order-free exact integer arithmetic; every
+    ratio/SE/z is a shared textual double expression over those exact
+    operands, snapped at 9 dp; degenerate arms (n < 2 or zero
+    denominator mass) yield NULLs identically in both engines.
+
+    Shape at 100 TB: the E30 plan — one per-user groupBy absorbs
+    event volume map-side, ONE conditional aggregate collapses users
+    to a single sufficient-statistics row (partial aggregation does
+    the work; nothing but one row crosses the final exchange)."""
+    e = load_table(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.coalesce(F.sum(dec("value") * 100), F.lit(0))
+        .cast("long")
+        .alias("xc"),
+        F.count("*").cast("long").alias("yc"),
+    )
+    pv = pu.select(
+        F.pmod(
+            md5_prefix60(F.col("user_id").cast("string")), F.lit(2)
+        ).alias("v"),
+        "xc",
+        "yc",
+    )
+
+    def _csum(cond: str, expr: str) -> F.Column:
+        return F.coalesce(
+            F.sum(F.expr(f"CASE WHEN {cond} THEN {expr} END")), F.lit(0)
+        ).cast("decimal(38,0)")
+
+    m = pv.agg(
+        F.sum(F.expr("CASE WHEN v = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.expr("CASE WHEN v = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n1"),
+        _csum("v = 0", "xc").alias("sx0"),
+        _csum("v = 1", "xc").alias("sx1"),
+        _csum("v = 0", "yc").alias("sy0"),
+        _csum("v = 1", "yc").alias("sy1"),
+        _csum("v = 0", "CAST(xc AS DECIMAL(38,0)) * xc").alias("qx0"),
+        _csum("v = 1", "CAST(xc AS DECIMAL(38,0)) * xc").alias("qx1"),
+        _csum("v = 0", "CAST(yc AS DECIMAL(38,0)) * yc").alias("qy0"),
+        _csum("v = 1", "CAST(yc AS DECIMAL(38,0)) * yc").alias("qy1"),
+        _csum("v = 0", "CAST(xc AS DECIMAL(38,0)) * yc").alias("qxy0"),
+        _csum("v = 1", "CAST(xc AS DECIMAL(38,0)) * yc").alias("qxy1"),
+    )
+    return m.selectExpr(
+        "n0",
+        "n1",
+        "CAST(sx0 AS BIGINT) AS sum_num_0",
+        "CAST(sx1 AS BIGINT) AS sum_num_1",
+        "CAST(sy0 AS BIGINT) AS sum_den_0",
+        "CAST(sy1 AS BIGINT) AS sum_den_1",
+        f"CASE WHEN sy0 > 0 THEN"
+        f" FLOOR({_RD_F0['r']} * 1e9 + 0.5) / 1e9 END AS ratio_0",
+        f"CASE WHEN sy1 > 0 THEN"
+        f" FLOOR({_RD_F1['r']} * 1e9 + 0.5) / 1e9 END AS ratio_1",
+        f"CASE WHEN {_RD_GUARD} THEN"
+        f" FLOOR(SQRT({_RD_F0['var']}) * 1e9 + 0.5) / 1e9 END AS se_0",
+        f"CASE WHEN {_RD_GUARD} THEN"
+        f" FLOOR(SQRT({_RD_F1['var']}) * 1e9 + 0.5) / 1e9 END AS se_1",
+        f"CASE WHEN {_RD_GUARD}"
+        f" AND {_RD_F0['var']} + {_RD_F1['var']} > 0 THEN"
+        f" FLOOR(({_RD_F1['r']} - {_RD_F0['r']})"
+        f" / SQRT({_RD_F0['var']} + {_RD_F1['var']})"
+        f" * 1e9 + 0.5) / 1e9 END AS z",
+    )

@@ -3739,3 +3739,405 @@ def window_parkinson_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" / CAST(n AS DOUBLE) / {_PK_4LN2})"
         f" * 1e9 + 0.5) / 1e9 END AS parkinson_sigma",
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# F40 — MACD (moving average convergence/divergence) over the daily series
+# ---------------------------------------------------------------------------
+
+# Truncated-lag EMA horizons. The textbook EMA is an order-dependent
+# recursion (the F12 caveat); the distributable form is the finite
+# convolution ema_t = Σ_k w_k·x_{t-k} / Σ_k w_k (present-mass
+# normalized), with w_k = α(1-α)^k truncated at K lags. K is chosen so
+# the dropped tail mass is small and DOCUMENTED: (1-α)^K = (25/27)^40
+# ≈ 4.6% for the slow EMA, (11/13)^40 ≈ 0.12% fast, (7/9)^24 ≈ 0.24%
+# for the signal. Both engines evaluate the SAME Python-generated
+# textual arithmetic over the SAME once-extracted lag columns, so the
+# truncation is part of the operator's definition, not an
+# approximation mismatch.
+_MACD_FAST_N = 12
+_MACD_SLOW_N = 26
+_MACD_SIGNAL_N = 9
+_MACD_K = 40
+_MACD_SIG_K = 24
+
+
+def _lag_layer(col: str, prefix: str, terms: int) -> list[str]:
+    """One SELECT layer extracting each lag exactly once: ``LAG(col, k)
+    OVER (ORDER BY day) AS {prefix}{k}``. Extracting lags into named
+    columns BEFORE the weight chains matters for latency, not values:
+    inlining the LAG calls put ~160 window expressions through the
+    analyzer per build (4 chains × 40 terms before dedup), ~2× the
+    whole key's budget in plan time; as column refs the window has
+    exactly ``terms`` expressions and the chains are plain arithmetic."""
+    return [
+        f"LAG({col}, {k}) OVER (ORDER BY day) AS {prefix}{k}"
+        for k in range(terms)
+    ]
+
+
+def _ema_frags(prefix: str, period: int, terms: int) -> tuple[str, str]:
+    """(numerator, denominator) SQL fragments of the truncated-lag EMA
+    over the ``{prefix}k`` lag columns — identical text for both
+    engines. Weights are repr'd Python floats wrapped in explicit
+    DOUBLE casts (a bare decimal literal parses as DECIMAL in both
+    engines, and Spark's decimal-sum precision rules then TRUNCATE the
+    denominator chain to 6 fractional digits — observed as a 1e-6
+    relative skew on every EMA), so both engines sum identical
+    doubles in identical order."""
+    alpha = 2.0 / (period + 1.0)
+    num, den = [], []
+    for k in range(terms):
+        w = f"CAST({repr(alpha * (1.0 - alpha) ** k)} AS DOUBLE)"
+        lag = f"{prefix}{k}"
+        num.append(f"{w} * COALESCE(CAST({lag} AS DOUBLE), 0.0)")
+        den.append(f"CASE WHEN {lag} IS NOT NULL THEN {w} ELSE 0.0 END")
+    return " + ".join(num), " + ".join(den)
+
+
+def _macd_exprs() -> tuple[str, str, str]:
+    """(fast, slow, signal) snapped EMA expressions shared by the Spark
+    build and the DuckDB oracle; fast/slow read the ``l{k}`` cents-lag
+    columns, signal the ``m{k}`` macd-lag columns."""
+    nf, df_ = _ema_frags("l", _MACD_FAST_N, _MACD_K)
+    ns, ds = _ema_frags("l", _MACD_SLOW_N, _MACD_K)
+    fast = f"FLOOR(({nf}) / ({df_}) * 1e6 + 0.5) / 1e6"
+    slow = f"FLOOR(({ns}) / ({ds}) * 1e6 + 0.5) / 1e6"
+    nsig, dsig = _ema_frags("m", _MACD_SIGNAL_N, _MACD_SIG_K)
+    signal = f"FLOOR(({nsig}) / ({dsig}) * 1e6 + 0.5) / 1e6"
+    return fast, slow, signal
+
+
+def _macd_oracle() -> str:
+    fast, slow, signal = _macd_exprs()
+    lags1 = ",\n         ".join(_lag_layer("cents", "l", _MACD_K))
+    lags2 = ",\n         ".join(_lag_layer("macd", "m", _MACD_SIG_K))
+    return f"""
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
+              AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+l AS (
+  SELECT day, cents,
+         {lags1}
+  FROM d
+),
+m AS (
+  SELECT day, cents, ({fast}) - ({slow}) AS macd FROM l
+),
+ml AS (
+  SELECT day, cents, macd,
+         {lags2}
+  FROM m
+),
+s AS (
+  SELECT day, cents, macd, {signal} AS signal_line FROM ml
+)
+SELECT STRFTIME(TIMESTAMP '1970-01-01' + INTERVAL (day) DAY, '%Y-%m-%d')
+         AS day_str,
+       cents, macd, signal_line,
+       macd - signal_line AS histogram,
+       CASE WHEN macd - signal_line > 0 THEN 'bullish'
+            WHEN macd - signal_line < 0 THEN 'bearish'
+            ELSE 'flat' END AS state
+FROM s ORDER BY day
+"""
+
+
+@query("window-macd", oracle=_macd_oracle())
+def window_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F40: MACD(12, 26, 9) over the daily revenue series — the
+    trend-following momentum readout that completes the finance-window
+    family's classic stack (OHLC level, Bollinger envelope, RSI
+    gain/loss balance, Parkinson range volatility, MACD trend): fast
+    EMA minus slow EMA, its own 9-period EMA as the signal line, and
+    their difference as the histogram whose SIGN is the bullish /
+    bearish state.
+
+    EMAs are the truncated-lag convolution form (the F12 EWMA
+    technique — the recursive definition is inherently serial and
+    partition-order-dependent; the finite convolution is a pure window
+    expression). Truncation horizons and dropped tail mass are
+    declared constants (≈4.6% worst-case on the slow EMA); BOTH
+    engines extract the same lag columns then evaluate the same
+    Python-generated textual chain over them, weights baked as repr'd
+    double literals (the embed-random-projection literal-parity
+    technique), so every product and left-to-right sum is
+    IEEE-identical cross-engine. Each EMA is snapped to 6 dp BEFORE
+    macd/signal subtraction, making the derived columns exact
+    differences of snapped values.
+
+    Shape at 100 TB: the F30/F32/F33 discipline — events collapse
+    map-side to the calendar-bounded day relation (one exchange);
+    both lag layers are ORDER BY day windows over ~365 rows/year
+    sharing one sort; the weight chains are plain projections over
+    the extracted columns (see _lag_layer for why extraction is a
+    latency requirement, not a style choice)."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias(
+            "day"
+        )
+    ).agg(
+        F.coalesce(F.sum(dec("value") * 100), F.lit(0))
+        .cast("long")
+        .alias("cents")
+    )
+    fast, slow, signal = _macd_exprs()
+    l = d.selectExpr("day", "cents", *_lag_layer("cents", "l", _MACD_K))
+    m = l.selectExpr("day", "cents", f"({fast}) - ({slow}) AS macd")
+    ml = m.selectExpr(
+        "day", "cents", "macd", *_lag_layer("macd", "m", _MACD_SIG_K)
+    )
+    s = ml.selectExpr(
+        "day", "cents", "macd", f"{signal} AS signal_line"
+    )
+    return s.selectExpr(
+        "date_format(timestamp_micros(day * 86400000000), 'yyyy-MM-dd')"
+        " AS day_str",
+        "cents",
+        "macd",
+        "signal_line",
+        "macd - signal_line AS histogram",
+        "CASE WHEN macd - signal_line > 0 THEN 'bullish'"
+        " WHEN macd - signal_line < 0 THEN 'bearish'"
+        " ELSE 'flat' END AS state",
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# F41 — stochastic oscillator (%K / %D) over the daily series
+# ---------------------------------------------------------------------------
+
+_STOCH_N = 14  # %K lookback
+_STOCH_D = 3  # %D smoothing
+_STOCH_HI_NANO = 80 * 10**9  # zone thresholds at the nano scale
+_STOCH_LO_NANO = 20 * 10**9
+
+# %K at the NANO-INTEGER scale, shared verbatim by both engines:
+# position of today's close inside the N-day low/high channel. Kept
+# integer so the %D smoothing window sums BIGINTs (exact, association-
+# free) — a window SUM over doubles may associate differently across
+# engines (segment-tree vs running accumulation), which a snapped
+# single division cannot repair.
+_STOCH_KNANO_EXPR = (
+    "CASE WHEN hi > lo THEN"
+    " CAST(FLOOR((100.0 * CAST(cents - lo AS DOUBLE)"
+    " / CAST(hi - lo AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) END"
+)
+
+_STOCH_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
+              AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT day, cents,
+         MIN(cents) OVER f AS lo,
+         MAX(cents) OVER f AS hi
+  FROM d
+  WINDOW f AS (ORDER BY day
+               ROWS BETWEEN {_STOCH_N - 1} PRECEDING AND CURRENT ROW)
+),
+k AS (
+  SELECT day, cents, lo, hi, {_STOCH_KNANO_EXPR} AS k_nano FROM c
+),
+s AS (
+  SELECT day, cents, lo, hi, k_nano,
+         SUM(k_nano) OVER g AS sk,
+         COUNT(k_nano) OVER g AS nk
+  FROM k
+  WINDOW g AS (ORDER BY day
+               ROWS BETWEEN {_STOCH_D - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT STRFTIME(TIMESTAMP '1970-01-01' + INTERVAL (day) DAY, '%Y-%m-%d')
+         AS day_str,
+       cents, lo AS low_cents, hi AS high_cents,
+       CAST(k_nano AS DOUBLE) / 1e9 AS k_pct,
+       CASE WHEN nk > 0 THEN
+         FLOOR(CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE) / 1e9 * 1e9 + 0.5)
+           / 1e9 END AS d_pct,
+       CASE WHEN k_nano IS NULL THEN 'undefined'
+            WHEN k_nano >= {_STOCH_HI_NANO} THEN 'overbought'
+            WHEN k_nano <= {_STOCH_LO_NANO} THEN 'oversold'
+            ELSE 'neutral' END AS zone
+FROM s ORDER BY day
+"""
+
+
+@query("window-stochastic-osc", oracle=_STOCH_ORACLE)
+def window_stochastic_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F41: stochastic oscillator %K/%D (Lane) over the daily revenue
+    series — where today's close sits inside the 14-day low/high
+    channel (0 = at the low, 100 = at the high), smoothed over 3 days
+    for the %D signal; the range-position momentum readout that
+    complements RSI's gain/loss balance (F33) with CHANNEL position.
+
+    Parity: lo/hi are exact BIGINT MIN/MAX frames; %K is computed at
+    the nano-INTEGER scale (one snapped division over exact operands,
+    shared textual fragment, then floored to BIGINT) so the %D window
+    sums BIGINTs — exact and association-free, where a window SUM over
+    doubles may associate differently across engines; %D is then one
+    snapped division of exact operands. Zones compare the integer
+    k_nano against integer thresholds. A flat channel (hi = lo) yields
+    NULL %K and 'undefined', never a division by zero.
+
+    Shape at 100 TB: one map-side collapse to the day relation, then
+    two ORDER BY day frames over ~365 rows/year — the F33 plan with a
+    MIN/MAX frame instead of the gain/loss sums."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias(
+            "day"
+        )
+    ).agg(
+        F.coalesce(F.sum(dec("value") * 100), F.lit(0))
+        .cast("long")
+        .alias("cents")
+    )
+    f = W.orderBy("day").rowsBetween(-(_STOCH_N - 1), W.currentRow)
+    c = d.select(
+        "day",
+        "cents",
+        F.min("cents").over(f).alias("lo"),
+        F.max("cents").over(f).alias("hi"),
+    )
+    k = c.selectExpr(
+        "day", "cents", "lo", "hi", f"{_STOCH_KNANO_EXPR} AS k_nano"
+    )
+    g = W.orderBy("day").rowsBetween(-(_STOCH_D - 1), W.currentRow)
+    s = k.withColumn("sk", F.sum("k_nano").over(g)).withColumn(
+        "nk", F.count("k_nano").over(g)
+    )
+    return s.selectExpr(
+        "date_format(timestamp_micros(day * 86400000000), 'yyyy-MM-dd')"
+        " AS day_str",
+        "cents",
+        "lo AS low_cents",
+        "hi AS high_cents",
+        "CAST(k_nano AS DOUBLE) / 1e9 AS k_pct",
+        "CASE WHEN nk > 0 THEN"
+        " FLOOR(CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE) / 1e9 * 1e9 + 0.5)"
+        " / 1e9 END AS d_pct",
+        f"CASE WHEN k_nano IS NULL THEN 'undefined'"
+        f" WHEN k_nano >= {_STOCH_HI_NANO} THEN 'overbought'"
+        f" WHEN k_nano <= {_STOCH_LO_NANO} THEN 'oversold'"
+        f" ELSE 'neutral' END AS zone",
+    ).orderBy("day")
+
+
+
+
+# ---------------------------------------------------------------------------
+# F42 — Ulcer Index: rolling RMS drawdown depth over the daily series
+# ---------------------------------------------------------------------------
+
+_ULCER_N = 14  # rolling window, matches the F33/F41 momentum horizon
+
+_ULCER_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
+              AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT day, cents,
+         MAX(cents) OVER (ORDER BY day) AS peak
+  FROM d
+),
+b AS (
+  SELECT day, cents, peak,
+         CASE WHEN peak > 0 THEN
+           CAST(FLOOR(10000.0 * CAST(peak - cents AS DOUBLE)
+                      / CAST(peak AS DOUBLE) + 0.5) AS BIGINT)
+         END AS dd_bp
+  FROM p
+),
+u AS (
+  SELECT day, cents, peak, dd_bp,
+         SUM(dd_bp * dd_bp) OVER f AS sq,
+         COUNT(dd_bp) OVER f AS n
+  FROM b
+  WINDOW f AS (ORDER BY day
+               ROWS BETWEEN {_ULCER_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT STRFTIME(TIMESTAMP '1970-01-01' + INTERVAL (day) DAY, '%Y-%m-%d')
+         AS day_str,
+       cents, peak, dd_bp, n AS n_window,
+       CASE WHEN n > 0 THEN
+         FLOOR(SQRT(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0
+               * 1e9 + 0.5) / 1e9 END AS ulcer_pct
+FROM u ORDER BY day
+"""
+
+
+@query("window-ulcer-index", oracle=_ULCER_ORACLE)
+def window_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F42: Ulcer Index (Martin & McCann 1989) over the daily revenue
+    series — the root-mean-square of the last 14 days' percentage
+    drawdowns below the running peak. Where F30's drawdown profile
+    reports the CURRENT depth and the all-time maximum, the Ulcer
+    Index integrates depth × duration into one rolling pain score
+    (sitting 5% under the peak for two weeks hurts more than a one-day
+    5% dip — max-drawdown can't see the difference), the denominator
+    of the Martin ratio risk adjustment.
+
+    Parity: the running peak and the per-day drawdown are exact BIGINT
+    window arithmetic; depth is floored to integer BASIS POINTS by one
+    snapped division, so the rolling Σdd² / count frame sums BIGINTs —
+    exact and association-free (the F41 lesson: window SUMs over
+    doubles may associate differently across engines); the final
+    √(mean)/100 is a single textual expression over exact operands,
+    snapped to 9 dp. A zero peak prefix yields NULL depth in both
+    engines and falls out of the frame count.
+
+    Shape at 100 TB: the F30/F32/F33/F41 discipline — events collapse
+    map-side to the calendar-bounded day relation (one exchange); the
+    cumulative peak and the 14-row RMS frame share the single ORDER BY
+    day sort over ~365 rows/year."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias(
+            "day"
+        )
+    ).agg(
+        F.coalesce(F.sum(dec("value") * 100), F.lit(0))
+        .cast("long")
+        .alias("cents")
+    )
+    cum = W.orderBy("day")
+    b = d.select(
+        "day", "cents", F.max("cents").over(cum).alias("peak")
+    ).selectExpr(
+        "day",
+        "cents",
+        "peak",
+        "CASE WHEN peak > 0 THEN"
+        " CAST(FLOOR(10000.0 * CAST(peak - cents AS DOUBLE)"
+        " / CAST(peak AS DOUBLE) + 0.5) AS BIGINT) END AS dd_bp",
+    )
+    f = W.orderBy("day").rowsBetween(-(_ULCER_N - 1), W.currentRow)
+    u = b.select(
+        "day",
+        "cents",
+        "peak",
+        "dd_bp",
+        F.sum(F.expr("dd_bp * dd_bp")).over(f).alias("sq"),
+        F.count("dd_bp").over(f).alias("n"),
+    )
+    return u.selectExpr(
+        "date_format(timestamp_micros(day * 86400000000), 'yyyy-MM-dd')"
+        " AS day_str",
+        "cents",
+        "peak",
+        "dd_bp",
+        "n AS n_window",
+        "CASE WHEN n > 0 THEN"
+        " FLOOR(SQRT(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0"
+        " * 1e9 + 0.5) / 1e9 END AS ulcer_pct",
+    ).orderBy("day")

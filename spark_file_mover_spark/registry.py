@@ -67,7 +67,11 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # r9-r12 cuts were exactly 50), so ``load_all`` rebuilds the registry
 # dict in this order after all modules import:
 #
-#   0. Keys whose CODE or OUTPUT changed and that the driver has not
+#   0. The 10 r13-NEW keys (no driver row ever): the finance
+#      windows (macd / stochastic-osc / ulcer-index), the ratio
+#      delta-method CI, fn-uuid3, the ESS/clip weight diagnostics,
+#      embedding centroid drift, and the AVI/tar/ZIP container
+#      parsers. Then keys whose CODE or OUTPUT changed and that the driver has not
 #      re-scored since: multimodal-image-exif (r13 layered-hop
 #      rewrite of the IFD walk — output unchanged but the plan is
 #      new), then fn-math and sink-bucketed (r12 perf rewrites that
@@ -85,6 +89,16 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # --list` with never-scored + structurally-changed keys at the HEAD;
 # new r13 operators must be PREPENDED here as they land.
 _PRIORITY_R13 = [
+    "window-macd",
+    "window-stochastic-osc",
+    "window-ulcer-index",
+    "agg-ratio-delta-ci",
+    "fn-uuid3",
+    "sample-ess-weights",
+    "embed-centroid-drift",
+    "multimodal-avi-meta",
+    "multimodal-tar-meta",
+    "multimodal-zip-meta",
     "multimodal-image-exif",
     "fn-math",
     "sink-bucketed",

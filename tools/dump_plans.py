@@ -30,6 +30,16 @@ from spark_file_mover_spark.checkpoints import lazy_checkpoints  # noqa: E402
 from spark_file_mover_spark.session import get_spark  # noqa: E402
 
 NOTES = {
+    "window-macd": "Truncated-lag EMA convolutions (40 cents-lags + 24 macd-lags, one sort, lags extracted ONCE as columns before the weight chains — inlined LAGs cost ~2x the key's budget in analyzer time); day collapse absorbs events map-side; chains are plain projections, bit-identical text both engines.",
+    "window-stochastic-osc": "Day collapse then two ORDER BY day frames (14-day MIN/MAX channel, 3-day %D); %K floored to nano-integers so the %D frame sums BIGINTs (association-free).",
+    "window-ulcer-index": "Running-peak + 14-day RMS drawdown frames share one day sort; depth floored to integer basis points so the rolling sum-of-squares is exact BIGINT.",
+    "agg-ratio-delta-ci": "Per-user groupBy absorbs events map-side; ONE conditional aggregate emits a single row of ten DECIMAL(38,0) sufficient statistics; delta-method SE/z are shared textual chains over exact operands.",
+    "fn-uuid3": "Map-only md5 + string surgery fused into the scan (version/variant nibble rewrite, mod-32 shard); zero shuffle; presentation sort only.",
+    "sample-ess-weights": "groupBy(source) collapses corpus volume to a sources-bounded totals relation; clip pass re-joins totals as a broadcast; ESS from exact BIGINT/DECIMAL(38,0) sums.",
+    "embed-centroid-drift": "posexplode fans 64 dims map-side; ONE groupBy to the labels x 2 x 64 integer sums relation; the period self-join + per-label fold are metadata-scale; fixed-point 1e6 quantization keeps every sum exact.",
+    "multimodal-avi-meta": "RIFF chunk walk (per-hop Generate barriers, LE reads) to the avih header inside LIST/hdrl; map-only, zero shuffle, zero Python; fps derived from the PARSED period.",
+    "multimodal-tar-meta": "Map-only ustar parse: octal sizes via conv(base 8), NUL-cut names, 512-block rounding locating member 2 from the PARSED size-1; zero shuffle, zero Python.",
+    "multimodal-zip-meta": "Map-only LE reads at APPNOTE local-header offsets; data offset from the PARSED name length; zero shuffle, zero Python.",
     "agg-hash": "Filter pushed to scan; partial+final hash agg on 2 low-cardinality keys; shuffle carries 6 groups.",
     "join-multiway-star": "Date range pushed to the orders scan; region/nation broadcast by hint, customer/orders broadcast by AQE at this SF (SMJ on orderkey at real ratios); single agg shuffle.",
     "join-inner-equi": "Status filter pushed; planner-chosen join (broadcast here, SMJ at scale).",
