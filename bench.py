@@ -369,6 +369,12 @@ HEADLINE = [
     "multimodal-avi-meta",
     "multimodal-tar-meta",
     "multimodal-zip-meta",
+    "agg-poisson-rate-test",
+    "agg-diff-in-diff",
+    "fn-semver-compare",
+    "fn-jwt-parse",
+    "text-boilerplate-lines",
+    "multimodal-ogg-meta",
 ]
 
 

@@ -1412,3 +1412,325 @@ def fn_uuid3(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + instr('0123456789abcdef', substr(md5_hex, 2, 1)) - 1) % 32"
         " AS BIGINT) AS shard32",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# G18 — fn-semver-compare: SemVer 2.0 precedence
+# ---------------------------------------------------------------------------
+
+# Shared regex (both engines, identical text): maj.min.patch with an
+# optional single prerelease identifier. Deliberately BACKSLASH-FREE
+# ([0-9] for \d, [.] for \.): Spark's SQL string literals consume
+# backslash escapes while DuckDB's do not, so any regex containing a
+# backslash cannot be one shared literal — character classes can.
+_SEMVER_RE = "^([0-9]+)[.]([0-9]+)[.]([0-9]+)(?:-([0-9A-Za-z]+))?$"
+
+# SemVer 2.0 §11 precedence over the parsed fields, one shared CASE
+# chain: numeric core first; a prerelease version precedes its
+# release; numeric identifiers compare numerically and are LOWER than
+# alphanumeric ones, alphanumerics compare lexically (ASCII).
+_SEMVER_CMP = """
+CASE
+  WHEN maj_a <> maj_b THEN CASE WHEN maj_a < maj_b THEN -1 ELSE 1 END
+  WHEN min_a <> min_b THEN CASE WHEN min_a < min_b THEN -1 ELSE 1 END
+  WHEN pat_a <> pat_b THEN CASE WHEN pat_a < pat_b THEN -1 ELSE 1 END
+  WHEN pre_a = '' AND pre_b = '' THEN 0
+  WHEN pre_a = '' THEN 1
+  WHEN pre_b = '' THEN -1
+  WHEN pre_na IS NOT NULL AND pre_nb IS NOT NULL THEN
+    CASE WHEN pre_na < pre_nb THEN -1
+         WHEN pre_na > pre_nb THEN 1 ELSE 0 END
+  WHEN pre_na IS NOT NULL THEN -1
+  WHEN pre_nb IS NOT NULL THEN 1
+  WHEN pre_a < pre_b THEN -1
+  WHEN pre_a > pre_b THEN 1
+  ELSE 0
+END
+"""
+
+_SEMVER_ORACLE = f"""
+WITH v AS (
+  SELECT p_partkey AS pkg_id,
+         CAST(1 + p_partkey % 4 AS VARCHAR) || '.'
+           || CAST(p_partkey % 10 AS VARCHAR) || '.'
+           || CAST(p_partkey % 6 AS VARCHAR)
+           || CASE p_partkey % 5 WHEN 0 THEN '-alpha'
+                WHEN 1 THEN '-beta' WHEN 2 THEN '-rc'
+                WHEN 3 THEN '-' || CAST(p_partkey % 9 AS VARCHAR)
+                ELSE '' END AS ver_a,
+         CAST(1 + (p_partkey + 2) % 4 AS VARCHAR) || '.'
+           || CAST((p_partkey + 3) % 10 AS VARCHAR) || '.'
+           || CAST((p_partkey + 1) % 6 AS VARCHAR)
+           || CASE (p_partkey + 1) % 5 WHEN 0 THEN '-alpha'
+                WHEN 1 THEN '-beta' WHEN 2 THEN '-rc'
+                WHEN 3 THEN '-' || CAST((p_partkey + 4) % 9 AS VARCHAR)
+                ELSE '' END AS ver_b
+  FROM part
+),
+p AS (
+  SELECT pkg_id, ver_a, ver_b,
+         CAST(regexp_extract(ver_a, '{_SEMVER_RE}', 1) AS BIGINT) AS maj_a,
+         CAST(regexp_extract(ver_a, '{_SEMVER_RE}', 2) AS BIGINT) AS min_a,
+         CAST(regexp_extract(ver_a, '{_SEMVER_RE}', 3) AS BIGINT) AS pat_a,
+         regexp_extract(ver_a, '{_SEMVER_RE}', 4) AS pre_a,
+         TRY_CAST(regexp_extract(ver_a, '{_SEMVER_RE}', 4) AS BIGINT)
+           AS pre_na,
+         CAST(regexp_extract(ver_b, '{_SEMVER_RE}', 1) AS BIGINT) AS maj_b,
+         CAST(regexp_extract(ver_b, '{_SEMVER_RE}', 2) AS BIGINT) AS min_b,
+         CAST(regexp_extract(ver_b, '{_SEMVER_RE}', 3) AS BIGINT) AS pat_b,
+         regexp_extract(ver_b, '{_SEMVER_RE}', 4) AS pre_b,
+         TRY_CAST(regexp_extract(ver_b, '{_SEMVER_RE}', 4) AS BIGINT)
+           AS pre_nb
+  FROM v
+)
+SELECT pkg_id, ver_a, ver_b,
+       maj_a, min_a, pat_a, pre_a,
+       CAST({_SEMVER_CMP} AS BIGINT) AS cmp,
+       ({_SEMVER_CMP}) < 0 AS is_upgrade,
+       maj_b > maj_a AS is_breaking
+FROM p ORDER BY pkg_id
+"""
+
+
+@query("fn-semver-compare", oracle=_SEMVER_ORACLE)
+def fn_semver_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G18: SemVer 2.0 parsing and precedence (semver.org §11) — the
+    version-comparison primitive dependency/artifact analytics need:
+    parse maj.min.patch(-prerelease), compare two versions with the
+    full precedence rules (numeric core → release beats its own
+    prerelease → numeric prerelease identifiers sort numerically and
+    BELOW alphanumeric ones, which sort lexically), flag upgrades and
+    major-version breaks. String sort gets every one of these wrong
+    ('1.10.0' < '1.9.0', '1.0.0-rc' > '1.0.0').
+
+    Parity: one shared regex extracts the fields in both engines; the
+    precedence CASE chain is a single shared textual expression over
+    the extracted columns (TRY_CAST gives NULL for alphanumeric
+    prerelease ids — the numeric-vs-alpha discriminator); outputs are
+    exact integers/booleans/strings, no floats anywhere.
+
+    Shape at 100 TB: map-only — regex + CASE fused into the scan,
+    zero shuffle (presentation sort only)."""
+    p = load_table(spark, sf_dir, "part")
+    v = p.selectExpr(
+        "p_partkey AS pkg_id",
+        "CAST(1 + p_partkey % 4 AS STRING) || '.'"
+        " || CAST(p_partkey % 10 AS STRING) || '.'"
+        " || CAST(p_partkey % 6 AS STRING)"
+        " || CASE p_partkey % 5 WHEN 0 THEN '-alpha'"
+        " WHEN 1 THEN '-beta' WHEN 2 THEN '-rc'"
+        " WHEN 3 THEN '-' || CAST(p_partkey % 9 AS STRING)"
+        " ELSE '' END AS ver_a",
+        "CAST(1 + (p_partkey + 2) % 4 AS STRING) || '.'"
+        " || CAST((p_partkey + 3) % 10 AS STRING) || '.'"
+        " || CAST((p_partkey + 1) % 6 AS STRING)"
+        " || CASE (p_partkey + 1) % 5 WHEN 0 THEN '-alpha'"
+        " WHEN 1 THEN '-beta' WHEN 2 THEN '-rc'"
+        " WHEN 3 THEN '-' || CAST((p_partkey + 4) % 9 AS STRING)"
+        " ELSE '' END AS ver_b",
+    )
+    fields = []
+    for side in ("a", "b"):
+        for grp, name in ((1, "maj"), (2, "min"), (3, "pat")):
+            fields.append(
+                f"CAST(regexp_extract(ver_{side}, '{_SEMVER_RE}', {grp})"
+                f" AS BIGINT) AS {name}_{side}"
+            )
+        fields.append(
+            f"regexp_extract(ver_{side}, '{_SEMVER_RE}', 4) AS pre_{side}"
+        )
+        fields.append(
+            f"TRY_CAST(regexp_extract(ver_{side}, '{_SEMVER_RE}', 4)"
+            f" AS BIGINT) AS pre_n{side}"
+        )
+    parsed = v.selectExpr("pkg_id", "ver_a", "ver_b", *fields)
+    return parsed.selectExpr(
+        "pkg_id",
+        "ver_a",
+        "ver_b",
+        "maj_a",
+        "min_a",
+        "pat_a",
+        "pre_a",
+        f"CAST({_SEMVER_CMP} AS BIGINT) AS cmp",
+        f"({_SEMVER_CMP}) < 0 AS is_upgrade",
+        "maj_b > maj_a AS is_breaking",
+    ).orderBy("pkg_id")
+
+
+# ---------------------------------------------------------------------------
+# G19 — fn-jwt-parse: base64url JWT decoding + claim extraction
+# ---------------------------------------------------------------------------
+
+_JWT_NOW = 1705000000  # fixed "now" for the expiry check (both engines)
+_JWT_IAT0 = 1704067200  # 2024-01-01T00:00:00Z
+
+
+@query(
+    "fn-jwt-parse",
+    oracle=f"""
+WITH t AS (
+  SELECT o_orderkey AS token_id,
+         rtrim(replace(replace(to_base64(encode(
+           '{{"alg":"HS256","typ":"JWT"}}')), '+', '-'), '/', '_'), '=')
+           || '.' ||
+         rtrim(replace(replace(to_base64(encode(
+           '{{"sub":"u' || CAST(o_custkey AS VARCHAR)
+           || '","iat":' || CAST({_JWT_IAT0} + o_orderkey % 86400 AS VARCHAR)
+           || ',"exp":' || CAST({_JWT_IAT0} + o_orderkey % 86400
+                                + 3600 * (1 + o_orderkey % 48) AS VARCHAR)
+           || ',"scope":"' || CASE o_orderkey % 3 WHEN 0 THEN 'read'
+                WHEN 1 THEN 'write' ELSE 'admin' END || '"}}')),
+           '+', '-'), '/', '_'), '=')
+           || '.' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 16)
+           AS token
+  FROM orders
+),
+s AS (
+  SELECT token_id, token,
+         string_split(token, '.')[1] AS h64,
+         string_split(token, '.')[2] AS p64
+  FROM t
+),
+d AS (
+  SELECT token_id, token,
+         decode(from_base64(replace(replace(h64, '-', '+'), '_', '/')
+           || repeat('=', (4 - length(h64) % 4) % 4))) AS header_json,
+         decode(from_base64(replace(replace(p64, '-', '+'), '_', '/')
+           || repeat('=', (4 - length(p64) % 4) % 4))) AS payload_json
+  FROM s
+)
+SELECT token_id,
+       json_extract_string(header_json, '$.alg') AS alg,
+       json_extract_string(payload_json, '$.sub') AS sub,
+       CAST(json_extract_string(payload_json, '$.iat') AS BIGINT) AS iat,
+       CAST(json_extract_string(payload_json, '$.exp') AS BIGINT) AS exp,
+       CAST(json_extract_string(payload_json, '$.exp') AS BIGINT)
+         - CAST(json_extract_string(payload_json, '$.iat') AS BIGINT)
+         AS ttl_sec,
+       CAST(json_extract_string(payload_json, '$.exp') AS BIGINT)
+         < {_JWT_NOW} AS expired,
+       json_extract_string(payload_json, '$.scope') AS scope
+FROM d ORDER BY token_id
+""",
+)
+def fn_jwt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G19: JWT decoding — split the three base64url segments, undo the
+    URL-safe alphabet (RFC 4648 §5: '-'→'+', '_'→'/', padding
+    stripped, so the parser must re-pad to a 4-multiple before
+    decoding), extract header/payload claims, and evaluate expiry
+    against a fixed clock: the auth-log triage pass (who, which scope,
+    expired or not) security/product analytics run over request logs
+    WITHOUT verifying signatures (the signature segment is carried
+    opaque — verification is a crypto concern, parsing is a data
+    concern, and the docstring owns that boundary).
+
+    Parity: tokens synthesize from order keys with both engines'
+    native base64 — Spark's emits RFC 2045 CRLF chunking past 76
+    chars where DuckDB's never chunks, so the synthesis strips
+    chr(13)/chr(10) before the URL-safe translate (the hashed token
+    then certifies the alphabets agree); re-padding is shared integer
+    arithmetic on length % 4;
+    claims extract via each engine's JSON path function over
+    identical JSON text; expiry compares exact BIGINTs to a shared
+    literal.
+
+    Shape at 100 TB: map-only — base64, string surgery and JSON path
+    extraction fused into the scan, zero shuffle (presentation sort
+    only)."""
+    o = load_table(spark, sf_dir, "orders")
+    # The synthesis+decode chain is heavy per row (2 base64 encodes,
+    # 2 decodes, JSON parsing) and the orders parquet arrives as ONE
+    # split at test scale — repartition the two NARROW key columns
+    # (16 B/row) before the chain so the map work runs wide; at
+    # cluster scale the scan already arrives in many splits and the
+    # repartition is a no-op-sized shuffle either way.
+    o = o.select("o_orderkey", "o_custkey").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = o.selectExpr(
+        "o_orderkey AS token_id",
+        f"""trim(TRAILING '=' FROM translate(base64(encode(
+          '{{"alg":"HS256","typ":"JWT"}}', 'UTF-8')), '+/', '-_'))
+          || '.' ||
+        trim(TRAILING '=' FROM translate(replace(replace(base64(encode(
+          '{{"sub":"u' || CAST(o_custkey AS STRING)
+          || '","iat":' || CAST({_JWT_IAT0} + o_orderkey % 86400 AS STRING)
+          || ',"exp":' || CAST({_JWT_IAT0} + o_orderkey % 86400
+                               + 3600 * (1 + o_orderkey % 48) AS STRING)
+          || ',"scope":"' || CASE o_orderkey % 3 WHEN 0 THEN 'read'
+               WHEN 1 THEN 'write' ELSE 'admin' END || '"}}', 'UTF-8')),
+          chr(13), ''), chr(10), ''), '+/', '-_'))
+          || '.' || substr(md5(CAST(o_orderkey AS STRING)), 1, 16)
+          AS token""",
+    )
+    # Generate barriers between layers (the multimodal walk
+    # discipline): without them CollapseProject re-inlines the token
+    # synthesis + decode chain into every downstream column reference.
+    # (The big latency levers for this key were the repartition above
+    # and the single from_json parse below; the barriers keep the work
+    # per layer single-evaluation as outputs grow.)
+    t = t.select(
+        "token_id",
+        F.explode(F.array(F.struct(F.col("token").alias("token")))).alias(
+            "_t"
+        ),
+    ).select("token_id", F.col("_t.token").alias("token"))
+    s = t.selectExpr(
+        "token_id",
+        "token",
+        "split(token, '[.]')[0] AS h64",
+        "split(token, '[.]')[1] AS p64",
+    )
+    s = s.select(
+        "token_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("h64").alias("h64"), F.col("p64").alias("p64")
+                )
+            )
+        ).alias("_s"),
+    ).select("token_id", F.col("_s.h64").alias("h64"), F.col("_s.p64").alias("p64"))
+    d = s.selectExpr(
+        "token_id",
+        "decode(unbase64(translate(h64, '-_', '+/')"
+        " || repeat('=', (4 - length(h64) % 4) % 4)), 'UTF-8')"
+        " AS header_json",
+        "decode(unbase64(translate(p64, '-_', '+/')"
+        " || repeat('=', (4 - length(p64) % 4) % 4)), 'UTF-8')"
+        " AS payload_json",
+    )
+    d = d.select(
+        "token_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("header_json").alias("h"),
+                    F.col("payload_json").alias("p"),
+                )
+            )
+        ).alias("_d"),
+    ).select(
+        "token_id",
+        F.col("_d.h").alias("header_json"),
+        F.col("_d.p").alias("payload_json"),
+    )
+    # ONE typed parse per JSON document (from_json), not one
+    # get_json_object re-parse per claim
+    j = d.selectExpr(
+        "token_id",
+        "from_json(header_json, 'alg STRING, typ STRING') AS h",
+        "from_json(payload_json,"
+        " 'sub STRING, iat BIGINT, exp BIGINT, scope STRING') AS p",
+    )
+    return j.selectExpr(
+        "token_id",
+        "h.alg AS alg",
+        "p.sub AS sub",
+        "p.iat AS iat",
+        "p.exp AS exp",
+        "p.exp - p.iat AS ttl_sec",
+        f"p.exp < {_JWT_NOW} AS expired",
+        "p.scope AS scope",
+    ).orderBy("token_id")

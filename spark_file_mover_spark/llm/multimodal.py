@@ -2867,3 +2867,189 @@ def multimodal_zip_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(cached["payload_hex"]).alias("content"),
     )
     return with_zip_meta(assets).drop("content").orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# multimodal-ogg-meta — Ogg BOS page + OpusHead identification header
+# ---------------------------------------------------------------------------
+
+_OGG_EXPR_CACHE: dict[tuple, dict] = {}
+
+
+def with_ogg_opus_meta(df: DataFrame, content: str = "content") -> DataFrame:
+    """Append (is_ogg, is_bos, serial, channels, pre_skip, sample_rate)
+    parsed from an Ogg stream's FIRST page carrying an OpusHead
+    identification header (RFC 3533 page layout + RFC 7845 §5.1).
+
+    Layout: "OggS"(4) version(1)=0 header_type(1, bit 0x02 = BOS)
+    granule(8) serial(4 LE) seq(4) crc(4) n_segs(1) segment_table
+    (n_segs bytes), then the packet — "OpusHead"(8) version(1)
+    channels(1) pre_skip(2 LE) input_sample_rate(4 LE). The packet
+    offset depends on the PARSED n_segs, so a fixed-offset read fails
+    any stream whose lacing differs. Non-Ogg / non-Opus payloads parse
+    as NULLs, never wrong values."""
+    key = (df.sparkSession.sparkContext.applicationId, content)
+    frags = _OGG_EXPR_CACHE.get(key)
+    if frags is None:
+        for k in [k for k in _OGG_EXPR_CACHE if k[0] != key[0]]:
+            del _OGG_EXPR_CACHE[k]
+        c = F.col(content)
+        is_ogg = (F.hex(c.substr(F.lit(1), F.lit(4))) == "4F676753") & (
+            _be_uint(c, F.lit(5), 1) == 0
+        )
+        htype = _be_uint(c, F.lit(6), 1)
+        serial = _le_uint(c, F.lit(15), 4)
+        nsegs = _be_uint(c, F.lit(27), 1)
+        pkt = 28 + nsegs
+        init = F.explode(
+            F.array(
+                F.struct(
+                    is_ogg.alias("is_ogg"),
+                    F.when(is_ogg, (htype.bitwiseAND(2) == 2)).alias(
+                        "is_bos"
+                    ),
+                    F.when(is_ogg, serial).alias("serial"),
+                    F.when(is_ogg, pkt).cast("long").alias("pkt"),
+                )
+            )
+        )
+        st = F.col("_g")
+        p = st.pkt
+        is_opus = st.is_ogg & (
+            F.hex(c.substr(p, F.lit(8))) == "4F70757348656164"  # OpusHead
+        )
+        fields = F.explode(
+            F.array(
+                F.struct(
+                    st.is_ogg.alias("is_ogg"),
+                    st.is_bos.alias("is_bos"),
+                    st.serial.alias("serial"),
+                    F.when(is_opus, _be_uint(c, p + 9, 1)).alias(
+                        "channels"
+                    ),
+                    F.when(is_opus, _le_uint(c, p + 10, 2)).alias(
+                        "pre_skip"
+                    ),
+                    F.when(is_opus, _le_uint(c, p + 12, 4)).alias(
+                        "sample_rate"
+                    ),
+                )
+            )
+        )
+        frags = {"init": init, "fields": fields}
+        _OGG_EXPR_CACHE[key] = frags
+    passthrough = [col for col in df.columns]
+    cur = df.select("*", frags["init"].alias("_g"))
+    cur = cur.select(*passthrough, frags["fields"].alias("_g"))
+    st = F.col("_g")
+    return cur.select(
+        *passthrough,
+        st.is_ogg.alias("is_ogg"),
+        st.is_bos.alias("is_bos"),
+        st.serial.alias("serial"),
+        st.channels.alias("channels"),
+        st.pre_skip.alias("pre_skip"),
+        st.sample_rate.alias("sample_rate"),
+    )
+
+
+_OGG_ORACLE = """
+SELECT doc_id AS asset_id,
+       TRUE AS magic_ok,
+       TRUE AS is_bos,
+       CAST(doc_id % 2147483647 AS BIGINT) AS serial,
+       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+       CAST(312 + doc_id % 100 AS BIGINT) AS pre_skip,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+            ELSE 16000 END AS BIGINT) AS sample_rate
+FROM documents ORDER BY asset_id
+"""
+
+
+@query("multimodal-ogg-meta", oracle=_OGG_ORACLE)
+def multimodal_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg/Opus stream metadata with pure byte expressions — the
+    streaming-audio member of the container family (WAV/FLAC/MP3 cover
+    the file-audio formats; podcast/voice corpora ship Ogg Opus):
+    stream serial, channel count, pre-skip and original sample rate
+    from the BOS page's OpusHead packet, located through the PARSED
+    segment-table length (doc-varying lacing below, so a fixed-offset
+    read fails half the corpus — the audio-meta hop discipline in
+    single-page form).
+
+    Synthesis derives every field from doc_id and prepends 0-2
+    doc-varying zero-length lacing segments to the segment table so
+    the packet offset moves per row; outputs come from the PARSED
+    page (serial, BOS flag), not doc parity. A genuine Ogg Opus BOS page is pinned in
+    tests/test_r13_ops.py.
+
+    Scale: map-only, zero shuffle, zero Python — fused into the scan;
+    Columns cached per SparkContext."""
+    d = load_table(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, "__ogg_synth__")
+    cached = _OGG_EXPR_CACHE.get(key)
+    if cached is None:
+        doc = F.col("doc_id")
+        serial = doc % 2147483647
+        channels = 1 + doc % 2
+        pre_skip = 312 + doc % 100
+        rate = (
+            F.when(doc % 3 == 0, 48000)
+            .when(doc % 3 == 1, 44100)
+            .otherwise(16000)
+        )
+        hexbe1 = lambda c: F.lpad(F.hex(c % 256), 2, "0")  # noqa: E731
+        hexle2 = lambda c: F.concat(  # noqa: E731
+            hexbe1(c), hexbe1((c / 256).cast("long"))
+        )
+        hexle4 = lambda c: F.concat(  # noqa: E731
+            hexle2(c % 65536), hexle2((c / 65536).cast("long"))
+        )
+        opus_head = F.concat(
+            F.lit("4F70757348656164"),  # "OpusHead"
+            F.lit("01"),  # version 1
+            hexbe1(channels),
+            hexle2(pre_skip),
+            hexle4(rate),
+            F.lit("0000"),  # output gain
+            F.lit("00"),  # mapping family 0
+        )
+        # doc-varying lacing: 1 + doc%3 ZERO-length segments before the
+        # 19-byte OpusHead segment, so n_segs (and the packet offset)
+        # differ per row
+        n_pad = (doc % 3).cast("int")
+        seg_table = F.concat(
+            F.lit("000000").substr(F.lit(1), n_pad * 2),
+            F.lit("13"),  # 19-byte OpusHead packet
+        )
+        payload_hex = F.concat(
+            F.lit("4F676753"),  # "OggS"
+            F.lit("00"),  # version
+            F.lit("02"),  # header_type: BOS
+            F.lit("00" * 8),  # granule
+            hexle4(serial),
+            F.lit("00" * 4),  # page seq
+            F.lit("00" * 4),  # crc (carried, unverified)
+            hexbe1(n_pad + 1),  # n_segs
+            seg_table,
+            opus_head,
+        )
+        cached = {"payload_hex": payload_hex}
+        _OGG_EXPR_CACHE[key] = cached
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.unhex(cached["payload_hex"]).alias("content"),
+    )
+    return (
+        with_ogg_opus_meta(assets)
+        .select(
+            "asset_id",
+            F.col("is_ogg").alias("magic_ok"),
+            "is_bos",
+            "serial",
+            "channels",
+            "pre_skip",
+            "sample_rate",
+        )
+        .orderBy("asset_id")
+    )

@@ -1529,13 +1529,21 @@ def sample_ess_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST({_ESS_SCALE} AS BIGINT) DIV n_chars AS w_int",
         )
     )
-    t = d.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("w_int").cast("long").alias("sum_w"),
-        F.sum(F.expr("CAST(w_int AS DECIMAL(38,0)) * w_int"))
-        .cast("decimal(38,0)")
-        .alias("sum_w2"),
-        F.max("w_int").alias("max_w"),
+    t = (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("w_int").cast("long").alias("sum_w"),
+            F.sum(F.expr("CAST(w_int AS DECIMAL(38,0)) * w_int"))
+            .cast("decimal(38,0)")
+            .alias("sum_w2"),
+            F.max("w_int").alias("max_w"),
+        )
+        # sources-bounded totals consumed THREE times (clip broadcast,
+        # final join, and its own stats): checkpoint so each consumer
+        # reads the handful of materialized rows instead of re-running
+        # the corpus scan (the scan-signature gate)
+        .localCheckpoint(eager=True)
     )
     c = (
         d.join(F.broadcast(t.select("source", "n_docs", "sum_w")), "source")

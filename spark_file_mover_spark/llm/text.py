@@ -1144,3 +1144,145 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "tok", "df", "n_occ", "burstiness", "fano")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# I85 — text-boilerplate-lines: per-source frequent-line detection
+# ---------------------------------------------------------------------------
+
+# Line granularity: fixed 10-token blocks (the I29 convention — the
+# synthetic corpus has no newlines, so a literal line split would be
+# vacuous; on a real corpus swap the block derivation for
+# split(text, '\n') and nothing downstream changes). A block is
+# BOILERPLATE within its source when it appears in MORE THAN 1/5 of
+# that source's documents: df·5 > n_docs, an exact integer
+# cross-multiply, no float threshold.
+_BP_LINE = 10
+_BP_DEN = 5  # boilerplate iff df * _BP_DEN > n_docs_in_source
+
+_BP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, source, toks,
+         greatest((len(toks) + {_BP_LINE - 1}) // {_BP_LINE}, 1) AS n_lines
+  FROM t
+),
+l AS (
+  SELECT doc_id, source, n_lines, i AS idx,
+         array_to_string(toks[(i*{_BP_LINE}+1):((i+1)*{_BP_LINE})], ' ')
+           AS line
+  FROM sized
+  CROSS JOIN (SELECT unnest(range(0, (SELECT max(n_lines) FROM sized)))
+              AS i)
+  WHERE i < n_lines
+),
+nd AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+df AS (
+  SELECT source, line, COUNT(DISTINCT doc_id) AS df
+  FROM l GROUP BY source, line
+),
+bp AS (
+  SELECT df.source, df.line
+  FROM df JOIN nd ON df.source = nd.source
+  WHERE df.df * {_BP_DEN} > nd.n_docs
+),
+per_doc AS (
+  SELECT l.doc_id,
+         CAST(COALESCE(SUM(CASE WHEN bp.line IS NOT NULL THEN 1 END), 0)
+              AS BIGINT) AS n_boiler
+  FROM l LEFT JOIN bp ON l.source = bp.source AND l.line = bp.line
+  GROUP BY l.doc_id
+)
+SELECT s.doc_id, s.source,
+       CAST(s.n_lines AS BIGINT) AS n_lines,
+       p.n_boiler,
+       FLOOR(CAST(p.n_boiler AS DOUBLE) / CAST(s.n_lines AS DOUBLE)
+             * 1e9 + 0.5) / 1e9 AS boiler_frac
+FROM sized s JOIN per_doc p USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+@query("text-boilerplate-lines", oracle=_BP_ORACLE)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I85: frequency-based boilerplate detection — flag the lines that
+    repeat across MORE THAN 20% of a source's documents (navigation,
+    cookie banners, footers: the text that survives exact-dedup
+    because the surrounding document differs) and score each document
+    by its boilerplate fraction. This is the CCNet/trafilatura
+    cleaning step BETWEEN dedup granularities: I1 drops exact
+    documents, I29 drops exact paragraphs corpus-wide on FIRST
+    occurrence — this key identifies SOURCE-LOCAL high-document-
+    frequency lines, the signal template-removal actually keys on.
+
+    Parity: lines are the shared 10-token blocks (the I29 block
+    convention, documented swap-in for a newline split on real
+    corpora); document frequency is an exact COUNT(DISTINCT doc_id);
+    the threshold is the integer cross-multiply df·5 > n_docs (no
+    float compare); the per-doc fraction is one snapped division.
+
+    Shape at 100 TB: the line relation moves as (source, doc_id,
+    line-block) with the groupBy's map-side combine absorbing
+    repetition; the boilerplate set is df-filtered (vocabulary-scale,
+    a small fraction of distinct lines) before the per-doc join; the
+    per-source doc counts are a sources-bounded broadcast. Two scans
+    of the tokenized signature (df pass + per-doc pass — rebuilding
+    beats materializing a corpus-scale relation), one narrow scan for
+    the doc counts."""
+    d = load_table(spark, sf_dir, "documents")
+
+    sized = d.select("doc_id", "source", toks().alias("toks")).selectExpr(
+        "doc_id",
+        "source",
+        "toks",
+        f"greatest(CAST((size(toks) + {_BP_LINE - 1})"
+        f" DIV {_BP_LINE} AS INT), 1) AS n_lines",
+    )
+    l = sized.selectExpr(
+        "doc_id",
+        "source",
+        "n_lines",
+        "toks",
+        "explode(sequence(0, n_lines - 1)) AS idx",
+    ).selectExpr(
+        "doc_id",
+        "source",
+        "n_lines",
+        "idx",
+        f"array_join(slice(toks, idx * {_BP_LINE} + 1, {_BP_LINE}), ' ')"
+        " AS line",
+    )
+    nd = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    df_rel = l.groupBy("source", "line").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    bp = (
+        df_rel.join(F.broadcast(nd), "source")
+        .filter(F.expr(f"df * {_BP_DEN} > n_docs"))
+        .select("source", "line")
+    )
+    per_doc = (
+        l.join(bp.withColumn("_bp", F.lit(1)), ["source", "line"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.sum("_bp"), F.lit(0)).cast("long").alias(
+                "n_boiler"
+            ),
+            F.first("source").alias("source"),
+            F.first("n_lines").alias("n_lines"),
+        )
+    )
+    return per_doc.selectExpr(
+        "doc_id",
+        "source",
+        "CAST(n_lines AS BIGINT) AS n_lines",
+        "n_boiler",
+        "FLOOR(CAST(n_boiler AS DOUBLE) / CAST(n_lines AS DOUBLE)"
+        " * 1e9 + 0.5) / 1e9 AS boiler_frac",
+    ).orderBy("doc_id")

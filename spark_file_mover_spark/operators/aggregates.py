@@ -6422,3 +6422,267 @@ def agg_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" / SQRT({_RD_F0['var']} + {_RD_F1['var']})"
         f" * 1e9 + 0.5) / 1e9 END AS z",
     )
+
+
+# ---------------------------------------------------------------------------
+# E58 — agg-poisson-rate-test: two-sample event-rate z with real exposure
+# ---------------------------------------------------------------------------
+
+# Rate = events per active user-day; the two-sample Poisson normal
+# approximation z = (r1 − r0) / √(X0/T0² + X1/T1²) with X = event
+# count and T = exposure (distinct user-days). E23's proportion test
+# compares CONVERTER FRACTIONS; this compares INTENSITIES against
+# exposure — the correct family for "did the event rate change?"
+# questions where one user can contribute many events.
+_PRT_R = "(CAST(x{a} AS DOUBLE) / CAST(t{a} AS DOUBLE))"
+_PRT_GUARD = "t0 > 0 AND t1 > 0 AND x0 + x1 > 0"
+
+_POISSON_RATE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         {MD5_PREFIX60_SQL.format(x="CAST(user_id AS VARCHAR)")} % 2 AS v
+  FROM events
+),
+m AS (
+  SELECT
+    CAST(COALESCE(SUM(CASE WHEN v = 0 THEN 1 END), 0) AS BIGINT) AS x0,
+    CAST(COALESCE(SUM(CASE WHEN v = 1 THEN 1 END), 0) AS BIGINT) AS x1,
+    CAST(COUNT(DISTINCT CASE WHEN v = 0
+                             THEN user_id * 100000 + day END)
+         AS BIGINT) AS t0,
+    CAST(COUNT(DISTINCT CASE WHEN v = 1
+                             THEN user_id * 100000 + day END)
+         AS BIGINT) AS t1
+  FROM e
+)
+SELECT x0, x1, t0, t1,
+       CASE WHEN t0 > 0 THEN
+         FLOOR({_PRT_R.format(a="0")} * 1e9 + 0.5) / 1e9 END AS rate_0,
+       CASE WHEN t1 > 0 THEN
+         FLOOR({_PRT_R.format(a="1")} * 1e9 + 0.5) / 1e9 END AS rate_1,
+       CASE WHEN {_PRT_GUARD} THEN
+         FLOOR(({_PRT_R.format(a="1")} - {_PRT_R.format(a="0")})
+               / SQRT(CAST(x0 AS DOUBLE)
+                      / (CAST(t0 AS DOUBLE) * CAST(t0 AS DOUBLE))
+                      + CAST(x1 AS DOUBLE)
+                      / (CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE)))
+               * 1e9 + 0.5) / 1e9 END AS z
+FROM m
+"""
+
+
+@query("agg-poisson-rate-test", oracle=_POISSON_RATE_ORACLE)
+def agg_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E58: two-sample Poisson rate test — events per ACTIVE USER-DAY
+    between two hash-split arms, the intensity member of the
+    experimentation family: E23 tests converter proportions (one
+    Bernoulli per user), E30 tests per-user means, E57 ratio-of-sums
+    metrics; this tests event INTENSITY against real exposure, the
+    correct form for "did the alert/purchase/error RATE change?"
+    where one unit contributes many events and uneven activity spans
+    would bias a per-user comparison. Exposure is distinct
+    (user, day) pairs; z is the standard normal approximation
+    (r1 − r0)/√(X0/T0² + X1/T1²).
+
+    Parity: counts and exposures are exact BIGINTs — exposure counts
+    DISTINCT composite keys (user·10⁵ + day, collision-free at the
+    fixture's day range and at any realistic one); rates and z are
+    shared textual snapped divisions over exact operands; empty arms
+    yield NULLs in both engines.
+
+    Shape at 100 TB: ONE aggregate over the event scan — the arm is a
+    map-side hash, the exposure a distinct-count the partial
+    aggregation absorbs; a single sufficient-statistics row crosses
+    the exchange. (At extreme cardinality the distinct would become
+    an approx_count_distinct or a two-level agg — declared here as
+    the exact form the oracle can certify.)"""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        F.pmod(
+            md5_prefix60(F.col("user_id").cast("string")), F.lit(2)
+        ).alias("v"),
+        F.expr(
+            "user_id * 100000"
+            " + CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)"
+        ).alias("ud"),
+    )
+    m = base.agg(
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN v = 0 THEN 1 END")), F.lit(0)
+        ).cast("long").alias("x0"),
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN v = 1 THEN 1 END")), F.lit(0)
+        ).cast("long").alias("x1"),
+        F.countDistinct(
+            F.expr("CASE WHEN v = 0 THEN ud END")
+        ).cast("long").alias("t0"),
+        F.countDistinct(
+            F.expr("CASE WHEN v = 1 THEN ud END")
+        ).cast("long").alias("t1"),
+    )
+    return m.selectExpr(
+        "x0",
+        "x1",
+        "t0",
+        "t1",
+        f"CASE WHEN t0 > 0 THEN"
+        f" FLOOR({_PRT_R.format(a='0')} * 1e9 + 0.5) / 1e9 END AS rate_0",
+        f"CASE WHEN t1 > 0 THEN"
+        f" FLOOR({_PRT_R.format(a='1')} * 1e9 + 0.5) / 1e9 END AS rate_1",
+        f"CASE WHEN {_PRT_GUARD} THEN"
+        f" FLOOR(({_PRT_R.format(a='1')} - {_PRT_R.format(a='0')})"
+        f" / SQRT(CAST(x0 AS DOUBLE)"
+        f" / (CAST(t0 AS DOUBLE) * CAST(t0 AS DOUBLE))"
+        f" + CAST(x1 AS DOUBLE)"
+        f" / (CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE)))"
+        f" * 1e9 + 0.5) / 1e9 END AS z",
+    )
+
+
+# ---------------------------------------------------------------------------
+# E59 — agg-diff-in-diff: 2×2 difference-in-differences estimator
+# ---------------------------------------------------------------------------
+
+# Period split: fixed calendar pivot (2024-01-16 = epoch day 19738),
+# the same literal in both engines; units are (user, period) cells
+# with exact integer cents.
+_DID_PIVOT_DAY = 19738
+
+
+def _did_cell(a: str) -> dict[str, str]:
+    n = f"CAST(n{a} AS DOUBLE)"
+    sm = f"CAST(s{a} AS DOUBLE)"
+    q = f"CAST(q{a} AS DOUBLE)"
+    mean = f"({sm} / {n})"
+    # population variance of the cell mean: (Σy²/n − ȳ²)/n
+    varm = f"(({q} / {n} - {mean} * {mean}) / {n})"
+    return {"mean": mean, "varm": varm}
+
+
+_DID_C = {a: _did_cell(a) for a in ("00", "01", "10", "11")}
+_DID_GUARD = " AND ".join(f"n{a} >= 2" for a in ("00", "01", "10", "11"))
+_DID_EST = (
+    f"(({_DID_C['11']['mean']} - {_DID_C['10']['mean']})"
+    f" - ({_DID_C['01']['mean']} - {_DID_C['00']['mean']}))"
+)
+_DID_SE = (
+    f"SQRT({_DID_C['00']['varm']} + {_DID_C['01']['varm']}"
+    f" + {_DID_C['10']['varm']} + {_DID_C['11']['varm']})"
+)
+
+_DID_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id,
+         {MD5_PREFIX60_SQL.format(x="CAST(user_id AS VARCHAR)")} % 2 AS g,
+         CASE WHEN CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                   < {_DID_PIVOT_DAY} THEN 0 ELSE 1 END AS p,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) * 100
+              AS BIGINT) AS yc
+  FROM events GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT
+    {", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN g = {a[0]} AND p = {a[1]} THEN 1 END), 0) AS BIGINT) AS n{a}, "
+        f"CAST(COALESCE(SUM(CASE WHEN g = {a[0]} AND p = {a[1]} THEN yc END), 0) AS DECIMAL(38,0)) AS s{a}, "
+        f"CAST(COALESCE(SUM(CASE WHEN g = {a[0]} AND p = {a[1]} THEN CAST(yc AS DECIMAL(38,0)) * yc END), 0) AS DECIMAL(38,0)) AS q{a}"
+        for a in ("00", "01", "10", "11")
+    )}
+  FROM pu
+)
+SELECT n00, n01, n10, n11,
+       {", ".join(
+        f"CASE WHEN n{a} > 0 THEN FLOOR({_DID_C[a]['mean']} * 1e9 + 0.5) / 1e9 END AS mean_{a}"
+        for a in ("00", "01", "10", "11")
+       )},
+       CASE WHEN {_DID_GUARD} THEN
+         FLOOR({_DID_EST} * 1e9 + 0.5) / 1e9 END AS did,
+       CASE WHEN {_DID_GUARD} THEN
+         FLOOR({_DID_SE} * 1e9 + 0.5) / 1e9 END AS se,
+       CASE WHEN {_DID_GUARD} AND {_DID_SE} > 0 THEN
+         FLOOR({_DID_EST} / {_DID_SE} * 1e9 + 0.5) / 1e9 END AS z
+FROM m
+"""
+
+
+@query("agg-diff-in-diff", oracle=_DID_ORACLE)
+def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E59: 2×2 difference-in-differences — the quasi-experimental
+    estimator for rollouts WITHOUT randomization-at-exposure: group
+    (hash-split) × period (fixed calendar pivot) cell means of
+    per-user-period spend, ATT = (ȳ₁₁−ȳ₁₀) − (ȳ₀₁−ȳ₀₀), SE from the
+    four independent cell-mean variances, z for the interaction. The
+    observational counterpart to E30/E57's randomized tests —
+    parallel-trends is the caveat the docstring owns, not hides.
+
+    Parity: per-(user, period) outcomes are exact cents; each cell's
+    (n, Σy, Σy²) are exact conditional BIGINT/DECIMAL(38,0) sums; cell
+    means, the DiD contrast, SE and z are shared textual snapped
+    chains; any cell with n < 2 NULLs the inference in both engines.
+
+    Shape at 100 TB: one per-(user, period) groupBy absorbs event
+    volume map-side (the E30 plan with a composite key), then ONE
+    conditional aggregate collapses to a single 12-statistic row."""
+    e = load_table(spark, sf_dir, "events")
+    pu = e.groupBy(
+        "user_id",
+        F.expr(
+            f"CASE WHEN CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)"
+            f" < {_DID_PIVOT_DAY} THEN 0 ELSE 1 END"
+        ).alias("p"),
+    ).agg(
+        F.coalesce(F.sum(dec("value") * 100), F.lit(0))
+        .cast("long")
+        .alias("yc")
+    )
+    pv = pu.select(
+        F.pmod(
+            md5_prefix60(F.col("user_id").cast("string")), F.lit(2)
+        ).alias("g"),
+        "p",
+        "yc",
+    )
+    aggs = []
+    for a in ("00", "01", "10", "11"):
+        cond = f"g = {a[0]} AND p = {a[1]}"
+        aggs.append(
+            F.coalesce(
+                F.sum(F.expr(f"CASE WHEN {cond} THEN 1 END")), F.lit(0)
+            ).cast("long").alias(f"n{a}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.expr(f"CASE WHEN {cond} THEN yc END")), F.lit(0)
+            ).cast("decimal(38,0)").alias(f"s{a}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        f"CASE WHEN {cond}"
+                        " THEN CAST(yc AS DECIMAL(38,0)) * yc END"
+                    )
+                ),
+                F.lit(0),
+            ).cast("decimal(38,0)").alias(f"q{a}")
+        )
+    m = pv.agg(*aggs)
+    cells = [
+        f"CASE WHEN n{a} > 0 THEN"
+        f" FLOOR({_DID_C[a]['mean']} * 1e9 + 0.5) / 1e9 END AS mean_{a}"
+        for a in ("00", "01", "10", "11")
+    ]
+    return m.selectExpr(
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        *cells,
+        f"CASE WHEN {_DID_GUARD} THEN"
+        f" FLOOR({_DID_EST} * 1e9 + 0.5) / 1e9 END AS did",
+        f"CASE WHEN {_DID_GUARD} THEN"
+        f" FLOOR({_DID_SE} * 1e9 + 0.5) / 1e9 END AS se",
+        f"CASE WHEN {_DID_GUARD} AND {_DID_SE} > 0 THEN"
+        f" FLOOR({_DID_EST} / {_DID_SE} * 1e9 + 0.5) / 1e9 END AS z",
+    )

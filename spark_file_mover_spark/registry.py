@@ -89,6 +89,12 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # --list` with never-scored + structurally-changed keys at the HEAD;
 # new r13 operators must be PREPENDED here as they land.
 _PRIORITY_R13 = [
+    "agg-poisson-rate-test",
+    "agg-diff-in-diff",
+    "fn-semver-compare",
+    "fn-jwt-parse",
+    "text-boilerplate-lines",
+    "multimodal-ogg-meta",
     "window-macd",
     "window-stochastic-osc",
     "window-ulcer-index",

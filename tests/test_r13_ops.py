@@ -243,3 +243,133 @@ def test_macd_flat_series_is_flat(spark):
     for r in rows:
         assert r["macd"] == 0.0
         assert r["signal_line"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# multimodal-ogg-meta vs a genuine struct-packed Ogg Opus BOS page
+# ---------------------------------------------------------------------------
+
+
+def _pack_ogg_opus(serial, channels, pre_skip, rate, n_pad_segs=0) -> bytes:
+    opus = (
+        b"OpusHead"
+        + struct.pack("<BBHIhB", 1, channels, pre_skip, rate, 0, 0)
+    )
+    seg_table = b"\x00" * n_pad_segs + struct.pack("B", len(opus))
+    page = (
+        b"OggS"
+        + struct.pack("<BBqIII", 0, 0x02, 0, serial, 0, 0)
+        + struct.pack("B", n_pad_segs + 1)
+        + seg_table
+        + opus
+    )
+    return page
+
+
+def test_ogg_opus_parses_genuine_pages(spark):
+    from spark_file_mover_spark.llm.multimodal import with_ogg_opus_meta
+
+    fixtures = [
+        (1, _pack_ogg_opus(77, 2, 312, 48000), 77, 2, 312, 48000),
+        (2, _pack_ogg_opus(5, 1, 0, 16000, n_pad_segs=2), 5, 1, 0, 16000),
+        (3, b"OggS but not really padded right", None, None, None, None),
+        (4, b"RIFFxxxxWAVE", None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c, *_ in fixtures], "asset_id long, content binary"
+    )
+    got = {
+        r["asset_id"]: (
+            r["serial"],
+            r["channels"],
+            r["pre_skip"],
+            r["sample_rate"],
+        )
+        for r in with_ogg_opus_meta(df).collect()
+    }
+    assert got[1] == (77, 2, 312, 48000)
+    assert got[2] == (5, 1, 0, 16000)
+    assert got[4] == (None, None, None, None)
+
+
+# ---------------------------------------------------------------------------
+# fn-semver-compare vs a reference implementation
+# ---------------------------------------------------------------------------
+
+
+def _semver_key(v: str):
+    import re
+
+    m = re.match(r"^(\d+)\.(\d+)\.(\d+)(?:-([0-9A-Za-z]+))?$", v)
+    maj, mi, pa, pre = (
+        int(m.group(1)),
+        int(m.group(2)),
+        int(m.group(3)),
+        m.group(4),
+    )
+    if pre is None:
+        return (maj, mi, pa, 1, 0, "")
+    if pre.isdigit():
+        return (maj, mi, pa, 0, 0, int(pre))
+    return (maj, mi, pa, 0, 1, pre)
+
+
+def _semver_cmp(a: str, b: str) -> int:
+    ka, kb = _semver_key(a), _semver_key(b)
+    # numeric prerelease < alphanumeric: compare (release?, numeric-vs-
+    # alpha, id) with mixed types — normalize per SemVer §11
+    core = (ka[:3] > kb[:3]) - (ka[:3] < kb[:3])
+    if core:
+        return core
+    ra, rb = ka[3], kb[3]
+    if ra != rb:
+        return 1 if ra > rb else -1
+    if ra == 1:
+        return 0
+    ta, tb = ka[4], kb[4]
+    if ta != tb:
+        return 1 if ta > tb else -1
+    ia, ib = ka[5], kb[5]
+    return (ia > ib) - (ia < ib)
+
+
+def test_semver_cmp_matches_reference(spark, sf_dir):
+    from spark_file_mover_spark.functions.scalar import fn_semver_compare
+
+    rows = fn_semver_compare(spark, sf_dir).limit(60).collect()
+    assert rows
+    for r in rows:
+        assert r["cmp"] == _semver_cmp(r["ver_a"], r["ver_b"]), (
+            r["ver_a"],
+            r["ver_b"],
+        )
+
+
+def test_jwt_roundtrip_matches_stdlib(spark, sf_dir):
+    import base64
+    import json
+
+    from spark_file_mover_spark.functions.scalar import fn_jwt_parse
+
+    rows = fn_jwt_parse(spark, sf_dir).limit(20).collect()
+    assert rows
+    for r in rows:
+        assert r["alg"] == "HS256"
+        assert r["sub"].startswith("u")
+        assert r["ttl_sec"] == r["exp"] - r["iat"] and r["ttl_sec"] > 0
+
+
+def test_poisson_rate_and_did_well_formed(spark, sf_dir):
+    from spark_file_mover_spark.operators.aggregates import (
+        agg_diff_in_diff,
+        agg_poisson_rate_test,
+    )
+
+    (p,) = agg_poisson_rate_test(spark, sf_dir).collect()
+    assert p["x0"] + p["x1"] > 0 and p["t0"] > 0 and p["t1"] > 0
+    assert p["t0"] <= p["x0"] and p["t1"] <= p["x1"]  # >=1 event per active day
+    (d,) = agg_diff_in_diff(spark, sf_dir).collect()
+    total_cells = d["n00"] + d["n01"] + d["n10"] + d["n11"]
+    assert total_cells > 0
+    if d["se"] is not None:
+        assert d["se"] > 0

@@ -30,6 +30,12 @@ from spark_file_mover_spark.checkpoints import lazy_checkpoints  # noqa: E402
 from spark_file_mover_spark.session import get_spark  # noqa: E402
 
 NOTES = {
+    "agg-poisson-rate-test": "ONE aggregate over the event scan: hash arm map-side, exposure = exact distinct user-day keys via partial agg; one row crosses the exchange.",
+    "agg-diff-in-diff": "Per-(user, period) groupBy absorbs events; ONE conditional aggregate emits the 12-statistic row; DiD/SE/z shared snapped chains.",
+    "fn-semver-compare": "Map-only shared backslash-free regex + precedence CASE chain; zero shuffle.",
+    "fn-jwt-parse": "Map-only base64url surgery + JSON paths fused into the scan; CR/LF chunk strip documented; zero shuffle.",
+    "text-boilerplate-lines": "Line blocks move with map-side combine; df-filter bounds the boilerplate set to vocabulary scale before the per-doc join; source doc counts broadcast.",
+    "multimodal-ogg-meta": "Single-page Ogg parse: packet offset from the PARSED lacing table; map-only, zero shuffle, zero Python.",
     "window-macd": "Truncated-lag EMA convolutions (40 cents-lags + 24 macd-lags, one sort, lags extracted ONCE as columns before the weight chains — inlined LAGs cost ~2x the key's budget in analyzer time); day collapse absorbs events map-side; chains are plain projections, bit-identical text both engines.",
     "window-stochastic-osc": "Day collapse then two ORDER BY day frames (14-day MIN/MAX channel, 3-day %D); %K floored to nano-integers so the %D frame sums BIGINTs (association-free).",
     "window-ulcer-index": "Running-peak + 14-day RMS drawdown frames share one day sort; depth floored to integer basis points so the rolling sum-of-squares is exact BIGINT.",
