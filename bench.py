@@ -375,6 +375,9 @@ HEADLINE = [
     "fn-jwt-parse",
     "text-boilerplate-lines",
     "multimodal-ogg-meta",
+    "agg-bh-fdr",
+    "multimodal-pdf-meta",
+    "sink-expire-snapshots",
 ]
 
 

@@ -3053,3 +3053,130 @@ def multimodal_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("asset_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal-pdf-meta — PDF header/trailer triage, no object parsing
+# ---------------------------------------------------------------------------
+
+_PDF_EXPR_CACHE: dict[tuple, dict] = {}
+
+
+def with_pdf_meta(df: DataFrame, content: str = "content") -> DataFrame:
+    """Append (is_pdf, version, n_objects, has_eof, startxref_offset)
+    parsed from a PDF payload's header and trailer — the triage pass a
+    document-ingestion pipeline runs before handing bytes to a real
+    PDF library: magic "%PDF-" + version at byte 6, indirect-object
+    count via " obj" occurrence counting, the "%%EOF" trailer marker,
+    and the startxref byte offset (the ASCII integer on the line
+    between "startxref" and "%%EOF"). Substring counting is the
+    (length − length(replace))/len trick — pure string expressions,
+    no regex scan per object."""
+    key = (df.sparkSession.sparkContext.applicationId, content)
+    frags = _PDF_EXPR_CACHE.get(key)
+    if frags is None:
+        for k in [k for k in _PDF_EXPR_CACHE if k[0] != key[0]]:
+            del _PDF_EXPR_CACHE[k]
+        c = F.col(content)
+        txt = F.decode(c, "UTF-8")
+        is_pdf = F.hex(c.substr(F.lit(1), F.lit(5))) == "255044462D"
+        version = F.when(
+            is_pdf, F.decode(c.substr(F.lit(6), F.lit(3)), "UTF-8")
+        )
+        n_obj = (
+            (F.length(txt) - F.length(F.replace(txt, F.lit(" obj"))))
+            / 4
+        ).cast("long")
+        has_eof = txt.endswith("%%EOF")
+        sx = F.regexp_extract(
+            txt, "startxref[^0-9]*([0-9]+)[^0-9]*%%EOF$", 1
+        )
+        frags = {
+            "fields": [
+                is_pdf.alias("is_pdf"),
+                version.alias("version"),
+                F.when(is_pdf, n_obj).alias("n_objects"),
+                F.when(is_pdf, has_eof).alias("has_eof"),
+                F.when(is_pdf & (sx != ""), sx.cast("long")).alias(
+                    "startxref_offset"
+                ),
+            ]
+        }
+        _PDF_EXPR_CACHE[key] = frags
+    return df.select("*", *frags["fields"])
+
+
+_PDF_ORACLE = """
+SELECT doc_id AS asset_id,
+       TRUE AS magic_ok,
+       '1.' || CAST(4 + doc_id % 4 AS VARCHAR) AS version,
+       CAST(1 + doc_id % 30 AS BIGINT) AS n_objects,
+       TRUE AS has_eof,
+       CAST(100 + doc_id % 9000 AS BIGINT) AS startxref_offset
+FROM documents ORDER BY asset_id
+"""
+
+
+@query("multimodal-pdf-meta", oracle=_PDF_ORACLE)
+def multimodal_pdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF triage metadata with pure string/byte expressions — the
+    document-container member of the family (images, audio, video,
+    archives, now paged documents): spec version, indirect-object
+    count, trailer integrity and the startxref offset, the fields an
+    ingestion pipeline routes on (version gates, empty/corrupt
+    detection) before paying a real PDF parser. Object COUNTING uses
+    the occurrence-count identity (len − len(replace))/4 — one pass,
+    no per-object regex.
+
+    Synthesis builds a doc_id-derived skeleton PDF (header, N " obj"
+    markers with doc-varying filler so counting cannot key on
+    position, startxref integer, %%EOF trailer); the emitted count and
+    offset come from PARSING the assembled text, so a synthesis bug
+    cannot cancel a parse bug. A genuine minimal PDF is pinned in
+    tests/test_r13_ops.py.
+
+    Scale: map-only, zero shuffle, zero Python — fused into the scan;
+    Columns cached per SparkContext."""
+    d = load_table(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, "__pdf_synth__")
+    cached = _PDF_EXPR_CACHE.get(key)
+    if cached is None:
+        doc = F.col("doc_id")
+        version = F.concat(F.lit("1."), (4 + doc % 4).cast("string"))
+        n_obj = (1 + doc % 30).cast("int")
+        sxoff = 100 + doc % 9000
+        body = F.concat(
+            F.lit("%PDF-"),
+            version,
+            F.lit("\n"),
+            # N objects, doc-varying filler between them
+            F.repeat(
+                F.concat(
+                    F.lit("1 0 obj\n<< /Len "),
+                    (doc % 7).cast("string"),
+                    F.lit(" >>\nendobj\n"),
+                ),
+                n_obj,
+            ),
+            F.lit("startxref\n"),
+            sxoff.cast("string"),
+            F.lit("\n%%EOF"),
+        )
+        cached = {"payload": F.encode(body, "UTF-8")}
+        _PDF_EXPR_CACHE[key] = cached
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        cached["payload"].alias("content"),
+    )
+    return (
+        with_pdf_meta(assets)
+        .select(
+            "asset_id",
+            F.col("is_pdf").alias("magic_ok"),
+            "version",
+            "n_objects",
+            "has_eof",
+            "startxref_offset",
+        )
+        .orderBy("asset_id")
+    )

@@ -6686,3 +6686,198 @@ def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN {_DID_GUARD} AND {_DID_SE} > 0 THEN"
         f" FLOOR({_DID_EST} / {_DID_SE} * 1e9 + 0.5) / 1e9 END AS z",
     )
+
+
+# ---------------------------------------------------------------------------
+# E60 — agg-bh-fdr: Benjamini-Hochberg FDR control over the metric family
+# ---------------------------------------------------------------------------
+
+_BH_Q = "0.10"  # FDR level, shared literal
+
+# Standard normal CDF via Abramowitz-Stegun 26.2.17 (|err| < 7.5e-8,
+# far inside the 9-dp snap) — neither engine ships Phi, so BOTH
+# evaluate this same textual chain over the SNAPPED |z|. EXP/SQRT are
+# the only libm calls; the final p snaps to 9 dp, absorbing any
+# last-ulp library split (the LN/SQRT precedent of E48/F39).
+_BH_T = "(1.0 / (1.0 + 0.2316419 * az))"
+_BH_PHI_TAIL = (
+    "(EXP(-az * az / 2.0) / 2.5066282746310002"
+    f" * ((((1.330274429 * {_BH_T} - 1.821255978) * {_BH_T}"
+    f" + 1.781477937) * {_BH_T} - 0.356563782) * {_BH_T}"
+    f" + 0.319381530) * {_BH_T})"
+)
+_BH_P = f"FLOOR(2.0 * {_BH_PHI_TAIL} * 1e9 + 0.5) / 1e9"
+
+_BH_Z_NUM = (
+    "(CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE)"
+    " - CAST(xa AS DOUBLE) / CAST(na AS DOUBLE))"
+)
+_BH_Z_DEN = (
+    "SQRT(CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE)"
+    " * (1.0 - CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))"
+    " * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))"
+)
+_BH_Z = f"FLOOR({_BH_Z_NUM} / {_BH_Z_DEN} * 1e9 + 0.5) / 1e9"
+_BH_GUARD = "na > 0 AND nb > 0 AND xa + xb > 0 AND xa + xb < na + nb"
+
+_BH_ORACLE = f"""
+WITH u AS (
+  SELECT DISTINCT user_id,
+         {MD5_PREFIX60_SQL.format(x="CAST(user_id AS VARCHAR)")} % 2 AS v
+  FROM events
+),
+pop AS (
+  SELECT CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM u
+),
+conv AS (
+  SELECT e.event_type,
+         CAST(COUNT(DISTINCT CASE WHEN u.v = 0 THEN e.user_id END)
+              AS BIGINT) AS xa,
+         CAST(COUNT(DISTINCT CASE WHEN u.v = 1 THEN e.user_id END)
+              AS BIGINT) AS xb
+  FROM events e JOIN u ON e.user_id = u.user_id
+  GROUP BY e.event_type
+),
+zt AS (
+  SELECT event_type, xa, xb, na, nb,
+         CASE WHEN {_BH_GUARD} THEN {_BH_Z} END AS z
+  FROM conv CROSS JOIN pop
+),
+pt AS (
+  SELECT event_type, xa, xb, z, abs(z) AS az FROM zt
+),
+pv AS (
+  SELECT event_type, xa, xb, z,
+         CASE WHEN z IS NOT NULL THEN {_BH_P} END AS p
+  FROM pt
+),
+rk AS (
+  SELECT event_type, xa, xb, z, p,
+         CAST(ROW_NUMBER() OVER (ORDER BY p, event_type) AS BIGINT)
+           AS rank,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM pv
+),
+km AS (
+  SELECT *,
+         MAX(CASE WHEN p <= CAST(rank AS DOUBLE) * {_BH_Q}
+                           / CAST(m AS DOUBLE)
+                  THEN rank END) OVER () AS k_max
+  FROM rk
+)
+SELECT event_type, xa, xb, z, p, rank, m,
+       FLOOR(CAST(rank AS DOUBLE) * {_BH_Q} / CAST(m AS DOUBLE)
+             * 1e9 + 0.5) / 1e9 AS bh_critical,
+       COALESCE(rank <= k_max, FALSE) AS rejected
+FROM km ORDER BY event_type
+"""
+
+
+@query("agg-bh-fdr", oracle=_BH_ORACLE)
+def agg_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E60: Benjamini-Hochberg FDR control over the per-metric test
+    family — the multiple-comparisons discipline the rest of the
+    experimentation family (E23/E30/E57/E58/E59 all emit z statistics)
+    deliberately leaves to the caller: per event type, the pooled
+    two-proportion z between hash-split arms becomes a two-sided p
+    (standard normal CDF via the shared Abramowitz-Stegun 26.2.17
+    chain — neither engine ships Φ), p-values rank ascending, and the
+    BH(q=0.10) step-up rule rejects ranks ≤ max{{k : p₍ₖ₎ ≤ kq/m}} —
+    the procedure that keeps a 5-metric dashboard from shipping one
+    false discovery per week.
+
+    Parity: counts exact (the E23 distinct-user discipline); z snapped
+    BEFORE |z| enters the CDF chain so both engines evaluate the same
+    polynomial on identical inputs; p snapped; the step-up compare
+    p ≤ k·q/m is over snapped p and a shared textual critical value;
+    ties in p rank by event_type. Degenerate metrics (empty arm,
+    all-or-none conversion) yield NULL z/p and never reject.
+
+    Shape at 100 TB: one distinct user-arm relation (map-side), one
+    per-type distinct-converter aggregate, then every window runs
+    over the TYPES-bounded relation (a handful of rows) — the
+    corpus never reaches the BH machinery."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.pmod(
+                md5_prefix60(F.col("user_id").cast("string")), F.lit(2)
+            ).alias("v"),
+        )
+    )
+    pop = u.agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    conv = (
+        ev.join(u, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct(
+                F.expr("CASE WHEN v = 0 THEN user_id END")
+            ).cast("long").alias("xa"),
+            F.countDistinct(
+                F.expr("CASE WHEN v = 1 THEN user_id END")
+            ).cast("long").alias("xb"),
+        )
+    )
+    zt = conv.crossJoin(F.broadcast(pop)).selectExpr(
+        "event_type",
+        "xa",
+        "xb",
+        f"CASE WHEN {_BH_GUARD} THEN {_BH_Z} END AS z",
+    )
+    pv = zt.selectExpr(
+        "event_type", "xa", "xb", "z", "abs(z) AS az"
+    ).selectExpr(
+        "event_type",
+        "xa",
+        "xb",
+        "z",
+        f"CASE WHEN z IS NOT NULL THEN {_BH_P} END AS p",
+    )
+    w = W.orderBy("p", "event_type")
+    full = W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    rk = pv.select(
+        "event_type",
+        "xa",
+        "xb",
+        "z",
+        "p",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.count("*").over(full).cast("long").alias("m"),
+    )
+    km = rk.select(
+        "*",
+        F.max(
+            F.expr(
+                f"CASE WHEN p <= CAST(rank AS DOUBLE) * {_BH_Q}"
+                f" / CAST(m AS DOUBLE) THEN rank END"
+            )
+        ).over(full).alias("k_max"),
+    )
+    return km.selectExpr(
+        "event_type",
+        "xa",
+        "xb",
+        "z",
+        "p",
+        "rank",
+        "m",
+        f"FLOOR(CAST(rank AS DOUBLE) * {_BH_Q} / CAST(m AS DOUBLE)"
+        f" * 1e9 + 0.5) / 1e9 AS bh_critical",
+        "COALESCE(rank <= k_max, FALSE) AS rejected",
+    ).orderBy("event_type")

@@ -89,6 +89,9 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # --list` with never-scored + structurally-changed keys at the HEAD;
 # new r13 operators must be PREPENDED here as they land.
 _PRIORITY_R13 = [
+    "agg-bh-fdr",
+    "multimodal-pdf-meta",
+    "sink-expire-snapshots",
     "agg-poisson-rate-test",
     "agg-diff-in-diff",
     "fn-semver-compare",

@@ -1432,3 +1432,127 @@ def scan_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(out, header=True, schema=schema)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B22 — sink-expire-snapshots: manifest retention + orphan-file vacuum
+# ---------------------------------------------------------------------------
+
+# Three commits over the four bucket files; retention keeps the LAST
+# TWO snapshots. v1 is the only reference to bucket 3, so expiry must
+# (a) drop the v1 manifest and (b) vacuum bucket-3's data file as an
+# orphan — while buckets 0-2, still referenced, survive untouched.
+_EXP_SNAPS = {"v1": (1, 3), "v2": (0, 1, 2), "v3": (0, 2)}
+_EXP_RETAIN = 2
+
+_EXPIRE_ORACLE = f"""
+WITH b AS (
+  SELECT o_orderkey % 4 AS bucket,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+SELECT s.snapshot, s.n_files, t.n_rows, t.sum_price,
+       CAST(1 AS BIGINT) AS n_expired_manifests,
+       CAST(1 AS BIGINT) AS n_orphans_removed
+FROM (VALUES ('v2', CAST(3 AS BIGINT), [0, 1, 2]),
+             ('v3', CAST(2 AS BIGINT), [0, 2]))
+       s(snapshot, n_files, buckets)
+CROSS JOIN LATERAL (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(price) AS DOUBLE) AS sum_price
+  FROM b WHERE list_contains(s.buckets, bucket)
+) t
+ORDER BY s.snapshot
+"""
+
+
+@query("sink-expire-snapshots", oracle=_EXPIRE_ORACLE)
+def sink_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22: snapshot expiry + orphan-file vacuum — the table-lifecycle
+    half B14 declares out of scope ("physical cleanup is a separate
+    vacuum concern"): retention keeps the newest N manifests, expired
+    manifests are deleted, and any data file referenced by NO retained
+    manifest is an orphan to remove — the Iceberg expire_snapshots /
+    remove_orphan_files pair, which is where a snapshot table's
+    storage bill actually gets paid. The dangerous half is the file
+    set arithmetic: vacuum must delete exactly
+    (on-disk − ⋃ retained manifests), never a file a live snapshot
+    still plans from.
+
+    Proof shape: three commits (v1 holds the only reference to bucket
+    3), expire to the last two, then read the SURVIVING snapshots
+    through their manifests AFTER the vacuum — correct counts and
+    DECIMAL-exact sums prove the vacuum deleted only dead bytes; the
+    audit columns carry the expired-manifest and orphan counts, and
+    the deleted state (v1 manifest gone, bucket-3 file gone) is
+    asserted in tests/test_r13_ops.py.
+
+    Scale posture: expiry is pure MANIFEST arithmetic — set difference
+    over file LISTS (thousands of entries at 100 TB), never a data
+    scan; deletes are per-file filesystem ops a driver (or a
+    distributed foreach over the orphan list) issues; the retained
+    snapshots' data is never read by the lifecycle operation itself —
+    the reads below are the PROOF, not the cost."""
+    import json
+    import os
+
+    base = tempfile.mkdtemp(prefix="sfm-b22-")
+    o = load_table(spark, sf_dir, "orders")
+    bucket_files = {}
+    for b in range(4):
+        path = f"{base}/bucket-{b}"
+        o.filter(F.col("o_orderkey") % 4 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        (pf,) = [
+            f"{path}/{f}"
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        bucket_files[b] = pf
+    os.makedirs(f"{base}/_manifests", exist_ok=True)
+    for version, buckets in _EXP_SNAPS.items():
+        tmp = f"{base}/_manifests/.{version}.json.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"files": [bucket_files[b] for b in buckets]}, fh)
+        os.rename(tmp, f"{base}/_manifests/{version}.json")
+
+    # --- expire: newest N manifests survive (version-ordered) ---
+    versions = sorted(_EXP_SNAPS)  # v1 < v2 < v3
+    retained, expired = versions[-_EXP_RETAIN:], versions[:-_EXP_RETAIN]
+    live_files = set()
+    for version in retained:
+        with open(f"{base}/_manifests/{version}.json") as fh:
+            live_files.update(json.load(fh)["files"])
+    for version in expired:
+        os.remove(f"{base}/_manifests/{version}.json")
+    # --- vacuum: on-disk data files minus the retained union ---
+    on_disk = {
+        f"{base}/bucket-{b}/{f}"
+        for b in range(4)
+        for f in os.listdir(f"{base}/bucket-{b}")
+        if f.endswith(".parquet")
+    }
+    orphans = sorted(on_disk - live_files)
+    for path in orphans:
+        os.remove(path)
+
+    def read_snapshot(version: str) -> DataFrame:
+        with open(f"{base}/_manifests/{version}.json") as fh:
+            files = json.load(fh)["files"]
+        df = spark.read.parquet(*files)
+        return df.agg(
+            F.lit(version).alias("snapshot"),
+            F.lit(len(files)).cast("long").alias("n_files"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.lit(len(expired)).cast("long").alias("n_expired_manifests"),
+            F.lit(len(orphans)).cast("long").alias("n_orphans_removed"),
+        )
+
+    out = read_snapshot(retained[0])
+    for version in retained[1:]:
+        out = out.unionAll(read_snapshot(version))
+    return out.orderBy("snapshot")

@@ -373,3 +373,122 @@ def test_poisson_rate_and_did_well_formed(spark, sf_dir):
     assert total_cells > 0
     if d["se"] is not None:
         assert d["se"] > 0
+
+
+# ---------------------------------------------------------------------------
+# multimodal-pdf-meta vs a genuine minimal PDF
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_meta_parses_genuine_file(spark):
+    from spark_file_mover_spark.llm.multimodal import with_pdf_meta
+
+    pdf = (
+        b"%PDF-1.7\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [] /Count 0 >>\nendobj\n"
+        b"xref\n0 3\ntrailer\n<< /Size 3 /Root 1 0 R >>\n"
+        b"startxref\n109\n%%EOF"
+    )
+    df = spark.createDataFrame(
+        [(1, pdf), (2, b"%PDF-2.0\nstartxref\n5\n%%EOF"), (3, b"GIF89a...")],
+        "asset_id long, content binary",
+    )
+    got = {
+        r["asset_id"]: (
+            r["is_pdf"],
+            r["version"],
+            r["n_objects"],
+            r["has_eof"],
+            r["startxref_offset"],
+        )
+        for r in with_pdf_meta(df).collect()
+    }
+    assert got[1] == (True, "1.7", 2, True, 109)
+    assert got[2] == (True, "2.0", 0, True, 5)
+    assert got[3][0] is False
+
+
+# ---------------------------------------------------------------------------
+# sink-expire-snapshots: deleted state on disk
+# ---------------------------------------------------------------------------
+
+
+def test_expire_snapshots_deletes_exactly_the_dead_state(spark, sf_dir):
+    import glob
+    import re
+
+    from spark_file_mover_spark.sources.sourcesink import (
+        sink_expire_snapshots,
+    )
+
+    rows = sink_expire_snapshots(spark, sf_dir).collect()
+    assert [r["snapshot"] for r in rows] == ["v2", "v3"]
+    assert all(r["n_expired_manifests"] == 1 for r in rows)
+    assert all(r["n_orphans_removed"] == 1 for r in rows)
+    # find the temp dir from the freshest b22 run and assert disk state
+    bases = sorted(
+        glob.glob("/tmp/sfm-b22-*"),
+        key=lambda p: __import__("os").path.getmtime(p),
+    )
+    base = bases[-1]
+    manifests = sorted(
+        p.split("/")[-1] for p in glob.glob(f"{base}/_manifests/*.json")
+    )
+    assert manifests == ["v2.json", "v3.json"]  # v1 expired
+    assert glob.glob(f"{base}/bucket-3/*.parquet") == []  # orphan vacuumed
+    for b in (0, 1, 2):  # every still-referenced file survives
+        assert glob.glob(f"{base}/bucket-{b}/*.parquet")
+
+
+# ---------------------------------------------------------------------------
+# agg-bh-fdr vs a pure-Python reference (same A&S CDF)
+# ---------------------------------------------------------------------------
+
+
+def test_bh_fdr_matches_reference_stepup(spark, sf_dir):
+    import math
+
+    from spark_file_mover_spark.operators.aggregates import agg_bh_fdr
+
+    rows = agg_bh_fdr(spark, sf_dir).collect()
+    assert rows
+    m = rows[0]["m"]
+    assert m == len(rows)
+
+    def p_from_z(z):
+        az = abs(z)
+        t = 1.0 / (1.0 + 0.2316419 * az)
+        tail = (
+            math.exp(-az * az / 2.0)
+            / 2.5066282746310002
+            * (
+                (
+                    (
+                        (1.330274429 * t - 1.821255978) * t
+                        + 1.781477937
+                    )
+                    * t
+                    - 0.356563782
+                )
+                * t
+                + 0.319381530
+            )
+            * t
+        )
+        return math.floor(2.0 * tail * 1e9 + 0.5) / 1e9
+
+    # p recomputed from the emitted snapped z matches the emitted p
+    for r in rows:
+        if r["z"] is not None:
+            assert abs(p_from_z(r["z"]) - r["p"]) < 2e-9
+    # step-up property: rejected == rank <= max{k: p_(k) <= kq/m}
+    ranked = sorted(
+        [r for r in rows if r["p"] is not None], key=lambda r: r["rank"]
+    )
+    k_max = 0
+    for r in ranked:
+        if r["p"] <= r["rank"] * 0.10 / m:
+            k_max = r["rank"]
+    for r in ranked:
+        assert r["rejected"] == (r["rank"] <= k_max)

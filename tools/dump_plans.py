@@ -30,6 +30,9 @@ from spark_file_mover_spark.checkpoints import lazy_checkpoints  # noqa: E402
 from spark_file_mover_spark.session import get_spark  # noqa: E402
 
 NOTES = {
+    "agg-bh-fdr": "Distinct user-arm relation + per-type distinct-converter agg; BH rank/step-up windows run over the types-bounded relation only.",
+    "multimodal-pdf-meta": "Map-only header/trailer parse; object count via the substring-occurrence identity; zero shuffle, zero Python.",
+    "sink-expire-snapshots": "Manifest set-difference lifecycle; survivors re-read through manifests after the vacuum as the proof, not the cost.",
     "agg-poisson-rate-test": "ONE aggregate over the event scan: hash arm map-side, exposure = exact distinct user-day keys via partial agg; one row crosses the exchange.",
     "agg-diff-in-diff": "Per-(user, period) groupBy absorbs events; ONE conditional aggregate emits the 12-statistic row; DiD/SE/z shared snapped chains.",
     "fn-semver-compare": "Map-only shared backslash-free regex + precedence CASE chain; zero shuffle.",
