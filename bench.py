@@ -378,6 +378,8 @@ HEADLINE = [
     "agg-bh-fdr",
     "multimodal-pdf-meta",
     "sink-expire-snapshots",
+    "fn-html-strip",
+    "fn-xml-extract",
 ]
 
 

@@ -1734,3 +1734,185 @@ def fn_jwt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"p.exp < {_JWT_NOW} AS expired",
         "p.scope AS scope",
     ).orderBy("token_id")
+
+
+# ---------------------------------------------------------------------------
+# G20 — fn-html-strip: tag removal + entity decode for web-corpus text
+# ---------------------------------------------------------------------------
+
+# Entity subset decoded (the high-frequency five + non-breaking space);
+# everything is backslash-free shared-literal regex/replace chains (the
+# G18 lesson). Tag stripping is the single-pass '<[^>]*>' removal every
+# boilerplate pipeline starts from — comments/script CONTENT survive
+# only as text, which is exactly what the downstream quality scores
+# should see and penalize.
+_HTML_SYNTH = """
+'<div class="post"><h1>Doc ' || CAST(doc_id AS {t}) || '</h1>'
+|| '<!-- boilerplate comment -->'
+|| '<p>' || substr(text, 1, 40) || ' &amp; more &lt;tags&gt;</p>'
+|| CASE WHEN doc_id % 3 = 0
+        THEN '<script>var x = 1;</script>' ELSE '' END
+|| '<p>&quot;quoted&quot;&nbsp;tail</p></div>'
+"""
+
+# Strip/decode/collapse chain. NOT one shared literal: DuckDB's
+# regexp_replace replaces only the FIRST match unless passed the 'g'
+# flag, while Spark's always replaces all and takes no flag argument —
+# so the template carries a {g} hole ('' for Spark, ", 'g'" for
+# DuckDB) and the two instantiations are otherwise identical text.
+_HTML_STRIP_T = (
+    "trim(regexp_replace(replace(replace(replace(replace(replace("
+    "regexp_replace(html, '<[^>]*>', ' '{g}),"
+    " '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),"
+    " '&quot;', '\"'), '&nbsp;', ' '),"
+    " '  +', ' '{g}))"
+)
+
+
+@query(
+    "fn-html-strip",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         {_HTML_SYNTH.format(t="VARCHAR")} AS html
+  FROM documents
+),
+s AS (
+  SELECT doc_id, html,
+         {_HTML_STRIP_T.format(g=", 'g'")} AS stripped FROM h
+)
+SELECT doc_id,
+       stripped,
+       CAST(length(html) AS BIGINT) AS html_len,
+       CAST(length(stripped) AS BIGINT) AS text_len,
+       FLOOR(CAST(length(stripped) AS DOUBLE)
+             / CAST(length(html) AS DOUBLE) * 1e9 + 0.5) / 1e9
+         AS text_ratio,
+       CAST(length(html) - length(replace(html, '<', ''))
+            AS BIGINT) AS n_tags
+FROM s ORDER BY doc_id
+""",
+)
+def fn_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G20: HTML tag stripping + entity decoding — the first cleaning
+    pass every web-scraped corpus goes through before any quality
+    score or dedup sees the text: remove tags in one '<[^>]*>' pass,
+    decode the high-frequency entities (&amp; &lt; &gt; &quot;
+    &nbsp;), collapse runs of whitespace, and emit the text-to-markup
+    ratio — the boilerplate signal (a page that is 95% markup is
+    navigation, not content) — plus the raw tag count.
+
+    Parity: synthesis wraps each document's text in a doc_id-derived
+    HTML skeleton (headers, comments, a script block for every third
+    doc, entity-bearing paragraphs) shared textually with the oracle;
+    the strip/decode/collapse chain is one shared backslash-free
+    expression (the G18 literal rule); lengths are exact BIGINTs and
+    the ratio one snapped division. The hashed stripped STRING
+    certifies the whole chain, not just the counts.
+
+    Shape at 100 TB: map-only regex/replace chain fused into the
+    scan, zero shuffle (presentation sort only)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.selectExpr(
+        "doc_id",
+        f"{_HTML_SYNTH.format(t='STRING')} AS html",
+    )
+    s = h.selectExpr(
+        "doc_id", "html", f"{_HTML_STRIP_T.format(g='')} AS stripped"
+    )
+    return s.selectExpr(
+        "doc_id",
+        "stripped",
+        "CAST(length(html) AS BIGINT) AS html_len",
+        "CAST(length(stripped) AS BIGINT) AS text_len",
+        "FLOOR(CAST(length(stripped) AS DOUBLE)"
+        " / CAST(length(html) AS DOUBLE) * 1e9 + 0.5) / 1e9"
+        " AS text_ratio",
+        "CAST(length(html) - length(replace(html, '<', ''))"
+        " AS BIGINT) AS n_tags",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# G21 — fn-xml-extract: XPath field extraction from XML payloads
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn-xml-extract",
+    oracle="""
+WITH x AS (
+  SELECT s_suppkey,
+         '<supplier id="' || CAST(s_suppkey AS VARCHAR) || '">'
+         || '<name>' || s_name || '</name>'
+         || '<nation>' || CAST(s_nationkey AS VARCHAR) || '</nation>'
+         || '<balance currency="USD">' || CAST(s_acctbal AS VARCHAR)
+         || '</balance>'
+         || CASE WHEN s_suppkey % 4 = 0
+                 THEN '<flag>priority</flag>' ELSE '' END
+         || '</supplier>' AS xml
+  FROM supplier
+)
+SELECT s_suppkey AS supp_id,
+       regexp_extract(xml, '<name>([^<]*)</name>', 1) AS name,
+       CAST(regexp_extract(xml, '<nation>([^<]*)</nation>', 1)
+            AS BIGINT) AS nation,
+       regexp_extract(xml, 'currency="([^"]*)"', 1) AS currency,
+       regexp_extract(xml, '<flag>([^<]*)</flag>', 1) <> ''
+         AS has_priority_flag,
+       CAST(regexp_extract(xml, 'id="([0-9]+)"', 1) AS BIGINT)
+         AS id_attr
+FROM x ORDER BY supp_id
+""",
+)
+def fn_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G21: XPath extraction from XML payloads — the feed-ingestion
+    primitive for the XML that B2B/finance/legacy pipelines still
+    ship: element text, attribute values and element-existence tests
+    pulled from a document column. The Spark side uses the REAL XPath
+    functions (`xpath_string`, element predicates — the JVM Xalan
+    engine, namespace-aware and structure-checked); the oracle
+    deliberately re-derives the same fields with regexes, making this
+    one of the keys where the two engines take structurally DIFFERENT
+    routes to hash-identical values (the strongest form of the oracle
+    contract — a shared-text bug cannot cancel here).
+
+    Parity: synthesis builds spec-valid single-element XML from
+    supplier columns (attribute, nested elements, an optional flag
+    element every 4th row); all outputs are exact strings/ints/bools;
+    s_acctbal is carried only INSIDE the synthesized payload (its
+    round-trip is covered by the currency attribute + name fields, so
+    no float formatting crosses engines).
+
+    Shape at 100 TB: map-only — XPath evaluation fused into the scan,
+    zero shuffle (presentation sort only). XPath is JVM-side but not
+    codegen'd (Xalan walks a parsed DOM per row) — fine for a
+    triage/extract pass; a hot path would lift the parse into a
+    schema-on-read `from_xml` instead."""
+    s = load_table(spark, sf_dir, "supplier")
+    # Xalan parses a DOM per row per xpath call — heavy map work that
+    # arrives as ONE split at test scale; repartition the three narrow
+    # input columns so it runs wide (the fn-jwt-parse lesson)
+    s = s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    x = s.selectExpr(
+        "s_suppkey",
+        "'<supplier id=\"' || CAST(s_suppkey AS STRING) || '\">'"
+        " || '<name>' || s_name || '</name>'"
+        " || '<nation>' || CAST(s_nationkey AS STRING) || '</nation>'"
+        " || '<balance currency=\"USD\">' || CAST(s_acctbal AS STRING)"
+        " || '</balance>'"
+        " || CASE WHEN s_suppkey % 4 = 0"
+        " THEN '<flag>priority</flag>' ELSE '' END"
+        " || '</supplier>' AS xml",
+    )
+    return x.selectExpr(
+        "s_suppkey AS supp_id",
+        "xpath_string(xml, '/supplier/name') AS name",
+        "CAST(xpath_string(xml, '/supplier/nation') AS BIGINT) AS nation",
+        "xpath_string(xml, '/supplier/balance/@currency') AS currency",
+        "xpath_boolean(xml, 'boolean(/supplier/flag)')"
+        " AS has_priority_flag",
+        "CAST(xpath_string(xml, '/supplier/@id') AS BIGINT) AS id_attr",
+    ).orderBy("supp_id")

@@ -89,6 +89,8 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # --list` with never-scored + structurally-changed keys at the HEAD;
 # new r13 operators must be PREPENDED here as they land.
 _PRIORITY_R13 = [
+    "fn-html-strip",
+    "fn-xml-extract",
     "agg-bh-fdr",
     "multimodal-pdf-meta",
     "sink-expire-snapshots",

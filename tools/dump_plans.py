@@ -30,6 +30,8 @@ from spark_file_mover_spark.checkpoints import lazy_checkpoints  # noqa: E402
 from spark_file_mover_spark.session import get_spark  # noqa: E402
 
 NOTES = {
+    "fn-html-strip": "Map-only strip/decode/collapse template (a {g} hole bridges the engines' regexp_replace global-flag split); zero shuffle.",
+    "fn-xml-extract": "Spark XPath vs oracle regex — independent formulations; map-only, zero shuffle; per-row DOM parse declared triage-grade.",
     "agg-bh-fdr": "Distinct user-arm relation + per-type distinct-converter agg; BH rank/step-up windows run over the types-bounded relation only.",
     "multimodal-pdf-meta": "Map-only header/trailer parse; object count via the substring-occurrence identity; zero shuffle, zero Python.",
     "sink-expire-snapshots": "Manifest set-difference lifecycle; survivors re-read through manifests after the vacuum as the proof, not the cost.",
