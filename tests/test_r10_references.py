@@ -14,6 +14,17 @@ from collections import Counter, defaultdict
 import pyarrow.parquet as pq
 
 
+
+def _utc_us(ts) -> int:
+    """Microseconds since epoch, interpreting NAIVE (NTZ) timestamps as
+    UTC — a bare .timestamp() would read them in host-local time, red
+    only under the suite's non-UTC TZ (the engine pins UTC)."""
+    from datetime import timezone
+
+    if getattr(ts, "tzinfo", None) is None and hasattr(ts, "replace"):
+        ts = ts.replace(tzinfo=timezone.utc)
+    return int(round(ts.timestamp() * 1e6))
+
 def _snap9(x: float) -> float:
     return math.floor(x * 1e9 + 0.5) / 1e9
 
@@ -117,7 +128,7 @@ def test_funnel_windowed_matches_pure_python(spark, sf_dir):
     t = pq.read_table(f"{sf_dir}/events.parquet").to_pydict()
     per_user = defaultdict(lambda: defaultdict(list))
     for u, ty, ts in zip(t["user_id"], t["event_type"], t["ts"]):
-        us = int(ts.timestamp() * 1e6) if hasattr(ts, "timestamp") else ts
+        us = _utc_us(ts) if hasattr(ts, "timestamp") else ts
         per_user[u][ty].append(us)
     h1, h24 = 3600 * 10**6, 24 * 3600 * 10**6
     nv = nc = np_ = 0

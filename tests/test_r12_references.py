@@ -18,6 +18,17 @@ from spark_file_mover_spark import registry
 registry.load_all()
 
 
+
+def _utc_us(ts) -> int:
+    """Microseconds since epoch, interpreting NAIVE (NTZ) timestamps as
+    UTC — a bare .timestamp() would read them in host-local time, red
+    only under the suite's non-UTC TZ (the engine pins UTC)."""
+    from datetime import timezone
+
+    if getattr(ts, "tzinfo", None) is None and hasattr(ts, "replace"):
+        ts = ts.replace(tzinfo=timezone.utc)
+    return int(round(ts.timestamp() * 1e6))
+
 def _snap9(x: float) -> float:
     return math.floor(x * 1e9 + 0.5) / 1e9
 
@@ -33,8 +44,7 @@ def _day_cents(sf_dir):
     ).to_pydict()
     days = defaultdict(int)
     for ts, v in zip(t["ts"], t["value"]):
-        us = ts.timestamp() * 1e6
-        day = int(round(us)) // 86_400_000_000
+        day = _utc_us(ts) // 86_400_000_000
         days[day] += _cents(v) if v is not None else 0
     return sorted(days.items())
 
@@ -735,10 +745,7 @@ def test_rolling_origin_matches_pure_python(spark, sf_dir):
     t = pq.read_table(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
     ).to_pydict()
-    days = [
-        int(round(ts.timestamp() * 1e6)) // 86_400_000_000
-        for ts in t["ts"]
-    ]
+    days = [_utc_us(ts) // 86_400_000_000 for ts in t["ts"]]
     users = t["user_id"]
     n = len(days)
     sdays = sorted(days)
@@ -893,7 +900,7 @@ def test_parkinson_matches_pure_python(spark, sf_dir):
     for ts, v in zip(t["ts"], t["value"]):
         if v is None:
             continue
-        day = int(round(ts.timestamp() * 1e6)) // 86_400_000_000
+        day = _utc_us(ts) // 86_400_000_000
         c = _cents(v)
         h, lo = bars.get(day, (c, c))
         bars[day] = (max(h, c), min(lo, c))
