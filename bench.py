@@ -380,6 +380,10 @@ HEADLINE = [
     "sink-expire-snapshots",
     "fn-html-strip",
     "fn-xml-extract",
+    "sample-neyman-allocation",
+    "multimodal-srt-meta",
+    "join-bbox-overlap",
+    "graph-personalized-pagerank",
 ]
 
 

@@ -3180,3 +3180,120 @@ def multimodal_pdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("asset_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal-srt-meta — SubRip subtitle triage (cue count, time span)
+# ---------------------------------------------------------------------------
+
+_SRT_EXPR_CACHE: dict[tuple, dict] = {}
+
+# Backslash-free shared timestamp regex (the G18 literal rule)
+_SRT_TS_RE = "[0-9][0-9]:[0-9][0-9]:[0-9][0-9],[0-9][0-9][0-9]"
+
+
+def with_srt_meta(df: DataFrame, content: str = "content") -> DataFrame:
+    """Append (n_cues, first_start_ms, last_end_ms, span_ms) parsed
+    from a SubRip (.srt) payload: cue count via ' --> ' occurrence
+    counting, first/last timestamps via regexp_extract_all over the
+    fixed-width HH:MM:SS,mmm form, milliseconds decoded positionally.
+    The transcript-alignment triage a video/audio pipeline runs before
+    pairing subtitles with media (duration mismatch, empty or
+    single-cue files)."""
+    key = (df.sparkSession.sparkContext.applicationId, content)
+    frags = _SRT_EXPR_CACHE.get(key)
+    if frags is None:
+        for k in [k for k in _SRT_EXPR_CACHE if k[0] != key[0]]:
+            del _SRT_EXPR_CACHE[k]
+        txt = F.col(content)
+        n_cues = (
+            (F.length(txt) - F.length(F.replace(txt, F.lit(" --> "))))
+            / 5
+        ).cast("long")
+
+        def ms(col):
+            return (
+                F.substring(col, 1, 2).cast("long") * 3600000
+                + F.substring(col, 4, 2).cast("long") * 60000
+                + F.substring(col, 7, 2).cast("long") * 1000
+                + F.substring(col, 10, 3).cast("long")
+            )
+
+        all_ts = F.expr(
+            f"regexp_extract_all({content}, '{_SRT_TS_RE}', 0)"
+        )
+        first_ts = F.element_at(all_ts, 1)
+        last_ts = F.element_at(all_ts, -1)
+        has = n_cues > 0
+        frags = {
+            "fields": [
+                n_cues.alias("n_cues"),
+                F.when(has, ms(first_ts)).alias("first_start_ms"),
+                F.when(has, ms(last_ts)).alias("last_end_ms"),
+                F.when(has, ms(last_ts) - ms(first_ts)).alias("span_ms"),
+            ]
+        }
+        _SRT_EXPR_CACHE[key] = frags
+    return df.select("*", *frags["fields"])
+
+
+_SRT_ORACLE = """
+SELECT doc_id AS asset_id,
+       CAST(1 + doc_id % 12 AS BIGINT) AS n_cues,
+       CAST(doc_id % 1000 AS BIGINT) AS first_start_ms,
+       CAST(doc_id % 1000 + (doc_id % 12) * 4000 + 2000
+            + (doc_id % 7) * 100 AS BIGINT) AS last_end_ms,
+       CAST((doc_id % 12) * 4000 + 2000 + (doc_id % 7) * 100
+            AS BIGINT) AS span_ms
+FROM documents ORDER BY asset_id
+"""
+
+
+@query("multimodal-srt-meta", oracle=_SRT_ORACLE)
+def multimodal_srt_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SubRip subtitle metadata — the transcript-sidecar member of the
+    container family: cue count, first/last cue timestamps and total
+    span from a doc_id-synthesized .srt of 1-12 cues (built with a
+    transform() HOF over sequence(), timestamps formatted by the same
+    positional arithmetic the parser must invert). The span is derived
+    from the PARSED first/last timestamps, so a synthesis bug cannot
+    cancel a parse bug; genuine hand-written SRT files are pinned in
+    tests/test_r13_ops.py.
+
+    Scale: map-only, zero shuffle, zero Python — counting is the
+    substring-occurrence identity, timestamp decode is fixed-width
+    positional arithmetic; Columns cached per SparkContext."""
+    d = load_table(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, "__srt_synth__")
+    cached = _SRT_EXPR_CACHE.get(key)
+    if cached is None:
+        fmt = (
+            "lpad(CAST(ms DIV 3600000 AS STRING), 2, '0') || ':'"
+            " || lpad(CAST(ms DIV 60000 % 60 AS STRING), 2, '0') || ':'"
+            " || lpad(CAST(ms DIV 1000 % 60 AS STRING), 2, '0') || ','"
+            " || lpad(CAST(ms % 1000 AS STRING), 3, '0')"
+        )
+        # build with a transform() lambda: per cue i, start/end times
+        # from the doc formulas, one text line, blank separator
+        synth = F.expr(
+            "array_join(transform(sequence(1, CAST(1 + doc_id % 12 AS INT)),"
+            " i -> CAST(i AS STRING) || chr(10)"
+            f" || {fmt.replace('ms', '(doc_id % 1000 + (i - 1) * 4000)')}"
+            " || ' --> '"
+            f" || {fmt.replace('ms', '(doc_id % 1000 + (i - 1) * 4000 + 2000 + (doc_id % 7) * 100)')}"
+            " || chr(10) || 'cue text ' || CAST(i AS STRING)"
+            " || chr(10)), chr(10))"
+        )
+        cached = {"payload": synth}
+        _SRT_EXPR_CACHE[key] = cached
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        cached["payload"].alias("content"),
+    )
+    return (
+        with_srt_meta(assets)
+        .select(
+            "asset_id", "n_cues", "first_start_ms", "last_end_ms", "span_ms"
+        )
+        .orderBy("asset_id")
+    )

@@ -1590,3 +1590,129 @@ def sample_ess_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# I88 — sample-neyman-allocation: optimal stratified sample sizing
+# ---------------------------------------------------------------------------
+
+_NEY_N = 1000  # total sample budget, shared literal
+
+# Population σ_h from exact integer sums: N·Σx² − (Σx)² over N², then
+# quota_h = n · N_h σ_h / Σ(N σ). The allocation must sum EXACTLY to n,
+# so integer parts are floored and the remainder distributes by
+# largest fractional part (ties by source) — the largest-remainder
+# method, ranked on SNAPPED quotas so both engines order identically.
+_NEY_SIG = (
+    "SQRT((CAST(nh AS DOUBLE) * CAST(q2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+    " / (CAST(nh AS DOUBLE) * CAST(nh AS DOUBLE)))"
+)
+
+_NEYMAN_ORACLE = f"""
+WITH st AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS nh,
+         CAST(SUM(n_chars) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars)
+              AS DECIMAL(38,0)) AS q2
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, nh,
+         FLOOR({_NEY_SIG} * 1e9 + 0.5) / 1e9 AS sigma,
+         CAST(nh AS DOUBLE) * ({_NEY_SIG}) AS wgt
+  FROM st
+),
+q AS (
+  SELECT source, nh, sigma,
+         FLOOR({_NEY_N} * wgt / SUM(wgt) OVER () * 1e9 + 0.5) / 1e9
+           AS quota
+  FROM w
+),
+a AS (
+  SELECT source, nh, sigma, quota,
+         CAST(FLOOR(quota) AS BIGINT) AS base,
+         quota - FLOOR(quota) AS frac,
+         CAST({_NEY_N} - SUM(CAST(FLOOR(quota) AS BIGINT)) OVER ()
+              AS BIGINT) AS short,
+         CAST(ROW_NUMBER() OVER (ORDER BY quota - FLOOR(quota) DESC,
+                                 source) AS BIGINT) AS fr
+  FROM q
+)
+SELECT source, nh, sigma, quota,
+       base + CASE WHEN fr <= short THEN 1 ELSE 0 END AS n_alloc
+FROM a ORDER BY source
+"""
+
+
+@query("sample-neyman-allocation", oracle=_NEYMAN_ORACLE)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I88: Neyman-optimal stratified sample allocation (Neyman 1934):
+    given a total budget of {n} documents, each source stratum gets
+    n_h ∝ N_h·σ_h — more samples where the stratum is BIG or NOISY —
+    the allocation that minimizes the variance of the stratified
+    estimator; proportional allocation (I12's cousin) over-samples
+    homogeneous strata. Integer allocations sum exactly to the budget
+    via the largest-remainder method (floor the quotas, hand the
+    shortfall to the largest fractional parts).
+
+    Parity: per-stratum (N, Σx, Σx²) are exact DECIMAL(38,0) sums; σ
+    and quota are shared textual snapped chains; the remainder rank
+    orders by SNAPPED quota fractions with source tie-breaks, so both
+    engines hand out identical +1s; Σ n_alloc = budget is exact by
+    construction (asserted in tests).
+
+    Shape at 100 TB: ONE groupBy(source) absorbs corpus volume
+    map-side into a sources-bounded relation; every window after runs
+    over that handful of rows."""
+    d = load_table(spark, sf_dir, "documents")
+    st = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("nh"),
+        F.sum("n_chars").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.expr("CAST(n_chars AS DECIMAL(38,0)) * n_chars"))
+        .cast("decimal(38,0)")
+        .alias("q2"),
+    )
+    w = st.selectExpr(
+        "source",
+        "nh",
+        f"FLOOR({_NEY_SIG} * 1e9 + 0.5) / 1e9 AS sigma",
+        f"CAST(nh AS DOUBLE) * ({_NEY_SIG}) AS wgt",
+    )
+    from pyspark.sql import Window as W
+
+    full = W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    q = (
+        w.withColumn("swgt", F.sum("wgt").over(full))
+        .selectExpr(
+            "source",
+            "nh",
+            "sigma",
+            f"FLOOR({_NEY_N} * wgt / swgt * 1e9 + 0.5) / 1e9 AS quota",
+        )
+    )
+    a = (
+        q.withColumn("base", F.expr("CAST(FLOOR(quota) AS BIGINT)"))
+        .withColumn("frac", F.expr("quota - FLOOR(quota)"))
+        .withColumn(
+            "short",
+            F.expr(f"CAST({_NEY_N} AS BIGINT)")
+            - F.sum("base").over(full).cast("long"),
+        )
+        .withColumn(
+            "fr",
+            F.row_number()
+            .over(W.orderBy(F.desc("frac"), F.asc("source")))
+            .cast("long"),
+        )
+    )
+    return a.selectExpr(
+        "source",
+        "nh",
+        "sigma",
+        "quota",
+        "base + CASE WHEN fr <= short THEN 1 ELSE 0 END AS n_alloc",
+    ).orderBy("source")

@@ -1858,3 +1858,178 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# K15 — graph-personalized-pagerank: seed-restart PageRank
+# ---------------------------------------------------------------------------
+
+_PPR_ITERS = 4
+_PPR_SEED_MOD = 16  # seeds: user nodes with node % 16 == 0
+
+
+def _ppr_oracle() -> str:
+    """Personalized PageRank compile-time-unrolled into chained CTEs
+    (the K1 pattern): teleport AND dangling mass return to the SEED
+    set only, every operation BIGINT add / floor-div."""
+    head = f"""
+WITH e AS (
+  SELECT DISTINCT user_id AS src,
+         {_PR_ENTITY_BASE} + CAST(props->>'k' AS BIGINT) AS dst
+  FROM events
+  UNION ALL
+  SELECT DISTINCT {_PR_ENTITY_BASE} + CAST(props->>'k' AS BIGINT) AS src,
+         user_id AS dst
+  FROM events
+  WHERE CAST(props->>'k' AS BIGINT) % 2 = 0
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+s AS (SELECT COUNT(*) AS n_seeds FROM nodes
+      WHERE node < {_PR_ENTITY_BASE} AND node % {_PPR_SEED_MOD} = 0),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+r0 AS (
+  SELECT node,
+         CASE WHEN node < {_PR_ENTITY_BASE}
+                   AND node % {_PPR_SEED_MOD} = 0
+              THEN ((SELECT n_nodes FROM n) * {_PR_SCALE})
+                   // (SELECT n_seeds FROM s)
+              ELSE 0 END AS rank
+  FROM nodes)"""
+    blocks = []
+    for i in range(1, _PPR_ITERS + 1):
+        p = i - 1
+        blocks.append(f""",
+c{i} AS (
+  SELECT e.dst AS node, SUM(r.rank // d.outdeg) AS contrib
+  FROM e JOIN r{p} r ON r.node = e.src JOIN deg d ON d.src = e.src
+  WHERE r.rank > 0
+  GROUP BY e.dst
+),
+d{i} AS (
+  SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dang
+  FROM r{p} r LEFT JOIN deg ON deg.src = r.node
+  WHERE deg.src IS NULL
+),
+r{i} AS (
+  SELECT nodes.node,
+         CAST(
+           CASE WHEN nodes.node < {_PR_ENTITY_BASE}
+                     AND nodes.node % {_PPR_SEED_MOD} = 0
+                THEN (15 * (SELECT n_nodes FROM n) * {_PR_SCALE} // 100)
+                     // (SELECT n_seeds FROM s)
+                ELSE 0 END
+           + (85 * (COALESCE(c{i}.contrib, 0)
+              + CASE WHEN nodes.node < {_PR_ENTITY_BASE}
+                          AND nodes.node % {_PPR_SEED_MOD} = 0
+                     THEN (SELECT dang FROM d{i})
+                          // (SELECT n_seeds FROM s)
+                     ELSE 0 END)) // 100
+           AS BIGINT) AS rank
+  FROM nodes LEFT JOIN c{i} ON c{i}.node = nodes.node
+)""")
+    tail = f"""
+SELECT node AS node_id, rank,
+       node < {_PR_ENTITY_BASE} AND node % {_PPR_SEED_MOD} = 0 AS is_seed,
+       node >= {_PR_ENTITY_BASE} AS is_entity
+FROM r{_PPR_ITERS}
+WHERE rank > 0
+ORDER BY node_id
+"""
+    return head + "".join(blocks) + tail
+
+
+@query("graph-personalized-pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """K15: personalized PageRank (Page et al. 1999 §6 / the
+    random-walk-with-restart of recommendation systems): both the
+    teleport mass AND the dangling redistribution return to a SEED
+    set (every 16th user) instead of all nodes, so ranks measure
+    proximity TO THE SEEDS — "entities these users gravitate to" —
+    rather than global authority (K1). Initial mass sits entirely on
+    the seeds; nodes the walk never reaches hold rank 0 and are
+    omitted (the oracle does the same), which is the sparsity that
+    makes PPR tractable per-seed-set at scale.
+
+    Exactness: the K1 fixed-point discipline verbatim — BIGINT mass,
+    ``rank div outdeg`` contributions, damping as 85/100 floor-div,
+    teleport and dangling shares as floor-divided seed quotas; the
+    driver hash-compares exact ranks after 4 rounds.
+
+    Plan shape: shares K1's cached edge + (node, outdeg) relations
+    (the _PR_GRAPH_CACHE materialized view); each round is one
+    contribution aggregate over the rank>0 frontier (PPR's frontier
+    is SPARSE early — round 1 touches only seed out-edges), a
+    completion join, and the one-row dangling aggregate broadcast
+    back; ranks localCheckpoint per round. At cluster scale the
+    frontier sparsity is the point: per-seed-set PPR touches the
+    seeds' neighborhood, not the graph."""
+    cache_key = artifact_cache_key(spark, sf_dir)
+    e = _pr_edges(spark, sf_dir)
+    cached = _PR_GRAPH_CACHE[cache_key]
+    if "nd" not in cached:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+        cached["nd"] = _reliable_checkpoint(
+            nodes.join(deg, nodes.node == deg.src, "left").select(
+                "node", "outdeg"
+            )
+        )
+        cached["n"] = cached["nd"].count()
+    nd, n_nodes = cached["nd"], cached["n"]
+    seed_pred = (
+        f"node < {_PR_ENTITY_BASE} AND node % {_PPR_SEED_MOD} = 0"
+    )
+    if "n_seeds" not in cached:
+        cached["n_seeds"] = nd.filter(seed_pred).count()
+    n_seeds = cached["n_seeds"]
+    r0_expr = (
+        f"CASE WHEN {seed_pred}"
+        f" THEN CAST({n_nodes} AS BIGINT) * {_PR_SCALE} DIV {n_seeds}"
+        f" ELSE CAST(0 AS BIGINT) END"
+    )
+    ranks = nd.selectExpr("node", "outdeg", f"{r0_expr} AS rank")
+    tele = f"15 * CAST({n_nodes} AS BIGINT) * {_PR_SCALE} DIV 100"
+    for _ in range(_PPR_ITERS):
+        dang = ranks.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).alias("dang")
+        )
+        contrib = (
+            e.join(
+                ranks.filter(F.col("rank") > 0),
+                e.src == F.col("node"),
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank DIV outdeg")).alias("contrib"))
+        )
+        ranks = (
+            nd.join(contrib, nd.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dang))
+            .selectExpr(
+                "node",
+                "outdeg",
+                f"CAST(CASE WHEN {seed_pred}"
+                f" THEN ({tele}) DIV {n_seeds} ELSE 0 END"
+                f" + (85 * (COALESCE(contrib, 0)"
+                f" + CASE WHEN {seed_pred}"
+                f" THEN dang DIV {n_seeds} ELSE 0 END)) DIV 100"
+                f" AS BIGINT) AS rank",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .selectExpr(
+            "node AS node_id",
+            "rank",
+            f"{seed_pred} AS is_seed",
+            f"node >= {_PR_ENTITY_BASE} AS is_entity",
+        )
+        .orderBy("node_id")
+    )

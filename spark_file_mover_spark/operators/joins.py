@@ -1248,3 +1248,111 @@ def join_geo_cell_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# D18 — join-bbox-overlap: 2-D rectangle overlap via grid bin-then-refine
+# ---------------------------------------------------------------------------
+
+_BB_CELL = 1000  # grid cell edge; box extents are < one cell, so a box
+# covers at most 2 cells per axis (4 total) and the fanout is bounded
+
+_BBOX_ORACLE = f"""
+WITH a AS (
+  SELECT p_partkey AS a_id,
+         (p_partkey * 37) % 9000 AS ax1,
+         (p_partkey * 59) % 9000 AS ay1,
+         (p_partkey * 37) % 9000 + 200 + p_partkey % 800 AS ax2,
+         (p_partkey * 59) % 9000 + 150 + p_partkey % 600 AS ay2
+  FROM part
+),
+b AS (
+  SELECT s_suppkey AS b_id,
+         (s_suppkey * 101) % 9000 AS bx1,
+         (s_suppkey * 131) % 9000 AS by1,
+         (s_suppkey * 101) % 9000 + 300 + s_suppkey % 700 AS bx2,
+         (s_suppkey * 131) % 9000 + 250 + s_suppkey % 500 AS by2
+  FROM supplier
+)
+SELECT a_id, b_id,
+       CAST((least(ax2, bx2) - greatest(ax1, bx1))
+            * (least(ay2, by2) - greatest(ay1, by1)) AS BIGINT)
+         AS overlap_area
+FROM a JOIN b
+  ON ax1 < bx2 AND bx1 < ax2 AND ay1 < by2 AND by1 < ay2
+ORDER BY a_id, b_id
+"""
+
+
+@query("join-bbox-overlap", oracle=_BBOX_ORACLE)
+def join_bbox_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D18: 2-D bounding-box overlap join — the spatial workhorse
+    (viewport queries, map-tile assignment, UI hit-testing, geo
+    fencing) and the two-dimensional generalization of D11's interval
+    overlap: a pure 4-way inequality join plans as a cartesian
+    product, so both sides explode to the GRID CELLS their rectangle
+    covers, equi-join on the cell, verify the exact overlap as a
+    residual, and keep each pair exactly ONCE by arithmetic — the
+    pair is credited only in the cell containing the overlap
+    region's lower-left corner (greatest(ax1,bx1), greatest(ay1,by1)),
+    D11's dedupe-by-arithmetic trick lifted to 2-D. No shuffling
+    DISTINCT, no cartesian anywhere.
+
+    Parity: coordinates and the overlap area are exact BIGINT
+    arithmetic end to end; the oracle runs the plain inequality join
+    (DuckDB's optimizer can — a deliberately different route to the
+    same pairs, so a binning bug cannot cancel).
+
+    Shape at 100 TB: cell fanout is bounded (box extent < one cell ⇒
+    ≤4 cells/box); the equi-join shuffles on the cell key so only
+    co-located rectangles ever meet; skewed cells (a dense downtown)
+    would salt the cell key exactly like D7. The residual + corner
+    checks are map-side on the joined rows."""
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    a = p.selectExpr(
+        "p_partkey AS a_id",
+        "(p_partkey * 37) % 9000 AS ax1",
+        "(p_partkey * 59) % 9000 AS ay1",
+        "(p_partkey * 37) % 9000 + 200 + p_partkey % 800 AS ax2",
+        "(p_partkey * 59) % 9000 + 150 + p_partkey % 600 AS ay2",
+    )
+    b = s.selectExpr(
+        "s_suppkey AS b_id",
+        "(s_suppkey * 101) % 9000 AS bx1",
+        "(s_suppkey * 131) % 9000 AS by1",
+        "(s_suppkey * 101) % 9000 + 300 + s_suppkey % 700 AS bx2",
+        "(s_suppkey * 131) % 9000 + 250 + s_suppkey % 500 AS by2",
+    )
+
+    def cells(df, x1, y1, x2, y2):
+        # every cell the rectangle touches: x2/y2 are EXCLUSIVE upper
+        # bounds, so the last covered cell holds coordinate x2-1
+        return df.selectExpr(
+            "*",
+            f"explode(sequence({x1} DIV {_BB_CELL},"
+            f" ({x2} - 1) DIV {_BB_CELL})) AS cx",
+        ).selectExpr(
+            "*",
+            f"explode(sequence({y1} DIV {_BB_CELL},"
+            f" ({y2} - 1) DIV {_BB_CELL})) AS cy",
+        )
+
+    ac = cells(a, "ax1", "ay1", "ax2", "ay2")
+    bc = cells(b, "bx1", "by1", "bx2", "by2")
+    j = ac.join(bc, ["cx", "cy"]).filter(
+        F.expr(
+            "ax1 < bx2 AND bx1 < ax2 AND ay1 < by2 AND by1 < ay2"
+            # count-once rule: only the cell holding the overlap's
+            # lower-left corner emits the pair
+            f" AND cx = greatest(ax1, bx1) DIV {_BB_CELL}"
+            f" AND cy = greatest(ay1, by1) DIV {_BB_CELL}"
+        )
+    )
+    return j.selectExpr(
+        "a_id",
+        "b_id",
+        "CAST((least(ax2, bx2) - greatest(ax1, bx1))"
+        " * (least(ay2, by2) - greatest(ay1, by1)) AS BIGINT)"
+        " AS overlap_area",
+    ).orderBy("a_id", "b_id")

@@ -89,6 +89,10 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # --list` with never-scored + structurally-changed keys at the HEAD;
 # new r13 operators must be PREPENDED here as they land.
 _PRIORITY_R13 = [
+    "sample-neyman-allocation",
+    "multimodal-srt-meta",
+    "join-bbox-overlap",
+    "graph-personalized-pagerank",
     "fn-html-strip",
     "fn-xml-extract",
     "agg-bh-fdr",

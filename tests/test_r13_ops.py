@@ -549,3 +549,119 @@ def test_xml_extract_matches_elementtree(spark, sf_dir):
         assert r["currency"] == "USD"
         assert r["id_attr"] == r["supp_id"]
         assert r["has_priority_flag"] == (r["supp_id"] % 4 == 0)
+
+
+# ---------------------------------------------------------------------------
+# multimodal-srt-meta vs genuine hand-written SRT files
+# ---------------------------------------------------------------------------
+
+
+def test_srt_parses_genuine_files(spark):
+    from spark_file_mover_spark.llm.multimodal import with_srt_meta
+
+    srt = (
+        "1\n00:00:01,500 --> 00:00:03,000\nHello there\n\n"
+        "2\n00:00:04,250 --> 00:01:02,775\nSecond cue\n"
+    )
+    single = "1\n01:02:03,004 --> 01:02:59,999\nOnly cue\n"
+    df = spark.createDataFrame(
+        [(1, srt), (2, single), (3, "no cues at all")],
+        "asset_id long, content string",
+    )
+    got = {
+        r["asset_id"]: (
+            r["n_cues"],
+            r["first_start_ms"],
+            r["last_end_ms"],
+            r["span_ms"],
+        )
+        for r in with_srt_meta(df).collect()
+    }
+    assert got[1] == (2, 1500, 62775, 61275)
+    assert got[2] == (
+        1,
+        1 * 3600000 + 2 * 60000 + 3000 + 4,
+        1 * 3600000 + 2 * 60000 + 59999,
+        56995,
+    )
+    assert got[3] == (0, None, None, None)
+
+
+def test_neyman_allocation_sums_to_budget(spark, sf_dir):
+    from spark_file_mover_spark.llm.sampling import (
+        _NEY_N,
+        sample_neyman_allocation,
+    )
+
+    rows = sample_neyman_allocation(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["n_alloc"] for r in rows) == _NEY_N
+    for r in rows:
+        # allocation moves with N·σ: no stratum exceeds the budget and
+        # every quota is within one of its integer allocation
+        assert 0 <= r["n_alloc"] <= _NEY_N
+        assert abs(r["n_alloc"] - r["quota"]) <= 1.0
+
+
+def test_bbox_overlap_matches_brute_force(spark, sf_dir):
+    from spark_file_mover_spark.operators.joins import join_bbox_overlap
+
+    rows = join_bbox_overlap(spark, sf_dir).collect()
+    # brute force over the same synthesis formulas
+    import pyarrow.parquet as pq
+
+    pk = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    ).to_pydict()["p_partkey"]
+    sk = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
+    ).to_pydict()["s_suppkey"]
+    a = {
+        k: ((k * 37) % 9000, (k * 59) % 9000,
+            (k * 37) % 9000 + 200 + k % 800,
+            (k * 59) % 9000 + 150 + k % 600)
+        for k in pk
+    }
+    b = {
+        k: ((k * 101) % 9000, (k * 131) % 9000,
+            (k * 101) % 9000 + 300 + k % 700,
+            (k * 131) % 9000 + 250 + k % 500)
+        for k in sk
+    }
+    expected = {}
+    for ai, (ax1, ay1, ax2, ay2) in a.items():
+        for bi, (bx1, by1, bx2, by2) in b.items():
+            if ax1 < bx2 and bx1 < ax2 and ay1 < by2 and by1 < ay2:
+                expected[(ai, bi)] = (
+                    (min(ax2, bx2) - max(ax1, bx1))
+                    * (min(ay2, by2) - max(ay1, by1))
+                )
+    got = {(r["a_id"], r["b_id"]): r["overlap_area"] for r in rows}
+    assert got == expected  # exactly once per pair, exact areas
+
+
+def test_ppr_mass_concentrates_on_seed_neighborhood(spark, sf_dir):
+    from spark_file_mover_spark.operators.graph import (
+        _PPR_SEED_MOD,
+        _PR_ENTITY_BASE,
+        graph_personalized_pagerank,
+    )
+
+    rows = graph_personalized_pagerank(spark, sf_dir).collect()
+    assert rows
+    seeds = [r for r in rows if r["is_seed"]]
+    non_seed_users = [
+        r for r in rows if not r["is_seed"] and not r["is_entity"]
+    ]
+    assert seeds and all(r["rank"] > 0 for r in rows)
+    # teleport returns to seeds only: every emitted seed outranks the
+    # minimum emitted node, and seed flags follow the declared rule
+    for r in rows:
+        assert r["is_seed"] == (
+            r["node_id"] < _PR_ENTITY_BASE
+            and r["node_id"] % _PPR_SEED_MOD == 0
+        )
+    if non_seed_users:
+        assert min(s["rank"] for s in seeds) > min(
+            u["rank"] for u in non_seed_users
+        )

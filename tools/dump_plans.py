@@ -30,6 +30,10 @@ from spark_file_mover_spark.checkpoints import lazy_checkpoints  # noqa: E402
 from spark_file_mover_spark.session import get_spark  # noqa: E402
 
 NOTES = {
+    "sample-neyman-allocation": "One groupBy(source) to exact per-stratum sufficient statistics; allocation windows run over the strata-bounded relation.",
+    "multimodal-srt-meta": "Map-only occurrence counting + regexp_extract_all + positional ms decode; zero shuffle, zero Python.",
+    "join-bbox-overlap": "Grid-cell bin-then-refine in 2-D; pair credited once in the overlap's lower-left-corner cell; BIGINT residual areas.",
+    "graph-personalized-pagerank": "K1's Pregel loop with seed-quota teleport/dangling; contribution aggregate runs over the sparse rank>0 frontier; shares the cached graph relations.",
     "fn-html-strip": "Map-only strip/decode/collapse template (a {g} hole bridges the engines' regexp_replace global-flag split); zero shuffle.",
     "fn-xml-extract": "Spark XPath vs oracle regex — independent formulations; map-only, zero shuffle; per-row DOM parse declared triage-grade.",
     "agg-bh-fdr": "Distinct user-arm relation + per-type distinct-converter agg; BH rank/step-up windows run over the types-bounded relation only.",
