@@ -436,6 +436,40 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             return best
 
+        # Structural noise defense (r13, verdict item 3): the min-of-N
+        # totals stay the headline, but round-over-round adjudication
+        # kept needing SCALE.md prose to explain contention swings.
+        # Take N samples per frozen-16 key as INTERLEAVED PASSES over
+        # the whole set, so one key's samples are separated by a full
+        # sweep (~10 s) instead of back-to-back — a median of
+        # well-separated samples rides out multi-minute host bursts
+        # that swallow min-of-3 adjacent reps whole. Runs FIRST, in a
+        # YOUNG session: after the ~300-key sweep the JVM is degraded
+        # (codegen-cache/heap churn — measured the same binaries at
+        # 10.4 s young vs 16.5 s post-sweep), which would bias the
+        # median high and defeat its cross-round purpose.
+        median_passes = int(
+            os.environ.get("SPARK_GRAFT_BENCH_MEDIAN_PASSES", "5")
+        )
+        c16 = [k for k in COMMON16 if k in registry.QUERIES]
+        for key in c16:  # one unmeasured warm pass (JIT/codegen)
+            materialize(registry.QUERIES[key](spark, sf_dir))
+        samples: dict[str, list[float]] = {k: [] for k in c16}
+        for _ in range(median_passes):
+            for key in c16:
+                t0 = time.perf_counter()
+                materialize(registry.QUERIES[key](spark, sf_dir))
+                samples[key].append(time.perf_counter() - t0)
+        common16_median = round(
+            sum(statistics.median(v) for v in samples.values()), 4
+        )
+        print(
+            f"# common16_median {common16_median:.3f}s"
+            f" (median of {median_passes} interleaved passes,"
+            " young session)",
+            file=sys.stderr,
+        )
+
         timings: dict[str, float] = {}
         for key in keys:
             timings[key] = round(time_key(key), 4)
@@ -461,28 +495,6 @@ def main() -> None:
                     file=sys.stderr,
                 )
                 timings[key] = second
-
-        # Structural noise defense (r13, verdict item 3): the min-of-N
-        # totals stay the headline, but round-over-round adjudication
-        # kept needing SCALE.md prose to explain contention swings.
-        # Take N extra samples per frozen-16 key as INTERLEAVED PASSES
-        # over the whole set, so one key's samples are separated by a
-        # full sweep (~10 s) instead of back-to-back — a median of
-        # well-separated samples rides out multi-minute host bursts
-        # that swallow min-of-3 adjacent reps whole.
-        median_passes = int(
-            os.environ.get("SPARK_GRAFT_BENCH_MEDIAN_PASSES", "5")
-        )
-        c16 = [k for k in COMMON16 if k in registry.QUERIES]
-        samples: dict[str, list[float]] = {k: [] for k in c16}
-        for _ in range(median_passes):
-            for key in c16:
-                t0 = time.perf_counter()
-                materialize(registry.QUERIES[key](spark, sf_dir))
-                samples[key].append(time.perf_counter() - t0)
-        common16_median = round(
-            sum(statistics.median(v) for v in samples.values()), 4
-        )
 
     total = round(sum(timings.values()), 4)
     # Per-key scoring-budget guard: the driver's guidance is <2 s per

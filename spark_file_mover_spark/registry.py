@@ -67,11 +67,12 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # r9-r12 cuts were exactly 50), so ``load_all`` rebuilds the registry
 # dict in this order after all modules import:
 #
-#   0. The 10 r13-NEW keys (no driver row ever): the finance
-#      windows (macd / stochastic-osc / ulcer-index), the ratio
-#      delta-method CI, fn-uuid3, the ESS/clip weight diagnostics,
-#      embedding centroid drift, and the AVI/tar/ZIP container
-#      parsers. Then keys whose CODE or OUTPUT changed and that the driver has not
+#   0. The 25 r13-NEW keys (no driver row ever), newest wave first:
+#      Neyman allocation / SRT / bbox-overlap / personalized-PPR,
+#      HTML-strip / XPath, BH-FDR / PDF / snapshot-expiry, the
+#      rate + DiD tests / SemVer / JWT / boilerplate / Ogg, and the
+#      first wave (finance windows, ratio CI, uuid3, ESS, centroid
+#      drift, AVI/tar/ZIP). Then keys whose CODE or OUTPUT changed and that the driver has not
 #      re-scored since: multimodal-image-exif (r13 layered-hop
 #      rewrite of the IFD walk — output unchanged but the plan is
 #      new), then fn-math and sink-bucketed (r12 perf rewrites that

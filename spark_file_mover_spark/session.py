@@ -34,6 +34,16 @@ def get_spark(app_name: str = "spark_file_mover_spark", cpus: int | None = None)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # JIT code cache headroom: a ~300-key sweep generates thousands
+        # of whole-stage-codegen classes; at the JVM's default 240 MB
+        # the code cache fills late in the session, the JIT silently
+        # stops compiling, and the same keys read 1.5-2x their fresh-
+        # session cost (the r13 late-sweep degradation). 512 MB keeps
+        # compiled code resident for the whole sweep.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # runtime Bloom-filter join pruning: the build side injects a
