@@ -6792,8 +6792,10 @@ def agg_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE |z| enters the CDF chain so both engines evaluate the same
     polynomial on identical inputs; p snapped; the step-up compare
     p ≤ k·q/m is over snapped p and a shared textual critical value;
-    ties in p rank by event_type. Degenerate metrics (empty arm,
-    all-or-none conversion) yield NULL z/p and never reject.
+    ties in p rank by event_type, and NULL p ranks LAST in both
+    engines (DuckDB's ASC default; asc_nulls_last pins it in Spark).
+    Degenerate metrics (empty arm, all-or-none conversion) yield NULL
+    z/p and never reject.
 
     Shape at 100 TB: one distinct user-arm relation (map-side), one
     per-type distinct-converter aggregate, then every window runs
@@ -6847,7 +6849,11 @@ def agg_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z",
         f"CASE WHEN z IS NOT NULL THEN {_BH_P} END AS p",
     )
-    w = W.orderBy("p", "event_type")
+    # asc_nulls_last: DuckDB's plain ASC sorts NULLs LAST while Spark's
+    # sorts them FIRST — a degenerate metric with NULL p (saturated or
+    # empty arm failing _BH_GUARD) would shift every rank in Spark but
+    # not in the oracle (ADVICE r13, pinned by the saturated-type test).
+    w = W.orderBy(F.asc_nulls_last("p"), F.asc("event_type"))
     full = W.orderBy(F.lit(1)).rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
     )

@@ -62,84 +62,24 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
     return deco
 
 
-# Scoring priority for round 13. The driver consumes ``queries()`` in
+# Scoring priority for round 14. The driver consumes ``queries()`` in
 # dict insertion order under a wall-clock budget (~50 keys/round; the
-# r9-r12 cuts were exactly 50), so ``load_all`` rebuilds the registry
-# dict in this order after all modules import:
+# r9-r13 cuts were exactly 50), so ``load_all`` rebuilds the registry
+# dict in this order after all modules import.
 #
-#   0. The 25 r13-NEW keys (no driver row ever), newest wave first:
-#      Neyman allocation / SRT / bbox-overlap / personalized-PPR,
-#      HTML-strip / XPath, BH-FDR / PDF / snapshot-expiry, the
-#      rate + DiD tests / SemVer / JWT / boilerplate / Ogg, and the
-#      first wave (finance windows, ratio CI, uuid3, ESS, centroid
-#      drift, AVI/tar/ZIP). Then keys whose CODE or OUTPUT changed and that the driver has not
-#      re-scored since: multimodal-image-exif (r13 layered-hop
-#      rewrite of the IFD walk — output unchanged but the plan is
-#      new), then fn-math and sink-bucketed (r12 perf rewrites that
-#      materially changed their OUTPUT — fn-math now emits only the
-#      l_partkey%7==0 slice, sink-bucketed only the o_orderkey<40000
-#      batch — and neither landed in the recorded r12 50-key cut;
-#      ADVICE r12 item 1).
-#   1. The full registry in driver-ledger staleness order from
-#      `python tools/stale_keys.py --list`: the ~30 r7-green keys
-#      first, then the r8 block (48), r9, r10, r11, r12 — so the
-#      r13 cut clears ALL remaining r7 evidence plus the oldest r8
-#      keys, executing the r12 verdict's rotation order.
+# Per the r13 verdict (item 1), this round's head is EXACTLY the
+# driver-ledger staleness order from `python tools/stale_keys.py
+# --list`: the 7 keys whose last driver green is r7, then the 47 r8
+# keys (54 total — one full cut), then r9..r13 blocks. NO new operator
+# is placed ahead of them this round; any r14 additions are APPENDED
+# after the stale block (load_all's "not in priority" tail also
+# catches them), accepting r15 driver scoring while judge sim covers
+# them meanwhile.
 #
 # Rebuild this list each round from `python tools/stale_keys.py
-# --list` with never-scored + structurally-changed keys at the HEAD;
-# new r13 operators must be PREPENDED here as they land.
-_PRIORITY_R13 = [
-    "sample-neyman-allocation",
-    "multimodal-srt-meta",
-    "join-bbox-overlap",
-    "graph-personalized-pagerank",
-    "fn-html-strip",
-    "fn-xml-extract",
-    "agg-bh-fdr",
-    "multimodal-pdf-meta",
-    "sink-expire-snapshots",
-    "agg-poisson-rate-test",
-    "agg-diff-in-diff",
-    "fn-semver-compare",
-    "fn-jwt-parse",
-    "text-boilerplate-lines",
-    "multimodal-ogg-meta",
-    "window-macd",
-    "window-stochastic-osc",
-    "window-ulcer-index",
-    "agg-ratio-delta-ci",
-    "fn-uuid3",
-    "sample-ess-weights",
-    "embed-centroid-drift",
-    "multimodal-avi-meta",
-    "multimodal-tar-meta",
-    "multimodal-zip-meta",
-    "multimodal-image-exif",
-    "fn-math",
-    "sink-bucketed",
-    "embed-quantize-int8",
-    "project-select",
-    "filter-pred",
-    "filter-like-regexp",
-    "fn-string",
-    "fn-date",
-    "fn-array",
-    "fn-map-json",
-    "fn-case-when-cast",
-    "multimodal-binary",
-    "multimodal-frame-sample",
-    "multimodal-video-meta",
-    "text-analysis",
-    "text-token-count",
-    "text-langid",
-    "text-quality-score",
-    "text-fingerprint",
-    "text-pii-scrub",
-    "text-ngram-freq",
-    "move-partition-extract",
-    "move-template",
-    "move-collision-guard",
+# --list`, with never-scored + structurally-changed keys at the HEAD
+# only when the verdict asks for it.
+_PRIORITY_R14 = [
     "write-single-file",
     "scan-parquet",
     "scan-table-manifest",
@@ -384,12 +324,62 @@ _PRIORITY_R13 = [
     "text-url-normalize",
     "text-chunk-sliding",
     "text-tfidf-topk",
+    "sample-neyman-allocation",
+    "multimodal-srt-meta",
+    "join-bbox-overlap",
+    "graph-personalized-pagerank",
+    "fn-html-strip",
+    "fn-xml-extract",
+    "agg-bh-fdr",
+    "multimodal-pdf-meta",
+    "sink-expire-snapshots",
+    "agg-poisson-rate-test",
+    "agg-diff-in-diff",
+    "fn-semver-compare",
+    "fn-jwt-parse",
+    "text-boilerplate-lines",
+    "multimodal-ogg-meta",
+    "window-macd",
+    "window-stochastic-osc",
+    "window-ulcer-index",
+    "agg-ratio-delta-ci",
+    "fn-uuid3",
+    "sample-ess-weights",
+    "embed-centroid-drift",
+    "multimodal-avi-meta",
+    "multimodal-tar-meta",
+    "multimodal-zip-meta",
+    "multimodal-image-exif",
+    "fn-math",
+    "sink-bucketed",
+    "embed-quantize-int8",
+    "project-select",
+    "filter-pred",
+    "filter-like-regexp",
+    "fn-string",
+    "fn-date",
+    "fn-array",
+    "fn-map-json",
+    "fn-case-when-cast",
+    "multimodal-binary",
+    "multimodal-frame-sample",
+    "multimodal-video-meta",
+    "text-analysis",
+    "text-token-count",
+    "text-langid",
+    "text-quality-score",
+    "text-fingerprint",
+    "text-pii-scrub",
+    "text-ngram-freq",
+    "move-partition-extract",
+    "move-template",
+    "move-collision-guard",
 ]
 
 
 def load_all() -> None:
     """Import every operator module so registrations run, then rebuild
-    the registry dict in scoring-priority order (see ``_PRIORITY_R13``) —
+    the registry dict in scoring-priority order (see ``_PRIORITY_R14``) —
     dict insertion order IS the driver's scoring order."""
     # Imports are at call time so `import spark_file_mover_spark` stays cheap.
     from spark_file_mover_spark.operators import (  # noqa: F401
@@ -413,8 +403,8 @@ def load_all() -> None:
     from spark_file_mover_spark import filemover_queries, udfs  # noqa: F401
     from spark_file_mover_spark.sources import sourcesink  # noqa: F401
 
-    ordered = [k for k in _PRIORITY_R13 if k in QUERIES]
-    ordered += [k for k in QUERIES if k not in _PRIORITY_R13]
+    ordered = [k for k in _PRIORITY_R14 if k in QUERIES]
+    ordered += [k for k in QUERIES if k not in _PRIORITY_R14]
     for mapping in (QUERIES, ORACLES):
         snapshot = {k: mapping[k] for k in ordered if k in mapping}
         mapping.clear()

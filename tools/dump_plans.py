@@ -35,14 +35,14 @@ NOTES = {
     "join-bbox-overlap": "Grid-cell bin-then-refine in 2-D; pair credited once in the overlap's lower-left-corner cell; BIGINT residual areas.",
     "graph-personalized-pagerank": "K1's Pregel loop with seed-quota teleport/dangling; contribution aggregate runs over the sparse rank>0 frontier; shares the cached graph relations.",
     "fn-html-strip": "Map-only strip/decode/collapse template (a {g} hole bridges the engines' regexp_replace global-flag split); zero shuffle.",
-    "fn-xml-extract": "Spark XPath vs oracle regex — independent formulations; map-only, zero shuffle; per-row DOM parse declared triage-grade.",
+    "fn-xml-extract": "Spark XPath vs oracle regex — independent formulations; map-only with a split-count-gated width exchange (one-split test scans only; absent at cluster scale); per-row DOM parse declared triage-grade, from_xml parity pinned.",
     "agg-bh-fdr": "Distinct user-arm relation + per-type distinct-converter agg; BH rank/step-up windows run over the types-bounded relation only.",
     "multimodal-pdf-meta": "Map-only header/trailer parse; object count via the substring-occurrence identity; zero shuffle, zero Python.",
     "sink-expire-snapshots": "Manifest set-difference lifecycle; survivors re-read through manifests after the vacuum as the proof, not the cost.",
     "agg-poisson-rate-test": "ONE aggregate over the event scan: hash arm map-side, exposure = exact distinct user-day keys via partial agg; one row crosses the exchange.",
     "agg-diff-in-diff": "Per-(user, period) groupBy absorbs events; ONE conditional aggregate emits the 12-statistic row; DiD/SE/z shared snapped chains.",
     "fn-semver-compare": "Map-only shared backslash-free regex + precedence CASE chain; zero shuffle.",
-    "fn-jwt-parse": "Map-only base64url surgery + JSON paths fused into the scan; CR/LF chunk strip documented; zero shuffle.",
+    "fn-jwt-parse": "Map-only base64url surgery + JSON paths fused into the scan; CR/LF chunk strip documented; split-count-gated width exchange at one-split test scale only.",
     "text-boilerplate-lines": "Line blocks move with map-side combine; df-filter bounds the boilerplate set to vocabulary scale before the per-doc join; source doc counts broadcast.",
     "multimodal-ogg-meta": "Single-page Ogg parse: packet offset from the PARSED lacing table; map-only, zero shuffle, zero Python.",
     "window-macd": "Truncated-lag EMA convolutions (40 cents-lags + 24 macd-lags, one sort, lags extracted ONCE as columns before the weight chains — inlined LAGs cost ~2x the key's budget in analyzer time); day collapse absorbs events map-side; chains are plain projections, bit-identical text both engines.",
