@@ -7,7 +7,17 @@ library function. The reference hooks Spark's Hadoop committer via
 after ``super.commitJob`` — i.e. after all files exist at their final
 location. PySpark cannot subclass a Java committer, and does not need to:
 ``df.write...save(path)`` blocks until job commit, so calling
-:func:`move_files` right after gives the identical observable end state.
+:func:`move_files` right after gives the identical observable end state
+for the writing caller. The residual difference vs the in-job committer
+is a CONCURRENT reader's view: the reference's renames happen inside
+``commitJob`` (un-moved layout is never visible after the write
+returns), while the post-write pass leaves a window where a reader can
+see the Hive layout first. ``write_single_file(..., staged=True)``
+closes that window without Scala: the write lands in a hidden
+``.__staging__-<uuid>`` dir inside the output path and each file is
+renamed directly to its final target, so the un-moved layout only ever
+exists under a name Hadoop/Spark readers skip (pinned by
+tests/test_filemover.py's mid-publish watcher test).
 
 Behavioral contract preserved (reference file:line):
 
@@ -418,6 +428,75 @@ def execute_moves_distributed(
     return manifest, True
 
 
+def _raw_publish(
+    spark: SparkSession, fs, stage: str, output_dir: str, files: list[str]
+) -> None:
+    """Reconstruct the UNMOVED Hive layout at ``output_dir`` from staged
+    files — the abort/failed-rename path of the staged publish, keeping
+    staged end states byte-identical to unstaged ones (where an aborted
+    or failed move simply leaves the written layout in place)."""
+    Jpath = spark._jvm.org.apache.hadoop.fs.Path
+    out = output_dir.rstrip("/")
+    for src in files:
+        if not fs.exists(Jpath(src)):
+            continue  # already renamed by the successful part of the pass
+        dst = out + src[len(stage):]
+        parent = dst.rsplit("/", 1)[0]
+        fs.mkdirs(Jpath(parent))
+        fs.rename(Jpath(src), Jpath(dst))
+
+
+def _publish_staged(
+    spark: SparkSession, stage_dir: str, output_dir: str, template: str
+) -> MoveResult:
+    """Publish a completed write that landed in a HIDDEN staging dir
+    inside ``output_dir``: plan the A1-A5 move pass AS IF the files sat
+    at their unstaged positions (so templates render identical final
+    names), then rename each staged file directly to its final target —
+    a concurrent reader of ``output_dir`` never observes the un-moved
+    Hive layout, because that layout only ever exists under a
+    dot-prefixed dir every Hadoop/Spark reader skips as hidden.
+
+    Semantics parity with :func:`move_files` (reference scala :37-53):
+    the plan prints in final-layout terms; unknown template variables
+    raise before any rename; a global collision moves nothing; a failed
+    rename is silent. In every non-moved case the staged file is
+    published to its UNMOVED position, so the observable end state
+    matches the unstaged pass exactly — only the visibility window
+    differs."""
+    fs, jstage = _hadoop_fs(spark, stage_dir)
+    Jpath = spark._jvm.org.apache.hadoop.fs.Path
+    q_stage = fs.resolvePath(jstage).toString()
+    qualified_out = fs.resolvePath(Jpath(output_dir)).toString()
+    root = fs.resolvePath(Jpath("/")).toString()
+
+    staged = [p for p, _ in list_output_files(spark, stage_dir)]
+    virtual = {p: qualified_out + p[len(q_stage):] for p in staged}
+    try:
+        plan = plan_moves(
+            list(virtual.values()), qualified_out, template, root=root
+        )
+    except NoSuchPartitionVariable:
+        # parity: an unstaged pass raises with the written layout in
+        # place — publish the raw layout, then propagate
+        _raw_publish(spark, fs, q_stage, qualified_out, staged)
+        fs.delete(Jpath(q_stage), True)
+        raise
+    print(plan)  # the reference prints the rename plan (scala :49)
+
+    if has_collisions(plan):
+        _raw_publish(spark, fs, q_stage, qualified_out, staged)
+        fs.delete(Jpath(q_stage), True)
+        return MoveResult(renames=plan, moved=False)
+    for src in staged:
+        fs.rename(Jpath(src), Jpath(plan[virtual[src]]))  # silent (scala :52)
+    # any file whose rename failed (missing target parent, existing
+    # target) surfaces at its unmoved position, as it would unstaged
+    _raw_publish(spark, fs, q_stage, qualified_out, staged)
+    fs.delete(Jpath(q_stage), True)
+    return MoveResult(renames=plan, moved=True)
+
+
 def write_single_file(
     df: DataFrame,
     output_dir: str,
@@ -427,6 +506,7 @@ def write_single_file(
     mode: str = "overwrite",
     single: bool = True,
     options: Optional[dict[str, str]] = None,
+    staged: bool = False,
 ) -> MoveResult:
     """A6: the user-facing composite — write a DataFrame and land it as
     exactly one named file (or one file per partition), the reference's
@@ -436,7 +516,19 @@ def write_single_file(
     ``single=True`` coalesces to one output file per partition-dir the way
     the reference tests ``repartition(1)`` (test :80) — ``coalesce`` avoids
     the shuffle when upstream parallelism allows.
-    """
+
+    ``staged=True`` (opt-in, r13 verdict item 4) shrinks the post-write
+    visibility window this library has instead of the reference's in-job
+    committer (see module docstring): the Spark write lands in a hidden
+    ``.__staging__-<uuid>`` dir INSIDE ``output_dir`` (same filesystem, so
+    every publish rename is a metadata op), and the move pass renames each
+    staged file directly to its final target — a concurrent reader never
+    sees the un-moved Hive layout, since dot-prefixed paths are hidden to
+    Hadoop/Spark readers. End states (collision abort, unknown-variable
+    raise, failed renames, ``_SUCCESS`` exclusion) are identical to the
+    unstaged pass; pre-existing ``output_dir`` content under
+    ``mode="overwrite"`` is cleared at publish time rather than write
+    time (the one residual window, metadata-sized)."""
     spark = df.sparkSession
     writer_df = df.coalesce(1) if single else df
     writer = writer_df.write.mode(mode).option(
@@ -446,8 +538,24 @@ def write_single_file(
         writer = writer.option(k, v)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.format(fmt).save(output_dir)
-    return move_files(spark, output_dir, template)
+    if not staged:
+        writer.format(fmt).save(output_dir)
+        return move_files(spark, output_dir, template)
+
+    import uuid
+
+    stage_dir = output_dir.rstrip("/") + f"/.__staging__-{uuid.uuid4().hex}"
+    writer.format(fmt).save(stage_dir)
+    if mode == "overwrite":
+        # unstaged overwrite clears output_dir at write time; staged
+        # defers it to publish time so the old content stays readable
+        # while the new write runs. Clear every non-hidden child now.
+        fs, jout = _hadoop_fs(spark, output_dir)
+        for st in fs.listStatus(jout):
+            name = st.getPath().getName()
+            if not name.startswith(".") and not name.startswith("_"):
+                fs.delete(st.getPath(), True)
+    return _publish_staged(spark, stage_dir, output_dir, template)
 
 
 def hive_partition_value(value: Optional[str]) -> str:

@@ -221,3 +221,146 @@ def test_move_files_is_idempotent_surface(spark, tmp_out):
     assert res.moved and len(res.renames) == 1
     res2 = move_files(spark, tmp_out, "$outputDirectory/data.csv")
     assert len(res2.renames) == 1  # the moved file is listed again
+
+
+# --- staged publish (r13 verdict item 4) ----------------------------------
+
+
+def _visible_walk(root: str) -> set[str]:
+    """Every non-hidden path under root, skipping dot/underscore-prefixed
+    names the way Hadoop/Spark readers do."""
+    import os
+
+    seen: set[str] = set()
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [
+            d for d in dirnames if not d.startswith((".", "_"))
+        ]
+        for n in dirnames + [
+            f for f in filenames if not f.startswith((".", "_"))
+        ]:
+            seen.add(os.path.relpath(os.path.join(dirpath, n), root))
+    return seen
+
+
+def test_staged_single_file_end_state_matches_unstaged(spark, tmp_out):
+    df = spark.createDataFrame(EXAMPLE_DATA, COLUMNS)
+    res = write_single_file(
+        df, tmp_out, template="$outputDirectory.csv", staged=True
+    )
+    assert res.moved
+    assert Path(tmp_out + ".csv").is_file()
+    # no staging residue anywhere under the output dir
+    assert not list(Path(tmp_out).glob("**/.__staging__-*"))
+
+
+def test_staged_per_partition_moves(spark, tmp_out):
+    df = spark.createDataFrame(EXAMPLE_DATA, COLUMNS)
+    res = write_single_file(
+        df,
+        tmp_out,
+        template="$outputDirectory/cat_$category_id_$id.csv",
+        partition_by=["category", "id"],
+        staged=True,
+    )
+    assert res.moved
+    for cat, id_, _ in EXAMPLE_DATA:
+        assert (Path(tmp_out) / f"cat_{cat}_id_{id_}.csv").is_file()
+    assert not list(Path(tmp_out).glob("**/.__staging__-*"))
+
+
+def test_staged_collision_abort_preserves_raw_layout(spark, tmp_out):
+    """Parity with the unstaged abort: 5 files onto one target move
+    NOTHING; the written Hive layout surfaces at the output dir."""
+    df = spark.createDataFrame(EXAMPLE_DATA, COLUMNS).repartition(5)
+    res = write_single_file(
+        df,
+        tmp_out,
+        template="$outputDirectory.csv",
+        single=False,
+        staged=True,
+    )
+    assert not res.moved
+    assert not Path(tmp_out + ".csv").exists()
+    parts = list(Path(tmp_out).glob("part-*"))
+    # 4 rows over 5 partitions: empty partitions write no CSV file, so
+    # ≥2 part files is what makes the collision real
+    assert len(parts) >= 2  # raw layout published, unmoved
+    assert not list(Path(tmp_out).glob("**/.__staging__-*"))
+    # and the published rows are intact
+    got = sorted(
+        line
+        for p in parts
+        for line in p.read_text().splitlines()
+    )
+    assert got == sorted(f"{c},{i},{v}" for c, i, v in EXAMPLE_DATA)
+
+
+def test_staged_unknown_variable_raises_and_preserves_layout(
+    spark, tmp_out
+):
+    df = spark.createDataFrame(EXAMPLE_DATA, COLUMNS)
+    with pytest.raises(NoSuchPartitionVariable):
+        write_single_file(
+            df, tmp_out, template="$doesnotexist.csv", staged=True
+        )
+    assert list(Path(tmp_out).glob("part-*"))  # layout published raw
+    assert not list(Path(tmp_out).glob("**/.__staging__-*"))
+
+
+def test_staged_publish_has_no_intermediate_visibility(spark, tmp_out):
+    """The headline property: a concurrent reader polling the output dir
+    during a staged write+publish NEVER sees the un-moved layout (part
+    files or key=value dirs) — only nothing, hidden names, or the final
+    file. The unstaged pass reliably exposes part files mid-pass (the
+    window this closes)."""
+    import threading
+    import time
+
+    df = spark.createDataFrame(EXAMPLE_DATA, COLUMNS)
+    observed: set[str] = set()
+    stop = threading.Event()
+
+    def watch() -> None:
+        while not stop.is_set():
+            if Path(tmp_out).exists():
+                observed.update(_visible_walk(tmp_out))
+            time.sleep(0.001)
+
+    t = threading.Thread(target=watch)
+    t.start()
+    try:
+        res = write_single_file(
+            df,
+            tmp_out,
+            template="$outputDirectory/final.csv",
+            staged=True,
+        )
+    finally:
+        stop.set()
+        t.join()
+    assert res.moved
+    bad = {
+        p
+        for p in observed
+        if "part-" in p or "=" in p
+    }
+    assert not bad, f"unmoved layout was visible mid-publish: {bad}"
+    assert observed <= {"final.csv"}
+
+
+def test_staged_overwrite_clears_preexisting_content(spark, tmp_out):
+    df = spark.createDataFrame(EXAMPLE_DATA, COLUMNS)
+    old = Path(tmp_out) / "stale.csv"
+    old.parent.mkdir(parents=True)
+    old.write_text("old,rows\n")
+    res = write_single_file(
+        df,
+        tmp_out,
+        template="$outputDirectory/final.csv",
+        mode="overwrite",
+        staged=True,
+    )
+    assert res.moved
+    assert not old.exists()
+    assert (Path(tmp_out) / "final.csv").is_file()
