@@ -26,19 +26,25 @@ from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import load_table
 from spark_file_mover_spark.numerics import snap
 
-def _widen_narrow_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Spread heavy per-row map work across all cores when — and ONLY
-    when — the scan arrives in fewer splits than the session's default
-    parallelism. At test scale a small parquet is one split, so without
-    an exchange the whole downstream chain runs on one core; at cluster
-    scale the scan already arrives wide and this adds NO exchange
-    (ADVICE r13: the previous unconditional repartition contradicted
-    the keys' 'zero shuffle' plan notes). The split count comes from
-    the planned scan (no job runs)."""
+def _widen_narrow_scan(
+    spark: SparkSession, table_df: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Select ``cols`` and spread heavy per-row map work across all
+    cores when — and ONLY when — the scan arrives in fewer splits than
+    the session's default parallelism (the dedup.py under-parallelism
+    guard, via the memoized :func:`scan_partitions` probe on the cached
+    table object). At test scale a small parquet is one split, so
+    without an exchange the whole downstream chain runs on one core; at
+    cluster scale the scan already arrives wide and NO exchange is
+    added (ADVICE r13: the previous unconditional repartition
+    contradicted the keys' 'zero shuffle' plan notes)."""
+    from spark_file_mover_spark.sources.io import scan_partitions
+
+    narrow = table_df.select(*cols)
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    if scan_partitions(table_df) < target:
+        return narrow.repartition(target)
+    return narrow
 
 
 # ---------------------------------------------------------------------------
@@ -1661,7 +1667,7 @@ def fn_jwt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The synthesis+decode chain is heavy per row (2 base64 encodes,
     # 2 decodes, JSON parsing): spread it wide when the scan is
     # narrower than the session parallelism (split-count gate).
-    o = _widen_narrow_scan(spark, o.select("o_orderkey", "o_custkey"))
+    o = _widen_narrow_scan(spark, o, ["o_orderkey", "o_custkey"])
     t = o.selectExpr(
         "o_orderkey AS token_id",
         f"""trim(TRAILING '=' FROM translate(base64(encode(
@@ -1911,7 +1917,7 @@ def fn_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread it wide when the scan is narrower than the session
     # parallelism (split-count gate)
     s = _widen_narrow_scan(
-        spark, s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        spark, s, ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
     )
     x = s.selectExpr(
         "s_suppkey",
@@ -1949,7 +1955,7 @@ def fn_xml_extract_hotpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline hot path rather than a triage pass."""
     s = load_table(spark, sf_dir, "supplier")
     s = _widen_narrow_scan(
-        spark, s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        spark, s, ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
     )
     x = s.selectExpr(
         "s_suppkey",
