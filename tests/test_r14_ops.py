@@ -97,7 +97,7 @@ def test_bh_fdr_null_p_ranks_last_and_matches_oracle(
     assert got["sat_all"]["rejected"] is False
     assert want["sat_all"]["rank"] == 4
 
-    for etype in cols and got:
+    for etype in got:
         g, w = got[etype], want[etype]
         for c in cols:
             gv, wv = g[c], w[c]
@@ -133,6 +133,33 @@ def test_expire_snapshots_orders_versions_numerically(
     rows = sourcesink.sink_expire_snapshots(spark, sf_dir).collect()
     assert [r["snapshot"] for r in rows] == ["v10", "v11"]
     assert all(r["n_expired_manifests"] == 2 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# _widen_narrow_scan: the scalar width gate adds an exchange ONLY for
+# under-parallel scans (ADVICE r13 — the 'zero shuffle at cluster
+# scale' claim, pinned structurally)
+# ---------------------------------------------------------------------------
+
+
+def test_widen_narrow_scan_gates_on_split_count(spark):
+    from spark_file_mover_spark.functions.scalar import _widen_narrow_scan
+
+    par = spark.sparkContext.defaultParallelism
+    base = spark.range(1000).selectExpr("id", "id * 2 AS v")
+
+    def n_exchanges(df) -> int:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+
+    narrow = base.coalesce(1)
+    wide = base.repartition(par)  # simulates a cluster-scale multi-split scan
+    assert n_exchanges(_widen_narrow_scan(spark, narrow, ["id", "v"])) == 1
+    # already-wide input: the gate must add NOTHING beyond the input's
+    # own exchange
+    assert n_exchanges(_widen_narrow_scan(spark, wide, ["id", "v"])) == (
+        n_exchanges(wide.select("id", "v"))
+    )
 
 
 # ---------------------------------------------------------------------------
