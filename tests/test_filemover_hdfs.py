@@ -72,6 +72,7 @@ class FakeHdfs:
         self.files = dict(files)  # path string -> size
         self.renames: list[tuple[str, str]] = []
         self.resolved: list[str] = []
+        self.deleted: list[str] = []
 
     def _jpath(self, s: str):
         return self._jvm.org.apache.hadoop.fs.Path(s)
@@ -100,6 +101,25 @@ class FakeHdfs:
             return False  # hdfs rename: false, never throws (scala :52)
         self.files[d] = self.files.pop(s)
         self.renames.append((s, d))
+        return True
+
+    # --- staged-publish surface (exists / mkdirs / delete) ---
+
+    def exists(self, jpath):
+        s = jpath.toString().rstrip("/")
+        return s in self.files or any(
+            p.startswith(s + "/") for p in self.files
+        )
+
+    def mkdirs(self, jpath):
+        return True  # dirs are implicit in the path-map model
+
+    def delete(self, jpath, recursive):
+        assert recursive is True
+        s = jpath.toString().rstrip("/")
+        for p in [p for p in self.files if p == s or p.startswith(s + "/")]:
+            del self.files[p]
+        self.deleted.append(s)
         return True
 
 
@@ -190,3 +210,58 @@ def test_plan_moves_df_matches_move_files_targets(spark, fake_fs_factory):
     # manifest used to resolve against root "/" and emit bare paths)
     assert manifest == res.renames
     assert all(t.startswith(NN) for t in manifest.values())
+
+
+# --- staged publish over the non-local scheme (r14) -----------------------
+
+
+def test_staged_publish_renames_direct_to_final_on_hdfs(
+    spark, fake_fs_factory
+):
+    """The staged pass on hdfs:// is single-hop: every rename goes
+    STAGED source -> fully-qualified FINAL target (metadata-only,
+    same-FS), the un-moved layout never exists outside the hidden
+    staging dir, and the staging dir is deleted after publish."""
+    stage = f"{OUT}/.__staging__-abc123"
+    fake = fake_fs_factory(
+        {
+            f"{stage}/category=data/part-0.csv": 10,
+            f"{stage}/category=info/part-0.csv": 11,
+            f"{stage}/_SUCCESS": 0,
+        }
+    )
+    res = filemover._publish_staged(
+        spark, stage, OUT, "$outputDirectory/$category.csv"
+    )
+    assert res.moved
+    # _SUCCESS excluded; both data files at final, qualified targets
+    assert {p for p in fake.files if not p.endswith("_SUCCESS")} == {
+        f"{OUT}/data.csv",
+        f"{OUT}/info.csv",
+    }
+    for s, d in fake.renames:
+        assert ".__staging__" in s and ".__staging__" not in d
+        assert s.startswith(NN) and d.startswith(NN)
+    assert fake.deleted == [stage]
+    # the plan is rendered in FINAL-layout terms (virtual sources)
+    assert all(".__staging__" not in src for src in res.renames)
+
+
+def test_staged_collision_publishes_raw_layout_on_hdfs(
+    spark, fake_fs_factory
+):
+    stage = f"{OUT}/.__staging__-abc123"
+    fake = fake_fs_factory(
+        {
+            f"{stage}/part-0.csv": 10,
+            f"{stage}/part-1.csv": 11,
+        }
+    )
+    res = filemover._publish_staged(
+        spark, stage, OUT, "$outputDirectory.csv"
+    )
+    assert not res.moved
+    assert f"{OUT}.csv" not in fake.files
+    # raw layout published at the unstaged positions, staging gone
+    assert set(fake.files) == {f"{OUT}/part-0.csv", f"{OUT}/part-1.csv"}
+    assert fake.deleted == [stage]
