@@ -364,3 +364,55 @@ def test_staged_overwrite_clears_preexisting_content(spark, tmp_out):
     assert res.moved
     assert not old.exists()
     assert (Path(tmp_out) / "final.csv").is_file()
+
+
+def test_staged_equals_unstaged_end_state_differential(spark, tmp_out):
+    """Differential pin over the reference's hardest scenarios: for
+    special-char, null/empty, and plain partition values, the staged
+    and unstaged passes land BYTE-IDENTICAL final trees (same relative
+    paths, same contents) — staging changes only mid-publish
+    visibility, never the end state. (Unstaged trees keep the empty
+    source partition-dir skeleton the reference also leaves behind;
+    the comparison is over FILES.)"""
+    import os
+
+    df = spark.createDataFrame(
+        [
+            ("data with space", 1, "foo"),
+            ("data_with_underscore", 2, "bar"),
+            ("data-with-dash", 3, "baz"),
+            ("", 4, "qux"),
+            (None, 5, "quux"),
+            ("plain", 6, "corge"),
+        ],
+        COLUMNS,
+    )
+
+    def tree(root: str) -> dict[str, bytes]:
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue  # .crc sidecars etc. — reader-invisible
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = Path(p).read_bytes()
+        return out
+
+    pattern = "$outputDirectory/cat_$category_id_$id.csv"
+    a, b = tmp_out + "-unstaged", tmp_out + "-staged"
+    ra = write_single_file(
+        df, a, template=pattern, partition_by=["category", "id"]
+    )
+    rb = write_single_file(
+        df, b, template=pattern, partition_by=["category", "id"],
+        staged=True,
+    )
+    assert ra.moved and rb.moved
+    assert tree(a) == tree(b)
+    assert len(tree(a)) == 6
+    # the two plans agree on every FINAL target name
+    assert sorted(
+        t.rsplit("/", 1)[-1] for t in ra.renames.values()
+    ) == sorted(t.rsplit("/", 1)[-1] for t in rb.renames.values())
+    shutil.rmtree(a, ignore_errors=True)
+    shutil.rmtree(b, ignore_errors=True)
