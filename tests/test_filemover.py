@@ -299,12 +299,20 @@ def test_staged_collision_abort_preserves_raw_layout(spark, tmp_out):
 def test_staged_unknown_variable_raises_and_preserves_layout(
     spark, tmp_out
 ):
+    """partition_by makes the raw publish rebuild key=value dirs that
+    never existed at the output root (the _raw_publish mkdirs path)."""
     df = spark.createDataFrame(EXAMPLE_DATA, COLUMNS)
     with pytest.raises(NoSuchPartitionVariable):
         write_single_file(
-            df, tmp_out, template="$doesnotexist.csv", staged=True
+            df,
+            tmp_out,
+            template="$outputDirectory/cat_$doesnotexist.csv",
+            partition_by=["category", "id"],
+            staged=True,
         )
-    assert list(Path(tmp_out).glob("part-*"))  # layout published raw
+    # layout published raw, Hive dirs reconstructed at visible level
+    assert list(Path(tmp_out).glob("category=data/id=1/part-*"))
+    assert list(Path(tmp_out).glob("category=info/id=3/part-*"))
     assert not list(Path(tmp_out).glob("**/.__staging__-*"))
 
 
