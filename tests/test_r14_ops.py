@@ -3,8 +3,10 @@
 Covers the r13 ADVICE items: the agg-bh-fdr NULL-p rank divergence
 (Spark ASC sorts NULLs FIRST, DuckDB ASC sorts them LAST — latent until
 a saturated metric produces a NULL p), the sink-expire-snapshots
-lexicographic version sort (v10 < v2 lexically), and the staged-publish
-window for write_single_file (r13 verdict item 4).
+lexicographic version sort (v10 < v2 lexically), the scalar width gate,
+and the from_xml hot-path parity (r13 verdict item 5). The
+staged-publish pins (r13 verdict item 4) live with the other file-mover
+scenarios in tests/test_filemover.py and tests/test_filemover_hdfs.py.
 """
 
 from __future__ import annotations
