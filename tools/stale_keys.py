@@ -12,28 +12,22 @@ evidence goes stale behind the cut (the r4-r6 position-51 pathology).
 
 from __future__ import annotations
 
-import json
-import re
 import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+from tools.ledger import latest_green_rounds, rows_only_keys
+
 
 def main() -> None:
     from spark_file_mover_spark import registry
 
     registry.load_all()
-    latest: dict[str, int] = {}
-    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"r(\d+)", p.name).group(1))
-        data = json.loads(p.read_text())
-        for key, row in data.items():
-            if key not in registry.QUERIES:
-                continue  # renamed/retired keys don't pin staleness
-            if row.get("hash_match") or row.get("rows_match"):
-                latest[key] = max(latest.get(key, 0), rnd)
+    # full driver-green only (hash, or declared-rows-only rows): a key
+    # that hash-fails while matching rows must rotate to the FRONT
+    latest = latest_green_rounds(registry.QUERIES, rows_only_keys())
 
     # rotation order: never-scored first (registry order preserved so
     # same-age keys keep their category grouping), then oldest round
