@@ -447,7 +447,11 @@ def _raw_publish(
 
 
 def _publish_staged(
-    spark: SparkSession, stage_dir: str, output_dir: str, template: str
+    spark: SparkSession,
+    stage_dir: str,
+    output_dir: str,
+    template: str,
+    include_existing: bool = False,
 ) -> MoveResult:
     """Publish a completed write that landed in a HIDDEN staging dir
     inside ``output_dir``: plan the A1-A5 move pass AS IF the files sat
@@ -462,8 +466,17 @@ def _publish_staged(
     raise before any rename; a global collision moves nothing; a failed
     rename is silent. In every non-moved case the staged file is
     published to its UNMOVED position, so the observable end state
-    matches the unstaged pass exactly — only the visibility window
-    differs."""
+    matches the unstaged pass at FILE level (same relative paths, same
+    bytes — pinned by the differential test). One deliberate
+    directory-level difference remains: per-partition moves that drain a
+    Hive ``key=value`` dir leave the unstaged pass's now-empty source
+    dirs behind, while here those dirs only ever existed inside the
+    deleted staging dir, so the staged tree omits the empty skeleton.
+
+    ``include_existing=True`` (append-mode parity) re-plans every
+    pre-existing file under ``output_dir`` alongside the staged ones —
+    the unstaged append pass lists the WHOLE dir, not just the files the
+    write added — and renames them under the same collision guard."""
     fs, jstage = _hadoop_fs(spark, stage_dir)
     Jpath = spark._jvm.org.apache.hadoop.fs.Path
     q_stage = fs.resolvePath(jstage).toString()
@@ -472,9 +485,19 @@ def _publish_staged(
 
     staged = [p for p, _ in list_output_files(spark, stage_dir)]
     virtual = {p: qualified_out + p[len(q_stage):] for p in staged}
+    existing: list[str] = []
+    if include_existing:
+        existing = [
+            p
+            for p, _ in list_output_files(spark, output_dir)
+            if not p.startswith(q_stage + "/")
+        ]
     try:
         plan = plan_moves(
-            list(virtual.values()), qualified_out, template, root=root
+            list(virtual.values()) + existing,
+            qualified_out,
+            template,
+            root=root,
         )
     except NoSuchPartitionVariable:
         # parity: an unstaged pass raises with the written layout in
@@ -490,6 +513,8 @@ def _publish_staged(
         return MoveResult(renames=plan, moved=False)
     for src in staged:
         fs.rename(Jpath(src), Jpath(plan[virtual[src]]))  # silent (scala :52)
+    for src in existing:
+        fs.rename(Jpath(src), Jpath(plan[src]))  # silent (scala :52)
     # any file whose rename failed (missing target parent, existing
     # target) surfaces at its unmoved position, as it would unstaged
     _raw_publish(spark, fs, q_stage, qualified_out, staged)
@@ -525,10 +550,21 @@ def write_single_file(
     staged file directly to its final target — a concurrent reader never
     sees the un-moved Hive layout, since dot-prefixed paths are hidden to
     Hadoop/Spark readers. End states (collision abort, unknown-variable
-    raise, failed renames, ``_SUCCESS`` exclusion) are identical to the
-    unstaged pass; pre-existing ``output_dir`` content under
-    ``mode="overwrite"`` is cleared at publish time rather than write
-    time (the one residual window, metadata-sized)."""
+    raise, failed renames, ``_SUCCESS`` exclusion) match the unstaged
+    pass at FILE level — same relative paths, same bytes (differential
+    test) — though the unstaged pass's empty drained ``key=value``
+    source-dir skeleton is absent, those dirs having only ever existed
+    inside the deleted staging dir. Save-mode semantics are enforced
+    against ``output_dir``, not the always-fresh staging dir: ``error``/
+    ``errorifexists`` raises :class:`AnalysisException` when
+    ``output_dir`` exists (before any write), ``ignore`` skips the write
+    but still runs the move pass over the existing content (exactly the
+    unstaged behavior), ``append`` re-plans pre-existing files alongside
+    the staged ones, and ``overwrite`` clears pre-existing content at
+    publish time rather than write time (the one residual window,
+    metadata-sized) — also sweeping ``.__staging__-*`` dirs orphaned by
+    crashed prior staged runs (1 h age guard, same hygiene as the
+    sink-expire-snapshots scratch sweep)."""
     spark = df.sparkSession
     writer_df = df.coalesce(1) if single else df
     writer = writer_df.write.mode(mode).option(
@@ -542,20 +578,54 @@ def write_single_file(
         writer.format(fmt).save(output_dir)
         return move_files(spark, output_dir, template)
 
+    import time as _time
     import uuid
 
+    # Save-mode semantics must be judged against output_dir — the
+    # staging dir is always fresh, so handing the mode to the Spark
+    # writer alone would make error/ignore/append silently behave like
+    # a plain staged write (ADVICE r14).
+    norm_mode = (mode or "errorifexists").lower()
+    fs, jout = _hadoop_fs(spark, output_dir)
+    out_exists = fs.exists(jout)
+    if out_exists and norm_mode in ("error", "errorifexists", "default"):
+        from pyspark.errors import AnalysisException
+
+        # same error class the unstaged save(output_dir) raises
+        raise AnalysisException(
+            f"[PATH_ALREADY_EXISTS] Path {output_dir} already exists."
+            ' Set mode as "overwrite" to overwrite the existing path.'
+        )
+    if out_exists and norm_mode == "ignore":
+        # unstaged parity: the save is a no-op, but the move pass still
+        # re-plans whatever already sits in output_dir
+        return move_files(spark, output_dir, template)
+
     stage_dir = output_dir.rstrip("/") + f"/.__staging__-{uuid.uuid4().hex}"
+    stage_name = stage_dir.rsplit("/", 1)[1]
     writer.format(fmt).save(stage_dir)
-    if mode == "overwrite":
+    if norm_mode == "overwrite":
         # unstaged overwrite clears output_dir at write time; staged
         # defers it to publish time so the old content stays readable
-        # while the new write runs. Clear every non-hidden child now.
-        fs, jout = _hadoop_fs(spark, output_dir)
+        # while the new write runs. Clear every non-hidden child now,
+        # plus .__staging__-* dirs orphaned by crashed prior staged
+        # runs — age-guarded (1 h, like the sfm-b22 scratch sweep) so a
+        # concurrent staged writer keeps its in-flight dir; never ours.
+        cutoff_ms = (_time.time() - 3600) * 1000
         for st in fs.listStatus(jout):
             name = st.getPath().getName()
-            if not name.startswith(".") and not name.startswith("_"):
+            if name.startswith(".__staging__-"):
+                if name != stage_name and st.getModificationTime() < cutoff_ms:
+                    fs.delete(st.getPath(), True)
+            elif not name.startswith(".") and not name.startswith("_"):
                 fs.delete(st.getPath(), True)
-    return _publish_staged(spark, stage_dir, output_dir, template)
+    return _publish_staged(
+        spark,
+        stage_dir,
+        output_dir,
+        template,
+        include_existing=(norm_mode == "append"),
+    )
 
 
 def hive_partition_value(value: Optional[str]) -> str:

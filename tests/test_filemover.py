@@ -424,3 +424,129 @@ def test_staged_equals_unstaged_end_state_differential(spark, tmp_out):
     ) == sorted(t.rsplit("/", 1)[-1] for t in rb.renames.values())
     shutil.rmtree(a, ignore_errors=True)
     shutil.rmtree(b, ignore_errors=True)
+
+
+# --- staged save-mode semantics vs output_dir (ADVICE r14) -----------------
+# The staging dir is always fresh, so the writer's own mode check never
+# fires there; write_single_file must enforce error/ignore/append
+# against output_dir itself, matching the unstaged pass.
+
+
+def _file_tree(root: str) -> dict[str, bytes]:
+    """Visible FILES only (relpath -> bytes). Dirs excluded on purpose:
+    the staged pass documents file-level parity — the unstaged pass's
+    empty drained key=value skeleton is a known directory-level delta."""
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith((".", "_")):
+                continue
+            p = os.path.join(dirpath, f)
+            out[os.path.relpath(p, root)] = Path(p).read_bytes()
+    return out
+
+
+def test_staged_error_mode_raises_on_existing_output_dir(spark, tmp_out):
+    from pyspark.errors import AnalysisException
+
+    df = spark.createDataFrame(EXAMPLE_DATA, COLUMNS)
+    Path(tmp_out).mkdir(parents=True)
+    (Path(tmp_out) / "pre.csv").write_text("keep\n")
+    for m in ("error", "errorifexists"):
+        with pytest.raises(AnalysisException):
+            write_single_file(
+                df, tmp_out, template="$outputDirectory.csv",
+                mode=m, staged=True,
+            )
+    # raised BEFORE any write: no staging residue, content untouched
+    assert not list(Path(tmp_out).glob(".__staging__-*"))
+    assert _file_tree(tmp_out) == {"pre.csv": b"keep\n"}
+    # and the unstaged pass raises the same class on the same state
+    with pytest.raises(AnalysisException):
+        write_single_file(
+            df, tmp_out, template="$outputDirectory.csv", mode="error"
+        )
+
+
+def test_staged_ignore_mode_noops_but_still_runs_move_pass(spark, tmp_out):
+    df1 = spark.createDataFrame(EXAMPLE_DATA[:2], COLUMNS)
+    df2 = spark.createDataFrame(EXAMPLE_DATA[2:], COLUMNS)
+    a, b = tmp_out + "-unstaged", tmp_out + "-staged"
+    for out in (a, b):
+        df1.coalesce(1).write.csv(out)
+    ra = write_single_file(
+        df2, a, template="$outputDirectory.csv", mode="ignore"
+    )
+    rb = write_single_file(
+        df2, b, template="$outputDirectory.csv", mode="ignore", staged=True
+    )
+    # the write was a no-op (df2 appears nowhere), but the move pass ran
+    # over the pre-existing content — unstaged behavior, exactly
+    for out, res in ((a, ra), (b, rb)):
+        assert res.moved
+        got = sorted(Path(out + ".csv").read_text().splitlines())
+        assert got == sorted(f"{c},{i},{v}" for c, i, v in EXAMPLE_DATA[:2])
+    assert _file_tree(a) == _file_tree(b)
+    shutil.rmtree(a, ignore_errors=True)
+    shutil.rmtree(b, ignore_errors=True)
+    Path(a + ".csv").unlink(missing_ok=True)
+    Path(b + ".csv").unlink(missing_ok=True)
+
+
+def test_staged_append_replans_existing_files(spark, tmp_out):
+    """Unstaged append re-plans EVERY file under output_dir; staged must
+    plan pre-existing files (their real paths) alongside staged ones."""
+    df1 = spark.createDataFrame(EXAMPLE_DATA[:3], COLUMNS)  # data/1,2
+    df2 = spark.createDataFrame(EXAMPLE_DATA[3:], COLUMNS)  # info/3
+    pattern = "$outputDirectory/cat_$category_id_$id.csv"
+    a, b = tmp_out + "-unstaged", tmp_out + "-staged"
+    for out in (a, b):
+        # pre-existing Hive layout from a plain Spark write (no move)
+        df1.coalesce(1).write.option(
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs", "false"
+        ).partitionBy("category", "id").csv(out)
+    ra = write_single_file(
+        df2, a, template=pattern, partition_by=["category", "id"],
+        mode="append",
+    )
+    rb = write_single_file(
+        df2, b, template=pattern, partition_by=["category", "id"],
+        mode="append", staged=True,
+    )
+    assert ra.moved and rb.moved
+    # old AND new partitions are at their final names in both trees
+    for out in (a, b):
+        for cat, id_ in [("data", 1), ("data", 2), ("info", 3)]:
+            assert (Path(out) / f"cat_{cat}_id_{id_}.csv").is_file(), out
+    assert _file_tree(a) == _file_tree(b)
+    assert len(rb.renames) == len(ra.renames)
+    assert not list(Path(b).glob("**/.__staging__-*"))
+    shutil.rmtree(a, ignore_errors=True)
+    shutil.rmtree(b, ignore_errors=True)
+
+
+def test_staged_overwrite_sweeps_stale_orphan_staging_dirs(spark, tmp_out):
+    import os
+    import time
+
+    df = spark.createDataFrame(EXAMPLE_DATA, COLUMNS)
+    old = Path(tmp_out) / ".__staging__-deadbeefcrashed"
+    young = Path(tmp_out) / ".__staging__-freshconcurrent"
+    for d in (old, young):
+        d.mkdir(parents=True)
+        (d / "part-orphan.csv").write_text("orphan\n")
+    two_h_ago = time.time() - 7200
+    os.utime(old, (two_h_ago, two_h_ago))
+
+    res = write_single_file(
+        df, tmp_out, template="$outputDirectory/final.csv",
+        mode="overwrite", staged=True,
+    )
+    assert res.moved
+    assert (Path(tmp_out) / "final.csv").is_file()
+    # crashed-run residue swept; a young dir (possibly a concurrent
+    # writer's in-flight stage) survives, invisible to readers
+    assert not old.exists()
+    assert young.is_dir()

@@ -148,6 +148,11 @@ def test_widen_narrow_scan_gates_on_split_count(spark):
     from spark_file_mover_spark.functions.scalar import _widen_narrow_scan
 
     par = spark.sparkContext.defaultParallelism
+    if par < 2:
+        pytest.skip(
+            "coalesce(1) is not narrower than defaultParallelism=1 — "
+            "the width gate correctly adds no exchange on a 1-core runner"
+        )
     base = spark.range(1000).selectExpr("id", "id * 2 AS v")
 
     def n_exchanges(df) -> int:
