@@ -287,13 +287,14 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _last_ivf_index
     cache_key = artifact_cache_key(spark, sf_dir)
     if _last_ivf_index is not None and _last_ivf_index[0] == cache_key:
-        assigned = _last_ivf_index[1]
-        return _ivf_query(assigned)
+        _key, assigned, cent = _last_ivf_index
+        return _ivf_query(assigned, cent)
     if _last_ivf_index is not None:
-        try:
-            _last_ivf_index[1].unpersist()
-        except Exception:
-            pass  # previous relation may belong to a stopped session
+        for rel in _last_ivf_index[1:]:
+            try:
+                rel.unpersist()
+            except Exception:
+                pass  # previous relation may belong to a stopped session
         _last_ivf_index = None
 
     e = load_table(spark, sf_dir, "embeddings").withColumn(
@@ -372,20 +373,25 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist(StorageLevel.MEMORY_AND_DISK)
     assigned.count()  # eager populate: the centroid aggregation and
     # the candidate join both read the index in the first probe job
-    _last_ivf_index = (cache_key, assigned)
-    return _ivf_query(assigned)
+    cent = _ivf_centroids(assigned).persist(StorageLevel.MEMORY_AND_DISK)
+    cent.count()  # centroids ARE index metadata (k × dim, tiny): paying
+    # the full-corpus collect_list fold per PROBE was the r14 bench
+    # regression's main share — build it once with the assignment
+    _last_ivf_index = (cache_key, assigned, cent)
+    return _ivf_query(assigned, cent)
 
 
-# ((appId, sf_dir), assigned) — the live checkpointed IVF index relation;
-# reused while the key matches, dropped and rebuilt when it changes
+# ((appId, sf_dir), assigned, cent) — the live persisted IVF index: the
+# vec→cell relation plus its centroid table (both pure functions of the
+# input files); reused while the key matches, dropped/rebuilt on change
 _last_ivf_index = None
 
 
-def _ivf_query(assigned: DataFrame) -> DataFrame:
-    """Probe-side of ``sim-search-ivf`` over the cached index relation:
-    centroids, nprobe=2 cell pick, cell-pruned candidate scan, top-k."""
-    from pyspark.sql import Window as W
-
+def _ivf_centroids(assigned: DataFrame) -> DataFrame:
+    """Centroid table of the IVF index: per-cell element-wise mean.
+    Pure function of ``assigned`` — built once per index, cached in
+    ``_last_ivf_index`` beside it (a real IVF index stores exactly this
+    k × dim table; recomputing it per probe re-scanned the corpus)."""
     # element-wise mean per cell via a SEQUENTIAL vec_id-ordered fold —
     # not F.sum over doubles: partial-aggregation order is partition-
     # dependent, and the centroid feeds the probe-cell RANKING that the
@@ -406,7 +412,7 @@ def _ivf_query(assigned: DataFrame) -> DataFrame:
             acc, emb, lambda a, x: a + x.cast("double")
         ),
     )
-    cent = (
+    return (
         assigned.groupBy("cell")
         .agg(esum.alias("s"), F.count("*").alias("n"))
         .select(
@@ -417,6 +423,16 @@ def _ivf_query(assigned: DataFrame) -> DataFrame:
         )
         .withColumn("cn", norm(F.col("centroid")))
     )
+
+
+def _ivf_query(assigned: DataFrame, cent: DataFrame) -> DataFrame:
+    """Probe-side of ``sim-search-ivf`` over the cached index (vec→cell
+    relation + centroid table): nprobe=2 cell pick against the broadcast
+    centroids, cell-pruned candidate scan, top-k. Touches the corpus
+    exactly once (the candidate join); the centroid aggregation is NOT
+    here — it is index metadata, built once in :func:`_ivf_centroids`."""
+    from pyspark.sql import Window as W
+
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
