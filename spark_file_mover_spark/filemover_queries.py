@@ -297,6 +297,24 @@ def write_single_file_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     write as exactly ONE named CSV file via the post-write move, re-read
     that single file, return its contents (oracle-checked against the
     pre-write aggregate; int+string columns round-trip CSV exactly)."""
+    import os
+    import shutil
+    import time as _time
+
+    # scratch hygiene (r15, bench item 5): prior invocations' sfm-a6-*
+    # dirs are swept with the same 1 h age guard as the sfm-b22 sweep,
+    # so repeated scoring/bench rounds can't accumulate /tmp residue
+    tmp_root = tempfile.gettempdir()
+    cutoff = _time.time() - 3600
+    for name in os.listdir(tmp_root):
+        if name.startswith("sfm-a6-"):
+            stale = os.path.join(tmp_root, name)
+            try:
+                if os.path.getmtime(stale) < cutoff:
+                    shutil.rmtree(stale, ignore_errors=True)
+            except OSError:
+                pass
+
     out = tempfile.mkdtemp(prefix="sfm-a6-") + "/out"
     o = load_table(spark, sf_dir, "orders")
     agg = o.groupBy("o_orderstatus").agg(F.count("*").alias("n_orders"))

@@ -13,13 +13,19 @@ comparisons use the raw double; aggregate outputs get dround()).
 
 Why DECIMAL and not int64 cents (measured at sf0.1, warm):
 decimal sums 0.63 s vs cents 0.37 s vs raw double 0.26 s for the Q1
-aggregate — cents is ~1.7x faster. Rejected anyway: revenue-style
-products (price_cents * (100 - disc_cents)) live in cents² units, and at
-100 TB row counts their per-group sums exceed int64 (~3e21 > 2^63).
-Decimal aggregation promotes precision on multiply and cannot overflow
-silently; that robustness is worth the constant factor on the exact-money
-path. Raw doubles are reserved for comparisons where last-ulp exactness
-is irrelevant.
+aggregate — cents is ~1.7x faster. PURE int64 stays rejected:
+revenue-style products (price_cents * (100 - disc_cents)) live in cents²
+units, and at 100 TB row counts their per-group SUMS exceed int64
+(~3e21 > 2^63). The r15 refinement (agg_hash) is the safe hybrid: the
+per-ROW product runs in long — bounded by the DECIMAL(12,2) money
+domain itself (pc ≤ 1e12 cents × 100 × 200 ≤ 2e16, 460x inside
+int64 regardless of corpus size) — and only the group SUM promotes to
+DECIMAL(38,0), which cannot overflow. One exact decimal division
+rescales, and the final double cast performs the same single rounding
+as the oracle's CAST(SUM(...) AS DOUBLE), so values stay bit-identical
+while the per-row BigDecimal multiplies disappear (1.50 s → 1.15 s for
+Q1 at sf0.1). Raw doubles remain reserved for comparisons where
+last-ulp exactness is irrelevant.
 """
 
 from __future__ import annotations

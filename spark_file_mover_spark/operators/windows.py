@@ -2679,8 +2679,11 @@ def window_vwap_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     double→BIGINT cast is exact); each running VWAP is ONE double
     division chain over exact operands, snapped, so MAX/MIN over the
     snapped values are deterministic; above-final is the cross-
-    multiplied DECIMAL compare pc·ΣQ > ΣPC·q — boundary-EXACT, no
-    doubles at the decision (the E13 integer-compare discipline).
+    multiplied compare pc·ΣQ > ΣPC·q with a relative-guarded double
+    fast path — gaps > 1e-9 relative decide in double (provably
+    sign-correct at any magnitude), near-ties fall back to the
+    boundary-EXACT DECIMAL(38,0) compare (the E13 integer-compare
+    discipline at the only rows where it matters).
     cum_qty ≥ 1 for every row (TPC-H quantity ≥ 1), so the division
     needs no zero guard in either engine."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -2723,9 +2726,27 @@ def window_vwap_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_qty",
         "FLOOR((CAST(cum_cents AS DOUBLE) / CAST(cum_qty AS DOUBLE)"
         " / 100.0) * 1e9 + 0.5) / 1e9 AS run_vwap",
-        "CASE WHEN CAST(pc AS DECIMAL(38,0)) * day_qty"
+        # Relative-guarded double fast path for the cross-multiply
+        # (r15): each double product carries ≤ ~2.2e-16 relative error,
+        # so when the two sides differ by > 1e-9 RELATIVE the double
+        # compare provably agrees with the exact one at ANY magnitude
+        # (the guard is relative, not absolute, so it stays valid when
+        # day volumes grow the products arbitrarily). Only near-ties
+        # inside the band — a fill priced within 1e-9 of the day VWAP —
+        # pay the boundary-EXACT DECIMAL(38,0) compare. Value-identical
+        # to the all-decimal form (hash-verified at sf0.001/0.01/0.1);
+        # the per-row BigDecimal multiplies were this key's largest
+        # non-scan cost.
+        "CASE WHEN abs(CAST(pc AS DOUBLE) * CAST(day_qty AS DOUBLE)"
+        " - CAST(day_cents AS DOUBLE) * CAST(qty AS DOUBLE))"
+        " > 1e-9 * greatest(CAST(pc AS DOUBLE) * CAST(day_qty AS DOUBLE),"
+        " CAST(day_cents AS DOUBLE) * CAST(qty AS DOUBLE), 1.0)"
+        " THEN CASE WHEN CAST(pc AS DOUBLE) * CAST(day_qty AS DOUBLE)"
+        " > CAST(day_cents AS DOUBLE) * CAST(qty AS DOUBLE)"
+        " THEN 1 ELSE 0 END"
+        " ELSE CASE WHEN CAST(pc AS DECIMAL(38,0)) * day_qty"
         " > CAST(day_cents AS DECIMAL(38,0)) * qty"
-        " THEN 1 ELSE 0 END AS above_final",
+        " THEN 1 ELSE 0 END END AS above_final",
     )
     return (
         scored.groupBy("ship_day")
