@@ -19,6 +19,15 @@ renamed directly to its final target, so the un-moved layout only ever
 exists under a name Hadoop/Spark readers skip (pinned by
 tests/test_filemover.py's mid-publish watcher test).
 
+The reference's CONFIG-DRIVEN activation (conf set -> every write moves,
+no call-site change) is likewise re-expressed without Scala:
+:func:`spark_file_mover_spark.committer.install_move_files_committer`
+wraps the classic ``DataFrameWriter`` path methods once per process, and
+any session that sets ``spark.writer.movefiles=<template>`` (the same
+conf key the reference reads, scala :9-10,:16-17) gets the post-write
+pass on every path write. Explicit calls here suppress that hook so the
+two surfaces compose (see committer.py for scope notes).
+
 Behavioral contract preserved (reference file:line):
 
 * recursive listing, ``_SUCCESS`` excluded        — scala :27
@@ -574,8 +583,14 @@ def write_single_file(
         writer = writer.option(k, v)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    # compose with the config-driven committer surface: internal saves
+    # must not ALSO trigger the conf-template move (the explicit
+    # template passed here wins) — lazy import avoids a module cycle
+    from spark_file_mover_spark.committer import suppress_move_on_write
+
     if not staged:
-        writer.format(fmt).save(output_dir)
+        with suppress_move_on_write():
+            writer.format(fmt).save(output_dir)
         return move_files(spark, output_dir, template)
 
     import time as _time
@@ -603,7 +618,8 @@ def write_single_file(
 
     stage_dir = output_dir.rstrip("/") + f"/.__staging__-{uuid.uuid4().hex}"
     stage_name = stage_dir.rsplit("/", 1)[1]
-    writer.format(fmt).save(stage_dir)
+    with suppress_move_on_write():
+        writer.format(fmt).save(stage_dir)
     if norm_mode == "overwrite":
         # unstaged overwrite clears output_dir at write time; staged
         # defers it to publish time so the old content stays readable
