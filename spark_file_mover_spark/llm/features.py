@@ -1057,27 +1057,26 @@ def embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    def pdot(a, b, d):
-        return F.aggregate(
-            F.zip_with(
-                F.slice(a, 1, d),
-                F.slice(b, 1, d),
-                lambda x, y: x.cast("double") * y.cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # Expression construction runs as SQL STRINGS, not Column-API
+    # lambdas (r15): the nested HOFs here build a few hundred plan
+    # nodes, and each Column lambda costs a py4j round-trip — profiled
+    # at ~half this key's per-invocation cost (construction 0.8-2 s vs
+    # execution 0.6-1.5 s depending on host load). A selectExpr string
+    # parses JVM-side in one call and produces the IDENTICAL Catalyst
+    # expressions (SQL `aggregate`/`zip_with`/`transform` + CAST are
+    # what the Column API desugars to), so values are unchanged.
+    def pdot_sql(d: int) -> str:
+        return (
+            f"aggregate(zip_with(slice(qe, 1, {d}), slice(ce, 1, {d}),"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
 
-    def pnorm(a, d):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(
-                    F.slice(a, 1, d),
-                    lambda x: x.cast("double") * x.cast("double"),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+    def pnorm_sql(vec: str, d: int) -> str:
+        return (
+            f"SQRT(aggregate(transform(slice({vec}, 1, {d}),"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
         )
 
     def with_prefix_norms(df, vec: str, idc: str, out_id: str, out_vec: str):
@@ -1086,12 +1085,16 @@ def embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         per ROW per side, never per pair (the similarity.py hoisting
         contract, prefix-flavored; unpinned, CollapseProject inlines
         the 120-term fold into every pair)."""
-        ns = F.array(*[pnorm(F.col(vec), b) for b in _MRL_BUDGETS])
-        return df.select(
-            F.col(idc).alias(out_id),
-            F.col(vec).alias(out_vec),
-            F.explode(F.array(F.struct(ns.alias("ns")))).alias("s"),
-        ).select(out_id, out_vec, F.col("s.ns").alias(f"{out_vec}_ns"))
+        ns = (
+            "array("
+            + ", ".join(pnorm_sql(vec, b) for b in _MRL_BUDGETS)
+            + ")"
+        )
+        return df.selectExpr(
+            f"{idc} AS {out_id}",
+            f"{vec} AS {out_vec}",
+            f"explode(array(struct({ns} AS ns))) AS s",
+        ).selectExpr(out_id, out_vec, f"s.ns AS {out_vec}_ns")
 
     e = load_table(spark, sf_dir, "embeddings")
     q = with_prefix_norms(
@@ -1107,22 +1110,21 @@ def embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # dots fold ONCE per pair inside the budget structs; the explode
     # fans the (budget, dot, qn, cn) quadruples out map-side
-    structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("long").alias("b"),
-                pdot(F.col("qe"), F.col("ce"), b).alias("d"),
-                F.element_at("qe_ns", i + 1).alias("qn"),
-                F.element_at("ce_ns", i + 1).alias("cn"),
-            )
+    structs = (
+        "array("
+        + ", ".join(
+            f"struct(CAST({b} AS BIGINT) AS b, {pdot_sql(b)} AS d,"
+            f" element_at(qe_ns, {i + 1}) AS qn,"
+            f" element_at(ce_ns, {i + 1}) AS cn)"
             for i, b in enumerate(_MRL_BUDGETS)
-        ]
+        )
+        + ")"
     )
     sims = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.explode(structs).alias("s"))
+        .selectExpr("query_id", "neighbor_id", f"explode({structs}) AS s")
         .filter((F.col("s.qn") > 0) & (F.col("s.cn") > 0))
         .select(
             "query_id",

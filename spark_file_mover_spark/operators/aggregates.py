@@ -56,8 +56,10 @@ def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def cents(c: str):
         # exact: money doubles are nearest-double of n/100, so x*100
-        # lands within an ulp of integer n and ROUND recovers n exactly
-        return F.round(F.col(c) * 100).cast("long")
+        # lands within an ulp of integer n and FLOOR(x+0.5) recovers n
+        # exactly (the package snap idiom — never a ROUND-tie, because
+        # the value is an ulp from an integer, not from a half)
+        return F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")
 
     DS = "decimal(38,0)"
     base = li.filter(
