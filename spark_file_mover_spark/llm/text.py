@@ -1112,16 +1112,18 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection is boundary-deterministic on the snapped score."""
     from pyspark.sql import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
-    tf = (
-        d.select("doc_id", F.explode(toks()).alias("tok"))
-        .groupBy("tok", "doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
+    from spark_file_mover_spark.llm.features import _tf_relation
+
+    # r15: start from the persisted (doc_id, tok, tf) term-frequency
+    # relation the lexical-statistics family shares (the paid-once
+    # corpus-ingest artifact tfidf/perplexity/zipf already read) —
+    # identical counts to re-exploding the corpus, minus the explode
+    # and the (tok, doc) exchange per invocation.
+    tf = _tf_relation(spark, sf_dir)
     m = tf.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
-        F.sum("c").cast("long").alias("n_occ"),
-        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c"))
+        F.sum("tf").cast("long").alias("n_occ"),
+        F.sum(F.expr("CAST(tf AS DECIMAL(38,0)) * tf"))
         .cast("decimal(38,0)")
         .alias("sq"),
     )

@@ -6248,6 +6248,9 @@ def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("s_stat")
     )
+    # r15: tt and n from ONE branch — n_days is Σt over the cents
+    # groups, so the separate d.agg(count) pass (and its crossJoin)
+    # folds into the tie aggregate.
     ties = (
         d.groupBy("cents")
         .agg(F.count(F.lit(1)).cast("long").alias("t"))
@@ -6261,11 +6264,11 @@ def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0),
             )
             .cast("decimal(38,0)")
-            .alias("tt")
+            .alias("tt"),
+            F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n"),
         )
     )
-    nn = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    f = pairs.crossJoin(ties).crossJoin(nn).selectExpr(
+    f = pairs.crossJoin(ties).selectExpr(
         "s_stat",
         "n",
         "CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5) - tt"

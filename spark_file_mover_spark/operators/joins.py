@@ -1084,18 +1084,31 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     nkey = F.when(F.col("user_id") % 10 == 0, F.lit(None)).otherwise(
         F.col("user_id")
     )
-    k = ev.select(nkey.alias("nkey"), "event_type")
+    # r15: both sides derive from one conditional aggregate over the
+    # click∪view slice instead of two per-type filter+groupBy chains.
+    # Column pruning then specializes each branch to its single
+    # conditional count (the branches stay separate subtrees — no
+    # exchange reuse), but the rewrite still measures ~2x faster at
+    # sf0.1: the per-branch HAVING-style filters (n_click/n_view > 0)
+    # land on the 1-row-per-key aggregate output rather than re-running
+    # the event_type equality below each aggregate, and the isin
+    # disjunction pushes to both scans. A key with n_click > 0 is
+    # exactly a key with ≥1 click row (ditto views), so each branch
+    # equals the old per-type aggregate row-for-row.
+    k = ev.filter(F.col("event_type").isin("click", "view")).select(
+        nkey.alias("nkey"), "event_type"
+    )
+    agg = k.groupBy("nkey").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+    )
     l = (
-        k.filter(F.col("event_type") == "click")
-        .groupBy("nkey")
-        .agg(F.count("*").alias("n_click"))
-        .withColumnRenamed("nkey", "lk")
+        agg.filter(F.col("n_click") > 0)
+        .select(F.col("nkey").alias("lk"), "n_click")
     )
     r = (
-        k.filter(F.col("event_type") == "view")
-        .groupBy("nkey")
-        .agg(F.count("*").alias("n_view"))
-        .withColumnRenamed("nkey", "rk")
+        agg.filter(F.col("n_view") > 0)
+        .select(F.col("nkey").alias("rk"), "n_view")
     )
     j = l.join(r, l.lk.eqNullSafe(r.rk), "full_outer")
     return j.select(

@@ -46,6 +46,18 @@ def get_spark(app_name: str = "spark_file_mover_spark", cpus: int | None = None)
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # AQE sort-merge → shuffled-hash rewrite: when a runtime-measured
+        # post-shuffle partition's build side fits the local-map threshold,
+        # the sort on BOTH sides is deleted. Runtime-size-gated, so the
+        # rewrite self-disables at 100 TB wherever partitions outgrow the
+        # threshold (oversized joins stay sort-merge and spill gracefully)
+        # — unlike a static preferSortMergeJoin=false, which would commit
+        # to hash joins on estimates. Default 64 MB, overridable per
+        # deployment via SPARK_GRAFT_SHJ_THRESHOLD (bytes).
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", str(64 * 1024 * 1024)),
+        )
         # runtime Bloom-filter join pruning: the build side injects a
         # Bloom filter into the probe-side scan, skipping row groups
         # before the shuffle — free selectivity on fact-fact joins
@@ -77,6 +89,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
         spark.conf.set(
             "spark.sql.shuffle.partitions",
             str(spark.sparkContext.defaultParallelism),
+        )
+        # Runtime-gated SMJ→SHJ rewrite (see get_spark) — runtime-settable.
+        spark.conf.set(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", str(64 * 1024 * 1024)),
         )
     except Exception:
         pass  # non-runtime-settable on some builds; defaults are fine

@@ -1518,18 +1518,45 @@ def sink_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix="sfm-b22-")
     o = load_table(spark, sf_dir, "orders")
+    # ONE partitioned write job instead of four sequential filter+write
+    # jobs (4 scans + 4 commits → 1 scan + 1 commit): repartitioning by
+    # the bucket value lands each bucket's rows in a single task, so
+    # every bucket=<b> directory holds exactly one data file — the same
+    # per-bucket file set the per-bucket writes produced. Downstream
+    # reads aggregate (count/sum), so within-file row order is free.
+    staged = f"{base}/_buckets"
+    (
+        o.withColumn("bucket", F.col("o_orderkey") % 4)
+        .repartition(4, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(staged)
+    )
     bucket_files = {}
     for b in range(4):
         path = f"{base}/bucket-{b}"
-        o.filter(F.col("o_orderkey") % 4 == b).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(path)
-        (pf,) = [
-            f"{path}/{f}"
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        ]
+        os.makedirs(path, exist_ok=True)
+        if os.path.isdir(f"{staged}/bucket={b}"):
+            (src,) = [
+                f
+                for f in os.listdir(f"{staged}/bucket={b}")
+                if f.endswith(".parquet")
+            ]
+            pf = f"{path}/{src}"
+            os.rename(f"{staged}/bucket={b}/{src}", pf)
+        else:
+            # empty bucket: dynamic partitioning emits no directory —
+            # write the empty single file the per-bucket writer produced
+            o.filter(F.col("o_orderkey") % 4 == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(path)
+            (pf,) = [
+                f"{path}/{f}"
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
         bucket_files[b] = pf
+    shutil.rmtree(staged, ignore_errors=True)
     os.makedirs(f"{base}/_manifests", exist_ok=True)
     for version, buckets in _EXP_SNAPS.items():
         tmp = f"{base}/_manifests/.{version}.json.tmp"
