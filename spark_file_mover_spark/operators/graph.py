@@ -599,9 +599,71 @@ def _tri_relations(spark: SparkSession, sf_dir: str):
                 .alias("dst"),
             )
         )
-        cached = (eo, deg)
+        # Exact edge count, paid once in the artifact build (one pass
+        # over the already-checkpointed 16-byte relation): the corner
+        # enumeration below gates its join strategy on it — Catalyst
+        # cannot (LogicalRDD carries no size stats, so the planner
+        # would never broadcast the checkpointed edges on its own).
+        n_edges = eo.count()
+        cached = (eo, deg, n_edges)
         _TRI_CACHE[cache_key] = cached
     return cached
+
+
+# Planner-parity estimate of a broadcast hash relation's in-memory
+# cost per oriented edge (two longs in an UnsafeRow + LongHashedRelation
+# page/pointer overhead). Used to compare against the session's own
+# autoBroadcastJoinThreshold, so the gate follows the same knob every
+# other broadcast decision in the engine follows.
+_TRI_EDGE_BCAST_BYTES = 64
+
+
+def _tri_corners(spark: SparkSession, sf_dir: str):
+    """The (n1, n2, n3) one-row-per-triangle relation K5 and K11 both
+    enumerate, with the join strategy size-gated at runtime:
+
+    * When the oriented-edge relation fits the session's broadcast
+      threshold (exact ``n_edges`` from the artifact build × a
+      hash-relation byte estimate), the wedge join AND the closing
+      join probe BROADCAST copies of ``eo`` — zero exchanges in the
+      enumeration; the Σ outdeg² wedge fanout happens map-side over
+      the explicitly repartitioned streamed side (parallelism pinned:
+      AQE sizes by bytes in, not rows out — the r9 K5 lesson).
+      Replaces 3 Exchanges + 2 sort-merge joins with 1 Exchange.
+    * Past the threshold (a 100 TB graph's edge relation), the
+      original shuffled 3-way self-join shape, which spills
+      gracefully — the same fits-or-shuffle contract AQE applies.
+    """
+    eo, deg, n_edges = _tri_relations(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    try:
+        thr = int(
+            str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+            .lower()
+            .rstrip("b")
+        )
+    except Exception:
+        thr = 10 * 1024 * 1024
+    ea = eo.repartition(par, "dst").alias("ea")
+    if 0 < n_edges * _TRI_EDGE_BCAST_BYTES <= thr:
+        eb = F.broadcast(eo).alias("eb")
+        ec = F.broadcast(eo).alias("ec")
+    else:
+        eb = eo.repartition(par, "src").alias("eb")
+        ec = eo.alias("ec")
+    return (
+        ea.join(eb, F.col("eb.src") == F.col("ea.dst"))
+        .join(
+            ec,
+            (F.col("ec.src") == F.col("ea.src"))
+            & (F.col("ec.dst") == F.col("eb.dst")),
+        )
+        .select(
+            F.col("ea.src").alias("n1"),
+            F.col("ea.dst").alias("n2"),
+            F.col("eb.dst").alias("n3"),
+        )
+    )
 
 
 def _tri_oracle() -> str:
@@ -701,24 +763,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     immutable input files, and ``eo`` feeds THREE join inputs (a
     naive composition re-derives the whole events→projection DAG for
     each)."""
-    eo, deg = _tri_relations(spark, sf_dir)
-    par = spark.sparkContext.defaultParallelism
-    ea = eo.repartition(par, "dst").alias("ea")
-    eb = eo.repartition(par, "src").alias("eb")
-    ec = eo.alias("ec")
-    tri = (
-        ea.join(eb, F.col("eb.src") == F.col("ea.dst"))
-        .join(
-            ec,
-            (F.col("ec.src") == F.col("ea.src"))
-            & (F.col("ec.dst") == F.col("eb.dst")),
-        )
-        .select(
-            F.col("ea.src").alias("n1"),
-            F.col("ea.dst").alias("n2"),
-            F.col("eb.dst").alias("n3"),
-        )
-    )
+    _, deg, _ = _tri_relations(spark, sf_dir)
+    # r15: enumeration shape (incl. the broadcast-vs-shuffle size gate)
+    # factored into _tri_corners, shared with K11.
+    tri = _tri_corners(spark, sf_dir)
     # ONE pass: a union-all of tri.select(n1)/(n2)/(n3) re-executes the
     # whole wedge+closing join per branch (Catalyst does not reuse
     # unmaterialized subtrees — the E27 lesson, join-flavored); the
@@ -1130,7 +1178,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope note: the reference engine (56-line Scala output
     committer) has no graph surface; this is EXT, mandated by the
     north-star pipeline (graph-shaped corpus QA)."""
-    eo, deg = _tri_relations(spark, sf_dir)
+    eo, deg, _ = _tri_relations(spark, sf_dir)
     da = deg.select(F.col("node").alias("src"), F.col("degree").alias("dj"))
     db = deg.select(F.col("node").alias("dst"), F.col("degree").alias("dk"))
     ed = eo.join(da, "src").join(db, "dst").select("dj", "dk")
@@ -1440,24 +1488,11 @@ def graph_global_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents (Σ outdeg² bounded), corners explode map-side, and
     everything after the per-node hash agg is node-bounded then
     one-row. Cites K5 (graph.py) for the three enumeration guards."""
-    eo, deg = _tri_relations(spark, sf_dir)
-    par = spark.sparkContext.defaultParallelism
-    ea = eo.repartition(par, "dst").alias("ea")
-    eb = eo.repartition(par, "src").alias("eb")
-    ec = eo.alias("ec")
-    tri = (
-        ea.join(eb, F.col("eb.src") == F.col("ea.dst"))
-        .join(
-            ec,
-            (F.col("ec.src") == F.col("ea.src"))
-            & (F.col("ec.dst") == F.col("eb.dst")),
-        )
-        .select(
-            F.col("ea.src").alias("n1"),
-            F.col("ea.dst").alias("n2"),
-            F.col("eb.dst").alias("n3"),
-        )
-    )
+    _, deg, _ = _tri_relations(spark, sf_dir)
+    # r15: shared size-gated enumeration (see _tri_corners) — broadcast
+    # wedge+closure joins when the edge relation fits, zero exchanges
+    # before the per-node agg.
+    tri = _tri_corners(spark, sf_dir)
     pn = (
         tri.select(
             F.explode(
