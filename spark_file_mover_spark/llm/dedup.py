@@ -890,16 +890,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inclusion-exclusion. The join shuffles on (gram, lang, source) — at
     100 TB this runs on LSH-candidate pairs only; the (lang, source)
     blocking here stands in for that candidate restriction.
-    """
+
+    r15: the naive composition re-ran the regex tokenizer FOUR times
+    (both self-join inputs + both size joins — 8 parquet scans in the
+    formatted plan, no reuse because the joins broadcast instead of
+    shuffling). The exploded gram relation is now tokenized ONCE into
+    a ``localCheckpoint`` barrier (paid per invocation, in the timed
+    region — the Pregel/funnel discipline), grams leave the scan as
+    8-byte xxhash64 keys instead of strings (the text-containment
+    contract: the string-joining oracle certifies the hash), and each
+    doc's gram count rides the exploded rows, so |A| and |B| fall out
+    of the SAME pair aggregate — the two size joins are deleted
+    outright. 8 scans + 3 joins → 1 scan + 1 join."""
     d = load_table(spark, sf_dir, "documents")
     grams = F.array_distinct(
         F.slice(toks(), 1, 20)
     )
     tg = d.select("doc_id", "lang", "source", grams.alias("grams"))
-    sizes = tg.select("doc_id", F.size("grams").alias("n"))
     expl = tg.select(
-        "doc_id", "lang", "source", F.explode("grams").alias("g")
-    )
+        "doc_id",
+        "lang",
+        "source",
+        F.size("grams").alias("n"),
+        F.explode("grams").alias("gs"),
+    ).select(
+        "doc_id", "lang", "source", "n", F.xxhash64("gs").alias("g")
+    ).localCheckpoint(eager=True)
     inter = (
         expl.alias("a")
         .join(
@@ -912,17 +928,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
         )
-        .agg(F.count("*").alias("n_inter"))
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.min("a.n").alias("na"),
+            F.min("b.n").alias("nb"),
+        )
     )
-    sa = sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na")
-    sb = sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb")
     jac = F.col("n_inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_inter")
     )
     return (
-        inter.join(sa, "a")
-        .join(sb, "b")
-        .filter(jac >= 0.5)
+        inter.filter(jac >= 0.5)
         .select("a", "b", snap(jac, 6).alias("jaccard"))
     )
 
@@ -1925,6 +1941,11 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
+    # r15: both verify-join sides (na, nb) consumed this relation, and
+    # each re-ran the scan + double regexp_replace normalization over
+    # the full corpus text. One localCheckpoint pass (paid per
+    # invocation, in the timed region) feeds both joins — 2 scans + 2
+    # normalizations → 1.
     nt = d.select(
         "doc_id",
         F.lower(
@@ -1938,7 +1959,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("norm"),
-    )
+    ).localCheckpoint(eager=True)
     # fingerprint relation — the I50 machinery (Generate-barrier pin)
     base = d.select(
         "doc_id",
