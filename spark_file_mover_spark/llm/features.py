@@ -839,11 +839,17 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c_xy"))
         .withColumn("n_bi", F.sum("c_xy").over(wall).cast("long"))
     )
+    # r15: the vocab-bounded unigram aggregate feeds BOTH join sides
+    # (ux, uy) — without a barrier Catalyst re-aggregated the cached
+    # tf relation per side (two Exchange+HashAggregate pairs in the
+    # audited plan). One localCheckpoint (vocab-scale, ~24 B/row,
+    # paid in the timed region) builds it once.
     uni = (
         _tf_relation(spark, sf_dir)
         .groupBy("tok")
         .agg(F.sum("tf").cast("long").alias("c"))
         .withColumn("n_uni", F.sum("c").over(wall).cast("long"))
+        .localCheckpoint(eager=True)
     )
     ux = uni.select(
         F.col("tok").alias("x"), F.col("c").alias("c_x"), "n_uni"

@@ -904,6 +904,14 @@ def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     string-equality grouping equals hash grouping up to 64-bit
     collisions, so the match certifies the hash key.
 
+    r15: the distinct (doc_id, gh) relation feeds BOTH sides of the
+    first-seen join; without a barrier Catalyst re-ran the corpus
+    scan + explode + distinct per side (2 scans, 2 Generates, 2
+    distinct aggregates in the audited plan). One ``localCheckpoint``
+    (16 B/row — the dedup-ngram-jaccard discipline, paid in the timed
+    region) halves the tokenization work and drops the duplicate
+    subtree.
+
     Exact integers; novelty is one snapped division; gram-less docs
     (< 3 tokens) surface with zero counts and NULL novelty."""
     d = load_table(spark, sf_dir, "documents")
@@ -930,6 +938,7 @@ def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gh"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     firstseen = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
@@ -1230,13 +1239,19 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     float compare); the per-doc fraction is one snapped division.
 
     Shape at 100 TB: the line relation moves as (source, doc_id,
-    line-block) with the groupBy's map-side combine absorbing
-    repetition; the boilerplate set is df-filtered (vocabulary-scale,
-    a small fraction of distinct lines) before the per-doc join; the
-    per-source doc counts are a sources-bounded broadcast. Two scans
-    of the tokenized signature (df pass + per-doc pass — rebuilding
-    beats materializing a corpus-scale relation), one narrow scan for
-    the doc counts."""
+    8-byte xxhash64 line keys — the I20 hash-grouping contract, the
+    string-grouping oracle certifies the key) with the groupBy's
+    map-side combine absorbing repetition; the boilerplate set is
+    df-filtered (vocabulary-scale, a small fraction of distinct
+    lines) before the per-doc join; the per-source doc counts are a
+    sources-bounded broadcast; one narrow scan for the doc counts.
+
+    r15: the line relation feeds both the df pass AND the per-doc
+    join side — rebuilt per consumer, that was two full tokenize +
+    explode passes (6 parquet scans in the audited plan). Hashing the
+    block to a long shrinks the relation to ~32 B/row, cheap enough
+    that ONE ``localCheckpoint`` barrier (the dedup-ngram-jaccard
+    discipline, paid in the timed region) now beats rebuilding."""
     d = load_table(spark, sf_dir, "documents")
 
     sized = d.select("doc_id", "source", toks().alias("toks")).selectExpr(
@@ -1257,20 +1272,20 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_lines",
         "idx",
-        f"array_join(slice(toks, idx * {_BP_LINE} + 1, {_BP_LINE}), ' ')"
-        " AS line",
-    )
+        f"xxhash64(array_join(slice(toks, idx * {_BP_LINE} + 1,"
+        f" {_BP_LINE}), ' ')) AS lh",
+    ).localCheckpoint(eager=True)
     nd = d.groupBy("source").agg(F.count("*").alias("n_docs"))
-    df_rel = l.groupBy("source", "line").agg(
+    df_rel = l.groupBy("source", "lh").agg(
         F.countDistinct("doc_id").alias("df")
     )
     bp = (
         df_rel.join(F.broadcast(nd), "source")
         .filter(F.expr(f"df * {_BP_DEN} > n_docs"))
-        .select("source", "line")
+        .select("source", "lh")
     )
     per_doc = (
-        l.join(bp.withColumn("_bp", F.lit(1)), ["source", "line"], "left")
+        l.join(bp.withColumn("_bp", F.lit(1)), ["source", "lh"], "left")
         .groupBy("doc_id")
         .agg(
             F.coalesce(F.sum("_bp"), F.lit(0)).cast("long").alias(

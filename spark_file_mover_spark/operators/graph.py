@@ -222,15 +222,28 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast back (a sub-job over the previous round's materialized
     # checkpoint; never a driver collect of row data)
     ranks = nd.withColumn("rank", F.lit(_PR_SCALE).cast("long"))
+    # r15: when the rank relation (3 longs/node hashed) fits the
+    # session broadcast threshold, broadcast it into the contribution
+    # join and broadcast the dst-bounded contrib relation into the
+    # completion join — the checkpointed edges never shuffle and nd
+    # never sorts; the only exchange per round is the contribution
+    # groupBy. Past the threshold (a 100 TB graph) the original
+    # shuffled joins, exactly the _tri_corners fits-or-shuffle gate.
+    # Values are unchanged either way (same integer arithmetic, only
+    # the physical join strategy moves).
+    fits = 0 < n_nodes * _PR_RANK_BCAST_BYTES <= _bcast_threshold(spark)
     for _ in range(_PR_ITERS):
         dang = ranks.filter(F.col("outdeg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0)).alias("dang")
         )
         contrib = (
-            e.join(ranks, e.src == ranks.node)
+            e.join(F.broadcast(ranks) if fits else ranks,
+                   e.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.expr("rank div outdeg")).alias("contrib"))
         )
+        if fits:
+            contrib = F.broadcast(contrib)
         ranks = (
             nd.join(contrib, nd.node == contrib.dst, "left")
             .crossJoin(F.broadcast(dang))
@@ -268,6 +281,7 @@ _LPA_ENTITY_BASE = _PR_ENTITY_BASE  # same node-id space as pagerank
 _LPA_EDGE_MOD = 20
 
 _LPA_CACHE: dict = {}
+_LPA_N_CACHE: dict = {}  # exact adjacency edge count per cached artifact
 
 
 def _sparse_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,6 +313,24 @@ def _sparse_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
         _LPA_CACHE[cache_key] = adj
         cached = adj
     return cached
+
+
+def _lpa_node_fits(spark: SparkSession, sf_dir: str) -> bool:
+    """True when every node-bounded per-round relation of the K3/K5
+    Pregel loops fits the session broadcast threshold — gated on the
+    EXACT adjacency edge count (taken once per cached artifact, the
+    K1 ``cached['n']`` discipline; distinct nodes ≤ edge rows because
+    the undirected relation lists each node as a src) times the
+    _PR_RANK_BCAST_BYTES hashed-row estimate. Past the threshold the
+    loops keep their shuffled joins — the _tri_corners
+    fits-or-shuffle contract."""
+    cache_key = artifact_cache_key(spark, sf_dir)
+    n = _LPA_N_CACHE.get(cache_key)
+    if n is None:
+        _LPA_N_CACHE.clear()
+        n = _sparse_adjacency(spark, sf_dir).count()
+        _LPA_N_CACHE[cache_key] = n
+    return 0 < n * _PR_RANK_BCAST_BYTES <= _bcast_threshold(spark)
 
 
 def _lpa_cte_prefix() -> str:
@@ -380,9 +412,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = adj.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
+    # r15: the K1 fits-or-shuffle gate — broadcast the 16 B/row label
+    # relation into each round's join so the checkpointed adjacency
+    # never shuffles; values unchanged (physical strategy only).
+    fits = _lpa_node_fits(spark, sf_dir)
     for _ in range(_LPA_ROUNDS):
         neigh = (
-            adj.join(labels, adj.dst == labels.node)
+            adj.join(F.broadcast(labels) if fits else labels,
+                     adj.dst == labels.node)
             .groupBy(F.col("src"), F.col("lbl"))
             .agg(F.count("*").alias("c"))
         )
@@ -617,6 +654,24 @@ def _tri_relations(spark: SparkSession, sf_dir: str):
 # other broadcast decision in the engine follows.
 _TRI_EDGE_BCAST_BYTES = 64
 
+# Same planner-parity estimate for the PageRank rank relation (three
+# longs per node hashed: node, outdeg, rank).
+_PR_RANK_BCAST_BYTES = 80
+
+
+def _bcast_threshold(spark: SparkSession) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (the knob every
+    planner broadcast decision follows); 10 MB default on parse
+    failure."""
+    try:
+        return int(
+            str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+            .lower()
+            .rstrip("b")
+        )
+    except Exception:
+        return 10 * 1024 * 1024
+
 
 def _tri_corners(spark: SparkSession, sf_dir: str):
     """The (n1, n2, n3) one-row-per-triangle relation K5 and K11 both
@@ -636,14 +691,7 @@ def _tri_corners(spark: SparkSession, sf_dir: str):
     """
     eo, deg, n_edges = _tri_relations(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
-    try:
-        thr = int(
-            str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-            .lower()
-            .rstrip("b")
-        )
-    except Exception:
-        thr = 10 * 1024 * 1024
+    thr = _bcast_threshold(spark)
     ea = eo.repartition(par, "dst").alias("ea")
     if 0 < n_edges * _TRI_EDGE_BCAST_BYTES <= thr:
         eb = F.broadcast(eo).alias("eb")
@@ -1041,12 +1089,21 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # r15: the K1 fits-or-shuffle gate — the surviving-node relation
+    # (8 B/row) broadcasts into both endpoint restrictions and the
+    # per-round anti-join, so the checkpointed adjacency never
+    # shuffles; values unchanged (physical strategy only).
+    fits = _lpa_node_fits(spark, sf_dir)
+
+    def _bc(df):
+        return F.broadcast(df) if fits else df
+
     removed = []  # lazy (node, removed_round) slices over checkpoints
     for i in range(1, _KCORE_ROUNDS + 1):
         deg = (
-            adj.join(surv.withColumnRenamed("node", "s_src"),
+            adj.join(_bc(surv.withColumnRenamed("node", "s_src")),
                      F.col("src") == F.col("s_src"))
-            .join(surv.withColumnRenamed("node", "s_dst"),
+            .join(_bc(surv.withColumnRenamed("node", "s_dst")),
                   F.col("dst") == F.col("s_dst"))
             .groupBy(F.col("src").alias("node"))
             .agg(F.count("*").alias("c"))
@@ -1057,15 +1114,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         removed.append(
-            surv.join(new_surv, "node", "left_anti").select(
+            surv.join(_bc(new_surv), "node", "left_anti").select(
                 "node", F.lit(i).cast("long").alias("removed_round")
             )
         )
         surv = new_surv
     deg_final = (
-        adj.join(surv.withColumnRenamed("node", "s_src"),
+        adj.join(_bc(surv.withColumnRenamed("node", "s_src")),
                  F.col("src") == F.col("s_src"))
-        .join(surv.withColumnRenamed("node", "s_dst"),
+        .join(_bc(surv.withColumnRenamed("node", "s_dst")),
               F.col("dst") == F.col("s_dst"))
         .groupBy(F.col("src").alias("node"))
         .agg(F.count("*").alias("c"))
@@ -2031,18 +2088,24 @@ def graph_personalized_pagerank(
     )
     ranks = nd.selectExpr("node", "outdeg", f"{r0_expr} AS rank")
     tele = f"15 * CAST({n_nodes} AS BIGINT) * {_PR_SCALE} DIV 100"
+    # r15: the K1 fits-or-shuffle broadcast gate — the rank>0 frontier
+    # is at most the rank relation, so the same n_nodes bound applies.
+    fits = 0 < n_nodes * _PR_RANK_BCAST_BYTES <= _bcast_threshold(spark)
     for _ in range(_PPR_ITERS):
         dang = ranks.filter(F.col("outdeg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0)).alias("dang")
         )
+        frontier = ranks.filter(F.col("rank") > 0)
         contrib = (
             e.join(
-                ranks.filter(F.col("rank") > 0),
+                F.broadcast(frontier) if fits else frontier,
                 e.src == F.col("node"),
             )
             .groupBy("dst")
             .agg(F.sum(F.expr("rank DIV outdeg")).alias("contrib"))
         )
+        if fits:
+            contrib = F.broadcast(contrib)
         ranks = (
             nd.join(contrib, nd.node == contrib.dst, "left")
             .crossJoin(F.broadcast(dang))
