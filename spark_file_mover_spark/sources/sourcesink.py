@@ -919,6 +919,16 @@ def sink_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket_files = {}
     for b in range(4):
         path = f"{buckets_root}/b={b}"
+        if not os.path.isdir(path):
+            # partitionBy writes no directory for an EMPTY bucket (a
+            # degenerate corpus; never at scale), but the manifest must
+            # list one file per bucket — backfill with the pre-r15
+            # per-bucket write, which emits a zero-row parquet file.
+            (
+                o.filter(F.col("o_orderkey") % 4 == b)
+                .coalesce(1)
+                .write.parquet(path)
+            )
         (pf,) = [
             f"{path}/{f}"
             for f in os.listdir(path)
