@@ -3513,18 +3513,22 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTEGER 2B + c + 1 (twice the rank), which cancels in the Pearson
     ratio and keeps every moment in exact DECIMAL space.
 
-    Shape at 100 TB (the E19 discipline, extended to rank ATTACH):
-    each variable's rank relation comes from a cumulative window over
-    its VALUE distribution — bounded by VALUE cardinality, never row
-    count — and ranks attach back by value-keyed equi joins of those
-    tiny relations (broadcast when the value space is bounded, as
-    here; SHUFFLE_HASH for wide value spaces — the ordered rank
-    relation never needs the SMJ's re-sort either way). ONE one-row
-    aggregate collapses everything to six exact DECIMAL(38,0)
-    moments — no global row sort, no row_number over raw rows. rho is
-    one all-double expression over exact operands (sqrt is correctly
-    rounded), snapped floor(x*1e9+0.5)/1e9; zero-variance sides → NULL
-    in both engines."""
+    Shape at 100 TB (the E19 discipline, taken to its endpoint): ONE
+    corpus pass collapses map-side to the JOINT (xv, yv) distribution
+    — bounded by the PRODUCT of the value cardinalities (50 × 11
+    cells here), never row count — behind a localCheckpoint barrier.
+    Every marginal rank relation re-aggregates that tiny relation
+    (never the corpus; r15: the per-variable groupBy formulation plus
+    the rank-attach join re-scanned the corpus 3× per invocation),
+    ranks attach back to the CELLS by value-keyed BROADCAST equi
+    joins, and the six moments are weighted sums over cells (each
+    moment is linear in the cell count c, so Σ_rows rx·ry =
+    Σ_cells c·rx·ry exactly — integer arithmetic in DECIMAL(38,0),
+    same magnitude bound as the row form). No global row sort, no
+    row_number over raw rows, no second corpus scan. rho is one
+    all-double expression over exact operands (sqrt is correctly
+    rounded), snapped floor(x*1e9+0.5)/1e9; zero-variance sides →
+    NULL in both engines."""
     from pyspark.sql import Window as W
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -3534,17 +3538,25 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d38 = "decimal(38,0)"
 
+    # the one corpus pass: joint value distribution, map-side combined
+    # to |X|·|Y| cells, checkpointed so the marginals and the moment
+    # aggregate all read the barrier instead of re-deriving the scan
+    # (Catalyst re-executes unmaterialized subtrees per branch)
+    joint = (
+        rows_.groupBy("xv", "yv")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
     def rank_rel(col: str):
-        # the distinct-value diagnostic rides the SAME window exchange
-        # as the cumulative count (an unbounded frame over the dist
-        # relation), so it costs no extra pass — a separate
-        # countDistinct either re-scans the corpus or forces a 3x
-        # expand through the moment aggregate (both measured slower)
+        # marginal distribution from the joint cells (cell-bounded, no
+        # corpus access); the distinct-value diagnostic rides the SAME
+        # window exchange as the cumulative count
         wb = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
         wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
         return (
-            rows_.groupBy(col)
-            .agg(F.count("*").alias("c"))
+            joint.groupBy(col)
+            .agg(F.sum("c").alias("c"))
             .select(
                 col,
                 F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("b"),
@@ -3560,22 +3572,21 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    # BROADCAST the rank relations: they are VALUE-cardinality rows
-    # (50 and 11 here; bounded by the value space at any corpus size),
-    # but they sit behind window outputs so Spark cannot estimate
-    # that — unhinted it picks an SMJ that re-sorts the corpus on
-    # each attach key. For wide value spaces swap the hint to
-    # SHUFFLE_HASH (never plain SMJ: rank attach is pure equality).
-    rk = rows_.join(
+    # BROADCAST the rank relations onto the cells: VALUE-cardinality
+    # rows (50 and 11 here; bounded by the value space at any corpus
+    # size), but they sit behind window outputs so Spark cannot
+    # estimate that unhinted.
+    rk = joint.join(
         F.broadcast(rank_rel("xv")), "xv"
     ).join(F.broadcast(rank_rel("yv")), "yv")
+    cd = F.col("c").cast(d38)
     m = rk.agg(
-        F.count("*").cast(d38).alias("n"),
-        F.sum("r_xv").cast(d38).alias("sx"),
-        F.sum("r_yv").cast(d38).alias("sy"),
-        F.sum(F.col("r_xv") * F.col("r_yv")).cast(d38).alias("sxy"),
-        F.sum(F.col("r_xv") * F.col("r_xv")).cast(d38).alias("sxx"),
-        F.sum(F.col("r_yv") * F.col("r_yv")).cast(d38).alias("syy"),
+        F.sum("c").cast(d38).alias("n"),
+        F.sum(cd * F.col("r_xv")).cast(d38).alias("sx"),
+        F.sum(cd * F.col("r_yv")).cast(d38).alias("sy"),
+        F.sum(cd * F.col("r_xv") * F.col("r_yv")).cast(d38).alias("sxy"),
+        F.sum(cd * F.col("r_xv") * F.col("r_xv")).cast(d38).alias("sxx"),
+        F.sum(cd * F.col("r_yv") * F.col("r_yv")).cast(d38).alias("syy"),
         F.max("nd_xv").cast("long").alias("n_distinct_x"),
         F.max("nd_yv").cast("long").alias("n_distinct_y"),
     )

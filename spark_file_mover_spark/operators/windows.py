@@ -1841,53 +1841,59 @@ ORDER BY custkey
 _RFM_METRICS = ("last_day", "n_orders", "m_cents")
 
 
-def _rfm_bounds_df(pc):
-    """ONE-row DataFrame with all 12 exact quintile boundaries
-    (4 per metric) from a SINGLE execution of the per-customer
-    relation: the three metrics MELT into (metric, v) rows via a
-    map-side stack, collapse into one (metric, v)-keyed distribution
-    (bounded by the union of the three value spaces), and one window
-    pair PARTITIONED BY metric computes every cumulative — so the
-    per-customer subtree runs once for all boundaries instead of once
-    per metric (Catalyst re-executes unmaterialized subtrees per
-    branch; the melted form shares the pass structurally)."""
-    from pyspark.sql import Window as W
-
-    melt = pc.selectExpr(
-        "stack(3, 0, last_day, 1, n_orders, 2, m_cents)"
-        " AS (metric, v)"
-    )
-    dist = melt.groupBy("metric", "v").agg(F.count("*").alias("c"))
-    wcum = (
-        W.partitionBy("metric")
-        .orderBy("v")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    wall = W.partitionBy("metric").rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
-    )
-    d = dist.select(
-        "metric",
-        "v",
-        F.sum("c").over(wcum).alias("cum"),
-        F.sum("c").over(wall).alias("nn"),
-    )
-    return d.agg(
-        *[
-            F.min(
-                F.when(
-                    (F.col("metric") == m)
-                    & (
-                        F.col("cum")
-                        >= F.expr(f"(({q} * nn) + 99) DIV 100")
-                    ),
-                    F.col("v"),
-                )
-            ).alias(f"{col}_b{i + 1}")
-            for m, col in enumerate(_RFM_METRICS)
-            for i, q in enumerate(_RFM_QS)
-        ]
-    )
+_RFM_ENGINE_SQL = """
+WITH pc AS (
+  SELECT o_custkey AS custkey,
+         CAST(MAX(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01'))
+              AS BIGINT) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS m_cents
+  FROM rfm_orders_v GROUP BY o_custkey
+),
+melt AS (
+  SELECT stack(3, 0, last_day, 1, n_orders, 2, m_cents) AS (metric, v)
+  FROM pc
+),
+dist AS (SELECT metric, v, COUNT(*) AS c FROM melt GROUP BY metric, v),
+d AS (
+  SELECT metric, v,
+         SUM(c) OVER (PARTITION BY metric ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY metric) AS nn
+  FROM dist
+),
+b AS (
+  SELECT
+    {picks}
+  FROM d
+)
+SELECT /*+ BROADCAST(b) */
+       custkey, last_day, n_orders, m_cents,
+       CAST({r} AS INT) AS r_score,
+       CAST({f} AS INT) AS f_score,
+       CAST({m} AS INT) AS m_score,
+       CAST(100 * ({r}) + 10 * ({f}) + ({m}) AS INT) AS rfm_code
+FROM pc CROSS JOIN b
+ORDER BY custkey
+""".format(
+    picks=",\n    ".join(
+        f"MIN(CASE WHEN metric = {mi} AND cum >= (({q} * nn) + 99) DIV 100"
+        f" THEN v END) AS {col}_b{i + 1}"
+        for mi, col in enumerate(_RFM_METRICS)
+        for i, q in enumerate(_RFM_QS)
+    ),
+    **{
+        band: " + ".join(
+            ["1"] + [f"CAST({col} > {col}_b{i + 1} AS INT)" for i in range(4)]
+        )
+        for band, col in (
+            ("r", "last_day"),
+            ("f", "n_orders"),
+            ("m", "m_cents"),
+        )
+    },
+)
 
 
 @query("window-rfm-segment", oracle=_RFM_ORACLE)
@@ -1913,46 +1919,23 @@ def window_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: one corpus shuffle to per-customer; ALL
     boundaries come from one additional pass over that relation (the
     three metrics melt map-side into a single (metric, value)
-    distribution — see :func:`_rfm_bounds_df`), and one one-row
-    crossJoin broadcasts the 12 boundaries back. Exact integers end
-    to end (epoch-day, count, DECIMAL-cents sum)."""
-    o = load_table(spark, sf_dir, "orders")
-    pc = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max(
-            F.datediff(
-                F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
-            )
-        )
-        .cast("long")
-        .alias("last_day"),
-        F.count("*").cast("long").alias("n_orders"),
-        F.sum(
-            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
-                "long"
-            )
-        )
-        .cast("long")
-        .alias("m_cents"),
+    distribution, one window pair partitioned by metric picks every
+    boundary), and one one-row crossJoin broadcasts the 12 boundaries
+    back. Exact integers end to end (epoch-day, count, DECIMAL-cents
+    sum).
+
+    The whole statement ships as ONE ``spark.sql`` text
+    (``_RFM_ENGINE_SQL``): the Column-API form re-ran eager analysis
+    per DataFrame op over a tree that carries the per-customer
+    aggregate twice — profiled at ~0.7 s of per-invocation driver
+    latency against ~0.7 s of execution at sf0.1 (the embed-matryoshka
+    r15 lesson, whole-query flavor). The SQL text parses and analyzes
+    JVM-side once and produces the identical Catalyst plan
+    (hash-verified)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "rfm_orders_v"
     )
-    j = pc.crossJoin(F.broadcast(_rfm_bounds_df(pc)))
-
-    def score(col: str) -> F.Column:
-        s = F.lit(1)
-        for i in range(4):
-            s = s + (F.col(col) > F.col(f"{col}_b{i + 1}")).cast("int")
-        return s
-
-    r_s, f_s, m_s = score("last_day"), score("n_orders"), score("m_cents")
-    return j.select(
-        "custkey",
-        "last_day",
-        "n_orders",
-        "m_cents",
-        r_s.cast("int").alias("r_score"),
-        f_s.cast("int").alias("f_score"),
-        m_s.cast("int").alias("m_score"),
-        (100 * r_s + 10 * f_s + m_s).cast("int").alias("rfm_code"),
-    ).orderBy("custkey")
+    return spark.sql(_RFM_ENGINE_SQL)
 
 
 # ---------------------------------------------------------------------------
