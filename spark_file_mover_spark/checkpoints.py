@@ -46,6 +46,15 @@ from __future__ import annotations
 
 import contextlib
 
+# True while inside :func:`lazy_checkpoints`. Cross-invocation caches
+# (sources.io.cached_plan, the corpus-relation materialized views) must
+# BYPASS both cache read and write under the plan-only mode: a plan
+# built against the substituted empty-leaf barrier is tooling-shaped,
+# and caching it would leak empty relations into later production-mode
+# invocations in the same session (observed: the scan-census test suite
+# shares one session across lazy and eager tests).
+LAZY_ACTIVE = False
+
 
 @contextlib.contextmanager
 def lazy_checkpoints():
@@ -75,9 +84,13 @@ def lazy_checkpoints():
     origs = [(cls, cls.__dict__.get("localCheckpoint")) for cls in classes]
     for cls in classes:
         cls.localCheckpoint = _plan_only_barrier
+    global LAZY_ACTIVE
+    prev_active = LAZY_ACTIVE
+    LAZY_ACTIVE = True
     try:
         yield
     finally:
+        LAZY_ACTIVE = prev_active
         for cls, orig in origs:
             if orig is None:
                 del cls.localCheckpoint

@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_file_mover_spark.registry import query
-from spark_file_mover_spark.sources.io import artifact_cache_key, load_table
+from spark_file_mover_spark.sources.io import (
+    artifact_cache_key,
+    load_table,
+    plan_cached,
+)
 from spark_file_mover_spark.numerics import snap
 
 # ---------------------------------------------------------------------------
@@ -652,6 +656,15 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recall < 100% by construction, tuned by nprobe). At 10^9 vectors
     the corpus would be written bucketed by cell id so a probe is a
     partition-pruned scan."""
+    app_id = spark.sparkContext.applicationId
+    # r15: probe pick, ADC tables and the candidate scoring joins are a
+    # pure PLAN over the cached index + expression fragments — cache
+    # the built DataFrame per (appId, sf_dir) (the multimodal
+    # _ASSET_PLAN_CACHE discipline: construction once, execution per
+    # action). ~0.5 s of py4j/analysis per invocation before.
+    plan = _IVFPQ_CACHE.get((app_id, sf_dir, "plan"))
+    if plan is not None:
+        return plan
     qdf, cents = _km_model(spark, sf_dir)
     # The (cluster, PQ-code) relation IS the IVF-PQ index — the
     # artifact a deployment builds once at INGEST and every query
@@ -660,7 +673,6 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without this every query action re-ran the full corpus assign +
     # encode once per DAG reference (~11 s/invocation at sf0.1 vs
     # ~1 s with the index materialized).
-    app_id = spark.sparkContext.applicationId
     index_key = (app_id, sf_dir, "index")
     cached = _IVFPQ_CACHE.get(index_key)
     if cached is None:
@@ -774,7 +786,7 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid", "vec_id")
         .agg(F.sum("pdist").alias("adc_dist"))
     )
-    return (
+    out = (
         adc.withColumn(
             "rank",
             F.row_number()
@@ -790,6 +802,8 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+    _IVFPQ_CACHE[(app_id, sf_dir, "plan")] = out
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -984,6 +998,7 @@ ORDER BY asg.vec_id
 
 
 @query("dedup-semdedup", oracle=_sd_oracle())
+@plan_cached("dedup-semdedup")
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I49: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
     deduplication that only ever compares embeddings INSIDE k-means

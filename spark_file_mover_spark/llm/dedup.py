@@ -45,6 +45,7 @@ from spark_file_mover_spark.numerics import snap
 from spark_file_mover_spark.sources.io import (
     artifact_cache_key,
     load_table,
+    plan_cached,
     scan_partitions,
 )
 
@@ -68,6 +69,7 @@ FROM (
 
 
 @query("dedup-exact", oracle=_EXACT_ORACLE)
+@plan_cached("dedup-exact")
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I1: exact duplicate removal on whitespace/case-normalized text,
     keeping the lowest doc_id per duplicate group (deterministic survivor
@@ -469,6 +471,7 @@ FROM documents ORDER BY doc_id
 
 
 @query("dedup-near-minhash", oracle=_MINHASH_ORACLE)
+@plan_cached("dedup-near-minhash")
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I2: banded MinHash-LSH near-dup clustering (plan details on
     :func:`minhash_clusters`), declared as an invariant audit.
@@ -715,6 +718,7 @@ _last_components = None
 
 
 @query("dedup-components", oracle=_COMPONENTS_ORACLE)
+@plan_cached("dedup-components")
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact transitive dedup clustering, driver-verified end to end:
     the deterministic Jaccard>=0.5 candidate pairs (the dedup-ngram-jaccard
@@ -791,6 +795,7 @@ FROM votes GROUP BY doc_id ORDER BY doc_id
 
 
 @query("dedup-simhash", oracle=_SIMHASH_ORACLE)
+@plan_cached("dedup-simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: 60-bit fingerprint via per-bit votes of token hashes;
     near-dups share high bits (bucket on the top 16 for candidate
@@ -887,6 +892,7 @@ _last_jac_expl = None
 
 
 @query("dedup-ngram-jaccard", oracle=_JACCARD_ORACLE)
+@plan_cached("dedup-ngram-jaccard")
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard ≥ 0.5 between documents blocked by
     (lang, source) — the verification stage of a dedup pipeline.
@@ -1017,6 +1023,7 @@ ORDER BY s.doc_id
 
 
 @query("dedup-paragraph", oracle=_PARA_ORACLE)
+@plan_cached("dedup-paragraph")
 def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I29: CCNet-style paragraph-level dedup — drop every paragraph
     that already occurred earlier in the corpus (first occurrence in
@@ -1260,6 +1267,7 @@ ORDER BY s.doc_id
 
 
 @query("text-dup-span", oracle=_SPAN_ORACLE)
+@plan_cached("text-dup-span")
 def text_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I33: cross-document duplicated-span detection — the MARKING pass
     of exact-substring dedup (the Lee et al. "Deduplicating Training
@@ -1378,6 +1386,7 @@ ORDER BY s.doc_id
 
 
 @query("text-dup-cut", oracle=_CUT_ORACLE)
+@plan_cached("text-dup-cut")
 def text_dup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I34: exact-substring dedup, CUTTING pass — the second half of the
     Lee et al. recipe whose marking half is ``text-dup-span``: every
@@ -1476,6 +1485,7 @@ ORDER BY p.doc_id
 
 
 @query("dedup-cross-bloom", oracle=_XBLOOM_ORACLE)
+@plan_cached("dedup-cross-bloom")
 def dedup_cross_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I38: cross-corpus exact dedup through a Bloom-filter summary —
     the pattern for "dedup the NEW crawl against the EXISTING corpus"
@@ -1680,6 +1690,7 @@ FROM best ORDER BY doc_id
 
 
 @query("text-containment", oracle=_CONTAIN_ORACLE)
+@plan_cached("text-containment")
 def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle-set CONTAINMENT C(A→B) = |S_A ∩ S_B| / |S_A|
     (Broder 1997's second resemblance measure) within (lang, source)
@@ -1926,6 +1937,7 @@ ORDER BY a, b
 
 
 @query("dedup-edit-distance", oracle=_EDITDIST_ORACLE)
+@plan_cached("dedup-edit-distance")
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I51: exact edit-distance near-dup verification over winnowing-
     fingerprint candidates — the full MOSS-style pipeline (sketch →
@@ -2106,6 +2118,7 @@ FROM h ORDER BY cluster_size
 
 
 @query("dedup-profile", oracle=_DUP_PROFILE_ORACLE)
+@plan_cached("dedup-profile")
 def dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I56: corpus duplication profile — the histogram of exact-dup
     cluster sizes (how many documents live in clusters of 1, 2, 3…)
@@ -2178,6 +2191,7 @@ ORDER BY b.doc_id
 
 
 @query("dedup-keep-best", oracle=_KEEPBEST_ORACLE)
+@plan_cached("dedup-keep-best")
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I79: canonical-document ELECTION — per exact-duplicate cluster
     keep the BEST member (longest n_chars, doc_id tie-break) instead

