@@ -664,7 +664,8 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # action). ~0.5 s of py4j/analysis per invocation before.
     plan = _IVFPQ_CACHE.get((app_id, sf_dir, "plan"))
     if plan is not None:
-        return plan
+        # fresh no-op projection — see sources.io.cached_plan
+        return plan.select("*")
     qdf, cents = _km_model(spark, sf_dir)
     # The (cluster, PQ-code) relation IS the IVF-PQ index — the
     # artifact a deployment builds once at INGEST and every query

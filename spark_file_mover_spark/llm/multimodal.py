@@ -69,7 +69,11 @@ def _asset_query(
             del _ASSET_PLAN_CACHE[k]
         df = parse(_asset_corpus(spark, sf_dir, family, build))
         _ASSET_PLAN_CACHE[key] = df
-    return df
+        return df
+    # HIT: fresh no-op projection, not the stored (possibly executed)
+    # Dataset — see sources.io.cached_plan for why (AQE final-plan
+    # rendering would make explain order-dependent)
+    return df.select("*")
 
 
 def _asset_corpus(spark: SparkSession, sf_dir: str, family: str, build):
@@ -1194,11 +1198,12 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands_key = (cache_key, sf_dir)
     if _last_phash_bands is not None and _last_phash_bands[0] == bands_key:
         # the pair/cluster/completion PLAN over the two persisted
-        # relations is itself invariant per (appId, sf_dir): return the
-        # lazily re-executed DataFrame built on the first invocation
-        # (the _ASSET_PLAN_CACHE discipline — construction cached,
-        # execution per action)
-        return _last_phash_bands[3]
+        # relations is itself invariant per (appId, sf_dir): return a
+        # fresh no-op projection over the plan built on the first
+        # invocation (the _ASSET_PLAN_CACHE discipline — construction
+        # cached, execution per action; select("*") avoids the
+        # executed-Dataset AQE final-plan rendering)
+        return _last_phash_bands[3].select("*")
     else:
         if _last_phash_bands is not None:
             try:

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_file_mover_spark.registry import query
-from spark_file_mover_spark.sources.io import load_table
+from spark_file_mover_spark.sources.io import load_table, plan_cached
 
 _PROJECT_ORACLE = """
 SELECT
@@ -26,6 +26,7 @@ FROM customer
 
 
 @query("project-select", oracle=_PROJECT_ORACLE)
+@plan_cached("project-select")
 def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1: projection + rename + computed columns."""
     c = load_table(spark, sf_dir, "customer")
@@ -48,6 +49,7 @@ WHERE o_orderstatus IN ('O', 'F')
 
 
 @query("filter-pred", oracle=_FILTER_ORACLE)
+@plan_cached("filter-pred")
 def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2: conjunctive predicates with IN / BETWEEN / null-safe equality."""
     o = load_table(spark, sf_dir, "orders")
@@ -69,6 +71,7 @@ WHERE (p_name LIKE '%gear%' OR p_type LIKE 'ECONOMY%')
 
 
 @query("filter-like-regexp", oracle=_LIKE_ORACLE)
+@plan_cached("filter-like-regexp")
 def filter_like_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3: LIKE and RLIKE predicates."""
     p = load_table(spark, sf_dir, "part")
@@ -93,6 +96,7 @@ WHERE c_acctbal > (
 
 
 @query("filter-scalar-subquery", oracle=_SCALAR_SUBQ_ORACLE)
+@plan_cached("filter-scalar-subquery")
 def filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4: filter against an uncorrelated scalar subquery (rows above the
     table-wide average). Declared through ``spark.sql`` so Catalyst's

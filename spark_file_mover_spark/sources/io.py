@@ -111,7 +111,15 @@ def cached_plan(spark: SparkSession, sf_dir: str, name: str, make):
             del _QUERY_PLAN_CACHE[k]
         df = make()
         _QUERY_PLAN_CACHE[key] = df
-    return df
+        return df
+    # HIT: hand back a fresh no-op projection over the cached logical
+    # plan, not the stored Dataset itself — a Dataset that has already
+    # executed renders its AQE FINAL plan on explain (isFinalPlan=true),
+    # which would make plan dumps order-dependent. select("*") is
+    # removed by RemoveNoopOperators, so the physical plan is identical
+    # to a cold build; the cost is ONE analyzer pass over the resolved
+    # tree instead of the per-operator construction+analysis chain.
+    return df.select("*")
 
 
 def plan_cached(name: str):

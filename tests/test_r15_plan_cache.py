@@ -28,8 +28,14 @@ KEY = "text-zipf-fit"  # pure-read, plan-cached, fast at sf0.001
 
 def test_plan_cache_hit_returns_same_plan_and_reexecutes(spark):
     df1 = registry.QUERIES[KEY](spark, SF)
+    n_before = len(sio._QUERY_PLAN_CACHE)
     df2 = registry.QUERIES[KEY](spark, SF)
-    assert df1 is df2, "second invocation must hit the built-plan cache"
+    # second invocation hits the built-plan cache (no new entry; the
+    # returned object is a fresh no-op projection over the cached plan
+    # so explain output stays order-independent)
+    assert len(sio._QUERY_PLAN_CACHE) == n_before
+    assert any(k[1] == KEY for k in sio._QUERY_PLAN_CACHE)
+    assert df1.schema == df2.schema
     # execution still happens per action (lazy plan, not a result)
     assert df1.collect() == df2.collect()
 
@@ -57,9 +63,13 @@ def test_plan_cache_misses_on_corpus_change(spark, tmp_path):
 def test_plan_cache_bypassed_under_lazy_checkpoints(spark):
     from spark_file_mover_spark.checkpoints import lazy_checkpoints
 
-    warm = registry.QUERIES[KEY](spark, SF)
+    registry.QUERIES[KEY](spark, SF)  # ensure a production entry exists
+    entries = {
+        k: v for k, v in sio._QUERY_PLAN_CACHE.items() if k[1] == KEY
+    }
+    assert entries
     with lazy_checkpoints():
-        lazy_df = registry.QUERIES[KEY](spark, SF)
-        assert lazy_df is not warm, "lazy mode must not read the cache"
-    # ...and must not have overwritten the production entry either
-    assert registry.QUERIES[KEY](spark, SF) is warm
+        registry.QUERIES[KEY](spark, SF)
+    # lazy mode must neither evict nor overwrite the production entry
+    for k, v in entries.items():
+        assert sio._QUERY_PLAN_CACHE.get(k) is v
