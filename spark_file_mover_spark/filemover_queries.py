@@ -210,8 +210,17 @@ def _write_partitioned_fixture(spark: SparkSession, sf_dir: str) -> str:
     path. Cached per (SparkContext, sf_dir): the write is SETUP (r15,
     the scan-dpp-join discipline), the listing is the operator."""
     global _last_a1_fixture
+    import os
+
     cache_key = (spark.sparkContext.applicationId, sf_dir)
-    if _last_a1_fixture is not None and _last_a1_fixture[0] == cache_key:
+    # ADVICE r15: require the cached dir to still EXIST (the B22
+    # template-cache liveness check) — an OS tmp reaper on a long
+    # session would otherwise turn A1 into an empty manifest.
+    if (
+        _last_a1_fixture is not None
+        and _last_a1_fixture[0] == cache_key
+        and os.path.isdir(_last_a1_fixture[1])
+    ):
         return _last_a1_fixture[1]
     if _last_a1_fixture is not None:
         import os

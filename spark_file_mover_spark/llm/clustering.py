@@ -656,13 +656,26 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recall < 100% by construction, tuned by nprobe). At 10^9 vectors
     the corpus would be written bucketed by cell id so a probe is a
     partition-pruned scan."""
-    app_id = spark.sparkContext.applicationId
+    from spark_file_mover_spark import checkpoints
+
+    # ADVICE r15: every _IVFPQ_CACHE entry is BYPASSED (read and write,
+    # no eviction either) under the plan-only tooling mode — a model/
+    # index/plan built through the substituted empty-leaf checkpoint
+    # inside _km_fit is tooling-shaped and must never serve production
+    # invocations (the sources.io.cached_plan rule).
+    lazy = checkpoints.LAZY_ACTIVE
+    # ADVICE r15: keyed on artifact_cache_key (appId + sf_dir + corpus
+    # fingerprint — the other r15 plan caches' contract) so an in-place
+    # corpus rewrite misses instead of serving a stale index/plan (the
+    # documented r8 cache-contract gap: (appId, sf_dir) alone only
+    # detected switching directories).
+    base = artifact_cache_key(spark, sf_dir)
     # r15: probe pick, ADC tables and the candidate scoring joins are a
     # pure PLAN over the cached index + expression fragments — cache
-    # the built DataFrame per (appId, sf_dir) (the multimodal
-    # _ASSET_PLAN_CACHE discipline: construction once, execution per
-    # action). ~0.5 s of py4j/analysis per invocation before.
-    plan = _IVFPQ_CACHE.get((app_id, sf_dir, "plan"))
+    # the built DataFrame (the multimodal _ASSET_PLAN_CACHE discipline:
+    # construction once, execution per action). ~0.5 s of
+    # py4j/analysis per invocation before.
+    plan = None if lazy else _IVFPQ_CACHE.get((base, "plan"))
     if plan is not None:
         # fresh no-op projection — see sources.io.cached_plan
         return plan.select("*")
@@ -670,24 +683,29 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The (cluster, PQ-code) relation IS the IVF-PQ index — the
     # artifact a deployment builds once at INGEST and every query
     # reads. It persists (MEMORY_AND_DISK) and caches per
-    # (SparkContext, sf_dir) exactly like the kmeans model it extends;
+    # (SparkContext, corpus) exactly like the kmeans model it extends;
     # without this every query action re-ran the full corpus assign +
     # encode once per DAG reference (~11 s/invocation at sf0.1 vs
     # ~1 s with the index materialized).
-    index_key = (app_id, sf_dir, "index")
-    cached = _IVFPQ_CACHE.get(index_key)
+    index_key = (base, "index")
+    cached = None if lazy else _IVFPQ_CACHE.get(index_key)
     if cached is None:
-        # one live (app, sf) — stale checkpoints release via the
-        # ContextCleaner once dereferenced (the _KM_CACHE policy);
-        # the exprs entry for the same (app, sf) survives
-        for k in [k for k in _IVFPQ_CACHE if k[:2] != (app_id, sf_dir)]:
-            del _IVFPQ_CACHE[k]
         asg = _km_assign(qdf, cents).select("vec_id", "qv", "cluster")
-        cached = _ivfpq_codes(asg, cents).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        cached.count()  # eager populate (probe + ADC both read it)
-        _IVFPQ_CACHE[index_key] = cached
+        if lazy:
+            # plan-only: bare lazy relation — no persist/count jobs,
+            # nothing cached, live entries untouched
+            cached = _ivfpq_codes(asg, cents)
+        else:
+            # one live (app, corpus) — stale checkpoints release via
+            # the ContextCleaner once dereferenced (the _KM_CACHE
+            # policy); sibling entries for the same corpus survive
+            for k in [k for k in _IVFPQ_CACHE if k[0] != base]:
+                del _IVFPQ_CACHE[k]
+            cached = _ivfpq_codes(asg, cents).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            cached.count()  # eager populate (probe + ADC both read it)
+            _IVFPQ_CACHE[index_key] = cached
     codes = cached
 
     # query-side: the query set assigns AFTER the filter (5 rows, not
@@ -696,7 +714,7 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (~4.5 s of py4j construction: 136 folds with literal arrays) and
     # cache with the index (the _TIFF_EXPR_CACHE lesson: build once
     # per context, measured 6.5 -> ~1.5 s per invocation).
-    frags = _IVFPQ_CACHE.get((app_id, sf_dir, "exprs"))
+    frags = None if lazy else _IVFPQ_CACHE.get((base, "exprs"))
     if frags is None:
         cd = ", ".join(
             _dist_structs_sql(
@@ -749,7 +767,8 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qres": F.expr(f"explode(array({qres}))"),
             "adct": F.expr(f"explode(array({adct_entries}))"),
         }
-        _IVFPQ_CACHE[(app_id, sf_dir, "exprs")] = frags
+        if not lazy:
+            _IVFPQ_CACHE[(base, "exprs")] = frags
 
     # plain projection — the probe pick below derives its own cell
     # distances, so running _km_assign here would pay K assignment
@@ -803,7 +822,8 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
-    _IVFPQ_CACHE[(app_id, sf_dir, "plan")] = out
+    if not lazy:
+        _IVFPQ_CACHE[(base, "plan")] = out
     return out
 
 

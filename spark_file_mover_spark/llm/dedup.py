@@ -918,11 +918,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage); the pair join + Jaccard scoring — the verify operator —
     run on every invocation."""
     global _last_jac_expl
+    from spark_file_mover_spark import checkpoints
+
+    # ADVICE r15: the persisted ingest relation is bypassed in BOTH
+    # directions under the plan-only tooling mode — no corpus tokenize
+    # jobs from dump tooling (the r11 zero-jobs invariant), no
+    # tooling-shaped entry leaking into production hits.
+    lazy = checkpoints.LAZY_ACTIVE
     cache_key = artifact_cache_key(spark, sf_dir)
-    if _last_jac_expl is not None and _last_jac_expl[0] == cache_key:
+    if (
+        not lazy
+        and _last_jac_expl is not None
+        and _last_jac_expl[0] == cache_key
+    ):
         expl = _last_jac_expl[1]
     else:
-        _last_jac_expl = None
+        if _last_jac_expl is not None and not lazy:
+            try:  # ADVICE r15: release the stale blocks (the _tf_cache
+                _last_jac_expl[1].unpersist()  # eviction pattern)
+            except Exception:
+                pass  # previous relation may belong to a stopped session
+            _last_jac_expl = None
         d = load_table(spark, sf_dir, "documents")
         grams = F.array_distinct(
             F.slice(toks(), 1, 20)
@@ -936,9 +952,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode("grams").alias("gs"),
         ).select(
             "doc_id", "lang", "source", "n", F.xxhash64("gs").alias("g")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        expl.count()  # eager: pay the ingest tokenize once
-        _last_jac_expl = (cache_key, expl)
+        )
+        if not lazy:
+            expl = expl.persist(StorageLevel.MEMORY_AND_DISK)
+            expl.count()  # eager: pay the ingest tokenize once
+            _last_jac_expl = (cache_key, expl)
     inter = (
         expl.alias("a")
         .join(
@@ -1485,7 +1503,10 @@ ORDER BY p.doc_id
 
 
 @query("dedup-cross-bloom", oracle=_XBLOOM_ORACLE)
-@plan_cached("dedup-cross-bloom")
+# NOT @plan_cached (r16, verdict item 1): the build localCheckpoints
+# the doc-scale candidate relation (probe explode + groupBy) — a
+# plan-cache hit would serve that materialized intermediate
+# (result caching). The barrier stays; the plan cache goes.
 def dedup_cross_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I38: cross-corpus exact dedup through a Bloom-filter summary —
     the pattern for "dedup the NEW crawl against the EXISTING corpus"
@@ -1937,7 +1958,12 @@ ORDER BY a, b
 
 
 @query("dedup-edit-distance", oracle=_EDITDIST_ORACLE)
-@plan_cached("dedup-edit-distance")
+# NOT @plan_cached (r16, verdict item 1): the build localCheckpoints
+# the normalized-text relation feeding both verify-join sides — a
+# map-only subtree with no exchange to reuse, so the barrier is the
+# only way to pay the scan+regex once per invocation; a plan-cache
+# hit would skip it entirely (result caching). Barrier stays,
+# plan cache goes.
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I51: exact edit-distance near-dup verification over winnowing-
     fingerprint candidates — the full MOSS-style pipeline (sketch →

@@ -136,7 +136,11 @@ FROM c ORDER BY doc_id
 
 
 @query("sample-pack-sequences", oracle=_PACK_ORACLE)
-@plan_cached("sample-pack-sequences")
+# NOT @plan_cached (r16, verdict item 1): the build localCheckpoints
+# the sharded relation (RangePartitioner bound determinism) and
+# collects shard totals — eager build-time work that a plan-cache
+# hit would silently skip (result caching). Every invocation pays
+# the barrier + collect in the timed region.
 def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing layout for pretraining: documents are concatenated
     in doc_id order into one token stream sliced into fixed
@@ -1190,7 +1194,11 @@ ORDER BY t.epoch, t.rank
 
 
 @query("sample-epoch-shuffle", oracle=_EPOCH_SHUFFLE_ORACLE)
-@plan_cached("sample-epoch-shuffle")
+# NOT @plan_cached (r16, verdict item 1): the build localCheckpoints
+# the k·epochs top-k relation — the doc-scale rank window runs at
+# BUILD time, so a plan-cache hit would serve its materialized
+# output (result caching). The barrier stays (re-running the window
+# per consumer is the worse trade at scale); the plan cache goes.
 def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I74: deterministic per-epoch shuffle order — rank every
     document by md5(epoch ':' doc_id) per training epoch: the
@@ -1501,7 +1509,9 @@ ORDER BY t.source
 
 
 @query("sample-ess-weights", oracle=_ESS_ORACLE)
-@plan_cached("sample-ess-weights")
+# NOT @plan_cached (r16, verdict item 1): the build runs an eager
+# localCheckpoint barrier — per-invocation work a plan-cache hit
+# would silently skip (result caching, not plan caching).
 def sample_ess_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I80: importance-weight diagnostics — effective sample size and
     clipping screen per source. When a corpus sampled length-biased
@@ -1548,7 +1558,11 @@ def sample_ess_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sources-bounded totals consumed THREE times (clip broadcast,
         # final join, and its own stats): checkpoint so each consumer
         # reads the handful of materialized rows instead of re-running
-        # the corpus scan (the scan-signature gate)
+        # the corpus scan (the scan-signature gate; r16 measured the
+        # lazy form at THREE FileScans per action — the broadcast
+        # subtrees don't share the shuffle exchange, so reuse never
+        # fires here). The barrier is per-invocation eager work, which
+        # is why this key is NOT @plan_cached (r16).
         .localCheckpoint(eager=True)
     )
     c = (

@@ -932,13 +932,28 @@ def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact integers; novelty is one snapped division; gram-less docs
     (< 3 tokens) surface with zero counts and NULL novelty."""
     global _last_nov_grams
+    from spark_file_mover_spark import checkpoints
     from spark_file_mover_spark.sources.io import artifact_cache_key
 
+    # ADVICE r15: cache bypassed in BOTH directions under the plan-only
+    # tooling mode — no corpus tokenize jobs from dump tooling (the r11
+    # zero-jobs invariant), no tooling-shaped entry leaking into
+    # production hits; dumps render the cold shape.
+    lazy = checkpoints.LAZY_ACTIVE
     cache_key = artifact_cache_key(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
-    if _last_nov_grams is not None and _last_nov_grams[0] == cache_key:
+    if (
+        not lazy
+        and _last_nov_grams is not None
+        and _last_nov_grams[0] == cache_key
+    ):
         return _novelty_query(d, _last_nov_grams[1])
-    _last_nov_grams = None
+    if _last_nov_grams is not None and not lazy:
+        try:  # ADVICE r15: release the stale blocks (the _tf_cache
+            _last_nov_grams[1].unpersist()  # eviction pattern)
+        except Exception:
+            pass  # previous relation may belong to a stopped session
+        _last_nov_grams = None
     tk = d.select("doc_id", toks().alias("tk"))
     grams = (
         tk.select(
@@ -962,14 +977,15 @@ def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gh"),
         )
         .distinct()
+    )
+    if not lazy:
         # two consumers (first-seen agg + attribution join) plus the
         # cross-invocation cache; persist keeps replayable lineage so
         # executor loss between invocations recomputes instead of
         # failing later hits (the containment-er note)
-        .persist()
-    )
-    grams.count()  # eager: pay the ingest scan once
-    _last_nov_grams = (cache_key, grams)
+        grams = grams.persist()
+        grams.count()  # eager: pay the ingest scan once
+        _last_nov_grams = (cache_key, grams)
     return _novelty_query(d, grams)
 
 
@@ -1318,14 +1334,24 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     live entry, replayable lineage). The df pass, threshold and
     per-doc rollup — the boilerplate operator — run per invocation."""
     global _last_bp_lines
+    from spark_file_mover_spark import checkpoints
     from spark_file_mover_spark.sources.io import artifact_cache_key
 
+    # ADVICE r15: read side bypassed under the plan-only tooling mode
+    # too (the write side already was) so dumps render the cold shape
+    # instead of a live entry's materialized leaf.
+    lazy = checkpoints.LAZY_ACTIVE
     cache_key = artifact_cache_key(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
-    if _last_bp_lines is not None and _last_bp_lines[0] == cache_key:
+    if (
+        not lazy
+        and _last_bp_lines is not None
+        and _last_bp_lines[0] == cache_key
+    ):
         l = _last_bp_lines[1]
     else:
-        _last_bp_lines = None
+        if not lazy:
+            _last_bp_lines = None
         sized = d.select(
             "doc_id", "source", toks().alias("toks")
         ).selectExpr(

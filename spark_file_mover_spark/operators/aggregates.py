@@ -2832,7 +2832,9 @@ ORDER BY bucket, event_type
 
 
 @query("agg-chisq-independence", oracle=_CHISQ_ORACLE)
-@plan_cached("agg-chisq-independence")
+# NOT @plan_cached (r16, verdict item 1): the build runs an eager
+# localCheckpoint barrier — per-invocation work a plan-cache hit
+# would silently skip (result caching, not plan caching).
 def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E31: Pearson chi-square test of independence over the
     time-of-day × event-type contingency table — "does the event mix
@@ -2875,7 +2877,11 @@ def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumed FOUR ways below (bucket dim, type dim, the completion
     # join, the df dims) — materialize it once so the corpus hash agg
     # runs once, not once per consumer (the r11 scan-census catch:
-    # the lazy form re-executed the events scan 4x)
+    # the lazy form re-executed the events scan 4x; with AQE stage
+    # reuse it still re-ran the final agg + four stage schedules,
+    # measured 1.17 vs 0.68 s/invocation at sf0.1). The barrier is
+    # per-invocation eager work, which is why this key is NOT
+    # @plan_cached (r16).
     obs = (
         e.groupBy("bucket", "event_type")
         .agg(F.count("*").cast("long").alias("o"))
@@ -3536,7 +3542,9 @@ FROM m
 
 
 @query("agg-spearman-corr", oracle=_SPEAR_ORACLE)
-@plan_cached("agg-spearman-corr")
+# NOT @plan_cached (r16, verdict item 1): the build runs an eager
+# localCheckpoint barrier — per-invocation work a plan-cache hit
+# would silently skip (result caching, not plan caching).
 def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E37: Spearman rank correlation between quantity and discount
     — the robust monotone-association readout (Pearson on RANKS):
@@ -3578,7 +3586,11 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the one corpus pass: joint value distribution, map-side combined
     # to |X|·|Y| cells, checkpointed so the marginals and the moment
     # aggregate all read the barrier instead of re-deriving the scan
-    # (Catalyst re-executes unmaterialized subtrees per branch)
+    # (the broadcast rank subtrees cannot share the main plan's
+    # exchange, so the r16 lazy experiment still ran TWO corpus scans
+    # per action for the same wall time). The barrier is
+    # per-invocation eager work, which is why this key is NOT
+    # @plan_cached (r16, verdict item 1).
     joint = (
         rows_.groupBy("xv", "yv")
         .agg(F.count("*").cast("long").alias("c"))
@@ -3808,7 +3820,9 @@ FROM m, terms
 
 
 @query("agg-theil-index", oracle=_THEIL_ORACLE)
-@plan_cached("agg-theil-index")
+# NOT @plan_cached (r16, verdict item 1): the build runs an eager
+# localCheckpoint barrier — per-invocation work a plan-cache hit
+# would silently skip (result caching, not plan caching).
 def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E39: Theil T and Theil L (mean log deviation) of the per-user
     spend distribution — the DECOMPOSABLE inequality indices (total
@@ -3830,9 +3844,10 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB — the E32 distribution trick, one corpus pass and
     NO sort anywhere: per-user collapses map-side, then to the
     DISTINCT (cents, count) relation (bounded by value cardinality,
-    never user count), which localCheckpoints (metadata-scale) so its
-    two consumers (the one-row n/T aggregate and the term sum) never
-    re-run the corpus aggs; n/T broadcast back via one-row crossJoin.
+    never user count), whose two consumers (the one-row n/T aggregate
+    and the term sum) share one exchange (ReusedExchange — the corpus
+    aggs run once per action); n/T broadcast back via one-row
+    crossJoin.
     Per-segment decomposition adds the segment to both groupBys; same
     shape. DECIMAL(20,9) term headroom: |r·ln r| ≤ n·ln n ~ 2e10 at
     10⁹ users, 11 integer digits."""
@@ -3841,6 +3856,11 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce((F.sum(dec("value")) * 100).cast("long"), F.lit(0))
         .alias("yc")
     )
+    # value-bounded distribution consumed twice (n/T aggregate + term
+    # sum) — materialize once: only the user-agg exchange below it is
+    # shareable, so the lazy form re-runs the user-scale final
+    # aggregate per consumer. The barrier is per-invocation eager
+    # work, which is why this key is NOT @plan_cached (r16).
     dist = (
         pu.filter(F.col("yc") > 0)
         .groupBy("yc")
@@ -4239,7 +4259,9 @@ FROM pt, ci
 
 
 @query("agg-bootstrap-ci", oracle=_BOOT_ORACLE)
-@plan_cached("agg-bootstrap-ci")
+# NOT @plan_cached (r16, verdict item 1): the build runs an eager
+# localCheckpoint barrier — per-invocation work a plan-cache hit
+# would silently skip (result caching, not plan caching).
 def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E42: Poisson-bootstrap 90% confidence interval for the mean
     per-user spend — THE at-scale resampling recipe (Chamandy et al.,
@@ -4269,6 +4291,12 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events")
+    # per-user collapse consumed twice (draws + the point estimate) —
+    # materialize once: the lazy form re-runs the user-scale final
+    # aggregate per consumer (only the scan exchange is reused;
+    # measured 0.94 vs 0.81 s/invocation at sf0.1). The barrier is
+    # per-invocation eager work, which is why this key is NOT
+    # @plan_cached (r16).
     pu = ev.groupBy("user_id").agg(
         F.coalesce((F.sum(dec("value")) * 100).cast("long"), F.lit(0))
         .alias("yc")
@@ -4633,7 +4661,9 @@ ORDER BY ante, cons
 
 
 @query("agg-assoc-lift", oracle=_LIFT_ORACLE)
-@plan_cached("agg-assoc-lift")
+# NOT @plan_cached (r16, verdict item 1): the build runs an eager
+# localCheckpoint barrier — per-invocation work a plan-cache hit
+# would silently skip (result caching, not plan caching).
 def agg_assoc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E45: pairwise association rules over per-user event-type
     baskets — support, confidence and lift for every unordered type
@@ -4656,6 +4686,12 @@ def agg_assoc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     margins and the user count aggregate the SAME collapsed relation
     and broadcast onto the types²-bounded pair relation."""
     ev = load_table(spark, sf_dir, "events")
+    # distinct (user, type) consumed four ways (n, margins, both pair
+    # sides) — materialize once: the exchanged partials are USER-scale,
+    # so the lazy form re-runs the user-scale final dedup per consumer
+    # (measured 0.60 vs 0.45 s/invocation at sf0.1). The barrier is
+    # per-invocation eager work, which is why this key is NOT
+    # @plan_cached (r16).
     ut = ev.select("user_id", "event_type").distinct().localCheckpoint(
         eager=True
     )
@@ -5607,10 +5643,12 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         # ~550 bounded rows consumed FIVE ways (both self-join sides,
-        # totals, two margin aggs) — materialize once so the corpus
-        # hash agg runs once, not once per consumer (the E45/r11
-        # scan-census discipline)
-        .localCheckpoint(eager=True)
+        # totals, two margin aggs). No barrier (r16, verdict item 1):
+        # every consumer shares the identical scan→partial-agg→
+        # Exchange subtree (ReusedExchange — one corpus scan PER
+        # ACTION; only the cell-bounded final agg re-runs per
+        # consumer), so the plan-cache hit path re-executes from
+        # parquet instead of a build-time materialization.
     )
     a = cells.select(
         F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("c").alias("ac")
@@ -5742,7 +5780,9 @@ FROM f
 
 
 @query("agg-tukey-fences", oracle=_TUKEY_ORACLE)
-@plan_cached("agg-tukey-fences")
+# NOT @plan_cached (r16, verdict item 1): the build runs an eager
+# localCheckpoint barrier — per-invocation work a plan-cache hit
+# would silently skip (result caching, not plan caching).
 def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E52: Tukey's 1.5·IQR fences on per-user total spend (Tukey
     1977, the boxplot rule) — the quartile-based member completing
@@ -5770,7 +5810,12 @@ def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("yc")
     )
     # bounded (cents, count) relation consumed twice (quartile window
-    # + fence counts) — materialize once (the E45/E51 discipline)
+    # + fence counts) — materialize once (the E45/E51 discipline):
+    # only the user-agg EXCHANGE below it is shareable, so the lazy
+    # form re-runs the user-scale final aggregate per consumer
+    # (measured 0.66 vs 0.59 s/invocation at sf0.1, and duplicated
+    # user-scale work at 100 TB). The barrier is per-invocation eager
+    # work, which is why this key is NOT @plan_cached (r16).
     dist = (
         pu.groupBy("yc")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -6089,7 +6134,9 @@ FROM cf
 
 
 @query("agg-confusion-mcc", oracle=_CONFUSION_ORACLE)
-@plan_cached("agg-confusion-mcc")
+# NOT @plan_cached (r16, verdict item 1): the build runs an eager
+# localCheckpoint barrier — per-invocation work a plan-cache hit
+# would silently skip (result caching, not plan caching).
 def agg_confusion_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E55: the classifier-evaluation panel AS A QUERY — confusion
     matrix, precision/recall/F1/accuracy and Matthews correlation —
@@ -6133,7 +6180,12 @@ def agg_confusion_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sb"),
         )
         # consumed three ways (two threshold derivations + the final
-        # confusion agg) — the E45/E51/E52 materialize-once discipline
+        # confusion agg) — the E45/E51/E52 materialize-once
+        # discipline: the lazy form re-runs the user-scale final
+        # aggregate per consumer (only the scan exchange is reused;
+        # measured 1.25 vs 0.86 s/invocation at sf0.1). The barrier
+        # is per-invocation eager work, which is why this key is NOT
+        # @plan_cached (r16).
         .localCheckpoint(eager=True)
     )
 
@@ -6263,7 +6315,9 @@ FROM f
 
 
 @query("agg-mann-kendall", oracle=_MANNKENDALL_ORACLE)
-@plan_cached("agg-mann-kendall")
+# NOT @plan_cached (r16, verdict item 1): the build runs an eager
+# localCheckpoint barrier — per-invocation work a plan-cache hit
+# would silently skip (result caching, not plan caching).
 def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E56: the Mann-Kendall trend test on daily revenue — the
     NONPARAMETRIC "is this series monotonically trending?" verdict
@@ -6298,7 +6352,11 @@ def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
         # calendar-bounded relation consumed three ways (both pair
-        # sides + ties/n) — materialize once (the E51/E52 discipline)
+        # sides + ties/n) — materialize once (the E51/E52 discipline;
+        # the r16 lazy experiment measured the same wall time with
+        # two corpus scans per action — no win to buy the static
+        # multi-scan shape). The barrier is per-invocation eager
+        # work, which is why this key is NOT @plan_cached (r16).
         .localCheckpoint(eager=True)
     )
     a = d.select(F.col("day").alias("aday"), F.col("cents").alias("ac"))

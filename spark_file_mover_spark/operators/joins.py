@@ -730,7 +730,12 @@ GROUP BY 1 ORDER BY 1
 
 
 @query("join-bloom-prefilter", oracle=_BLOOMJ_ORACLE)
-@plan_cached("join-bloom-prefilter")
+# NOT @plan_cached (r16, verdict item 1 — caught by the build-jobs
+# audit): the build COLLECTS the Bloom bitmap (metadata-scale, but a
+# corpus-derived result baked into the plan as a literal), so a
+# plan-cache hit would skip the dim scan + bitmap build entirely
+# (result caching). Every invocation rebuilds the filter in the timed
+# region, as a production run with a fresh survivor set would.
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D13: the Bloom-prefilter join pattern — build an 8 KiB Bloom
     bitmap over the FILTERED dimension's join keys, broadcast it as a

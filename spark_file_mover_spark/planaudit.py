@@ -97,4 +97,19 @@ def max_signature_count(plan: str) -> int:
 # verdict order that made the r10 graph-reciprocity catch mechanical
 # for every key). Lives here, not in tools/, so the package owns its
 # own scale contract.
-SCAN_BUDGET_EXEMPT: dict[str, str] = {}
+SCAN_BUDGET_EXEMPT: dict[str, str] = {
+    # r16 (verdict item 1): the ~550-cell (x, y, c) relation feeds five
+    # consumers LAZILY — the r15 eager localCheckpoint ran at build
+    # time, which turned the @plan_cached hit into a result cache. The
+    # static census sees one scan per consumer branch, but the
+    # branches share the identical scan→partial-agg→Exchange subtree
+    # and AQE stage reuse collapses them at runtime: the executed
+    # final plan carries 2 FileScan nodes + 3 ReusedExchange
+    # (plans/r16/agg-kendall-tau_after.txt), and the honest
+    # per-invocation wall time HALVED vs the barrier form
+    # (1.11 → 0.59 s at sf0.1). Not a re-execution defect — a
+    # deliberate lazy-shared aggregate.
+    "agg-kendall-tau": "five lazy consumers of one cell aggregate; "
+    "AQE stage reuse dedupes at runtime (2 scans + 3 ReusedExchange "
+    "in the executed plan), wall time halved vs the eager barrier",
+}
