@@ -1780,10 +1780,17 @@ def agg_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     one conversion metric: x = distinct converting users, n = variant
     population.
 
-    Shape at 100 TB: ONE distinct over (event_type, user_id, variant)
-    collapses map-side; the per-variant population is a 2-value
-    relation broadcast to the 5-row metric table. No raw-event
-    shuffle beyond the distinct's hash exchange on user ids.
+    Shape at 100 TB: the variant is a PURE FUNCTION of user_id (the
+    md5-prefix hash), so it is computed MAP-SIDE on both paths — the
+    r15 form joined raw events against a distinct-user relation just
+    to attach v, which shuffled every event row through a join for a
+    value each row could derive itself (r16, guide §2.4: the join is
+    deleted outright; SortMergeJoin gone, 6 scans → 4 and 6 Exchange
+    → 5 in the formatted plan — neutral wall time at sf0.1, one fewer
+    raw-event shuffle at scale). ONE distinct over
+    (event_type, user_id) collapses map-side; the per-variant
+    population is a 2-value relation broadcast to the 5-row metric
+    table.
 
     Parity: counts are exact BIGINTs; z is one compound all-double
     expression (every division CAST AS DOUBLE — bare literals are
@@ -1793,16 +1800,10 @@ def agg_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows (empty variant, all-or-none conversion → zero pooled
     variance) yield NULL z / FALSE flag in both engines."""
     ev = load_table(spark, sf_dir, "events")
-    u = (
-        ev.select("user_id")
-        .distinct()
-        .select(
-            "user_id",
-            F.pmod(
-                md5_prefix60(F.col("user_id").cast("string")), F.lit(2)
-            ).alias("v"),
-        )
-    )
+    v_expr = F.pmod(
+        md5_prefix60(F.col("user_id").cast("string")), F.lit(2)
+    ).alias("v")
+    u = ev.select("user_id").distinct().select("user_id", v_expr)
     pop = u.agg(
         F.sum(F.when(F.col("v") == 0, 1).otherwise(0))
         .cast("long")
@@ -1812,7 +1813,7 @@ def agg_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nb"),
     )
     conv = (
-        ev.join(u, "user_id")
+        ev.select("event_type", "user_id", v_expr)
         .groupBy(F.col("event_type").alias("metric"))
         .agg(
             F.countDistinct(

@@ -2095,24 +2095,24 @@ def graph_personalized_pagerank(
     )
     ranks = nd.selectExpr("node", "outdeg", f"{r0_expr} AS rank")
     tele = f"15 * CAST({n_nodes} AS BIGINT) * {_PR_SCALE} DIV 100"
-    # r15: the K1 fits-or-shuffle broadcast gate — the rank>0 frontier
-    # is at most the rank relation, so the same n_nodes bound applies.
-    fits = 0 < n_nodes * _PR_RANK_BCAST_BYTES <= _bcast_threshold(spark)
+    # r16 (verdict item 4): the r15 per-round broadcast gate is REMOVED
+    # for K15 — the driver's cold run measured it 0.90x and this
+    # round's paired interleaved A/B put the gated form only ~1.05x
+    # (0.93 vs 0.98 s min-of-4, inside noise), which does not clear
+    # the verdict's >=1.1x bar; late-session sweeps read the
+    # broadcast-per-round form far worse (3.4 s). K1 keeps its gate
+    # (paired 1.15x there). The shuffled joins below are the
+    # spill-graceful shape at any scale.
     for _ in range(_PPR_ITERS):
         dang = ranks.filter(F.col("outdeg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0)).alias("dang")
         )
         frontier = ranks.filter(F.col("rank") > 0)
         contrib = (
-            e.join(
-                F.broadcast(frontier) if fits else frontier,
-                e.src == F.col("node"),
-            )
+            e.join(frontier, e.src == F.col("node"))
             .groupBy("dst")
             .agg(F.sum(F.expr("rank DIV outdeg")).alias("contrib"))
         )
-        if fits:
-            contrib = F.broadcast(contrib)
         ranks = (
             nd.join(contrib, nd.node == contrib.dst, "left")
             .crossJoin(F.broadcast(dang))

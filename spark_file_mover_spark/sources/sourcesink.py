@@ -414,10 +414,9 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 except Exception:
                     pass
     names = {"orders_b": f"orders_b_{pid}", "lineitem_b": f"lineitem_b_{pid}"}
-    for name, df, key in [
-        (names["orders_b"], o, "o_orderkey"),
-        (names["lineitem_b"], li, "l_orderkey"),
-    ]:
+
+    def _write_bucketed(args) -> None:
+        name, df, key = args
         # a fresh session may find the managed location on disk without a
         # catalog entry (left by a previous process) — drop both
         spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
@@ -432,6 +431,25 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .sortBy(key)
             .format("parquet")
             .saveAsTable(f"{db}.{name}")
+        )
+
+    # r16 (guide §2.6 — overlap independent jobs): the two bucketed
+    # writes share no state (distinct tables/locations), so submitting
+    # them from two driver threads lets the second write's tasks
+    # back-fill the first's commit tail. Paired A/B at sf0.1:
+    # 1.16/1.33 → 0.82/0.86 s (min/med of 4). Same tables, same join,
+    # same values.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(
+            pool.map(
+                _write_bucketed,
+                [
+                    (names["orders_b"], o, "o_orderkey"),
+                    (names["lineitem_b"], li, "l_orderkey"),
+                ],
+            )
         )
     ob = spark.table(f"{db}.{names['orders_b']}")
     lb = spark.table(f"{db}.{names['lineitem_b']}")
